@@ -1,0 +1,377 @@
+package graft.ops
+
+import graft.QuerySpec
+import graft.model.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational surface (SURVEY.md §2.2-§2.6): projections, joins of all
+  * flavors, aggregations, windows, rollup, set ops, sorts/top-k, date parts,
+  * JSON extraction. Everything is declarative DataFrame code — Catalyst gets
+  * full freedom for pushdown, pruning, join selection, and AQE; small
+  * dimensions carry an explicit `broadcast` hint so the plan never degrades
+  * to a shuffle join when statistics are missing at scale.
+  */
+object Relational {
+
+  /** Flagship "sales trends" query (README.md:7 of the reference; SURVEY.md
+    * §7.1): enrichment join + revenue arithmetic + time dimensions + grouped
+    * aggregation, one DAG. `part` is broadcast — at 100 TB the fact side
+    * streams through a broadcast hash join with zero shuffle for the join.
+    */
+  val salesTrends: QuerySpec = QuerySpec.sql(
+    "q_sales_trends",
+    """SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |       CAST(month(l_shipdate) AS INTEGER) AS mon,
+      |       p_brand,
+      |       sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100.0 AS revenue,
+      |       count(*) AS n_items,
+      |       sum(l_quantity) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(
+        year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mon"),
+        col("p_brand"))
+      .agg(
+        (sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)) / 100.0).as("revenue"),
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("yr"), col("mon"), col("p_brand"))
+  }
+
+  /** TPC-H Q1-shaped pricing summary (A3): partial+final hash aggregation,
+    * no joins — the canonical scan-heavy aggregate. */
+  val pricingSummary: QuerySpec = QuerySpec.sql(
+    "q_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |       sum(l_quantity) AS sum_qty,
+      |       sum(floor(l_extendedprice * 100 + 0.5)) / 100.0 AS sum_base_price,
+      |       sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100.0 AS sum_disc_price,
+      |       sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5)) / 100.0 AS sum_charge,
+      |       sum(l_quantity) / count(*) AS avg_qty,
+      |       sum(floor(l_extendedprice * 100 + 0.5)) / 100.0 / count(*) AS avg_price,
+      |       sum(floor(l_discount * 100 + 0.5)) / 100.0 / count(*) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        (sum(floor(col("l_extendedprice") * 100 + 0.5)) / 100.0).as("sum_base_price"),
+        (sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)) / 100.0).as("sum_disc_price"),
+        (sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")) * 100 + 0.5)) / 100.0).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sum(floor(col("l_extendedprice") * 100 + 0.5)) / 100.0 / count(lit(1))).as("avg_price"),
+        (sum(floor(col("l_discount") * 100 + 0.5)) / 100.0 / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Latest-value-per-key (A2/O1: the reference's `orderBy(rate_date.desc)
+    * .first()` per currency, `glue_job.py:60`), as a scalable window dedup:
+    * one shuffle, no per-row scans. */
+  val latestEvent: QuerySpec = QuerySpec.sql(
+    "q_latest_event",
+    """SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+      |FROM (SELECT user_id, event_type, value, ts,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+      |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc_nulls_last, col("event_id").desc_nulls_last)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"), col("ts").as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
+  /** As-of join (J2 variant b, SURVEY.md §2.3): for each event, the user's
+    * latest order at-or-before the event time. See [[AsOfJoin]] for why the
+    * union+window plan beats a range join at scale. */
+  val asOf: QuerySpec = QuerySpec.sql(
+    "q_asof_join",
+    """SELECT event_id, user_id, ts, asof_orderkey, asof_totalprice FROM (
+      |  SELECT e.event_id, e.user_id, e.ts,
+      |         o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |                            ORDER BY o.o_orderdate DESC NULLS LAST,
+      |                                     o.o_orderkey DESC NULLS LAST) AS rn
+      |  FROM events e LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |) WHERE rn = 1 ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val probe = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    val build = Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderdate"),
+      col("o_orderkey").as("asof_orderkey"),
+      col("o_totalprice").as("asof_totalprice"))
+    AsOfJoin.joinAsOf(
+        probe, build,
+        probeKey = "user_id", buildKey = "o_custkey",
+        probeTime = "ts", buildTime = "o_orderdate",
+        valueCols = Seq("asof_orderkey", "asof_totalprice"),
+        buildTie = "asof_orderkey")
+      .orderBy(col("event_id"))
+  }
+
+  /** Left-outer enrichment (J1, `glue_job.py:121-125`) with unmatched-side
+    * accounting. */
+  val joinEnrich: QuerySpec = QuerySpec.sql(
+    "q_join_enrich",
+    """SELECT coalesce(p_brand, 'UNKNOWN') AS brand,
+      |       count(*) AS n_items,
+      |       sum(floor(l_extendedprice * 100 + 0.5)) / 100.0 AS total_price
+      |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left_outer")
+      .groupBy(coalesce(col("p_brand"), lit("UNKNOWN")).as("brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(floor(col("l_extendedprice") * 100 + 0.5)) / 100.0).as("total_price"))
+      .orderBy(col("brand"))
+  }
+
+  /** Left-semi join (EXISTS). */
+  val semiJoin: QuerySpec = QuerySpec.sql(
+    "q_semi_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 150000)
+    c.filter(col("c_mktsegment") === "BUILDING")
+      .join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS) — the staged-merge "delete matching keys"
+    * half of the reference's idempotent-load sketch
+    * (`redshift_setup.py:190-194`, J4). */
+  val antiJoin: QuerySpec = QuerySpec.sql(
+    "q_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Staged-merge upsert (J4 in full): target rows not matched by staging,
+    * unioned with staging — the reference's commented DELETE+INSERT pattern
+    * (`redshift_setup.py:190-194`) as one anti-join + union. Staging here is
+    * "latest order per customer", target is "first order per customer". */
+  val mergeUpsert: QuerySpec = QuerySpec.sql(
+    "q_merge_upsert",
+    """WITH ranked AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC) AS rn_first,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC) AS rn_last
+      |  FROM orders),
+      |target AS (SELECT o_custkey, o_orderkey, o_totalprice FROM ranked WHERE rn_first = 1),
+      |staging AS (SELECT o_custkey, o_orderkey, o_totalprice FROM ranked WHERE rn_last = 1)
+      |SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT t.* FROM target t
+      |  WHERE NOT EXISTS (SELECT 1 FROM staging s WHERE s.o_custkey = t.o_custkey)
+      |  UNION ALL SELECT * FROM staging
+      |) ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val wFirst = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc_nulls_last, col("o_orderkey").asc)
+    val wLast = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc)
+    val ranked = o.withColumn("rn_first", row_number().over(wFirst))
+      .withColumn("rn_last", row_number().over(wLast))
+    val target = ranked.filter(col("rn_first") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val staging = ranked.filter(col("rn_last") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    target.join(staging, Seq("o_custkey"), "left_anti")
+      .unionByName(staging)
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Window functions: rank, row_number, running sum, lag. */
+  val windowFuncs: QuerySpec = QuerySpec.sql(
+    "q_window_funcs",
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS price_rank,
+      |       CAST(row_number() OVER (PARTITION BY o_custkey
+      |                               ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC) AS INTEGER) AS order_seq,
+      |       sum(floor(o_totalprice * 100 + 0.5)) OVER (PARTITION BY o_custkey
+      |                                     ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC
+      |                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_total,
+      |       lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+      |                                 ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC) AS prev_order_date
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val seqW = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc_nulls_last, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        rank().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc)).as("price_rank"),
+        row_number().over(seqW).as("order_seq"),
+        (sum(floor(col("o_totalprice") * 100 + 0.5))
+          .over(seqW.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / 100.0)
+          .as("running_total"),
+        lag(col("o_orderdate"), 1).over(seqW).as("prev_order_date"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** ROLLUP over (year, month) — multi-level time-bucketed aggregation (A3's
+    * natural extension; SURVEY.md §7.2). */
+  val rollupRevenue: QuerySpec = QuerySpec.sql(
+    "q_rollup",
+    """SELECT yr, mon, sum(floor(rev * 100 + 0.5)) / 100.0 AS revenue, count(*) AS n
+      |FROM (SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |             CAST(month(l_shipdate) AS INTEGER) AS mon,
+      |             l_extendedprice * (1 - l_discount) AS rev
+      |      FROM lineitem)
+      |GROUP BY ROLLUP (yr, mon)
+      |ORDER BY yr NULLS FIRST, mon NULLS FIRST""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .select(
+        year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mon"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .rollup(col("yr"), col("mon"))
+      .agg((sum(floor(col("rev") * 100 + 0.5)) / 100.0).as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("yr").asc_nulls_first, col("mon").asc_nulls_first)
+  }
+
+  /** Top-k (O1): global sort avoided — Spark plans TakeOrderedAndProject. */
+  val topK: QuerySpec = QuerySpec.sql(
+    "q_topk",
+    """SELECT o_custkey, sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS total_spend, count(*) AS n_orders
+      |FROM orders GROUP BY 1
+      |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        (sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spend").desc, col("o_custkey"))
+      .limit(10)
+  }
+
+  /** Global counts (A1) + exact distinct. */
+  val counts: QuerySpec = QuerySpec.sql(
+    "q_counts",
+    """SELECT count(*) AS n_rows,
+      |       count(DISTINCT l_orderkey) AS n_orders,
+      |       count(DISTINCT l_partkey) AS n_parts,
+      |       sum(l_quantity) AS sum_qty,
+      |       min(l_extendedprice) AS min_price,
+      |       max(l_extendedprice) AS max_price
+      |FROM lineitem""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      sum(col("l_quantity")).as("sum_qty"),
+      min(col("l_extendedprice")).as("min_price"),
+      max(col("l_extendedprice")).as("max_price"))
+  }
+
+  /** Sketch-based distinct (HLL++) — the scale path when exact distinct's
+    * shuffle is too expensive. No oracle (DuckDB's approx algorithm differs);
+    * the ScalaTest suite bounds its error vs the exact count instead. */
+  val approxDistinct: QuerySpec = QuerySpec.rowsOnly("q_approx_distinct") { (spark, dir) =>
+    Tables.lineitem(spark, dir).agg(
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+  }
+
+  /** Set operations: UNION / INTERSECT / EXCEPT (distinct semantics). */
+  val setOps: QuerySpec = QuerySpec.sql(
+    "q_setops",
+    """SELECT
+      |  (SELECT count(*) FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |                         UNION SELECT o_custkey FROM orders WHERE o_totalprice > 200000)) AS union_n,
+      |  (SELECT count(*) FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |                         INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 200000)) AS intersect_n,
+      |  (SELECT count(*) FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |                         EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 200000)) AS except_n""".stripMargin) { (spark, dir) =>
+    val a = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val b = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+    val u = a.union(b).distinct().agg(count(lit(1)).as("union_n"))
+    val i = a.intersect(b).agg(count(lit(1)).as("intersect_n"))
+    val e = a.except(b).agg(count(lit(1)).as("except_n"))
+    u.crossJoin(i).crossJoin(e)
+  }
+
+  /** Date-part derivation (F2-F5, `glue_job.py:130-134`) — year / month /
+    * ISO week / day-of-month, aggregated to exercise every value the data
+    * contains (including ISO-week year-boundary edges). */
+  val dateParts: QuerySpec = QuerySpec.sql(
+    "q_dateparts",
+    """SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |       CAST(month(l_shipdate) AS INTEGER) AS mon,
+      |       CAST(weekofyear(l_shipdate) AS INTEGER) AS wk,
+      |       CAST(dayofmonth(l_shipdate) AS INTEGER) AS dom,
+      |       CAST(l_shipdate AS DATE) AS ship_date,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY 1, 2, 3, 4, 5 ORDER BY 5""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(
+        year(col("l_shipdate")).as("yr"),
+        month(col("l_shipdate")).as("mon"),
+        weekofyear(col("l_shipdate")).as("wk"),
+        dayofmonth(col("l_shipdate")).as("dom"),
+        col("l_shipdate").cast("date").as("ship_date"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("ship_date"))
+  }
+
+  /** JSON extraction over `events.props` (SURVEY.md §2.6 extension):
+    * `get_json_object` + cast + aggregate. */
+  val jsonExtract: QuerySpec = QuerySpec.sql(
+    "q_json_extract",
+    """SELECT event_type,
+      |       count(*) AS n,
+      |       CAST(sum(k) AS BIGINT) AS sum_k,
+      |       avg(k) AS avg_k,
+      |       CAST(min(k) AS INTEGER) AS min_k,
+      |       CAST(max(k) AS INTEGER) AS max_k
+      |FROM (SELECT event_type,
+      |             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |      FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        avg(col("k")).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    salesTrends, pricingSummary, latestEvent, asOf, joinEnrich, semiJoin,
+    antiJoin, mergeUpsert, windowFuncs, rollupRevenue, topK, counts,
+    approxDistinct, setOps, dateParts, jsonExtract)
+}

@@ -1,0 +1,112 @@
+package graft.sources
+
+import graft.QuerySpec
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink surface (SURVEY.md §2.1): headered CSV with fixed schema
+  * (S1-S3), JSON (S4), Hive-partitioned Parquet sink with partition
+  * discovery and pruning on read-back (S5/S7). Each round-trip query writes
+  * to a scratch dir and must produce exactly the rows of the original
+  * Parquet table, so the DuckDB oracle is simply the original table.
+  */
+object Sources {
+
+  private def scratch(name: String): String = {
+    val d = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/$name"
+    d
+  }
+
+  /** Fixed-schema headered CSV read (S2/S3, `glue_job.py:97,104`): write
+    * nation as CSV, read it back with an explicit StructType — one pass, no
+    * inference job. */
+  val csvRoundtrip: QuerySpec = QuerySpec.sql(
+    "q_csv_source",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (spark, dir) =>
+    val out = scratch("nation_csv")
+    Tables.nation(spark, dir)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType, nullable = true),
+      StructField("n_name", StringType, nullable = true),
+      StructField("n_regionkey", IntegerType, nullable = true)))
+    spark.read.schema(schema).option("header", "true").csv(out)
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Schema-inferred headered CSV read (S1, `glue_job.py:78-85`: the
+    * DynamicFrame withHeader path) — infer, then coerce with casts exactly
+    * like `glue_job.py:88-89`. */
+  val csvInferRoundtrip: QuerySpec = QuerySpec.sql(
+    "q_csv_infer",
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (spark, dir) =>
+    val out = scratch("region_csv")
+    Tables.region(spark, dir)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    spark.read.option("header", "true").option("inferSchema", "true").csv(out)
+      .select(col("r_regionkey").cast("int"), col("r_name").cast("string"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  /** JSON source (S4, `README.md:7`): line-delimited JSON with explicit
+    * schema. */
+  val jsonRoundtrip: QuerySpec = QuerySpec.sql(
+    "q_json_source",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey") { (spark, dir) =>
+    val out = scratch("supplier_json")
+    Tables.supplier(spark, dir).write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType, nullable = true),
+      StructField("s_name", StringType, nullable = true),
+      StructField("s_nationkey", IntegerType, nullable = true),
+      StructField("s_acctbal", DoubleType, nullable = true)))
+    spark.read.schema(schema).json(out).orderBy(col("s_suppkey"))
+  }
+
+  /** Hive-partitioned Parquet sink + partition-pruned read-back (S5/S7,
+    * `glue_job.py:157-172`): write orders partitioned by year, read back
+    * through partition discovery, filter to one partition (pruned scan — at
+    * 100 TB this touches 1/7th of the files), aggregate. */
+  val partitionedSink: QuerySpec = QuerySpec.sql(
+    "q_partitioned_sink",
+    """SELECT CAST(month(o_orderdate) AS INTEGER) AS mon,
+      |       count(*) AS n,
+      |       sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS total
+      |FROM orders WHERE year(o_orderdate) = 1997
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val out = scratch("orders_by_year")
+    Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("o_year") === 1997)
+      .groupBy(month(col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("n"), (sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0).as("total"))
+      .orderBy(col("mon"))
+  }
+
+  /** Catalog DDL surface (S6/S7): external Parquet table + partition repair,
+    * exercised via Spark SQL. Returns the repaired table's partition-pruned
+    * row count by partition. */
+  def externalTableDemo(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("catalog_orders")
+    Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    spark.sql("DROP TABLE IF EXISTS graft_orders_ext")
+    spark.sql(
+      s"""CREATE EXTERNAL TABLE graft_orders_ext (
+         |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+         |  o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)
+         |PARTITIONED BY (o_year INT) STORED AS PARQUET LOCATION '$out'""".stripMargin)
+    spark.sql("MSCK REPAIR TABLE graft_orders_ext")
+    spark.sql(
+      """SELECT o_year, count(*) AS n FROM graft_orders_ext
+        |GROUP BY o_year ORDER BY o_year""".stripMargin)
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    csvRoundtrip, csvInferRoundtrip, jsonRoundtrip, partitionedSink)
+}
