@@ -15,7 +15,12 @@ object SparkEntry {
   def specs: Seq[QuerySpec] =
     ops.Relational.all ++
       etl.EtlQueries.all ++
-      sources.Sources.all
+      sources.Sources.all ++
+      text.TextAnalysis.all ++
+      dedup.Dedup.all ++
+      sim.Ann.all ++
+      mm.Multimodal.all ++
+      streaming.StreamingOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

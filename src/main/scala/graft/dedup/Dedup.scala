@@ -1,0 +1,171 @@
+package graft.dedup
+
+import graft.QuerySpec
+import graft.exprs.GraftFunctions
+import graft.model.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (content
+  * hash), MinHash+LSH near-dup, SimHash near-dup, exact n-gram Jaccard
+  * verification. Designed 100-TB-first: every path is
+  * shingle → signature → band → shuffle-join on band key → verify only the
+  * candidates, never an all-pairs comparison. (The brute-force Jaccard used
+  * by the DuckDB oracle at test scale is the semantic spec, not the plan.)
+  */
+object Dedup {
+
+  val NumHashes = 16
+  val Bands = 8        // 8 bands × 2 rows: P(candidate) = 1-(1-j²)⁸
+  val RowsPerBand = 2  //   ≈ 1 at j≥0.9, ~0.003 at j≈0.05
+
+  /** Exact dedup: keep one row per distinct value of `cols` (hash-groupBy;
+    * one shuffle of the hash key only). */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Distinct word-k-gram shingles of a text column. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** MinHash signature: per seed, the min of seeded 64-bit hashes over the
+    * shingle set (Broder 1997 resemblance sketch). */
+  def minhashSignature(sh: Column, numHashes: Int = NumHashes): Column =
+    array((0 until numHashes).map(seed =>
+      array_min(transform(sh, x => xxhash64(x, lit(seed))))): _*)
+
+  /** LSH banding of a signature: (band_idx, band_hash) rows; near-dups
+    * collide in ≥1 band. */
+  def bandsOf(sig: Column): Column =
+    array((0 until Bands).map { b =>
+      struct(
+        lit(b).as("band_idx"),
+        xxhash64((0 until RowsPerBand).map(r =>
+          element_at(sig, b * RowsPerBand + r + 1)) :+ lit(b): _*).as("band_hash"))
+    }: _*)
+
+  /** Candidate pairs from MinHash LSH (doc_a < doc_b, distinct). */
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val banded = docs
+      .select(col(idCol).as("doc"), shingles(col(textCol)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh")))
+      .select(col("doc"), explode(bandsOf(col("sig"))).as("b"))
+      .select(col("doc"), col("b.band_idx").as("band_idx"), col("b.band_hash").as("band_hash"))
+    val a = banded.select(col("doc").as("doc_a"), col("band_idx"), col("band_hash"))
+    val b = banded.select(col("doc").as("doc_b"), col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard between two docs' shingle sets (the verify step after
+    * LSH candidate generation). */
+  def jaccard(shA: Column, shB: Column): Column =
+    size(array_intersect(shA, shB)) / size(array_union(shA, shB))
+
+  // ---- registered queries ----------------------------------------------
+
+  /** Exact dedup accounting over a corpus with planted duplicates (every
+    * 10th doc repeated): md5 content-hash distinct counting. */
+  val dedupExact: QuerySpec = QuerySpec.sql(
+    "q_dedup_exact",
+    """WITH corpus AS (SELECT text FROM documents
+      |               UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0)
+      |SELECT count(*) AS n_docs,
+      |       count(DISTINCT md5(text)) AS n_unique,
+      |       count(*) - count(DISTINCT md5(text)) AS n_dupes
+      |FROM corpus""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+    val corpus = d.select("text")
+      .unionAll(d.filter(col("doc_id") % 10 === 0).select("text"))
+    corpus.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_unique"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes"))
+  }
+
+  /** MinHash+LSH near-dup pairs, verified with exact Jaccard ≥ 0.9.
+    * Oracle = brute-force pairwise Jaccard (the semantic spec); with 8×2
+    * banding the LSH miss probability at j=0.9 is (1-0.9²)⁸ ≈ 2e-6, so the
+    * outputs agree. At scale the LSH path shuffles only band keys —
+    * O(n·bands) — while the oracle's all-pairs is O(n²) and stays test-only. */
+  val nearDupPairs: QuerySpec = QuerySpec.sql(
+    "q_neardup_pairs",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id,
+      |             list_distinct(list_transform(range(1, len(w) - 1),
+      |                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |      FROM d)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+    val withSh = d.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val cands = lshCandidates(d, "doc_id", "text")
+    val a = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cands.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash signatures themselves (per doc) — the reusable sketch that a
+    * cross-corpus dedup would persist. Rows-only (hash family is
+    * engine-specific). */
+  val minhashSigs: QuerySpec = QuerySpec.rowsOnly("q_dedup_minhash") { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), minhashSignature(shingles(col("text"))).as("sig"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup: 64-bit simhash per doc (native codegen'd
+    * Expression), banded into 4×16-bit chunks, candidates joined on chunk,
+    * kept at Hamming distance ≤ 8. Rows-only (hash is engine-specific);
+    * the ScalaTest suite asserts it recovers the planted near-dup pairs. */
+  val simhashPairs: QuerySpec = QuerySpec.rowsOnly("q_dedup_simhash") { (spark, dir) =>
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("sh"))
+    val chunked = d.select(
+      col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("chunk_idx"),
+          shiftrightunsigned(col("sh"), j * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("c"))
+      .select(col("doc_id"), col("sh"), col("c.chunk_idx"), col("c.chunk"))
+    val a = chunked.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("chunk_idx"), col("chunk"))
+    val b = chunked.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("chunk_idx"), col("chunk"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Winnowed fingerprint overlap (copy detection): explode each doc's
+    * fingerprint set (native Expression), group by fingerprint, count docs
+    * sharing it — one shuffle, no pairwise work. Rows-only. */
+  val fingerprintOverlap: QuerySpec = QuerySpec.rowsOnly("q_fingerprint") { (spark, dir) =>
+    GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(GraftFunctions.fingerprints(col("text"))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .groupBy(col("n_docs"))
+      .agg(count(lit(1)).as("n_fingerprints"))
+      .orderBy(col("n_docs"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(dedupExact, nearDupPairs, minhashSigs, simhashPairs, fingerprintOverlap)
+}

@@ -1,0 +1,106 @@
+package graft.mm
+
+import graft.QuerySpec
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, batch feature extraction over partitions.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a clearly
+  * marked deterministic stub ([[MediaCodec.decodeStub]]); everything
+  * Spark-side — binary schema, metadata struct, partition-batched iteration,
+  * typed output schema — is real and tested. Swapping the stub for a real
+  * codec (JNI ffmpeg, javacv, …) changes one function.
+  *
+  * Scale notes: payload bytes stay in executors end-to-end (no collect); the
+  * mapPartitions boundary processes a full partition per task, which is the
+  * JVM analog of Arrow-batched `mapInPandas`; feature extraction is
+  * shuffle-free.
+  */
+object Multimodal {
+
+  /** A fake "media" record: the document text reinterpreted as payload
+    * bytes + typed metadata. */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], lang: String, source: String)
+
+  /** Extracted features (what a real decoder would emit). */
+  case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, mean_byte: Double, max_byte: Int,
+      n_frames: Int, first_frame_hash: Long)
+
+  object MediaCodec {
+    val FrameSize = 64 // bytes per fake "frame"
+
+    /** STUB: stands in for image/audio decode (no codecs in this
+      * container). Deterministic: byte-level moments + per-frame slicing of
+      * the payload. The signature — bytes in, typed features out — is the
+      * real contract. */
+    def decodeStub(r: MediaRecord): MediaFeatures = {
+      val b = r.payload
+      var sum = 0L; var max = 0
+      var i = 0
+      while (i < b.length) {
+        val u = b(i) & 0xFF
+        sum += u; if (u > max) max = u
+        i += 1
+      }
+      val nFrames = (b.length + FrameSize - 1) / FrameSize
+      var h = 0xcbf29ce484222325L
+      i = 0
+      while (i < math.min(FrameSize, b.length)) {
+        h ^= (b(i) & 0xFF).toLong; h *= 0x100000001b3L; i += 1
+      }
+      MediaFeatures(
+        r.doc_id, b.length,
+        if (b.length == 0) 0.0 else sum.toDouble / b.length,
+        max, nFrames, h)
+    }
+  }
+
+  /** documents → media records: payload = utf8 bytes of text (binary
+    * column), metadata kept as typed columns. */
+  def asMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        col("lang"), col("source"))
+      .as[MediaRecord]
+  }
+
+  /** Partition-batched feature extraction through the stub codec. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(MediaCodec.decodeStub))
+  }
+
+  /** Metadata/features expressible in pure SQL (oracle-checked): byte
+    * length of the binary payload, content hash, head sample. */
+  val multimodalMeta: QuerySpec = QuerySpec.sql(
+    "q_multimodal_meta",
+    """SELECT doc_id,
+      |       octet_length(encode(text)) AS n_bytes,
+      |       md5(text) AS content_hash,
+      |       left(text, 16) AS head,
+      |       lang, source
+      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).as("n_bytes"),
+        md5(col("text")).as("content_hash"),
+        expr("left(text, 16)").as("head"),
+        col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Full decode path through the stub codec (rows-only; deterministic). */
+  val multimodalDecode: QuerySpec = QuerySpec.rowsOnly("q_multimodal_decode") { (spark, dir) =>
+    extractFeatures(asMedia(spark, dir)).toDF().orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(multimodalMeta, multimodalDecode)
+}

@@ -161,10 +161,11 @@ object Relational {
   val antiJoin: QuerySpec = QuerySpec.sql(
     "q_anti_join",
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
       |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
     val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 250000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy(col("c_custkey"))
@@ -294,9 +295,9 @@ object Relational {
     * the ScalaTest suite bounds its error vs the exact count instead. */
   val approxDistinct: QuerySpec = QuerySpec.rowsOnly("q_approx_distinct") { (spark, dir) =>
     Tables.lineitem(spark, dir).agg(
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
   }
 
   /** Set operations: UNION / INTERSECT / EXCEPT (distinct semantics). */

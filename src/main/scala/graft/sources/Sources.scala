@@ -97,10 +97,11 @@ object Sources {
       .write.mode("overwrite").partitionBy("o_year").parquet(out)
     spark.sql("DROP TABLE IF EXISTS graft_orders_ext")
     spark.sql(
-      s"""CREATE EXTERNAL TABLE graft_orders_ext (
+      s"""CREATE TABLE graft_orders_ext (
          |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
-         |  o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)
-         |PARTITIONED BY (o_year INT) STORED AS PARQUET LOCATION '$out'""".stripMargin)
+         |  o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING,
+         |  o_year INT)
+         |USING PARQUET PARTITIONED BY (o_year) LOCATION '$out'""".stripMargin)
     spark.sql("MSCK REPAIR TABLE graft_orders_ext")
     spark.sql(
       """SELECT o_year, count(*) AS n FROM graft_orders_ext

@@ -1,0 +1,156 @@
+package graft.streaming
+
+import graft.QuerySpec
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming surface (SURVEY.md §2.8): the reference's batch-per-load_date
+  * convention (`glue_job.py:159`) re-expressed as Structured Streaming —
+  * file source → event-time window aggregation with watermark → sink; plus
+  * sessionization in both batch (window/lag, oracle-checked) and the
+  * streaming-stateful form used by the test suite.
+  */
+object StreamingOps {
+
+  /** Tumbling event-time window aggregation, run as a real streaming query
+    * (file source, AvailableNow trigger, memory sink, complete mode) over a
+    * staged copy of `events`. Result is deterministic and equals the batch
+    * GROUP BY date_trunc — which is exactly what the DuckDB oracle checks.
+    * At scale: replace the memory sink with `foreachBatch` → partitioned
+    * parquet and the AvailableNow trigger with a continuous one; watermark
+    * bounds state. */
+  val streamWindow: QuerySpec = QuerySpec.sql(
+    "q_stream_window",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+      |       event_type,
+      |       count(*) AS n,
+      |       sum(floor(value * 100 + 0.5)) / 100.0 AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val staged = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/events_stream"
+    val ev = Tables.events(spark, dir)
+    ev.write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "4") // several micro-batches, not one big gulp
+      .parquet(staged)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100 + 0.5)) / 100.0).as("sum_value"))
+    val name = "graft_stream_window"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(
+        col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Batch sessionization (gap > 5 min closes a session): lag + cumulative
+    * flag sum — one shuffle on user_id, oracle-checked. */
+  val sessionize: QuerySpec = QuerySpec.sql(
+    "q_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id
+      |                       ORDER BY ts ASC NULLS LAST, event_id ASC) AS prev_ts
+      |  FROM events),
+      |s AS (SELECT *, CASE WHEN prev_ts IS NULL
+      |                       OR epoch_us(ts) - epoch_us(prev_ts) > 300000000
+      |                     THEN 1 ELSE 0 END AS new_sess FROM e),
+      |x AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+      |                                    ORDER BY ts ASC NULLS LAST, event_id ASC
+      |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |      FROM s)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |       count(*) AS n_events,
+      |       min(ts) AS session_start, max(ts) AS session_end,
+      |       sum(floor(value * 100 + 0.5)) / 100.0 AS sum_value
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc_nulls_last, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 300000000L, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (sum(floor(col("value") * 100 + 0.5)) / 100.0).as("sum_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(streamWindow, sessionize)
+}
+
+/** Typed event for stateful sessionization. */
+case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** A closed session. */
+case class ClosedSession(
+    user_id: Long, n_events: Long,
+    session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+    sum_value: Double)
+
+/** Streaming-stateful sessionization: `flatMapGroupsWithState` keeps one
+  * open session per user and emits sessions as soon as an event arrives past
+  * the gap (so results are deterministic without timers — the test suite
+  * closes the tail with a sentinel batch). State is O(users), partitioned by
+  * the group key; at scale this is the Structured Streaming replacement for
+  * the reference's re-run-a-day batch convention (SURVEY.md §2.8).
+  */
+object StatefulSessionize {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+
+  def apply(events: Dataset[SessionEvent], gapMicros: Long): Dataset[ClosedSession] = {
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val keyEnc = Encoders.scalaLong
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    def toTs(m: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(m / 1000)
+      t.setNanos(((m % 1000000) * 1000).toInt)
+      t
+    }
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (user: Long, batch: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+        val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+        var open = state.getOption
+        val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+        sorted.foreach { e =>
+          val t = micros(e.ts)
+          open match {
+            case Some(s) if t - s.end > gapMicros =>
+              closed += ClosedSession(user, s.n, toTs(s.start), toTs(s.end), s.sum)
+              open = Some(OpenSession(t, t, 1, e.value))
+            case Some(s) =>
+              open = Some(s.copy(end = t, n = s.n + 1, sum = s.sum + e.value))
+            case None =>
+              open = Some(OpenSession(t, t, 1, e.value))
+          }
+        }
+        open.foreach(state.update)
+        closed.iterator
+    }
+  }
+}

@@ -1,0 +1,120 @@
+package graft.text
+
+import graft.QuerySpec
+import graft.model.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star
+  * extension): tokenization, quality scoring, language-ID heuristic, token
+  * counting. All pure column expressions (whole-stage codegen, no UDFs),
+  * embarrassingly parallel — per-document work with no shuffle until the
+  * final aggregate, so the pipeline scans 100 TB at full I/O speed.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  /** Per-document quality metrics. `avg_token_len` and ratios are pure
+    * double arithmetic on exact integer counts — bit-identical across
+    * engines, so they oracle-match without rounding tricks. */
+  val textQuality: QuerySpec = QuerySpec.sql(
+    "q_text_quality",
+    s"""SELECT doc_id,
+       |       length(text) AS n_chars,
+       |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       |       (length(text) - len(string_split(text, ' ')) + 1) / len(string_split(text, ' ')) AS avg_token_len,
+       |       CAST(len(list_filter(string_split(text, ' '),
+       |                 t -> t IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) AS INTEGER) AS n_stopwords,
+       |       len(list_filter(string_split(text, ' '),
+       |                 t -> t IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) / len(string_split(text, ' ')) AS stop_ratio,
+       |       least(len(string_split(text, ' ')), 200) / 200.0 * 0.7
+       |         + len(list_filter(string_split(text, ' '),
+       |                 t -> t IN (${stopwords.map("'" + _ + "'").mkString(", ")}))) / len(string_split(text, ' ')) * 0.3 AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nStop = stopwordCount(toks, stopwords)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        nTok.as("n_tokens"),
+        ((length(col("text")) - nTok + 1) / nTok).as("avg_token_len"),
+        nStop.as("n_stopwords"),
+        (nStop / nTok).as("stop_ratio"),
+        (least(nTok, lit(200)) / 200.0 * 0.7 + (nStop / nTok) * 0.3).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting per source: whitespace tokens plus a BPE-ish regex
+    * tokenizer (letter runs / digit runs / single punctuation). */
+  val tokenCount: QuerySpec = QuerySpec.sql(
+    "q_token_count",
+    """SELECT source,
+      |       count(*) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      |       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens,
+      |       CAST(sum(length(text)) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).as("ws_tokens"),
+        sum(size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+          .as("bpe_tokens"),
+        sum(length(col("text"))).as("n_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** Language-ID n-gram/stopword heuristic: score each language by counts of
+    * its distinctive function words, argmax with fixed tie-break order,
+    * 'und' (undetermined) when nothing matches. Reported as an agreement
+    * matrix against the labeled `lang` column. */
+  val langId: QuerySpec = {
+    val en = Seq("the", "a", "is", "and", "of")
+    val de = Seq("der", "die", "das", "und", "ist")
+    val es = Seq("el", "la", "los", "que", "y")
+    def inList(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(", ")
+    QuerySpec.sql(
+      "q_lang_id",
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |         len(list_filter(string_split(text, ' '), t -> t IN (${inList(en)}))) AS sc_en,
+         |         len(list_filter(string_split(text, ' '), t -> t IN (${inList(de)}))) AS sc_de,
+         |         len(list_filter(string_split(text, ' '), t -> t IN (${inList(es)}))) AS sc_es
+         |  FROM documents)
+         |SELECT lang,
+         |       CASE WHEN sc_en = 0 AND sc_de = 0 AND sc_es = 0 THEN 'und'
+         |            WHEN sc_en >= sc_de AND sc_en >= sc_es THEN 'en'
+         |            WHEN sc_de >= sc_es THEN 'de'
+         |            ELSE 'es' END AS predicted,
+         |       count(*) AS n
+         |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+      val toks = tokens(col("text"))
+      val scored = Tables.documents(spark, dir).select(
+        col("lang"),
+        stopwordCount(toks, en).as("sc_en"),
+        stopwordCount(toks, de).as("sc_de"),
+        stopwordCount(toks, es).as("sc_es"))
+      scored
+        .select(
+          col("lang"),
+          when(col("sc_en") === 0 && col("sc_de") === 0 && col("sc_es") === 0, "und")
+            .when(col("sc_en") >= col("sc_de") && col("sc_en") >= col("sc_es"), "en")
+            .when(col("sc_de") >= col("sc_es"), "de")
+            .otherwise("es").as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }
+  }
+
+  val all: Seq[QuerySpec] = Seq(textQuality, tokenCount, langId)
+}

@@ -1,0 +1,71 @@
+package graft.dedup
+
+import graft.TestSpark
+import graft.exprs.{Fingerprint, GraftFunctions, SimHash64}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+  import spark.implicits._
+
+  /** Ground truth: brute-force word-3-gram Jaccard ≥ 0.9 over all pairs. */
+  private lazy val plantedPairs: Set[(Long, Long)] = {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val sh = docs.map { case (id, t) =>
+      val w = t.split(" ", -1); id -> w.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a < b
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= 0.9
+    } yield (a, b)).toSet
+  }
+
+  test("exact dedup removes only true duplicates") {
+    val d = graft.model.Tables.documents(spark, sf)
+    val corpus = d.select("text").unionAll(d.limit(37).select("text"))
+    assert(Dedup.exact(corpus, Seq("text")).count() === d.count())
+  }
+
+  test("MinHash LSH + exact verify recovers exactly the planted near-dup pairs") {
+    val got = Dedup.nearDupPairs.fn(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === plantedPairs)
+    assert(got.nonEmpty)
+  }
+
+  test("SimHash pairs cover the planted near-dups with bounded false positives") {
+    val got = Dedup.simhashPairs.fn(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val recall = plantedPairs.intersect(got).size.toDouble / plantedPairs.size
+    assert(recall >= 0.7, s"simhash recall $recall too low (got ${got.size} pairs)")
+    assert(got.size <= plantedPairs.size * 4, s"too many simhash false positives: ${got.size}")
+  }
+
+  test("simhash64: identical texts collide, token permutation keeps distance 0") {
+    val a = SimHash64.compute(UTF8String.fromString("alpha beta gamma delta"))
+    val b = SimHash64.compute(UTF8String.fromString("delta gamma beta alpha"))
+    val c = SimHash64.compute(UTF8String.fromString("totally different words entirely"))
+    assert(a === b) // bag-of-words: order-insensitive
+    assert(java.lang.Long.bitCount(a ^ c) > 10)
+  }
+
+  test("fingerprints: shared long substring yields shared fingerprint (winnowing guarantee)") {
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    val f1 = Fingerprint.compute(UTF8String.fromString("PREFIX " + common)).toLongArray().toSet
+    val f2 = Fingerprint.compute(UTF8String.fromString(common + " SUFFIX")).toLongArray().toSet
+    assert(f1.intersect(f2).nonEmpty)
+    val f3 = Fingerprint.compute(UTF8String.fromString("zzz yyy xxx www vvv uuu ttt sss")).toLongArray().toSet
+    assert(f1.intersect(f3).isEmpty)
+  }
+
+  test("expressions usable from SQL text after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT simhash64('a b c') AS h, size(fingerprints('abcdefghijklmnop')) AS n")
+      .collect().head
+    assert(r.getAs[Long]("h") === SimHash64.compute(UTF8String.fromString("a b c")))
+    assert(r.getAs[Int]("n") > 0)
+  }
+}

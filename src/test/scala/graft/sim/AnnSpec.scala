@@ -1,0 +1,60 @@
+package graft.sim
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnnSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+  import spark.implicits._
+
+  private lazy val exact: Map[Long, Seq[Long]] =
+    Ann.annCosine.fn(spark, sf)
+      .select("qid", "rank", "cid").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+  test("brute-force top-k: k rows per query, self excluded, sim descending") {
+    val rows = Ann.annCosine.fn(spark, sf)
+      .select("qid", "rank", "cid", "sim").as[(Long, Int, Long, Double)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size === 8)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length === 10)
+      assert(!rs.exists(_._3 == q))
+      val sims = rs.sortBy(_._2).map(_._4)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF (label-pruned) results are a subset of same-label candidates") {
+    val labels = graft.model.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val rows = Ann.annIvf.fn(spark, sf).select("qid", "cid").as[(Long, Long)].collect()
+    rows.foreach { case (q, c) => assert(labels(q) === labels(c)) }
+  }
+
+  test("LSH-bucketed ANN achieves ≥40% recall@10 vs exact at tiny scale") {
+    val lsh = Ann.annLsh.fn(spark, sf)
+      .select("qid", "cid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ex) =>
+      lsh.get(q).map(got => ex.count(got.contains).toDouble / ex.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean recall@10 = $mean")
+  }
+
+  test("cosine kernel agrees with a plain-Scala computation") {
+    val vecs = graft.model.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 3)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    val df = Seq((vecs(0L), vecs(1L))).toDF("a", "b")
+      .select(Ann.cosine(col("a"), col("b"), Ann.norm2(col("a")), Ann.norm2(col("b"))).as("sim"))
+    val got = df.as[Double].head()
+    def d(v: Seq[Float]) = v.map(_.toDouble)
+    val (a, b) = (d(vecs(0L)), d(vecs(1L)))
+    val expect = a.zip(b).map { case (x, y) => x * y }.sum /
+      math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    assert(math.abs(got - expect) < 1e-12)
+  }
+}
