@@ -24,19 +24,15 @@ object Dedup {
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
 
-  /** Distinct word-k-gram shingles of a text column. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), size(toks) - k),
-      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
-  }
+  /** Distinct word-3-gram shingles — native one-pass kernel
+    * ([[graft.exprs.WordShinglesExpr]]); requires
+    * [[GraftFunctions.register]] on the session. */
+  def shingles(text: Column): Column = GraftFunctions.wordShingles(text)
 
-  /** MinHash signature: per seed, the min of seeded 64-bit hashes over the
-    * shingle set (Broder 1997 resemblance sketch). */
-  def minhashSignature(sh: Column, numHashes: Int = NumHashes): Column =
-    array((0 until numHashes).map(seed =>
-      array_min(transform(sh, x => xxhash64(x, lit(seed))))): _*)
+  /** MinHash signature: 16 independent 64-bit hash minimums over the shingle
+    * set (Broder 1997 resemblance sketch), all seeds in one pass —
+    * native kernel ([[graft.exprs.MinHashSigExpr]]). */
+  def minhashSignature(sh: Column): Column = GraftFunctions.minhashSig(sh)
 
   /** LSH banding of a signature: (band_idx, band_hash) rows; near-dups
     * collide in ≥1 band. */
@@ -50,6 +46,7 @@ object Dedup {
 
   /** Candidate pairs from MinHash LSH (doc_a < doc_b, distinct). */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val banded = docs
       .select(col(idCol).as("doc"), shingles(col(textCol)).as("sh"))
       .withColumn("sig", minhashSignature(col("sh")))
@@ -105,6 +102,7 @@ object Dedup {
       |FROM s a JOIN s b ON a.doc_id < b.doc_id
       |WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    GraftFunctions.register(spark)
     val d = Tables.documents(spark, dir)
     val withSh = d.select(col("doc_id"), shingles(col("text")).as("sh"))
     val cands = lshCandidates(d, "doc_id", "text")
@@ -121,6 +119,7 @@ object Dedup {
     * cross-corpus dedup would persist. Rows-only (hash family is
     * engine-specific). */
   val minhashSigs: QuerySpec = QuerySpec.rowsOnly("q_dedup_minhash") { (spark, dir) =>
+    GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .select(col("doc_id"), minhashSignature(shingles(col("text"))).as("sig"))
       .orderBy(col("doc_id"))

@@ -15,8 +15,20 @@ object GraftFunctions {
       "simhash64", es => SimHash64Expr(es.head), "built-in")
     fr.createOrReplaceTempFunction(
       "fingerprints", es => FingerprintExpr(es.head), "built-in")
+    fr.createOrReplaceTempFunction(
+      "dot_f", es => DotFExpr(es(0), es(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "norm2_f", es => Norm2FExpr(es.head), "built-in")
+    fr.createOrReplaceTempFunction(
+      "word_shingles", es => WordShinglesExpr(es.head), "built-in")
+    fr.createOrReplaceTempFunction(
+      "minhash_sig", es => MinHashSigExpr(es.head), "built-in")
   }
 
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def fingerprints(c: Column): Column = call_function("fingerprints", c)
+  def dotF(a: Column, b: Column): Column = call_function("dot_f", a, b)
+  def norm2F(a: Column): Column = call_function("norm2_f", a)
+  def wordShingles(c: Column): Column = call_function("word_shingles", c)
+  def minhashSig(c: Column): Column = call_function("minhash_sig", c)
 }

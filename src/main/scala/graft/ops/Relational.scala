@@ -192,12 +192,12 @@ object Relational {
       |  UNION ALL SELECT * FROM staging
       |) ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
     val o = Tables.orders(spark, dir)
+    // one sort serves both directions: rn_last = n - rn_first + 1
     val wFirst = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate").asc_nulls_last, col("o_orderkey").asc)
-    val wLast = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc)
     val ranked = o.withColumn("rn_first", row_number().over(wFirst))
-      .withColumn("rn_last", row_number().over(wLast))
+      .withColumn("rn_last",
+        count(lit(1)).over(Window.partitionBy(col("o_custkey"))) - col("rn_first") + 1)
     val target = ranked.filter(col("rn_first") === 1)
       .select("o_custkey", "o_orderkey", "o_totalprice")
     val staging = ranked.filter(col("rn_last") === 1)

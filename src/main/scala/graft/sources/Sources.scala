@@ -79,6 +79,7 @@ object Sources {
     val out = scratch("orders_by_year")
     Tables.orders(spark, dir)
       .withColumn("o_year", year(col("o_orderdate")))
+      .repartition(col("o_year")) // one file per partition dir, not cores×years
       .write.mode("overwrite").partitionBy("o_year").parquet(out)
     spark.read.parquet(out)
       .filter(col("o_year") === 1997)

@@ -45,6 +45,7 @@ class AnnSpec extends AnyFunSuite {
   }
 
   test("cosine kernel agrees with a plain-Scala computation") {
+    graft.exprs.GraftFunctions.register(spark)
     val vecs = graft.model.Tables.embeddings(spark, sf)
       .filter(col("vec_id") < 3)
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
