@@ -14,6 +14,7 @@ object SparkEntry {
   /** All registered capabilities, in module order. */
   def specs: Seq[QuerySpec] =
     ops.Relational.all ++
+      ops.Skew.all ++
       etl.EtlQueries.all ++
       sources.Sources.all ++
       text.TextAnalysis.all ++

@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.TestSpark
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests — the properties that make these queries
+  * survive a 100× scale-up: dimension joins stay broadcast, filters and
+  * column pruning reach the parquet scan, partition pruning fires on
+  * partitioned layouts, bucketed joins avoid the shuffle entirely.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("flagship enrichment join is a broadcast hash join") {
+    val p = plan(Relational.salesTrends.fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("filters and projection push down to the parquet scan") {
+    val p = plan(Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= "1997-01-01")
+      .select("l_orderkey", "l_extendedprice"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"))
+    // column pruning: scan schema is exactly the 3 needed columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_shipdate:timestamp"))
+  }
+
+  test("partition pruning fires on the Hive-partitioned sink read-back") {
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/prune_test"
+    Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .repartition(col("o_year"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    val p = plan(spark.read.parquet(out).filter(col("o_year") === 1997))
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"))
+    assert(p.contains("(o_year"))
+  }
+
+  test("co-bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // in-memory catalog forgets tables between JVMs but the warehouse files
+    // survive — remove them or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    Seq("b_orders", "b_customer").foreach { t =>
+      val d = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
+    Tables.orders(spark, sf)
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_orders")
+    Tables.customer(spark, sf)
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("b_customer")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val j = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"))
+      // the join itself reads pre-bucketed data: no hash-partitioning
+      // exchange below the join (only the final aggregation shuffles)
+      val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$joinPart")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    import spark.implicits._
+    val salted = Skew.saltedAggQuery.fn(spark, sf)
+      .as[(String, Double, Long)].collect().toSet
+    val plain = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().toSet
+    assert(salted === plain)
+  }
+}
