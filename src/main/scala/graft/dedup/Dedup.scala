@@ -103,6 +103,7 @@ object Dedup {
       |WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     GraftFunctions.register(spark)
+    graft.plans.GraftExtensions.install(spark) // fuses the Jaccard division
     val d = Tables.documents(spark, dir)
     val withSh = d.select(col("doc_id"), shingles(col("text")).as("sh"))
     val cands = lshCandidates(d, "doc_id", "text")

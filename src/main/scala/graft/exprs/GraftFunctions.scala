@@ -23,6 +23,8 @@ object GraftFunctions {
       "word_shingles", es => WordShinglesExpr(es.head), "built-in")
     fr.createOrReplaceTempFunction(
       "minhash_sig", es => MinHashSigExpr(es.head), "built-in")
+    fr.createOrReplaceTempFunction(
+      "jaccard", es => JaccardExpr(es(0), es(1)), "built-in")
   }
 
   def simhash64(c: Column): Column = call_function("simhash64", c)

@@ -352,7 +352,8 @@ object Relational {
       |       CAST(sum(k) AS BIGINT) AS sum_k,
       |       avg(k) AS avg_k,
       |       CAST(min(k) AS INTEGER) AS min_k,
-      |       CAST(max(k) AS INTEGER) AS max_k
+      |       CAST(max(k) AS INTEGER) AS max_k,
+      |       CAST(sum(k) AS BIGINT) AS sum_k_struct
       |FROM (SELECT event_type,
       |             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
       |      FROM events)
@@ -360,14 +361,18 @@ object Relational {
     Tables.events(spark, dir)
       .select(
         col("event_type"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        // path extraction API ...
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        // ... and the typed parse (from_json with explicit schema)
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k2"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("k")).as("sum_k"),
         avg(col("k")).as("avg_k"),
         min(col("k")).as("min_k"),
-        max(col("k")).as("max_k"))
+        max(col("k")).as("max_k"),
+        sum(col("k2")).as("sum_k_struct"))
       .orderBy(col("event_type"))
   }
 
