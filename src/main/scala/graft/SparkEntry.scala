@@ -15,6 +15,7 @@ object SparkEntry {
   def specs: Seq[QuerySpec] =
     ops.Relational.all ++
       ops.Skew.all ++
+      ops.Extras.all ++
       etl.EtlQueries.all ++
       sources.Sources.all ++
       text.TextAnalysis.all ++
