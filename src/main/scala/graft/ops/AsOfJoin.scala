@@ -66,3 +66,39 @@ object AsOfJoin {
     merged.select(out: _*)
   }
 }
+
+/** DataFrame entry point for the custom physical as-of join
+  * ([[graft.plans.AsOfJoinExec]]). Same contract as [[AsOfJoin.joinAsOf]];
+  * null probe key/time rows get null values (the composed form's behavior
+  * on null event times is unspecified — neither path is exercised by data
+  * with non-null times).
+  */
+object AsOfJoinNative {
+  import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
+
+  def joinAsOf(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String, buildKey: String,
+      probeTime: String, buildTime: String,
+      valueCols: Seq[String],
+      buildTie: String): DataFrame = {
+    val spark = probe.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
+    val lplan = probe.queryExecution.analyzed
+    val rplan = build.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+    val node = graft.plans.AsOfJoinNode(
+      lplan, rplan,
+      attr(lplan, probeKey), attr(rplan, buildKey),
+      attr(lplan, probeTime), attr(rplan, buildTime),
+      attr(rplan, buildTie),
+      valueCols.map(attr(rplan, _)))
+    GraftPlanBridge.ofRows(spark, node)
+  }
+}

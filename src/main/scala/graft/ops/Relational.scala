@@ -376,8 +376,28 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** The same as-of semantics through the custom physical operator
+    * ([[graft.plans.AsOfJoinExec]]): sorted-merge exec planned via an
+    * injected SparkStrategy. Shares q_asof_join's oracle. */
+  val asOfNative: QuerySpec = QuerySpec.sql(
+    "q_asof_join_native",
+    asOf.oracle.get.replace("ORDER BY event_id", "ORDER BY event_id")) { (spark, dir) =>
+    val probe = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    val build = Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderdate"),
+      col("o_orderkey").as("asof_orderkey"),
+      col("o_totalprice").as("asof_totalprice"))
+    AsOfJoinNative.joinAsOf(
+        probe, build,
+        probeKey = "user_id", buildKey = "o_custkey",
+        probeTime = "ts", buildTime = "o_orderdate",
+        valueCols = Seq("asof_orderkey", "asof_totalprice"),
+        buildTie = "asof_orderkey")
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    salesTrends, pricingSummary, latestEvent, asOf, joinEnrich, semiJoin,
-    antiJoin, mergeUpsert, windowFuncs, rollupRevenue, topK, counts,
+    salesTrends, pricingSummary, latestEvent, asOf, asOfNative, joinEnrich,
+    semiJoin, antiJoin, mergeUpsert, windowFuncs, rollupRevenue, topK, counts,
     approxDistinct, setOps, dateParts, jsonExtract)
 }

@@ -1,0 +1,137 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** Custom whole-operator as-of join: logical node → planner strategy →
+  * physical sorted-merge exec (the SURVEY.md §7.3 "custom SparkStrategy"
+  * path, registered through `spark.experimental.extraStrategies` /
+  * `SparkSessionExtensions`).
+  *
+  * Semantics are identical to [[graft.ops.AsOfJoin.joinAsOf]] (the
+  * composition-only reference implementation, asserted equal in tests): for
+  * every probe row `(key, t)`, attach the build row with equal key and the
+  * greatest build time ≤ t — ties among equal build times broken by build
+  * sort order — or nulls when none exists.
+  *
+  * Why a physical operator: by declaring `ClusteredDistribution(key)` for
+  * both children and `(key, time)` intra-partition ordering, Catalyst's
+  * EnsureRequirements inserts (or, crucially, ELIDES) the exchanges and
+  * sorts — pre-bucketed or pre-sorted inputs join with no shuffle at all,
+  * which the union+window formulation cannot express. The exec itself is a
+  * single streaming merge per partition: O(|probe| + |build|) time, one
+  * remembered build row of state, no intermediate union materialization.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute,
+    rightTie: Attribute,
+    rightValues: Seq[Attribute])
+  extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ rightValues.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoinNode =
+    copy(left = l, right = r)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, rv) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, rv) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute,
+    rightTie: Attribute,
+    rightValues: Seq[Attribute])
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightValues.map(_.withNullability(true))
+
+  // co-partition both sides on the key; EnsureRequirements adds exchanges
+  // only where the child isn't already suitably partitioned
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // (key, time) sort within partitions; existing orderings are reused
+  // the tie column makes keep-last deterministic among equal build times
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val lk = BindReferences.bindReference(leftKey.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression], leftOut)
+    val lt = BindReferences.bindReference(leftTime.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression], leftOut)
+    val rk = BindReferences.bindReference(rightKey.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression], rightOut)
+    val rt = BindReferences.bindReference(rightTime.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression], rightOut)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val valueExprs = rightValues
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (probeIt, buildIt) =>
+      val valuesProj = UnsafeProjection.create(valueExprs, rightOut)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val nullValues = new GenericInternalRow(valueExprs.length)
+      val buffered = buildIt.buffered
+
+      // streaming state: the best (latest-time) build values seen for the
+      // current key, valid while probe keys advance monotonically
+      var matchKey: Any = null
+      var matchValues: InternalRow = null
+
+      probeIt.map { probe =>
+        val pk = lk.eval(probe)
+        val pt = lt.eval(probe)
+        if (pk != null && pt != null) {
+          var done = false
+          while (!done && buffered.hasNext) {
+            val h = buffered.head
+            val bk = rk.eval(h)
+            val cmp = if (bk == null) -1 else keyOrd.compare(bk, pk)
+            if (cmp < 0) {
+              buffered.next() // behind the probe key (or null key): discard
+            } else if (cmp == 0) {
+              val bt = rt.eval(h)
+              if (bt == null) {
+                buffered.next() // null build time (sorted first): never matches
+              } else if (timeOrd.compare(bt, pt) <= 0) {
+                matchKey = bk
+                matchValues = valuesProj(h).copy()
+                buffered.next()
+              } else done = true // future build row for this key
+            } else done = true // build iterator moved past probe key
+          }
+          val useMatch = matchValues != null && matchKey != null &&
+            keyOrd.compare(matchKey, pk) == 0
+          resultProj(joined(probe, if (useMatch) matchValues else nullValues))
+        } else {
+          resultProj(joined(probe, nullValues))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): AsOfJoinExec =
+    copy(left = l, right = r)
+}

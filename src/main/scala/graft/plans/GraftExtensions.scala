@@ -56,6 +56,7 @@ object RewriteJaccard extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteJaccard)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 

@@ -1,0 +1,64 @@
+package graft.plans
+
+import graft.TestSpark
+import graft.ops.{AsOfJoin, AsOfJoinNative}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinNativeSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("native exec handles inclusive bounds, ties, missing keys like the composed form") {
+    val probe = Seq(
+      (1L, "k1", ts("2024-01-10 00:00:00")),
+      (2L, "k1", ts("2024-01-01 00:00:00")),
+      (3L, "k1", ts("2024-01-05 00:00:00")),
+      (4L, "k2", ts("2024-01-10 00:00:00"))
+    ).toDF("pid", "key", "pts")
+    val build = Seq(
+      ("k1", ts("2024-01-05 00:00:00"), 100L, 1.0),
+      ("k1", ts("2024-01-05 00:00:00"), 101L, 2.0),
+      ("k1", ts("2024-01-08 00:00:00"), 102L, 3.0)
+    ).toDF("key", "bts", "bid", "bval")
+    val out = AsOfJoinNative.joinAsOf(probe, build, "key", "key", "pts", "bts",
+      Seq("bid", "bval"), "bid").orderBy("pid").collect()
+    assert(out(0).getAs[Long]("bid") === 102L)
+    assert(out(1).isNullAt(out(1).fieldIndex("bid")))
+    assert(out(2).getAs[Long]("bid") === 101L) // inclusive + max-tie
+    assert(out(3).isNullAt(out(3).fieldIndex("bid")))
+  }
+
+  test("native exec equals composed union+window on real events/orders") {
+    val probe = graft.model.Tables.events(spark, sf).select("event_id", "user_id", "ts")
+    val build = graft.model.Tables.orders(spark, sf).select(
+      col("o_custkey"), col("o_orderdate"),
+      col("o_orderkey").as("asof_orderkey"),
+      col("o_totalprice").as("asof_totalprice"))
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "asof_orderkey", "asof_totalprice")
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+    val native = collect(AsOfJoinNative.joinAsOf(
+      probe, build, "user_id", "o_custkey", "ts", "o_orderdate",
+      Seq("asof_orderkey", "asof_totalprice"), "asof_orderkey"))
+    val composed = collect(AsOfJoin.joinAsOf(
+      probe, build, "user_id", "o_custkey", "ts", "o_orderdate",
+      Seq("asof_orderkey", "asof_totalprice"), "asof_orderkey"))
+    assert(native === composed)
+    assert(native.nonEmpty)
+  }
+
+  test("plan shows the custom exec with Catalyst-inserted exchanges and sorts") {
+    val probe = graft.model.Tables.events(spark, sf).select("event_id", "user_id", "ts")
+    val build = graft.model.Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey").as("v"))
+    val df = AsOfJoinNative.joinAsOf(probe, build, "user_id", "o_custkey",
+      "ts", "o_orderdate", Seq("v"), "v")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p.take(2000)) // nodeName strips the Exec suffix
+    assert(p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(p.contains("Sort ["), p.take(2000))
+  }
+}
