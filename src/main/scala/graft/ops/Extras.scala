@@ -107,6 +107,76 @@ object Extras {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Date/interval arithmetic: add/sub days, day difference, truncation,
+    * last_day, extract epoch. */
+  val dateArith: QuerySpec = QuerySpec.sql(
+    "q_date_arith",
+    """SELECT o_orderkey,
+      |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date_d,
+      |       datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+      |       CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+      |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date_d"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since_epoch_start"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Null-handling scalar functions. */
+  val nullFuncs: QuerySpec = QuerySpec.sql(
+    "q_null_funcs",
+    """SELECT c_custkey,
+      |       coalesce(nullif(c_mktsegment, 'BUILDING'), 'IS_BUILDING') AS seg_or_marker,
+      |       CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_bal,
+      |       coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS pos_bal_or_zero,
+      |       (c_acctbal IS NULL) AS bal_is_null,
+      |       ifnull(NULL, c_name) AS name_filled
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("IS_BUILDING")).as("seg_or_marker"),
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("pos_bal"),
+        coalesce(when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")), lit(0.0)).as("pos_bal_or_zero"),
+        col("c_acctbal").isNull.as("bal_is_null"),
+        expr("ifnull(NULL, c_name)").as("name_filled"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Explicit GROUPING SETS (beyond rollup/cube): chosen level combinations
+    * only, with GROUPING() disambiguation of the null rows. */
+  val groupingSets: QuerySpec = QuerySpec.sql(
+    "q_grouping_sets",
+    """SELECT yr, l_returnflag,
+      |       CAST(grouping(yr) AS INTEGER) AS g_yr,
+      |       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+      |       sum(l_quantity) AS sum_qty
+      |FROM (SELECT CAST(year(l_shipdate) AS INTEGER) AS yr, l_returnflag, l_quantity FROM lineitem)
+      |GROUP BY GROUPING SETS ((yr), (l_returnflag))
+      |ORDER BY yr NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .select(
+        year(col("l_shipdate")).as("yr"),
+        col("l_returnflag"), col("l_quantity"))
+      .createOrReplaceTempView("graft_gs_lineitem")
+    spark.sql(
+      """SELECT yr, l_returnflag,
+        |       CAST(grouping(yr) AS INT) AS g_yr,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |       sum(l_quantity) AS sum_qty
+        |FROM graft_gs_lineitem
+        |GROUP BY GROUPING SETS ((yr), (l_returnflag))
+        |ORDER BY yr ASC NULLS FIRST, l_returnflag ASC NULLS FIRST""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(pivotQuery, stringFuncs, collectQuery, explodeQuery, percentiles)
+    Seq(pivotQuery, stringFuncs, collectQuery, explodeQuery, percentiles,
+      dateArith, nullFuncs, groupingSets)
 }
