@@ -20,6 +20,7 @@ object SparkEntry {
       etl.EtlQueries.all ++
       sources.Sources.all ++
       text.TextAnalysis.all ++
+      text.CorpusPipeline.all ++
       dedup.Dedup.all ++
       sim.Ann.all ++
       mm.Multimodal.all ++

@@ -1,0 +1,192 @@
+package graft.text
+
+import graft.QuerySpec
+import graft.model.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: rule-based
+  * quality filtering (with drop reasons), PII redaction, intra-document
+  * repetition scoring, greedy sequence packing, corpus n-gram counts, and
+  * train/test contamination checking. All pure column expressions / one
+  * shuffle each — per-document work scales linearly to 100 TB.
+  */
+object CorpusPipeline {
+
+  private val toks = split(col("text"), " ")
+  private val nTok = size(toks)
+  private val stopRatio = {
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+    size(filter(toks, t => t.isin(stop.map(w => w: Any): _*))) / nTok
+  }
+
+  /** Rule-based quality filter with first-failed-rule accounting (the
+    * C4/Gopher-style keep/drop gate). */
+  val qualityFilter: QuerySpec = QuerySpec.sql(
+    "q_quality_filter",
+    """WITH m AS (
+      |  SELECT lang,
+      |         len(string_split(text, ' ')) AS n_tokens,
+      |         (length(text) - len(string_split(text, ' ')) + 1)
+      |           / len(string_split(text, ' ')) AS mean_tok_len,
+      |         len(list_filter(string_split(text, ' '),
+      |             t -> t IN ('the','a','of','to','and','in','is','it')))
+      |           / len(string_split(text, ' ')) AS stop_ratio,
+      |         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+      |           / CAST(length(text) AS DOUBLE) AS digit_ratio
+      |  FROM documents),
+      |v AS (SELECT lang,
+      |             CASE WHEN n_tokens < 8 THEN 'too_short'
+      |                  WHEN n_tokens > 1000 THEN 'too_long'
+      |                  WHEN mean_tok_len < 2 OR mean_tok_len > 12 THEN 'weird_tokens'
+      |                  WHEN stop_ratio < 0.01 THEN 'no_stopwords'
+      |                  WHEN digit_ratio > 0.2 THEN 'too_many_digits'
+      |                  ELSE 'keep' END AS verdict
+      |      FROM m)
+      |SELECT lang, verdict, count(*) AS n FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val meanTokLen = (length(col("text")) - nTok + 1) / nTok
+    val digitRatio = (length(col("text")) -
+      length(regexp_replace(col("text"), "[0-9]", ""))) / length(col("text")).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        when(nTok < 8, "too_short")
+          .when(nTok > 1000, "too_long")
+          .when(meanTokLen < 2 || meanTokLen > 12, "weird_tokens")
+          .when(stopRatio < 0.01, "no_stopwords")
+          .when(digitRatio > 0.2, "too_many_digits")
+          .otherwise("keep").as("verdict"))
+      .groupBy(col("lang"), col("verdict"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("verdict"))
+  }
+
+  /** PII redaction: emails (synthesized deterministically into the text so
+    * the operator has something to find) replaced by a placeholder;
+    * redaction counts audited. */
+  val piiRedact: QuerySpec = QuerySpec.sql(
+    "q_pii_redact",
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |         text || ' contact: user' || doc_id || '@example.com or u' || doc_id || '@test.org' AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+')) AS INTEGER) AS n_emails,
+      |       regexp_replace(t, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]+', '<EMAIL>', 'g') AS redacted
+      |FROM aug ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val pat = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com or u"), col("doc_id"), lit("@test.org")).as("t"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(pat), lit(0))).as("n_emails"),
+        regexp_replace(col("t"), pat, "<EMAIL>").as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Intra-document repetition (Gopher-style): most-frequent-token share of
+    * the document. */
+  val repetition: QuerySpec = QuerySpec.sql(
+    "q_repetition",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |c AS (SELECT doc_id, w, count(*) AS cnt FROM t GROUP BY 1, 2),
+      |m AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_cnt,
+      |             CAST(sum(cnt) AS BIGINT) AS n_tok
+      |      FROM c GROUP BY 1)
+      |SELECT doc_id, max_cnt, n_tok,
+      |       CAST(max_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_token_share
+      |FROM m ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("max_cnt"), sum(col("cnt")).as("n_tok"))
+      .select(col("doc_id"), col("max_cnt"), col("n_tok"),
+        (col("max_cnt").cast("double") / col("n_tok").cast("double")).as("top_token_share"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Greedy sequence packing: running token count bucketed into
+    * fixed-budget training sequences (start-offset packing — a window
+    * cumsum, one shuffle, deterministic). */
+  val docPacking: QuerySpec = QuerySpec.sql(
+    "q_doc_packing",
+    """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      |c AS (SELECT doc_id, n_tok,
+      |             sum(n_tok) OVER (ORDER BY doc_id ASC
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM d)
+      |SELECT CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val w = Window.orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nTok.cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .groupBy(((col("cum") - col("n_tok")) / 2048).cast("long").as("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("seq_id"))
+  }
+
+  /** Corpus-wide n-gram (bigram) counts — contamination / memorization
+    * audit primitive. Top 100 with deterministic tie-break. */
+  val ngramCounts: QuerySpec = QuerySpec.sql(
+    "q_ngram_counts",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |                            i -> w[i] || ' ' || w[i+1])) AS bigram
+      |      FROM t)
+      |SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+      |FROM g GROUP BY 1 ORDER BY n DESC, bigram LIMIT 100""".stripMargin) { (spark, dir) =>
+    val bigrams = transform(
+      sequence(lit(0), nTok - 2),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(100)
+  }
+
+  /** Train/test contamination: test docs sharing any 6-word shingle with
+    * the train split (distinct-shingle equi-join — O(shingles) shuffle, the
+    * scalable contamination check; catches the planted near-dup pairs that
+    * straddle the split). */
+  val contamination: QuerySpec = QuerySpec.sql(
+    "q_contamination",
+    """WITH d AS (SELECT doc_id, doc_id % 10 AS b, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id, b, unnest(list_distinct(list_transform(range(1, len(w) - 4),
+      |                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+      |                                w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]))) AS sh
+      |      FROM d),
+      |train AS (SELECT DISTINCT sh FROM s WHERE b < 8),
+      |test AS (SELECT doc_id, sh FROM s WHERE b = 9)
+      |SELECT count(DISTINCT t.doc_id) AS contaminated_docs,
+      |       (SELECT count(DISTINCT doc_id) FROM test) AS test_docs
+      |FROM test t JOIN train tr ON t.sh = tr.sh""".stripMargin) { (spark, dir) =>
+    val k = 6
+    val shingles = array_distinct(transform(
+      sequence(lit(0), nTok - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+    val s = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 10).as("b"), explode(shingles).as("sh"))
+    val train = s.filter(col("b") < 8).select("sh").distinct()
+    val test = s.filter(col("b") === 9).select("doc_id", "sh")
+    val testDocs = test.select(countDistinct(col("doc_id")).as("test_docs"))
+    test.join(train, Seq("sh"))
+      .agg(countDistinct(col("doc_id")).as("contaminated_docs"))
+      .crossJoin(testDocs)
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    qualityFilter, piiRedact, repetition, docPacking, ngramCounts, contamination)
+}
