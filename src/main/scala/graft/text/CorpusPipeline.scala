@@ -146,10 +146,13 @@ object CorpusPipeline {
       |      FROM t)
       |SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
       |FROM g GROUP BY 1 ORDER BY n DESC, bigram LIMIT 100""".stripMargin) { (spark, dir) =>
+    // materialize the token array BEFORE the per-index lambda — referencing
+    // split() inside the lambda re-splits the string per element (O(n²)/doc)
     val bigrams = transform(
-      sequence(lit(0), nTok - 2),
-      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+      sequence(lit(0), size(col("w")) - 2),
+      i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2)))
     Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("w"))
       .select(col("doc_id"), explode(bigrams).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
@@ -174,11 +177,13 @@ object CorpusPipeline {
       |       (SELECT count(DISTINCT doc_id) FROM test) AS test_docs
       |FROM test t JOIN train tr ON t.sh = tr.sh""".stripMargin) { (spark, dir) =>
     val k = 6
+    // token array materialized first (see q_ngram_counts note)
     val shingles = array_distinct(transform(
-      sequence(lit(0), nTok - k),
-      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      sequence(lit(0), size(col("w")) - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j + 1)): _*)))
     val s = Tables.documents(spark, dir)
-      .select(col("doc_id"), (col("doc_id") % 10).as("b"), explode(shingles).as("sh"))
+      .select(col("doc_id"), (col("doc_id") % 10).as("b"), toks.as("w"))
+      .select(col("doc_id"), col("b"), explode(shingles).as("sh"))
     val train = s.filter(col("b") < 8).select("sh").distinct()
     val test = s.filter(col("b") === 9).select("doc_id", "sh")
     val testDocs = test.select(countDistinct(col("doc_id")).as("test_docs"))

@@ -55,7 +55,9 @@ def main():
                 if an != bn or (a is None) != (b is None):
                     bad = f"{c}[{i}]: spark={a} oracle={b}"; break
                 if isinstance(a, float) and isinstance(b, float):
-                    if not math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9):
+                    # bitwise-exact: the driver hash-compares, so any ulp
+                    # difference is a real failure (audited 49/49 exact)
+                    if a != b:
                         bad = f"{c}[{i}]: spark={a} oracle={b}"; break
                 elif str(a) != str(b):
                     bad = f"{c}[{i}]: spark={a} oracle={b}"; break
