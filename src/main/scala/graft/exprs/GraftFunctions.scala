@@ -25,6 +25,10 @@ object GraftFunctions {
       "minhash_sig", es => MinHashSigExpr(es.head), "built-in")
     fr.createOrReplaceTempFunction(
       "jaccard", es => JaccardExpr(es(0), es(1)), "built-in")
+    fr.createOrReplaceTempFunction(
+      "heavy_hitters", es => HeavyHittersAgg(
+        es(0), es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "built-in")
   }
 
   def simhash64(c: Column): Column = call_function("simhash64", c)
@@ -33,4 +37,6 @@ object GraftFunctions {
   def norm2F(a: Column): Column = call_function("norm2_f", a)
   def wordShingles(c: Column): Column = call_function("word_shingles", c)
   def minhashSig(c: Column): Column = call_function("minhash_sig", c)
+  def heavyHitters(c: Column, k: Int): Column =
+    call_function("heavy_hitters", c, org.apache.spark.sql.functions.lit(k))
 }

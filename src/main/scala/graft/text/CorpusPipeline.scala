@@ -192,6 +192,20 @@ object CorpusPipeline {
       .crossJoin(testDocs)
   }
 
+  /** Heavy-hitter tokens via the Misra-Gries TypedImperativeAggregate
+    * sketch (bounded memory per partition; rows-only — counts are lower
+    * bounds, the test suite checks the MG guarantee against exact counts). */
+  val heavyHitters: QuerySpec = QuerySpec.rowsOnly("q_heavy_hitters") { (spark, dir) =>
+    graft.exprs.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(explode(toks).as("w"))
+      .agg(graft.exprs.GraftFunctions.heavyHitters(col("w"), 32).as("hh"))
+      .select(posexplode(col("hh")).as(Seq("rank", "hit")))
+      .select((col("rank") + 1).as("rank"), col("hit.item").as("item"),
+        col("hit.min_count").as("min_count"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    qualityFilter, piiRedact, repetition, docPacking, ngramCounts, contamination)
+    qualityFilter, piiRedact, repetition, docPacking, ngramCounts,
+    contamination, heavyHitters)
 }
