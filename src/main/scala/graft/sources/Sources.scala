@@ -109,6 +109,22 @@ object Sources {
         |GROUP BY o_year ORDER BY o_year""".stripMargin)
   }
 
+  /** Small-files compaction for a Hive-partitioned parquet layout: rewrite
+    * each partition's files into ~`targetFiles` outputs via a partition-
+    * column repartition, with dynamic partition overwrite so untouched
+    * partitions survive. The maintenance job every long-lived 100 TB table
+    * needs after streaming/append ingestion. (In-place overwrite is safe
+    * here because the shuffle materializes the input before the commit
+    * deletes old files; an object-store deployment would stage to a new
+    * prefix and swap for crash-safety.) */
+  def compactPartitioned(
+      spark: SparkSession, path: String, partitionCol: String, targetFiles: Int): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.read.parquet(path)
+      .repartition(targetFiles, col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     csvRoundtrip, csvInferRoundtrip, jsonRoundtrip, partitionedSink)
 }
