@@ -96,7 +96,45 @@ object StreamingOps {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
-  val all: Seq[QuerySpec] = Seq(streamWindow, sessionize)
+  /** Gap-based sessions via the built-in `session_window` aggregation
+    * (works in batch and streaming identically). Oracle replays the same
+    * semantics with lag + cumulative flags: a new session starts when the
+    * gap is >= 5 min (session_window extends while ts < previous + gap);
+    * window.end = last event + gap. */
+  val sessionWindowBuiltin: QuerySpec = QuerySpec.sql(
+    "q_session_window",
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id
+      |                       ORDER BY ts ASC NULLS LAST, event_id ASC) AS prev_ts
+      |  FROM events),
+      |s AS (SELECT *, CASE WHEN prev_ts IS NULL
+      |                       OR epoch_us(ts) - epoch_us(prev_ts) >= 300000000
+      |                     THEN 1 ELSE 0 END AS new_sess FROM e),
+      |x AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+      |                                    ORDER BY ts ASC NULLS LAST, event_id ASC
+      |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      |      FROM s)
+      |SELECT user_id,
+      |       min(ts) AS session_start,
+      |       max(ts) + INTERVAL 5 MINUTE AS session_end,
+      |       count(*) AS n_events,
+      |       sum(floor(value * 100 + 0.5)) / 100.0 AS sum_value
+      |FROM x GROUP BY user_id, seq ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * 100 + 0.5)) / 100.0).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(streamWindow, sessionize, sessionWindowBuiltin)
 }
 
 /** Typed event for stateful sessionization. */
