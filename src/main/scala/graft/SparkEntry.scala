@@ -19,6 +19,7 @@ object SparkEntry {
       ops.Sampling.all ++
       etl.EtlQueries.all ++
       sources.Sources.all ++
+      sources.Jdbc.all ++
       text.TextAnalysis.all ++
       text.CorpusPipeline.all ++
       dedup.Dedup.all ++

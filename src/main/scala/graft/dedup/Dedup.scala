@@ -118,17 +118,23 @@ object Dedup {
 
   /** MinHash signatures themselves (per doc) — the reusable sketch that a
     * cross-corpus dedup would persist. Rows-only (hash family is
-    * engine-specific). */
+    * engine-specific); the signature is emitted as a scalar `,`-joined
+    * encoding so the driver's comparator can sort/hash the rows (raw
+    * `array<bigint>` columns are unhashable on the pandas side). The array
+    * form stays internal ([[minhashSignature]]) for LSH banding reuse. */
   val minhashSigs: QuerySpec = QuerySpec.rowsOnly("q_dedup_minhash") { (spark, dir) =>
     GraftFunctions.register(spark)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), minhashSignature(shingles(col("text"))).as("sig"))
+      .select(col("doc_id"),
+        concat_ws(",", minhashSignature(shingles(col("text"))).cast("array<string>")).as("sig"))
       .orderBy(col("doc_id"))
   }
 
   /** SimHash near-dup: 64-bit simhash per doc (native codegen'd
     * Expression), banded into 4×16-bit chunks, candidates joined on chunk,
-    * kept at Hamming distance ≤ 8. Rows-only (hash is engine-specific);
+    * kept at Hamming distance ≤ 3 (the pigeonhole bound for 4-chunk
+    * banding: a shared chunk is guaranteed only up to 3 differing bits).
+    * Rows-only (hash is engine-specific);
     * the ScalaTest suite asserts it recovers the planted near-dup pairs. */
   val simhashPairs: QuerySpec = QuerySpec.rowsOnly("q_dedup_simhash") { (spark, dir) =>
     GraftFunctions.register(spark)

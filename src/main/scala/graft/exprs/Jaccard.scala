@@ -7,10 +7,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Fused Jaccard similarity of two string arrays: one hash-set pass instead
   * of the composed `size(array_intersect(a,b)) / size(array_union(a,b))`
-  * (which builds two intermediate arrays per row). Semantics identical to
-  * the composed form for distinct-element arrays (set semantics).
-  * [[graft.plans.GraftOptimizations]] rewrites the composed form into this
-  * expression automatically.
+  * (which builds two intermediate arrays per row). Exact set semantics for
+  * ANY input — both sides are deduplicated, like the composed form (which
+  * dedups via array_intersect/array_union) — so the
+  * [[graft.plans.RewriteJaccard]] optimizer rule can fire on arbitrary
+  * user expressions without changing results.
   */
 object JaccardOps {
   def jaccard(a: ArrayData, b: ArrayData): Double = {
@@ -27,7 +28,9 @@ object JaccardOps {
       if (seen.add(x) && set.contains(x)) inter += 1
       i += 1
     }
-    val union = na + seen.size() - inter
+    // distinct-left + distinct-right - common = |A ∪ B| (set semantics even
+    // when the raw left array contains duplicates)
+    val union = set.size() + seen.size() - inter
     inter.toDouble / union
   }
 }

@@ -44,21 +44,38 @@ object Sampling {
       .orderBy(col("split"))
   }
 
-  /** Bernoulli sample with fixed seed (rows-only: sampling algorithms are
-    * engine-specific; statistical bounds asserted in tests). */
-  val sampleQuery: QuerySpec = QuerySpec.rowsOnly("q_sample") { (spark, dir) =>
+  /** Deterministic ~10% Bernoulli sample: keep rows whose md5(key) prefix
+    * falls in the first 26/256 of the hex space ("00".."19"). Unlike
+    * `sample()` (partition-layout- and seed-dependent), the hash predicate
+    * is reproducible across runs, cluster sizes, engines, and repartitions
+    * — the production sampling pattern at 100 TB — and DuckDB replays it
+    * exactly (md5 hex agrees byte-for-byte). */
+  val sampleQuery: QuerySpec = QuerySpec.sql(
+    "q_sample",
+    """SELECT l_returnflag, count(*) AS n
+      |FROM lineitem
+      |WHERE substring(md5(l_orderkey || '-' || l_linenumber), 1, 2) <= '19'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     Tables.lineitem(spark, dir)
-      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .filter(substring(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))), 1, 2) <= "19")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
   }
 
-  /** Stratified sample (`sampleBy`): per-stratum fractions — downsample the
-    * dominant class, keep the rest (the class-rebalancing primitive). */
-  val stratifiedQuery: QuerySpec = QuerySpec.rowsOnly("q_stratified_sample") { (spark, dir) =>
+  /** Deterministic stratified sample: per-stratum hash fractions —
+    * downsample the dominant class (`en` → 64/256 ≈ 25% via md5-prefix
+    * < "40"), keep the rest. The class-rebalancing primitive, replayable by
+    * the oracle for the same reasons as [[sampleQuery]]. */
+  val stratifiedQuery: QuerySpec = QuerySpec.sql(
+    "q_stratified_sample",
+    """SELECT lang, count(*) AS n
+      |FROM documents
+      |WHERE lang <> 'en' OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     Tables.documents(spark, dir)
-      .stat.sampleBy("lang", Map("en" -> 0.25, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0), 42L)
+      .filter(col("lang") =!= "en" ||
+        substring(md5(col("doc_id").cast("string")), 1, 2) < "40")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"))

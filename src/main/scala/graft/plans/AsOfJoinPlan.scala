@@ -116,7 +116,13 @@ case class AsOfJoinExec(
               if (bt == null) {
                 buffered.next() // null build time (sorted first): never matches
               } else if (timeOrd.compare(bt, pt) <= 0) {
-                matchKey = bk
+                // copy non-primitive keys: bk may point into sorter-owned
+                // row memory that is reused once the iterator advances
+                matchKey = bk match {
+                  case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+                  case arr: Array[Byte] => arr.clone()
+                  case other => other
+                }
                 matchValues = valuesProj(h).copy()
                 buffered.next()
               } else done = true // future build row for this key

@@ -3,7 +3,7 @@ package graft.sim
 import graft.QuerySpec
 import graft.exprs.GraftFunctions
 import graft.model.Tables
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,13 +15,25 @@ import org.apache.spark.sql.functions._
   * higher-order functions); elements promote to double before a sequential
   * fold so Spark and the DuckDB oracle produce bit-identical similarities.
   *
-  * Scale architecture: brute-force top-k broadcasts the (small) query set
-  * and streams the corpus — O(|corpus|·|queries|) with zero shuffle until
-  * the per-query top-k (TakeOrdered-style window). The scale path prunes the
-  * corpus per query: IVF (coarse partition key; here the precomputed `label`
-  * plays the centroid-assignment role) searches only the query's cell, and
-  * random-hyperplane LSH ([[signatureBits]]) buckets by sign pattern —
-  * both turn the cross product into a co-partitioned equi-join.
+  * Scale architecture, by operator:
+  *   - brute-force top-k: broadcast the (small) query set, stream the
+  *     corpus — O(|corpus|·|queries|), zero shuffle before the per-query
+  *     top-k. The exact baseline.
+  *   - IVF: equi-join on the coarse cell key — reads 1/cells of the corpus
+  *     per query.
+  *   - LSH ANN: L signature tables × b hyperplane bits, Hamming≤1
+  *     multi-probe realized as an EXPLODED probe-bucket equi-join (never a
+  *     theta join): each query emits L·(b+1) probe rows, candidates come
+  *     from hash-join bucket collisions only. Approximate by construction;
+  *     recall is measured against the exact baseline in the test suite.
+  *   - exact threshold join (`q_embedding_neardup`): block-partitioned
+  *     all-pairs via equi-joins. Exact low-threshold similarity joins over
+  *     dense embeddings are NOT LSH-prunable (measured on this corpus: at
+  *     τ=0.4 a hyperplane-bit agrees with p≈0.63 for a qualifying pair vs
+  *     0.5 for a random one — every banding either drops true pairs or
+  *     admits >60% of all pairs), so the correct distributed form is the
+  *     balanced O(n²/P)-per-task block join below, and the LSH path is
+  *     reserved for the high-τ regime where it genuinely prunes.
   */
 object Ann {
 
@@ -39,24 +51,35 @@ object Ann {
   def cosine(a: Column, b: Column, n2a: Column, n2b: Column): Column =
     dot(a, b) / sqrt(n2a * n2b)
 
-  /** Deterministic ±1 random hyperplanes (FNV-mixed), for LSH bucketing:
-    * bit p of the signature = sign of ⟨v, plane_p⟩. */
-  def planes(nPlanes: Int, dim: Int = Dim): Seq[Seq[Double]] =
-    (0 until nPlanes).map { p =>
-      (0 until dim).map { d =>
-        var h = 0xcbf29ce484222325L
-        h ^= p; h *= 0x100000001b3L
-        h ^= d; h *= 0x100000001b3L
-        if ((h & 1L) == 1L) 1.0 else -1.0
-      }
+  /** splitmix64 finalizer — full-avalanche mixing for plane generation.
+    * (A plain FNV fold is NOT usable here: after odd multiplications the
+    * low bit is just the parity of the inputs, which collapses every plane
+    * to one of two alternating ± patterns.) */
+  private def mix64(x0: Long): Long = {
+    val x = x0 + 0x9E3779B97F4A7C15L
+    var z = x
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic ±1 random hyperplane for (table, bit): sign taken from
+    * the top bit of a splitmix64-mixed index. */
+  def plane(table: Int, bit: Int, dim: Int = Dim): Seq[Float] =
+    (0 until dim).map { d =>
+      val h = mix64((table.toLong * 1009L + bit) * 10007L + d)
+      if (h < 0) 1.0f else -1.0f // top bit set → +1
     }
 
-  /** LSH signature bucket (int in [0, 2^nPlanes)). */
-  def signatureBits(v: Column, nPlanes: Int): Column =
-    (0 until nPlanes).map { p =>
-      val proj = GraftFunctions.dotF(v, typedLit(planes(nPlanes)(p).map(_.toFloat)))
-      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+  /** b-bit LSH signature for one table: bit i = sign of ⟨v, plane(t,i)⟩. */
+  def tableSig(v: Column, table: Int, bits: Int): Column =
+    (0 until bits).map { bt =>
+      val proj = GraftFunctions.dotF(v, typedLit(plane(table, bt)))
+      when(proj > 0, lit(1 << bt)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Single-table signature (kept for API compatibility / demos). */
+  def signatureBits(v: Column, nPlanes: Int): Column = tableSig(v, 0, nPlanes)
 
   /** Brute-force cosine top-k for a query set against the full corpus. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -131,9 +154,50 @@ object Ann {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Number of id-hash blocks for the exact threshold join. Work per block
+    * pair is (n/B)²; the join exposes ~B-way parallelism with each side
+    * replicated ≤ (B+1)/2 times — pick B ≈ desired tasks at deployment
+    * scale. */
+  val NearDupBlocks = 16
+
+  /** Exact cosine-threshold join as a BLOCKED all-pairs plan: rows are
+    * hash-assigned to B blocks, the B(B+1)/2 unordered block pairs form a
+    * tiny broadcast relation (orientation round-robin-balanced so each
+    * block appears ~equally on both sides), and candidates come from two
+    * equi-joins — no CartesianProduct / BroadcastNestedLoopJoin node, no
+    * full-corpus broadcast, even task sizes. The O(n²) comparison count is
+    * inherent to EXACT low-τ similarity join (see class doc: LSH measured
+    * unable to prune at τ=0.4); this plan distributes it optimally instead
+    * of pretending to avoid it. */
+  def blockedThresholdJoin(e: DataFrame, tau: Double): DataFrame = {
+    val spark = e.sparkSession
+    val B = NearDupBlocks
+    // unordered block pairs; off-diagonal orientation alternates by parity
+    // of (i+j) so every block appears ~B/2 times on each side (balanced)
+    val pairs = (for { i <- 0 until B; j <- i until B } yield {
+      if (i == j || (i + j) % 2 == 0) (i, j) else (j, i)
+    }).toSeq
+    import spark.implicits._
+    val blockPairs = pairs.toDF("pa", "pb")
+    val withBlk = e.select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"),
+      pmod(xxhash64(col("vec_id")), lit(B)).cast("int").as("blk"))
+    val a = withBlk.select(col("vec_id").as("id_A"), col("embedding").as("ea"),
+      col("n2").as("na"), col("blk").as("blk_a"))
+    val b = withBlk.select(col("vec_id").as("id_B"), col("embedding").as("eb"),
+      col("n2").as("nb"), col("blk").as("blk_b"))
+    a.join(broadcast(blockPairs), col("blk_a") === col("pa"))
+      .join(b, col("pb") === col("blk_b"))
+      // diagonal blocks see both orientations of a pair: keep one
+      .filter(col("pa") =!= col("pb") || col("id_A") < col("id_B"))
+      .withColumn("sim", cosine(col("ea"), col("eb"), col("na"), col("nb")))
+      .filter(col("sim") >= tau)
+      .select(least(col("id_A"), col("id_B")).as("id_a"),
+        greatest(col("id_A"), col("id_B")).as("id_b"), col("sim"))
+  }
+
   /** Embedding near-duplicate scan: all pairs with cosine ≥ 0.4 (the data's
-    * max inter-vector similarity is ~0.51, so this returns the heavy tail).
-    * Test-scale all-pairs; at scale the same semantics run LSH-bucketed. */
+    * similarity tail), computed EXACTLY via [[blockedThresholdJoin]]. */
   val embeddingNearDup: QuerySpec = QuerySpec.sql(
     "q_embedding_neardup",
     s"""WITH p AS (
@@ -142,37 +206,57 @@ object Ann {
        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
        |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
     GraftFunctions.register(spark)
-    val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-      norm2(col("embedding")).as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-      norm2(col("embedding")).as("nb"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("ea"), col("eb"), col("na"), col("nb")))
-      .filter(col("sim") >= 0.4)
-      .select("id_a", "id_b", "sim")
+    blockedThresholdJoin(Tables.embeddings(spark, dir), 0.4)
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** LSH-bucketed ANN: equi-join on hyperplane-sign bucket. Rows-only —
-    * recall vs the exact baseline is asserted in the test suite. */
+  /** LSH table count / signature width for [[annLsh]]. Measured on this
+    * corpus (deterministic planes): mean recall@10 ≈ 0.55 at sf0.001,
+    * 0.48–0.63 at sf0.01–0.1, touching ~21% of the corpus per query. */
+  val LshTables = 6
+  val LshBits = 8
+
+  /** LSH-bucketed ANN with Hamming≤1 multi-probe as a pure EQUI-join:
+    * corpus rows explode into L (table, sig) bucket rows; query rows
+    * explode into L·(bits+1) (table, probe-sig) rows (the signature plus
+    * every 1-bit flip); candidates are bucket-key hash-join collisions,
+    * deduped, then ranked by exact cosine. No BroadcastNestedLoopJoin —
+    * the candidate set is reached by key lookup, which is what makes the
+    * plan sub-linear per query at scale. Rows-only: approximate recall is
+    * asserted vs the exact baseline in the test suite. */
   val annLsh: QuerySpec = QuerySpec.rowsOnly("q_ann_lsh") { (spark, dir) =>
     GraftFunctions.register(spark)
-    val nPlanes = 6
-    val e = Tables.embeddings(spark, dir)
-      .withColumn("bucket", signatureBits(col("embedding"), nPlanes))
-      .withColumn("n2", norm2(col("embedding")))
-    val q = e.filter(col("vec_id") < 8).select(
-      col("vec_id").as("qid"), col("embedding").as("qe"),
-      col("bucket").as("qb"), col("n2").as("qn2"))
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      col("bucket").as("cb"), col("n2").as("cn2"))
-    // multi-probe: accept buckets within Hamming distance 1 of the query's
-    val sims = broadcast(q).join(c, bit_count(col("qb").bitwiseXOR(col("cb"))) <= 1)
+    val L = LshTables; val bits = LshBits
+    val e = Tables.embeddings(spark, dir).withColumn("n2", norm2(col("embedding")))
+
+    val sigd = e.select(
+      Seq(col("vec_id"), col("embedding"), col("n2")) ++
+        (0 until L).map(t => tableSig(col("embedding"), t, bits).as(s"sig_$t")): _*)
+
+    val corpus = sigd.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("n2").as("cn2"),
+        explode(array((0 until L).map(t =>
+          struct(lit(t).as("tbl"), col(s"sig_$t").as("sig"))): _*)).as("s"))
+      .select(col("cid"), col("ce"), col("cn2"),
+        col("s.tbl").as("tbl"), col("s.sig").as("sig"))
+
+    val probeStructs = (0 until L).flatMap { t =>
+      val s = col(s"sig_$t")
+      (Seq(s) ++ (0 until bits).map(i => s.bitwiseXOR(lit(1 << i))))
+        .map(p => struct(lit(t).as("tbl"), p.as("sig")))
+    }
+    val qprobes = sigd.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("n2").as("qn2"), explode(array(probeStructs: _*)).as("p"))
+      .select(col("qid"), col("qe"), col("qn2"),
+        col("p.tbl").as("tbl"), col("p.sig").as("sig"))
+
+    val cands = broadcast(qprobes).join(corpus, Seq("tbl", "sig"))
       .filter(col("qid") =!= col("cid"))
+      .dropDuplicates("qid", "cid")
       .withColumn("sim", cosine(col("qe"), col("ce"), col("qn2"), col("cn2")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)
-    sims.withColumn("rank", row_number().over(w))
+    cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("qid"), col("rank"), col("cid"), col("sim"))
       .orderBy(col("qid"), col("rank"))

@@ -111,20 +111,50 @@ object Sources {
 
   /** Small-files compaction for a Hive-partitioned parquet layout: rewrite
     * each partition's files into ~`targetFiles` outputs via a partition-
-    * column repartition, with dynamic partition overwrite so untouched
-    * partitions survive. The maintenance job every long-lived 100 TB table
-    * needs after streaming/append ingestion. (In-place overwrite is safe
-    * here because the shuffle materializes the input before the commit
-    * deletes old files; an object-store deployment would stage to a new
-    * prefix and swap for crash-safety.) */
+    * column repartition. The maintenance job every long-lived 100 TB table
+    * needs after streaming/append ingestion.
+    *
+    * Crash-safety contract: the compacted output is STAGED to a sibling
+    * prefix and swapped in via two renames — the original data survives any
+    * failure before the first rename completes, and a failed second rename
+    * rolls the original back. Rename is atomic on HDFS and local
+    * filesystems; on object stores (no atomic rename) this utility is
+    * test/HDFS-scale only — production there wants a manifest-committing
+    * table format (Delta/Iceberg-style) instead. */
   def compactPartitioned(
       spark: SparkSession, path: String, partitionCol: String, targetFiles: Int): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    import org.apache.hadoop.fs.Path
+    val base = path.stripSuffix("/")
+    val staging = base + ".compact-staging"
     spark.read.parquet(path)
       .repartition(targetFiles, col(partitionCol))
-      .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(staging)
+    val cur = new Path(base)
+    val stg = new Path(staging)
+    val old = new Path(base + ".compact-old")
+    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(cur, old))
+      throw new java.io.IOException(s"compact: cannot stage-out $base")
+    if (!fs.rename(stg, cur)) { // roll back, original untouched
+      fs.rename(old, cur)
+      throw new java.io.IOException(s"compact: cannot swap in $staging")
+    }
+    fs.delete(old, true)
+  }
+
+  /** S6 as an oracle row: the external-table round-trip (CREATE TABLE …
+    * PARTITIONED BY + MSCK REPAIR + partition-wise aggregate through the
+    * catalog) must equal the same aggregate computed straight off the
+    * source parquet — the reference's Athena surface
+    * (`redshift_setup.py:48-93,210-237`). */
+  val externalTable: QuerySpec = QuerySpec.sql(
+    "q_external_table",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    externalTableDemo(spark, dir)
   }
 
   val all: Seq[QuerySpec] = Seq(
-    csvRoundtrip, csvInferRoundtrip, jsonRoundtrip, partitionedSink)
+    csvRoundtrip, csvInferRoundtrip, jsonRoundtrip, partitionedSink, externalTable)
 }

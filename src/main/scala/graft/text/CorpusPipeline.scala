@@ -147,10 +147,14 @@ object CorpusPipeline {
       |SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
       |FROM g GROUP BY 1 ORDER BY n DESC, bigram LIMIT 100""".stripMargin) { (spark, dir) =>
     // materialize the token array BEFORE the per-index lambda — referencing
-    // split() inside the lambda re-splits the string per element (O(n²)/doc)
-    val bigrams = transform(
-      sequence(lit(0), size(col("w")) - 2),
-      i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2)))
+    // split() inside the lambda re-splits the string per element (O(n²)/doc).
+    // Guard short docs: sequence(0, size-2) DESCENDS when size(w) < 2 and
+    // element_at(w, 0) throws; DuckDB's range() returns empty instead.
+    val bigrams = when(size(col("w")) >= 2,
+      transform(
+        sequence(lit(0), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+      .otherwise(array().cast("array<string>"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("w"))
       .select(col("doc_id"), explode(bigrams).as("bigram"))
@@ -177,10 +181,13 @@ object CorpusPipeline {
       |       (SELECT count(DISTINCT doc_id) FROM test) AS test_docs
       |FROM test t JOIN train tr ON t.sh = tr.sh""".stripMargin) { (spark, dir) =>
     val k = 6
-    // token array materialized first (see q_ngram_counts note)
-    val shingles = array_distinct(transform(
-      sequence(lit(0), size(col("w")) - k),
-      i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j + 1)): _*)))
+    // token array materialized first (see q_ngram_counts note); same
+    // short-doc guard — docs with < k tokens contribute no shingles
+    val shingles = array_distinct(when(size(col("w")) >= k,
+      transform(
+        sequence(lit(0), size(col("w")) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>")))
     val s = Tables.documents(spark, dir)
       .select(col("doc_id"), (col("doc_id") % 10).as("b"), toks.as("w"))
       .select(col("doc_id"), col("b"), explode(shingles).as("sh"))
@@ -193,16 +200,34 @@ object CorpusPipeline {
   }
 
   /** Heavy-hitter tokens via the Misra-Gries TypedImperativeAggregate
-    * sketch (bounded memory per partition; rows-only — counts are lower
-    * bounds, the test suite checks the MG guarantee against exact counts). */
-  val heavyHitters: QuerySpec = QuerySpec.rowsOnly("q_heavy_hitters") { (spark, dir) =>
+    * sketch (bounded memory per partition, mergeable across partitions).
+    * Oracle-checked through the MG GUARANTEE: the sketch's candidate set
+    * provably contains every token with count > N/k, so semi-joining the
+    * candidates against exact counts filtered to `n·k > N` yields exactly
+    * that set — which DuckDB computes without the sketch. A sketch bug
+    * that drops a true heavy hitter loses a row and goes red. The raw
+    * sketch output (lower-bound counts) stays covered by the test suite. */
+  val heavyHitters: QuerySpec = QuerySpec.sql(
+    "q_heavy_hitters",
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+      |c AS (SELECT item, count(*) AS n FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+      |SELECT item, n FROM c, tot WHERE n * 32 > total
+      |ORDER BY n DESC, item""".stripMargin) { (spark, dir) =>
     graft.exprs.GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
-      .select(explode(toks).as("w"))
-      .agg(graft.exprs.GraftFunctions.heavyHitters(col("w"), 32).as("hh"))
-      .select(posexplode(col("hh")).as(Seq("rank", "hit")))
-      .select((col("rank") + 1).as("rank"), col("hit.item").as("item"),
-        col("hit.min_count").as("min_count"))
+    val k = 32
+    val tokens = Tables.documents(spark, dir).select(explode(toks).as("item"))
+    val exact = tokens.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val total = exact.agg(sum(col("n")).as("total")) // 1-row scalar
+    val candidates = tokens
+      .agg(graft.exprs.GraftFunctions.heavyHitters(col("item"), k).as("hh"))
+      .select(explode(col("hh")).as("hit"))
+      .select(col("hit.item").as("item"))
+    exact.join(broadcast(total))
+      .filter(col("n") * k > col("total"))
+      .join(candidates, Seq("item"), "semi")
+      .select(col("item"), col("n"))
+      .orderBy(col("n").desc, col("item"))
   }
 
   val all: Seq[QuerySpec] = Seq(

@@ -78,6 +78,21 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("exact embedding near-dup plan is blocked equi-joins, never a cartesian") {
+    val p = plan(graft.sim.Ann.embeddingNearDup.fn(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"all-pairs cartesian crept back:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"theta join crept back:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+
+  test("LSH ANN multi-probe is a bucket equi-join, not a nested-loop scan") {
+    val p = plan(graft.sim.Ann.annLsh.fn(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"theta join crept back:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("salted aggregation equals plain aggregation") {
     import spark.implicits._
     val salted = Skew.saltedAggQuery.fn(spark, sf)
