@@ -16,6 +16,7 @@ object SparkEntry {
     ops.Relational.all ++
       ops.Skew.all ++
       ops.Extras.all ++
+      ops.Temporal.all ++
       ops.Sampling.all ++
       etl.EtlQueries.all ++
       sources.Sources.all ++

@@ -172,6 +172,89 @@ object Dedup {
       .orderBy(col("n_docs"))
   }
 
+  /** Connected components of an undirected pair graph by iterative
+    * min-label propagation: every node starts labeled with its own id, and
+    * each round takes the min over its neighbors' labels, until a fixpoint.
+    * Each round is one equi-join + one aggregation; lineage is cut with
+    * `localCheckpoint` so the loop doesn't build an ever-deeper plan.
+    * Converges in O(component diameter) rounds — near-dup clusters are
+    * tiny (pairs/chains of planted dups), so 2-3 rounds in practice; a
+    * web-scale graph would switch to the pointer-doubling
+    * large-star/small-star formulation (O(log n) rounds), same join shape.
+    */
+  def connectedComponents(
+      pairs: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(pairs.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("dlbl")).as("nlbl"))
+      val updated = labels
+        .join(neighborMin.select(col("src").as("id"), col("nlbl")), Seq("id"), "left_outer")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = updated.select(col("id"), col("lbl").as("new_lbl"))
+        .join(labels, Seq("id"))
+        .filter(col("new_lbl") =!= col("lbl")).count()
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dedup clustering — the step AFTER near-dup pair detection that a real
+    * corpus dedup needs: group transitively-connected near-dups into
+    * clusters and elect the min-doc_id representative (keep one, drop the
+    * rest). Pairs come from the MinHash-LSH + exact-Jaccard≥0.9 path;
+    * components via [[connectedComponents]]. Oracle: DuckDB recursive-CTE
+    * reachability over the brute-force pair graph. */
+  val dedupClusters: QuerySpec = QuerySpec.sql(
+    "q_dedup_clusters",
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id,
+      |             list_distinct(list_transform(range(1, len(w) - 1),
+      |                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |      FROM d),
+      |p AS (SELECT a.doc_id AS src, b.doc_id AS dst
+      |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |      WHERE len(list_intersect(a.sh, b.sh))
+      |              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+      |edges AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, lbl) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+      |comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY 1)
+      |SELECT cluster, count(*) AS n_docs,
+      |       array_to_string(array_agg(id ORDER BY id), ',') AS members_csv
+      |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    GraftFunctions.register(spark)
+    graft.plans.GraftExtensions.install(spark)
+    val d = Tables.documents(spark, dir)
+    val withSh = d.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val a = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val pairs = lshCandidates(d, "doc_id", "text")
+      .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.9)
+      .select("doc_a", "doc_b")
+    connectedComponents(pairs, "doc_a", "doc_b")
+      .groupBy(col("lbl").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", sort_array(collect_list(col("id")))).as("members_csv"))
+      .orderBy(col("cluster"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(dedupExact, nearDupPairs, minhashSigs, simhashPairs, fingerprintOverlap)
+    Seq(dedupExact, nearDupPairs, minhashSigs, simhashPairs, fingerprintOverlap,
+      dedupClusters)
 }

@@ -176,7 +176,47 @@ object Extras {
         |ORDER BY yr ASC NULLS FIRST, l_returnflag ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Extended window-function suite beyond `q_window_funcs`: ntile,
+    * percent_rank, cume_dist, first/last/nth_value with explicit frames,
+    * and lead with default. Ordering key (o_orderdate, o_orderkey) is
+    * unique, so every function is deterministic. */
+  val windowFuncs2: QuerySpec = QuerySpec.sql(
+    "q_window_funcs2",
+    """SELECT o_orderkey,
+      |       o_orderpriority,
+      |       ntile(4) OVER w AS quartile,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cume,
+      |       first_value(o_orderkey) OVER w AS first_key,
+      |       last_value(o_orderkey) OVER
+      |         (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_so_far,
+      |       nth_value(o_orderkey, 2) OVER
+      |         (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key,
+      |       lead(o_orderkey, 1, -1) OVER w AS next_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        last(col("o_orderkey")).over(wRun).as("last_so_far"),
+        nth_value(col("o_orderkey"), 2).over(wRun).as("second_key"),
+        lead(col("o_orderkey"), 1, -1).over(w).as("next_key"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(pivotQuery, stringFuncs, collectQuery, explodeQuery, percentiles,
-      dateArith, nullFuncs, groupingSets)
+      dateArith, nullFuncs, groupingSets, windowFuncs2)
 }

@@ -262,5 +262,47 @@ object Ann {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val all: Seq[QuerySpec] = Seq(annCosine, annIvf, embeddingNearDup, annLsh)
+  /** One spherical k-means step — the IVF TRAINING primitive (the `label`
+    * column our IVF queries prune on is exactly what this produces at
+    * scale): assign every vector to its max-cosine centroid among the k=10
+    * seed centroids (vectors 0..9, deterministic), then report per-cell
+    * size and mean assigned similarity. Assignment is a broadcast of the
+    * tiny centroid set against the streamed corpus (the one place a
+    * nested-loop over a bounded side is the CORRECT plan: k rows, never
+    * grows with the corpus), argmax via the same rank-1 window pattern as
+    * the ANN queries; mean similarity uses an exact micro-unit integer sum
+    * so it is order-independent at any parallelism. */
+  val kmeansStep: QuerySpec = QuerySpec.sql(
+    "q_kmeans_step",
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 10),
+       |p AS (
+       |  SELECT v.vec_id, c.cid,
+       |         ${simSql("v.embedding", "c.ce")} AS sim
+       |  FROM embeddings v CROSS JOIN c),
+       |r AS (SELECT vec_id, cid, sim,
+       |             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk
+       |      FROM p)
+       |SELECT cid, count(*) AS n_assigned,
+       |       CAST(sum(CAST(floor(sim * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sim_micro_sum
+       |FROM r WHERE rk = 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val centroids = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        norm2(col("embedding")).as("cn2"))
+    val v = e.select(col("vec_id"), col("embedding").as("ve"),
+      norm2(col("embedding")).as("vn2"))
+    val sims = v.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosine(col("ve"), col("ce"), col("vn2"), col("cn2")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid").asc)
+    sims.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(floor(col("sim") * 1000000 + 0.5).cast("long")).as("sim_micro_sum"))
+      .orderBy(col("cid"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(annCosine, annIvf, embeddingNearDup, annLsh, kmeansStep)
 }

@@ -143,6 +143,23 @@ object Sources {
     fs.delete(old, true)
   }
 
+  /** ORC source/sink round-trip: the other columnar format Spark ships
+    * natively (vectorized reader, predicate pushdown, same partitioning
+    * story as Parquet). Write customer as ORC, read it back with a pushed
+    * filter, project — must equal the parquet-direct rows. */
+  val orcRoundtrip: QuerySpec = QuerySpec.sql(
+    "q_orc_source",
+    """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+      |FROM customer WHERE c_acctbal >= 0 ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val out = scratch("customer_orc")
+    Tables.customer(spark, dir)
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .filter(col("c_acctbal") >= 0)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      .orderBy(col("c_custkey"))
+  }
+
   /** S6 as an oracle row: the external-table round-trip (CREATE TABLE …
     * PARTITIONED BY + MSCK REPAIR + partition-wise aggregate through the
     * catalog) must equal the same aggregate computed straight off the
@@ -156,5 +173,6 @@ object Sources {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    csvRoundtrip, csvInferRoundtrip, jsonRoundtrip, partitionedSink, externalTable)
+    csvRoundtrip, csvInferRoundtrip, jsonRoundtrip, partitionedSink, externalTable,
+    orcRoundtrip)
 }

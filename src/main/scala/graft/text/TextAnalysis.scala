@@ -116,5 +116,47 @@ object TextAnalysis {
     }
   }
 
-  val all: Seq[QuerySpec] = Seq(textQuality, tokenCount, langId)
+  /** TF-IDF top-3 terms per document — the classic two-shuffle corpus
+    * statistic (shuffle 1: per-(doc, term) TF; shuffle 2: per-term DF),
+    * with the document count attached as a broadcast scalar. Scores are
+    * ranked and emitted as exact micro-unit integers
+    * (`floor(tf · ln(N/df) · 1e6 + 0.5)`): `ln` is transcendental, so
+    * ranking/hashing raw doubles would be hostage to last-ulp libm
+    * differences between engines — the integer encoding is the
+    * cross-engine-stable contract, and the correct pattern for any
+    * score that must be reproducible across clusters. */
+  val tfidf: QuerySpec = QuerySpec.sql(
+    "q_tfidf",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000 + 0.5) AS BIGINT) AS score_micro
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+      |r AS (SELECT doc_id, term, score_micro,
+      |             row_number() OVER (PARTITION BY doc_id
+      |                                ORDER BY score_micro DESC, term ASC) AS rank
+      |      FROM scored)
+      |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score_micro
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (spark, dir) =>
+    val terms = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("score_micro",
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1000000 + 0.5)
+          .cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score_micro").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("score_micro"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(textQuality, tokenCount, langId, tfidf)
 }
