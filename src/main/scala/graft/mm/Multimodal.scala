@@ -102,5 +102,37 @@ object Multimodal {
     extractFeatures(asMedia(spark, dir)).toDF().orderBy(col("doc_id"))
   }
 
-  val all: Seq[QuerySpec] = Seq(multimodalMeta, multimodalDecode)
+  /** Frame sampling — the video-frame primitive as real Spark plumbing:
+    * slice the binary payload into fixed 64-byte "frames" (a row per
+    * frame via explode of an index sequence), KEEP EVERY 4th frame
+    * (the sample), hash each kept frame. Payload bytes never leave the
+    * executors; the explode fan-out is bounded by payload size / frame
+    * size. Oracle: DuckDB replays the same slicing on the (ASCII) text. */
+  val multimodalFrames: QuerySpec = QuerySpec.sql(
+    "q_multimodal_frames",
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         unnest(range(0, CAST(ceil(length(text) / ${MediaCodec.FrameSize}.0) AS BIGINT))) AS frame_idx,
+       |         text
+       |  FROM documents)
+       |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       |       CAST(length(substring(text, CAST(frame_idx * ${MediaCodec.FrameSize} + 1 AS INTEGER), ${MediaCodec.FrameSize})) AS INTEGER) AS frame_bytes,
+       |       md5(substring(text, CAST(frame_idx * ${MediaCodec.FrameSize} + 1 AS INTEGER), ${MediaCodec.FrameSize})) AS frame_hash
+       |FROM f WHERE frame_idx % 4 = 0
+       |ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
+    val fs = MediaCodec.FrameSize
+    asMedia(spark, dir).toDF()
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0),
+          ceil(octet_length(col("payload")) / lit(fs.toDouble)).cast("int") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % 4 === 0) // the sample: every 4th frame
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $fs + 1, $fs)").as("frame"))
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(col("frame")).as("frame_bytes"),
+        md5(col("frame")).as("frame_hash"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(multimodalMeta, multimodalDecode, multimodalFrames)
 }

@@ -300,6 +300,21 @@ object Relational {
       approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
   }
 
+  /** Sketch-based percentiles (GK / t-digest-style `approx_percentile` with
+    * a rank-accuracy knob) — the scale path when exact percentile's
+    * full-sort-per-group is too expensive. No oracle (sketch internals are
+    * engine-specific); the test suite bounds the rank error vs the exact
+    * percentile instead. */
+  val approxPercentile: QuerySpec = QuerySpec.rowsOnly("q_approx_percentile") { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("price_p50"),
+        approx_percentile(col("l_extendedprice"), lit(0.9), lit(10000)).as("price_p90"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("qty_p50"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Set operations: UNION / INTERSECT / EXCEPT (distinct semantics). */
   val setOps: QuerySpec = QuerySpec.sql(
     "q_setops",
@@ -399,5 +414,5 @@ object Relational {
   val all: Seq[QuerySpec] = Seq(
     salesTrends, pricingSummary, latestEvent, asOf, asOfNative, joinEnrich,
     semiJoin, antiJoin, mergeUpsert, windowFuncs, rollupRevenue, topK, counts,
-    approxDistinct, setOps, dateParts, jsonExtract)
+    approxDistinct, approxPercentile, setOps, dateParts, jsonExtract)
 }

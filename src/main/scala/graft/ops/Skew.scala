@@ -51,6 +51,47 @@ object Skew {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Salted equi-join for a skewed join key: the big side salts its key
+    * with `pmod(xxhash64(uniform col), salts)`, the small side replicates
+    * each row across ALL salt values (explode), and the join runs on
+    * (key, salt) — each formerly-hot shuffle partition splits into `salts`
+    * near-uniform ones. This is the manual form of what AQE skew-join does
+    * at runtime for sort-merge joins; use it when the skew is known ahead
+    * of time or the dim is too large to broadcast but small enough to
+    * replicate `salts`×. */
+  def saltedJoin(
+      big: DataFrame, dim: DataFrame, key: String,
+      saltSource: Column, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt", pmod(xxhash64(saltSource), lit(salts)))
+    val replicatedDim = dim.withColumn(
+      "__salt", explode(array((0 until salts).map(lit(_)): _*)))
+    saltedBig.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Salted join of the 600k-row fact against a 3-row hot-key dimension
+    * (every lineitem row hits one of 3 `l_returnflag` keys — the textbook
+    * hot-key join). Oracle is the plain join; results identical, only the
+    * shuffle key space differs. */
+  val saltedJoinQuery: QuerySpec = QuerySpec.sql(
+    "q_salted_join",
+    """WITH dim AS (SELECT * FROM (VALUES ('A', 'returned'), ('N', 'in_flight'), ('R', 'refunded'))
+      |             d(l_returnflag, flag_desc))
+      |SELECT d.flag_desc,
+      |       sum(l.l_quantity) AS sum_qty,
+      |       count(*) AS n
+      |FROM lineitem l JOIN dim d USING (l_returnflag)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val dim = Seq(("A", "returned"), ("N", "in_flight"), ("R", "refunded"))
+      .toDF("l_returnflag", "flag_desc")
+    saltedJoin(
+      Tables.lineitem(spark, dir), dim,
+      key = "l_returnflag", saltSource = col("l_orderkey"), salts = 16)
+      .groupBy(col("flag_desc"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("flag_desc"))
+  }
+
   /** CUBE over (year, returnflag): all four grouping levels in one pass. */
   val cubeQuery: QuerySpec = QuerySpec.sql(
     "q_cube",
@@ -68,5 +109,5 @@ object Skew {
       .orderBy(col("yr").asc_nulls_first, col("l_returnflag").asc_nulls_first)
   }
 
-  val all: Seq[QuerySpec] = Seq(saltedAggQuery, cubeQuery)
+  val all: Seq[QuerySpec] = Seq(saltedAggQuery, saltedJoinQuery, cubeQuery)
 }

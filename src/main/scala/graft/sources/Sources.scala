@@ -109,6 +109,45 @@ object Sources {
         |GROUP BY o_year ORDER BY o_year""".stripMargin)
   }
 
+  /** Bucketed co-located join (S7-adjacent scale feature): both tables
+    * written `bucketBy(8, key)` + sorted, so the fact-fact join needs NO
+    * shuffle exchange at read time — the layout IS the partitioning. This
+    * is the registered-query twin of the PlanQualitySpec shuffle-elision
+    * test; at 100 TB bucketing turns every recurring key-join against the
+    * table into a local merge. Oracle: the same join off the raw parquet. */
+  val bucketedJoin: QuerySpec = QuerySpec.sql(
+    "q_bucketed_join",
+    """SELECT c_mktsegment, count(*) AS n,
+      |       sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    spark.sql("DROP TABLE IF EXISTS q_b_orders")
+    spark.sql("DROP TABLE IF EXISTS q_b_customer")
+    Seq("q_b_orders", "q_b_customer").foreach { t =>
+      val d = new java.io.File(s"${spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")}/$t")
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
+    Tables.orders(spark, dir)
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("q_b_orders")
+    Tables.customer(spark, dir)
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("q_b_customer")
+    // merge-join HINT (not a session conf toggle — confs are read at
+    // execution time and would leak into other queries): planner picks SMJ,
+    // and the bucket layout elides both sides' exchanges
+    spark.table("q_b_orders").hint("merge")
+      .join(spark.table("q_b_customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0).as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Small-files compaction for a Hive-partitioned parquet layout: rewrite
     * each partition's files into ~`targetFiles` outputs via a partition-
     * column repartition. The maintenance job every long-lived 100 TB table
@@ -174,5 +213,5 @@ object Sources {
 
   val all: Seq[QuerySpec] = Seq(
     csvRoundtrip, csvInferRoundtrip, jsonRoundtrip, partitionedSink, externalTable,
-    orcRoundtrip)
+    orcRoundtrip, bucketedJoin)
 }

@@ -31,7 +31,10 @@ object StreamingOps {
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
     val staged = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/events_stream"
     val ev = Tables.events(spark, dir)
-    ev.write.mode("overwrite").parquet(staged)
+    // stage into a bounded file count so the micro-batch count (and with it
+    // the bench cost of complete-mode re-emission) is independent of the
+    // writing parallelism: 12 files / 4 per trigger = 3 incremental batches
+    ev.repartition(12).write.mode("overwrite").parquet(staged)
     val stream = spark.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", "4") // several micro-batches, not one big gulp
@@ -191,6 +194,36 @@ object StatefulSessionize {
         closed.iterator
     }
   }
+}
+
+/** Watermarked stream-stream join: each side declares a watermark and the
+  * join carries a time-range condition, so Spark can bound both join-state
+  * buffers (rows older than watermark + range are evicted). This is the
+  * streaming enrichment primitive the batch broadcast join cannot express:
+  * BOTH sides are unbounded. Verified in `StreamingSpec` against the
+  * identical batch join over the same data.
+  */
+object StreamStreamJoin {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.expr
+
+  /** Inner join clicks-to-views style: right event within [left.ts,
+    * left.ts + 5 min] on the same user. Both inputs must have an `l`/`r`
+    * compatible schema with (user_id, ts). */
+  def apply(left: DataFrame, right: DataFrame): DataFrame =
+    left.withWatermark("ts", "10 minutes").alias("l")
+      .join(
+        right.withWatermark("ts", "10 minutes").alias("r"),
+        expr("""l.user_id = r.user_id AND
+                r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 5 MINUTES"""))
+
+  /** Streaming exactly-once-per-key dedup: drops events whose `event_id`
+    * was already seen within the watermark horizon — the streaming form of
+    * exact dedup (state is bounded by the watermark, unlike a naive
+    * `dropDuplicates` whose state grows forever). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
 }
 
 /** Streaming → partitioned-Parquet sink (the reference's `load_date=` layout

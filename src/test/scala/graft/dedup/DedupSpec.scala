@@ -61,6 +61,26 @@ class DedupSpec extends AnyFunSuite {
     assert(f1.intersect(f3).isEmpty)
   }
 
+  test("connectedComponents groups chains transitively with min-id labels") {
+    // two components: a 4-node chain {1,2,3,4} and a pair {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedup clusters partition the planted pair graph") {
+    val clusters = Dedup.dedupClusters.fn(spark, sf)
+      .select("cluster", "members_csv").as[(Long, String)].collect()
+    val members = clusters.flatMap(_._2.split(",").map(_.toLong))
+    val inPairs = plantedPairs.flatMap(p => Seq(p._1, p._2))
+    assert(members.toSet === inPairs)           // exactly the paired docs
+    assert(members.length === members.toSet.size) // each doc in ONE cluster
+    clusters.foreach { case (c, csv) =>
+      assert(csv.split(",").map(_.toLong).min === c) // representative = min id
+    }
+  }
+
   test("expressions usable from SQL text after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT simhash64('a b c') AS h, size(fingerprints('abcdefghijklmnop')) AS n")

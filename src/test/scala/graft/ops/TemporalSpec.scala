@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+  import spark.implicits._
+
+  test("binned range join: every event lands in 1..3 windows; totals consistent") {
+    val windows = Temporal.rangeJoin.fn(spark, sf)
+      .select("win_start", "n_events").as[(java.sql.Date, Long)].collect()
+    val events = graft.model.Tables.events(spark, sf)
+    val nEvents = events.count()
+    val totalMemberships = windows.map(_._2).sum
+    assert(totalMemberships >= nEvents, "each event is in at least its own day's window")
+    assert(totalMemberships <= 3 * nEvents, "no event is in more than 3 windows")
+    // plan shape: the range predicate must not become a nested loop
+    val plan = Temporal.rangeJoin.fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("salted join equals plain join") {
+    val salted = Skew.saltedJoinQuery.fn(spark, sf)
+      .as[(String, Double, Long)].collect().toSet
+    val dim = Seq(("A", "returned"), ("N", "in_flight"), ("R", "refunded"))
+      .toDF("l_returnflag", "flag_desc")
+    val plain = graft.model.Tables.lineitem(spark, sf)
+      .join(dim, Seq("l_returnflag"))
+      .groupBy(col("flag_desc"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().toSet
+    assert(salted === plain)
+  }
+
+  test("approx percentile within rank-error bound of exact") {
+    val approx = Relational.approxPercentile.fn(spark, sf)
+      .select("l_returnflag", "price_p50").as[(String, Double)].collect().toMap
+    val exact = graft.model.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"))
+      .as[(String, Double)].collect().toMap
+    approx.foreach { case (k, v) =>
+      val rel = math.abs(v - exact(k)) / exact(k)
+      assert(rel < 0.05, s"$k: approx p50 $v vs exact ${exact(k)} (rel $rel)")
+    }
+  }
+}

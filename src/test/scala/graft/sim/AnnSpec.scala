@@ -44,6 +44,31 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.4, s"mean recall@10 = $mean")
   }
 
+  test("k-means step assigns every vector to exactly one cell") {
+    val cells = Ann.kmeansStep.fn(spark, sf)
+      .select("cid", "n_assigned").as[(Long, Long)].collect()
+    val total = graft.model.Tables.embeddings(spark, sf).count()
+    assert(cells.map(_._2).sum === total)
+    assert(cells.map(_._1).toSet.subsetOf((0L until 10L).toSet))
+  }
+
+  test("exact blocked threshold join equals the naive all-pairs result") {
+    import graft.exprs.GraftFunctions
+    GraftFunctions.register(spark)
+    val e = graft.model.Tables.embeddings(spark, sf)
+    val got = Ann.blockedThresholdJoin(e, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      Ann.norm2(col("embedding")).as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      Ann.norm2(col("embedding")).as("nb"))
+    val naive = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(Ann.cosine(col("ea"), col("eb"), col("na"), col("nb")) >= 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === naive)
+    assert(got.nonEmpty)
+  }
+
   test("cosine kernel agrees with a plain-Scala computation") {
     graft.exprs.GraftFunctions.register(spark)
     val vecs = graft.model.Tables.embeddings(spark, sf)

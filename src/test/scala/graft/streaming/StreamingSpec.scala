@@ -54,4 +54,58 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(got === expected)
   }
+
+  test("watermarked stream-stream join matches the batch time-range join") {
+    implicit val sc = spark.sqlContext
+    val evs = graft.model.Tables.events(spark, sf)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[SessionEvent].collect().toSeq
+
+    val left = MemoryStream[SessionEvent]
+    val right = MemoryStream[SessionEvent]
+    val joined = StreamStreamJoin(
+      left.toDF().select(col("user_id"), col("event_id").as("l_id"), col("ts")),
+      right.toDF().select(col("user_id"), col("event_id").as("r_id"), col("ts")))
+      .select(col("l_id"), col("r_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    left.addData(evs)
+    right.addData(evs)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_out").as[(Long, Long)].collect().toSet
+
+    val b = graft.model.Tables.events(spark, sf).filter(col("user_id") < 20)
+    val expected = b.select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+      .join(b.select(col("user_id"), col("event_id").as("r_id"), col("ts").as("r_ts")),
+        Seq("user_id"))
+      .filter(col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("l_id"), col("r_id")).as[(Long, Long)].collect().toSet
+
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming dedup within watermark drops re-delivered events") {
+    implicit val sc = spark.sqlContext
+    val evs = graft.model.Tables.events(spark, sf)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[SessionEvent].collect().toSeq
+
+    val input = MemoryStream[SessionEvent]
+    val q = StreamStreamJoin.dedupWithinWatermark(input.toDF())
+      .select("event_id")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    input.addData(evs)      // first delivery
+    q.processAllAvailable()
+    input.addData(evs.take(50)) // at-least-once redelivery
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").as[Long].collect().toSeq
+    assert(got.length === evs.length, "every event exactly once")
+    assert(got.toSet === evs.map(_.event_id).toSet)
+  }
 }
