@@ -31,10 +31,13 @@ object StreamingOps {
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
     val staged = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/events_stream"
     val ev = Tables.events(spark, dir)
-    // stage into a bounded file count so the micro-batch count (and with it
-    // the bench cost of complete-mode re-emission) is independent of the
-    // writing parallelism: 12 files / 4 per trigger = 3 incremental batches
-    ev.repartition(12).write.mode("overwrite").parquet(staged)
+    // stage into a bounded file count so the micro-batch count is
+    // independent of the writing parallelism: 8 files / 4 per trigger = 2
+    // incremental batches — still exercises cross-batch state accumulation,
+    // while each extra stateful batch costs ~6 s of state-store commit +
+    // complete-mode re-emission at local[32] (measured: 1/2/3 batches =
+    // 3.3/7.9/19 s)
+    ev.repartition(8).write.mode("overwrite").parquet(staged)
     val stream = spark.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", "4") // several micro-batches, not one big gulp
