@@ -93,6 +93,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("registered bucketed join reads pre-bucketed data without a shuffle") {
+    val p = plan(graft.sources.Sources.bucketedJoin.fn(spark, sf))
+    assert(p.contains("SortMergeJoin"))
+    val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$joinPart")
+  }
+
   test("salted aggregation equals plain aggregation") {
     import spark.implicits._
     val salted = Skew.saltedAggQuery.fn(spark, sf)

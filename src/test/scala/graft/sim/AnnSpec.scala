@@ -44,6 +44,18 @@ class AnnSpec extends AnyFunSuite {
     assert(mean >= 0.4, s"mean recall@10 = $mean")
   }
 
+  test("LSH planes are diverse and balanced (parity-degeneracy regression)") {
+    // the old FNV h&1 generator collapsed ALL planes to 2 alternating
+    // patterns; splitmix top-bit must give (near-)distinct, ~balanced planes
+    val planes = for (t <- 0 until Ann.LshTables; b <- 0 until Ann.LshBits)
+      yield Ann.plane(t, b)
+    assert(planes.distinct.size >= planes.size - 2, "planes must be (near-)distinct")
+    planes.foreach { p =>
+      val pos = p.count(_ > 0)
+      assert(pos >= 16 && pos <= 48, s"plane badly unbalanced: $pos/64 positive")
+    }
+  }
+
   test("k-means step assigns every vector to exactly one cell") {
     val cells = Ann.kmeansStep.fn(spark, sf)
       .select("cid", "n_assigned").as[(Long, Long)].collect()

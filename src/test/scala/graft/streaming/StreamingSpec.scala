@@ -88,6 +88,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("session_window works identically as a STREAMING stateful aggregation") {
+    implicit val sc = spark.sqlContext
+    val evs = graft.model.Tables.events(spark, sf)
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[SessionEvent].collect().toSeq
+    // sentinel far past every event closes all windows past the watermark
+    val sentinels = evs.map(_.user_id).distinct
+      .map(u => SessionEvent(u, Long.MaxValue, java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), 0.0))
+
+    val input = MemoryStream[SessionEvent]
+    val agg = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sw_stream").start()
+    input.addData(evs)
+    q.processAllAvailable()
+    input.addData(sentinels)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sw_stream")
+      .filter(col("session_start") < "2030-01-01")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    val batch = graft.model.Tables.events(spark, sf)
+      .filter(col("user_id") < 10)
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup within watermark drops re-delivered events") {
     implicit val sc = spark.sqlContext
     val evs = graft.model.Tables.events(spark, sf)
