@@ -199,6 +199,65 @@ object StatefulSessionize {
   }
 }
 
+/** Production session closing via EVENT-TIME TIMEOUT (vs the sentinel
+  * pattern `StatefulSessionize` uses): state carries an event-time timeout
+  * at `session end + gap`; once the WATERMARK passes it, Spark fires the
+  * timeout callback and the session closes — no poke-the-user event
+  * needed. This is how an always-on pipeline emits a user's last session.
+  * State remains O(open sessions), eviction driven by the watermark.
+  */
+object TimeoutSessionize {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+  import StatefulSessionize.OpenSession
+
+  def apply(events: Dataset[SessionEvent], gapMicros: Long): Dataset[ClosedSession] = {
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val keyEnc = Encoders.scalaLong
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    def toTs(m: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(m / 1000)
+      t.setNanos(((m % 1000000) * 1000).toInt)
+      t
+    }
+    // EventTimeTimeout requires an upstream watermark on the event-time col
+    events.withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (user: Long, batch: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+        if (state.hasTimedOut) {
+          // watermark passed session end + gap: close and clear
+          val s = state.get
+          state.remove()
+          Iterator.single(ClosedSession(user, s.n, toTs(s.start), toTs(s.end), s.sum))
+        } else {
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            open match {
+              case Some(s) if t - s.end > gapMicros =>
+                closed += ClosedSession(user, s.n, toTs(s.start), toTs(s.end), s.sum)
+                open = Some(OpenSession(t, t, 1, e.value))
+              case Some(s) =>
+                open = Some(s.copy(end = t, n = s.n + 1, sum = s.sum + e.value))
+              case None =>
+                open = Some(OpenSession(t, t, 1, e.value))
+            }
+          }
+          open.foreach { s =>
+            state.update(s)
+            // fire when the watermark proves no more in-gap events can come
+            state.setTimeoutTimestamp((s.end + gapMicros) / 1000 + 1)
+          }
+          closed.iterator
+        }
+    }
+  }
+}
+
 /** Watermarked stream-stream join: each side declares a watermark and the
   * join carries a time-range condition, so Spark can bound both join-state
   * buffers (rows older than watermark + range are evicted). This is the

@@ -55,6 +55,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("event-time-timeout sessionization closes sessions when the watermark passes") {
+    implicit val sc = spark.sqlContext
+    val evs = graft.model.Tables.events(spark, sf)
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[SessionEvent].collect().toSeq
+    // ONE far-future event for a dummy user advances the watermark past
+    // every real session's end + gap — timeouts close them, no per-user
+    // sentinel needed (that is the point vs StatefulSessionize)
+    val dummy = SessionEvent(999999L, Long.MaxValue,
+      java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 0.0)
+
+    val input = MemoryStream[SessionEvent]
+    val q = TimeoutSessionize(input.toDS(), 300000000L)
+      .writeStream.outputMode("append").format("memory").queryName("sess_to").start()
+    input.addData(evs)
+    q.processAllAvailable()
+    input.addData(Seq(dummy))
+    q.processAllAvailable()
+    q.processAllAvailable() // one more cycle so timeout batches drain
+    q.stop()
+
+    val got = spark.table("sess_to")
+      .filter(col("user_id") < 10)
+      .select("user_id", "n_events", "session_start", "session_end")
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    val expected = StreamingOps.sessionize.fn(spark, sf)
+      .filter(col("user_id") < 10)
+      .select("user_id", "n_events", "session_start", "session_end")
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+    assert(got === expected)
+  }
+
   test("watermarked stream-stream join matches the batch time-range join") {
     implicit val sc = spark.sqlContext
     val evs = graft.model.Tables.events(spark, sf)
