@@ -120,6 +120,48 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join with a STALENESS TOLERANCE (pandas `merge_asof(tolerance=)`
+    * semantics): the attached build row must not be older than the bound,
+    * else the probe keeps nulls — the guard every production rate/price
+    * lookup needs against silently applying years-stale data. Composed as
+    * the plain as-of (build time carried as a value column) + a null-out
+    * filter, so the one-shuffle union+window plan is unchanged. The 8800-day
+    * bound is chosen to bisect this dataset's order dates (events are 2024,
+    * orders 1995-2001), exercising both the kept and nulled branches. */
+  val asOfTolerance: QuerySpec = QuerySpec.sql(
+    "q_asof_tolerance",
+    """SELECT event_id, user_id, ts,
+      |       CASE WHEN asof_orderdate >= ts - INTERVAL 8800 DAY THEN asof_orderkey END AS asof_orderkey,
+      |       CASE WHEN asof_orderdate >= ts - INTERVAL 8800 DAY THEN asof_totalprice END AS asof_totalprice
+      |FROM (
+      |  SELECT e.event_id, e.user_id, e.ts,
+      |         o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice,
+      |         o.o_orderdate AS asof_orderdate,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |                            ORDER BY o.o_orderdate DESC NULLS LAST,
+      |                                     o.o_orderkey DESC NULLS LAST) AS rn
+      |  FROM events e LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |) WHERE rn = 1 ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val probe = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    val build = Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderdate"),
+      col("o_orderkey").as("asof_orderkey"),
+      col("o_totalprice").as("asof_totalprice"),
+      col("o_orderdate").as("asof_orderdate"))
+    val fresh = col("asof_orderdate") >= col("ts") - expr("INTERVAL 8800 DAYS")
+    AsOfJoin.joinAsOf(
+        probe, build,
+        probeKey = "user_id", buildKey = "o_custkey",
+        probeTime = "ts", buildTime = "o_orderdate",
+        valueCols = Seq("asof_orderkey", "asof_totalprice", "asof_orderdate"),
+        buildTie = "asof_orderkey")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(fresh, col("asof_orderkey")).as("asof_orderkey"),
+        when(fresh, col("asof_totalprice")).as("asof_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
   /** Left-outer enrichment (J1, `glue_job.py:121-125`) with unmatched-side
     * accounting. */
   val joinEnrich: QuerySpec = QuerySpec.sql(
@@ -412,7 +454,7 @@ object Relational {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    salesTrends, pricingSummary, latestEvent, asOf, asOfNative, joinEnrich,
+    salesTrends, pricingSummary, latestEvent, asOf, asOfNative, asOfTolerance, joinEnrich,
     semiJoin, antiJoin, mergeUpsert, windowFuncs, rollupRevenue, topK, counts,
     approxDistinct, approxPercentile, setOps, dateParts, jsonExtract)
 }

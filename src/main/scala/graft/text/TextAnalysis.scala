@@ -158,5 +158,35 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
-  val all: Seq[QuerySpec] = Seq(textQuality, tokenCount, langId, tfidf)
+  /** Text normalization — the first stage of every corpus-cleaning
+    * pipeline: lowercase, strip non-alphanumerics to spaces, collapse runs
+    * of whitespace, trim. Pure column expressions (whole-stage codegen,
+    * shuffle-free); the before/after token accounting makes the shrinkage
+    * auditable. DuckDB replays it exactly (remember its regexp_replace
+    * needs the explicit 'g' flag — Spark's is global by default). */
+  val textNormalize: QuerySpec = QuerySpec.sql(
+    "q_text_normalize",
+    """WITH n AS (
+      |  SELECT doc_id,
+      |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |                             ' +', ' ', 'g')) AS normalized,
+      |         text
+      |  FROM documents)
+      |SELECT doc_id, normalized,
+      |       CAST(len(string_split(text, ' ')) AS INTEGER) AS tokens_before,
+      |       CAST(len(string_split(normalized, ' ')) AS INTEGER) AS tokens_after,
+      |       length(text) - length(normalized) AS chars_removed
+      |FROM n ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val normalized = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), normalized.as("normalized"), col("text"))
+      .select(col("doc_id"), col("normalized"),
+        size(split(col("text"), " ")).as("tokens_before"),
+        size(split(col("normalized"), " ")).as("tokens_after"),
+        (length(col("text")) - length(col("normalized"))).as("chars_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(textQuality, tokenCount, langId, tfidf, textNormalize)
 }
