@@ -216,7 +216,42 @@ object Extras {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Equi-depth histogram / feature discretization (the ML-preprocessing
+    * binning primitive): decile boundaries from one exact-percentile pass,
+    * broadcast as a 1-row array, then each row's bin = #boundaries ≤ value
+    * (a codegen'd array-filter HOF — no per-row join). Two passes total,
+    * both aggregation-shaped; at 100 TB the first pass would switch to
+    * `approx_percentile` (same query shape, sketch-accuracy trade
+    * documented on `q_approx_percentile`). */
+  val equidepthHist: QuerySpec = QuerySpec.sql(
+    "q_equidepth_hist",
+    """WITH b AS (
+      |  SELECT quantile_cont(l_extendedprice,
+      |           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bounds
+      |  FROM lineitem)
+      |SELECT CAST(len(list_filter(b.bounds, x -> x <= l.l_extendedprice)) AS INTEGER) AS bin,
+      |       count(*) AS n,
+      |       min(l.l_extendedprice) AS lo,
+      |       max(l.l_extendedprice) AS hi
+      |FROM lineitem l CROSS JOIN b
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val deciles = (1 to 9).map(_ / 10.0)
+    val bounds = Tables.lineitem(spark, dir)
+      .agg(percentile(col("l_extendedprice"),
+        typedLit(deciles)).as("bounds"))
+    Tables.lineitem(spark, dir)
+      .crossJoin(broadcast(bounds))
+      .select(
+        size(filter(col("bounds"), b => b <= col("l_extendedprice"))).as("bin"),
+        col("l_extendedprice"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy(col("bin"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(pivotQuery, stringFuncs, collectQuery, explodeQuery, percentiles,
-      dateArith, nullFuncs, groupingSets, windowFuncs2)
+      dateArith, nullFuncs, groupingSets, windowFuncs2, equidepthHist)
 }
