@@ -5,6 +5,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_clean_r3.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,19 +16,30 @@ object Bench {
     // per-query repeat-and-take-min: a single shot on a contended host can
     // misreport a sub-second query by 10×+ (observed r1: 404 s driver run
     // vs 38 s clean re-run of the identical bench); min-of-2 reports the
-    // engine, not the neighbors
+    // engine, not the neighbors. A rep that THROWS records NaN so a
+    // fast-failing rep can never beat a successful slow one; a query whose
+    // every rep fails reports -1 (the error signal, excluded from the total).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to math.max(1, reps)).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => Double.NaN }
       }
-      name -> times.min
+      val ok = times.filterNot(_.isNaN)
+      name -> (if (ok.nonEmpty) ok.min else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0.0).sum
+    val nFailed = results.values.count(_ < 0.0)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$nFailed}"""
+    println(line)
+    // persist the clean artifact so judge/driver comparisons don't depend on
+    // the host being quiet at driver run time (VERDICT r2 item 8)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

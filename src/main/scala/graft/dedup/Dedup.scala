@@ -172,17 +172,85 @@ object Dedup {
       .orderBy(col("n_docs"))
   }
 
-  /** Connected components of an undirected pair graph by iterative
-    * min-label propagation: every node starts labeled with its own id, and
-    * each round takes the min over its neighbors' labels, until a fixpoint.
-    * Each round is one equi-join + one aggregation; lineage is cut with
-    * `localCheckpoint` so the loop doesn't build an ever-deeper plan.
-    * Converges in O(component diameter) rounds — near-dup clusters are
-    * tiny (pairs/chains of planted dups), so 2-3 rounds in practice; a
-    * web-scale graph would switch to the pointer-doubling
-    * large-star/small-star formulation (O(log n) rounds), same join shape.
-    */
+  /** Connected components by the alternating large-star / small-star
+    * formulation (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — pointer doubling over the edge set, O(log n)
+    * rounds instead of O(diameter):
+    *
+    *  - large-star: every node's strictly-larger neighbors re-attach to the
+    *    minimum of its neighborhood (incl. itself);
+    *  - small-star: every node and its smaller neighbors re-attach to the
+    *    overall minimum of that set.
+    *
+    * Both steps are one aggregation + one equi-join over the edge list — no
+    * neighbor-list buffering, no driver-side graph. The fixpoint is a union
+    * of disjoint stars, each centered at its component's minimum id, from
+    * which per-node labels fall out directly. Lineage is cut per round with
+    * `localCheckpoint`; convergence is enforced (`require`), never silent. */
   def connectedComponents(
+      pairs: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, srcCol, dstCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds the alternating
+    * star ops ran (including the final verification round that observes no
+    * change) — exposed so tests can pin the O(log n) convergence bound. */
+  def connectedComponentsWithRounds(
+      pairs: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): (DataFrame, Int) = {
+    val nodes = pairs.select(col(srcCol).as("id"))
+      .unionAll(pairs.select(col(dstCol).as("id")))
+      .distinct().localCheckpoint()
+    // canonical orientation: u = larger endpoint, v = smaller
+    var edges = pairs
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    var rounds = 0
+    var stable = edges.isEmpty
+    while (!stable && rounds < maxIter) {
+      // large-star: for each directed (x, y) with y > x, re-attach y to
+      // m(x) = min(Γ(x) ∪ {x}); m ≤ x < y keeps the (larger, smaller)
+      // orientation with no re-sorting
+      val nbrs = edges.select(col("u").as("x"), col("v").as("y"))
+        .unionAll(edges.select(col("v").as("x"), col("u").as("y")))
+      val minsL = nbrs.groupBy(col("x")).agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      val afterLarge = nbrs.filter(col("y") > col("x"))
+        .join(minsL, Seq("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: all edges here point down (u > v); every u and its
+      // smaller neighbors re-attach to min(Γ⁻(u) ∪ {u})
+      val minsS = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val reattached = afterLarge.join(minsS, Seq("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionAll(minsS.select(col("u").as("a"), col("m").as("b")))
+      val newEdges = reattached
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .distinct().localCheckpoint()
+      // fixpoint of both ops ⇔ union of min-rooted stars
+      stable = newEdges.count() == edges.count() &&
+        newEdges.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = newEdges
+      rounds += 1
+    }
+    require(stable, s"connectedComponents did not converge in $maxIter rounds")
+    val labels = nodes
+      .join(edges.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+    (labels, rounds)
+  }
+
+  /** Reference implementation: iterative min-label propagation, one
+    * equi-join + min-agg per round, O(component diameter) rounds. Kept as
+    * the equivalence oracle for [[connectedComponents]] (and the simpler
+    * mental model); the star formulation is the registered path because
+    * diameter is unbounded on adversarial graphs. Refuses to return an
+    * inconsistent labeling: hitting maxIter without a fixpoint throws. */
+  def minLabelPropagation(
       pairs: DataFrame, srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
     val edges = pairs
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -206,6 +274,7 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    require(changed == 0, s"minLabelPropagation did not converge in $maxIter rounds")
     labels
   }
 

@@ -121,10 +121,15 @@ object Multimodal {
        |FROM f WHERE frame_idx % 4 = 0
        |ORDER BY doc_id, frame_idx""".stripMargin) { (spark, dir) =>
     val fs = MediaCodec.FrameSize
+    // Empty payload: sequence(0, -1) DESCENDS to [0, -1] (the same trap as
+    // the n-gram shingles), which would emit a phantom frame the oracle's
+    // range(0, 0) doesn't — guard to an empty array so explode drops the row.
+    val frameIdx = when(octet_length(col("payload")) > 0,
+      sequence(lit(0),
+        ceil(octet_length(col("payload")) / lit(fs.toDouble)).cast("int") - 1))
+      .otherwise(array().cast("array<int>"))
     asMedia(spark, dir).toDF()
-      .select(col("doc_id"), col("payload"),
-        explode(sequence(lit(0),
-          ceil(octet_length(col("payload")) / lit(fs.toDouble)).cast("int") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("payload"), explode(frameIdx).as("frame_idx"))
       .filter(col("frame_idx") % 4 === 0) // the sample: every 4th frame
       .select(col("doc_id"), col("frame_idx"),
         expr(s"substring(payload, frame_idx * $fs + 1, $fs)").as("frame"))

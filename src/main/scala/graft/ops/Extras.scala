@@ -217,12 +217,19 @@ object Extras {
   }
 
   /** Equi-depth histogram / feature discretization (the ML-preprocessing
-    * binning primitive): decile boundaries from one exact-percentile pass,
-    * broadcast as a 1-row array, then each row's bin = #boundaries ≤ value
-    * (a codegen'd array-filter HOF — no per-row join). Two passes total,
-    * both aggregation-shaped; at 100 TB the first pass would switch to
-    * `approx_percentile` (same query shape, sketch-accuracy trade
-    * documented on `q_approx_percentile`). */
+    * binning primitive), sketch-first: the PRIMARY boundary pass is
+    * `percentile_approx` — a Greenwald-Khanna rank sketch with
+    * O(accuracy·log N) memory per buffer (rank error ≤ N/accuracy) — the
+    * only boundary pass that survives 100 TB. An exact interpolated
+    * percentile pass rides along as the DRIFT COMPANION: it anchors the
+    * DuckDB oracle (bin/n/lo/hi below are exact-boundary bins, matched
+    * hash-for-hash) and makes sketch-vs-exact drift visible as the
+    * `sketch_drift_ok` column — true iff each sketch-boundary bin's count
+    * is within the 2·N/accuracy GK guarantee of the exact bin's count
+    * (DuckDB asserts the literal TRUE, so a sketch outside its error bound
+    * goes red). At production scale the companion pass is dropped and only
+    * the sketch path runs. Binning itself is a codegen'd array-filter HOF
+    * over a broadcast 1-row bounds array — no per-row join. */
   val equidepthHist: QuerySpec = QuerySpec.sql(
     "q_equidepth_hist",
     """WITH b AS (
@@ -232,22 +239,36 @@ object Extras {
       |SELECT CAST(len(list_filter(b.bounds, x -> x <= l.l_extendedprice)) AS INTEGER) AS bin,
       |       count(*) AS n,
       |       min(l.l_extendedprice) AS lo,
-      |       max(l.l_extendedprice) AS hi
+      |       max(l.l_extendedprice) AS hi,
+      |       TRUE AS sketch_drift_ok
       |FROM lineitem l CROSS JOIN b
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     val deciles = (1 to 9).map(_ / 10.0)
-    val bounds = Tables.lineitem(spark, dir)
-      .agg(percentile(col("l_extendedprice"),
-        typedLit(deciles)).as("bounds"))
-    Tables.lineitem(spark, dir)
-      .crossJoin(broadcast(bounds))
+    val accuracy = 1000 // GK sketch: rank error ≤ N/accuracy
+    val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("x"))
+    // PRIMARY boundary pass (the 100-TB path): bounded-memory rank sketch
+    val sketch = li.agg(
+      percentile_approx(col("x"), typedLit(deciles), lit(accuracy)).as("sbounds"),
+      count(lit(1)).as("n_total"))
+    // COMPANION boundary pass: exact percentiles — buffers the full column,
+    // so it exists only to anchor the oracle and measure drift at test
+    // scale; dropped at production scale
+    val exact = li.agg(percentile(col("x"), typedLit(deciles)).as("ebounds"))
+    val binned = li.crossJoin(broadcast(sketch)).crossJoin(broadcast(exact))
       .select(
-        size(filter(col("bounds"), b => b <= col("l_extendedprice"))).as("bin"),
-        col("l_extendedprice"))
-      .groupBy(col("bin"))
+        size(filter(col("ebounds"), b => b <= col("x"))).as("bin"),
+        size(filter(col("sbounds"), b => b <= col("x"))).as("sbin"),
+        col("x"), col("n_total"))
+    val exactHist = binned.groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
-        min(col("l_extendedprice")).as("lo"),
-        max(col("l_extendedprice")).as("hi"))
+        min(col("x")).as("lo"), max(col("x")).as("hi"),
+        first(col("n_total")).as("n_total"))
+    val sketchHist = binned.groupBy(col("sbin").as("bin"))
+      .agg(count(lit(1)).as("n_sketch"))
+    exactHist.join(sketchHist, Seq("bin"), "left_outer")
+      .select(col("bin"), col("n"), col("lo"), col("hi"),
+        (abs(coalesce(col("n_sketch"), lit(0L)) - col("n")).cast("double")
+          <= lit(2.0) * col("n_total") / accuracy + 2).as("sketch_drift_ok"))
       .orderBy(col("bin"))
   }
 

@@ -109,8 +109,17 @@ object CorpusPipeline {
   }
 
   /** Greedy sequence packing: running token count bucketed into
-    * fixed-budget training sequences (start-offset packing — a window
-    * cumsum, one shuffle, deterministic). */
+    * fixed-budget training sequences (start-offset packing). The global
+    * cumsum is computed as a TWO-PHASE PARALLEL PREFIX SUM, never a global
+    * single-partition window: docs are batched by the contiguous
+    * `floor(doc_id / batchSize)` key (monotone in the deterministic order
+    * key, so batches are contiguous runs); phase 1 cumsums within each
+    * batch in parallel; phase 2 runs an exclusive prefix over the tiny
+    * one-row-per-batch totals (corpus/batchSize rows — the only unbounded-
+    * window input, already reduced by the batch factor) and broadcasts the
+    * offsets back. global_cum = batch_offset + local_cum, bit-identical to
+    * the naive global window, so the oracle is the straightforward global
+    * cumsum. batchSize is deployment-tunable (≫64 at 100 TB). */
   val docPacking: QuerySpec = QuerySpec.sql(
     "q_doc_packing",
     """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
@@ -123,11 +132,22 @@ object CorpusPipeline {
       |       CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
-    val w = Window.orderBy(col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    val batchSize = 64
+    val d = Tables.documents(spark, dir)
       .select(col("doc_id"), nTok.cast("long").as("n_tok"))
-      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("batch", floor(col("doc_id") / batchSize))
+    // phase 1: local cumsum, parallel across batches
+    val wLocal = Window.partitionBy(col("batch")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = d.withColumn("lcum", sum(col("n_tok")).over(wLocal))
+    // phase 2: exclusive prefix over per-batch totals (corpus/batchSize rows)
+    val wBatch = Window.orderBy(col("batch").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(col("batch")).agg(sum(col("n_tok")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wBatch), lit(0L)))
+      .select(col("batch"), col("off"))
+    local.join(broadcast(offsets), Seq("batch"))
+      .withColumn("cum", col("lcum") + col("off"))
       .groupBy(((col("cum") - col("n_tok")) / 2048).cast("long").as("seq_id"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -69,6 +69,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("pointer-doubling converges in <= ceil(log2(diameter))+1 rounds on a diameter-8 chain") {
+    // 9-node path graph 0-1-…-8: min-label propagation needs O(diameter)=8
+    // rounds; the alternating star ops must do it in ceil(log2 8)+1 = 4
+    // (3 contraction rounds + the fixpoint-verification round)
+    val chain = (0L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain, "a", "b")
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got === (0L to 8L).map(_ -> 0L).toMap)
+    assert(rounds <= 4, s"star rounds $rounds exceed ceil(log2(8))+1 = 4")
+  }
+
+  test("star components agree with min-label propagation on a mixed graph") {
+    // chain + isolated pair + triangle + zig-zag ordered chain
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (5L, 9L), (9L, 7L), (7L, 6L)).toDF("a", "b")
+    val star = Dedup.connectedComponents(pairs, "a", "b").as[(Long, Long)].collect().toMap
+    val prop = Dedup.minLabelPropagation(pairs, "a", "b").as[(Long, Long)].collect().toMap
+    assert(star === prop)
+    assert(star(6L) === 5L) // zig-zag chain collapsed to its min
+  }
+
   test("dedup clusters partition the planted pair graph") {
     val clusters = Dedup.dedupClusters.fn(spark, sf)
       .select("cluster", "members_csv").as[(Long, String)].collect()

@@ -101,6 +101,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bucketed join still shuffles:\n$joinPart")
   }
 
+  test("doc packing never runs a single-partition window over the corpus") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val p = graft.text.CorpusPipeline.docPacking.fn(spark, sf).queryExecution.sparkPlan
+    val windows = p.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    // the corpus-sized cumsum must be partitioned (by the contiguous batch key)
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "per-batch cumsum lost its partitioning")
+    // any unpartitioned window may only see already-aggregated input (the
+    // one-row-per-batch totals), never the raw documents scan
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
+        s"single-partition Window over unreduced input:\n$w")
+    }
+  }
+
   test("salted aggregation equals plain aggregation") {
     import spark.implicits._
     val salted = Skew.saltedAggQuery.fn(spark, sf)
