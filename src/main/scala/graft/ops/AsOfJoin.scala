@@ -71,7 +71,8 @@ object AsOfJoin {
   * ([[graft.plans.AsOfJoinExec]]). Same contract as [[AsOfJoin.joinAsOf]];
   * null probe key/time rows get null values (the composed form's behavior
   * on null event times is unspecified — neither path is exercised by data
-  * with non-null times).
+  * with non-null times). `tolerance` (time-type native units: micros for
+  * timestamps) bounds match staleness — see [[graft.plans.AsOfJoinExec]].
   */
 object AsOfJoinNative {
   import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
@@ -82,7 +83,8 @@ object AsOfJoinNative {
       probeKey: String, buildKey: String,
       probeTime: String, buildTime: String,
       valueCols: Seq[String],
-      buildTie: String): DataFrame = {
+      buildTie: String,
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = probe.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -98,7 +100,8 @@ object AsOfJoinNative {
       attr(lplan, probeKey), attr(rplan, buildKey),
       attr(lplan, probeTime), attr(rplan, buildTime),
       attr(rplan, buildTie),
-      valueCols.map(attr(rplan, _)))
+      valueCols.map(attr(rplan, _)),
+      tolerance)
     GraftPlanBridge.ofRows(spark, node)
   }
 }

@@ -453,8 +453,60 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Staleness-bounded as-of through the NATIVE exec: the tolerance is a
+    * first-class operator parameter ([[graft.plans.AsOfJoinExec]] checks the
+    * bound at emission inside the streaming merge) instead of the composed
+    * carry-the-build-time-and-null-out form. Shares q_asof_tolerance's
+    * oracle; equivalence to the composed form is asserted in
+    * AsOfJoinNativeSpec. */
+  val asOfToleranceNative: QuerySpec = QuerySpec.sql(
+    "q_asof_tolerance_native",
+    asOfTolerance.oracle.get) { (spark, dir) =>
+    val probe = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    val build = Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderdate"),
+      col("o_orderkey").as("asof_orderkey"),
+      col("o_totalprice").as("asof_totalprice"))
+    AsOfJoinNative.joinAsOf(
+        probe, build,
+        probeKey = "user_id", buildKey = "o_custkey",
+        probeTime = "ts", buildTime = "o_orderdate",
+        valueCols = Seq("asof_orderkey", "asof_totalprice"),
+        buildTie = "asof_orderkey",
+        tolerance = Some(8800L * 86400L * 1000000L)) // 8800 days in micros
+      .orderBy(col("event_id"))
+  }
+
+  /** Fact-to-selective-dim join under [[graft.plans.BloomFilterJoinPruning]]:
+    * the injected optimizer rule builds a Bloom filter from the filtered
+    * orders side and prunes lineitem rows BEFORE the join's shuffle (the
+    * merge hint forces the shuffle join so the pre-exchange pruning is
+    * visible — at 100 TB this is what keeps a selective dim join from
+    * shuffling the whole fact table). Correctness-neutral (no false
+    * negatives); plan pinned in PlanQualitySpec. */
+  val bloomJoin: QuerySpec = QuerySpec.sql(
+    "q_bloom_join",
+    """SELECT l_returnflag, count(*) AS n,
+      |       sum(floor(l_extendedprice * 100 + 0.5)) / 100.0 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    graft.plans.GraftExtensions.installBloom(spark)
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    li.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(floor(col("l_extendedprice") * 100 + 0.5)) / 100.0).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    salesTrends, pricingSummary, latestEvent, asOf, asOfNative, asOfTolerance, joinEnrich,
+    salesTrends, pricingSummary, latestEvent, asOf, asOfNative, asOfTolerance,
+    asOfToleranceNative, joinEnrich, bloomJoin,
     semiJoin, antiJoin, mergeUpsert, windowFuncs, rollupRevenue, topK, counts,
     approxDistinct, approxPercentile, setOps, dateParts, jsonExtract)
 }

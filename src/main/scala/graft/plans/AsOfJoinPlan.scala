@@ -33,7 +33,8 @@ case class AsOfJoinNode(
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
     rightTie: Attribute,
-    rightValues: Seq[Attribute])
+    rightValues: Seq[Attribute],
+    tolerance: Option[Long] = None)
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
@@ -43,18 +44,26 @@ case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, rv) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, rv) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, rv, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, rv, tol) :: Nil
     case _ => Nil
   }
 }
 
+/** @param tolerance optional staleness bound (pandas `merge_asof
+  *   (tolerance=)` semantics), in the time column's NATIVE internal units —
+  *   microseconds for TimestampType, days for DateType: a matched build row
+  *   with `probeTime - buildTime > tolerance` yields nulls instead. The
+  *   merge itself is unchanged (still keeps the latest row ≤ t per key);
+  *   the bound is checked at emission, so the operator stays a single
+  *   streaming pass with one remembered build row of state. */
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
     rightTie: Attribute,
-    rightValues: Seq[Attribute])
+    rightValues: Seq[Attribute],
+    tolerance: Option[Long] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -87,6 +96,14 @@ case class AsOfJoinExec(
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val valueExprs = rightValues
     val outAttrs = output
+    val tol = tolerance
+    // timestamp/date internal values are Long micros / Int days
+    def timeAsLong(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => throw new IllegalArgumentException(
+        s"tolerance unsupported for time value of ${other.getClass}")
+    }
 
     left.execute().zipPartitions(right.execute()) { (probeIt, buildIt) =>
       val valuesProj = UnsafeProjection.create(valueExprs, rightOut)
@@ -99,6 +116,7 @@ case class AsOfJoinExec(
       // current key, valid while probe keys advance monotonically
       var matchKey: Any = null
       var matchValues: InternalRow = null
+      var matchTime: Any = null
 
       probeIt.map { probe =>
         val pk = lk.eval(probe)
@@ -124,12 +142,14 @@ case class AsOfJoinExec(
                   case other => other
                 }
                 matchValues = valuesProj(h).copy()
+                matchTime = bt // Long/Int: immutable, no clone needed
                 buffered.next()
               } else done = true // future build row for this key
             } else done = true // build iterator moved past probe key
           }
           val useMatch = matchValues != null && matchKey != null &&
-            keyOrd.compare(matchKey, pk) == 0
+            keyOrd.compare(matchKey, pk) == 0 &&
+            tol.forall(t => timeAsLong(pt) - timeAsLong(matchTime) <= t)
           resultProj(joined(probe, if (useMatch) matchValues else nullValues))
         } else {
           resultProj(joined(probe, nullValues))

@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.{Alias, BloomFilterMightContain, EqualTo, Expression, PlanExpression, ScalarSubquery, XxHash64}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LeafNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.expressions.PredicateHelper
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Bloom-filter join pruning — an injected Catalyst optimizer rule that
+  * builds a might-contain filter from a join's small ("creation") side and
+  * pushes it onto the large ("application") side, BELOW the join's
+  * exchange: probe rows whose key cannot possibly match are dropped before
+  * they are shuffled. At 100 TB this is the difference between shuffling
+  * the full fact table and shuffling only the fraction that survives a
+  * selective dimension filter — the declarative analog of the semi-join
+  * reduction classic engines hand-plan.
+  *
+  * The rewrite: `Join(app, crt, keys)` becomes
+  * `Join(Filter(might_contain(subquery(bloom_agg(xxhash64(crtKey))),
+  * xxhash64(appKey)), app), crt, keys)`, reusing Spark's public
+  * `BloomFilterAggregate` / `BloomFilterMightContain` expressions inside a
+  * scalar subquery (planned once, broadcast as a literal to every probe
+  * task). Bloom filters have NO false negatives, so every row that would
+  * join survives — the rule is correctness-neutral by construction for the
+  * join sides it touches.
+  *
+  * Firing conditions (deliberately strict — the rule is installed
+  * session-wide and must never make a plan worse):
+  *  - equi-join of a batch (non-streaming) plan;
+  *  - only the side whose unmatched rows are NOT preserved is filtered
+  *    (inner: either; left-semi/right-outer: the left; left-outer: the
+  *    right), so outer-join semantics are untouched;
+  *  - the creation side is a simple scan/filter/project subtree (re-running
+  *    it inside the subquery is cheap — never an aggregate/join/window),
+  *    contains a real data filter (selectivity to exploit), carries no
+  *    subquery of its own, and its size estimate is under 64 MB;
+  *  - the application side is estimated ≥ 2× the creation side;
+  *  - idempotent: an application side already guarded by a
+  *    might-contain filter is left alone (extension batches run to
+  *    fixpoint).
+  */
+object BloomFilterJoinPruning extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val CreationMaxBytes = BigInt(64L << 20)
+
+  /** scan / filter / project only — cheap to re-execute in the subquery. */
+  private def simpleSubtree(p: LogicalPlan): Boolean = p match {
+    case Project(_, c) => simpleSubtree(c)
+    case Filter(_, c) => simpleSubtree(c)
+    case _: LeafNode => true
+    case _ => false
+  }
+
+  private def hasDataFilter(p: LogicalPlan): Boolean =
+    p.collectFirst { case f: Filter => f }.isDefined
+
+  private def hasSubquery(p: LogicalPlan): Boolean =
+    p.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))
+
+  private def alreadyPruned(p: LogicalPlan): Boolean = p match {
+    case Filter(cond, _) => cond.exists(_.isInstanceOf[BloomFilterMightContain])
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, joinType, Some(cond), _)
+        if !left.isStreaming && !right.isStreaming =>
+      // equi-key pairs as (leftExpr, rightExpr)
+      val eqs = splitConjunctivePredicates(cond).collect {
+        case EqualTo(a, b) if a.references.nonEmpty &&
+            a.references.subsetOf(left.outputSet) &&
+            b.references.subsetOf(right.outputSet) => (a, b)
+        case EqualTo(a, b) if b.references.nonEmpty &&
+            b.references.subsetOf(left.outputSet) &&
+            a.references.subsetOf(right.outputSet) => (b, a)
+      }
+      // candidate directions: (creation, application, application-is-left)
+      val directions = joinType match {
+        case Inner => Seq((right, left, true), (left, right, false))
+        case LeftSemi => Seq((right, left, true))
+        case RightOuter => Seq((right, left, true))
+        case LeftOuter => Seq((left, right, false))
+        case _ => Nil
+      }
+      val applicable = eqs.headOption.flatMap { case (lKey, rKey) =>
+        directions.find { case (crt, app, _) =>
+          !alreadyPruned(app) && simpleSubtree(crt) && hasDataFilter(crt) &&
+            !hasSubquery(crt) &&
+            crt.stats.sizeInBytes <= CreationMaxBytes &&
+            app.stats.sizeInBytes >= crt.stats.sizeInBytes * 2
+        }.map { case (crt, app, appIsLeft) =>
+          val (appKey, crtKey) = if (appIsLeft) (lKey, rKey) else (rKey, lKey)
+          (crt, app, appIsLeft, appKey, crtKey)
+        }
+      }
+      applicable match {
+        case Some((crt, _, appIsLeft, appKey, crtKey)) =>
+          val bloom = Alias(
+            new BloomFilterAggregate(new XxHash64(Seq(crtKey))).toAggregateExpression(),
+            "graft_bloom")()
+          val crtPruned = Project(crtKey.references.toSeq, crt)
+          val subquery = ScalarSubquery(Aggregate(Nil, Seq(bloom), crtPruned))
+          val guard: Expression =
+            BloomFilterMightContain(subquery, new XxHash64(Seq(appKey)))
+          if (appIsLeft) j.copy(left = Filter(guard, left))
+          else j.copy(right = Filter(guard, right))
+        case None => j
+      }
+  }
+}

@@ -56,6 +56,7 @@ object RewriteJaccard extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteJaccard)
+    e.injectOptimizerRule(_ => BloomFilterJoinPruning)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
@@ -68,6 +69,16 @@ object GraftExtensions {
     val em = spark.experimental
     if (!em.extraOptimizations.contains(RewriteJaccard)) {
       em.extraOptimizations = em.extraOptimizations :+ RewriteJaccard
+    }
+  }
+
+  /** Install [[BloomFilterJoinPruning]] into an existing session.
+    * Idempotent; session-wide (the rule's own firing conditions keep it
+    * correctness-neutral for every query that shares the session). */
+  def installBloom(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val em = spark.experimental
+    if (!em.extraOptimizations.contains(BloomFilterJoinPruning)) {
+      em.extraOptimizations = em.extraOptimizations :+ BloomFilterJoinPruning
     }
   }
 }

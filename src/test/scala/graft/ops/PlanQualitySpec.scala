@@ -118,6 +118,66 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("bloom-filter join pruning guards the probe side below the join's exchange") {
+    val p = plan(Relational.bloomJoin.fn(spark, sf))
+    // physical plan prints the guard as might_contain(Subquery …)
+    assert(p.contains("might_contain("), s"bloom pruning rule did not fire:\n$p")
+    assert(p.contains("bloom_filter_agg("), s"bloom build subquery missing:\n$p")
+    assert(p.contains("SortMergeJoin"))
+    // the guard must sit BENEATH the probe side's shuffle exchange
+    // (pre-shuffle pruning), not above the join
+    val probeExchange = p.indexOf("Exchange hashpartitioning(l_orderkey")
+    assert(probeExchange >= 0, s"probe-side exchange missing:\n$p")
+    assert(p.substring(probeExchange).contains("might_contain("),
+      s"might_contain not below the probe exchange:\n$p")
+  }
+
+  test("ANALYZE column statistics flip a selective dim join to broadcast, no hint") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def recreateDim(): Unit = {
+      spark.sql("DROP TABLE IF EXISTS stats_dim")
+      val d = new java.io.File("/tmp/graft_warehouse/stats_dim")
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      Tables.orders(spark, sf).write.saveAsTable("stats_dim")
+    }
+    recreateDim()
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      def joined = Tables.lineitem(spark, sf).join(
+        spark.table("stats_dim")
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      def dimEstimate: BigInt = joined.queryExecution.optimizedPlan
+        .collectFirst { case j: Join => j.right.stats.sizeInBytes }.get
+      val noStats = dimEstimate
+      spark.sql("ANALYZE TABLE stats_dim COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_orderpriority, o_orderstatus")
+      val withStats = dimEstimate
+      // column stats let FilterEstimation apply the predicates' selectivity
+      // (and Project the true column width) instead of the raw scan size
+      assert(withStats < noStats,
+        s"column stats did not shrink the dim estimate: $noStats -> $withStats")
+      // threshold between the two estimates: the planner's choice now
+      // depends ONLY on whether statistics exist
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", ((noStats + withStats) / 2).toString)
+      assert(plan(joined).contains("BroadcastHashJoin"),
+        s"analyzed stats did not flip the join to broadcast:\n${plan(joined)}")
+      recreateDim() // wipes the stats; same threshold, same query
+      assert(!plan(joined).contains("BroadcastHashJoin"),
+        s"join broadcast even without stats — threshold proves nothing:\n${plan(joined)}")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.sql("DROP TABLE IF EXISTS stats_dim")
+    }
+  }
+
   test("salted aggregation equals plain aggregation") {
     import spark.implicits._
     val salted = Skew.saltedAggQuery.fn(spark, sf)

@@ -50,6 +50,33 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("native tolerance nulls stale matches, keeps fresh ones") {
+    val probe = Seq(
+      (1L, "k1", ts("2024-01-10 00:00:00")), // latest build 2024-01-08: fresh (2 days)
+      (2L, "k1", ts("2024-03-01 00:00:00"))  // latest build 2024-01-08: stale (53 days)
+    ).toDF("pid", "key", "pts")
+    val build = Seq(
+      ("k1", ts("2024-01-05 00:00:00"), 100L),
+      ("k1", ts("2024-01-08 00:00:00"), 102L)
+    ).toDF("key", "bts", "bid")
+    val tol = 10L * 86400L * 1000000L // 10 days in micros
+    val out = AsOfJoinNative.joinAsOf(probe, build, "key", "key", "pts", "bts",
+      Seq("bid"), "bid", tolerance = Some(tol)).orderBy("pid").collect()
+    assert(out(0).getAs[Long]("bid") === 102L)
+    assert(out(1).isNullAt(out(1).fieldIndex("bid")))
+  }
+
+  test("native tolerance equals the composed null-out form on real events/orders") {
+    val r = graft.ops.Relational
+    val native = r.asOfToleranceNative.fn(spark, TestSpark.sf)
+      .as[(Long, Long, java.sql.Timestamp, Option[Long], Option[Double])].collect().toSeq
+    val composed = r.asOfTolerance.fn(spark, TestSpark.sf)
+      .as[(Long, Long, java.sql.Timestamp, Option[Long], Option[Double])].collect().toSeq
+    assert(native === composed)
+    assert(native.exists(_._4.isDefined), "no fresh matches exercised")
+    assert(native.exists(_._4.isEmpty), "no stale/unmatched rows exercised")
+  }
+
   test("plan shows the custom exec with Catalyst-inserted exchanges and sorts") {
     val probe = graft.model.Tables.events(spark, sf).select("event_id", "user_id", "ts")
     val build = graft.model.Tables.orders(spark, sf)
