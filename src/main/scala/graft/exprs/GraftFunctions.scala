@@ -29,6 +29,10 @@ object GraftFunctions {
       "heavy_hitters", es => HeavyHittersAgg(
         es(0), es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
       "built-in")
+    fr.createOrReplaceTempFunction(
+      "kmv_sketch", es => KmvSketchAgg(
+        es(0), es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "built-in")
   }
 
   def simhash64(c: Column): Column = call_function("simhash64", c)
@@ -39,4 +43,6 @@ object GraftFunctions {
   def minhashSig(c: Column): Column = call_function("minhash_sig", c)
   def heavyHitters(c: Column, k: Int): Column =
     call_function("heavy_hitters", c, org.apache.spark.sql.functions.lit(k))
+  def kmvSketch(c: Column, k: Int): Column =
+    call_function("kmv_sketch", c, org.apache.spark.sql.functions.lit(k))
 }

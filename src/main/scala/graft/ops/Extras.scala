@@ -246,25 +246,29 @@ object Extras {
     val deciles = (1 to 9).map(_ / 10.0)
     val accuracy = 1000 // GK sketch: rank error ≤ N/accuracy
     val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("x"))
-    // PRIMARY boundary pass (the 100-TB path): bounded-memory rank sketch
-    val sketch = li.agg(
+    // one boundary pass computes BOTH boundary sets: the sketch (primary —
+    // the only one that runs at production scale) and the exact companion
+    // (anchors the oracle, measures drift at test scale)
+    val bounds = li.agg(
       percentile_approx(col("x"), typedLit(deciles), lit(accuracy)).as("sbounds"),
+      percentile(col("x"), typedLit(deciles)).as("ebounds"),
       count(lit(1)).as("n_total"))
-    // COMPANION boundary pass: exact percentiles — buffers the full column,
-    // so it exists only to anchor the oracle and measure drift at test
-    // scale; dropped at production scale
-    val exact = li.agg(percentile(col("x"), typedLit(deciles)).as("ebounds"))
-    val binned = li.crossJoin(broadcast(sketch)).crossJoin(broadcast(exact))
+    val binned = li.crossJoin(broadcast(bounds))
       .select(
         size(filter(col("ebounds"), b => b <= col("x"))).as("bin"),
         size(filter(col("sbounds"), b => b <= col("x"))).as("sbin"),
         col("x"), col("n_total"))
-    val exactHist = binned.groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"),
+    // both histograms from ONE scan + ONE shuffle via GROUPING SETS
+    val hists = binned
+      .groupingSets(Seq(Seq(col("bin")), Seq(col("sbin"))), col("bin"), col("sbin"))
+      .agg(grouping(col("bin")).as("gb"),
+        count(lit(1)).as("cnt"),
         min(col("x")).as("lo"), max(col("x")).as("hi"),
         first(col("n_total")).as("n_total"))
-    val sketchHist = binned.groupBy(col("sbin").as("bin"))
-      .agg(count(lit(1)).as("n_sketch"))
+    val exactHist = hists.filter(col("gb") === 0)
+      .select(col("bin"), col("cnt").as("n"), col("lo"), col("hi"), col("n_total"))
+    val sketchHist = hists.filter(col("gb") === 1)
+      .select(col("sbin").as("bin"), col("cnt").as("n_sketch"))
     exactHist.join(sketchHist, Seq("bin"), "left_outer")
       .select(col("bin"), col("n"), col("lo"), col("hi"),
         (abs(coalesce(col("n_sketch"), lit(0L)) - col("n")).cast("double")
@@ -272,7 +276,51 @@ object Extras {
       .orderBy(col("bin"))
   }
 
+  /** Feature scaling (ML preprocessing): z-score standardization and
+    * min-max normalization in one pass — a 1-row moments/extrema aggregate
+    * broadcast back over the table (the same two-pass shape as the
+    * histogram; no shuffle of the data itself). Variance comes from the
+    * moment sums (Σx, Σx²) rather than a streaming stddev: the sums are
+    * exact integer-valued doubles (quantities are integral), so the result
+    * is associative — order- and parallelism-independent — and the scalar
+    * math replays identically in the oracle engine. Micro-unit floors make
+    * the output integers. */
+  val featureScale: QuerySpec = QuerySpec.sql(
+    "q_feature_scale",
+    """WITH s AS (SELECT sum(l_quantity) AS s1,
+      |                  sum(l_quantity * l_quantity) AS s2,
+      |                  CAST(count(*) AS DOUBLE) AS n,
+      |                  min(l_extendedprice) AS mnp,
+      |                  max(l_extendedprice) AS mxp
+      |           FROM lineitem)
+      |SELECT l_orderkey, l_linenumber,
+      |       CAST(floor((l_quantity - s1 / n)
+      |                  / sqrt((s2 - s1 * s1 / n) / (n - 1)) * 1000000 + 0.5) AS BIGINT)
+      |         AS z_qty_micro,
+      |       CAST(floor((l_extendedprice - mnp) / (mxp - mnp) * 1000000 + 0.5) AS BIGINT)
+      |         AS minmax_price_micro
+      |FROM lineitem, s
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val stats = li.agg(
+      sum(col("l_quantity")).as("s1"),
+      sum(col("l_quantity") * col("l_quantity")).as("s2"),
+      count(lit(1)).cast("double").as("n"),
+      min(col("l_extendedprice")).as("mnp"),
+      max(col("l_extendedprice")).as("mxp"))
+    li.crossJoin(broadcast(stats))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor((col("l_quantity") - col("s1") / col("n"))
+          / sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)) * 1000000 + 0.5)
+          .cast("long").as("z_qty_micro"),
+        floor((col("l_extendedprice") - col("mnp")) / (col("mxp") - col("mnp")) * 1000000 + 0.5)
+          .cast("long").as("minmax_price_micro"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(pivotQuery, stringFuncs, collectQuery, explodeQuery, percentiles,
-      dateArith, nullFuncs, groupingSets, windowFuncs2, equidepthHist)
+      dateArith, nullFuncs, groupingSets, windowFuncs2, equidepthHist,
+      featureScale)
 }

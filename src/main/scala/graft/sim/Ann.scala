@@ -304,5 +304,40 @@ object Ann {
       .orderBy(col("cid"))
   }
 
-  val all: Seq[QuerySpec] = Seq(annCosine, annIvf, embeddingNearDup, annLsh, kmeansStep)
+  /** Embedding dedup CLUSTERING — the keep-one-representative step over the
+    * exact cosine near-dup graph: [[blockedThresholdJoin]] pairs →
+    * pointer-doubling connected components
+    * ([[graft.dedup.Dedup.connectedComponents]]) → min-id representative
+    * per cluster. The vector-space twin of `q_dedup_clusters` (text).
+    * Oracle: DuckDB recursive-CTE reachability over brute-force cosine
+    * pairs. */
+  val embeddingClusters: QuerySpec = QuerySpec.sql(
+    "q_embedding_clusters",
+    s"""WITH RECURSIVE
+       |p AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE ${simSql("a.embedding", "b.embedding")} >= 0.4),
+       |edges AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+       |comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY 1)
+       |SELECT cluster, count(*) AS n_vecs,
+       |       array_to_string(array_agg(id ORDER BY id), ',') AS members_csv
+       |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    GraftFunctions.register(spark)
+    val pairs = blockedThresholdJoin(Tables.embeddings(spark, dir), 0.4)
+      .select("id_a", "id_b")
+    graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .groupBy(col("lbl").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        concat_ws(",", sort_array(collect_list(col("id")))).as("members_csv"))
+      .orderBy(col("cluster"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(annCosine, annIvf, embeddingNearDup, embeddingClusters, annLsh, kmeansStep)
 }

@@ -250,7 +250,28 @@ object CorpusPipeline {
       .orderBy(col("n").desc, col("item"))
   }
 
+  /** Per-language KMV (bottom-k-distinct) sketch of the token space via the
+    * [[graft.exprs.KmvSketchAgg]] TypedImperativeAggregate: k strings of
+    * state per group regardless of cardinality, mergeable across partitions
+    * AND across groups (which COUNT(DISTINCT) cannot do once aggregated) —
+    * the fixed-size distinct-sample/distinct-estimate primitive for corpus
+    * telemetry. Deterministic (hash-ordered, no RNG), so the oracle replays
+    * it exactly with `list_sort(list(DISTINCT md5(w)))[1:k]`. */
+  val kmvSketch: QuerySpec = QuerySpec.sql(
+    "q_kmv_sketch",
+    """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |d AS (SELECT DISTINCT lang, md5(w) AS h FROM t)
+      |SELECT lang, array_to_string((list_sort(list(h)))[1:16], ',') AS kmv
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    graft.exprs.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(toks).as("w"))
+      .groupBy(col("lang"))
+      .agg(concat_ws(",", graft.exprs.GraftFunctions.kmvSketch(md5(col("w")), 16)).as("kmv"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     qualityFilter, piiRedact, repetition, docPacking, ngramCounts,
-    contamination, heavyHitters)
+    contamination, heavyHitters, kmvSketch)
 }

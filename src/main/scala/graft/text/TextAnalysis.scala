@@ -188,5 +188,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QuerySpec] = Seq(textQuality, tokenCount, langId, tfidf, textNormalize)
+  /** Unigram-LM quality score — the perplexity-proxy filter stage of a
+    * training-data pipeline (the KenLM-scoring stand-in that needs no
+    * external model): the corpus's own unigram distribution is the LM;
+    * each doc scores the sum of −ln p(token) over its tokens (lower = more
+    * typical text, higher = gibberish/rare-token soup). Two shuffles
+    * (vocab count + per-doc sum) and one bounded 1-row broadcast; the
+    * vocab→score join is a plain equi-join, so an external LM table drops
+    * in unchanged. Per-token scores are floored to integer micro-units
+    * BEFORE the per-doc sum, so the aggregation is associative integer
+    * math — order-independent at any parallelism, and cross-engine exact
+    * (the q_tfidf ln-parity pattern). */
+  val lmScore: QuerySpec = QuerySpec.sql(
+    "q_lm_score",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |v AS (SELECT w, count(*) AS cnt FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM v),
+      |sc AS (SELECT w, CAST(floor(-ln(cnt / n) * 1000000 + 0.5) AS BIGINT) AS nll_micro
+      |       FROM v, tot)
+      |SELECT t.doc_id, count(*) AS n_tok,
+      |       CAST(sum(sc.nll_micro) AS BIGINT) AS nll_micro_sum
+      |FROM t JOIN sc ON t.w = sc.w
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val v = t.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val tot = v.agg(sum(col("cnt")).cast("double").as("n"))
+    val sc = v.crossJoin(broadcast(tot))
+      .select(col("w"),
+        floor(-log(col("cnt") / col("n")) * 1000000 + 0.5).cast("long").as("nll_micro"))
+    t.join(sc, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("nll_micro")).as("nll_micro_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(textQuality, tokenCount, langId, tfidf, textNormalize, lmScore)
 }
