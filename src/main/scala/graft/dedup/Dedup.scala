@@ -323,7 +323,63 @@ object Dedup {
       .orderBy(col("cluster"))
   }
 
+  /** INCREMENTAL ingest dedup — the production shape of near-dup dedup:
+    * an incoming batch (docs with doc_id % 10 = 9 here) is checked against
+    * the EXISTING corpus (everything else) and incoming docs that
+    * near-duplicate (LSH candidates + exact Jaccard ≥ 0.9) any existing doc
+    * are dropped. Only cross-side band collisions are joined — the existing
+    * corpus's banded signatures are exactly what a real pipeline would keep
+    * persisted between batches ([[minhashSigs]]), so each ingest costs
+    * O(batch·bands) lookups, never a corpus rescan. Oracle: brute-force
+    * cross-side Jaccard. */
+  val dedupIncremental: QuerySpec = QuerySpec.sql(
+    "q_dedup_incremental",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id,
+      |             list_distinct(list_transform(range(1, len(w) - 1),
+      |                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |      FROM d),
+      |inc AS (SELECT * FROM s WHERE doc_id % 10 = 9),
+      |ex AS (SELECT * FROM s WHERE doc_id % 10 <> 9),
+      |dup AS (SELECT DISTINCT i.doc_id
+      |        FROM inc i JOIN ex e
+      |          ON len(list_intersect(i.sh, e.sh))
+      |               / len(list_distinct(list_concat(i.sh, e.sh))) >= 0.9)
+      |SELECT (SELECT count(*) FROM inc) AS incoming,
+      |       (SELECT count(*) FROM dup) AS dropped,
+      |       (SELECT count(*) FROM inc) - (SELECT count(*) FROM dup) AS kept""".stripMargin) { (spark, dir) =>
+    GraftFunctions.register(spark)
+    graft.plans.GraftExtensions.install(spark)
+    val d = Tables.documents(spark, dir)
+    val withSh = d.select(col("doc_id"), shingles(col("text")).as("sh"))
+    // bands carry only (id, band key) — the shingle arrays are attached
+    // AFTER candidate generation, so the 8× band fan-out never replicates
+    // them through the shuffle (same shape as q_neardup_pairs)
+    val banded = withSh
+      .withColumn("sig", minhashSignature(col("sh")))
+      .select(col("doc_id"), explode(bandsOf(col("sig"))).as("b"))
+      .select(col("doc_id"), col("b.band_idx").as("band_idx"),
+        col("b.band_hash").as("band_hash"))
+    val cands = banded.filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id").as("inc_id"), col("band_idx"), col("band_hash"))
+      .join(banded.filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id").as("ex_id"), col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .select("inc_id", "ex_id").distinct()
+    val dropped = cands
+      .join(withSh.select(col("doc_id").as("inc_id"), col("sh").as("inc_sh")), Seq("inc_id"))
+      .join(withSh.select(col("doc_id").as("ex_id"), col("sh").as("ex_sh")), Seq("ex_id"))
+      .filter(jaccard(col("inc_sh"), col("ex_sh")) >= 0.9)
+      .select("inc_id").distinct()
+      .agg(count(lit(1)).as("dropped"))
+    val incoming = d.filter(col("doc_id") % 10 === 9)
+      .agg(count(lit(1)).as("incoming"))
+    incoming.crossJoin(dropped)
+      .select(col("incoming"), col("dropped"),
+        (col("incoming") - col("dropped")).as("kept"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(dedupExact, nearDupPairs, minhashSigs, simhashPairs, fingerprintOverlap,
-      dedupClusters)
+      dedupClusters, dedupIncremental)
 }

@@ -49,9 +49,18 @@ object StreamingOps {
         count(lit(1)).as("n"),
         (sum(floor(col("value") * 100 + 0.5)) / 100.0).as("sum_value"))
     val name = "graft_stream_window"
+    // LOCAL-MODE detail: the HDFS-backed state store commits a delta file
+    // per partition per batch; putting the checkpoint on tmpfs when present
+    // takes ambient disk contention out of the measurement (observed 5-27 s
+    // swings on a loaded host). A cluster deployment points this at durable
+    // storage (HDFS/S3) instead — the query is unchanged.
+    val ckptRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else staged + "_ck"
+    val ckpt = s"$ckptRoot/graft_ckpt_stream_window"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     val q = agg.writeStream
       .outputMode("complete")
       .format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

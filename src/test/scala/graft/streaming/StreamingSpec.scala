@@ -158,6 +158,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("stream-static broadcast dim enrichment matches the batch join") {
+    // the streaming form of the flagship enrichment: a stream joined to a
+    // static dimension — stateless (no watermark/state store), the dim is
+    // broadcast once per micro-batch
+    implicit val sc = spark.sqlContext
+    val evs = graft.model.Tables.events(spark, sf)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[SessionEvent].collect().toSeq
+    val dim = graft.model.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val input = MemoryStream[SessionEvent]
+    val joined = input.toDF()
+      .join(broadcast(dim), col("user_id") === col("o_custkey"), "left_outer")
+      .select(col("event_id"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("sse_out").start()
+    input.addData(evs)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sse_out").as[(Long, Long)].collect().toSet
+    val batch = graft.model.Tables.events(spark, sf)
+      .filter(col("user_id") < 20)
+      .join(broadcast(dim), col("user_id") === col("o_custkey"), "left_outer")
+      .select(col("event_id"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("stateful aggregation is identical on the RocksDB state store provider") {
     // HDFS-backed state keeps every key on the executor heap; RocksDB spills
     // to local disk — the provider for large key cardinality (per-user
