@@ -258,20 +258,26 @@ object Extras {
         size(filter(col("ebounds"), b => b <= col("x"))).as("bin"),
         size(filter(col("sbounds"), b => b <= col("x"))).as("sbin"),
         col("x"), col("n_total"))
-    // both histograms from ONE scan + ONE shuffle via GROUPING SETS
-    val hists = binned
-      .groupingSets(Seq(Seq(col("bin")), Seq(col("sbin"))), col("bin"), col("sbin"))
-      .agg(grouping(col("bin")).as("gb"),
-        count(lit(1)).as("cnt"),
-        min(col("x")).as("lo"), max(col("x")).as("hi"),
+    // both histograms from ONE scan + ONE shuffle: each row contributes a
+    // record under its exact-bin key and one under its sketch-bin key
+    // (map-side partial aggregation collapses the 2× fan-out to ≤ 2·bins
+    // groups before the exchange); a DAG split (grouping sets / self-join)
+    // would recompute the whole binning pipeline per branch
+    val tagged = binned
+      .select(explode(array(
+        struct(col("bin").as("key"), lit(0).as("kind"), col("x"), col("n_total")),
+        struct(col("sbin").as("key"), lit(1).as("kind"), col("x"), col("n_total")))).as("r"))
+      .select(col("r.key").as("bin"), col("r.kind"), col("r.x"), col("r.n_total"))
+    tagged.groupBy(col("bin"))
+      .agg(
+        sum(when(col("kind") === 0, 1L).otherwise(0L)).as("n"),
+        min(when(col("kind") === 0, col("x"))).as("lo"),
+        max(when(col("kind") === 0, col("x"))).as("hi"),
+        sum(when(col("kind") === 1, 1L).otherwise(0L)).as("n_sketch"),
         first(col("n_total")).as("n_total"))
-    val exactHist = hists.filter(col("gb") === 0)
-      .select(col("bin"), col("cnt").as("n"), col("lo"), col("hi"), col("n_total"))
-    val sketchHist = hists.filter(col("gb") === 1)
-      .select(col("sbin").as("bin"), col("cnt").as("n_sketch"))
-    exactHist.join(sketchHist, Seq("bin"), "left_outer")
+      .filter(col("n") > 0) // keys only a sketch bin produced (none here)
       .select(col("bin"), col("n"), col("lo"), col("hi"),
-        (abs(coalesce(col("n_sketch"), lit(0L)) - col("n")).cast("double")
+        (abs(col("n_sketch") - col("n")).cast("double")
           <= lit(2.0) * col("n_total") / accuracy + 2).as("sketch_drift_ok"))
       .orderBy(col("bin"))
   }

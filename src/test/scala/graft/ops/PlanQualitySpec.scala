@@ -118,6 +118,30 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning fires on a partitioned fact x selective dim join") {
+    import spark.implicits._
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/dpp_fact"
+    Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .repartition(col("o_year"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    val fact = spark.read.parquet(out)
+    // selective parquet-backed dim (a LocalRelation's filter constant-folds
+    // away and DPP sees no selective predicate): only 1995/1996 survive —
+    // DPP should turn that into a runtime PartitionFilter on the fact scan
+    // instead of reading all partitions
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1997-01-01")
+      .select(year(col("o_orderdate")).as("d_year"))
+      .distinct()
+    val joined = fact.join(dim, col("o_year") === col("d_year"))
+      .groupBy(col("d_year")).agg(count(lit(1)).as("n"))
+    val p = plan(joined)
+    assert(p.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+    assert(joined.collect().map(_.getLong(1)).sum > 0)
+  }
+
   test("bloom-filter join pruning guards the probe side below the join's exchange") {
     val p = plan(Relational.bloomJoin.fn(spark, sf))
     // physical plan prints the guard as might_contain(Subquery …)
