@@ -52,8 +52,14 @@ object BloomFilterJoinPruning extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
+  /** A REAL data filter — the optimizer infers `IsNotNull(joinKey)` on both
+    * sides of every equi-join, so bare null guards don't count as
+    * selectivity worth building a bloom filter for. */
   private def hasDataFilter(p: LogicalPlan): Boolean =
-    p.collectFirst { case f: Filter => f }.isDefined
+    p.collectFirst {
+      case f: Filter if splitConjunctivePredicates(f.condition)
+        .exists(!_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull]) => f
+    }.isDefined
 
   private def hasSubquery(p: LogicalPlan): Boolean =
     p.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))

@@ -92,6 +92,16 @@ class DedupSpec extends AnyFunSuite {
     assert(star(6L) === 5L) // zig-zag chain collapsed to its min
   }
 
+  test("connected components handle empty and degenerate graphs") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(empty, "a", "b").count() === 0)
+    // self-loop only: the node exists, labeled with itself
+    val selfLoop = Seq((5L, 5L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(selfLoop, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(5L -> 5L))
+  }
+
   test("dedup clusters partition the planted pair graph") {
     val clusters = Dedup.dedupClusters.fn(spark, sf)
       .select("cluster", "members_csv").as[(Long, String)].collect()

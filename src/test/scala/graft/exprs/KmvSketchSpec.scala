@@ -43,6 +43,21 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(relErr < 0.5, s"estimate $est vs true $trueD (relErr $relErr)")
   }
 
+  test("datasketches HLL: per-lang sketches union to the corpus distinct estimate") {
+    // the built-in mergeable-distinct companion to the KMV aggregate:
+    // persistable per-group sketches that union AFTER aggregation — what
+    // approx_count_distinct cannot do once its groups are materialized
+    val tok = graft.model.Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    val perLang = tok.groupBy(col("lang")).agg(expr("hll_sketch_agg(w)").as("sk"))
+    val est = perLang
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .as[Long].head()
+    val exact = tok.select("w").distinct().count()
+    val relErr = math.abs(est.toDouble - exact) / exact
+    assert(relErr < 0.05, s"HLL union estimate $est vs exact $exact (relErr $relErr)")
+  }
+
   test("kmv sketch callable from SQL and returns ascending hashes") {
     GraftFunctions.register(spark)
     val r = spark.sql(

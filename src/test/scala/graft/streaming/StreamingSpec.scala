@@ -241,6 +241,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch partitioned-overwrite sink is idempotent across re-runs") {
+    // the production streaming sink pattern (replaces the memory-sink demo
+    // at scale): foreachBatch + dynamic partition overwrite means
+    // re-processing a batch REPLACES its partitions instead of appending
+    // duplicates — at-least-once delivery becomes effectively-once output
+    implicit val sc = spark.sqlContext
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/fb_sink"
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val evs = graft.model.Tables.events(spark, sf)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .as[SessionEvent].collect().toSeq
+      def runOnce(): Unit = {
+        val input = MemoryStream[SessionEvent]
+        val q = input.toDF()
+          .withColumn("day", to_date(col("ts")))
+          .writeStream.outputMode("append")
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            df.write.mode("overwrite").partitionBy("day").parquet(out)
+          }
+          .start()
+        input.addData(evs)
+        q.processAllAvailable()
+        q.stop()
+      }
+      runOnce()
+      val n1 = spark.read.parquet(out).count()
+      runOnce() // redelivery of the same batch
+      val n2 = spark.read.parquet(out).count()
+      assert(n1 === evs.length)
+      assert(n2 === n1, "re-run duplicated rows — sink is not idempotent")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
   test("streaming dedup within watermark drops re-delivered events") {
     implicit val sc = spark.sqlContext
     val evs = graft.model.Tables.events(spark, sf)
