@@ -504,9 +504,29 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Top-k per group through the custom bounded-heap operator
+    * ([[graft.plans.TopKPerGroupExec]]): one hash exchange, NO sort — the
+    * exec streams each partition once holding a k-row heap per key,
+    * instead of the window formulation's full per-partition sort that
+    * exists only to throw away everything past rank k. Oracle = the
+    * row_number window semantics it replaces. */
+  val topKPerGroup: QuerySpec = QuerySpec.sql(
+    "q_topk_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+    graft.plans.TopKPerGroup.topKPerGroup(
+        Tables.orders(spark, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+        keyCol = "o_custkey", ordCol = "o_totalprice", tieCol = "o_orderkey", k = 3)
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     salesTrends, pricingSummary, latestEvent, asOf, asOfNative, asOfTolerance,
-    asOfToleranceNative, joinEnrich, bloomJoin,
+    asOfToleranceNative, joinEnrich, bloomJoin, topKPerGroup,
     semiJoin, antiJoin, mergeUpsert, windowFuncs, rollupRevenue, topK, counts,
     approxDistinct, approxPercentile, setOps, dateParts, jsonExtract)
 }

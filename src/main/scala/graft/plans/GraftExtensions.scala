@@ -58,6 +58,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => RewriteJaccard)
     e.injectOptimizerRule(_ => BloomFilterJoinPruning)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }
 
