@@ -139,5 +139,71 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  val all: Seq[QuerySpec] = Seq(multimodalMeta, multimodalDecode, multimodalFrames)
+  /** Audio-waveform primitive: payload bytes as samples, windowed into
+    * fixed frames, per-frame ENERGY (sum of squared sample values —
+    * integer-exact, so cross-engine stable), per-doc loudness profile with
+    * a deterministic peak-frame argmax (max energy, ties to the earliest
+    * frame via struct ordering). All column expressions over the bounded
+    * frame explode — the real resample/codec step would slot in at the
+    * frame boundary exactly like [[MediaCodec.decodeStub]]. Oracle replays
+    * the byte math on the (ASCII) text with per-char code points. */
+  val multimodalAudio: QuerySpec = QuerySpec.sql(
+    "q_multimodal_audio",
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         unnest(range(0, CAST(ceil(length(text) / ${MediaCodec.FrameSize}.0) AS BIGINT))) AS frame_idx,
+       |         text
+       |  FROM documents),
+       |e AS (
+       |  SELECT doc_id, frame_idx,
+       |         substring(text, CAST(frame_idx * ${MediaCodec.FrameSize} + 1 AS INTEGER), ${MediaCodec.FrameSize}) AS fr
+       |  FROM f),
+       |en AS (
+       |  SELECT doc_id, frame_idx,
+       |         CAST(list_sum(list_transform(range(1, length(fr) + 1),
+       |                i -> ascii(substring(fr, CAST(i AS INTEGER), 1))
+       |                     * ascii(substring(fr, CAST(i AS INTEGER), 1)))) AS BIGINT) AS energy
+       |  FROM e),
+       |r AS (
+       |  SELECT doc_id, frame_idx, energy,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY energy DESC, frame_idx ASC) AS rn
+       |  FROM en)
+       |SELECT en.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_frames,
+       |       CAST(sum(en.energy) AS BIGINT) AS total_energy,
+       |       min(CASE WHEN r.rn = 1 THEN r.frame_idx END) AS peak_frame,
+       |       min(CASE WHEN r.rn = 1 THEN r.energy END) AS peak_energy
+       |FROM en JOIN r ON en.doc_id = r.doc_id AND en.frame_idx = r.frame_idx
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val fs = MediaCodec.FrameSize
+    val frameIdx = when(octet_length(col("payload")) > 0,
+      sequence(lit(0),
+        ceil(octet_length(col("payload")) / lit(fs.toDouble)).cast("int") - 1))
+      .otherwise(array().cast("array<int>"))
+    val energies = asMedia(spark, dir).toDF()
+      .select(col("doc_id"), col("payload"), explode(frameIdx).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        expr(s"substring(cast(payload as string), frame_idx * $fs + 1, $fs)").as("fr"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr("""aggregate(
+                |  transform(sequence(1, length(fr)),
+                |            i -> cast(ascii(substring(fr, i, 1)) as bigint)
+                |                 * cast(ascii(substring(fr, i, 1)) as bigint)),
+                |  0L, (acc, x) -> acc + x)""".stripMargin).as("energy"))
+    energies.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("total_energy"),
+        // argmax via struct ordering: (energy, -frame_idx) max → highest
+        // energy, earliest frame on ties
+        max(struct(col("energy"), (-col("frame_idx")).as("neg_idx"))).as("pk"))
+      .select(col("doc_id"), col("n_frames"), col("total_energy"),
+        (-col("pk.neg_idx")).as("peak_frame"),
+        col("pk.energy").as("peak_energy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(multimodalMeta, multimodalDecode, multimodalFrames, multimodalAudio)
 }
