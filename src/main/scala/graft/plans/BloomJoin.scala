@@ -102,8 +102,15 @@ object BloomFilterJoinPruning extends Rule[LogicalPlan] with PredicateHelper {
       }
       applicable match {
         case Some((crt, _, appIsLeft, appKey, crtKey)) =>
+          // size the filter to the creation side: exact row count when
+          // stats have it, else a bytes-based guess — a right-sized bloom
+          // broadcasts smaller and keeps its false-positive rate honest
+          val estRows = crt.stats.rowCount.map(_.toLong)
+            .getOrElse((crt.stats.sizeInBytes / BigInt(64)).toLong)
+            .max(4096L).min(4000000L)
           val bloom = Alias(
-            new BloomFilterAggregate(new XxHash64(Seq(crtKey))).toAggregateExpression(),
+            new BloomFilterAggregate(new XxHash64(Seq(crtKey)), estRows)
+              .toAggregateExpression(),
             "graft_bloom")()
           val crtPruned = Project(crtKey.references.toSeq, crt)
           val subquery = ScalarSubquery(Aggregate(Nil, Seq(bloom), crtPruned))

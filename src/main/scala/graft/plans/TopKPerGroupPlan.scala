@@ -39,7 +39,14 @@ case class TopKPerGroupNode(
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupNode(c, key, ord, tie, k) =>
-      TopKPerGroupExec(planLater(c), key, ord, tie, k) :: Nil
+      // two-phase like partial aggregation: the map-side pass (no
+      // distribution requirement, runs before the exchange) caps the
+      // shuffle at k rows per key per input partition — a partition's
+      // local top-k per key provably contains every row that can be in
+      // the global top-k; the reduce-side pass (clustered) finishes
+      TopKPerGroupExec(
+        TopKPerGroupExec(planLater(c), key, ord, tie, k, partial = true),
+        key, ord, tie, k) :: Nil
     case _ => Nil
   }
 }
@@ -47,16 +54,21 @@ object TopKPerGroupStrategy extends SparkStrategy {
 case class TopKPerGroupExec(
     child: SparkPlan,
     key: Attribute, ord: Attribute, tie: Attribute,
-    k: Int)
+    k: Int,
+    partial: Boolean = false)
   extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  // cluster rows by key; deliberately NO requiredChildOrdering — the heap
-  // replaces the sort the window formulation would force
+  // the final pass clusters rows by key; the partial pass runs wherever
+  // its input already is. Deliberately NO requiredChildOrdering anywhere —
+  // the heap replaces the sort the window formulation would force
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(key)) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(Seq(key)) :: Nil
   override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOut = child.output

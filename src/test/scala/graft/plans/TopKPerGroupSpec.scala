@@ -36,12 +36,18 @@ class TopKPerGroupSpec extends AnyFunSuite {
       ("c", 7.0, 2L), ("c", 6.0, 3L)))
   }
 
-  test("plan has the hash exchange but NO sort below the exec") {
+  test("plan is two-phase around the hash exchange with NO sort anywhere") {
     val src = Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice")
     val df = TopKPerGroup.topKPerGroup(src, "o_custkey", "o_totalprice", "o_orderkey", 3)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("TopKPerGroup"), p.take(2000))
+    assert(p.contains("TopKPerGroupPartial"), p.take(2000))
     assert(p.contains("Exchange hashpartitioning"), p.take(2000))
+    // map-side partial sits BELOW the exchange (bounds the shuffle to
+    // k rows per key per input partition), final sits above
+    val exch = p.indexOf("Exchange hashpartitioning")
+    assert(p.indexOf("TopKPerGroupPartial") > exch, p.take(2000))
+    assert(p.indexOf("TopKPerGroup ") < exch, p.take(2000))
     assert(!p.contains("Sort ["), s"the exec must not require a sort:\n${p.take(2000)}")
   }
 }
