@@ -84,7 +84,8 @@ object AsOfJoinNative {
       probeTime: String, buildTime: String,
       valueCols: Seq[String],
       buildTie: String,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
     val spark = probe.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -101,7 +102,7 @@ object AsOfJoinNative {
       attr(lplan, probeTime), attr(rplan, buildTime),
       attr(rplan, buildTie),
       valueCols.map(attr(rplan, _)),
-      tolerance)
+      tolerance, forward)
     GraftPlanBridge.ofRows(spark, node)
   }
 }

@@ -524,9 +524,44 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** FORWARD as-of through the native exec (pandas
+    * `merge_asof(direction='forward')`): earliest build row at-or-after
+    * the probe time, ties to the smallest tie column. Probe times are the
+    * events shifted back 10000 days (pure day arithmetic — identical in
+    * both engines) so they land mid-range of the orders' 1995-2001 dates,
+    * exercising matched and unmatched branches. Forward needs NO remembered
+    * state in the merge — the buffer head is always the candidate. */
+  val asOfForward: QuerySpec = QuerySpec.sql(
+    "q_asof_forward",
+    """SELECT event_id, user_id, pts, asof_orderkey, asof_totalprice FROM (
+      |  SELECT e.event_id, e.user_id, e.ts - INTERVAL 10000 DAY AS pts,
+      |         o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |                            ORDER BY o.o_orderdate ASC NULLS LAST,
+      |                                     o.o_orderkey ASC NULLS LAST) AS rn
+      |  FROM events e LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts - INTERVAL 10000 DAY
+      |) WHERE rn = 1 ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val probe = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      (col("ts") - expr("INTERVAL 10000 DAYS")).as("pts"))
+    val build = Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderdate"),
+      col("o_orderkey").as("asof_orderkey"),
+      col("o_totalprice").as("asof_totalprice"))
+    AsOfJoinNative.joinAsOf(
+        probe, build,
+        probeKey = "user_id", buildKey = "o_custkey",
+        probeTime = "pts", buildTime = "o_orderdate",
+        valueCols = Seq("asof_orderkey", "asof_totalprice"),
+        buildTie = "asof_orderkey",
+        forward = true)
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     salesTrends, pricingSummary, latestEvent, asOf, asOfNative, asOfTolerance,
-    asOfToleranceNative, joinEnrich, bloomJoin, topKPerGroup,
+    asOfToleranceNative, asOfForward, joinEnrich, bloomJoin, topKPerGroup,
     semiJoin, antiJoin, mergeUpsert, windowFuncs, rollupRevenue, topK, counts,
     approxDistinct, approxPercentile, setOps, dateParts, jsonExtract)
 }

@@ -34,7 +34,8 @@ case class AsOfJoinNode(
     leftTime: Attribute, rightTime: Attribute,
     rightTie: Attribute,
     rightValues: Seq[Attribute],
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None,
+    forward: Boolean = false)
   extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
@@ -44,8 +45,8 @@ case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, rv, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, rv, tol) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, rv, tol, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, rv, tol, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -53,17 +54,23 @@ object AsOfJoinStrategy extends SparkStrategy {
 /** @param tolerance optional staleness bound (pandas `merge_asof
   *   (tolerance=)` semantics), in the time column's NATIVE internal units —
   *   microseconds for TimestampType, days for DateType: a matched build row
-  *   with `probeTime - buildTime > tolerance` yields nulls instead. The
-  *   merge itself is unchanged (still keeps the latest row ≤ t per key);
-  *   the bound is checked at emission, so the operator stays a single
-  *   streaming pass with one remembered build row of state. */
+  *   with `|probeTime - buildTime| > tolerance` yields nulls instead. The
+  *   merge itself is unchanged; the bound is checked at emission, so the
+  *   operator stays a single streaming pass.
+  * @param forward pandas `merge_asof(direction='forward')`: match the
+  *   EARLIEST build row with time ≥ t (ties to the smallest tie column)
+  *   instead of the latest ≤ t. Forward needs no remembered state at all:
+  *   with both sides ascending, discarding build rows behind the probe
+  *   leaves the earliest candidate at the buffer head — peeked, never
+  *   consumed, since later probes may share it. */
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
     leftTime: Attribute, rightTime: Attribute,
     rightTie: Attribute,
     rightValues: Seq[Attribute],
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None,
+    forward: Boolean = false)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -97,6 +104,7 @@ case class AsOfJoinExec(
     val valueExprs = rightValues
     val outAttrs = output
     val tol = tolerance
+    val fwd = forward
     // timestamp/date internal values are Long micros / Int days
     def timeAsLong(v: Any): Long = v match {
       case l: Long => l
@@ -118,7 +126,44 @@ case class AsOfJoinExec(
       var matchValues: InternalRow = null
       var matchTime: Any = null
 
-      probeIt.map { probe =>
+      if (fwd) probeIt.map { probe =>
+        val pk = lk.eval(probe)
+        val pt = lt.eval(probe)
+        if (pk != null && pt != null) {
+          // discard build rows strictly behind the probe: later probes only
+          // move forward, so nothing discarded is ever needed again
+          var done = false
+          while (!done && buffered.hasNext) {
+            val h = buffered.head
+            val bk = rk.eval(h)
+            val cmp = if (bk == null) -1 else keyOrd.compare(bk, pk)
+            if (cmp < 0) buffered.next()
+            else if (cmp == 0) {
+              val bt = rt.eval(h)
+              if (bt == null || timeOrd.compare(bt, pt) < 0) buffered.next()
+              else done = true
+            } else done = true
+          }
+          // the head (peeked, NOT consumed — later probes may share it) is
+          // the earliest (time, tie) build row at-or-after the probe
+          var values: InternalRow = nullValues
+          if (buffered.hasNext) {
+            val h = buffered.head
+            val bk = rk.eval(h)
+            if (bk != null && keyOrd.compare(bk, pk) == 0) {
+              val bt = rt.eval(h)
+              if (bt != null && timeOrd.compare(bt, pt) >= 0 &&
+                  tol.forall(t => timeAsLong(bt) - timeAsLong(pt) <= t)) {
+                values = valuesProj(h)
+              }
+            }
+          }
+          resultProj(joined(probe, values))
+        } else {
+          resultProj(joined(probe, nullValues))
+        }
+      }
+      else probeIt.map { probe =>
         val pk = lk.eval(probe)
         val pt = lt.eval(probe)
         if (pk != null && pt != null) {
