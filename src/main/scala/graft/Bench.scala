@@ -5,7 +5,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_clean_r3.json")
+    // the default must never clobber a prior artifact (the fixed literal it
+    // used to be is how the r4 driver run overwrote the committed r3 clean
+    // bench): pick the first free BENCH_clean_runN.json; an explicit
+    // SPARK_GRAFT_BENCH_OUT always wins
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      Iterator.from(1).map(i => s"BENCH_clean_run$i.json")
+        .find(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))).get)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -3,7 +3,7 @@ package graft.exprs
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -29,9 +29,14 @@ case class KmvSketchAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[String]] {
+  extends TypedImperativeAggregate[java.util.TreeSet[String]] with ExpectsInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
+  // analysis-time contract: the update path reads the child as UTF8String,
+  // so a non-string input must fail in the analyzer, not as a mid-job
+  // ClassCastException on some executor
+  // (covariant narrowing: AbstractDataType is private[sql])
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "kmv_sketch"

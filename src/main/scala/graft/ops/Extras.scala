@@ -268,17 +268,38 @@ object Extras {
         struct(col("bin").as("key"), lit(0).as("kind"), col("x"), col("n_total")),
         struct(col("sbin").as("key"), lit(1).as("kind"), col("x"), col("n_total")))).as("r"))
       .select(col("r.key").as("bin"), col("r.kind"), col("r.x"), col("r.n_total"))
-    tagged.groupBy(col("bin"))
+    driftBins(tagged, accuracy)
+  }
+
+  /** Drift-checked per-bin aggregation stage of [[equidepthHist]], split out
+    * so the straddle case is directly testable. Input is the tagged 2×
+    * fan-out `(bin, kind 0=exact/1=sketch, x, n_total)`.
+    *
+    * A bin key only the SKETCH binning produced (sketch and exact
+    * boundaries straddling a bin edge while exact bounds carry duplicates)
+    * has zero exact rows — it must still be drift-checked, with its
+    * `n_sketch` bounded against 0, or the sketch can silently drift in
+    * exactly the bins the check skips. Such a bin can't surface as its own
+    * output row (the DuckDB oracle can only enumerate exact bins), so its
+    * verdict folds into EVERY row's flag via a global AND over the tiny
+    * post-shuffle bin table (the second aggregate reuses the exchange —
+    * nothing upstream recomputes). */
+  def driftBins(tagged: org.apache.spark.sql.DataFrame, accuracy: Int): org.apache.spark.sql.DataFrame = {
+    val perBin = tagged.groupBy(col("bin"))
       .agg(
         sum(when(col("kind") === 0, 1L).otherwise(0L)).as("n"),
         min(when(col("kind") === 0, col("x"))).as("lo"),
         max(when(col("kind") === 0, col("x"))).as("hi"),
         sum(when(col("kind") === 1, 1L).otherwise(0L)).as("n_sketch"),
         first(col("n_total")).as("n_total"))
-      .filter(col("n") > 0) // keys only a sketch bin produced (none here)
       .select(col("bin"), col("n"), col("lo"), col("hi"),
         (abs(col("n_sketch") - col("n")).cast("double")
-          <= lit(2.0) * col("n_total") / accuracy + 2).as("sketch_drift_ok"))
+          <= lit(2.0) * col("n_total") / accuracy + 2).as("bin_ok"))
+    val allOk = perBin.agg(bool_and(col("bin_ok")).as("all_ok"))
+    perBin.filter(col("n") > 0)
+      .crossJoin(broadcast(allOk))
+      .select(col("bin"), col("n"), col("lo"), col("hi"),
+        (col("bin_ok") && col("all_ok")).as("sketch_drift_ok"))
       .orderBy(col("bin"))
   }
 

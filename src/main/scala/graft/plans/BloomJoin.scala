@@ -64,10 +64,16 @@ object BloomFilterJoinPruning extends Rule[LogicalPlan] with PredicateHelper {
   private def hasSubquery(p: LogicalPlan): Boolean =
     p.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))
 
-  private def alreadyPruned(p: LogicalPlan): Boolean = p match {
-    case Filter(cond, _) => cond.exists(_.isInstanceOf[BloomFilterMightContain])
-    case _ => false
-  }
+  /** Whole-subtree check (the analog of upstream
+    * `InjectRuntimeFilter.hasBloomFilter`). The rule runs in the extension
+    * fixpoint batch alongside pushdown: once an injected Filter is relocated
+    * below a Project/other operator, a top-node-only check would see an
+    * "unpruned" application side on the next iteration and inject a
+    * duplicate bloom subquery every round. Conservative by design — a bloom
+    * guard anywhere below (even from another join) suppresses a second one;
+    * stacking blooms on one scan costs more than the second filter saves. */
+  private def alreadyPruned(p: LogicalPlan): Boolean =
+    p.exists(_.expressions.exists(_.exists(_.isInstanceOf[BloomFilterMightContain])))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, joinType, Some(cond), _)

@@ -89,32 +89,46 @@ case class TopKPerGroupExec(
           if (c != 0) -c else tieOrd.compare(a.t, b.t)
         }
       }
+      // values evaluated off a scan/sorter-reused InternalRow may alias
+      // mutable backing memory (UTF8String, binary, nested data); anything
+      // retained past the current iteration must be deep-copied. Primitives
+      // and immutable boxes pass through
+      def cloneVal(v: Any): Any = v match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+        case a: Array[Byte] => a.clone()
+        case r: InternalRow => r.copy()
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+        case m: org.apache.spark.sql.catalyst.util.MapData => m.copy()
+        case other => other
+      }
+      // Array[Byte] hashes/equals by reference — wrap in a ByteBuffer
+      // (content-based equality) so binary keys share one heap. UTF8String
+      // is already value-equal; wrapping the still-reused array for LOOKUP
+      // is safe because equality only reads it
+      def mapKey(v: Any): Any = v match {
+        case a: Array[Byte] => java.nio.ByteBuffer.wrap(a)
+        case other => other
+      }
       val heaps = new java.util.HashMap[Any, scala.collection.mutable.PriorityQueue[Entry]]()
       while (it.hasNext) {
         val row = it.next()
         val kv = keyE.eval(row)
         val ov = ordE.eval(row)
         if (kv != null && ov != null) {
-          var heap = heaps.get(kv)
+          var heap = heaps.get(mapKey(kv))
           if (heap == null) {
             heap = scala.collection.mutable.PriorityQueue.empty(worstFirst)
-            // clone non-primitive keys out of sorter-reused memory
-            val keyCopy = kv match {
-              case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-              case a: Array[Byte] => a.clone()
-              case other => other
-            }
-            heaps.put(keyCopy, heap)
+            heaps.put(mapKey(cloneVal(kv)), heap)
           }
           val tv = tieE.eval(row)
           if (heap.size < kk) {
-            heap.enqueue(Entry(ov, tv, row.copy()))
+            heap.enqueue(Entry(cloneVal(ov), cloneVal(tv), row.copy()))
           } else {
             val worst = heap.head
             val c = ordOrd.compare(ov, worst.o)
             if (c > 0 || (c == 0 && tieOrd.compare(tv, worst.t) < 0)) {
               heap.dequeue()
-              heap.enqueue(Entry(ov, tv, row.copy()))
+              heap.enqueue(Entry(cloneVal(ov), cloneVal(tv), row.copy()))
             }
           }
         }

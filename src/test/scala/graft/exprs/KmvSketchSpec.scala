@@ -58,6 +58,15 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(relErr < 0.05, s"HLL union estimate $est vs exact $exact (relErr $relErr)")
   }
 
+  test("non-string input is rejected at analysis time, not mid-job") {
+    GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kmv_sketch(id, 8) AS s FROM range(10)").queryExecution.analyzed
+    }
+    assert(e.getMessage.contains("kmv_sketch") || e.getMessage.contains("STRING"),
+      e.getMessage)
+  }
+
   test("kmv sketch callable from SQL and returns ascending hashes") {
     GraftFunctions.register(spark)
     val r = spark.sql(

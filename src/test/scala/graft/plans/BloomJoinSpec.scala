@@ -60,6 +60,37 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(!firedOn(j.queryExecution.analyzed))
   }
 
+  test("does not re-inject after pushdown relocates the guard below a Project") {
+    // the extension install runs the rule in the operator-optimization
+    // FIXPOINT batch alongside PushDownPredicates: inject → pushdown moves
+    // the guard Filter below the probe's Project → next iteration must
+    // still see the subtree as pruned, or it injects a duplicate bloom
+    // subquery every round until maxIterations
+    def blooms(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      p.collectWithSubqueries { case n => n }
+        .map(_.expressions.map(_.collect { case b: BloomFilterMightContain => b }.size).sum)
+        .sum
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), (col("l_quantity") * lit(2)).as("q2"))
+    val o = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.optimizedPlan
+    val once = BloomFilterJoinPruning(base)
+    val pushed = org.apache.spark.sql.catalyst.optimizer.PushDownPredicates(once)
+    assert(blooms(pushed) == 1, pushed.treeString)
+    // guard really is below the Project now (the interleave the fixpoint produces)
+    assert(pushed.exists {
+      case org.apache.spark.sql.catalyst.plans.logical.Project(_,
+        org.apache.spark.sql.catalyst.plans.logical.Filter(c, _)) =>
+        c.exists(_.isInstanceOf[BloomFilterMightContain])
+      case _ => false
+    }, pushed.treeString)
+    val twice = BloomFilterJoinPruning(pushed)
+    assert(blooms(twice) == 1, twice.treeString)
+    assert(twice.canonicalized == pushed.canonicalized)
+  }
+
   test("is idempotent: a second application adds nothing") {
     val li = Tables.lineitem(spark, sf)
     val o = Tables.orders(spark, sf)
