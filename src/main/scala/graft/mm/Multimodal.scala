@@ -97,8 +97,43 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Full decode path through the stub codec (rows-only; deterministic). */
-  val multimodalDecode: QuerySpec = QuerySpec.rowsOnly("q_multimodal_decode") { (spark, dir) =>
+  /** Full decode path through the stub codec. The stub is deterministic
+    * byte arithmetic, so it has a real oracle: DuckDB replays the byte
+    * moments with list lambdas and the FNV-1a 64-bit head hash with a
+    * recursive CTE in HUGEINT (mod-2^64 each step, re-signed at the end —
+    * ≤64 iterations/doc). `mean_byte` is exact cross-engine: both sides
+    * divide the same integer sum by the same integer length in one IEEE
+    * double op. */
+  val multimodalDecode: QuerySpec = QuerySpec.sql(
+    "q_multimodal_decode",
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, text,
+       |         CAST(length(text) AS INTEGER) AS n_bytes,
+       |         CAST(ceil(length(text) / ${MediaCodec.FrameSize}.0) AS INTEGER) AS n_frames,
+       |         CAST(LEAST(${MediaCodec.FrameSize}, length(text)) AS INTEGER) AS hn
+       |  FROM documents),
+       |moments AS (
+       |  SELECT doc_id,
+       |         COALESCE(CAST(list_sum(list_transform(range(1, length(text) + 1),
+       |                    i -> ascii(substring(text, CAST(i AS INTEGER), 1)))) AS BIGINT), 0) AS bsum,
+       |         COALESCE(CAST(list_max(list_transform(range(1, length(text) + 1),
+       |                    i -> ascii(substring(text, CAST(i AS INTEGER), 1)))) AS INTEGER), 0) AS max_byte
+       |  FROM documents),
+       |fnv AS (
+       |  SELECT doc_id, text, hn, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM base
+       |  UNION ALL
+       |  SELECT doc_id, text, hn, i + 1,
+       |         ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), ascii(substring(text, i + 1, 1))))
+       |          * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+       |  FROM fnv WHERE i < hn)
+       |SELECT b.doc_id, b.n_bytes,
+       |       CASE WHEN b.n_bytes = 0 THEN 0.0 ELSE CAST(m.bsum AS DOUBLE) / b.n_bytes END AS mean_byte,
+       |       m.max_byte, b.n_frames,
+       |       CAST(CASE WHEN f.h >= CAST(9223372036854775808 AS HUGEINT)
+       |                 THEN f.h - CAST(18446744073709551616 AS HUGEINT) ELSE f.h END AS BIGINT) AS first_frame_hash
+       |FROM base b JOIN moments m USING (doc_id)
+       |JOIN (SELECT doc_id, h FROM fnv WHERE i = hn) f USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     extractFeatures(asMedia(spark, dir)).toDF().orderBy(col("doc_id"))
   }
 
