@@ -85,7 +85,8 @@ object AsOfJoinNative {
       valueCols: Seq[String],
       buildTie: String,
       tolerance: Option[Long] = None,
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      nearest: Boolean = false): DataFrame = {
     val spark = probe.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -102,7 +103,7 @@ object AsOfJoinNative {
       attr(lplan, probeTime), attr(rplan, buildTime),
       attr(rplan, buildTie),
       valueCols.map(attr(rplan, _)),
-      tolerance, forward)
+      tolerance, forward, nearest)
     GraftPlanBridge.ofRows(spark, node)
   }
 }

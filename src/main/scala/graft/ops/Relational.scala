@@ -559,9 +559,49 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** NEAREST as-of through the native exec (pandas
+    * `merge_asof(direction='nearest')`), completing the backward / forward /
+    * nearest trio: whichever of the latest-at-or-before and
+    * earliest-after build rows is closer in time wins, backward on equal
+    * distances, ties among equal build times as in the one-sided forms
+    * (backward → greatest key, forward → smallest key). Probe times sit
+    * mid-range of the orders' dates (same −10000-day shift as
+    * q_asof_forward) so both directions actually win somewhere. */
+  val asOfNearest: QuerySpec = QuerySpec.sql(
+    "q_asof_nearest",
+    """SELECT event_id, user_id, pts, asof_orderkey, asof_totalprice FROM (
+      |  SELECT e.event_id, e.user_id, e.ts - INTERVAL 10000 DAY AS pts,
+      |         o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |                            ORDER BY abs(date_diff('microsecond', o.o_orderdate,
+      |                                                   e.ts - INTERVAL 10000 DAY)) ASC NULLS LAST,
+      |                                     CASE WHEN o.o_orderdate <= e.ts - INTERVAL 10000 DAY
+      |                                          THEN 0 ELSE 1 END ASC,
+      |                                     CASE WHEN o.o_orderdate <= e.ts - INTERVAL 10000 DAY
+      |                                          THEN -o.o_orderkey ELSE o.o_orderkey END ASC NULLS LAST) AS rn
+      |  FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id
+      |) WHERE rn = 1 ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val probe = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      (col("ts") - expr("INTERVAL 10000 DAYS")).as("pts"))
+    val build = Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderdate"),
+      col("o_orderkey").as("asof_orderkey"),
+      col("o_totalprice").as("asof_totalprice"))
+    AsOfJoinNative.joinAsOf(
+        probe, build,
+        probeKey = "user_id", buildKey = "o_custkey",
+        probeTime = "pts", buildTime = "o_orderdate",
+        valueCols = Seq("asof_orderkey", "asof_totalprice"),
+        buildTie = "asof_orderkey",
+        nearest = true)
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     salesTrends, pricingSummary, latestEvent, asOf, asOfNative, asOfTolerance,
-    asOfToleranceNative, asOfForward, joinEnrich, bloomJoin, topKPerGroup,
-    semiJoin, antiJoin, mergeUpsert, windowFuncs, rollupRevenue, topK, counts,
-    approxDistinct, approxPercentile, setOps, dateParts, jsonExtract)
+    asOfToleranceNative, asOfForward, asOfNearest, joinEnrich, bloomJoin,
+    topKPerGroup, semiJoin, antiJoin, mergeUpsert, windowFuncs, rollupRevenue,
+    topK, counts, approxDistinct, approxPercentile, setOps, dateParts,
+    jsonExtract)
 }

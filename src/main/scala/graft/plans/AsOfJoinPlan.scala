@@ -35,8 +35,10 @@ case class AsOfJoinNode(
     rightTie: Attribute,
     rightValues: Seq[Attribute],
     tolerance: Option[Long] = None,
-    forward: Boolean = false)
+    forward: Boolean = false,
+    nearest: Boolean = false)
   extends BinaryNode {
+  require(!(forward && nearest), "directions are exclusive: backward (default), forward, nearest")
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoinNode =
@@ -45,8 +47,8 @@ case class AsOfJoinNode(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, rv, tol, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, rv, tol, fwd) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, tie, rv, tol, fwd, nr) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, rv, tol, fwd, nr) :: Nil
     case _ => Nil
   }
 }
@@ -62,7 +64,14 @@ object AsOfJoinStrategy extends SparkStrategy {
   *   instead of the latest ≤ t. Forward needs no remembered state at all:
   *   with both sides ascending, discarding build rows behind the probe
   *   leaves the earliest candidate at the buffer head — peeked, never
-  *   consumed, since later probes may share it. */
+  *   consumed, since later probes may share it.
+  * @param nearest pandas `merge_asof(direction='nearest')`: match whichever
+  *   of the backward candidate (latest ≤ t, greatest tie) and the forward
+  *   candidate (earliest > t, smallest tie) is closer in time; equal
+  *   distances resolve backward, as in pandas. Composes the two machines:
+  *   the backward merge consumes rows ≤ t into remembered state, leaving
+  *   the forward candidate peekable at the buffer head. `tolerance` bounds
+  *   the winner's |Δt|. */
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, rightKey: Attribute,
@@ -70,7 +79,8 @@ case class AsOfJoinExec(
     rightTie: Attribute,
     rightValues: Seq[Attribute],
     tolerance: Option[Long] = None,
-    forward: Boolean = false)
+    forward: Boolean = false,
+    nearest: Boolean = false)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -105,6 +115,7 @@ case class AsOfJoinExec(
     val outAttrs = output
     val tol = tolerance
     val fwd = forward
+    val nr = nearest
     // timestamp/date internal values are Long micros / Int days
     def timeAsLong(v: Any): Long = v match {
       case l: Long => l
@@ -158,6 +169,61 @@ case class AsOfJoinExec(
               }
             }
           }
+          resultProj(joined(probe, values))
+        } else {
+          resultProj(joined(probe, nullValues))
+        }
+      }
+      else if (nr) probeIt.map { probe =>
+        val pk = lk.eval(probe)
+        val pt = lt.eval(probe)
+        if (pk != null && pt != null) {
+          // identical consumption to backward: rows ≤ probe time fold into
+          // the remembered state; the first row > probe time stays peekable
+          // at the head as the forward candidate
+          var done = false
+          while (!done && buffered.hasNext) {
+            val h = buffered.head
+            val bk = rk.eval(h)
+            val cmp = if (bk == null) -1 else keyOrd.compare(bk, pk)
+            if (cmp < 0) {
+              buffered.next()
+            } else if (cmp == 0) {
+              val bt = rt.eval(h)
+              if (bt == null) {
+                buffered.next()
+              } else if (timeOrd.compare(bt, pt) <= 0) {
+                matchKey = bk match {
+                  case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+                  case arr: Array[Byte] => arr.clone()
+                  case other => other
+                }
+                matchValues = valuesProj(h).copy()
+                matchTime = bt
+                buffered.next()
+              } else done = true
+            } else done = true
+          }
+          val backOk = matchValues != null && matchKey != null &&
+            keyOrd.compare(matchKey, pk) == 0
+          val backDist = if (backOk) timeAsLong(pt) - timeAsLong(matchTime) else Long.MaxValue
+          var fwdRow: InternalRow = null
+          var fwdDist = Long.MaxValue
+          if (buffered.hasNext) {
+            val h = buffered.head
+            val bk = rk.eval(h)
+            if (bk != null && keyOrd.compare(bk, pk) == 0) {
+              val bt = rt.eval(h)
+              if (bt != null) { fwdDist = timeAsLong(bt) - timeAsLong(pt); fwdRow = h }
+            }
+          }
+          // backward wins equal distances (pandas nearest). Tolerance need
+          // only gate the winner: the loser's distance is ≥ the winner's,
+          // so it can never pass a bound the winner fails.
+          val values =
+            if (backOk && backDist <= fwdDist) { if (tol.forall(backDist <= _)) matchValues else nullValues }
+            else if (fwdRow != null && tol.forall(fwdDist <= _)) valuesProj(fwdRow)
+            else nullValues
           resultProj(joined(probe, values))
         } else {
           resultProj(joined(probe, nullValues))

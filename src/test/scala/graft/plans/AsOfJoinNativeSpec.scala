@@ -120,6 +120,74 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     // covers that branch explicitly)
   }
 
+  test("nearest direction picks the closer side, backward on ties") {
+    val probe = Seq(
+      (1L, "k1", ts("2024-01-06 00:00:00")), // back 01-05 (1d) vs fwd 01-08 (2d) → back, max-tie 101
+      (2L, "k1", ts("2024-01-07 12:00:00")), // back 01-05 (2.5d) vs fwd 01-08 (0.5d) → fwd 102
+      (3L, "k1", ts("2024-01-06 12:00:00")), // equidistant (1.5d both) → backward wins, 101
+      (4L, "k1", ts("2024-02-01 00:00:00")), // only backward exists → 102
+      (5L, "k1", ts("2024-01-01 00:00:00")), // only forward exists → min-tie 100
+      (6L, "k2", ts("2024-01-01 00:00:00"))  // key absent: nulls
+    ).toDF("pid", "key", "pts")
+    val build = Seq(
+      ("k1", ts("2024-01-05 00:00:00"), 100L),
+      ("k1", ts("2024-01-05 00:00:00"), 101L),
+      ("k1", ts("2024-01-08 00:00:00"), 102L)
+    ).toDF("key", "bts", "bid")
+    val out = AsOfJoinNative.joinAsOf(probe, build, "key", "key", "pts", "bts",
+      Seq("bid"), "bid", nearest = true).orderBy("pid").collect()
+    assert(out(0).getAs[Long]("bid") === 101L)
+    assert(out(1).getAs[Long]("bid") === 102L)
+    assert(out(2).getAs[Long]("bid") === 101L) // tie → backward, greatest tie col
+    assert(out(3).getAs[Long]("bid") === 102L)
+    assert(out(4).getAs[Long]("bid") === 100L) // forward side → smallest tie col
+    assert(out(5).isNullAt(out(5).fieldIndex("bid")))
+  }
+
+  test("nearest tolerance bounds the winner's distance") {
+    val probe = Seq(
+      (1L, "k1", ts("2024-01-07 00:00:00")), // fwd 01-08 at 1d: within 2d tol
+      (2L, "k1", ts("2024-03-01 00:00:00"))  // back 01-08 at 53d: beyond tol
+    ).toDF("pid", "key", "pts")
+    val build = Seq(
+      ("k1", ts("2024-01-05 00:00:00"), 100L),
+      ("k1", ts("2024-01-08 00:00:00"), 102L)
+    ).toDF("key", "bts", "bid")
+    val tol = 2L * 86400L * 1000000L
+    val out = AsOfJoinNative.joinAsOf(probe, build, "key", "key", "pts", "bts",
+      Seq("bid"), "bid", tolerance = Some(tol), nearest = true).orderBy("pid").collect()
+    assert(out(0).getAs[Long]("bid") === 102L)
+    assert(out(1).isNullAt(out(1).fieldIndex("bid")))
+  }
+
+  test("nearest equals the two-sided window formulation on real data") {
+    val probe = graft.model.Tables.events(spark, TestSpark.sf).select(
+      col("event_id"), col("user_id"),
+      (col("ts") - expr("INTERVAL 10000 DAYS")).as("pts"))
+    val build = graft.model.Tables.orders(spark, TestSpark.sf).select(
+      col("o_custkey"), col("o_orderdate"), col("o_orderkey").as("v"))
+    val native = AsOfJoinNative.joinAsOf(probe, build, "user_id", "o_custkey",
+      "pts", "o_orderdate", Seq("v"), "v", nearest = true)
+      .select("event_id", "v").as[(Long, Option[Long])].collect().toSet
+    // oracle formulation: rank ALL same-key build rows by |Δt|, then
+    // backward-before-forward, then the direction's own tie order
+    val back = col("o_orderdate") <= col("pts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id"))
+      .orderBy(
+        abs(unix_micros(col("o_orderdate").cast("timestamp")) -
+          unix_micros(col("pts"))).asc_nulls_last,
+        when(back, 0).otherwise(1).asc,
+        when(back, -col("v")).otherwise(col("v")).asc_nulls_last)
+    val windowed = probe
+      .join(build, col("user_id") === col("o_custkey"), "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "v").as[(Long, Option[Long])].collect().toSet
+    assert(native === windowed)
+    assert(native.exists(_._2.isDefined))
+  }
+
   test("plan shows the custom exec with Catalyst-inserted exchanges and sorts") {
     val probe = graft.model.Tables.events(spark, sf).select("event_id", "user_id", "ts")
     val build = graft.model.Tables.orders(spark, sf)
