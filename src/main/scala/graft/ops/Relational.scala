@@ -43,6 +43,42 @@ object Relational {
       .orderBy(col("yr"), col("mon"), col("p_brand"))
   }
 
+  /** Three-table flagship (the reference's declared "sales trends" purpose,
+    * README.md:7, over the Athena-facing star schema of
+    * redshift_setup.py:203-243): revenue by order year × customer market
+    * segment. The shape that matters at 100 TB: lineitem ⋈ orders is
+    * fact-to-fact, so it takes the ONE key shuffle the query needs (AQE is
+    * free to pick SMJ or shuffled-hash); customer is the dimension side and
+    * rides a broadcast hash join on the already-joined stream — no second
+    * fact shuffle. Column pruning cuts all three scans to the five used
+    * columns. At dimension sizes past broadcast range the same query runs
+    * on the co-bucketed layout (see q_bucketed_join) unchanged. */
+  val salesBySegment: QuerySpec = QuerySpec.sql(
+    "q_sales_by_segment",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      |       c_mktsegment,
+      |       count(*) AS n_items,
+      |       sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100.0 AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(
+        year(col("o_orderdate")).as("order_year"),
+        col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)) / 100.0).as("revenue"))
+      .orderBy(col("order_year"), col("c_mktsegment"))
+  }
+
   /** TPC-H Q1-shaped pricing summary (A3): partial+final hash aggregation,
     * no joins — the canonical scan-heavy aggregate. */
   val pricingSummary: QuerySpec = QuerySpec.sql(
@@ -599,7 +635,7 @@ object Relational {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    salesTrends, pricingSummary, latestEvent, asOf, asOfNative, asOfTolerance,
+    salesTrends, salesBySegment, pricingSummary, latestEvent, asOf, asOfNative, asOfTolerance,
     asOfToleranceNative, asOfForward, asOfNearest, joinEnrich, bloomJoin,
     topKPerGroup, semiJoin, antiJoin, mergeUpsert, windowFuncs, rollupRevenue,
     topK, counts, approxDistinct, approxPercentile, setOps, dateParts,

@@ -22,6 +22,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("three-table flagship: one fact shuffle, broadcast dim, pruned scans") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // pin the 100 TB shape, not the tiny-data one: stop AQE from
+      // broadcasting the orders side of the fact-to-fact join
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Relational.salesBySegment.fn(spark, sf)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+      // customer enrichment stays broadcast even with the threshold off
+      // (explicit hint), so the joined fact stream never reshuffles
+      assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$p")
+      // exactly two hash exchanges: the l_orderkey fact join (both sides
+      // count as one logical shuffle of the join) + the final tiny
+      // (year, segment) aggregation; none keyed on the customer key
+      assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
+        !p.contains("Exchange hashpartitioning(c_custkey"),
+        s"joined fact reshuffled for the dimension join:\n$p")
+      // all three scans pruned to exactly the used columns
+      assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"))
+      assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderdate:timestamp"))
+      assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("filters and projection push down to the parquet scan") {
     val p = plan(Tables.lineitem(spark, sf)
       .filter(col("l_shipdate") >= "1997-01-01")
