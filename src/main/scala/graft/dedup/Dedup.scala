@@ -116,27 +116,115 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---- DuckDB oracle twins of the native hash kernels --------------------
+  // The hash families (FNV-1a 64, SplitMix64, Karp-Rabin) are pure 64-bit
+  // wrapping arithmetic, so the oracles replay them bit-exactly in HUGEINT
+  // with an explicit mod-2^64 after every multiply. Constants are embedded
+  // from the SAME Scala definitions the native expressions use.
+  private val M64 = "18446744073709551616::HUGEINT" // 2^64
+  private val Half = "9223372036854775808::HUGEINT" // 2^63
+
+  /** `(z * c) % 2^64` for an arbitrary 64-bit constant `c`: split `c` into
+    * 32-bit halves so no intermediate product overflows INT128
+    * (`z*c` alone can reach 2^128 for the SplitMix64 multipliers). */
+  private def mulmod(z: String, c: Long): String = {
+    val hi = c >>> 32
+    val lo = c & 0xFFFFFFFFL
+    s"(($z) * $lo + ((($z) % 4294967296) * $hi) % 4294967296 * 4294967296) % $M64"
+  }
+
+  /** Re-sign a HUGEINT in [0, 2^64) to its two's-complement BIGINT. */
+  private def signed(u: String): String =
+    s"CAST(CASE WHEN ($u) >= $Half THEN ($u) - $M64 ELSE ($u) END AS BIGINT)"
+
   /** MinHash signatures themselves (per doc) — the reusable sketch that a
-    * cross-corpus dedup would persist. Rows-only (hash family is
-    * engine-specific); the signature is emitted as a scalar `,`-joined
-    * encoding so the driver's comparator can sort/hash the rows (raw
-    * `array<bigint>` columns are unhashable on the pandas side). The array
-    * form stays internal ([[minhashSignature]]) for LSH banding reuse. */
-  val minhashSigs: QuerySpec = QuerySpec.rowsOnly("q_dedup_minhash") { (spark, dir) =>
-    GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        concat_ws(",", minhashSignature(shingles(col("text"))).cast("array<string>")).as("sig"))
-      .orderBy(col("doc_id"))
+    * cross-corpus dedup would persist. The signature is emitted as a scalar
+    * `,`-joined encoding so the driver's comparator can sort/hash the rows
+    * (raw `array<bigint>` columns are unhashable on the pandas side); the
+    * array form stays internal ([[minhashSignature]]) for LSH banding reuse.
+    * Oracle: DuckDB replays shingling (same split as the verified
+    * q_neardup_pairs), per-shingle FNV-1a 64 as a recursive CTE (xor of the
+    * low byte + a 2^40 multiplier, safely inside INT128), then the 16
+    * SplitMix64 lanes with split multiplies, taking mins over the SIGNED
+    * values exactly like the Scala kernel. Shingle-less docs fall back to
+    * the Long.MaxValue-filled signature. */
+  val minhashSigs: QuerySpec = {
+    val seedVals = graft.exprs.MinHashOps.seeds.zipWithIndex
+      .map { case (s, j) => s"($j, ${java.lang.Long.toUnsignedString(s)}::HUGEINT)" }
+      .mkString(", ")
+    val emptySig = Seq.fill(NumHashes)(Long.MaxValue.toString).mkString(",")
+    QuerySpec.sql(
+      "q_dedup_minhash",
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+         |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM d),
+         |fnv AS (
+         |  SELECT doc_id, sh, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM s
+         |  UNION ALL
+         |  SELECT doc_id, sh, i + 1,
+         |         ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), ascii(substring(sh, i + 1, 1))))
+         |          * 1099511628211) % $M64
+         |  FROM fnv WHERE i < length(sh)),
+         |base AS (SELECT doc_id, h FROM fnv WHERE i = length(sh)),
+         |m0 AS (SELECT doc_id, sd.j, xor(base.h, sd.v) AS z
+         |       FROM base, (VALUES $seedVals) sd(j, v)),
+         |m1 AS (SELECT doc_id, j, ${mulmod("xor(z, z // 1073741824)", 0xbf58476d1ce4e5b9L)} AS z FROM m0),
+         |m2 AS (SELECT doc_id, j, ${mulmod("xor(z, z // 134217728)", 0x94d049bb133111ebL)} AS z FROM m1),
+         |m3 AS (SELECT doc_id, j, ${signed("xor(z, z // 2147483648)")} AS hz FROM m2),
+         |mins AS (SELECT doc_id, j, min(hz) AS mn FROM m3 GROUP BY 1, 2),
+         |sg AS (SELECT doc_id, string_agg(mn, ',' ORDER BY j) AS sig FROM mins GROUP BY 1)
+         |SELECT d2.doc_id, COALESCE(sg.sig, '$emptySig') AS sig
+         |FROM documents d2 LEFT JOIN sg ON d2.doc_id = sg.doc_id
+         |ORDER BY d2.doc_id""".stripMargin) { (spark, dir) =>
+      GraftFunctions.register(spark)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          concat_ws(",", minhashSignature(shingles(col("text"))).cast("array<string>")).as("sig"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** SimHash near-dup: 64-bit simhash per doc (native codegen'd
     * Expression), banded into 4×16-bit chunks, candidates joined on chunk,
     * kept at Hamming distance ≤ 3 (the pigeonhole bound for 4-chunk
     * banding: a shared chunk is guaranteed only up to 3 differing bits).
-    * Rows-only (hash is engine-specific);
-    * the ScalaTest suite asserts it recovers the planted near-dup pairs. */
-  val simhashPairs: QuerySpec = QuerySpec.rowsOnly("q_dedup_simhash") { (spark, dir) =>
+    * The ScalaTest suite asserts it recovers the planted near-dup pairs.
+    * Oracle: DuckDB recomputes the simhash (per-token FNV-1a votes on each
+    * of the 64 bits) and emits ALL pairs at Hamming ≤ 3 — equivalent to
+    * the banded plan by the same pigeonhole argument, since ≤ 3 differing
+    * bits always leave ≥ 1 of the 4 chunks identical. */
+  val simhashPairs: QuerySpec = QuerySpec.sql(
+    "q_dedup_simhash",
+    s"""WITH RECURSIVE
+       |toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS tok
+       |  FROM documents),
+       |fnv AS (
+       |  SELECT doc_id, tok, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, tok, i + 1,
+       |         ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), ascii(substring(tok, i + 1, 1))))
+       |          * 1099511628211) % $M64
+       |  FROM fnv WHERE i < length(tok)),
+       |th AS (SELECT doc_id, h FROM fnv WHERE i = length(tok)),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |         SUM(CASE WHEN (h // CAST(power(2, b) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+       |  FROM th, (SELECT unnest(range(0, 64)) AS b)
+       |  GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT doc_id,
+       |         SUM(CASE WHEN cnt > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE 0::HUGEINT END) AS u
+       |  FROM bits GROUP BY 1),
+       |sims AS (
+       |  SELECT d.doc_id, ${signed("COALESCE(s.u, 0::HUGEINT)")} AS sh
+       |  FROM documents d LEFT JOIN sim s USING (doc_id))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     GraftFunctions.register(spark)
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), GraftFunctions.simhash64(col("text")).as("sh"))
@@ -159,17 +247,67 @@ object Dedup {
 
   /** Winnowed fingerprint overlap (copy detection): explode each doc's
     * fingerprint set (native Expression), group by fingerprint, count docs
-    * sharing it — one shuffle, no pairwise work. Rows-only. */
-  val fingerprintOverlap: QuerySpec = QuerySpec.rowsOnly("q_fingerprint") { (spark, dir) =>
-    GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(GraftFunctions.fingerprints(col("text"))).as("fp"))
-      .groupBy(col("fp"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
-      .filter(col("n_docs") >= 2)
-      .groupBy(col("n_docs"))
-      .agg(count(lit(1)).as("n_fingerprints"))
-      .orderBy(col("n_docs"))
+    * sharing it — one shuffle, no pairwise work. Oracle: with k=8 fixed,
+    * every k-gram's Karp-Rabin hash is a degree-7 polynomial mod 2^64
+    * (identical to the rolled form — wrapping Long arithmetic IS the
+    * mod-2^64 ring), so DuckDB computes it directly per position; the
+    * rightmost-min winnow is a 4-row window frame minimizing the
+    * order-encoding `(signed hash ↑, index ↓)` packed into one HUGEINT,
+    * with consecutive equal picks collapsed by index exactly like the
+    * kernel's `lastPicked` guard. */
+  val fingerprintOverlap: QuerySpec = {
+    import graft.exprs.{Fingerprint => FP}
+    // B^j mod 2^64 via the same wrapping Long multiply the kernel uses
+    val pw = new Array[Long](FP.K)
+    pw(0) = 1L
+    (1 until FP.K).foreach(j => pw(j) = pw(j - 1) * 1000003L)
+    val terms = (0 until FP.K).map(t =>
+      s"ascii(substring(text, p + $t, 1)) * ${java.lang.Long.toUnsignedString(pw(FP.K - 1 - t))}::HUGEINT")
+      .mkString(" + ")
+    QuerySpec.sql(
+      "q_fingerprint",
+      s"""WITH kg AS (
+         |  SELECT doc_id, CAST(p AS BIGINT) AS idx,
+         |         (($terms) % $M64) AS hu,
+         |         length(text) - ${FP.K - 1} AS m
+         |  FROM documents, unnest(range(1, length(text) - ${FP.K - 2})) AS t(p)
+         |  WHERE length(text) >= ${FP.K}),
+         |kg2 AS (
+         |  SELECT doc_id, idx, m, ${signed("hu")} AS hz,
+         |         CASE WHEN hu >= $Half THEN hu - $Half ELSE hu + $Half END AS hord
+         |  FROM kg),
+         |win AS (
+         |  SELECT doc_id, idx AS w0, m,
+         |         min(hord * 4294967296::HUGEINT + (4294967295 - idx)) OVER
+         |           (PARTITION BY doc_id ORDER BY idx
+         |            ROWS BETWEEN CURRENT ROW AND ${FP.W - 1} FOLLOWING) AS key
+         |  FROM kg2 WHERE m > ${FP.W}),
+         |picks AS (
+         |  SELECT doc_id, w0,
+         |         4294967295 - CAST(key % 4294967296 AS BIGINT) AS min_idx,
+         |         CAST((key // 4294967296) - $Half AS BIGINT) AS hz
+         |  FROM win WHERE w0 + ${FP.W - 1} <= m),
+         |dedup AS (
+         |  SELECT doc_id, hz FROM (
+         |    SELECT doc_id, hz, min_idx,
+         |           lag(min_idx) OVER (PARTITION BY doc_id ORDER BY w0) AS prev_idx
+         |    FROM picks)
+         |  WHERE prev_idx IS NULL OR min_idx <> prev_idx),
+         |smalls AS (SELECT doc_id, min(hz) AS hz FROM kg2 WHERE m <= ${FP.W} GROUP BY 1),
+         |fps AS (SELECT doc_id, hz FROM dedup UNION ALL SELECT doc_id, hz FROM smalls),
+         |byfp AS (SELECT hz, count(DISTINCT doc_id) AS n_docs FROM fps GROUP BY 1)
+         |SELECT n_docs, count(*) AS n_fingerprints
+         |FROM byfp WHERE n_docs >= 2 GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+      GraftFunctions.register(spark)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(GraftFunctions.fingerprints(col("text"))).as("fp"))
+        .groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= 2)
+        .groupBy(col("n_docs"))
+        .agg(count(lit(1)).as("n_fingerprints"))
+        .orderBy(col("n_docs"))
+    }
   }
 
   /** Connected components by the alternating large-star / small-star

@@ -18,7 +18,9 @@ object MinHashOps {
   final val K = 3
   final val NumHashes = 16
 
-  private val seeds: Array[Long] = {
+  /** Per-function xor seeds (derived SplitMix64 stream); exposed within the
+    * package so the DuckDB oracle twin can embed the same constants. */
+  private[graft] val seeds: Array[Long] = {
     val out = new Array[Long](NumHashes)
     var x = 0x9e3779b97f4a7c15L
     var i = 0
