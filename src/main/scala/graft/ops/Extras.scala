@@ -281,9 +281,12 @@ object Extras {
     * `n_sketch` bounded against 0, or the sketch can silently drift in
     * exactly the bins the check skips. Such a bin can't surface as its own
     * output row (the DuckDB oracle can only enumerate exact bins), so its
-    * verdict folds into EVERY row's flag via a global AND over the tiny
-    * post-shuffle bin table (the second aggregate reuses the exchange —
-    * nothing upstream recomputes). */
+    * verdict folds into EVERY row's flag via a global AND — computed as an
+    * unpartitioned windowed aggregate over the tiny (≤ 2·bins rows)
+    * post-shuffle bin table, NOT a second aggregate branch: a DAG split
+    * here re-executed the whole upstream binning pipeline (including the
+    * exact-percentile companion that buffers every value) when exchange
+    * reuse didn't kick in — measured 2× wall on the sf0.1 bench. */
   def driftBins(tagged: org.apache.spark.sql.DataFrame, accuracy: Int): org.apache.spark.sql.DataFrame = {
     val perBin = tagged.groupBy(col("bin"))
       .agg(
@@ -295,9 +298,10 @@ object Extras {
       .select(col("bin"), col("n"), col("lo"), col("hi"),
         (abs(col("n_sketch") - col("n")).cast("double")
           <= lit(2.0) * col("n_total") / accuracy + 2).as("bin_ok"))
-    val allOk = perBin.agg(bool_and(col("bin_ok")).as("all_ok"))
-    perBin.filter(col("n") > 0)
-      .crossJoin(broadcast(allOk))
+    perBin
+      .withColumn("all_ok", bool_and(col("bin_ok"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("n") > 0)
       .select(col("bin"), col("n"), col("lo"), col("hi"),
         (col("bin_ok") && col("all_ok")).as("sketch_drift_ok"))
       .orderBy(col("bin"))
