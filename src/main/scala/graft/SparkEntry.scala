@@ -14,6 +14,7 @@ object SparkEntry {
   /** All registered capabilities, in module order. */
   def specs: Seq[QuerySpec] =
     ops.Relational.all ++
+      ops.Scd.all ++
       ops.Skew.all ++
       ops.Extras.all ++
       ops.Temporal.all ++
@@ -23,6 +24,7 @@ object SparkEntry {
       sources.Jdbc.all ++
       text.TextAnalysis.all ++
       text.CorpusPipeline.all ++
+      text.TrainingPrep.all ++
       dedup.Dedup.all ++
       sim.Ann.all ++
       mm.Multimodal.all ++

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.QuerySpec
+import graft.model.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) history construction — the warehouse
+  * merge pattern one step past the reference's DELETE+INSERT upsert sketch
+  * (`redshift_setup.py:190-194`): instead of overwriting a changed row, the
+  * old version is closed with `valid_to` and the new one opened, preserving
+  * full attribute history.
+  *
+  * The change stream is each customer's order sequence bucketed into a
+  * price tier; consecutive same-tier orders collapse, so the output is one
+  * row per (customer, tier run) with its validity interval. Everything is
+  * two windows over one `o_custkey` shuffle — lag to detect changes, lead
+  * to close intervals — so the build distributes by customer key and scales
+  * linearly; there is no global window anywhere.
+  */
+object Scd {
+
+  /** Price tier for an order — the "slowly changing" attribute. */
+  private def tier(price: org.apache.spark.sql.Column) =
+    when(price < 50000, "BRONZE")
+      .when(price < 150000, "SILVER")
+      .otherwise("GOLD")
+
+  val scd2: QuerySpec = QuerySpec.sql(
+    "q_scd2",
+    """WITH t AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |         CASE WHEN o_totalprice < 50000 THEN 'BRONZE'
+      |              WHEN o_totalprice < 150000 THEN 'SILVER'
+      |              ELSE 'GOLD' END AS tier
+      |  FROM orders),
+      |c AS (
+      |  SELECT *, lag(tier) OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_tier
+      |  FROM t),
+      |v AS (
+      |  SELECT o_custkey, tier, o_orderdate AS valid_from,
+      |         lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |                                 ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to
+      |  FROM c WHERE prev_tier IS NULL OR tier <> prev_tier)
+      |SELECT o_custkey, tier, valid_from, valid_to,
+      |       CAST(valid_to IS NULL AS BOOLEAN) AS is_current
+      |FROM v ORDER BY o_custkey, valid_from, tier""".stripMargin) { (spark, dir) =>
+    val byOrder = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val changes = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        tier(col("o_totalprice")).as("tier"))
+      .withColumn("prev_tier", lag(col("tier"), 1).over(byOrder))
+      .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+    // the lead() reuses the o_custkey partitioning — change rows are a
+    // subset of the first window's partitions, so no second shuffle
+    changes
+      .withColumn("valid_from", col("o_orderdate"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(byOrder))
+      .select(col("o_custkey"), col("tier"), col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("tier"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(scd2)
+}

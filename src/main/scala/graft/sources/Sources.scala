@@ -211,7 +211,48 @@ object Sources {
     externalTableDemo(spark, dir)
   }
 
+  /** Range-clustered sorted layout (CLUSTER BY for an unpartitioned table):
+    * `repartitionByRange` on the query key + `sortWithinPartitions` before
+    * the write, so every output file covers a disjoint `l_shipdate` range
+    * and its parquet footer min/max stats let a date-filtered scan SKIP
+    * whole files — the scan-pruning complement to q_partitioned_sink's
+    * directory pruning, and the right layout when the key is too
+    * fine-grained to be a partition column. `ClusteredLayoutSpec` pins the
+    * file-disjointness property via input_file_name(); the registered query
+    * checks data fidelity through the layout round-trip with a one-summer
+    * filter (~1/28th of the date range). */
+  val clusteredLayout: QuerySpec = QuerySpec.sql(
+    "q_clustered_layout",
+    """SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+      |       CAST(month(l_shipdate) AS INTEGER) AS mon,
+      |       count(*) AS n,
+      |       sum(floor(l_extendedprice * 100 + 0.5)) / 100.0 AS total
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+      |  AND l_shipdate < TIMESTAMP '1996-09-01'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val out = clusteredLineitem(spark, dir)
+    spark.read.parquet(out)
+      .filter(col("l_shipdate") >= lit("1996-06-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-09-01").cast("timestamp_ntz"))
+      .groupBy(year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mon"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("l_extendedprice") * 100 + 0.5)) / 100.0).as("total"))
+      .orderBy(col("yr"), col("mon"))
+  }
+
+  /** Write lineitem range-clustered by (l_shipdate, l_orderkey); returns the
+    * output path (shared by the registered query and the layout spec). */
+  def clusteredLineitem(spark: SparkSession, dir: String): String = {
+    val out = scratch("lineitem_clustered")
+    Tables.lineitem(spark, dir)
+      .repartitionByRange(16, col("l_shipdate"), col("l_orderkey"))
+      .sortWithinPartitions(col("l_shipdate"), col("l_orderkey"))
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
   val all: Seq[QuerySpec] = Seq(
     csvRoundtrip, csvInferRoundtrip, jsonRoundtrip, partitionedSink, externalTable,
-    orcRoundtrip, bucketedJoin)
+    orcRoundtrip, bucketedJoin, clusteredLayout)
 }

@@ -149,7 +149,57 @@ object StreamingOps {
       .orderBy(col("user_id"), col("session_start"))
   }
 
-  val all: Seq[QuerySpec] = Seq(streamWindow, sessionize, sessionWindowBuiltin)
+  /** Streaming exact dedup as a registered query: the staged copy of
+    * `events` has every tenth event DUPLICATED, the stream drops the copies
+    * with `dropDuplicatesWithinWatermark` (state bounded by the watermark
+    * horizon, unlike bare dropDuplicates whose state grows forever), and
+    * each deduplicated micro-batch lands in parquet via `foreachBatch` —
+    * the production at-least-once-source → exactly-once-per-key ingest
+    * shape. The oracle is the plain batch aggregate over the ORIGINAL
+    * events: dedup must remove exactly the injected copies, across batch
+    * boundaries (maxFilesPerTrigger forces several). The delay is set past
+    * the data's ts span so no state is evicted mid-test; a live deployment
+    * would use the real lateness bound. */
+  val streamDedup: QuerySpec = QuerySpec.sql(
+    "q_stream_dedup",
+    """SELECT event_type, count(*) AS n,
+      |       sum(floor(value * 100 + 0.5)) / 100.0 AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val staged = s"$tmp/graft_scratch/events_dup_stream"
+    val sink = s"$tmp/graft_scratch/events_dedup_sink"
+    val ev = Tables.events(spark, dir)
+    ev.union(ev.filter(col("event_id") % 10 === 0))
+      .repartition(8).write.mode("overwrite").parquet(staged)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
+    val ckptRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+                   else staged + "_ck"
+    val ckpt = s"$ckptRoot/graft_ckpt_stream_dedup"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val deduped = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(staged)
+      .withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(sink)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100 + 0.5)) / 100.0).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(streamWindow, sessionize, sessionWindowBuiltin, streamDedup)
 }
 
 /** Typed event for stateful sessionization. */

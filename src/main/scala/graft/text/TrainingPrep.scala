@@ -1,0 +1,190 @@
+package graft.text
+
+import graft.QuerySpec
+import graft.model.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set preparation operators: fixed-window document chunking with
+  * overlap (the context-window packing precursor), exact decile pruning by
+  * quality score, and a held-out bigram LM with unigram backoff (the
+  * perplexity-filter shape with a real train/score split, where backoff
+  * actually fires — unlike [[TextAnalysis.lmScore]]'s self-scored unigram).
+  * All per-document column work plus bounded equi-joins; no global
+  * single-partition window anywhere (deciles use a two-phase range-
+  * partitioned rank, the q_doc_packing pattern).
+  */
+object TrainingPrep {
+
+  private val toks = split(col("text"), " ")
+
+  /** Overlapping fixed-size token windows per document (chunk 64 tokens,
+    * stride 48 → 16-token overlap): the map from cleaned documents to
+    * model-context-sized training rows. Embarrassingly parallel — one
+    * projection + explode, no shuffle; 100 TB streams through at scan
+    * speed. */
+  val docChunks: QuerySpec = QuerySpec.sql(
+    "q_doc_chunks",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id, w, unnest(range(0, len(w), 48)) AS start FROM d)
+      |SELECT doc_id,
+      |       CAST(start // 48 AS INTEGER) AS chunk_idx,
+      |       CAST(start AS INTEGER) AS chunk_start,
+      |       CAST(len(list_slice(w, start + 1, start + 64)) AS INTEGER) AS n_chunk_tokens,
+      |       array_to_string(list_slice(w, start + 1, start + 64), ' ') AS chunk_text
+      |FROM s ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+    val chunk = 64
+    val stride = 48
+    // token array materialized before the slice (the q_ngram_counts note);
+    // split() of a non-null string is never empty, so sequence(0, n-1, s)
+    // always ascends
+    val d = Tables.documents(spark, dir).select(col("doc_id"), toks.as("w"))
+    d.select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(stride))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_idx"),
+        col("start").cast("int").as("chunk_start"),
+        size(slice(col("w"), col("start") + 1, lit(chunk))).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("w"), col("start") + 1, lit(chunk))).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Exact quality deciles for corpus pruning ("keep the top 30%"). The
+    * global rank is a TWO-PHASE RANGE-PARTITIONED row_number, never a
+    * single-partition window: repartitionByRange on the sort key makes
+    * partitions contiguous ranges, phase 1 ranks within each partition in
+    * parallel, phase 2 prefix-sums the 16 per-partition counts and
+    * broadcasts the offsets back. The decile is the explicit
+    * `1 + (rank-1)*10 / N` formula (not ntile) so the bucketing is
+    * well-defined at any N and both engines compute it identically. */
+  val qualityDeciles: QuerySpec = QuerySpec.sql(
+    "q_quality_deciles",
+    """WITH m AS (
+      |  SELECT doc_id, n_chars,
+      |         least(len(string_split(text, ' ')), 200) / 200.0 * 0.7
+      |           + len(list_filter(string_split(text, ' '),
+      |                 t -> t IN ('the','a','of','to','and','in','is','it')))
+      |             / len(string_split(text, ' ')) * 0.3 AS quality
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS rnk,
+      |             count(*) OVER () AS n
+      |      FROM m)
+      |SELECT CAST(1 + (rnk - 1) * 10 // n AS INTEGER) AS decile,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(floor(min(quality) * 1000000 + 0.5) AS BIGINT) AS min_quality_micro,
+      |       CAST(floor(max(quality) * 1000000 + 0.5) AS BIGINT) AS max_quality_micro
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val nTok = size(toks)
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+    val nStop = size(filter(toks, t => t.isin(stop.map(w => w: Any): _*)))
+    val quality = least(nTok, lit(200)) / 200.0 * 0.7 + (nStop / nTok) * 0.3
+    val m = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), quality.as("quality"))
+    // phase 1: contiguous range partitions, local rank in parallel
+    val parts = m.repartitionByRange(16, col("quality").desc, col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val local = parts.withColumn("lrnk", row_number().over(wLocal))
+    // phase 2: exclusive prefix over the 16 per-partition counts
+    val wPid = Window.orderBy(col("pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+      .withColumn("off", coalesce(sum(col("pn")).over(wPid), lit(0L)))
+      .withColumn("n", sum(col("pn")).over(
+        Window.orderBy(col("pid").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("pid"), col("off"), col("n"))
+    local.join(broadcast(offsets), Seq("pid"))
+      .withColumn("rnk", col("off") + col("lrnk"))
+      .groupBy((lit(1) + (col("rnk") - 1) * 10 / col("n")).cast("int").as("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        floor(min(col("quality")) * 1000000 + 0.5).cast("long").as("min_quality_micro"),
+        floor(max(col("quality")) * 1000000 + 0.5).cast("long").as("max_quality_micro"))
+      .orderBy(col("decile"))
+  }
+
+  /** Held-out bigram LM score with unigram backoff: the LM trains on the
+    * 80% split (`doc_id % 10 < 8`) and scores the 20% holdout, so unseen
+    * bigrams genuinely occur and the backoff path is exercised (stupid
+    * backoff, α=0.4; unseen unigrams floor at count 1). Per-position scores
+    * are floored to integer micro-units before the per-doc sum (the
+    * q_tfidf ln-parity pattern). Three equi-joins against the bounded model
+    * tables — an externally-trained n-gram table drops in unchanged. */
+  val lmBigram: QuerySpec = QuerySpec.sql(
+    "q_lm_bigram",
+    """WITH d AS (SELECT doc_id, doc_id % 10 AS b, string_split(text, ' ') AS w FROM documents),
+      |tr AS (SELECT unnest(w) AS t FROM d WHERE b < 8),
+      |cu AS (SELECT t, count(*) AS c FROM tr GROUP BY 1),
+      |ntr AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cu),
+      |trb AS (SELECT unnest(list_transform(range(1, len(w)),
+      |                      i -> w[i] || ' ' || w[i+1])) AS bg
+      |        FROM d WHERE b < 8),
+      |cb AS (SELECT bg, count(*) AS c FROM trb GROUP BY 1),
+      |te AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |                  i -> struct_pack(bg := w[i] || ' ' || w[i+1],
+      |                                   w1 := w[i], w2 := w[i+1]))) AS p
+      |       FROM d WHERE b >= 8),
+      |sc AS (
+      |  SELECT te.doc_id,
+      |         CASE WHEN cb.c IS NULL THEN 1 ELSE 0 END AS is_backoff,
+      |         CAST(floor(CASE
+      |           WHEN cb.c IS NOT NULL THEN -ln(cb.c / CAST(cu1.c AS DOUBLE))
+      |           ELSE -ln(0.4 * coalesce(cu2.c, 1) / ntr.n)
+      |         END * 1000000 + 0.5) AS BIGINT) AS nll_micro
+      |  FROM te
+      |  LEFT JOIN cb ON te.p.bg = cb.bg
+      |  LEFT JOIN cu cu1 ON te.p.w1 = cu1.t
+      |  LEFT JOIN cu cu2 ON te.p.w2 = cu2.t
+      |  CROSS JOIN ntr)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(sum(is_backoff) AS BIGINT) AS n_backoff,
+      |       CAST(sum(nll_micro) AS BIGINT) AS nll_micro_sum
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 10).as("b"), toks.as("w"))
+    val train = d.filter(col("b") < 8)
+    val cu = train.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val ntr = cu.agg(sum(col("c")).cast("double").as("n"))
+    val bigramsOf = when(size(col("w")) >= 2,
+      transform(
+        sequence(lit(0), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val cb = train.select(explode(bigramsOf).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val pairsOf = when(size(col("w")) >= 2,
+      transform(
+        sequence(lit(0), size(col("w")) - 2),
+        i => struct(
+          concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2)).as("bg"),
+          element_at(col("w"), i + 1).as("w1"),
+          element_at(col("w"), i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<bg:string,w1:string,w2:string>>"))
+    val te = d.filter(col("b") >= 8)
+      .select(col("doc_id"), explode(pairsOf).as("p"))
+    val nll = when(col("c_bg").isNotNull,
+        -log(col("c_bg") / col("c_w1").cast("double")))
+      .otherwise(-log(lit(0.4) * coalesce(col("c_w2"), lit(1L)) / col("n")))
+    te.join(cb.withColumnRenamed("c", "c_bg"), te("p.bg") === cb("bg"), "left")
+      .join(cu.select(col("t").as("t1"), col("c").as("c_w1")), col("p.w1") === col("t1"), "left")
+      .join(cu.select(col("t").as("t2"), col("c").as("c_w2")), col("p.w2") === col("t2"), "left")
+      .crossJoin(broadcast(ntr))
+      .select(col("doc_id"),
+        when(col("c_bg").isNull, 1).otherwise(0).as("is_backoff"),
+        floor(nll * 1000000 + 0.5).cast("long").as("nll_micro"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("is_backoff")).cast("long").as("n_backoff"),
+        sum(col("nll_micro")).as("nll_micro_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(docChunks, qualityDeciles, lmBigram)
+}

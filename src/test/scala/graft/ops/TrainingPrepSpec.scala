@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Properties of the round-5 operators beyond their DuckDB oracles:
+  * chunk coverage, two-phase-rank ≡ naive-global-rank, backoff firing,
+  * SCD2 interval integrity, streaming-dedup ≡ batch, and the clustered
+  * layout's file-disjointness guarantee. */
+class TrainingPrepSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+  import spark.implicits._
+
+  test("doc chunks start at 0, step by stride, and cover every token") {
+    val chunks = graft.text.TrainingPrep.docChunks.fn(spark, sf)
+    val perDoc = chunks.groupBy("doc_id").agg(
+      min("chunk_start").as("first"),
+      max(col("chunk_start") + col("n_chunk_tokens")).as("covered"),
+      count(lit(1)).as("n_chunks"))
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+    val joined = perDoc.join(docs, "doc_id")
+      .select($"doc_id", $"first", $"covered", $"n_chunks", $"n_tok")
+      .as[(Long, Int, Int, Long, Int)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, first, covered, nChunks, nTok) =>
+      assert(first === 0, s"doc $id")
+      assert(covered === nTok, s"doc $id: chunks cover $covered of $nTok tokens")
+      assert(nChunks === (nTok - 1) / 48 + 1, s"doc $id chunk count")
+    }
+  }
+
+  test("two-phase range-partitioned decile rank equals the naive global window") {
+    val twoPhase = graft.text.TrainingPrep.qualityDeciles.fn(spark, sf)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    // naive single-partition form of the identical decile formula
+    val toks = split(col("text"), " ")
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+    val nStop = size(filter(toks, t => t.isin(stop.map(w => w: Any): _*)))
+    val quality = least(size(toks), lit(200)) / 200.0 * 0.7 + (nStop / size(toks)) * 0.3
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val naive = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"), quality.as("quality"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .groupBy((lit(1) + (col("rnk") - 1) * 10 / col("n")).cast("int").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        floor(min(col("quality")) * 1000000 + 0.5).cast("long").as("min_quality_micro"),
+        floor(max(col("quality")) * 1000000 + 0.5).cast("long").as("max_quality_micro"))
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(twoPhase.sortBy(_._1) === naive.sortBy(_._1))
+    // decile sizes are balanced to within one document
+    val sizes = twoPhase.map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+  }
+
+  test("bigram LM backoff fires on the holdout and bigram counts are per-position") {
+    val scored = graft.text.TrainingPrep.lmBigram.fn(spark, sf)
+    val totalBackoff = scored.agg(sum("n_backoff")).as[Long].head()
+    assert(totalBackoff > 0, "holdout split produced no unseen bigrams — backoff untested")
+    val docs = graft.model.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+    val bad = scored.join(docs, "doc_id")
+      .filter(col("n_tok") >= 2 && col("n_bigrams") =!= col("n_tok") - 1)
+    assert(bad.count() === 0)
+  }
+
+  test("SCD2 intervals chain per customer: contiguous, tier-changing, one current row") {
+    val hist = graft.ops.Scd.scd2.fn(spark, sf)
+      .select($"o_custkey", $"tier", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect().groupBy(_._1)
+    assert(hist.nonEmpty)
+    hist.foreach { case (cust, rows) =>
+      val sorted = rows.sortBy(_._3.getTime)
+      assert(sorted.count(_._5) === 1, s"customer $cust current-row count")
+      assert(sorted.last._5 && sorted.last._4.isEmpty, s"customer $cust tail row open")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"customer $cust: interval gap ${a._4} -> ${b._3}")
+          assert(a._2 !== b._2, s"customer $cust: consecutive rows share tier ${a._2}")
+        case _ =>
+      }
+    }
+  }
+
+  test("streaming dedup over the duplicate-injected stage equals the batch aggregate") {
+    val streamed = graft.streaming.StreamingOps.streamDedup.fn(spark, sf)
+      .as[(String, Long, Double)].collect().toSet
+    val batch = graft.model.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100 + 0.5)) / 100.0).as("sum_value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("clustered layout: per-file (l_shipdate, l_orderkey) ranges are pairwise disjoint") {
+    val out = graft.sources.Sources.clusteredLineitem(spark, sf)
+    val ranges = spark.read.parquet(out)
+      .select(input_file_name().as("f"),
+        struct(col("l_shipdate"), col("l_orderkey")).as("k"))
+      .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
+      .select($"lo.l_shipdate", $"lo.l_orderkey", $"hi.l_shipdate", $"hi.l_orderkey")
+      .as[(java.sql.Timestamp, Long, java.sql.Timestamp, Long)]
+      .collect()
+      .map { case (loT, loK, hiT, hiK) => ((loT.getTime, loK), (hiT.getTime, hiK)) }
+      .sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple range-clustered files")
+    // each file's range must end at or before the next one starts (lteq, not
+    // lt: (l_shipdate, l_orderkey) repeats across lineitem lines of one
+    // order, and range partitioning may split equal keys across a boundary)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(Ordering[(Long, Long)].lteq(hiA, loB), s"file ranges overlap: $hiA > $loB")
+      case _ =>
+    }
+  }
+}
