@@ -26,6 +26,7 @@ object SparkEntry {
       text.CorpusPipeline.all ++
       text.TrainingPrep.all ++
       dedup.Dedup.all ++
+      graph.Graph.all ++
       sim.Ann.all ++
       mm.Multimodal.all ++
       streaming.StreamingOps.all

@@ -52,5 +52,75 @@ object Temporal {
       .orderBy(col("win_start"))
   }
 
-  val all: Seq[QuerySpec] = Seq(rangeJoin)
+  /** Calendar-spine gap filling: a month spine generated from the data's
+    * own [min, max] order-date range (one 1-row aggregate exploded — never
+    * a driver-side loop), cross-joined with the bounded nation dim and
+    * LEFT-joined against the monthly order counts so months with no orders
+    * surface as explicit zeros. The time-series-densification primitive
+    * every reporting pipeline needs; the fact side stays one shuffle
+    * (its groupBy), the spine side is broadcast-sized. */
+  val gapFill: QuerySpec = QuerySpec.sql(
+    "q_gap_fill",
+    """WITH bounds AS (
+      |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+      |         date_trunc('month', max(o_orderdate)) AS hi
+      |  FROM orders),
+      |spine AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS mon FROM bounds),
+      |m AS (
+      |  SELECT n_nationkey, date_trunc('month', o_orderdate) AS mon,
+      |         count(*) AS n_orders
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n.n_nationkey, CAST(s.mon AS TIMESTAMP) AS mon,
+      |       coalesce(m.n_orders, 0) AS n_orders
+      |FROM spine s CROSS JOIN nation n
+      |LEFT JOIN m ON m.n_nationkey = n.n_nationkey AND m.mon = s.mon
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val orders = Tables.orders(spark, dir)
+    val spine = orders
+      .agg(date_trunc("month", min(col("o_orderdate"))).as("lo"),
+        date_trunc("month", max(col("o_orderdate"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 MONTH"))).as("mon"))
+    val monthly = orders
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_nationkey"), date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("n_orders"))
+    spine.crossJoin(broadcast(Tables.nation(spark, dir).select(col("n_nationkey"))))
+      .join(monthly, Seq("n_nationkey", "mon"), "left_outer")
+      .select(col("n_nationkey"), col("mon"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("n_nationkey"), col("mon"))
+  }
+
+  /** Time-RANGE rolling aggregate (7-day trailing count/sum per user, one
+    * row per event): a range-frame window over event time — the frame is
+    * `[ts − 7 days, ts]` in VALUE space, not N rows, so irregular event
+    * spacing is handled exactly. One shuffle on user_id; cents floored to
+    * integers before the frame sum (associative at any parallelism). */
+  val rollingWindow: QuerySpec = QuerySpec.sql(
+    "q_rolling_window",
+    """SELECT event_id, user_id, ts,
+      |       count(*) OVER w AS n_7d,
+      |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS sum_cents_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts, event_id""".stripMargin) { (spark, dir) =>
+    val sevenDaysMicros = 7L * 24 * 3600 * 1000000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-sevenDaysMicros, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).over(w).as("sum_cents_7d"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(rangeJoin, gapFill, rollingWindow)
 }
