@@ -227,6 +227,61 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("SCD2 reuses one o_custkey shuffle for both windows") {
+    val p = plan(graft.ops.Scd.scd2.fn(spark, sf))
+    val custkeyExchanges = "Exchange hashpartitioning\\(o_custkey".r
+      .findAllIn(p).size
+    assert(custkeyExchanges === 1,
+      s"expected the lag and lead windows to share one shuffle, got $custkeyExchanges:\n$p")
+  }
+
+  test("gap fill keeps the dims broadcast and never goes cartesian") {
+    val p = plan(Temporal.gapFill.fn(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in gap-fill plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(c_custkey") &&
+      !p.contains("Exchange hashpartitioning(c_nationkey"),
+      s"fact reshuffled for a dimension join:\n$p")
+  }
+
+  test("rolling range window shuffles once, on user_id") {
+    val p = plan(Temporal.rollingWindow.fn(spark, sf))
+    val hashExchanges = "Exchange hashpartitioning\\(".r.findAllIn(p).size
+    assert(hashExchanges === 1, s"expected exactly the user_id window shuffle:\n$p")
+    assert(!p.contains("Window  ") || p.contains("hashpartitioning(user_id"),
+      s"window not partitioned by user_id:\n$p")
+  }
+
+  test("quality deciles rank on a range partitioning, never a corpus-wide single partition") {
+    val df = graft.text.TrainingPrep.qualityDeciles.fn(spark, sf)
+    val p = plan(df)
+    assert(p.contains("Exchange rangepartitioning"),
+      s"two-phase rank lost its range repartition:\n$p")
+    // the only single-partition work allowed is the 16-row offsets table;
+    // no Exchange SinglePartition may take the full documents scan as input
+    val firstSingle = p.indexOf("Exchange SinglePartition")
+    if (firstSingle >= 0) {
+      val upstream = p.substring(firstSingle)
+      assert(upstream.contains("HashAggregate") || upstream.contains("pn"),
+        s"single-partition exchange not over the bounded offsets table:\n$p")
+    }
+  }
+
+  test("clustered layout read-back pushes the date filter to the scan") {
+    val p = plan(graft.sources.Sources.clusteredLayout.fn(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"date filter did not reach the clustered parquet scan:\n$p")
+  }
+
+  test("pagerank step has no cartesian product and prunes the fact scans") {
+    val p = plan(graft.graph.Graph.pageRankStep.fn(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in pagerank plan:\n$p")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"),
+      s"orders scan not pruned to join columns:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint>"),
+      s"lineitem scan not pruned to join columns:\n$p")
+  }
+
   test("salted aggregation equals plain aggregation") {
     import spark.implicits._
     val salted = Skew.saltedAggQuery.fn(spark, sf)
