@@ -81,5 +81,41 @@ object Sampling {
       .orderBy(col("lang"))
   }
 
-  val all: Seq[QuerySpec] = Seq(dataSplit, sampleQuery, stratifiedQuery)
+  /** Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    * each doc draws a deterministic uniform u from its md5 (so the sample
+    * is reproducible across runs, engines, and cluster layouts — no RNG
+    * state), keyed by ln(u)/weight; the top-k keys per stratum ARE a
+    * weight-proportional sample without replacement. Weight here is
+    * n_chars (longer docs proportionally likelier). One shuffle on the
+    * stratum key; keys are floored to integer units before ranking (the
+    * q_tfidf ln-parity rule) with doc_id as the total tie-break. At 100 TB
+    * the per-stratum top-k is the same bounded-heap TakeOrdered shape as
+    * q_topk_per_group — no global sort. */
+  val weightedSample: QuerySpec = QuerySpec.sql(
+    "q_weighted_sample",
+    """WITH k AS (
+      |  SELECT lang, doc_id, n_chars,
+      |         CAST(floor(ln((CAST('0x' || substring(md5('ws-' || doc_id), 1, 8) AS UBIGINT) + 1)
+      |                       / 4294967297.0)
+      |                    / n_chars * 1e12) AS BIGINT) AS key_pico
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+      |                                   ORDER BY key_pico DESC, doc_id ASC) AS rank
+      |      FROM k)
+      |SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id, n_chars, key_pico
+      |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin) { (spark, dir) =>
+    val u = (conv(substring(md5(concat(lit("ws-"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("long") + 1) / 4294967297.0
+    val keyed = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        floor(log(u) / col("n_chars") * 1e12).cast("long").as("key_pico"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("key_pico").desc, col("doc_id").asc)
+    keyed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("lang"), col("rank"), col("doc_id"), col("n_chars"), col("key_pico"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(dataSplit, sampleQuery, stratifiedQuery, weightedSample)
 }

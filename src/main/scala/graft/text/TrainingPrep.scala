@@ -186,5 +186,60 @@ object TrainingPrep {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QuerySpec] = Seq(docChunks, qualityDeciles, lmBigram)
+  /** One BPE merge iteration at the character level — the inner step of
+    * vocabulary induction: count adjacent symbol pairs across the corpus
+    * weighted by word frequency (overlapping, the standard counting
+    * phase), pick the most frequent pair (lexicographic tie-break), and
+    * report the corpus effect of applying the merge (non-overlapping
+    * left-to-right, which is exactly `replace()` semantics in both
+    * engines). A full tokenizer trains by looping this step; each
+    * iteration is two shuffles (word counts, pair counts) + a 1-row
+    * broadcast — no driver-side corpus state, so it scales to any corpus.
+    * All metrics are exact integers. */
+  val bpeStep: QuerySpec = QuerySpec.sql(
+    "q_bpe_step",
+    """WITH wc AS (
+      |  SELECT w AS word, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 2 GROUP BY 1),
+      |pairs AS (
+      |  SELECT substring(word, i, 2) AS pair, CAST(sum(cnt) AS BIGINT) AS n
+      |  FROM wc, unnest(range(1, length(word))) AS t(i)
+      |  GROUP BY 1),
+      |top AS (SELECT pair, n FROM pairs ORDER BY n DESC, pair ASC LIMIT 1),
+      |applied AS (
+      |  SELECT top.pair, top.n,
+      |         CAST(sum(cnt * (length(word) - length(replace(word, top.pair, chr(1))))) AS BIGINT)
+      |           AS merged_occurrences,
+      |         CAST(sum(CASE WHEN contains(word, top.pair) THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_affected_types,
+      |         CAST(sum(cnt * length(word)) AS BIGINT) AS symbols_before
+      |  FROM wc CROSS JOIN top GROUP BY 1, 2)
+      |SELECT pair, n AS pair_count, merged_occurrences, n_affected_types,
+      |       symbols_before, symbols_before - merged_occurrences AS symbols_after
+      |FROM applied""".stripMargin) { (spark, dir) =>
+    val wc = Tables.documents(spark, dir)
+      .select(explode(toks).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val pairs = wc
+      .select(col("cnt"),
+        explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+    val top = pairs.orderBy(col("n").desc, col("pair").asc).limit(1)
+    wc.crossJoin(broadcast(top))
+      .groupBy(col("pair"), col("n"))
+      .agg(
+        sum(col("cnt") * (length(col("word")) -
+          length(expr("replace(word, pair, char(1))")))).as("merged_occurrences"),
+        sum(when(col("word").contains(col("pair")), 1L).otherwise(0L)).as("n_affected_types"),
+        sum(col("cnt") * length(col("word"))).as("symbols_before"))
+      .select(col("pair"), col("n").as("pair_count"),
+        col("merged_occurrences"), col("n_affected_types"), col("symbols_before"),
+        (col("symbols_before") - col("merged_occurrences")).as("symbols_after"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(docChunks, qualityDeciles, lmBigram, bpeStep)
 }

@@ -100,6 +100,52 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("weighted sample is invariant to input layout and respects per-stratum k") {
+    val once = graft.ops.Sampling.weightedSample.fn(spark, sf)
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(once.nonEmpty)
+    assert(once.groupBy(_._1).values.forall(_.length <= 10))
+    assert(once.forall(r => r._2 >= 1 && r._2 <= 10))
+    // the A-ES keys are pure hash functions of the row, so the sample must
+    // be bit-identical no matter how the input is partitioned
+    val reshuffled = {
+      val docs = graft.model.Tables.documents(spark, sf).repartition(13, col("source"))
+      val u = (conv(substring(md5(concat(lit("ws-"), col("doc_id"))), 1, 8), 16, 10)
+        .cast("long") + 1) / 4294967297.0
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("key_pico").desc, col("doc_id").asc)
+      docs.select(col("lang"), col("doc_id"), col("n_chars"),
+          floor(log(u) / col("n_chars") * 1e12).cast("long").as("key_pico"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("lang"), col("rank"), col("doc_id"), col("n_chars"), col("key_pico"))
+        .as[(String, Int, Long, Long, Long)].collect().toSeq
+    }
+    assert(once.sorted === reshuffled.sorted)
+  }
+
+  test("BPE step picks the true argmax pair and merge accounting is consistent") {
+    val Array((pair, pairCount, merged, affected, before, after)) =
+      graft.text.TrainingPrep.bpeStep.fn(spark, sf)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(pair.length === 2)
+    assert(merged <= pairCount, "non-overlapping merges cannot exceed overlapping counts")
+    assert(affected >= 1 && merged >= affected)
+    assert(after === before - merged)
+    // recompute the argmax pair with plain Scala over the collected counts
+    val wordCounts = graft.model.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").count()
+      .as[(String, Long)].collect()
+    val pairCounts = scala.collection.mutable.Map.empty[String, Long]
+    wordCounts.foreach { case (w, c) =>
+      w.sliding(2).foreach(p => pairCounts(p) = pairCounts.getOrElse(p, 0L) + c)
+    }
+    val (expectedPair, expectedN) = pairCounts.toSeq.minBy { case (p, n) => (-n, p) }
+    assert(pair === expectedPair && pairCount === expectedN)
+  }
+
   test("clustered layout: per-file (l_shipdate, l_orderkey) ranges are pairwise disjoint") {
     val out = graft.sources.Sources.clusteredLineitem(spark, sf)
     val ranges = spark.read.parquet(out)
