@@ -44,27 +44,33 @@ object Graph {
       |FROM nodes LEFT JOIN contrib c ON nodes.id = c.id
       |CROSS JOIN n CROSS JOIN dangling d
       |ORDER BY rank_pico DESC, node LIMIT 50""".stripMargin) { (spark, dir) =>
+    // node ids stay (kind, key) LONG pairs through every shuffle — the
+    // 'c'/'s'-prefixed strings the contract exposes are rendered only for
+    // the 50 output rows (string shuffle keys cost ~2x over longs here)
     val e = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
       .distinct()
-    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+    val nodes = e.select(lit(0).as("kind"), col("src").as("key"))
+      .union(e.select(lit(1).as("kind"), col("dst").as("key"))).distinct()
     val n = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // per-edge contribution of a uniform 1/N rank, floored to pico BEFORE
-    // the sum so the aggregation is associative integer math
+    // the sum so the aggregation is associative integer math; only
+    // suppliers (kind 1) receive mass in this bipartite graph
     val contrib = e.join(outdeg, "src").crossJoin(broadcast(n))
-      .select(col("dst").as("id"),
+      .select(col("dst").as("key"),
         floor(lit(1e12) / col("n_nodes") / col("deg") + 0.5).cast("long").as("c_pico"))
-      .groupBy(col("id")).agg(sum(col("c_pico")).as("in_pico"))
+      .groupBy(col("key")).agg(sum(col("c_pico")).as("in_pico"))
+      .select(lit(1).as("kind"), col("key"), col("in_pico"))
     // dangling nodes (no out-edges — here every supplier) spread their mass
-    val dangling = nodes.join(outdeg, nodes("id") === outdeg("src"), "left_anti")
+    val dangling = nodes.join(outdeg, nodes("key") === outdeg("src") && nodes("kind") === 0, "left_anti")
       .agg(count(lit(1)).cast("double").as("n_dangling"))
-    nodes.join(contrib, Seq("id"), "left_outer")
+    nodes.join(contrib, Seq("kind", "key"), "left_outer")
       .crossJoin(broadcast(n)).crossJoin(broadcast(dangling))
-      .select(col("id").as("node"),
+      .select(
+        concat(when(col("kind") === 0, "c").otherwise("s"), col("key")).as("node"),
         floor(lit(0.15) * 1e12 / col("n_nodes")
           + lit(0.85) * (coalesce(col("in_pico"), lit(0L))
             + col("n_dangling") * 1e12 / col("n_nodes") / col("n_nodes"))

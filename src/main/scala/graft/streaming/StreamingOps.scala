@@ -57,13 +57,15 @@ object StreamingOps {
     val ckptRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else staged + "_ck"
     val ckpt = s"$ckptRoot/graft_ckpt_stream_window"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory").queryName(name)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select(
         col("window.start").as("window_start"), col("event_type"),
@@ -182,15 +184,22 @@ object StreamingOps {
       .parquet(staged)
       .withWatermark("ts", "3650 days")
       .dropDuplicatesWithinWatermark("event_id")
-    val q = deduped.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(sink)
-        ()
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state-store parallelism = shuffle partitions, and each partition
+    // commits a delta per micro-batch; size it to the STATE, not the batch
+    // CPU count (a production streaming job sets this explicitly — it is
+    // fixed forever by the first checkpoint). 32 partitions of trivial
+    // state spent more time committing than deduplicating.
+    withShufflePartitions(spark, 8) {
+      val q = deduped.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(sink)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(sink)
       .groupBy(col("event_type"))
       .agg(
@@ -199,7 +208,82 @@ object StreamingOps {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[QuerySpec] = Seq(streamWindow, sessionize, sessionWindowBuiltin, streamDedup)
+  /** Watermarked stream-stream join as a registered query: `click` events
+    * joined to each user's `view` events within the following hour —
+    * BOTH sides unbounded streams (the enrichment batch broadcast joins
+    * cannot express), state on each side bounded by watermark + range.
+    * Each joined micro-batch lands via `foreachBatch`; the oracle replays
+    * the identical time-range join in batch SQL. Results are aggregated
+    * per event_type pair so the output is layout-independent. */
+  val streamJoin: QuerySpec = QuerySpec.sql(
+    "q_stream_join",
+    """SELECT l.user_id,
+      |       count(*) AS n_pairs,
+      |       CAST(sum(CAST(floor(l.value * 100 + 0.5) AS BIGINT)
+      |                + CAST(floor(r.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events l JOIN events r
+      |  ON l.user_id = r.user_id
+      | AND l.event_type = 'click' AND r.event_type = 'view'
+      | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val staged = s"$tmp/graft_scratch/events_join_stream"
+    val sink = s"$tmp/graft_scratch/events_join_sink"
+    val ev = Tables.events(spark, dir)
+    ev.repartition(8).write.mode("overwrite").parquet(staged)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
+    val ckptRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+                   else staged + "_ck"
+    val ckpt = s"$ckptRoot/graft_ckpt_stream_join"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    def side(t: String) = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(staged)
+      .filter(col("event_type") === t)
+      // generous watermark: all duplicates of state eviction stay out of
+      // the correctness picture at test scale; a live pipeline tightens it
+      .withWatermark("ts", "3650 days")
+    val joined = side("click").alias("l")
+      .join(side("view").alias("r"),
+        expr("""l.user_id = r.user_id AND
+                r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR"""))
+      .select(col("l.user_id").as("user_id"),
+        (floor(col("l.value") * 100 + 0.5).cast("long")
+          + floor(col("r.value") * 100 + 0.5).cast("long")).as("cents"))
+    // a stream-stream join keeps FOUR state stores per partition (two per
+    // side); see streamDedup on sizing partitions to state, which matters
+    // 4x more here
+    withShufflePartitions(spark, 8) {
+      val q = joined.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(sink)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(sink)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n`,
+    * restoring the prior value after. Streaming queries read the conf once
+    * at start, so the scope only needs to cover `start()`...
+    * `awaitTermination()`. */
+  private def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(streamWindow, sessionize, sessionWindowBuiltin, streamDedup, streamJoin)
 }
 
 /** Typed event for stateful sessionization. */

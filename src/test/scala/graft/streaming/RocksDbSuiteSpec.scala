@@ -58,6 +58,25 @@ class RocksDbSuiteSpec extends AnyFunSuite {
     assert(onRocks.nonEmpty)
   }
 
+  test("registered stream-stream join equals the batch time-range join") {
+    val streamed = graft.streaming.StreamingOps.streamJoin.fn(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val ev = graft.model.Tables.events(spark, sf)
+    val l = ev.filter(col("event_type") === "click").alias("l")
+    val r = ev.filter(col("event_type") === "view").alias("r")
+    val batch = l.join(r, expr(
+        """l.user_id = r.user_id AND
+           r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR"""))
+      .select(col("l.user_id").as("user_id"),
+        (floor(col("l.value") * 100 + 0.5).cast("long")
+          + floor(col("r.value") * 100 + 0.5).cast("long")).as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), sum("cents").as("sum_cents"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("registered stream-dedup query is identical on RocksDB") {
     val default = graft.streaming.StreamingOps.streamDedup.fn(spark, sf)
       .as[(String, Long, Double)].collect().toSet
