@@ -79,5 +79,94 @@ object Graph {
       .limit(50)
   }
 
-  val all: Seq[QuerySpec] = Seq(pageRankStep)
+  /** FULL PageRank: [[pageRankStep]]'s body iterated (3 fixed rounds so
+    * the oracle can unroll them), driver-coordinated with a
+    * `localCheckpoint` lineage cut per round — the connectedComponents
+    * looping pattern applied to a value-propagating algorithm. Every round
+    * is the same O(edges) join+agg; rank state is one (node, r) row per
+    * node, integer pico units end-to-end: per-edge pushes are
+    * `floor(r/deg + 0.5)` on the INTEGER rank, so every engine replays the
+    * arithmetic bit-for-bit and iteration composes exactly. The DuckDB
+    * oracle is generated from the same round template. */
+  val pageRank: QuerySpec = {
+    val iters = 3
+    def roundSql(k: Int): String =
+      s"""c$k AS (
+         |  SELECT e.dst AS key,
+         |         CAST(sum(CAST(floor(CAST(r.r AS DOUBLE) / o.deg + 0.5) AS BIGINT)) AS BIGINT) AS in_pico
+         |  FROM e JOIN outdeg o ON e.src = o.src
+         |  JOIN r${k - 1} r ON r.kind = 0 AND r.key = e.src
+         |  GROUP BY 1),
+         |d$k AS (SELECT CAST(sum(r) AS BIGINT) AS mass FROM r${k - 1} WHERE kind = 1),
+         |r$k AS (
+         |  SELECT nodes.kind, nodes.key,
+         |         CAST(floor(0.15 * 1e12 / n.n_nodes
+         |                    + 0.85 * (coalesce(c.in_pico, 0) + d$k.mass / n.n_nodes)
+         |                    + 0.5) AS BIGINT) AS r
+         |  FROM nodes LEFT JOIN c$k c ON nodes.kind = 1 AND nodes.key = c.key
+         |  CROSS JOIN n CROSS JOIN d$k)""".stripMargin
+    QuerySpec.sql(
+      "q_pagerank",
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |nodes AS (
+         |  SELECT 0 AS kind, src AS key FROM e
+         |  UNION SELECT 1 AS kind, dst AS key FROM e),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
+         |outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT kind, key, CAST(floor(1e12 / n.n_nodes + 0.5) AS BIGINT) AS r
+         |       FROM nodes CROSS JOIN n),
+         |${(1 to iters).map(roundSql).mkString(",\n")}
+         |SELECT CASE WHEN kind = 0 THEN 'c' ELSE 's' END || key AS node, r AS rank_pico
+         |FROM r$iters ORDER BY rank_pico DESC, node LIMIT 50""".stripMargin) { (spark, dir) =>
+      ranksAfter(spark, dir, iters)
+        .select(
+          concat(when(col("kind") === 0, "c").otherwise("s"), col("key")).as("node"),
+          col("r").as("rank_pico"))
+        .orderBy(col("rank_pico").desc, col("node"))
+        .limit(50)
+    }
+  }
+
+  /** The full per-node rank table after `iters` PageRank rounds (exposed
+    * so the spec can check mass conservation over ALL nodes, not just the
+    * registered query's top 50). */
+  def ranksAfter(spark: org.apache.spark.sql.SparkSession, dir: String,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    val e = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(lit(0).as("kind"), col("src").as("key"))
+      .union(e.select(lit(1).as("kind"), col("dst").as("key")))
+      .distinct().localCheckpoint()
+    val n = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("kind"), col("key"),
+        floor(lit(1e12) / col("n_nodes") + 0.5).cast("long").as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = e.join(outdeg, "src")
+        .join(ranks.filter(col("kind") === 0).select(col("key").as("src"), col("r")), "src")
+        .select(col("dst").as("key"),
+          floor(col("r").cast("double") / col("deg") + 0.5).cast("long").as("c_pico"))
+        .groupBy(col("key")).agg(sum(col("c_pico")).as("in_pico"))
+        .select(lit(1).as("kind"), col("key"), col("in_pico"))
+      val dmass = ranks.filter(col("kind") === 1)
+        .agg(sum(col("r")).cast("long").as("mass"))
+      ranks = nodes.join(contrib, Seq("kind", "key"), "left_outer")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(dmass))
+        .select(col("kind"), col("key"),
+          floor(lit(0.15) * 1e12 / col("n_nodes")
+            + lit(0.85) * (coalesce(col("in_pico"), lit(0L)) + col("mass") / col("n_nodes"))
+            + 0.5).cast("long").as("r"))
+        .localCheckpoint() // cut lineage per round, like connectedComponents
+    }
+    ranks
+  }
+
+  val all: Seq[QuerySpec] = Seq(pageRankStep, pageRank)
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.QuerySpec
 import graft.model.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -252,7 +252,76 @@ object Sources {
     out
   }
 
+  /** Bit-spread of a 16-bit value to even bit positions (the Z-order /
+    * Morton building block) as PURE column arithmetic — five shift/mask
+    * steps, whole-stage-codegen'd, no UDF, and replayable bit-for-bit by
+    * any engine with integer shifts. */
+  def spread16(v: Column): Column = {
+    val v0 = v.cast("long").bitwiseAND(lit(0xFFFFL))
+    val v1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(lit(0x33333333L))
+    v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton/Z-order key interleaving two 16-bit-bucketed dimensions. */
+  def zorder16(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** The same spread as ANSI SQL text (for the DuckDB oracle). */
+  private def spreadSql(e: String): String = {
+    val v0 = s"(($e)::BIGINT & 65535)"
+    val v1 = s"(($v0 | ($v0 << 8)) & 16711935)"
+    val v2 = s"(($v1 | ($v1 << 4)) & 252645135)"
+    val v3 = s"(($v2 | ($v2 << 2)) & 858993459)"
+    s"(($v3 | ($v3 << 1)) & 1431655765)"
+  }
+
+  /** Z-ORDER clustered layout — the multi-dimensional complement to
+    * [[clusteredLayout]]: rows sort by the Morton interleave of
+    * (l_partkey, l_suppkey), so every output file covers a bounded
+    * sub-RECTANGLE of the 2-d key space and a filter on EITHER or BOTH
+    * dimensions skips most files via parquet footer min/max — which a
+    * single-column sort can only offer for its leading column.
+    * `ZorderLayoutSpec` quantifies the pruning against the date-clustered
+    * layout; the registered query checks data fidelity through the
+    * round-trip with a 2-d rectangle filter. The oracle replays the
+    * identical shift/mask arithmetic, proving the key is engine-portable
+    * (deployment note: at 100 TB the same write keeps recurring 2-d
+    * selective scans from reading the whole table). */
+  val zorderLayout: QuerySpec = QuerySpec.sql(
+    "q_zorder_layout",
+    s"""SELECT l_returnflag,
+       |       count(*) AS n,
+       |       sum(floor(l_extendedprice * 100 + 0.5)) / 100.0 AS total,
+       |       CAST(min(${spreadSql("l_partkey % 65536")} |
+       |                (${spreadSql("l_suppkey % 65536")} << 1)) AS BIGINT) AS min_zkey
+       |FROM lineitem
+       |WHERE l_partkey BETWEEN 50 AND 74 AND l_suppkey BETWEEN 2 AND 3
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val out = zorderedLineitem(spark, dir)
+    spark.read.parquet(out)
+      .filter(col("l_partkey").between(50, 74) && col("l_suppkey").between(2, 3))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("l_extendedprice") * 100 + 0.5)) / 100.0).as("total"),
+        min(col("zkey")).as("min_zkey"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Write lineitem Z-order-clustered by (l_partkey, l_suppkey); returns
+    * the output path (shared by the registered query and the layout spec). */
+  def zorderedLineitem(spark: SparkSession, dir: String): String = {
+    val out = scratch("lineitem_zorder")
+    Tables.lineitem(spark, dir)
+      .withColumn("zkey", zorder16(col("l_partkey") % 65536, col("l_suppkey") % 65536))
+      .repartitionByRange(16, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
   val all: Seq[QuerySpec] = Seq(
     csvRoundtrip, csvInferRoundtrip, jsonRoundtrip, partitionedSink, externalTable,
-    orcRoundtrip, bucketedJoin, clusteredLayout)
+    orcRoundtrip, bucketedJoin, clusteredLayout, zorderLayout)
 }

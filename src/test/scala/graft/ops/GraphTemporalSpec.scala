@@ -38,6 +38,20 @@ class GraphTemporalSpec extends AnyFunSuite {
     assert(top.forall(_._2 >= floorPico))
   }
 
+  test("full pagerank conserves total rank mass across rounds") {
+    // Σ rank ≈ 1e12 at every round (teleport + damped redistribution is
+    // mass-preserving); drift is only per-node floor error, bounded by
+    // ~1 pico per node per round
+    val nNodes = graft.graph.Graph.ranksAfter(spark, sf, 0).count()
+    Seq(1, 3).foreach { iters =>
+      val total = graft.graph.Graph.ranksAfter(spark, sf, iters)
+        .agg(sum("r")).as[Long].head()
+      val drift = math.abs(total - 1e12.toLong)
+      assert(drift <= nNodes * (iters + 1),
+        s"mass drift $drift after $iters rounds over $nNodes nodes")
+    }
+  }
+
   test("gap fill emits a complete nation x month grid and preserves total order count") {
     val grid = graft.ops.Temporal.gapFill.fn(spark, sf)
     val nations = graft.model.Tables.nation(spark, sf).count()
