@@ -321,7 +321,39 @@ object Sources {
     out
   }
 
+  /** Schema evolution on a parquet table: an early batch written BEFORE a
+    * column existed plus a later batch with it, read back through
+    * `mergeSchema` — the old rows surface the new column as null (additive
+    * evolution, the only kind a 100 TB table can afford: no rewrite of
+    * history). The oracle replays the split + union with an explicit NULL
+    * column. Registered-query twin of the `MaintenanceSpec` tests. */
+  val schemaEvolution: QuerySpec = QuerySpec.sql(
+    "q_schema_evolution",
+    """WITH b1 AS (SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+      |            FROM orders WHERE o_orderkey % 2 = 0),
+      |b2 AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+      |       FROM orders WHERE o_orderkey % 2 = 1),
+      |u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+      |SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+      |       count(*) AS n,
+      |       sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS total
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val out = scratch("orders_evolving")
+    val orders = Tables.orders(spark, dir)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$out/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>")).as("priority"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0).as("total"))
+      .orderBy(col("priority"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     csvRoundtrip, csvInferRoundtrip, jsonRoundtrip, partitionedSink, externalTable,
-    orcRoundtrip, bucketedJoin, clusteredLayout, zorderLayout)
+    orcRoundtrip, bucketedJoin, clusteredLayout, zorderLayout, schemaEvolution)
 }
