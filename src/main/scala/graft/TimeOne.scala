@@ -16,7 +16,11 @@ object TimeOne {
     val fn = SparkEntry.queries(name)
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      // noop sink materializes EVERY output column — count() would let
+      // column pruning drop projection-heavy work (chunk_text, signature
+      // rendering) and under-time exactly the queries being tuned. Bench
+      // stays count()-based on purpose: its numbers compare across rounds.
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     println(f"$name min=${times.min}%.2f s all=${times.map(t => f"$t%.2f").mkString(",")}")

@@ -121,21 +121,9 @@ object Dedup {
   // wrapping arithmetic, so the oracles replay them bit-exactly in HUGEINT
   // with an explicit mod-2^64 after every multiply. Constants are embedded
   // from the SAME Scala definitions the native expressions use.
-  private val M64 = "18446744073709551616::HUGEINT" // 2^64
-  private val Half = "9223372036854775808::HUGEINT" // 2^63
-
-  /** `(z * c) % 2^64` for an arbitrary 64-bit constant `c`: split `c` into
-    * 32-bit halves so no intermediate product overflows INT128
-    * (`z*c` alone can reach 2^128 for the SplitMix64 multipliers). */
-  private def mulmod(z: String, c: Long): String = {
-    val hi = c >>> 32
-    val lo = c & 0xFFFFFFFFL
-    s"(($z) * $lo + ((($z) % 4294967296) * $hi) % 4294967296 * 4294967296) % $M64"
-  }
-
-  /** Re-sign a HUGEINT in [0, 2^64) to its two's-complement BIGINT. */
-  private def signed(u: String): String =
-    s"CAST(CASE WHEN ($u) >= $Half THEN ($u) - $M64 ELSE ($u) END AS BIGINT)"
+  // M64 / Half / mulmod / signed / fnvStep now live in
+  // [[graft.exprs.OracleSql]], shared with the multimodal decode oracle.
+  import graft.exprs.OracleSql.{M64, Half, mulmod, signed, fnvStep}
 
   /** MinHash signatures themselves (per doc) — the reusable sketch that a
     * cross-corpus dedup would persist. The signature is emitted as a scalar
@@ -163,8 +151,7 @@ object Dedup {
          |  SELECT doc_id, sh, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM s
          |  UNION ALL
          |  SELECT doc_id, sh, i + 1,
-         |         ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), ascii(substring(sh, i + 1, 1))))
-         |          * 1099511628211) % $M64
+         |         ${fnvStep("ascii(substring(sh, i + 1, 1))")}
          |  FROM fnv WHERE i < length(sh)),
          |base AS (SELECT doc_id, h FROM fnv WHERE i = length(sh)),
          |m0 AS (SELECT doc_id, sd.j, xor(base.h, sd.v) AS z
@@ -204,8 +191,7 @@ object Dedup {
        |  SELECT doc_id, tok, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM toks
        |  UNION ALL
        |  SELECT doc_id, tok, i + 1,
-       |         ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), ascii(substring(tok, i + 1, 1))))
-       |          * 1099511628211) % $M64
+       |         ${fnvStep("ascii(substring(tok, i + 1, 1))")}
        |  FROM fnv WHERE i < length(tok)),
        |th AS (SELECT doc_id, h FROM fnv WHERE i = length(tok)),
        |bits AS (

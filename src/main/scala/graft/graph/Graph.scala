@@ -19,6 +19,30 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Edge list, node set, node count, and out-degrees of the
+    * customer→supplier purchase graph — the ONE derivation both the step
+    * query and the iterated loop build on (`cut` adds the lineage
+    * checkpoints the loop needs; the single-pass step keeps its lazy plan
+    * so scan pruning stays visible to the plan pins). */
+  private case class PurchaseGraph(
+      e: org.apache.spark.sql.DataFrame, nodes: org.apache.spark.sql.DataFrame,
+      n: org.apache.spark.sql.DataFrame, outdeg: org.apache.spark.sql.DataFrame)
+
+  private def purchaseGraph(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cut: Boolean): PurchaseGraph = {
+    def maybeCut(df: org.apache.spark.sql.DataFrame) = if (cut) df.localCheckpoint() else df
+    val e = maybeCut(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct())
+    val nodes = maybeCut(e.select(lit(0).as("kind"), col("src").as("key"))
+      .union(e.select(lit(1).as("kind"), col("dst").as("key"))).distinct())
+    val n = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    val outdeg = maybeCut(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    PurchaseGraph(e, nodes, n, outdeg)
+  }
+
   val pageRankStep: QuerySpec = QuerySpec.sql(
     "q_pagerank_step",
     """WITH e AS (
@@ -47,15 +71,7 @@ object Graph {
     // node ids stay (kind, key) LONG pairs through every shuffle — the
     // 'c'/'s'-prefixed strings the contract exposes are rendered only for
     // the 50 output rows (string shuffle keys cost ~2x over longs here)
-    val e = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
-      .distinct()
-    val nodes = e.select(lit(0).as("kind"), col("src").as("key"))
-      .union(e.select(lit(1).as("kind"), col("dst").as("key"))).distinct()
-    val n = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val PurchaseGraph(e, nodes, n, outdeg) = purchaseGraph(spark, dir, cut = false)
     // per-edge contribution of a uniform 1/N rank, floored to pico BEFORE
     // the sum so the aggregation is associative integer math; only
     // suppliers (kind 1) receive mass in this bipartite graph
@@ -134,16 +150,7 @@ object Graph {
     * registered query's top 50). */
   def ranksAfter(spark: org.apache.spark.sql.SparkSession, dir: String,
       iters: Int): org.apache.spark.sql.DataFrame = {
-    val e = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
-      .distinct().localCheckpoint()
-    val nodes = e.select(lit(0).as("kind"), col("src").as("key"))
-      .union(e.select(lit(1).as("kind"), col("dst").as("key")))
-      .distinct().localCheckpoint()
-    val n = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    val PurchaseGraph(e, nodes, n, outdeg) = purchaseGraph(spark, dir, cut = true)
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("kind"), col("key"),
         floor(lit(1e12) / col("n_nodes") + 0.5).cast("long").as("r"))

@@ -123,14 +123,12 @@ object Multimodal {
        |  SELECT doc_id, text, hn, 0 AS i, CAST(14695981039346656037 AS HUGEINT) AS h FROM base
        |  UNION ALL
        |  SELECT doc_id, text, hn, i + 1,
-       |         ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), ascii(substring(text, i + 1, 1))))
-       |          * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+       |         ${graft.exprs.OracleSql.fnvStep("ascii(substring(text, i + 1, 1))")}
        |  FROM fnv WHERE i < hn)
        |SELECT b.doc_id, b.n_bytes,
        |       CASE WHEN b.n_bytes = 0 THEN 0.0 ELSE CAST(m.bsum AS DOUBLE) / b.n_bytes END AS mean_byte,
        |       m.max_byte, b.n_frames,
-       |       CAST(CASE WHEN f.h >= CAST(9223372036854775808 AS HUGEINT)
-       |                 THEN f.h - CAST(18446744073709551616 AS HUGEINT) ELSE f.h END AS BIGINT) AS first_frame_hash
+       |       ${graft.exprs.OracleSql.signed("f.h")} AS first_frame_hash
        |FROM base b JOIN moments m USING (doc_id)
        |JOIN (SELECT doc_id, h FROM fnv WHERE i = hn) f USING (doc_id)
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>

@@ -137,6 +137,42 @@ case class AsOfJoinExec(
       var matchValues: InternalRow = null
       var matchTime: Any = null
 
+      // copy non-primitive keys: bk may point into sorter-owned row memory
+      // that is reused once the iterator advances (same hazard
+      // TopKPerGroupExec guards against)
+      def cloneKey(bk: Any): Any = bk match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+        case arr: Array[Byte] => arr.clone()
+        case other => other
+      }
+
+      // The ONE backward consume loop (shared by the backward and nearest
+      // machines): fold build rows at-or-before (pk, pt) into the
+      // remembered state; rows behind the probe key and null keys/times
+      // are discarded; the first row past the probe stays PEEKED at the
+      // buffer head — for nearest it is exactly the forward candidate.
+      def consumeUpTo(pk: Any, pt: Any): Unit = {
+        var done = false
+        while (!done && buffered.hasNext) {
+          val h = buffered.head
+          val bk = rk.eval(h)
+          val cmp = if (bk == null) -1 else keyOrd.compare(bk, pk)
+          if (cmp < 0) {
+            buffered.next() // behind the probe key (or null key): discard
+          } else if (cmp == 0) {
+            val bt = rt.eval(h)
+            if (bt == null) {
+              buffered.next() // null build time (sorted first): never matches
+            } else if (timeOrd.compare(bt, pt) <= 0) {
+              matchKey = cloneKey(bk)
+              matchValues = valuesProj(h).copy()
+              matchTime = bt // Long/Int: immutable, no clone needed
+              buffered.next()
+            } else done = true // future build row for this key
+          } else done = true // build iterator moved past probe key
+        }
+      }
+
       if (fwd) probeIt.map { probe =>
         val pk = lk.eval(probe)
         val pt = lt.eval(probe)
@@ -178,32 +214,7 @@ case class AsOfJoinExec(
         val pk = lk.eval(probe)
         val pt = lt.eval(probe)
         if (pk != null && pt != null) {
-          // identical consumption to backward: rows ≤ probe time fold into
-          // the remembered state; the first row > probe time stays peekable
-          // at the head as the forward candidate
-          var done = false
-          while (!done && buffered.hasNext) {
-            val h = buffered.head
-            val bk = rk.eval(h)
-            val cmp = if (bk == null) -1 else keyOrd.compare(bk, pk)
-            if (cmp < 0) {
-              buffered.next()
-            } else if (cmp == 0) {
-              val bt = rt.eval(h)
-              if (bt == null) {
-                buffered.next()
-              } else if (timeOrd.compare(bt, pt) <= 0) {
-                matchKey = bk match {
-                  case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-                  case arr: Array[Byte] => arr.clone()
-                  case other => other
-                }
-                matchValues = valuesProj(h).copy()
-                matchTime = bt
-                buffered.next()
-              } else done = true
-            } else done = true
-          }
+          consumeUpTo(pk, pt)
           val backOk = matchValues != null && matchKey != null &&
             keyOrd.compare(matchKey, pk) == 0
           val backDist = if (backOk) timeAsLong(pt) - timeAsLong(matchTime) else Long.MaxValue
@@ -233,31 +244,7 @@ case class AsOfJoinExec(
         val pk = lk.eval(probe)
         val pt = lt.eval(probe)
         if (pk != null && pt != null) {
-          var done = false
-          while (!done && buffered.hasNext) {
-            val h = buffered.head
-            val bk = rk.eval(h)
-            val cmp = if (bk == null) -1 else keyOrd.compare(bk, pk)
-            if (cmp < 0) {
-              buffered.next() // behind the probe key (or null key): discard
-            } else if (cmp == 0) {
-              val bt = rt.eval(h)
-              if (bt == null) {
-                buffered.next() // null build time (sorted first): never matches
-              } else if (timeOrd.compare(bt, pt) <= 0) {
-                // copy non-primitive keys: bk may point into sorter-owned
-                // row memory that is reused once the iterator advances
-                matchKey = bk match {
-                  case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-                  case arr: Array[Byte] => arr.clone()
-                  case other => other
-                }
-                matchValues = valuesProj(h).copy()
-                matchTime = bt // Long/Int: immutable, no clone needed
-                buffered.next()
-              } else done = true // future build row for this key
-            } else done = true // build iterator moved past probe key
-          }
+          consumeUpTo(pk, pt)
           val useMatch = matchValues != null && matchKey != null &&
             keyOrd.compare(matchKey, pk) == 0 &&
             tol.forall(t => timeAsLong(pt) - timeAsLong(matchTime) <= t)

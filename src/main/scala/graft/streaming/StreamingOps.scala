@@ -54,9 +54,7 @@ object StreamingOps {
     // takes ambient disk contention out of the measurement (observed 5-27 s
     // swings on a loaded host). A cluster deployment points this at durable
     // storage (HDFS/S3) instead — the query is unchanged.
-    val ckptRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else staged + "_ck"
-    val ckpt = s"$ckptRoot/graft_ckpt_stream_window"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val ckpt = freshCheckpoint("stream_window", staged + "_ck")
     withShufflePartitions(spark, 8) {
       val q = agg.writeStream
         .outputMode("complete")
@@ -173,33 +171,19 @@ object StreamingOps {
     val ev = Tables.events(spark, dir)
     ev.union(ev.filter(col("event_id") % 10 === 0))
       .repartition(8).write.mode("overwrite").parquet(staged)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
-    val ckptRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
-                   else staged + "_ck"
-    val ckpt = s"$ckptRoot/graft_ckpt_stream_dedup"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val ckpt = freshCheckpoint("stream_dedup", staged + "_ck")
     val deduped = spark.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", "4")
       .parquet(staged)
       .withWatermark("ts", "3650 days")
       .dropDuplicatesWithinWatermark("event_id")
-    // state-store parallelism = shuffle partitions, and each partition
-    // commits a delta per micro-batch; size it to the STATE, not the batch
-    // CPU count (a production streaming job sets this explicitly — it is
-    // fixed forever by the first checkpoint). 32 partitions of trivial
-    // state spent more time committing than deduplicating.
-    withShufflePartitions(spark, 8) {
-      val q = deduped.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(sink)
-          ()
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    // runToParquetSink pins state-store parallelism (= shuffle partitions)
+    // to the STATE size, not the batch CPU count: each partition commits a
+    // delta per micro-batch, and 32 partitions of trivial state spent more
+    // time committing than deduplicating. A production job sets the conf
+    // explicitly — it is frozen by the first checkpoint anyway.
+    runToParquetSink(spark, deduped, ckpt, sink)
     spark.read.parquet(sink)
       .groupBy(col("event_type"))
       .agg(
@@ -231,11 +215,7 @@ object StreamingOps {
     val sink = s"$tmp/graft_scratch/events_join_sink"
     val ev = Tables.events(spark, dir)
     ev.repartition(8).write.mode("overwrite").parquet(staged)
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
-    val ckptRoot = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
-                   else staged + "_ck"
-    val ckpt = s"$ckptRoot/graft_ckpt_stream_join"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val ckpt = freshCheckpoint("stream_join", staged + "_ck")
     def side(t: String) = spark.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", "4")
@@ -252,10 +232,33 @@ object StreamingOps {
         (floor(col("l.value") * 100 + 0.5).cast("long")
           + floor(col("r.value") * 100 + 0.5).cast("long")).as("cents"))
     // a stream-stream join keeps FOUR state stores per partition (two per
-    // side); see streamDedup on sizing partitions to state, which matters
-    // 4x more here
+    // side), so runToParquetSink's state-sized parallelism matters 4x more
+    runToParquetSink(spark, joined, ckpt, sink)
+    spark.read.parquet(sink)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Fresh checkpoint dir for a streaming query: tmpfs when present (the
+    * streamWindow LOCAL-MODE note — state-store delta commits off the
+    * contended disk), cleaned before each run. A cluster deployment points
+    * this at durable storage instead. */
+  private def freshCheckpoint(name: String, fallbackBase: String): String = {
+    val root = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else fallbackBase
+    val ckpt = s"$root/graft_ckpt_$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    ckpt
+  }
+
+  /** Run `df` as an AvailableNow stream appending every micro-batch to a
+    * parquet `sink` (cleaned first), at state-sized shuffle parallelism —
+    * the shared production ingest shape of streamDedup and streamJoin. */
+  private def runToParquetSink(
+      spark: SparkSession, df: DataFrame, ckpt: String, sink: String): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
     withShufflePartitions(spark, 8) {
-      val q = joined.writeStream
+      val q = df.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.write.mode("append").parquet(sink)
           ()
@@ -265,10 +268,6 @@ object StreamingOps {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(sink)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_pairs"), sum(col("cents")).as("sum_cents"))
-      .orderBy(col("user_id"))
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n`,
