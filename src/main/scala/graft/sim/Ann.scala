@@ -222,9 +222,56 @@ object Ann {
     * every 1-bit flip); candidates are bucket-key hash-join collisions,
     * deduped, then ranked by exact cosine. No BroadcastNestedLoopJoin —
     * the candidate set is reached by key lookup, which is what makes the
-    * plan sub-linear per query at scale. Rows-only: approximate recall is
-    * asserted vs the exact baseline in the test suite. */
-  val annLsh: QuerySpec = QuerySpec.rowsOnly("q_ann_lsh") { (spark, dir) =>
+    * plan sub-linear per query at scale.
+    *
+    * Fully ORACLE-CHECKED (the whole LSH pipeline is deterministic): the
+    * 48 ±1 hyperplanes are embedded as sign-string literals generated
+    * from the SAME `plane()` the kernel uses (the minhash seedVals
+    * pattern); projections replay with the q_ann_cosine float→double
+    * sequential-sum parity, signatures are exact bit sums, multi-probe is
+    * xor, and the final rank is the proven cosine ordering. Recall vs the
+    * exact baseline stays asserted in the test suite. */
+  val annLsh: QuerySpec = QuerySpec.sql(
+    "q_ann_lsh", {
+      val planeRows = (0 until LshTables).flatMap { t =>
+        (0 until LshBits).map { b =>
+          val signs = plane(t, b).map(f => if (f > 0) '+' else '-').mkString
+          s"($t, $b, '$signs')"
+        }
+      }.mkString(", ")
+      s"""WITH planes(tbl, bit, signs) AS (VALUES $planeRows),
+         |proj AS (
+         |  SELECT e.vec_id, p.tbl, p.bit,
+         |         list_sum(list_transform(range(1, ${Dim + 1}),
+         |            d -> CAST(e.embedding[d] AS DOUBLE) *
+         |                 (CASE WHEN substring(p.signs, CAST(d AS INTEGER), 1) = '+'
+         |                       THEN 1.0 ELSE -1.0 END))) AS pr
+         |  FROM embeddings e CROSS JOIN planes p),
+         |sigs AS (
+         |  SELECT vec_id, tbl,
+         |         CAST(sum(CASE WHEN pr > 0 THEN CAST(1 << bit AS BIGINT) ELSE 0 END) AS INTEGER) AS sig
+         |  FROM proj GROUP BY 1, 2),
+         |qsig AS (SELECT * FROM sigs WHERE vec_id < 8),
+         |probes AS (
+         |  SELECT vec_id AS qid, tbl, sig FROM qsig
+         |  UNION
+         |  SELECT q.vec_id, q.tbl, xor(q.sig, CAST(1 << b.b AS INTEGER))
+         |  FROM qsig q, (SELECT unnest(range(0, ${LshBits})) AS b) b),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, s.vec_id AS cid
+         |  FROM probes p JOIN sigs s ON p.tbl = s.tbl AND p.sig = s.sig
+         |  WHERE s.vec_id <> p.qid),
+         |sims AS (
+         |  SELECT c.qid, c.cid, ${simSql("qe.embedding", "ce.embedding")} AS sim
+         |  FROM cand c
+         |  JOIN embeddings qe ON qe.vec_id = c.qid
+         |  JOIN embeddings ce ON ce.vec_id = c.cid),
+         |r AS (SELECT qid, cid, sim,
+         |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+         |      FROM sims)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, cid, sim
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    }) { (spark, dir) =>
     GraftFunctions.register(spark)
     val L = LshTables; val bits = LshBits
     val e = Tables.embeddings(spark, dir).withColumn("n2", norm2(col("embedding")))
