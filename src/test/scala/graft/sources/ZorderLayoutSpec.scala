@@ -50,4 +50,25 @@ class ZorderLayoutSpec extends AnyFunSuite {
       .count()
     assert(bad === 0)
   }
+
+  test("spread16/zorder16 column arithmetic equals the reference bit interleave") {
+    // reference: place bit d of x at position 2d, bit d of y at 2d+1
+    def refInterleave(x: Int, y: Int): Long = {
+      var z = 0L
+      (0 until 16).foreach { d =>
+        z |= ((x >> d) & 1).toLong << (2 * d)
+        z |= ((y >> d) & 1).toLong << (2 * d + 1)
+      }
+      z
+    }
+    val probes = Seq(
+      (0, 0), (1, 0), (0, 1), (65535, 65535), (0xAAAA, 0x5555),
+      (12345, 54321), (1, 65535), (32768, 1), (255, 256))
+    val got = spark.createDataFrame(probes).toDF("x", "y")
+      .select(col("x"), col("y"), Sources.zorder16(col("x"), col("y")).as("z"))
+      .as[(Int, Int, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z === refInterleave(x, y), s"interleave($x, $y)")
+    }
+  }
 }
