@@ -241,5 +241,111 @@ object TrainingPrep {
         (col("symbols_before") - col("merged_occurrences")).as("symbols_after"))
   }
 
-  val all: Seq[QuerySpec] = Seq(docChunks, qualityDeciles, lmBigram, bpeStep)
+  /** Held-out TRIGRAM LM with interpolation smoothing — one n-gram order
+    * past [[lmBigram]], and the shape every higher order reuses:
+    * p(w₃|w₁w₂) = 0.6·ML₃ + 0.3·ML₂ + 0.1·ML₁, where each ML backs off to
+    * the next-shorter context and the unigram leg is add-one smoothed so
+    * p > 0 always. Three count tables (tri/bi/uni — all bounded by train
+    * vocab), five equi-joins per scored position, one 1-row broadcast.
+    * The interpolation sum is a FIXED expression tree of integer-derived
+    * doubles, so both engines evaluate it bit-identically; the ln is then
+    * micro-floored per position before the per-doc integer sum (the
+    * q_tfidf rule). */
+  val lmTrigram: QuerySpec = QuerySpec.sql(
+    "q_lm_trigram",
+    """WITH d AS (SELECT doc_id, doc_id % 10 AS b, string_split(text, ' ') AS w FROM documents),
+      |tr1 AS (SELECT unnest(w) AS t FROM d WHERE b < 8),
+      |c1 AS (SELECT t, count(*) AS c FROM tr1 GROUP BY 1),
+      |stats AS (SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM c1),
+      |tr2 AS (SELECT unnest(list_transform(range(1, len(w)),
+      |                      i -> w[i] || ' ' || w[i+1])) AS bg
+      |        FROM d WHERE b < 8),
+      |c2 AS (SELECT bg, count(*) AS c FROM tr2 GROUP BY 1),
+      |tr3 AS (SELECT unnest(list_transform(range(1, len(w) - 1),
+      |                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tg
+      |        FROM d WHERE b < 8),
+      |c3 AS (SELECT tg, count(*) AS c FROM tr3 GROUP BY 1),
+      |te AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |                  i -> struct_pack(tg := w[i] || ' ' || w[i+1] || ' ' || w[i+2],
+      |                                   pfx := w[i] || ' ' || w[i+1],
+      |                                   lst := w[i+1] || ' ' || w[i+2],
+      |                                   w2 := w[i+1], w3 := w[i+2]))) AS p
+      |       FROM d WHERE b >= 8),
+      |sc AS (
+      |  SELECT te.doc_id,
+      |         CASE WHEN c3.c IS NOT NULL THEN 1 ELSE 0 END AS hit3,
+      |         CASE WHEN cl.c IS NOT NULL THEN 1 ELSE 0 END AS hit2,
+      |         CAST(floor(-ln(
+      |             0.6 * (CASE WHEN c3.c IS NOT NULL THEN c3.c / CAST(cp.c AS DOUBLE) ELSE 0.0 END)
+      |           + 0.3 * (CASE WHEN cl.c IS NOT NULL THEN cl.c / CAST(cu2.c AS DOUBLE) ELSE 0.0 END)
+      |           + 0.1 * ((coalesce(cu3.c, 0) + 1) / (stats.n + stats.v))
+      |         ) * 1000000 + 0.5) AS BIGINT) AS nll_micro
+      |  FROM te
+      |  LEFT JOIN c3 ON te.p.tg = c3.tg
+      |  LEFT JOIN c2 cp ON te.p.pfx = cp.bg
+      |  LEFT JOIN c2 cl ON te.p.lst = cl.bg
+      |  LEFT JOIN c1 cu2 ON te.p.w2 = cu2.t
+      |  LEFT JOIN c1 cu3 ON te.p.w3 = cu3.t
+      |  CROSS JOIN stats)
+      |SELECT doc_id, count(*) AS n_trigrams,
+      |       CAST(sum(hit3) AS BIGINT) AS n_tri_hits,
+      |       CAST(sum(hit2) AS BIGINT) AS n_bi_hits,
+      |       CAST(sum(nll_micro) AS BIGINT) AS nll_micro_sum
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 10).as("b"), toks.as("w"))
+    val train = d.filter(col("b") < 8)
+    val c1 = train.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val stats = c1.agg(sum(col("c")).cast("double").as("n"),
+      count(lit(1)).cast("double").as("v"))
+    def grams(k: Int) = when(size(col("w")) >= k,
+      transform(
+        sequence(lit(0), size(col("w")) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val c2 = train.select(explode(grams(2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val c3 = train.select(explode(grams(3)).as("tg"))
+      .groupBy(col("tg")).agg(count(lit(1)).as("c"))
+    val triStructs = when(size(col("w")) >= 3,
+      transform(
+        sequence(lit(0), size(col("w")) - 3),
+        i => struct(
+          concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2),
+            element_at(col("w"), i + 3)).as("tg"),
+          concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2)).as("pfx"),
+          concat_ws(" ", element_at(col("w"), i + 2), element_at(col("w"), i + 3)).as("lst"),
+          element_at(col("w"), i + 2).as("w2"),
+          element_at(col("w"), i + 3).as("w3"))))
+      .otherwise(array().cast(
+        "array<struct<tg:string,pfx:string,lst:string,w2:string,w3:string>>"))
+    val te = d.filter(col("b") >= 8)
+      .select(col("doc_id"), explode(triStructs).as("p"))
+    val ml3 = when(col("c_tg").isNotNull, col("c_tg") / col("c_pfx").cast("double"))
+      .otherwise(0.0)
+    val ml2 = when(col("c_lst").isNotNull, col("c_lst") / col("c_w2").cast("double"))
+      .otherwise(0.0)
+    val ml1 = (coalesce(col("c_w3"), lit(0L)) + 1) / (col("n") + col("v"))
+    te.join(c3.select(col("tg"), col("c").as("c_tg")), col("p.tg") === col("tg"), "left")
+      .join(c2.select(col("bg").as("bg_p"), col("c").as("c_pfx")), col("p.pfx") === col("bg_p"), "left")
+      .join(c2.select(col("bg").as("bg_l"), col("c").as("c_lst")), col("p.lst") === col("bg_l"), "left")
+      .join(c1.select(col("t").as("t2"), col("c").as("c_w2")), col("p.w2") === col("t2"), "left")
+      .join(c1.select(col("t").as("t3"), col("c").as("c_w3")), col("p.w3") === col("t3"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        when(col("c_tg").isNotNull, 1).otherwise(0).as("hit3"),
+        when(col("c_lst").isNotNull, 1).otherwise(0).as("hit2"),
+        floor(-log(lit(0.6) * ml3 + lit(0.3) * ml2 + lit(0.1) * ml1) * 1000000 + 0.5)
+          .cast("long").as("nll_micro"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(col("hit3")).cast("long").as("n_tri_hits"),
+        sum(col("hit2")).cast("long").as("n_bi_hits"),
+        sum(col("nll_micro")).as("nll_micro_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(docChunks, qualityDeciles, lmBigram, bpeStep, lmTrigram)
 }

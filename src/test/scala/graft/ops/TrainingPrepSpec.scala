@@ -70,6 +70,29 @@ class TrainingPrepSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("trigram LM: per-position counts, hit ordering, and non-negative NLL") {
+    val scored = graft.text.TrainingPrep.lmTrigram.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(scored.nonEmpty)
+    scored.foreach { case (id, nTri, hits3, hits2, nll) =>
+      // a trigram hit contains its last bigram, so tri hits never exceed bi hits
+      assert(hits3 <= hits2, s"doc $id: tri hits $hits3 > bi hits $hits2")
+      assert(hits3 >= 0 && hits2 <= nTri)
+      // every interpolated p is in (0, 1], so the summed NLL is non-negative
+      assert(nll >= 0, s"doc $id negative NLL $nll")
+    }
+    // the holdout actually exercises the backoff legs
+    assert(scored.map(_._3).sum < scored.map(_._2).sum,
+      "every trigram was seen in train — interpolation untested")
+    val docs = graft.model.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      .as[(Long, Int)].collect().toMap
+    scored.foreach { case (id, nTri, _, _, _) =>
+      assert(nTri === docs(id) - 2, s"doc $id trigram count")
+    }
+  }
+
   test("SCD2 intervals chain per customer: contiguous, tier-changing, one current row") {
     val hist = graft.ops.Scd.scd2.fn(spark, sf)
       .select($"o_custkey", $"tier", $"valid_from", $"valid_to", $"is_current")
