@@ -175,5 +175,53 @@ object Graph {
     ranks
   }
 
+  /** PageRank iterated to CONVERGENCE (the production form; the registered
+    * [[pageRank]] fixes 3 rounds only so its oracle can unroll them):
+    * rounds run until no node's rank moves by more than `epsPico`, checked
+    * with one tiny aggregate per round — the connectedComponents
+    * stable-probe pattern for value propagation. Returns the final rank
+    * table and the number of rounds (including the verification round that
+    * observes the fixpoint). Refuses to return an unconverged answer. */
+  def pageRankConverged(spark: org.apache.spark.sql.SparkSession, dir: String,
+      epsPico: Long = 10000000L, maxIter: Int = 120):
+      (org.apache.spark.sql.DataFrame, Int) = {
+    // damping 0.85 contracts deltas geometrically, so rounds-to-eps is
+    // log(delta0/eps)/log(1/0.85) ≈ 42 for eps 1e7 on this graph — the
+    // textbook 50-100-iteration PageRank budget, NOT a handful of rounds
+    val PurchaseGraph(e, nodes, n, outdeg) = purchaseGraph(spark, dir, cut = true)
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("kind"), col("key"),
+        floor(lit(1e12) / col("n_nodes") + 0.5).cast("long").as("r"))
+      .localCheckpoint()
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxIter) {
+      val contrib = e.join(outdeg, "src")
+        .join(ranks.filter(col("kind") === 0).select(col("key").as("src"), col("r")), "src")
+        .select(col("dst").as("key"),
+          floor(col("r").cast("double") / col("deg") + 0.5).cast("long").as("c_pico"))
+        .groupBy(col("key")).agg(sum(col("c_pico")).as("in_pico"))
+        .select(lit(1).as("kind"), col("key"), col("in_pico"))
+      val dmass = ranks.filter(col("kind") === 1)
+        .agg(sum(col("r")).cast("long").as("mass"))
+      val next = nodes.join(contrib, Seq("kind", "key"), "left_outer")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(dmass))
+        .select(col("kind"), col("key"),
+          floor(lit(0.15) * 1e12 / col("n_nodes")
+            + lit(0.85) * (coalesce(col("in_pico"), lit(0L)) + col("mass") / col("n_nodes"))
+            + 0.5).cast("long").as("r"))
+        .localCheckpoint()
+      val maxDelta = next.as("a")
+        .join(ranks.select(col("kind"), col("key"), col("r").as("r_prev")), Seq("kind", "key"))
+        .agg(max(abs(col("r") - col("r_prev"))).as("d"))
+        .collect()(0).getLong(0)
+      stable = maxDelta <= epsPico
+      ranks = next
+      rounds += 1
+    }
+    require(stable, s"pageRank did not converge in $maxIter rounds")
+    (ranks, rounds)
+  }
+
   val all: Seq[QuerySpec] = Seq(pageRankStep, pageRank)
 }

@@ -52,6 +52,17 @@ class GraphTemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank converges geometrically and conserves mass at the fixpoint") {
+    val (ranks, rounds) = graft.graph.Graph.pageRankConverged(spark, sf, epsPico = 10000000L)
+    // 0.85-damped deltas need log(delta0/eps)/log(1/0.85) rounds — around
+    // 40 for eps 1e7 here; the assertion bounds the geometric budget, it
+    // does not expect a handful of rounds
+    assert(rounds >= 5 && rounds <= 80, s"pagerank took $rounds rounds")
+    // total mass still ~1e12 at the fixpoint
+    val total = ranks.agg(sum("r")).as[Long].head()
+    assert(math.abs(total - 1e12.toLong) <= ranks.count() * (rounds + 1))
+  }
+
   test("gap fill emits a complete nation x month grid and preserves total order count") {
     val grid = graft.ops.Temporal.gapFill.fn(spark, sf)
     val nations = graft.model.Tables.nation(spark, sf).count()
