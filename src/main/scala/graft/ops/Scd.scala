@@ -45,7 +45,7 @@ object Scd {
       |  FROM c WHERE prev_tier IS NULL OR tier <> prev_tier)
       |SELECT o_custkey, tier, valid_from, valid_to,
       |       CAST(valid_to IS NULL AS BOOLEAN) AS is_current
-      |FROM v ORDER BY o_custkey, valid_from, tier""".stripMargin) { (spark, dir) =>
+      |FROM v ORDER BY o_custkey, valid_from, tier, valid_to ASC NULLS LAST""".stripMargin) { (spark, dir) =>
     val byOrder = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
     val changes = Tables.orders(spark, dir)
@@ -60,7 +60,11 @@ object Scd {
       .withColumn("valid_to", lead(col("o_orderdate"), 1).over(byOrder))
       .select(col("o_custkey"), col("tier"), col("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
-      .orderBy(col("o_custkey"), col("valid_from"), col("tier"))
+      // valid_to (NULLS LAST, matching DuckDB's ASC default) completes a
+      // total order: a same-date tier revert emits two rows identical in
+      // (custkey, valid_from, tier) that differ only in valid_to
+      .orderBy(col("o_custkey"), col("valid_from"), col("tier"),
+        col("valid_to").asc_nulls_last)
   }
 
   val all: Seq[QuerySpec] = Seq(scd2)

@@ -251,16 +251,23 @@ object StreamingOps {
     ckpt
   }
 
-  /** Run `df` as an AvailableNow stream appending every micro-batch to a
+  /** Run `df` as an AvailableNow stream writing every micro-batch to a
     * parquet `sink` (cleaned first), at state-sized shuffle parallelism —
-    * the shared production ingest shape of streamDedup and streamJoin. */
+    * the shared production ingest shape of streamDedup and streamJoin.
+    *
+    * Each batch lands in its own `batch=<id>` partition directory with
+    * mode=overwrite, which is what makes the sink idempotent under
+    * micro-batch RETRY: a re-executed batch replaces its own output
+    * instead of appending a duplicate (a blind flat-dir append is only
+    * at-least-once). Readers see the extra `batch` discovery column and
+    * project it away. */
   private def runToParquetSink(
       spark: SparkSession, df: DataFrame, ckpt: String, sink: String): Unit = {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
     withShufflePartitions(spark, 8) {
       val q = df.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(sink)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$sink/batch=$batchId")
           ()
         }
         .option("checkpointLocation", ckpt)

@@ -82,9 +82,15 @@ object TrainingPrep {
     val quality = least(nTok, lit(200)) / 200.0 * 0.7 + (nStop / nTok) * 0.3
     val m = Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"), quality.as("quality"))
-    // phase 1: contiguous range partitions, local rank in parallel
+    // phase 1: contiguous range partitions, local rank in parallel.
+    // localCheckpoint pins the range exchange's sampled boundaries: both
+    // branches below (local ranks, per-partition offsets) must see the SAME
+    // pid assignment, and without materialization that agreement hangs on
+    // ReuseExchange kicking in (RangePartitioner's sample seed is
+    // RDD-id-dependent, so two evaluations can draw different boundaries)
     val parts = m.repartitionByRange(16, col("quality").desc, col("doc_id").asc)
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val wLocal = Window.partitionBy(col("pid"))
       .orderBy(col("quality").desc, col("doc_id").asc)
     val local = parts.withColumn("lrnk", row_number().over(wLocal))

@@ -58,9 +58,17 @@ class RocksDbSuiteSpec extends AnyFunSuite {
     assert(onRocks.nonEmpty)
   }
 
-  test("registered stream-stream join equals the batch time-range join") {
+  test("registered stream-stream join equals the batch time-range join, on RocksDB too") {
     val streamed = graft.streaming.StreamingOps.streamJoin.fn(spark, sf)
       .as[(Long, Long, Long)].collect().toSet
+    // the one stateful query this suite previously left unpinned on the
+    // production provider — four state stores per partition, so the
+    // provider swap exercises more surface here than anywhere else
+    val onRocks = withRocksDb {
+      graft.streaming.StreamingOps.streamJoin.fn(spark, sf)
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    assert(onRocks === streamed)
     val ev = graft.model.Tables.events(spark, sf)
     val l = ev.filter(col("event_type") === "click").alias("l")
     val r = ev.filter(col("event_type") === "view").alias("r")
