@@ -240,6 +240,78 @@ object StreamingOps {
       .orderBy(col("user_id"))
   }
 
+  /** Bounded-watermark streaming with LATE DATA — the production watermark
+    * contract demonstrated end-to-end, state eviction and all. Every other
+    * registered stream pins a 3650-day watermark so the finite replay keeps
+    * all state; this one runs the real thing: a 1-DAY lateness bound over
+    * 1-hour tumbling windows, with a second delivery wave that arrives
+    * beyond the bound and must be DROPPED.
+    *
+    * Two AvailableNow runs share one checkpoint (the production restart
+    * shape — the file source and watermark resume from the commit log):
+    *   run 1: the on-time wave (events from the final 3 days, one gulp)
+    *          establishes watermark = max(ts) - 1 day and finalizes every
+    *          closed window into the parquet sink;
+    *   run 2: the straggler wave (events before Jan 26) arrives. Every
+    *          straggler's window closed below the run-1 watermark, so the
+    *          aggregation state for those hours is GONE — the events are
+    *          dropped on input, append nothing, and the sink is unchanged.
+    *
+    * Determinism does not hang on micro-batch boundaries: run 1 is a
+    * single gulp (watermark applies only from the NEXT batch), and every
+    * run-2 event is below the watermark persisted at run-1 commit no
+    * matter how run 2 batches. The oracle is the batch aggregate over
+    * ONLY the on-time wave, truncated to windows closed by the final
+    * watermark — if the stream failed to drop stragglers (or failed to
+    * finalize append-mode windows) the hashes cannot match. Windows inside
+    * the last day never emit in append mode; the oracle excludes them the
+    * same way. State-size bounding (bounded ≪ unbounded on the identical
+    * feed) is pinned separately in `StreamingSpec`. */
+  val streamLate: QuerySpec = QuerySpec.sql(
+    "q_stream_late",
+    """WITH ot AS (
+      |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'),
+      |mx AS (SELECT max(ts) AS m FROM ot),
+      |w AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      |         event_type, count(*) AS n,
+      |         sum(floor(value * 100 + 0.5)) / 100.0 AS sum_value
+      |  FROM ot GROUP BY 1, 2)
+      |SELECT w.window_start, w.event_type, w.n, w.sum_value
+      |FROM w, mx
+      |WHERE w.window_start + INTERVAL 1 HOUR <= mx.m - INTERVAL 1 DAY
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val staged = s"$tmp/graft_scratch/events_late_stream"
+    val sink = s"$tmp/graft_scratch/events_late_sink"
+    val ev = Tables.events(spark, dir)
+    val onTime = ev.filter(col("ts") >= lit("2024-01-28 00:00:00").cast("timestamp"))
+    // stragglers end strictly before Jan 26, so every straggler window
+    // closes at least a full day below the run-1 watermark — dropped
+    // deterministically, not just probably
+    val late = ev.filter(col("ts") < lit("2024-01-26 00:00:00").cast("timestamp"))
+    onTime.repartition(4).write.mode("overwrite").parquet(staged)
+    val ckpt = freshCheckpoint("stream_late", staged + "_ck")
+    def agg = spark.readStream
+      .schema(ev.schema)
+      .parquet(staged) // no maxFilesPerTrigger: each run is one gulp
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100 + 0.5)) / 100.0).as("sum_value"))
+    runToParquetSink(spark, agg, ckpt, sink)
+    // wave 2: stragglers land as NEW files; the resumed source reads only
+    // them, the resumed watermark drops them all
+    late.repartition(4).write.mode("append").parquet(staged)
+    runToParquetSink(spark, agg, ckpt, sink, clean = false)
+    spark.read.parquet(sink)
+      .select(
+        col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Fresh checkpoint dir for a streaming query: tmpfs when present (the
     * streamWindow LOCAL-MODE note — state-store delta commits off the
     * contended disk), cleaned before each run. A cluster deployment points
@@ -262,8 +334,9 @@ object StreamingOps {
     * at-least-once). Readers see the extra `batch` discovery column and
     * project it away. */
   private def runToParquetSink(
-      spark: SparkSession, df: DataFrame, ckpt: String, sink: String): Unit = {
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
+      spark: SparkSession, df: DataFrame, ckpt: String, sink: String,
+      clean: Boolean = true): Unit = {
+    if (clean) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
     withShufflePartitions(spark, 8) {
       val q = df.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -289,7 +362,8 @@ object StreamingOps {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(streamWindow, sessionize, sessionWindowBuiltin, streamDedup, streamJoin)
+    Seq(streamWindow, sessionize, sessionWindowBuiltin, streamDedup, streamJoin,
+      streamLate)
 }
 
 /** Typed event for stateful sessionization. */

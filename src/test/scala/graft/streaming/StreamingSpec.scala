@@ -277,6 +277,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
+  test("q_stream_late drops the straggler wave and finalizes exactly the closed windows") {
+    val got = StreamingOps.streamLate.fn(spark, sf)
+      .select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    // the batch truth over ONLY the on-time wave, truncated to windows the
+    // 1-day watermark closed — any surviving straggler (pre-Jan-26 window)
+    // or unfinalized open window breaks set equality
+    val ev = graft.model.Tables.events(spark, sf)
+    val onTime = ev.filter(col("ts") >= lit("2024-01-28 00:00:00").cast("timestamp"))
+    val wmRow = onTime.agg(max(col("ts"))).head.getTimestamp(0)
+    val wm = new java.sql.Timestamp(wmRow.getTime - 24L * 3600 * 1000)
+    wm.setNanos(wmRow.getNanos) // keep sub-ms precision through the -1d shift
+    val batch = onTime
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("window_start") + expr("INTERVAL 1 HOUR") <= lit(wm))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+    assert(got.map(_._1).min.after(java.sql.Timestamp.valueOf("2024-01-27 23:00:00")))
+  }
+
+  test("a finite watermark bounds aggregation state; an effectively-unbounded one keeps every window") {
+    // the 100 TB claim behind q_stream_late: with a 1-day lateness bound
+    // the hourly-window state store holds only the open horizon at end of
+    // stream, while the 3650-day form retains all ~720 windows of the
+    // month. Eviction happens at batch boundaries, so several micro-batches
+    // are forced; final numRowsTotal comes from the last progress event
+    // with a state operator (order-insensitive — the closing no-data batch
+    // evicts everything below the final watermark either way).
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val staged = s"$tmp/graft_scratch/events_statebound"
+    val ev = graft.model.Tables.events(spark, sf)
+    ev.repartition(8).write.mode("overwrite").parquet(staged)
+    def finalStateRows(delay: String, tag: String): Long = {
+      val ckpt = s"$tmp/graft_scratch/ck_statebound_$tag"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      val agg = spark.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staged)
+        .withWatermark("ts", delay)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.outputMode("append")
+        // count() forces every partition: a truly-noop foreachBatch fails
+        // Spark's state-store commit validation (0 of N commits)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) => b.count(); () }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.reverse.iterator
+        .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
+        .next()
+    }
+    val unbounded = finalStateRows("3650 days", "ub")
+    val bounded = finalStateRows("1 day", "b")
+    assert(bounded > 0, "bounded run kept no state at all — watermark overshot the data")
+    assert(bounded * 4 < unbounded,
+      s"eviction did not bound state: bounded=$bounded unbounded=$unbounded")
+  }
+
   test("streaming dedup within watermark drops re-delivered events") {
     implicit val sc = spark.sqlContext
     val evs = graft.model.Tables.events(spark, sf)
