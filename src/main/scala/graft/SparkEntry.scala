@@ -21,6 +21,7 @@ object SparkEntry {
       ops.Sampling.all ++
       etl.EtlQueries.all ++
       sources.Sources.all ++
+      sources.ManifestTable.all ++
       sources.Jdbc.all ++
       text.TextAnalysis.all ++
       text.CorpusPipeline.all ++

@@ -1,0 +1,230 @@
+package graft.sources
+
+import graft.QuerySpec
+import graft.model.Tables
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A minimal snapshot/manifest table format — the transactionally-correct
+  * form of the reference's staged warehouse merge
+  * (`redshift_setup.py:190-194`). At 100 TB a MERGE cannot be a DELETE +
+  * INSERT against live files (readers would see a torn table, and a crash
+  * between the two statements loses data): it has to be copy-on-write of
+  * the touched partitions plus an ATOMIC commit that flips readers from
+  * the old file set to the new one in one step. That is exactly the
+  * Delta/Iceberg design; this is the smallest faithful expression of it on
+  * plain parquet + a filesystem with atomic rename.
+  *
+  * Layout under `base/`:
+  *   - `files/v<N>/p=<val>/` — immutable parquet data files, each holding
+  *     exactly one partition value of one committed version (data files
+  *     keep ALL columns; the dir name is bookkeeping, not Hive layout).
+  *   - `_manifests/v<N>.manifest` — one `<pval>\t<relative path>` line per
+  *     live data file in snapshot N. Written to a temp name and RENAMED
+  *     in: the rename is the commit point, and a half-written temp file is
+  *     invisible to readers. Rename-refuses-to-overwrite doubles as
+  *     optimistic concurrency control — two writers racing to commit the
+  *     same version: exactly one wins.
+  *
+  * Readers list `_manifests/`, take the highest committed version, and
+  * read precisely the files it names — so a crash at ANY point of a merge
+  * (staged files written, moved, manifest half-written) leaves the previous
+  * snapshot byte-identical and fully readable, and old snapshots remain
+  * addressable (`readVersion` = time travel). No file named by any
+  * committed manifest is ever rewritten or deleted by a merge.
+  *
+  * MERGE itself is partition-grained copy-on-write: only partitions that
+  * the update set touches are rewritten (anti-join out the matched keys,
+  * union in the updates); every untouched partition's files carry over to
+  * the new manifest by reference. On a 1000-executor cluster the rewrite
+  * is an ordinary distributed join sized by the touched partitions, the
+  * commit is one driver-side rename, and partition pruning comes from the
+  * manifest (readers of one partition open only its files).
+  */
+object ManifestTable {
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def manifestDir(base: String) = new Path(base, "_manifests")
+
+  /** Committed versions, ascending (temp files excluded). */
+  private def versions(spark: SparkSession, base: String): Seq[Int] = {
+    val dir = manifestDir(base)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .sorted
+  }
+
+  def currentVersion(spark: SparkSession, base: String): Int = {
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no committed snapshot under $base")
+    vs.last
+  }
+
+  /** (pval, relative path) entries of snapshot `v`. */
+  private def entries(spark: SparkSession, base: String, v: Int): Seq[(String, String)] = {
+    val p = new Path(manifestDir(base), s"v$v.manifest")
+    val fs = fsOf(spark, p)
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      (line.substring(0, i), line.substring(i + 1))
+    }
+  }
+
+  /** The commit point: write the manifest to a temp name, rename into
+    * place. Rename won't overwrite an existing committed manifest, so a
+    * concurrent committer of the same version loses cleanly. */
+  private[sources] def commit(
+      spark: SparkSession, base: String, v: Int, es: Seq[(String, String)]): Unit = {
+    val dir = manifestDir(base)
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-v$v-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write(es.map { case (p, f) => s"$p\t$f" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = new Path(dir, s"v$v.manifest")
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"concurrent commit: version $v already exists under $base")
+    }
+  }
+
+  /** Write `df` partition-wise under `files/v<version>/` and return the new
+    * manifest entries. The partition column stays IN the data files (the
+    * `__p` copy exists only to drive the directory layout). */
+  private def writeSnapshotFiles(
+      spark: SparkSession, base: String, version: Int, df: DataFrame,
+      partCol: String): Seq[(String, String)] = {
+    val stage = new Path(base, s".stage-${java.util.UUID.randomUUID}")
+    df.withColumn("__p", col(partCol).cast("string"))
+      .repartition(col("__p"))
+      .write.partitionBy("__p").parquet(stage.toString)
+    val fs = fsOf(spark, stage)
+    val destRoot = new Path(base, s"files/v$version")
+    fs.mkdirs(destRoot)
+    val moved = fs.listStatus(stage).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__p="))
+      .flatMap { pdir =>
+        val pval = pdir.getPath.getName.stripPrefix("__p=")
+        val destDir = new Path(destRoot, s"p=$pval")
+        fs.mkdirs(destDir)
+        fs.listStatus(pdir.getPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val dest = new Path(destDir, f.getPath.getName)
+            if (!fs.rename(f.getPath, dest))
+              throw new java.io.IOException(s"stage move failed: ${f.getPath}")
+            (pval, s"files/v$version/p=$pval/${f.getPath.getName}")
+          }
+      }
+    fs.delete(stage, true)
+    moved
+  }
+
+  /** Create snapshot v1 from `df`, partitioned by `partCol`. */
+  def create(spark: SparkSession, base: String, df: DataFrame, partCol: String): Unit = {
+    val fs = fsOf(spark, new Path(base))
+    fs.delete(new Path(base), true)
+    commit(spark, base, 1, writeSnapshotFiles(spark, base, 1, df, partCol))
+  }
+
+  /** Read snapshot `v` (exactly the files its manifest names). */
+  def readVersion(spark: SparkSession, base: String, v: Int): DataFrame = {
+    val paths = entries(spark, base, v).map { case (_, rel) => s"$base/$rel" }
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Read the current snapshot. */
+  def read(spark: SparkSession, base: String): DataFrame =
+    readVersion(spark, base, currentVersion(spark, base))
+
+  /** MERGE `updates` into the table on `keyCol`: matched target rows are
+    * replaced, unmatched update rows inserted — by rewriting ONLY the
+    * partitions `updates` touches and committing manifest v(N+1). Fails
+    * before the commit rename leave snapshot N intact; `failBeforeCommit`
+    * injects exactly that crash for the safety test. */
+  def merge(
+      spark: SparkSession, base: String, updates: DataFrame,
+      keyCol: String, partCol: String, failBeforeCommit: Boolean = false): Unit = {
+    val v = currentVersion(spark, base)
+    val es = entries(spark, base, v)
+    // touched-partition values: metadata-sized (one row per partition), the
+    // same driver-side coordination a manifest commit already is
+    val touched = updates.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (hot, cold) = es.partition { case (pval, _) => touched(pval) }
+    val rewritten =
+      if (hot.isEmpty) updates
+      else {
+        val oldData = spark.read.parquet(hot.map { case (_, rel) => s"$base/$rel" }: _*)
+        oldData.join(updates.select(keyCol), Seq(keyCol), "left_anti")
+          .unionByName(updates)
+      }
+    val newFiles = writeSnapshotFiles(spark, base, v + 1, rewritten, partCol)
+    if (failBeforeCommit)
+      throw new RuntimeException("injected crash before manifest commit")
+    commit(spark, base, v + 1, cold ++ newFiles)
+  }
+
+  /** Registered MERGE round-trip: orders becomes a manifest table
+    * partitioned by order year; the update set modifies every 10th order
+    * (price bump — MATCHED → replace) and inserts a mirrored set of brand
+    * new orders (negative keys — NOT MATCHED → insert). The post-merge
+    * snapshot is read back through the manifest and aggregated; the oracle
+    * replays MERGE as the standard anti-join + union, so a missed delete,
+    * double insert, or lost untouched partition all hash-mismatch. Old
+    * snapshots stay readable — `MergeTableSpec` pins crash-safety and time
+    * travel. */
+  val tableMerge: QuerySpec = QuerySpec.sql(
+    "q_table_merge",
+    """WITH t AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         o_totalprice
+      |  FROM orders),
+      |u AS (
+      |  SELECT o_orderkey, o_year, o_totalprice + 1000.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 0 AND o_year >= 1996
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_year, 42.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 5 AND o_year >= 1996),
+      |m AS (
+      |  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      |  UNION ALL SELECT * FROM u)
+      |SELECT o_year, count(*) AS n,
+      |       count(DISTINCT o_orderkey) AS n_keys,
+      |       sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS total
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/orders_mtable"
+    val t = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"),
+        col("o_totalprice"))
+    create(spark, base, t, "o_year")
+    // updates confined to 1996+ so the earlier year-partitions carry into
+    // the new snapshot BY REFERENCE — the copy-on-write point of the format
+    val updates = t.filter(col("o_orderkey") % 10 === 0 && col("o_year") >= 1996)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(
+        t.filter(col("o_orderkey") % 10 === 5 && col("o_year") >= 1996)
+          .withColumn("o_orderkey", -col("o_orderkey"))
+          .withColumn("o_totalprice", lit(42.0)))
+    merge(spark, base, updates, "o_orderkey", "o_year")
+    read(spark, base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        (sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0).as("total"))
+      .orderBy(col("o_year"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(tableMerge)
+}

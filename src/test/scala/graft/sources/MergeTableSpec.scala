@@ -1,0 +1,118 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The transactional contract of [[ManifestTable]]: a crash at the worst
+  * point of a MERGE (all new files written, commit rename not yet done)
+  * leaves the previous snapshot byte-identical and readable; committed
+  * snapshots are immutable (time travel); and copy-on-write really is
+  * partition-grained — untouched partitions' files carry into the next
+  * manifest by reference, not by rewrite. */
+class MergeTableSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+
+  private def target() = graft.model.Tables.orders(spark, sf)
+    .select(col("o_orderkey"),
+      year(col("o_orderdate")).cast("int").as("o_year"),
+      col("o_totalprice"))
+
+  private def snapshotSum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)), sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long")).head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("an interrupted merge leaves the old snapshot fully readable and unchanged") {
+    val base = s"$tmp/graft_scratch/mtable_crash"
+    val t = target()
+    ManifestTable.create(spark, base, t, "o_year")
+    val before = snapshotSum(ManifestTable.read(spark, base))
+    val updates = t.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    intercept[RuntimeException] {
+      ManifestTable.merge(spark, base, updates, "o_orderkey", "o_year",
+        failBeforeCommit = true)
+    }
+    // the crash happened AFTER every new data file was written — the
+    // snapshot must not have noticed
+    assert(ManifestTable.currentVersion(spark, base) === 1)
+    assert(snapshotSum(ManifestTable.read(spark, base)) === before)
+    // and a retry of the same merge commits cleanly on top
+    ManifestTable.merge(spark, base, updates, "o_orderkey", "o_year")
+    assert(ManifestTable.currentVersion(spark, base) === 2)
+    val after = snapshotSum(ManifestTable.read(spark, base))
+    assert(after._1 === before._1) // pure updates: row count unchanged
+    assert(after._2 > before._2)   // every 10th price bumped
+  }
+
+  test("time travel: every committed snapshot stays addressable and immutable") {
+    val base = s"$tmp/graft_scratch/mtable_tt"
+    val t = target()
+    ManifestTable.create(spark, base, t, "o_year")
+    val v1 = snapshotSum(ManifestTable.readVersion(spark, base, 1))
+    val u1 = t.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", lit(1.0))
+    ManifestTable.merge(spark, base, u1, "o_orderkey", "o_year")
+    val u2 = t.limit(0) // an insert-only merge of nothing still commits v3
+    ManifestTable.merge(spark, base, u2, "o_orderkey", "o_year")
+    assert(ManifestTable.currentVersion(spark, base) === 3)
+    assert(snapshotSum(ManifestTable.readVersion(spark, base, 1)) === v1)
+    val v2 = snapshotSum(ManifestTable.readVersion(spark, base, 2))
+    assert(snapshotSum(ManifestTable.readVersion(spark, base, 3)) === v2)
+    assert(v2 !== v1)
+  }
+
+  test("copy-on-write is partition-grained: untouched partitions carry over by reference") {
+    val base = s"$tmp/graft_scratch/mtable_cow"
+    val t = target()
+    ManifestTable.create(spark, base, t, "o_year")
+    val updates = t.filter(col("o_year") >= 1996 && col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    ManifestTable.merge(spark, base, updates, "o_orderkey", "o_year")
+    // every pre-1996 file of v1 must appear verbatim in v2's manifest;
+    // every 1996+ file must have been rewritten under files/v2/
+    def files(v: Int): Set[String] = {
+      val df = ManifestTable.readVersion(spark, base, v)
+        .select(input_file_name().as("f")).distinct()
+      df.collect().map(_.getString(0)).toSet
+    }
+    val f1 = files(1)
+    val f2 = files(2)
+    val coldCarried = f1.filter(f => f2.contains(f))
+    assert(coldCarried.nonEmpty, "no file carried over — merge rewrote cold partitions")
+    assert(coldCarried.forall(f => !f.contains("/v2/")))
+    assert((f2 -- f1).nonEmpty && (f2 -- f1).forall(_.contains("/v2/")))
+    // correctness of the merged data itself, vs the anti-join + union truth
+    val got = ManifestTable.read(spark, base)
+      .groupBy(col("o_year")).agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long").as("cents"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val truth = t.join(updates.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(updates)
+      .groupBy(col("o_year")).agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long").as("cents"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === truth)
+  }
+
+  test("racing commits of the same version: exactly one wins") {
+    val base = s"$tmp/graft_scratch/mtable_race"
+    val t = target().filter(col("o_year") === 1995)
+    ManifestTable.create(spark, base, t, "o_year")
+    val u = t.filter(col("o_orderkey") % 3 === 0).withColumn("o_totalprice", lit(9.0))
+    ManifestTable.merge(spark, base, u, "o_orderkey", "o_year")
+    // a second writer that staged against v1 and now tries to commit v2
+    // must fail its rename rather than clobber the winner
+    intercept[java.io.IOException] {
+      ManifestTable.commit(spark, base, 2,
+        Seq(("1995", "files/v1/p=1995/boom.parquet")))
+    }
+    // the winner's snapshot is intact
+    assert(ManifestTable.currentVersion(spark, base) === 2)
+    assert(ManifestTable.read(spark, base).filter(col("o_totalprice") === 9.0).count() ===
+      t.filter(col("o_orderkey") % 3 === 0).count())
+  }
+}
