@@ -92,6 +92,80 @@ object Skew {
       .orderBy(col("flag_desc"))
   }
 
+  /** Scale the AQE skew-join thresholds down to test-data size (and force a
+    * shuffle join — the 15k-row dim would broadcast otherwise and there
+    * would be no shuffle to skew-split), restoring every conf after. At
+    * 100 TB the DEFAULT thresholds (256 MB skewed-partition floor, 5×
+    * median) are the right ones; only the demo scale changes. */
+  def withSkewDemoConfs[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val scoped = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val prev = scoped.keys.map(k => k -> spark.conf.get(k)).toMap
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  /** The skewed fact-dim join [[skewAqeQuery]] and `AdaptiveSpec` share:
+    * 90% of lineitem rows collapse onto one synthetic hot key (-1 — every
+    * real o_orderkey ≥ 0), the dim is orders plus a single row for the hot
+    * key, so every fact row matches exactly one dim row and the join's
+    * fact-side shuffle has one partition ~500× the median. */
+  def skewedJoinAgg(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // AQE splits a skewed REDUCE partition into ranges of MAP outputs, so a
+    // split needs >1 map task feeding the join shuffle. A 100 TB fact scan
+    // has thousands of map tasks naturally; the single-file test scan has
+    // one, which would make the hot partition unsplittable — emulate the
+    // production map parallelism explicitly.
+    val fact = Tables.lineitem(spark, dir)
+      .repartition(16, col("l_orderkey"))
+      .select(
+        when(col("l_orderkey") % 10 < 9, lit(-1L)).otherwise(col("l_orderkey")).as("k"),
+        col("l_extendedprice"))
+    val dim = spark.range(1)
+      .select(lit(-1L).as("k"), lit("HOT").as("o_orderpriority"))
+      .unionByName(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority")))
+    fact.join(dim, "k")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("sum_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** AQE skew-join, demonstrated as a registered query: the hot-key join
+    * runs as a sort-merge join whose skewed fact partition AQE splits at
+    * RUNTIME (`OptimizeSkewedJoin` — no manual salting). The result is
+    * materialized inside the scoped-conf block so the registered run really
+    * executes the skew-split plan (`AdaptiveSpec` pins the `skew=true`
+    * marker on the identical plan); the oracle replays the plain join —
+    * results are identical, only the runtime partitioning differs. This is
+    * the runtime complement to [[saltedJoin]]: salting for known skew,
+    * AQE for the skew you only discover in production. */
+  val skewAqeQuery: QuerySpec = QuerySpec.sql(
+    "q_skew_aqe",
+    """WITH fact AS (
+      |  SELECT CASE WHEN l_orderkey % 10 < 9 THEN -1 ELSE l_orderkey END AS k,
+      |         l_extendedprice
+      |  FROM lineitem),
+      |dim AS (
+      |  SELECT CAST(-1 AS BIGINT) AS k, 'HOT' AS o_orderpriority
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority FROM orders)
+      |SELECT o_orderpriority, count(*) AS n,
+      |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM fact JOIN dim USING (k)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/skew_aqe"
+    withSkewDemoConfs(spark) {
+      skewedJoinAgg(spark, dir).write.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(out).orderBy(col("o_orderpriority"))
+  }
+
   /** CUBE over (year, returnflag): all four grouping levels in one pass. */
   val cubeQuery: QuerySpec = QuerySpec.sql(
     "q_cube",
@@ -109,5 +183,5 @@ object Skew {
       .orderBy(col("yr").asc_nulls_first, col("l_returnflag").asc_nulls_first)
   }
 
-  val all: Seq[QuerySpec] = Seq(saltedAggQuery, saltedJoinQuery, cubeQuery)
+  val all: Seq[QuerySpec] = Seq(saltedAggQuery, saltedJoinQuery, skewAqeQuery, cubeQuery)
 }

@@ -57,4 +57,26 @@ class AdaptiveSpec extends AnyFunSuite {
         s"AQE did not split the hot partition (what Skew.saltedJoin does manually):\n$p")
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("registered q_skew_aqe executes its hot-key join with an AQE skew split") {
+    Skew.withSkewDemoConfs(spark) {
+      val df = Skew.skewedJoinAgg(spark, sf)
+      // execute THIS dataframe's QueryExecution (see note above)
+      assert(df.collect().nonEmpty)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p)
+      assert(p.contains("SortMergeJoin"),
+        s"demo confs failed to force a shuffle join:\n$p")
+      assert(p.contains("skew=true"),
+        s"q_skew_aqe's registered plan did not skew-split the hot fact partition:\n$p")
+    }
+  }
+
+  test("q_skew_aqe result is identical with and without the skew-split demo confs") {
+    val plain = Skew.skewedJoinAgg(spark, sf).collect().toSeq
+    val underAqe = Skew.withSkewDemoConfs(spark) {
+      Skew.skewedJoinAgg(spark, sf).collect().toSeq
+    }
+    assert(plain == underAqe)
+  }
 }
