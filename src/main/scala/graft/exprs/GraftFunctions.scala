@@ -30,6 +30,9 @@ object GraftFunctions {
         es(0), es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
       "built-in")
     fr.createOrReplaceTempFunction(
+      "hilbert3", es => Hilbert3Expr(
+        es(0), es(1), es(2), es(3).eval().asInstanceOf[Number].intValue()), "built-in")
+    fr.createOrReplaceTempFunction(
       "kmv_sketch", es => KmvSketchAgg(
         es(0), es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
       "built-in")
@@ -45,4 +48,6 @@ object GraftFunctions {
     call_function("heavy_hitters", c, org.apache.spark.sql.functions.lit(k))
   def kmvSketch(c: Column, k: Int): Column =
     call_function("kmv_sketch", c, org.apache.spark.sql.functions.lit(k))
+  def hilbert3(x: Column, y: Column, z: Column, bits: Int): Column =
+    call_function("hilbert3", x, y, z, org.apache.spark.sql.functions.lit(bits))
 }
