@@ -247,6 +247,100 @@ object TrainingPrep {
         (col("symbols_before") - col("merged_occurrences")).as("symbols_after"))
   }
 
+  /** How many merge rounds [[bpeVocab]] runs (shared with the oracle
+    * generator so both engines unroll identically). */
+  private val BpeRounds = 8
+
+  /** DuckDB replay of [[bpeVocab]]: the SAME k merge rounds unrolled as
+    * chained CTEs — per round a pair-count, an argmax, a merge application
+    * (`replace`), and a corpus symbol count, each reading the previous
+    * round's word-state table. Mechanical generation keeps the two engines
+    * in lockstep by construction. */
+  private def bpeVocabSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT string_split(substring(state, 2, length(state) - 2),
+         |                            chr(3) || chr(2)) AS syms, cnt
+         |        FROM wc${r - 1}) w,
+         |       unnest(range(1, len(w.syms))) AS t(i)
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+         |wc$r AS (
+         |  SELECT replace(state, chr(2) || a || chr(3) || chr(2) || b || chr(3),
+         |                 chr(2) || a || b || chr(3)) AS state, cnt
+         |  FROM wc${r - 1} CROSS JOIN t$r),
+         |s$r AS (SELECT CAST(sum(cnt * (length(state) - length(replace(state, chr(2), ''))))
+         |          AS BIGINT) AS symbols_after FROM wc$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map { r =>
+      s"SELECT $r AS round, t$r.a AS left_sym, t$r.b AS right_sym, " +
+        s"t$r.n AS pair_count, s$r.symbols_after FROM t$r, s$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wc0 AS (
+       |  SELECT regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g') AS state, cnt
+       |  FROM (SELECT w, count(*) AS cnt
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |        WHERE length(w) >= 1 GROUP BY 1) base),
+       |$rounds
+       |$union
+       |ORDER BY round""".stripMargin
+  }
+
+  /** FULL BPE vocabulary induction — [[bpeStep]] iterated to a merge table,
+    * the actual tokenizer-training loop. State is the corpus as WORD TYPES
+    * (unique word + frequency), each word a sentinel-wrapped symbol string
+    * `⟨s1⟩⟨s2⟩…` (chr(2)/chr(3) sentinels make `replace` of `⟨a⟩⟨b⟩` →
+    * `⟨ab⟩` exactly the non-overlapping left-to-right BPE merge, with no
+    * false matches across symbol boundaries — both engines' `replace` scans
+    * identically, so runs like `aaaa` merge to `(aa)(aa)` in both). Each
+    * round: one pair-count shuffle over word types (bounded by vocab, not
+    * corpus), a 1-row argmax collected to the driver (BPE is inherently
+    * sequential — same driver-coordination shape as `Graph.pageRank`), the
+    * merge applied as a single `replace` projection, and a `localCheckpoint`
+    * lineage cut so round r's plan does not replay rounds 1..r-1. At 100 TB
+    * the word-type table is the corpus' VOCABULARY (Heaps' law: ~10⁶-10⁷
+    * rows), so every round is a small bounded job regardless of corpus
+    * size — the initial word count is the only corpus-scale pass.
+    * Ties break on (count desc, left asc, right asc) — total order, both
+    * engines. */
+  val bpeVocab: QuerySpec = QuerySpec.sql("q_bpe_vocab", bpeVocabSql(BpeRounds)) {
+    (spark, dir) =>
+    val (sa, sb) = ("\u0002", "\u0003")
+    var wc = Tables.documents(spark, dir)
+      .select(explode(toks).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "(.)", s"$sa$$1$sb").as("state"), col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
+    for (r <- 1 to BpeRounds) {
+      val syms = split(col("state").substr(lit(2), length(col("state")) - 2), sb + sa)
+      val pairs = wc
+        .select(col("cnt"),
+          explode(when(size(syms) >= 2,
+            transform(sequence(lit(1), size(syms) - 1),
+              i => struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
+            .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+      val top = pairs.orderBy(col("n").desc, col("a").asc, col("b").asc).limit(1)
+        .select(col("a"), col("b"), col("n").cast("long")).head()
+      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      wc = wc.withColumn("state",
+        replace(col("state"), lit(sa + a + sb + sa + b + sb), lit(sa + a + b + sb)))
+        .localCheckpoint()
+      val symbolsAfter = wc
+        .agg(sum(col("cnt") *
+          (length(col("state")) - length(replace(col("state"), lit(sa), lit(""))))).cast("long"))
+        .head().getLong(0)
+      merges += ((r, a, b, n, symbolsAfter))
+    }
+    spark.createDataFrame(merges.result())
+      .toDF("round", "left_sym", "right_sym", "pair_count", "symbols_after")
+      .orderBy(col("round"))
+  }
+
   /** Held-out TRIGRAM LM with interpolation smoothing — one n-gram order
     * past [[lmBigram]], and the shape every higher order reuses:
     * p(w₃|w₁w₂) = 0.6·ML₃ + 0.3·ML₂ + 0.1·ML₁, where each ML backs off to
@@ -353,5 +447,5 @@ object TrainingPrep {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QuerySpec] = Seq(docChunks, qualityDeciles, lmBigram, bpeStep, lmTrigram)
+  val all: Seq[QuerySpec] = Seq(docChunks, qualityDeciles, lmBigram, bpeStep, bpeVocab, lmTrigram)
 }
