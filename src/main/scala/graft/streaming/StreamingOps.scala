@@ -312,6 +312,83 @@ object StreamingOps {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** STREAM-STATIC AS-OF enrichment — the reference's dated-rate lookup
+    * (`glue_job.py:44-48,57-61`) applied to a LIVE event stream: each event
+    * micro-batch is enriched with the user's latest order at-or-before the
+    * event time. Spark's stream-static join only supports equi-conditions
+    * and a streaming window can't express latest-at-or-before, so the
+    * as-of runs INSIDE `foreachBatch`: every micro-batch is a bounded
+    * DataFrame, and [[graft.ops.AsOfJoin.joinAsOf]]'s one-shuffle
+    * union+window plan applies to it unchanged. The static build side is
+    * cached once across batches (at 100 TB: a broadcast dim or a bucketed
+    * table — per-batch cost stays O(batch), never O(history)).
+    *
+    * Because the build side is STATIC, each event's enrichment is
+    * independent of micro-batch boundaries, so the collected sink equals
+    * the batch as-of bit-for-bit — which is exactly what the oracle (the
+    * same SQL as `q_asof_join`) checks. Stateless per batch: no watermark,
+    * no state store; retry-idempotent via the per-batch overwrite sink. */
+  val streamAsOf: QuerySpec = QuerySpec.sql(
+    "q_stream_asof",
+    """SELECT event_id, user_id, ts, asof_orderkey, asof_totalprice FROM (
+      |  SELECT e.event_id, e.user_id, e.ts,
+      |         o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |                            ORDER BY o.o_orderdate DESC NULLS LAST,
+      |                                     o.o_orderkey DESC NULLS LAST) AS rn
+      |  FROM events e LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |) WHERE rn = 1 ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val sink = streamAsOfEnriched(spark, dir)
+    spark.read.parquet(sink)
+      .select("event_id", "user_id", "ts", "asof_orderkey", "asof_totalprice")
+      .orderBy(col("event_id"))
+  }
+
+  /** Stage events, run the stream-static as-of enrichment as an
+    * AvailableNow stream (several micro-batches), return the sink path
+    * (shared by the registered query and `StreamingSpec`'s batch pin). */
+  def streamAsOfEnriched(spark: SparkSession, dir: String): String = {
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val staged = s"$tmp/graft_scratch/events_asof_stream"
+    val sink = s"$tmp/graft_scratch/events_asof_sink"
+    val ev = Tables.events(spark, dir)
+    ev.repartition(8).write.mode("overwrite").parquet(staged)
+    val ckpt = freshCheckpoint("stream_asof", staged + "_ck")
+    val build = Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderdate"),
+      col("o_orderkey").as("asof_orderkey"),
+      col("o_totalprice").as("asof_totalprice"))
+      .persist()
+    try {
+      build.count() // materialize once, not per micro-batch
+      val probe = spark.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(staged)
+        .select("event_id", "user_id", "ts")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
+      withShufflePartitions(spark, 8) {
+        val q = probe.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.ops.AsOfJoin.joinAsOf(
+                batch, build,
+                probeKey = "user_id", buildKey = "o_custkey",
+                probeTime = "ts", buildTime = "o_orderdate",
+                valueCols = Seq("asof_orderkey", "asof_totalprice"),
+                buildTie = "asof_orderkey")
+              .write.mode("overwrite").parquet(s"$sink/batch=$batchId")
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally build.unpersist()
+    sink
+  }
+
   /** Fresh checkpoint dir for a streaming query: tmpfs when present (the
     * streamWindow LOCAL-MODE note — state-store delta commits off the
     * contended disk), cleaned before each run. A cluster deployment points
@@ -363,7 +440,7 @@ object StreamingOps {
 
   val all: Seq[QuerySpec] =
     Seq(streamWindow, sessionize, sessionWindowBuiltin, streamDedup, streamJoin,
-      streamLate)
+      streamLate, streamAsOf)
 }
 
 /** Typed event for stateful sessionization. */

@@ -360,4 +360,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length === evs.length, "every event exactly once")
     assert(got.toSet === evs.map(_.event_id).toSet)
   }
+
+  test("stream-static as-of enrichment matches the batch as-of, across several micro-batches") {
+    val sink = StreamingOps.streamAsOfEnriched(spark, sf)
+    // it really streamed: the 8 staged files at maxFilesPerTrigger=4 must
+    // land as at least two per-batch partitions
+    val batches = new java.io.File(sink).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batches.length >= 2, s"expected >=2 micro-batches, got ${batches.length}")
+    val streamed = spark.read.parquet(sink)
+      .select("event_id", "asof_orderkey", "asof_totalprice")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    val batch = graft.ops.AsOfJoin.joinAsOf(
+        graft.model.Tables.events(spark, sf).select("event_id", "user_id", "ts"),
+        graft.model.Tables.orders(spark, sf).select(
+          col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey").as("asof_orderkey"),
+          col("o_totalprice").as("asof_totalprice")),
+        probeKey = "user_id", buildKey = "o_custkey",
+        probeTime = "ts", buildTime = "o_orderdate",
+        valueCols = Seq("asof_orderkey", "asof_totalprice"),
+        buildTie = "asof_orderkey")
+      .select("event_id", "asof_orderkey", "asof_totalprice")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(streamed === batch)
+  }
 }
