@@ -44,6 +44,35 @@ object BloomFilterJoinPruning extends Rule[LogicalPlan] with PredicateHelper {
 
   private val CreationMaxBytes = BigInt(64L << 20)
 
+  /** Observed creation-side cardinalities, keyed by canonicalized plan —
+    * the memo behind [[observedRows]] (explain + execute optimize the same
+    * query twice; the count job must run once). Bounded: sizing hints only,
+    * stale entries cost nothing but a slightly off filter size. */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, Long]()
+
+  /** TWO-PHASE BUILD: the creation side is by construction a cheap
+    * scan/filter/project subtree bounded at 64 MB, so COUNT it — one small
+    * job at planning time — and size the bloom filter to the OBSERVED
+    * cardinality instead of a bytes/64 guess. An oversized filter
+    * broadcasts wasted bits; an undersized one silently degrades its
+    * false-positive rate and prunes nothing — at 100 TB both mistakes are
+    * paid per probe task. The count query is itself scan/filter/project +
+    * aggregate, so this rule never fires inside it (no recursion). Any
+    * failure falls back to the static estimate. */
+  private def observedRows(crtPruned: LogicalPlan): Option[Long] = {
+    val key = crtPruned.canonicalized
+    Option(rowCountCache.get(key)).orElse {
+      try {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val n = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, crtPruned).count()
+        if (rowCountCache.size() > 64) rowCountCache.clear()
+        rowCountCache.put(key, n)
+        Some(n)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   /** scan / filter / project only — cheap to re-execute in the subquery. */
   private def simpleSubtree(p: LogicalPlan): Boolean = p match {
     case Project(_, c) => simpleSubtree(c)
@@ -108,17 +137,20 @@ object BloomFilterJoinPruning extends Rule[LogicalPlan] with PredicateHelper {
       }
       applicable match {
         case Some((crt, _, appIsLeft, appKey, crtKey)) =>
-          // size the filter to the creation side: exact row count when
-          // stats have it, else a bytes-based guess — a right-sized bloom
-          // broadcasts smaller and keeps its false-positive rate honest
-          val estRows = crt.stats.rowCount.map(_.toLong)
+          val crtPruned = Project(crtKey.references.toSeq, crt)
+          // size the filter to the creation side: the two-phase OBSERVED
+          // count first (exact even under the filter — a stats rowCount
+          // without CBO is filter-blind), then stats, then a bytes-based
+          // guess — a right-sized bloom broadcasts smaller and keeps its
+          // false-positive rate honest
+          val estRows = observedRows(crtPruned)
+            .orElse(crt.stats.rowCount.map(_.toLong))
             .getOrElse((crt.stats.sizeInBytes / BigInt(64)).toLong)
             .max(4096L).min(4000000L)
           val bloom = Alias(
             new BloomFilterAggregate(new XxHash64(Seq(crtKey)), estRows)
               .toAggregateExpression(),
             "graft_bloom")()
-          val crtPruned = Project(crtKey.references.toSeq, crt)
           val subquery = ScalarSubquery(Aggregate(Nil, Seq(bloom), crtPruned))
           val guard: Expression =
             BloomFilterMightContain(subquery, new XxHash64(Seq(appKey)))

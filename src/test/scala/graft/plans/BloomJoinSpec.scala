@@ -100,4 +100,40 @@ class BloomJoinSpec extends AnyFunSuite {
     val twice = BloomFilterJoinPruning(once)
     assert(once.canonicalized == twice.canonicalized)
   }
+
+  test("two-phase build sizes the filter to the OBSERVED creation cardinality; FPP holds") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    // known-cardinality build side: 16384 keys (multiples of 64 in [0, 2^20));
+    // a bytes-derived guess cannot hit this — only the planning-time count can
+    val nBuild = 16384L
+    val app = spark.range(1L << 21).select(col("id").as("k"))
+    val crt = spark.range(1L << 20).filter(col("id") % 64 === 0)
+      .select(col("id").as("bk"))
+    val pruned = BloomFilterJoinPruning(
+      app.join(crt, col("k") === col("bk")).queryExecution.optimizedPlan)
+    val sizes = pruned.collectWithSubqueries { case p => p }
+      .flatMap(_.expressions.flatMap(_.collect {
+        case b: BloomFilterMightContain => b.bloomFilterExpression
+      }))
+      .collect { case s: ScalarSubquery => s.plan }
+      .flatMap(_.expressions.flatMap(_.collect {
+        case agg: BloomFilterAggregate => agg.estimatedNumItemsExpression
+      }))
+      .collect { case Literal(v: Long, _) => v }
+    assert(sizes === Seq(nBuild), s"filter not sized to the observed cardinality: $sizes")
+    // execute the injected guard alone: every matching key must survive (no
+    // false negatives) and non-matching keys pass at ~the configured FPP
+    val guarded = pruned.collectFirst {
+      case f @ Filter(c, _) if c.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+    }.getOrElse(fail(s"no bloom guard injected:\n${pruned.treeString}"))
+    val survived = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, guarded)
+      .select(col("k")).as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    val matching = survived.count(_ % 64 == 0)
+    assert(matching === nBuild, "bloom dropped matching probe rows")
+    val falsePositives = survived.length - matching
+    val fpp = falsePositives.toDouble / ((1L << 21) - nBuild)
+    assert(fpp <= 0.05, f"false-positive rate $fpp%.4f exceeds 5%% for a right-sized filter")
+  }
 }
