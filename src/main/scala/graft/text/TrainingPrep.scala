@@ -251,12 +251,13 @@ object TrainingPrep {
     * generator so both engines unroll identically). */
   private val BpeRounds = 8
 
-  /** DuckDB replay of [[bpeVocab]]: the SAME k merge rounds unrolled as
-    * chained CTEs — per round a pair-count, an argmax, a merge application
-    * (`replace`), and a corpus symbol count, each reading the previous
-    * round's word-state table. Mechanical generation keeps the two engines
-    * in lockstep by construction. */
-  private def bpeVocabSql(k: Int): String = {
+  /** The k merge-round CTE chain shared by the [[bpeVocab]] and
+    * [[bpeEncode]] oracles — per round a pair-count, an argmax, a merge
+    * application (`replace`), and a corpus symbol count, each reading the
+    * previous round's word-state table. Mechanical generation keeps the
+    * two engines in lockstep by construction. `docFilter` scopes the
+    * training corpus. */
+  private def bpeRoundsSql(k: Int, docFilter: String): String = {
     val rounds = (1 to k).map { r =>
       s"""p$r AS (
          |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS n
@@ -273,18 +274,46 @@ object TrainingPrep {
          |s$r AS (SELECT CAST(sum(cnt * (length(state) - length(replace(state, chr(2), ''))))
          |          AS BIGINT) AS symbols_after FROM wc$r)""".stripMargin
     }.mkString(",\n")
+    s"""wc0 AS (
+       |  SELECT regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g') AS state, cnt
+       |  FROM (SELECT w, count(*) AS cnt
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents$docFilter)
+       |        WHERE length(w) >= 1 GROUP BY 1) base),
+       |$rounds""".stripMargin
+  }
+
+  private def bpeVocabSql(k: Int): String = {
     val union = (1 to k).map { r =>
       s"SELECT $r AS round, t$r.a AS left_sym, t$r.b AS right_sym, " +
         s"t$r.n AS pair_count, s$r.symbols_after FROM t$r, s$r"
     }.mkString("\nUNION ALL\n")
-    s"""WITH wc0 AS (
-       |  SELECT regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g') AS state, cnt
-       |  FROM (SELECT w, count(*) AS cnt
-       |        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |        WHERE length(w) >= 1 GROUP BY 1) base),
-       |$rounds
+    s"""WITH ${bpeRoundsSql(k, "")}
        |$union
        |ORDER BY round""".stripMargin
+  }
+
+  /** [[bpeEncode]] oracle: train the merge table on the 80% split via the
+    * shared round chain, then apply the k merges IN ROUND ORDER to every
+    * holdout word (k chained `replace` projections) and count the
+    * resulting tokens per document. */
+  private def bpeEncodeSql(k: Int): String = {
+    val applies = (1 to k).map { r =>
+      s"""e$r AS (
+         |  SELECT doc_id, replace(state, chr(2) || t$r.a || chr(3) || chr(2) || t$r.b || chr(3),
+         |                 chr(2) || t$r.a || t$r.b || chr(3)) AS state
+         |  FROM e${r - 1} CROSS JOIN t$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeRoundsSql(k, " WHERE doc_id % 10 < 8")},
+       |e0 AS (
+       |  SELECT doc_id, regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g') AS state
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents WHERE doc_id % 10 >= 8)
+       |  WHERE length(w) >= 1),
+       |$applies
+       |SELECT doc_id, count(*) AS n_words,
+       |       CAST(sum(length(state) - length(replace(state, chr(2), ''))) AS BIGINT) AS n_tokens,
+       |       CAST(min(length(state) - length(replace(state, chr(2), ''))) AS INTEGER) AS min_word_tokens
+       |FROM e$k GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** FULL BPE vocabulary induction — [[bpeStep]] iterated to a merge table,
@@ -304,17 +333,27 @@ object TrainingPrep {
     * size — the initial word count is the only corpus-scale pass.
     * Ties break on (count desc, left asc, right asc) — total order, both
     * engines. */
-  val bpeVocab: QuerySpec = QuerySpec.sql("q_bpe_vocab", bpeVocabSql(BpeRounds)) {
-    (spark, dir) =>
-    val (sa, sb) = ("\u0002", "\u0003")
-    var wc = Tables.documents(spark, dir)
+  private val SentA = "\u0002"
+  private val SentB = "\u0003"
+
+  /** The driver-coordinated merge loop shared by [[bpeVocab]] and
+    * [[bpeEncode]]: k rounds of pair-count shuffle -> 1-row argmax collect ->
+    * `replace` merge projection -> `localCheckpoint` lineage cut. Returns
+    * (round, left, right, pair_count, symbols_after); the per-round
+    * symbols_after aggregate (one extra tiny job per round) is skipped
+    * when the caller only needs the merge table. */
+  private def bpeMergeLoop(
+      spark: org.apache.spark.sql.SparkSession, docs: org.apache.spark.sql.DataFrame,
+      k: Int, withStats: Boolean): Seq[(Int, String, String, Long, Long)] = {
+    val (sa, sb) = (SentA, SentB)
+    var wc = docs
       .select(explode(toks).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(regexp_replace(col("w"), "(.)", s"$sa$$1$sb").as("state"), col("cnt"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long, Long)]
-    for (r <- 1 to BpeRounds) {
+    for (r <- 1 to k) {
       val syms = split(col("state").substr(lit(2), length(col("state")) - 2), sb + sa)
       val pairs = wc
         .select(col("cnt"),
@@ -330,15 +369,56 @@ object TrainingPrep {
       wc = wc.withColumn("state",
         replace(col("state"), lit(sa + a + sb + sa + b + sb), lit(sa + a + b + sb)))
         .localCheckpoint()
-      val symbolsAfter = wc
-        .agg(sum(col("cnt") *
+      val symbolsAfter = if (withStats) {
+        wc.agg(sum(col("cnt") *
           (length(col("state")) - length(replace(col("state"), lit(sa), lit(""))))).cast("long"))
-        .head().getLong(0)
+          .head().getLong(0)
+      } else 0L
       merges += ((r, a, b, n, symbolsAfter))
     }
-    spark.createDataFrame(merges.result())
+    merges.result()
+  }
+
+  val bpeVocab: QuerySpec = QuerySpec.sql("q_bpe_vocab", bpeVocabSql(BpeRounds)) {
+    (spark, dir) =>
+    val merges = bpeMergeLoop(spark, Tables.documents(spark, dir), BpeRounds, withStats = true)
+    spark.createDataFrame(merges)
       .toDF("round", "left_sym", "right_sym", "pair_count", "symbols_after")
       .orderBy(col("round"))
+  }
+
+  /** BPE tokenizer APPLICATION — the learned merge table (trained on the
+    * 80% split by [[bpeMergeLoop]]) applied to the 20% holdout: each word
+    * becomes its symbol-wrapped state, the k merges are applied IN ROUND
+    * ORDER as k chained `replace` projections (one codegen'd stage, no
+    * shuffle — at 100 TB tokenization is a pure map over the corpus), and
+    * tokens are counted per document. Train on one split, encode another:
+    * merges genuinely transfer across the boundary, which is what a
+    * production tokenizer does — and why this is not just [[bpeVocab]]
+    * re-aggregated. */
+  val bpeEncode: QuerySpec = QuerySpec.sql("q_bpe_encode", bpeEncodeSql(BpeRounds)) {
+    (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val merges = bpeMergeLoop(
+      spark, docs.filter(col("doc_id") % 10 < 8), BpeRounds, withStats = false)
+    val enc0 = docs.filter(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), explode(toks).as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(col("doc_id"),
+        regexp_replace(col("w"), "(.)", s"$SentA$$1$SentB").as("state"))
+    val encoded = merges.foldLeft(enc0) { case (df, (_, a, b, _, _)) =>
+      df.withColumn("state",
+        replace(col("state"),
+          lit(SentA + a + SentB + SentA + b + SentB), lit(SentA + a + b + SentB)))
+    }
+    val wordTokens = length(col("state")) - length(replace(col("state"), lit(SentA), lit("")))
+    encoded
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(wordTokens).cast("long").as("n_tokens"),
+        min(wordTokens).cast("int").as("min_word_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   /** Held-out TRIGRAM LM with interpolation smoothing — one n-gram order
@@ -447,5 +527,5 @@ object TrainingPrep {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QuerySpec] = Seq(docChunks, qualityDeciles, lmBigram, bpeStep, bpeVocab, lmTrigram)
+  val all: Seq[QuerySpec] = Seq(docChunks, qualityDeciles, lmBigram, bpeStep, bpeVocab, bpeEncode, lmTrigram)
 }
