@@ -321,6 +321,45 @@ object Sources {
     out
   }
 
+  /** The Skilling transform ([[graft.exprs.Hilbert3]]) unrolled to ANSI SQL
+    * as mechanically generated chained CTEs (21 inverse-undo steps, gray
+    * code, reflection, bit interleave) — the [[spreadSql]] idea taken to a
+    * non-trivial kernel, so the DuckDB oracle replays the Hilbert key
+    * bit-for-bit and the layout key is proven engine-portable. Expects a
+    * CTE `h0` providing `payload` columns plus x0/x1/x2; emits CTEs ending
+    * in `hk(payload, hkey)`. */
+  private def hilbertSqlCtes(payload: String): String = {
+    val steps = scala.collection.mutable.Buffer[String]()
+    var n = 0
+    var prev = "h0"
+    for (q <- Seq(128, 64, 32, 16, 8, 4, 2); i <- 0 to 2) {
+      n += 1
+      val p = q - 1
+      val body =
+        if (i == 0) s"CASE WHEN (x0 & $q) != 0 THEN xor(x0, $p) ELSE x0 END AS x0, x1, x2"
+        else {
+          val xi = s"x$i"
+          val other = Seq(1, 2).filter(_ != i).map(j => s"x$j").mkString(", ")
+          s"CASE WHEN ($xi & $q) != 0 THEN xor(x0, $p) " +
+            s"ELSE xor(x0, xor(x0, $xi) & $p) END AS x0, " +
+            s"CASE WHEN ($xi & $q) != 0 THEN $xi " +
+            s"ELSE xor($xi, xor(x0, $xi) & $p) END AS $xi, " + other
+        }
+      steps += s"h$n AS (SELECT $payload, $body FROM $prev)"
+      prev = s"h$n"
+    }
+    steps += s"g1 AS (SELECT $payload, x0, xor(x1, x0) AS x1, xor(x2, xor(x1, x0)) AS x2 FROM $prev)"
+    val t = Seq(128, 64, 32, 16, 8, 4, 2).foldLeft("0") { (acc, q) =>
+      s"xor($acc, CASE WHEN (x2 & $q) != 0 THEN ${q - 1} ELSE 0 END)"
+    }
+    steps += s"g2 AS (SELECT $payload, x0, x1, x2, $t AS t FROM g1)"
+    steps += s"g3 AS (SELECT $payload, xor(x0, t) AS x0, xor(x1, t) AS x1, xor(x2, t) AS x2 FROM g2)"
+    val inter = (for (b <- 0 until 8; d <- 0 to 2)
+      yield s"(((x$d >> $b) & 1) << ${3 * b + (2 - d)})").mkString(" | ")
+    steps += s"hk AS (SELECT $payload, $inter AS hkey FROM g3)"
+    steps.mkString(",\n")
+  }
+
   /** Hilbert-curve clustered layout — the 3-d successor to [[zorderLayout]].
     * Rows sort by the Hilbert index of (l_partkey, l_suppkey, l_quantity):
     * consecutive curve positions are face-adjacent cells (a property the
@@ -334,19 +373,27 @@ object Sources {
     * the layout round-trip with a 3-d rectangle filter. */
   val hilbertLayout: QuerySpec = QuerySpec.sql(
     "q_hilbert_layout",
-    """SELECT l_returnflag, count(*) AS n,
-      |       sum(floor(l_extendedprice * 100 + 0.5)) / 100.0 AS total
-      |FROM lineitem
-      |WHERE l_partkey BETWEEN 50 AND 74 AND l_suppkey BETWEEN 2 AND 3
-      |  AND l_quantity BETWEEN 10 AND 19
-      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    s"""WITH h0 AS (
+       |  SELECT l_returnflag, l_extendedprice,
+       |         CAST(l_partkey % 256 AS BIGINT) AS x0,
+       |         CAST(l_suppkey % 256 AS BIGINT) AS x1,
+       |         CAST(l_quantity AS BIGINT) % 256 AS x2
+       |  FROM lineitem
+       |  WHERE l_partkey BETWEEN 50 AND 74 AND l_suppkey BETWEEN 2 AND 3
+       |    AND l_quantity BETWEEN 10 AND 19),
+       |${hilbertSqlCtes("l_returnflag, l_extendedprice")}
+       |SELECT l_returnflag, count(*) AS n,
+       |       sum(floor(l_extendedprice * 100 + 0.5)) / 100.0 AS total,
+       |       CAST(min(hkey) AS BIGINT) AS min_hkey
+       |FROM hk GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     val out = hilbertLineitem(spark, dir)
     spark.read.parquet(out)
       .filter(col("l_partkey").between(50, 74) && col("l_suppkey").between(2, 3) &&
         col("l_quantity").between(10, 19))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        (sum(floor(col("l_extendedprice") * 100 + 0.5)) / 100.0).as("total"))
+        (sum(floor(col("l_extendedprice") * 100 + 0.5)) / 100.0).as("total"),
+        min(col("hkey")).as("min_hkey"))
       .orderBy(col("l_returnflag"))
   }
 
