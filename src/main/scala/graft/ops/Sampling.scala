@@ -117,5 +117,71 @@ object Sampling {
       .orderBy(col("lang"), col("rank"))
   }
 
-  val all: Seq[QuerySpec] = Seq(dataSplit, sampleQuery, stratifiedQuery, weightedSample)
+  /** DOMAIN-MIXTURE sampling to a token budget — the "data mixing" step of
+    * an LLM training pipeline: rebalance the corpus so every domain (here:
+    * language) contributes an equal token share of the total budget.
+    * Domains over their share DOWNSAMPLE (fractional inclusion); domains
+    * under it UPSAMPLE by full epochs plus a fractional top-up — both
+    * branches are exercised by this corpus (en is dominant).
+    *
+    * Per-doc copies = floor(rate) + Bernoulli(rate mod 1), with the
+    * Bernoulli drawn from the doc's md5 as EXACT integer arithmetic:
+    * include iff (h+1)·T_d < (target mod T_d)·2³², so the decision is
+    * engine-, run-, and layout-independent (the [[weightedSample]] rule;
+    * no doubles anywhere). Plan shape at 100 TB: ONE corpus scan + a
+    * per-domain stats aggregate broadcast back — copies never materialize
+    * for the stats (a real sampler materializes them with
+    * explode(sequence(1, copies)), a pure map). Expected sampled tokens
+    * per domain = target ± O(√target); the achieved counts are part of the
+    * oracle-checked output. */
+  val dataMixture: QuerySpec = QuerySpec.sql(
+    "q_data_mixture",
+    """WITH d AS (
+      |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |t AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS dt FROM d GROUP BY 1),
+      |g AS (SELECT CAST(sum(dt) AS BIGINT) AS b, count(*) AS l FROM t),
+      |e AS (SELECT lang, dt, b // l AS target,
+      |             (b // l) // dt AS epochs, (b // l) % dt AS rem
+      |      FROM t, g),
+      |c AS (
+      |  SELECT d.lang, d.ntok, e.dt, e.target, e.epochs,
+      |         e.epochs + CASE WHEN
+      |             (CAST(CAST('0x' || substring(md5('mx-' || d.doc_id), 1, 8) AS UBIGINT)
+      |                   AS BIGINT) + 1) * e.dt < e.rem * 4294967296
+      |           THEN 1 ELSE 0 END AS copies
+      |  FROM d JOIN e USING (lang))
+      |SELECT lang, min(dt) AS domain_tokens, min(target) AS target_tokens,
+      |       CAST(min(epochs) AS INTEGER) AS epochs,
+      |       CAST(sum(copies) AS BIGINT) AS n_docs_sampled,
+      |       CAST(sum(ntok * copies) AS BIGINT) AS n_tokens_sampled
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+    val t = d.groupBy(col("lang")).agg(sum(col("ntok")).cast("long").as("dt"))
+    val g = t.agg(sum(col("dt")).cast("long").as("b"), count(lit(1)).as("l"))
+    val e = t.crossJoin(broadcast(g))
+      .select(col("lang"), col("dt"),
+        expr("b div l").as("target"),
+        expr("(b div l) div dt").as("epochs"),
+        expr("(b div l) % dt").as("rem"))
+    val h = conv(substring(md5(concat(lit("mx-"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("long") + 1
+    d.join(broadcast(e), Seq("lang"))
+      .select(col("lang"), col("ntok"), col("dt"), col("target"), col("epochs"),
+        (col("epochs") +
+          when(h * col("dt") < col("rem") * lit(4294967296L), 1L).otherwise(0L)).as("copies"))
+      .groupBy(col("lang"))
+      .agg(
+        min(col("dt")).as("domain_tokens"),
+        min(col("target")).as("target_tokens"),
+        min(col("epochs")).cast("int").as("epochs"),
+        sum(col("copies")).cast("long").as("n_docs_sampled"),
+        sum(col("ntok") * col("copies")).cast("long").as("n_tokens_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(dataSplit, sampleQuery, stratifiedQuery, weightedSample, dataMixture)
 }
