@@ -226,5 +226,104 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
-  val all: Seq[QuerySpec] = Seq(tableMerge)
+  /** Diff two committed snapshots, MANIFEST-PRUNED: a partition whose
+    * manifest entries are identical in both versions was carried over by
+    * reference and cannot contain a change, so the diff reads ONLY
+    * partitions whose file sets differ. At 100 TB that makes "what changed
+    * between v1 and v2" cost proportional to the touched partitions, not
+    * the table — the audit query every incremental pipeline runs after a
+    * merge. Returns (per-row classified diff over the changed partitions,
+    * carried-partition values); `MergeTableSpec` pins that carried
+    * partitions' files never enter the scan. */
+  def diffVersions(
+      spark: SparkSession, base: String, v1: Int, v2: Int,
+      keyCol: String): (DataFrame, Seq[String]) = {
+    val e1 = entries(spark, base, v1).groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val e2 = entries(spark, base, v2).groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pvals = (e1.keySet ++ e2.keySet).toSeq.sorted
+    val (carried, changed) = pvals.partition(p => e1.get(p) == e2.get(p))
+    def side(em: Map[String, Seq[String]]): Option[DataFrame] = {
+      val files = changed.flatMap(p => em.getOrElse(p, Nil)).map(rel => s"$base/$rel")
+      if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
+    }
+    val diff = (side(e1), side(e2)) match {
+      case (None, None) => None
+      case (a, b) =>
+        val schema = a.orElse(b).get.schema
+        val va = a.getOrElse(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+        val vb = b.getOrElse(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+        val payload = schema.fieldNames.filter(_ != keyCol).toSeq
+        val l = va.select(col(keyCol).as("k"), struct(payload.map(col): _*).as("va"))
+        val r = vb.select(col(keyCol).as("k"), struct(payload.map(col): _*).as("vb"))
+        Some(l.join(r, Seq("k"), "full_outer")
+          .select(col("k").as(keyCol), col("va"), col("vb"),
+            when(col("va").isNull, "insert")
+              .when(col("vb").isNull, "delete")
+              .when(col("va") =!= col("vb"), "update")
+              .otherwise("unchanged").as("change_type")))
+    }
+    (diff.getOrElse(spark.emptyDataFrame), carried)
+  }
+
+  /** Registered snapshot diff: the [[tableMerge]] create+merge replayed on
+    * its own table, then v1 vs v2 diffed through the manifests. Only the
+    * 1996+ partitions were rewritten, so the diff scans just those; the
+    * oracle replays the classification (insert / update / unchanged) with
+    * a full-outer join restricted to the touched partitions — a missed
+    * carry-over, phantom change, or misclassified upsert all
+    * hash-mismatch. */
+  val tableDiff: QuerySpec = QuerySpec.sql(
+    "q_table_diff",
+    """WITH t AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         o_totalprice
+      |  FROM orders),
+      |u AS (
+      |  SELECT o_orderkey, o_year, o_totalprice + 1000.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 0 AND o_year >= 1996
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_year, 42.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 5 AND o_year >= 1996),
+      |m AS (
+      |  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      |  UNION ALL SELECT * FROM u),
+      |a AS (SELECT * FROM t WHERE o_year >= 1996),
+      |b AS (SELECT * FROM m WHERE o_year >= 1996),
+      |j AS (
+      |  SELECT CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+      |              WHEN b.o_orderkey IS NULL THEN 'delete'
+      |              WHEN a.o_totalprice <> b.o_totalprice
+      |                OR a.o_year <> b.o_year THEN 'update'
+      |              ELSE 'unchanged' END AS change_type,
+      |         coalesce(b.o_totalprice, a.o_totalprice) AS price
+      |  FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey)
+      |SELECT change_type, count(*) AS n,
+      |       sum(floor(price * 100 + 0.5)) / 100.0 AS total
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/orders_dtable"
+    val t = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"),
+        col("o_totalprice"))
+    create(spark, base, t, "o_year")
+    val updates = t.filter(col("o_orderkey") % 10 === 0 && col("o_year") >= 1996)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(
+        t.filter(col("o_orderkey") % 10 === 5 && col("o_year") >= 1996)
+          .withColumn("o_orderkey", -col("o_orderkey"))
+          .withColumn("o_totalprice", lit(42.0)))
+    merge(spark, base, updates, "o_orderkey", "o_year")
+    val (diff, _) = diffVersions(spark, base, 1, 2, "o_orderkey")
+    diff
+      .select(col("change_type"),
+        coalesce(col("vb.o_totalprice"), col("va.o_totalprice")).as("price"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("price") * 100 + 0.5)) / 100.0).as("total"))
+      .orderBy(col("change_type"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(tableMerge, tableDiff)
 }

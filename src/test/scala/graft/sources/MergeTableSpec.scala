@@ -98,6 +98,39 @@ class MergeTableSpec extends AnyFunSuite {
     assert(got === truth)
   }
 
+  test("snapshot diff is manifest-pruned: carried partitions never enter the scan") {
+    val base = s"$tmp/graft_scratch/mtable_diff"
+    val t = target()
+    ManifestTable.create(spark, base, t, "o_year")
+    val updates = t.filter(col("o_year") >= 1996 && col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    ManifestTable.merge(spark, base, updates, "o_orderkey", "o_year")
+    val (diff, carried) = ManifestTable.diffVersions(spark, base, 1, 2, "o_orderkey")
+    // metadata level: exactly the pre-1996 years were carried by reference
+    val coldYears = t.filter(col("o_year") < 1996)
+      .select(col("o_year").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(carried.toSet === coldYears, s"carried=$carried expected=$coldYears")
+    // scan level: no carried partition's file is an input of the diff plan
+    val carriedFiles = ManifestTable.readVersion(spark, base, 1).inputFiles
+      .filter(f => carried.exists(p => f.contains(s"p=$p/"))).toSet
+    assert(carriedFiles.nonEmpty)
+    assert(diff.inputFiles.toSet.intersect(carriedFiles).isEmpty,
+      "diff scanned a carried partition")
+    // classification sanity on the touched partitions
+    val byType = diff.groupBy(col("change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hot = t.filter(col("o_year") >= 1996)
+    val nUpd = updates.count()
+    assert(byType.getOrElse("update", 0L) === nUpd)
+    assert(byType.getOrElse("unchanged", 0L) === hot.count() - nUpd)
+    assert(!byType.contains("insert") && !byType.contains("delete"))
+    // self-diff: no changed partitions at all, empty result
+    val (selfDiff, selfCarried) = ManifestTable.diffVersions(spark, base, 2, 2, "o_orderkey")
+    assert(selfDiff.isEmpty && selfCarried.size === carried.size + updates
+      .select(col("o_year").cast("string")).distinct().count().toInt)
+  }
+
   test("racing commits of the same version: exactly one wins") {
     val base = s"$tmp/graft_scratch/mtable_race"
     val t = target().filter(col("o_year") === 1995)
