@@ -325,5 +325,75 @@ object ManifestTable {
       .orderBy(col("change_type"))
   }
 
-  val all: Seq[QuerySpec] = Seq(tableMerge, tableDiff)
+  /** INCREMENTAL aggregate maintenance — the reason [[diffVersions]]
+    * exists: a materialized per-partition aggregate is kept current under
+    * MERGE by applying the diff's deltas instead of recomputing from the
+    * table. Each diff row contributes (vb − va) with absent sides as zero,
+    * so unchanged rows cancel to exactly 0 and only touched partitions
+    * produce deltas; the view update is then a tiny outer join of the
+    * stored aggregate with the per-partition deltas. At 100 TB: the
+    * recompute costs the table, the incremental update costs the merge's
+    * touched partitions — this is the materialized-view half of every
+    * warehouse's MERGE story. The oracle recomputes the aggregate from the
+    * post-merge table, so a wrong delta sign, a lost carried partition, or
+    * double-counted upsert all hash-mismatch. */
+  val incrementalAgg: QuerySpec = QuerySpec.sql(
+    "q_incremental_agg",
+    """WITH t AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         o_totalprice
+      |  FROM orders),
+      |u AS (
+      |  SELECT o_orderkey, o_year, o_totalprice + 1000.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 0 AND o_year >= 1996
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_year, 42.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 5 AND o_year >= 1996),
+      |m AS (
+      |  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      |  UNION ALL SELECT * FROM u)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/orders_itable"
+    val view = s"$base-agg_view"
+    val t = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"),
+        col("o_totalprice"))
+    create(spark, base, t, "o_year")
+    // materialize the aggregate view of v1 (in production this already
+    // exists; building it is the one full-table pass)
+    read(spark, base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .write.mode("overwrite").parquet(view)
+    val updates = t.filter(col("o_orderkey") % 10 === 0 && col("o_year") >= 1996)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(
+        t.filter(col("o_orderkey") % 10 === 5 && col("o_year") >= 1996)
+          .withColumn("o_orderkey", -col("o_orderkey"))
+          .withColumn("o_totalprice", lit(42.0)))
+    merge(spark, base, updates, "o_orderkey", "o_year")
+    // delta application: vb adds, va subtracts; unchanged rows cancel to 0
+    val (diff, _) = diffVersions(spark, base, 1, 2, "o_orderkey")
+    def cents(s: String) = when(col(s).isNotNull,
+      floor(col(s + ".o_totalprice") * 100 + 0.5).cast("long")).otherwise(0L)
+    def one(s: String) = when(col(s).isNotNull, 1L).otherwise(0L)
+    val deltas = diff
+      .select(coalesce(col("vb.o_year"), col("va.o_year")).as("o_year"),
+        (one("vb") - one("va")).as("dn"),
+        (cents("vb") - cents("va")).as("dcents"))
+      .groupBy(col("o_year"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dcents")).as("dcents"))
+    spark.read.parquet(view)
+      .join(deltas, Seq("o_year"), "full_outer")
+      .select(col("o_year"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("cents"), lit(0L)) + coalesce(col("dcents"), lit(0L))).as("cents"))
+      .orderBy(col("o_year"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(tableMerge, tableDiff, incrementalAgg)
 }
