@@ -122,5 +122,56 @@ object Temporal {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
-  val all: Seq[QuerySpec] = Seq(rangeJoin, gapFill, rollingWindow)
+  /** Ordered-sequence FUNNEL analysis — the conversion query every event
+    * pipeline runs: how many users progressed signup → view → click →
+    * purchase, where each step must occur STRICTLY AFTER the user's
+    * previous step (first-touch semantics: each step anchors at its
+    * earliest qualifying time). Computed as a cascade of conditional
+    * min-aggregates, one equi-join per step against the (monotonically
+    * shrinking) set of users who reached the previous step — each step is
+    * one shuffle on user_id sized by the survivors, never a per-user event
+    * sort or a cross join. At 100 TB the step tables are tiny relative to
+    * the event log and broadcast; the log is scanned once per step with
+    * the event-type filter pushed to the scan. */
+  val funnel: QuerySpec = QuerySpec.sql(
+    "q_funnel",
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+      |s4 AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS step_idx, 'signup' AS step, (SELECT count(*) FROM s1) AS n_users
+      |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+      |  UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+      |  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4))
+      |ORDER BY step_idx""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    def step(prev: org.apache.spark.sql.DataFrame, eventType: String) =
+      ev.filter(col("event_type") === eventType).as("e")
+        .join(prev.as("p"), Seq("user_id"))
+        .filter(col("e.ts") > col("p.t"))
+        .groupBy(col("user_id")).agg(min(col("e.ts")).as("t"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val s2 = step(s1, "view")
+    val s3 = step(s2, "click")
+    val s4 = step(s3, "purchase")
+    Seq((1, "signup", s1), (2, "view", s2), (3, "click", s3), (4, "purchase", s4))
+      .map { case (i, name, df) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i).as("step_idx"), lit(name).as("step"), col("n_users"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("step_idx"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(rangeJoin, gapFill, rollingWindow, funnel)
 }
