@@ -26,6 +26,34 @@ object Extras {
       .orderBy(col("l_linestatus"))
   }
 
+  /** UNPIVOT (melt): the wide per-flag aggregate of [[pivotQuery]] turned
+    * back into long form with `Dataset.unpivot` — the narrow↔wide
+    * round-trip every feature pipeline needs in both directions. Pure
+    * projection over the aggregated (tiny) wide table: the unpivot itself
+    * is an Expand node, no shuffle beyond the aggregation's own. */
+  val unpivotQuery: QuerySpec = QuerySpec.sql(
+    "q_unpivot",
+    """WITH w AS (
+      |  SELECT l_linestatus,
+      |         sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A,
+      |         sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N,
+      |         sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_linestatus, flag, qty FROM (
+      |  SELECT l_linestatus, 'A' AS flag, A AS qty FROM w
+      |  UNION ALL SELECT l_linestatus, 'N', N FROM w
+      |  UNION ALL SELECT l_linestatus, 'R', R FROM w)
+      |WHERE qty IS NOT NULL ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity")))
+      .unpivot(Array(col("l_linestatus")), Array(col("A"), col("N"), col("R")),
+        "flag", "qty")
+      .filter(col("qty").isNotNull)
+      .orderBy(col("l_linestatus"), col("flag"))
+  }
+
   /** Scalar string functions over `part`: case, substring, replace, pad,
     * regexp, concat, reverse. */
   val stringFuncs: QuerySpec = QuerySpec.sql(
@@ -351,7 +379,7 @@ object Extras {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(pivotQuery, stringFuncs, collectQuery, explodeQuery, percentiles,
-      dateArith, nullFuncs, groupingSets, windowFuncs2, equidepthHist,
-      featureScale)
+    Seq(pivotQuery, unpivotQuery, stringFuncs, collectQuery, explodeQuery,
+      percentiles, dateArith, nullFuncs, groupingSets, windowFuncs2,
+      equidepthHist, featureScale)
 }
