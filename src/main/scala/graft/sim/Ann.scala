@@ -385,6 +385,109 @@ object Ann {
       .orderBy(col("cluster"))
   }
 
+  /** PRODUCT QUANTIZATION ANN (Jégou et al., "Product quantization for
+    * nearest neighbor search", TPAMI 2011) — the memory-compression half
+    * of large-scale similarity search that [[annIvf]]'s coarse cells pair
+    * with: the 64-dim space splits into M=4 independent 16-dim subspaces,
+    * each learns its own K=8 codebook, and every vector compresses to 4
+    * small codes; queries then rank the WHOLE corpus from per-query
+    * distance TABLES (asymmetric distance, ADC) without touching raw
+    * vectors — at 100 TB the codes are ~64× smaller than the embeddings
+    * and the scan reads codes only.
+    *
+    * Everything is exact integer arithmetic so both engines agree
+    * bit-for-bit: components floor to micro-units first; codebook training
+    * is one Lloyd step from deterministic seeds (vec_id < 8) with the
+    * centroid update an INTEGER element-wise mean (sum div count — both
+    * engines truncate toward zero); distances are integer squared-L2.
+    * The relational formulation keeps vectors EXPLODED by position:
+    * assignment and update are equi-joins + aggregations on (subspace,
+    * position), the codebook stays tiny and broadcast, and nothing ever
+    * materializes an all-pairs product — ADC is a join on (subspace, code)
+    * against the |Q|·M·K-row distance tables. */
+  val pqAnn: QuerySpec = QuerySpec.sql(
+    "q_pq_ann",
+    """WITH pos AS (
+      |  SELECT vec_id, CAST((j0 - 1) // 16 AS INTEGER) AS s, (j0 - 1) % 16 AS j,
+      |         CAST(floor(CAST(embedding[j0] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+      |  FROM embeddings, unnest(range(1, 65)) t(j0)),
+      |seed AS (SELECT s, vec_id AS cid, j, x AS c FROM pos WHERE vec_id < 8),
+      |d1 AS (
+      |  SELECT p.vec_id, p.s, sd.cid,
+      |         CAST(sum((p.x - sd.c) * (p.x - sd.c)) AS BIGINT) AS d
+      |  FROM pos p JOIN seed sd ON p.s = sd.s AND p.j = sd.j
+      |  GROUP BY 1, 2, 3),
+      |a1 AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT vec_id, s, cid,
+      |           row_number() OVER (PARTITION BY vec_id, s
+      |                              ORDER BY d ASC, cid ASC) AS rk
+      |    FROM d1) WHERE rk = 1),
+      |upd AS (
+      |  SELECT a1.s, a1.cid, p.j, sum(p.x) // count(*) AS c
+      |  FROM a1 JOIN pos p ON a1.vec_id = p.vec_id AND a1.s = p.s
+      |  GROUP BY 1, 2, 3),
+      |d2 AS (
+      |  SELECT p.vec_id, p.s, u.cid,
+      |         CAST(sum((p.x - u.c) * (p.x - u.c)) AS BIGINT) AS d
+      |  FROM pos p JOIN upd u ON p.s = u.s AND p.j = u.j
+      |  GROUP BY 1, 2, 3),
+      |a2 AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT vec_id, s, cid,
+      |           row_number() OVER (PARTITION BY vec_id, s
+      |                              ORDER BY d ASC, cid ASC) AS rk
+      |    FROM d2) WHERE rk = 1),
+      |adc AS (
+      |  SELECT dq.vec_id AS query_id, a2.vec_id, CAST(sum(dq.d) AS BIGINT) AS adc
+      |  FROM a2 JOIN d2 dq ON dq.s = a2.s AND dq.cid = a2.cid
+      |  WHERE dq.vec_id < 5 GROUP BY 1, 2)
+      |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, vec_id, adc FROM (
+      |  SELECT query_id, vec_id, adc,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY adc ASC, vec_id ASC) AS rnk
+      |  FROM adc) WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin) { (spark, dir) =>
+    val (m, dsub, seeds, nQ, topK) = (4, 16, 8, 5, 5)
+    val pos = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "xf")))
+      .select(col("vec_id"),
+        (col("j0") / dsub).cast("int").as("s"),
+        (col("j0") % dsub).as("j"),
+        floor(col("xf").cast("double") * 1000000 + 0.5).cast("long").as("x"))
+      .localCheckpoint() // four consumers below; materialize the explode once
+    def dist(centroids: DataFrame): DataFrame =
+      pos.join(broadcast(centroids), Seq("s", "j"))
+        .groupBy(col("vec_id"), col("s"), col("cid"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+    def argmin(d: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("s"))
+        .orderBy(col("d").asc, col("cid").asc)
+      d.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("s"), col("cid"))
+    }
+    val seed = pos.filter(col("vec_id") < seeds)
+      .select(col("s"), col("vec_id").as("cid"), col("j"), col("x").as("c"))
+    val a1 = argmin(dist(seed))
+    val upd = a1.join(pos, Seq("vec_id", "s"))
+      .groupBy(col("s"), col("cid"), col("j"))
+      .agg(expr("sum(x) div count(1)").as("c"))
+    val d2 = dist(upd)
+    val a2 = argmin(d2)
+    val adc = a2.join(
+        d2.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("query_id"), col("s"), col("cid"), col("d")),
+        Seq("s", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).cast("long").as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("vec_id").asc)
+    adc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("adc"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(annCosine, annIvf, embeddingNearDup, embeddingClusters, annLsh, kmeansStep)
+    Seq(annCosine, annIvf, embeddingNearDup, embeddingClusters, annLsh, kmeansStep,
+      pqAnn)
 }

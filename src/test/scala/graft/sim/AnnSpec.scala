@@ -81,6 +81,34 @@ class AnnSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("PQ/ADC retrieves each query itself at rank 1 and ≥30% of the exact L2 top-5") {
+    val pq = Ann.pqAnn.fn(spark, sf)
+      .select("query_id", "rnk", "vec_id").as[(Long, Int, Long)].collect()
+    pq.filter(_._2 == 1).foreach { case (q, _, v) =>
+      assert(v === q, s"query $q did not retrieve itself first (got $v)")
+    }
+    // exact integer-micro squared-L2 top-5 per query, same space as the PQ codes
+    val micro = graft.model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000 + 0.5).cast("long")).as("xm"))
+    val q = micro.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("xm").as("qm"))
+    val d = micro.crossJoin(q)
+      .select(col("qid"), col("vec_id"),
+        aggregate(zip_with(col("qm"), col("xm"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dist").asc, col("vec_id").asc)
+    val exactL2 = d.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = pq.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recall = exactL2.keys.toSeq.map(k =>
+      exactL2(k).intersect(got(k)).size.toDouble / 5).sum / exactL2.size
+    assert(recall >= 0.3, f"PQ recall@5 $recall%.2f below 0.3")
+  }
+
   test("cosine kernel agrees with a plain-Scala computation") {
     graft.exprs.GraftFunctions.register(spark)
     val vecs = graft.model.Tables.embeddings(spark, sf)
