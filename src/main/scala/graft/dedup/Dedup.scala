@@ -342,21 +342,20 @@ object Dedup {
       .distinct()
   }
 
-  /** [[connectedComponents]] plus (star rounds run, convergence probes run).
-    * Rounds include the final verification batch that observes no change —
-    * exposed so tests can pin the O(log n) convergence bound.
+  /** [[connectedComponents]] plus (star rounds run, convergence probes run)
+    * — exposed so tests can pin the O(log n) convergence bound. Rounds
+    * include the final verification round that observes no change.
     *
-    * Star rounds are BATCHED two per convergence probe: the probe
-    * (count + anti-join) plus the checkpoint materialization cost three
-    * driver-blocking jobs per round, and on real inputs the component
-    * structure almost never stabilizes between consecutive rounds — so
-    * probing every round paid fixed per-job latency for information that
-    * was almost always "not yet". Two lazy rounds compose into one DAG,
-    * materialize once, and probe once. Correctness is unaffected:
-    * the star fixpoint is unique and the Kiveris et al. potential strictly
-    * decreases until it is reached, so batch-boundary equality ⇔ fixpoint
-    * (no 2-cycle can fake stability). Worst case runs one extra no-op
-    * round past convergence. */
+    * Probing is PER ROUND, deliberately: batching two rounds per probe
+    * (round-6 experiment) measured ~2× SLOWER on the hot cluster queries
+    * at sf0.1 — the per-round probe is already cheap (the count on the
+    * just-checkpointed edges short-circuits the anti-join whenever the
+    * edge count is still changing, which is every round but the last),
+    * while a batched probe detects the fixpoint one full batch late and
+    * so pays up to TWO extra star rounds (each two shuffles + a distinct
+    * over the edge set) to save driver-blocking jobs that cost almost
+    * nothing. Star rounds dominate probes at every scale; probe batching
+    * optimizes the wrong side of that ratio. */
   def connectedComponentsWithRounds(
       pairs: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): (DataFrame, Int, Int) = {
@@ -373,11 +372,10 @@ object Dedup {
     var probes = 0
     var stable = edges.isEmpty
     while (!stable && rounds < maxIter) {
-      var cur = edges
-      val batch = math.min(2, maxIter - rounds)
-      for (_ <- 1 to batch) { cur = starRound(cur); rounds += 1 }
-      val newEdges = cur.localCheckpoint()
-      // fixpoint of both ops ⇔ union of min-rooted stars
+      val newEdges = starRound(edges).localCheckpoint()
+      rounds += 1
+      // fixpoint of both ops ⇔ union of min-rooted stars; the cheap count
+      // short-circuits the anti-join until the edge count stops moving
       probes += 1
       stable = newEdges.count() == edges.count() &&
         newEdges.join(edges, Seq("u", "v"), "left_anti").isEmpty

@@ -71,19 +71,16 @@ class DedupSpec extends AnyFunSuite {
 
   test("pointer-doubling converges in <= ceil(log2(diameter))+1 rounds on a diameter-8 chain") {
     // 9-node path graph 0-1-…-8: min-label propagation needs O(diameter)=8
-    // rounds; the alternating star ops contract it in ceil(log2 8) = 3.
-    // With two rounds per convergence probe, that is ceil(3/2)+1 = 3
-    // driver-blocking probes (the +1 batch verifies the fixpoint), i.e. at
-    // most 6 star rounds counted — still O(log n), half the probe jobs
+    // rounds; the alternating star ops must do it in ceil(log2 8)+1 = 4
+    // (3 contraction rounds + the fixpoint-verification round). Probes are
+    // per round — see connectedComponentsWithRounds on why batching them
+    // measured slower
     val chain = (0L until 8L).map(i => (i, i + 1)).toDF("a", "b")
     val (labels, rounds, probes) = Dedup.connectedComponentsWithRounds(chain, "a", "b")
     val got = labels.as[(Long, Long)].collect().toMap
     assert(got === (0L to 8L).map(_ -> 0L).toMap)
-    assert(probes <= 3, s"$probes probes exceed ceil(ceil(log2 8)/2)+1 = 3")
-    // probe batching: one convergence probe per TWO star rounds, never one
-    // per round — the driver-blocking job count is what batching halves
-    assert(rounds <= 2 * probes,
-      s"$rounds rounds for $probes probes — probe batching regressed")
+    assert(rounds <= 4, s"star rounds $rounds exceed ceil(log2(8))+1 = 4")
+    assert(probes === rounds)
   }
 
   test("star components agree with min-label propagation on a mixed graph") {
