@@ -4,6 +4,7 @@ import graft.QuerySpec
 import graft.exprs.GraftFunctions
 import graft.model.Tables
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact (content
@@ -523,7 +524,67 @@ object Dedup {
         (col("incoming") - col("dropped")).as("kept"))
   }
 
+  /** Keep-BEST-representative dedup — what a production pipeline actually
+    * keeps from each near-dup cluster: not the min-id doc but the highest
+    * QUALITY one (here n_chars, ties to the lower doc_id). Same LSH
+    * pairs → star components as [[dedupClusters]]; the selection is one
+    * window argmax per cluster over the (tiny relative to the corpus)
+    * clustered docs, with the dropped members listed for audit. The
+    * oracle replays reachability + the same argmax. */
+  val dedupBest: QuerySpec = QuerySpec.sql(
+    "q_dedup_best",
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id,
+      |             list_distinct(list_transform(range(1, len(w) - 1),
+      |                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |      FROM d),
+      |p AS (SELECT a.doc_id AS src, b.doc_id AS dst
+      |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |      WHERE len(list_intersect(a.sh, b.sh))
+      |              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+      |edges AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, lbl) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+      |comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY 1),
+      |q AS (SELECT comp.cluster, comp.id, doc.n_chars,
+      |             row_number() OVER (PARTITION BY comp.cluster
+      |                                ORDER BY doc.n_chars DESC, comp.id ASC) AS rk
+      |      FROM comp JOIN documents doc ON comp.id = doc.doc_id)
+      |SELECT cluster, count(*) AS n_docs,
+      |       CAST(min(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS kept_doc,
+      |       CAST(min(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS kept_chars,
+      |       array_to_string(array_agg(CASE WHEN rk > 1 THEN id END ORDER BY id), ',')
+      |         AS dropped_csv
+      |FROM q GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    GraftFunctions.register(spark)
+    graft.plans.GraftExtensions.install(spark)
+    val d = Tables.documents(spark, dir)
+    val withSh = d.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val a = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val pairs = lshCandidates(d, "doc_id", "text")
+      .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.9)
+      .select("doc_a", "doc_b")
+    val labeled = connectedComponents(pairs, "doc_a", "doc_b")
+      .join(d.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+    val w = Window.partitionBy(col("lbl"))
+      .orderBy(col("n_chars").desc, col("id").asc)
+    labeled.withColumn("rk", row_number().over(w))
+      .groupBy(col("lbl").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(when(col("rk") === 1, col("id"))).as("kept_doc"),
+        min(when(col("rk") === 1, col("n_chars"))).as("kept_chars"),
+        concat_ws(",", sort_array(collect_list(when(col("rk") > 1, col("id")))))
+          .as("dropped_csv"))
+      .orderBy(col("cluster"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(dedupExact, nearDupPairs, minhashSigs, simhashPairs, fingerprintOverlap,
-      dedupClusters, dedupIncremental)
+      dedupClusters, dedupBest, dedupIncremental)
 }
