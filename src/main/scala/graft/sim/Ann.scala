@@ -487,7 +487,161 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF-PQ — the composition the two halves above exist for (FAISS's
+    * IVFADC): a COARSE quantizer over the full vector assigns each vector
+    * to a cell; PQ codebooks train on the RESIDUAL (vector − cell
+    * centroid), which is far more quantizable than the raw vector; a query
+    * probes only its nprobe=2 nearest cells and ranks just those cells'
+    * vectors by ADC over per-(query, cell) residual distance tables. At
+    * 100 TB this is the full memory/compute story: codes-only storage
+    * (PQ) AND a 1/cells scan fraction (IVF), with every step an equi-join
+    * or broadcast against metadata-sized codebooks. Same integer-exact
+    * discipline as [[pqAnn]] — coarse training, residuals, PQ training,
+    * and search all replay bit-for-bit in the oracle. */
+  val ivfPqAnn: QuerySpec = QuerySpec.sql(
+    "q_ivfpq_ann",
+    """WITH pos AS (
+      |  SELECT vec_id, CAST((j0 - 1) // 16 AS INTEGER) AS s, (j0 - 1) % 16 AS j,
+      |         (j0 - 1) AS jg,
+      |         CAST(floor(CAST(embedding[j0] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+      |  FROM embeddings, unnest(range(1, 65)) t(j0)),
+      |cseed AS (SELECT vec_id AS cell, jg, x AS c FROM pos WHERE vec_id < 4),
+      |cd1 AS (
+      |  SELECT p.vec_id, sd.cell, CAST(sum((p.x - sd.c) * (p.x - sd.c)) AS BIGINT) AS d
+      |  FROM pos p JOIN cseed sd ON p.jg = sd.jg GROUP BY 1, 2),
+      |ca1 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rk
+      |    FROM cd1) WHERE rk = 1),
+      |cupd AS (
+      |  SELECT ca1.cell, p.jg, sum(p.x) // count(*) AS c
+      |  FROM ca1 JOIN pos p ON ca1.vec_id = p.vec_id GROUP BY 1, 2),
+      |cd2 AS (
+      |  SELECT p.vec_id, u.cell, CAST(sum((p.x - u.c) * (p.x - u.c)) AS BIGINT) AS d
+      |  FROM pos p JOIN cupd u ON p.jg = u.jg GROUP BY 1, 2),
+      |ca2 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rk
+      |    FROM cd2) WHERE rk = 1),
+      |res AS (
+      |  SELECT p.vec_id, p.s, p.j, ca2.cell, p.x - u.c AS x
+      |  FROM pos p JOIN ca2 ON p.vec_id = ca2.vec_id
+      |  JOIN cupd u ON u.cell = ca2.cell AND u.jg = p.jg),
+      |pseed AS (SELECT s, vec_id AS cid, j, x AS c FROM res WHERE vec_id < 8),
+      |pd1 AS (
+      |  SELECT r.vec_id, r.s, sd.cid, CAST(sum((r.x - sd.c) * (r.x - sd.c)) AS BIGINT) AS d
+      |  FROM res r JOIN pseed sd ON r.s = sd.s AND r.j = sd.j GROUP BY 1, 2, 3),
+      |pa1 AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT vec_id, s, cid,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rk
+      |    FROM pd1) WHERE rk = 1),
+      |pupd AS (
+      |  SELECT pa1.s, pa1.cid, r.j, sum(r.x) // count(*) AS c
+      |  FROM pa1 JOIN res r ON pa1.vec_id = r.vec_id AND pa1.s = r.s GROUP BY 1, 2, 3),
+      |pd2 AS (
+      |  SELECT r.vec_id, r.s, u.cid, CAST(sum((r.x - u.c) * (r.x - u.c)) AS BIGINT) AS d
+      |  FROM res r JOIN pupd u ON r.s = u.s AND r.j = u.j GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT vec_id, s, cid,
+      |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rk
+      |    FROM pd2) WHERE rk = 1),
+      |probe AS (
+      |  SELECT vec_id AS query_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rk
+      |    FROM cd2 WHERE vec_id < 5) WHERE rk <= 2),
+      |qres AS (
+      |  SELECT p.vec_id AS query_id, pr.cell, p.s, p.j, p.x - u.c AS x
+      |  FROM pos p JOIN probe pr ON p.vec_id = pr.query_id
+      |  JOIN cupd u ON u.cell = pr.cell AND u.jg = p.jg),
+      |dtab AS (
+      |  SELECT q.query_id, q.cell, q.s, u.cid,
+      |         CAST(sum((q.x - u.c) * (q.x - u.c)) AS BIGINT) AS d
+      |  FROM qres q JOIN pupd u ON q.s = u.s AND q.j = u.j
+      |  GROUP BY 1, 2, 3, 4),
+      |adc AS (
+      |  SELECT dt.query_id, cds.vec_id, CAST(sum(dt.d) AS BIGINT) AS adc
+      |  FROM codes cds
+      |  JOIN ca2 ON cds.vec_id = ca2.vec_id
+      |  JOIN dtab dt ON dt.cell = ca2.cell AND dt.s = cds.s AND dt.cid = cds.cid
+      |  GROUP BY 1, 2)
+      |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, vec_id, adc FROM (
+      |  SELECT query_id, vec_id, adc,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rnk
+      |  FROM adc) WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin) { (spark, dir) =>
+    val (dsub, cells, seeds, nQ, nProbe, topK) = (16, 4, 8, 5, 2, 5)
+    val pos = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "xf")))
+      .select(col("vec_id"),
+        (col("j0") / dsub).cast("int").as("s"),
+        (col("j0") % dsub).as("j"),
+        col("j0").as("jg"),
+        floor(col("xf").cast("double") * 1000000 + 0.5).cast("long").as("x"))
+      .localCheckpoint()
+    def argminOver(d: DataFrame, part: Seq[String], pick: String): DataFrame = {
+      val w = Window.partitionBy(part.map(col): _*).orderBy(col("d").asc, col(pick).asc)
+      d.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select((part :+ pick).map(col): _*)
+    }
+    // coarse quantizer over the FULL vector (join on the global position)
+    def cdist(cents: DataFrame): DataFrame =
+      pos.join(broadcast(cents), Seq("jg"))
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+    val cseed = pos.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cell"), col("jg"), col("x").as("c"))
+    val ca1 = argminOver(cdist(cseed), Seq("vec_id"), "cell")
+    val cupd = ca1.join(pos, Seq("vec_id"))
+      .groupBy(col("cell"), col("jg")).agg(expr("sum(x) div count(1)").as("c"))
+    val cd2 = cdist(cupd)
+    val ca2 = argminOver(cd2, Seq("vec_id"), "cell")
+    // residuals, PQ training on them (subspace-position joins)
+    val res = pos.join(ca2, Seq("vec_id"))
+      .join(broadcast(cupd), Seq("cell", "jg"))
+      .select(col("vec_id"), col("s"), col("j"), col("cell"),
+        (col("x") - col("c")).as("x"))
+      .localCheckpoint()
+    def pdist(cents: DataFrame): DataFrame =
+      res.join(broadcast(cents), Seq("s", "j"))
+        .groupBy(col("vec_id"), col("s"), col("cid"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+    val pseed = res.filter(col("vec_id") < seeds)
+      .select(col("s"), col("vec_id").as("cid"), col("j"), col("x").as("c"))
+    val pa1 = argminOver(pdist(pseed), Seq("vec_id", "s"), "cid")
+    val pupd = pa1.join(res, Seq("vec_id", "s"))
+      .groupBy(col("s"), col("cid"), col("j")).agg(expr("sum(x) div count(1)").as("c"))
+    val codes = argminOver(pdist(pupd), Seq("vec_id", "s"), "cid")
+    // search: probe nprobe cells, residual distance tables per (query, cell)
+    val probe = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d").asc, col("cell").asc)
+      cd2.filter(col("vec_id") < nQ)
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= nProbe)
+        .select(col("vec_id").as("query_id"), col("cell"))
+    }
+    val qres = pos.join(probe, pos("vec_id") === probe("query_id"))
+      .join(broadcast(cupd), Seq("cell", "jg"))
+      .select(col("query_id"), col("cell"), col("s"), col("j"),
+        (col("x") - col("c")).as("x"))
+    val dtab = qres.join(broadcast(pupd), Seq("s", "j"))
+      .groupBy(col("query_id"), col("cell"), col("s"), col("cid"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+    val adc = codes.join(ca2, Seq("vec_id"))
+      .join(dtab, Seq("cell", "s", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).cast("long").as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("vec_id").asc)
+    adc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("adc"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(annCosine, annIvf, embeddingNearDup, embeddingClusters, annLsh, kmeansStep,
-      pqAnn)
+      pqAnn, ivfPqAnn)
 }

@@ -109,6 +109,19 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, f"PQ recall@5 $recall%.2f below 0.3")
   }
 
+  test("IVF-PQ retrieves each query itself at rank 1 and only searches probed cells") {
+    val got = Ann.ivfPqAnn.fn(spark, sf)
+      .select("query_id", "rnk", "vec_id").as[(Long, Int, Long)].collect()
+    got.filter(_._2 == 1).foreach { case (q, _, v) =>
+      assert(v === q, s"query $q did not retrieve itself first (got $v)")
+    }
+    // nprobe=2 of 4 cells: every query must rank a full top-5 from its
+    // probed cells alone (the corpus is dense enough per cell)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length === 5, s"query $q returned ${rows.length} results")
+    }
+  }
+
   test("cosine kernel agrees with a plain-Scala computation") {
     graft.exprs.GraftFunctions.register(spark)
     val vecs = graft.model.Tables.embeddings(spark, sf)
