@@ -395,5 +395,74 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
-  val all: Seq[QuerySpec] = Seq(tableMerge, tableDiff, incrementalAgg)
+  /** STREAMING UPSERT ingest — the manifest table as a streaming MERGE
+    * sink: an update stream lands batch by batch, and `foreachBatch`
+    * runs one transactional [[merge]] per micro-batch, committing one
+    * snapshot version each. This is the production CDC-apply shape
+    * (Delta/Iceberg `MERGE` inside `foreachBatch`): each commit is atomic,
+    * a crash between batches leaves the last committed snapshot readable,
+    * and the streaming checkpoint + the per-version manifest together give
+    * exactly-once table state per batch. Update keys are unique across
+    * the feed, so the final state is independent of how the stream
+    * batches — which is what lets the batch oracle replay it with one
+    * anti-join + union. Every snapshot along the way stays addressable
+    * (time travel over the ingest history). */
+  val streamMerge: QuerySpec = QuerySpec.sql(
+    "q_stream_merge",
+    """WITH t AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         o_totalprice
+      |  FROM orders),
+      |u AS (
+      |  SELECT o_orderkey, o_year, o_totalprice + 1000.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 0 AND o_year >= 1996
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_year, 42.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 5 AND o_year >= 1996),
+      |m AS (
+      |  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      |  UNION ALL SELECT * FROM u)
+      |SELECT o_year, count(*) AS n,
+      |       count(DISTINCT o_orderkey) AS n_keys,
+      |       sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS total
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val base = s"$tmp/graft_scratch/orders_smtable"
+    val feed = s"$tmp/graft_scratch/orders_smfeed"
+    val t = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"),
+        col("o_totalprice"))
+    create(spark, base, t, "o_year")
+    val updates = t.filter(col("o_orderkey") % 10 === 0 && col("o_year") >= 1996)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(
+        t.filter(col("o_orderkey") % 10 === 5 && col("o_year") >= 1996)
+          .withColumn("o_orderkey", -col("o_orderkey"))
+          .withColumn("o_totalprice", lit(42.0)))
+    updates.repartition(4).write.mode("overwrite").parquet(feed)
+    val fs = fsOf(spark, new Path(feed + "_ck"))
+    fs.delete(new Path(feed + "_ck"), true)
+    val stream = spark.readStream
+      .schema(updates.schema)
+      .option("maxFilesPerTrigger", "2") // several micro-batches, one commit each
+      .parquet(feed)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) merge(spark, base, batch, "o_orderkey", "o_year")
+        ()
+      }
+      .option("checkpointLocation", feed + "_ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    read(spark, base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        (sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0).as("total"))
+      .orderBy(col("o_year"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(tableMerge, tableDiff, incrementalAgg, streamMerge)
 }

@@ -131,6 +131,23 @@ class MergeTableSpec extends AnyFunSuite {
       .select(col("o_year").cast("string")).distinct().count().toInt)
   }
 
+  test("streaming upsert commits one snapshot per micro-batch; history stays addressable") {
+    ManifestTable.streamMerge.fn(spark, sf).collect() // run the full ingest
+    val base = s"$tmp/graft_scratch/orders_smtable"
+    val vCur = ManifestTable.currentVersion(spark, base)
+    // 4 feed files at maxFilesPerTrigger=2 → 2 micro-batches → v1 + 2 commits
+    assert(vCur === 3, s"expected v1 + one commit per micro-batch, got v$vCur")
+    val t = target()
+    val n1 = ManifestTable.readVersion(spark, base, 1).count()
+    assert(n1 === t.count())
+    val inserts = t.filter(col("o_orderkey") % 10 === 5 && col("o_year") >= 1996).count()
+    val nFinal = ManifestTable.readVersion(spark, base, vCur).count()
+    assert(nFinal === n1 + inserts, "upserts replaced, inserts added — exactly once")
+    // the mid-ingest snapshot is a consistent state between the endpoints
+    val n2 = ManifestTable.readVersion(spark, base, 2).count()
+    assert(n2 >= n1 && n2 <= nFinal)
+  }
+
   test("racing commits of the same version: exactly one wins") {
     val base = s"$tmp/graft_scratch/mtable_race"
     val t = target().filter(col("o_year") === 1995)
