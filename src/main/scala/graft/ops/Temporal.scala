@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.QuerySpec
 import graft.model.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Temporal interval operators.
@@ -173,5 +174,48 @@ object Temporal {
       .orderBy(col("step_idx"))
   }
 
-  val all: Seq[QuerySpec] = Seq(rangeJoin, gapFill, rollingWindow, funnel)
+  /** OHLC bars — the time-series downsampling every metrics store runs:
+    * per (user, day), the FIRST and LAST value in event-time order plus
+    * the min/max. First/last are rank-1 window rows with a total order
+    * ((ts, event_id) — ts alone can tie), not `first()`-in-aggregation
+    * (which is partition-order-dependent and irreproducible); one shuffle
+    * on the (user, day) grain serves both window directions and the
+    * aggregate. Values pass through untouched (no float arithmetic), so
+    * both engines agree bit-for-bit. */
+  val ohlc: QuerySpec = QuerySpec.sql(
+    "q_ohlc",
+    """WITH e AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         ts, event_id, value,
+      |         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |                            ORDER BY ts ASC, event_id ASC) AS rn_open,
+      |         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |                            ORDER BY ts DESC, event_id DESC) AS rn_close
+      |  FROM events)
+      |SELECT user_id, day,
+      |       min(CASE WHEN rn_open = 1 THEN value END) AS open,
+      |       max(value) AS high, min(value) AS low,
+      |       min(CASE WHEN rn_close = 1 THEN value END) AS close,
+      |       count(*) AS n_events
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val day = date_trunc("day", col("ts"))
+    val wOpen = Window.partitionBy(col("user_id"), day)
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wClose = Window.partitionBy(col("user_id"), day)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), day.as("day"), col("value"),
+        row_number().over(wOpen).as("rn_open"),
+        row_number().over(wClose).as("rn_close"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        min(when(col("rn_open") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        min(when(col("rn_close") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(rangeJoin, gapFill, rollingWindow, funnel, ohlc)
 }
