@@ -217,5 +217,40 @@ object Temporal {
       .orderBy(col("user_id"), col("day"))
   }
 
-  val all: Seq[QuerySpec] = Seq(rangeJoin, gapFill, rollingWindow, funnel, ohlc)
+  /** COHORT RETENTION — users grouped by the week of their first event
+    * (the cohort), then counted as retained in each subsequent week they
+    * were active. Two aggregations and one equi-join on user_id: first
+    * touch per user (one shuffle), join back to events (broadcast — the
+    * per-user table is tiny relative to the event log), distinct
+    * (cohort, offset, user), count. The offset arithmetic is integer
+    * day-diffs (// 7), exact in both engines. */
+  val retention: QuerySpec = QuerySpec.sql(
+    "q_retention",
+    """WITH f AS (
+      |  SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS first_day
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT DISTINCT f.user_id,
+      |         CAST(date_trunc('week', f.first_day) AS DATE) AS cohort,
+      |         date_diff('day', f.first_day, CAST(date_trunc('day', e.ts) AS DATE)) // 7
+      |           AS week_offset
+      |  FROM events e JOIN f USING (user_id))
+      |SELECT cohort, CAST(week_offset AS INTEGER) AS week_offset,
+      |       count(*) AS n_users
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts"))).cast("date").as("first_day"))
+    ev.join(broadcast(first), Seq("user_id"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_day")).cast("date").as("cohort"),
+        expr("datediff(CAST(date_trunc('day', ts) AS DATE), first_day) div 7")
+          .as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort"), col("week_offset").cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(rangeJoin, gapFill, rollingWindow, funnel, ohlc, retention)
 }
