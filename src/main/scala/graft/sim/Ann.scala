@@ -596,9 +596,13 @@ object Ann {
     val cseed = pos.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cell"), col("jg"), col("x").as("c"))
     val ca1 = argminOver(cdist(cseed), Seq("vec_id"), "cell")
+    // the codebooks are metadata-sized but their lineage reaches back
+    // through a window + join; three consumers each would replay it —
+    // materialize once (same for pupd and the doubly-consumed cd2)
     val cupd = ca1.join(pos, Seq("vec_id"))
       .groupBy(col("cell"), col("jg")).agg(expr("sum(x) div count(1)").as("c"))
-    val cd2 = cdist(cupd)
+      .localCheckpoint()
+    val cd2 = cdist(cupd).localCheckpoint()
     val ca2 = argminOver(cd2, Seq("vec_id"), "cell")
     // residuals, PQ training on them (subspace-position joins)
     val res = pos.join(ca2, Seq("vec_id"))
@@ -615,6 +619,7 @@ object Ann {
     val pa1 = argminOver(pdist(pseed), Seq("vec_id", "s"), "cid")
     val pupd = pa1.join(res, Seq("vec_id", "s"))
       .groupBy(col("s"), col("cid"), col("j")).agg(expr("sum(x) div count(1)").as("c"))
+      .localCheckpoint()
     val codes = argminOver(pdist(pupd), Seq("vec_id", "s"), "cid")
     // search: probe nprobe cells, residual distance tables per (query, cell)
     val probe = {
