@@ -223,6 +223,75 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 retrieval scoring (Robertson-Spärck Jones; Lucene's positive-idf
+    * form) — multi-term queries ranked over the corpus through the classic
+    * inverted-index statistics: tf per (doc, term), df per term, doc
+    * length, corpus avgdl. k1=1.2, b=0.75. The relational plan IS the
+    * inverted index: the tf table is the posting list, the query joins it
+    * on the term key (at 100 TB: a broadcast of the query terms against a
+    * term-bucketed posting table — no scan of non-matching terms' rows),
+    * and the per-query top-k is a bounded window. Per-term scores floor
+    * to integer micro-units before the per-doc sum (the q_tfidf ln-parity
+    * rule), so ranking ties break identically in both engines. */
+  val bm25: QuerySpec = QuerySpec.sql(
+    "q_bm25",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+      |       FROM (SELECT doc_id, unnest(w) AS t FROM d) GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sdl FROM dl),
+      |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |q(qid, t) AS (VALUES (1, 'spark'), (1, 'join'), (2, 'stream'), (2, 'window'),
+      |                     (3, 'hash'), (3, 'merge'), (3, 'table')),
+      |sc AS (
+      |  SELECT q.qid, tf.doc_id,
+      |         CAST(floor(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+      |                    * (tf.tf * 2.2)
+      |                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (st.sdl / st.n)))
+      |                    * 1000000 + 0.5) AS BIGINT) AS s_micro
+      |  FROM q JOIN tf ON q.t = tf.t
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  JOIN df ON q.t = df.t
+      |  CROSS JOIN st),
+      |agg AS (SELECT qid, doc_id, count(*) AS n_terms_hit,
+      |               CAST(sum(s_micro) AS BIGINT) AS score_micro
+      |        FROM sc GROUP BY 1, 2)
+      |SELECT qid, CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_hit, score_micro FROM (
+      |  SELECT qid, doc_id, n_terms_hit, score_micro,
+      |         row_number() OVER (PARTITION BY qid
+      |                            ORDER BY score_micro DESC, doc_id ASC) AS rnk
+      |  FROM agg) WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir).select(col("doc_id"), tokens(col("text")).as("w"))
+    val tf = d.select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dl = d.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("dl")).cast("double").as("sdl"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val q = spark.createDataFrame(Seq(
+      (1, "spark"), (1, "join"), (2, "stream"), (2, "window"),
+      (3, "hash"), (3, "merge"), (3, "table"))).toDF("qid", "t")
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") +
+      lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / (col("sdl") / col("n")))
+    val sc = tf.join(broadcast(q), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(df), Seq("t"))
+      .crossJoin(broadcast(st))
+      .select(col("qid"), col("doc_id"),
+        floor(idf * (col("tf") * lit(2.2)) / denom * lit(1000000) + lit(0.5))
+          .cast("long").as("s_micro"))
+    val agg = sc.groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("s_micro")).cast("long").as("score_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score_micro").desc, col("doc_id").asc)
+    agg.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("n_terms_hit"), col("score_micro"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(textQuality, tokenCount, langId, tfidf, textNormalize, lmScore)
+    Seq(textQuality, tokenCount, langId, tfidf, textNormalize, lmScore, bm25)
 }
