@@ -646,7 +646,65 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** HYBRID SEARCH — reciprocal-rank fusion (Cormack et al., SIGIR 2009)
+    * of the sparse BM25 ranking and the dense cosine ranking over the same
+    * id space (documents ↔ their embeddings): per (query, id),
+    * rrf = Σ 1/(60 + rank) over the rankers that returned it, computed in
+    * exact integer nanos (`1e9 div (60+rank)`) so fusion and tie-breaks
+    * replay identically. Each ranker contributes its top-10; the fused
+    * top-5 is a bounded window. This is the retrieval stack RAG pipelines
+    * run — lexical and semantic rankers disagree on purpose, and the
+    * fusion is where the value is. Both rankers are the already-proven
+    * plans (posting-list join; broadcast-queries brute cosine); the fusion
+    * itself is a full-outer equi-join of two 30-row rankings. */
+  val hybridSearch: QuerySpec = QuerySpec.sql(
+    "q_hybrid_search",
+    s"""WITH ${graft.text.TextAnalysis.bm25CtesSql(10)},
+       |p AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS id,
+       |         ${simSql("q.embedding", "c.embedding")} AS sim
+       |  FROM embeddings q CROSS JOIN embeddings c
+       |  WHERE q.vec_id BETWEEN 1 AND 3 AND q.vec_id <> c.vec_id),
+       |dense AS (
+       |  SELECT qid, id, rnk FROM (
+       |    SELECT qid, id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id ASC) AS rnk
+       |    FROM p) WHERE rnk <= 10),
+       |f AS (
+       |  SELECT coalesce(s.qid, de.qid) AS qid, coalesce(s.doc_id, de.id) AS id,
+       |         coalesce(CAST(1000000000 AS BIGINT) // (60 + s.rnk), 0)
+       |           + coalesce(CAST(1000000000 AS BIGINT) // (60 + de.rnk), 0) AS rrf_nano,
+       |         CASE WHEN de.id IS NULL THEN 0 ELSE 1 END AS hit_dense,
+       |         CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END AS hit_sparse
+       |  FROM sparse s FULL JOIN dense de ON s.qid = de.qid AND s.doc_id = de.id)
+       |SELECT qid, CAST(rnk AS INTEGER) AS rnk, id, rrf_nano, hit_dense, hit_sparse FROM (
+       |  SELECT qid, id, rrf_nano, hit_dense, hit_sparse,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY rrf_nano DESC, id ASC) AS rnk
+       |  FROM f) WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin) { (spark, dir) =>
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val dense = topK(e, e.filter(col("vec_id").between(1, 3)), 10)
+      .select(col("qid"), col("cid").as("id"), col("rank").as("d_rnk"))
+    val sparse = graft.text.TextAnalysis.bm25Rankings(spark, dir, 10)
+      .select(col("qid"), col("doc_id").as("id"), col("rnk").as("s_rnk"))
+    val fused = sparse.join(dense, Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        (coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + s_rnk)"), lit(0L))
+          + coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + d_rnk)"), lit(0L)))
+          .as("rrf_nano"),
+        when(col("d_rnk").isNull, 0).otherwise(1).as("hit_dense"),
+        when(col("s_rnk").isNull, 0).otherwise(1).as("hit_sparse"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rrf_nano").desc, col("id").asc)
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("id"), col("rrf_nano"),
+        col("hit_dense"), col("hit_sparse"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(annCosine, annIvf, embeddingNearDup, embeddingClusters, annLsh, kmeansStep,
-      pqAnn, ivfPqAnn)
+      pqAnn, ivfPqAnn, hybridSearch)
 }

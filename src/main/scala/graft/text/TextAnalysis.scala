@@ -233,35 +233,54 @@ object TextAnalysis {
     * and the per-query top-k is a bounded window. Per-term scores floor
     * to integer micro-units before the per-doc sum (the q_tfidf ln-parity
     * rule), so ranking ties break identically in both engines. */
+  /** The BM25 pipeline as SQL CTEs ending in `sparse(qid, doc_id,
+    * n_terms_hit, score_micro, rnk)` with rnk ≤ `topN` — shared by the
+    * [[bm25]] oracle and the hybrid-search oracle. */
+  def bm25CtesSql(topN: Int): String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, unnest(w) AS t FROM d) GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sdl FROM dl),
+       |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |q(qid, t) AS (VALUES (1, 'spark'), (1, 'join'), (2, 'stream'), (2, 'window'),
+       |                     (3, 'hash'), (3, 'merge'), (3, 'table')),
+       |sc AS (
+       |  SELECT q.qid, tf.doc_id,
+       |         CAST(floor(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+       |                    * (tf.tf * 2.2)
+       |                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (st.sdl / st.n)))
+       |                    * 1000000 + 0.5) AS BIGINT) AS s_micro
+       |  FROM q JOIN tf ON q.t = tf.t
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  JOIN df ON q.t = df.t
+       |  CROSS JOIN st),
+       |agg AS (SELECT qid, doc_id, count(*) AS n_terms_hit,
+       |               CAST(sum(s_micro) AS BIGINT) AS score_micro
+       |        FROM sc GROUP BY 1, 2),
+       |sparse AS (
+       |  SELECT qid, doc_id, n_terms_hit, score_micro, rnk FROM (
+       |    SELECT qid, doc_id, n_terms_hit, score_micro,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY score_micro DESC, doc_id ASC) AS rnk
+       |    FROM agg) WHERE rnk <= $topN)""".stripMargin
+
   val bm25: QuerySpec = QuerySpec.sql(
     "q_bm25",
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
-      |       FROM (SELECT doc_id, unnest(w) AS t FROM d) GROUP BY 1, 2),
-      |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM d),
-      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sdl FROM dl),
-      |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-      |q(qid, t) AS (VALUES (1, 'spark'), (1, 'join'), (2, 'stream'), (2, 'window'),
-      |                     (3, 'hash'), (3, 'merge'), (3, 'table')),
-      |sc AS (
-      |  SELECT q.qid, tf.doc_id,
-      |         CAST(floor(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
-      |                    * (tf.tf * 2.2)
-      |                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (st.sdl / st.n)))
-      |                    * 1000000 + 0.5) AS BIGINT) AS s_micro
-      |  FROM q JOIN tf ON q.t = tf.t
-      |  JOIN dl ON tf.doc_id = dl.doc_id
-      |  JOIN df ON q.t = df.t
-      |  CROSS JOIN st),
-      |agg AS (SELECT qid, doc_id, count(*) AS n_terms_hit,
-      |               CAST(sum(s_micro) AS BIGINT) AS score_micro
-      |        FROM sc GROUP BY 1, 2)
-      |SELECT qid, CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_hit, score_micro FROM (
-      |  SELECT qid, doc_id, n_terms_hit, score_micro,
-      |         row_number() OVER (PARTITION BY qid
-      |                            ORDER BY score_micro DESC, doc_id ASC) AS rnk
-      |  FROM agg) WHERE rnk <= 5
-      |ORDER BY qid, rnk""".stripMargin) { (spark, dir) =>
+    s"""WITH ${bm25CtesSql(5)}
+       |SELECT qid, CAST(rnk AS INTEGER) AS rnk, doc_id, n_terms_hit, score_micro
+       |FROM sparse ORDER BY qid, rnk""".stripMargin) { (spark, dir) =>
+    bm25Rankings(spark, dir, 5)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("n_terms_hit"), col("score_micro"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** The BM25 ranking pipeline behind [[bm25]], exposed so the hybrid
+    * search query can fuse it with the dense ranking. Returns the top
+    * `topN` docs per query: (qid, rnk, doc_id, n_terms_hit, score_micro). */
+  def bm25Rankings(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      topN: Int): org.apache.spark.sql.DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), tokens(col("text")).as("w"))
     val tf = d.select(col("doc_id"), explode(col("w")).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
@@ -287,9 +306,7 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score_micro").desc, col("doc_id").asc)
     agg.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select(col("qid"), col("rnk"), col("doc_id"), col("n_terms_hit"), col("score_micro"))
-      .orderBy(col("qid"), col("rnk"))
+      .filter(col("rnk") <= topN)
   }
 
   val all: Seq[QuerySpec] =
