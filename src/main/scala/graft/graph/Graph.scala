@@ -223,5 +223,138 @@ object Graph {
     (ranks, rounds)
   }
 
-  val all: Seq[QuerySpec] = Seq(pageRankStep, pageRank)
+  /** Oriented edge lists of the part co-purchase graph (two parts are
+    * adjacent when some order contains both). Exposed for the spec: the
+    * registered query counts triangles on the DEGREE-oriented arrows; the
+    * spec recounts on id-oriented arrows and checks the counts agree
+    * (triangle counts are orientation-invariant). */
+  def coPurchaseArrows(spark: org.apache.spark.sql.SparkSession, dir: String,
+      byDegree: Boolean): org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    // one undirected edge per co-purchased part pair; checkpointed because
+    // the degree join below would otherwise replay the self-join twice
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .localCheckpoint()
+    if (!byDegree) e.select(col("u").as("s"), col("v").as("t"))
+    else {
+      // orient every edge toward its higher-(degree, id) endpoint: the
+      // compact-forward trick — out-degrees are then O(sqrt(m)), so the
+      // wedge join below is near-linear instead of sum-of-squared-degrees
+      // on hub nodes. This is what keeps the count feasible at 100 TB.
+      val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val low = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      e.join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select(when(low, col("u")).otherwise(col("v")).as("s"),
+          when(low, col("v")).otherwise(col("u")).as("t"))
+    }
+  }
+
+  /** All triangles {a,b,c} of the co-purchase graph, one row each, found by
+    * the oriented wedge join: arrows s→t follow a total order, so a
+    * triangle u≺v≺w appears exactly once as (u→v) ⋈ (v→w) closed by
+    * (u→w). */
+  def triangles(spark: org.apache.spark.sql.SparkSession, dir: String,
+      byDegree: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val arrows = coPurchaseArrows(spark, dir, byDegree).localCheckpoint()
+    arrows.as("x").join(arrows.as("y"), col("x.t") === col("y.s"))
+      .join(arrows.as("z"),
+        col("z.s") === col("x.s") && col("z.t") === col("y.t"))
+      .select(col("x.s").as("a"), col("x.t").as("b"), col("y.t").as("c"))
+  }
+
+  /** Triangle counting (top-20 parts by triangle participation plus the
+    * global count). The oracle orients edges by part id — a different
+    * orientation than the engine's degree order, but triangle membership is
+    * orientation-invariant, so per-node and global counts agree exactly. */
+  val triangleCount: QuerySpec = QuerySpec.sql(
+    "q_triangle_count",
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |      FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+      |t AS (SELECT x.u AS a, x.v AS b, y.v AS c
+      |      FROM e x JOIN e y ON x.v = y.u
+      |      JOIN e z ON z.u = x.u AND z.v = y.v),
+      |total AS (SELECT count(*) AS n_triangles FROM t),
+      |pn AS (SELECT node, count(*) AS tri_cnt FROM (
+      |         SELECT a AS node FROM t UNION ALL SELECT b AS node FROM t
+      |         UNION ALL SELECT c AS node FROM t) m GROUP BY 1)
+      |SELECT pn.node, pn.tri_cnt, total.n_triangles
+      |FROM pn CROSS JOIN total
+      |ORDER BY tri_cnt DESC, node LIMIT 20""".stripMargin) { (spark, dir) =>
+    val tri = triangles(spark, dir).localCheckpoint()
+    val total = tri.agg(count(lit(1)).as("n_triangles"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+      .crossJoin(broadcast(total))
+      .orderBy(col("tri_cnt").desc, col("node"))
+      .limit(20)
+  }
+
+  /** Frontier BFS over the undirected customer↔supplier purchase graph
+    * from the lowest customer key: per round, only the FRONTIER joins the
+    * edge list (not the whole visited set), new nodes are those not yet in
+    * `dist` (left-anti), and a 1-row count probe stops the loop the round
+    * the frontier empties — the same driver-coordination budget as
+    * [[pageRankConverged]]'s fixpoint probe. First-visit round = shortest
+    * hop distance, which is exactly the oracle's recursive-CTE min(d). */
+  val shortestPath: QuerySpec = QuerySpec.sql(
+    "q_shortest_path",
+    """WITH RECURSIVE eb AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |ue AS (SELECT 'c' || c AS u, 's' || s AS v FROM eb
+      |       UNION ALL SELECT 's' || s AS u, 'c' || c AS v FROM eb),
+      |src AS (SELECT 'c' || min(c) AS sn FROM eb),
+      |bfs(node, d) AS (
+      |  SELECT sn, 0 FROM src
+      |  UNION
+      |  SELECT ue.v, bfs.d + 1 FROM bfs JOIN ue ON ue.u = bfs.node
+      |  WHERE bfs.d < 6)
+      |SELECT node, CAST(min(d) AS BIGINT) AS dist
+      |FROM bfs GROUP BY 1 ORDER BY dist, node""".stripMargin) { (spark, dir) =>
+    bfsDistances(spark, dir, maxHops = 6)
+      .select(
+        concat(when(col("kind") === 0, "c").otherwise("s"), col("key")).as("node"),
+        col("dist"))
+      .orderBy(col("dist"), col("node"))
+  }
+
+  /** (kind, key, dist) BFS distance table within `maxHops` of the minimum
+    * customer key. Node ids stay (kind, key) long pairs through every
+    * shuffle (strings only at render time, like [[pageRank]]). */
+  def bfsDistances(spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxHops: Int): org.apache.spark.sql.DataFrame = {
+    val PurchaseGraph(e, _, _, _) = purchaseGraph(spark, dir, cut = true)
+    val ue = e.select(lit(0).as("uk"), col("src").as("un"),
+        lit(1).as("vk"), col("dst").as("vn"))
+      .union(e.select(lit(1).as("uk"), col("dst").as("un"),
+        lit(0).as("vk"), col("src").as("vn")))
+      .localCheckpoint()
+    var dist = e.agg(min(col("src")).as("key"))
+      .select(lit(0).as("kind"), col("key"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var hop = 0
+    var done = false
+    while (hop < maxHops && !done) {
+      hop += 1
+      val next = frontier
+        .join(ue, frontier("kind") === ue("uk") && frontier("key") === ue("un"))
+        .select(col("vk").as("kind"), col("vn").as("key")).distinct()
+      frontier = next.join(dist, Seq("kind", "key"), "left_anti")
+        .select(col("kind"), col("key"), lit(hop.toLong).as("dist"))
+        .localCheckpoint()
+      if (frontier.count() == 0) done = true // 1-row probe, like pageRankConverged
+      else dist = dist.union(frontier).localCheckpoint()
+    }
+    dist
+  }
+
+  val all: Seq[QuerySpec] = Seq(pageRankStep, pageRank, triangleCount, shortestPath)
 }

@@ -96,4 +96,59 @@ class GraphTemporalSpec extends AnyFunSuite {
       assert(rn === n && rs === s, s"event $id: window ($rn,$rs) vs brute ($n,$s)")
     }
   }
+
+  test("triangle count is orientation-invariant and every triangle's edges exist") {
+    // the registered query orients edges by degree (the scale path); id
+    // orientation must find the same triangle multiset
+    val byDeg = graft.graph.Graph.triangles(spark, sf, byDegree = true)
+      .select(array_sort(array(col("a"), col("b"), col("c"))).as("t"))
+    val byId = graft.graph.Graph.triangles(spark, sf, byDegree = false)
+      .select(array_sort(array(col("a"), col("b"), col("c"))).as("t"))
+    assert(byDeg.count() === byId.count())
+    assert(byDeg.except(byId).count() === 0)
+    assert(byId.except(byDeg).count() === 0)
+    // no degenerate triangles, and each one's three edges are real
+    val edges = graft.graph.Graph.coPurchaseArrows(spark, sf, byDegree = false)
+      .as[(Long, Long)].collect()
+      .flatMap(e => Seq(e, e.swap)).toSet
+    val tris = graft.graph.Graph.triangles(spark, sf).as[(Long, Long, Long)].collect()
+    assert(tris.nonEmpty)
+    tris.foreach { case (a, b, c) =>
+      assert(a != b && b != c && a != c)
+      assert(edges((a, b)) && edges((b, c)) && edges((a, c)),
+        s"triangle ($a,$b,$c) has a phantom edge")
+    }
+    // per-node participation sums to 3x the global count
+    val perNode = graft.graph.Graph.triangles(spark, sf)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").count().agg(sum("count")).as[Long].head()
+    assert(perNode === 3L * tris.length)
+  }
+
+  test("bfs layers are sound: bipartite parity and a parent in the previous layer") {
+    val dist = graft.graph.Graph.bfsDistances(spark, sf, maxHops = 6)
+      .as[(Int, Long, Long)].collect()
+    val byNode = dist.map(t => (t._1, t._2) -> t._3).toMap
+    assert(dist.count(_._3 == 0L) === 1)
+    // customer↔supplier edges only: customers sit on even layers,
+    // suppliers on odd ones
+    dist.foreach { case (kind, key, d) =>
+      assert((d % 2 == 0) == (kind == 0), s"node ($kind,$key) at layer $d")
+    }
+    // every non-source node has a neighbor exactly one layer closer
+    val e = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.model.Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct().as[(Long, Long)].collect()
+    val nbrs = (e.map { case (c, s) => (0, c) -> (1, s) } ++
+      e.map { case (c, s) => (1, s) -> (0, c) })
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    dist.filter(_._3 > 0).foreach { case (kind, key, d) =>
+      val hasParent = nbrs((kind, key)).exists(n => byNode.get(n).contains(d - 1))
+      assert(hasParent, s"node ($kind,$key) at $d has no layer-${d - 1} neighbor")
+    }
+  }
 }
