@@ -175,6 +175,99 @@ object ManifestTable {
     commit(spark, base, v + 1, cold ++ newFiles)
   }
 
+  /** Transactional DELETE WHERE — the erasure verb of the format (GDPR /
+    * retention): rewrite ONLY the partitions holding matching rows, keeping
+    * the survivors, and commit manifest v(N+1). The touched-partition probe
+    * is one column-pruned, predicate-pushed scan producing a metadata-sized
+    * set (distinct partition values), so at 100 TB the rewrite is sized by
+    * the partitions the predicate actually hits — a "delete customer X"
+    * touches the handful of partitions X appears in, not the table. A
+    * partition whose every row matches simply contributes no files (it
+    * vanishes from the manifest); untouched partitions carry by reference.
+    * No match → no-op (no empty commit). Returns whether a commit happened.
+    * Crash before the commit rename leaves snapshot N intact, exactly like
+    * [[merge]]. */
+  def deleteWhere(
+      spark: SparkSession, base: String, pred: org.apache.spark.sql.Column,
+      partCol: String, failBeforeCommit: Boolean = false): Boolean = {
+    val v = currentVersion(spark, base)
+    val es = entries(spark, base, v)
+    val touched = read(spark, base).filter(pred)
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) return false
+    val (hot, cold) = es.partition { case (pval, _) => touched(pval) }
+    val survivors = spark.read
+      .parquet(hot.map { case (_, rel) => s"$base/$rel" }: _*)
+      .filter(!pred)
+    val newFiles = writeSnapshotFiles(spark, base, v + 1, survivors, partCol)
+    if (failBeforeCommit)
+      throw new RuntimeException("injected crash before manifest commit")
+    commit(spark, base, v + 1, cold ++ newFiles)
+    true
+  }
+
+  /** Snapshot expiration (VACUUM): keep the newest `keep` snapshots, drop
+    * older manifests, and physically delete data files no kept manifest
+    * references. Because merges/deletes carry cold partitions by reference,
+    * a file may be named by many manifests — only files referenced
+    * EXCLUSIVELY by expired snapshots are deleted, so every kept snapshot
+    * stays byte-complete. This is what bounds the format's storage under a
+    * long MERGE/DELETE history (the streaming ingest commits one version
+    * per micro-batch). Returns (expired manifest count, deleted file
+    * count). */
+  def expireSnapshots(spark: SparkSession, base: String, keep: Int): (Int, Int) = {
+    require(keep >= 1, "must keep at least the current snapshot")
+    val vs = versions(spark, base)
+    val dropVs = vs.dropRight(keep)
+    if (dropVs.isEmpty) return (0, 0)
+    val live = vs.takeRight(keep)
+      .flatMap(v => entries(spark, base, v).map(_._2)).toSet
+    val dead = dropVs.flatMap(v => entries(spark, base, v).map(_._2))
+      .distinct.filterNot(live)
+    val fs = fsOf(spark, new Path(base))
+    dead.foreach(rel => fs.delete(new Path(base, rel), false))
+    dropVs.foreach(v => fs.delete(new Path(manifestDir(base), s"v$v.manifest"), false))
+    (dropVs.size, dead.size)
+  }
+
+  /** Registered DELETE round-trip: the cohort-erasure shape — every order
+    * of a 1-in-97 customer cohort placed 1996 or later is transactionally
+    * deleted. The predicate's year bound means the probe finds only 1996+
+    * partitions, so earlier partitions carry into v2 by reference
+    * (`MergeTableSpec` pins that, plus crash safety and the all-rows-match
+    * partition vanishing). The oracle keeps the complement, so a lost
+    * survivor, a leaked matching row, or a dropped cold partition all
+    * hash-mismatch. */
+  val tableDelete: QuerySpec = QuerySpec.sql(
+    "q_table_delete",
+    """WITH t AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         o_custkey, o_totalprice
+      |  FROM orders),
+      |m AS (
+      |  SELECT * FROM t
+      |  WHERE NOT (o_custkey % 97 = 7 AND o_year >= 1996))
+      |SELECT o_year, count(*) AS n,
+      |       count(DISTINCT o_custkey) AS n_cust,
+      |       sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS total
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/orders_rmtable"
+    val t = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"),
+        col("o_custkey"), col("o_totalprice"))
+    create(spark, base, t, "o_year")
+    deleteWhere(spark, base,
+      col("o_custkey") % 97 === 7 && col("o_year") >= 1996, "o_year")
+    read(spark, base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        (sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0).as("total"))
+      .orderBy(col("o_year"))
+  }
+
   /** Registered MERGE round-trip: orders becomes a manifest table
     * partitioned by order year; the update set modifies every 10th order
     * (price bump — MATCHED → replace) and inserts a mirrored set of brand
@@ -464,5 +557,6 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
-  val all: Seq[QuerySpec] = Seq(tableMerge, tableDiff, incrementalAgg, streamMerge)
+  val all: Seq[QuerySpec] =
+    Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete)
 }

@@ -148,6 +148,63 @@ class MergeTableSpec extends AnyFunSuite {
     assert(n2 >= n1 && n2 <= nFinal)
   }
 
+  test("delete is partition-grained copy-on-write; emptied partitions vanish; crash-safe") {
+    val base = s"$tmp/graft_scratch/mtable_del"
+    val t = target().withColumn("o_custkey", (col("o_orderkey") % 1000).cast("long"))
+    ManifestTable.create(spark, base, t, "o_year")
+    val pred = col("o_custkey") % 97 === 7 && col("o_year") >= 1996
+    val before = snapshotSum(ManifestTable.read(spark, base))
+    // crash after the survivor files are written: v1 unharmed, retry clean
+    intercept[RuntimeException] {
+      ManifestTable.deleteWhere(spark, base, pred, "o_year", failBeforeCommit = true)
+    }
+    assert(ManifestTable.currentVersion(spark, base) === 1)
+    assert(snapshotSum(ManifestTable.read(spark, base)) === before)
+    assert(ManifestTable.deleteWhere(spark, base, pred, "o_year"))
+    // survivors = exact complement of the predicate
+    val got = ManifestTable.read(spark, base).count()
+    assert(got === t.filter(!pred).count())
+    assert(ManifestTable.read(spark, base).filter(pred).count() === 0)
+    // pre-1996 partitions carried by reference (delete never touched them)
+    val f1 = ManifestTable.readVersion(spark, base, 1).inputFiles.toSet
+    val f2 = ManifestTable.readVersion(spark, base, 2).inputFiles.toSet
+    val carried = f1.intersect(f2)
+    assert(carried.nonEmpty && carried.forall(!_.contains("/v2/")))
+    // time travel still shows the erased rows in v1
+    assert(ManifestTable.readVersion(spark, base, 1).filter(pred).count() > 0)
+    // a predicate matching nothing is a no-op — no empty commit
+    assert(!ManifestTable.deleteWhere(spark, base, col("o_year") === 1900, "o_year"))
+    assert(ManifestTable.currentVersion(spark, base) === 2)
+    // deleting EVERY row of a partition removes it from the manifest
+    assert(ManifestTable.deleteWhere(spark, base, col("o_year") === 1998, "o_year"))
+    assert(ManifestTable.read(spark, base).filter(col("o_year") === 1998).count() === 0)
+    assert(ManifestTable.readVersion(spark, base, 2).filter(col("o_year") === 1998).count() > 0)
+  }
+
+  test("snapshot expiration deletes only files no kept manifest references") {
+    val base = s"$tmp/graft_scratch/mtable_vac"
+    val t = target()
+    ManifestTable.create(spark, base, t, "o_year")
+    val u = t.filter(col("o_year") >= 1996 && col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    ManifestTable.merge(spark, base, u, "o_orderkey", "o_year")
+    ManifestTable.deleteWhere(spark, base,
+      col("o_year") >= 1997 && col("o_orderkey") % 3 === 0, "o_year")
+    val keepSum = snapshotSum(ManifestTable.readVersion(spark, base, 3))
+    val v1Files = ManifestTable.readVersion(spark, base, 1).inputFiles.toSet
+    val v2Files = ManifestTable.readVersion(spark, base, 2).inputFiles.toSet
+    val v3Files = ManifestTable.readVersion(spark, base, 3).inputFiles.toSet
+    val (expired, deleted) = ManifestTable.expireSnapshots(spark, base, keep = 1)
+    assert(expired === 2)
+    // exactly the files referenced ONLY by the expired v1/v2 are gone
+    assert(deleted === ((v1Files ++ v2Files) -- v3Files).size)
+    // the kept snapshot is byte-complete and old versions are gone
+    assert(snapshotSum(ManifestTable.read(spark, base)) === keepSum)
+    intercept[Exception] { ManifestTable.readVersion(spark, base, 2).collect() }
+    // vacuum again: nothing left to expire
+    assert(ManifestTable.expireSnapshots(spark, base, keep = 1) === ((0, 0)))
+  }
+
   test("racing commits of the same version: exactly one wins") {
     val base = s"$tmp/graft_scratch/mtable_race"
     val t = target().filter(col("o_year") === 1995)
