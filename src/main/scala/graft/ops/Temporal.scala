@@ -252,5 +252,80 @@ object Temporal {
       .orderBy(col("cohort"), col("week_offset"))
   }
 
-  val all: Seq[QuerySpec] = Seq(rangeJoin, gapFill, rollingWindow, funnel, ohlc, retention)
+  /** Gaps-and-islands INTERVAL MERGE — coalesce each supplier's overlapping
+    * service intervals into maximal covered islands, then report
+    * per-supplier coverage (island count, merged days, raw interval count).
+    * The classic pattern: order intervals by start within each key, mark a
+    * new island whenever a start lands strictly after the day following
+    * the running max of all previous ends — overlapping OR day-adjacent
+    * intervals merge (a ROWS-to-1-PRECEDING cumulative max — plain sorted
+    * scan state, no self-join), island id = running sum of those marks.
+    * Everything rides ONE shuffle on the supplier key; no window ever spans
+    * more than one supplier's rows, so 100 TB of intervals partitions
+    * cleanly. Tie rows (equal start+end) are order-insensitive: the first
+    * of a tie opens the island, the rest join it, whichever physical order
+    * the sort emits. Day arithmetic stays integral (datediff), so both
+    * engines agree exactly. */
+  val intervalMerge: QuerySpec = QuerySpec.sql(
+    "q_interval_merge",
+    """WITH iv AS (
+      |  SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS s,
+      |         CAST(l_shipdate AS DATE)
+      |           + CAST((l_orderkey + l_partkey) % 14 AS INTEGER) AS e
+      |  FROM lineitem),
+      |pm AS (
+      |  SELECT k, s, e,
+      |         max(e) OVER (PARTITION BY k ORDER BY s, e
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv),
+      |fl AS (
+      |  SELECT k, s, e,
+      |         CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END AS f
+      |  FROM pm),
+      |isl AS (
+      |  SELECT k, s, e,
+      |         sum(f) OVER (PARTITION BY k ORDER BY s, e
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM fl),
+      |g AS (
+      |  SELECT k, island, min(s) AS i_start, max(e) AS i_end, count(*) AS n_iv
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT k AS l_suppkey,
+      |       count(*) AS n_islands,
+      |       CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+      |       CAST(sum(date_diff('day', i_start, i_end) + 1) AS BIGINT) AS covered_days
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val byStart = Window.partitionBy(col("k")).orderBy(col("s"), col("e"))
+    // service window per lineitem: ship date plus a deterministic 0-13 day
+    // tail (there is no receipt date in the test schema; the derived end
+    // keeps both engines in lockstep)
+    val iv = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("k"), col("l_shipdate").cast("date").as("s"),
+        date_add(col("l_shipdate").cast("date"),
+          ((col("l_orderkey") + col("l_partkey")) % 14).cast("int")).as("e"))
+    val marked = iv
+      .withColumn("pmax",
+        max(col("e")).over(byStart.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("f",
+        when(col("pmax").isNull || col("s") > date_add(col("pmax"), 1), 1L)
+          .otherwise(0L))
+      // the island id reuses byStart's (k, s, e) sort — Catalyst keeps both
+      // windows in the single per-supplier sort, one shuffle total
+      .withColumn("island",
+        sum(col("f")).over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+    marked
+      .groupBy(col("k"), col("island"))
+      .agg(min(col("s")).as("i_start"), max(col("e")).as("i_end"),
+        count(lit(1)).as("n_iv"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("n_iv")).as("n_intervals"),
+        sum(datediff(col("i_end"), col("i_start")) + 1).as("covered_days"))
+      .select(col("k").as("l_suppkey"), col("n_islands"), col("n_intervals"),
+        col("covered_days"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(rangeJoin, gapFill, rollingWindow, funnel, ohlc, retention, intervalMerge)
 }

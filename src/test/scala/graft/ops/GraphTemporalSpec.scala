@@ -125,6 +125,34 @@ class GraphTemporalSpec extends AnyFunSuite {
     assert(perNode === 3L * tris.length)
   }
 
+  test("interval merge equals the day-explosion brute force and rides one hash shuffle") {
+    val got = graft.ops.Temporal.intervalMerge.fn(spark, sf)
+    // brute force: explode every interval into its covered days; coverage =
+    // distinct days, islands = runs of consecutive days — a completely
+    // independent computation path from the running-max window
+    val iv = graft.model.Tables.lineitem(spark, sf)
+      .select(col("l_suppkey").as("k"), col("l_shipdate").cast("date").as("s"),
+        date_add(col("l_shipdate").cast("date"),
+          ((col("l_orderkey") + col("l_partkey")) % 14).cast("int")).as("e"))
+    val days = iv.select(col("k"), explode(sequence(col("s"), col("e"))).as("d")).distinct()
+      .as[(Long, java.sql.Date)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2.toLocalDate.toEpochDay).sorted).toMap
+    val brute = days.map { case (k, ds) =>
+      val islands = 1 + ds.sliding(2).count(w => w.length == 2 && w(1) != w(0) + 1)
+      k -> (islands.toLong, ds.length.toLong)
+    }
+    got.select(col("l_suppkey"), col("n_islands"), col("covered_days"))
+      .as[(Long, Long, Long)].collect().foreach { case (k, ni, cd) =>
+        assert(brute(k) === ((ni, cd)), s"supplier $k")
+      }
+    assert(got.agg(sum(col("n_intervals"))).as[Long].head() === iv.count())
+    // the whole pipeline (two windows + two aggregations) reuses ONE hash
+    // shuffle on the supplier key — only the final orderBy adds a range
+    // exchange
+    val plan = got.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan.take(2000))
+  }
+
   test("bfs layers are sound: bipartite parity and a parent in the previous layer") {
     val dist = graft.graph.Graph.bfsDistances(spark, sf, maxHops = 6)
       .as[(Int, Long, Long)].collect()
