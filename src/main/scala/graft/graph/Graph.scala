@@ -356,5 +356,56 @@ object Graph {
     dist
   }
 
-  val all: Seq[QuerySpec] = Seq(pageRankStep, pageRank, triangleCount, shortestPath)
+  /** ITEM-ITEM COLLABORATIVE FILTERING — top-5 "parts bought together"
+    * neighbors per part, scored by co-occurrence cosine
+    * n_uv / sqrt(n_u · n_v) over order baskets. Ranked in exact integer
+    * PICO-units of cosine² (`1e12·n_uv² div (n_u·n_v)` — the square is
+    * rank-equivalent and avoids sqrt), so scores and tie-breaks replay
+    * identically in both engines. The pair fan-out is one self-equi-join on
+    * the order key: O(Σ basket²) rows, bounded by the basket size (≤7
+    * lineitems per TPC-H order; a production corpus would cap pathological
+    * baskets first), NEVER O(items²) — the item-pair aggregate and the
+    * per-item top-k window are the only shuffles after it. This is the
+    * co-occurrence recommender every commerce pipeline ships first. */
+  val itemCf: QuerySpec = QuerySpec.sql(
+    "q_item_cf",
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |pc AS (SELECT a.p AS u, b.p AS v, count(*) AS n_uv
+      |       FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+      |       GROUP BY 1, 2),
+      |n AS (SELECT p, count(*) AS np FROM li GROUP BY 1),
+      |sym AS (SELECT u, v, n_uv FROM pc
+      |        UNION ALL SELECT v, u, n_uv FROM pc),
+      |sc AS (SELECT s.u AS part, s.v AS nbr, s.n_uv,
+      |              (1000000000000 * s.n_uv * s.n_uv) // (nu.np * nv.np) AS cos2_pico
+      |       FROM sym s JOIN n nu ON nu.p = s.u JOIN n nv ON nv.p = s.v),
+      |r AS (SELECT part, nbr, n_uv, cos2_pico,
+      |             row_number() OVER (PARTITION BY part
+      |                                ORDER BY cos2_pico DESC, nbr ASC) AS rnk
+      |      FROM sc)
+      |SELECT part, CAST(rnk AS INTEGER) AS rnk, nbr, n_uv, cos2_pico
+      |FROM r WHERE rnk <= 5 ORDER BY part, rnk""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val pc = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("n_uv"))
+    val n = li.groupBy(col("p")).agg(count(lit(1)).as("np"))
+    val sym = pc.select(col("u"), col("v"), col("n_uv"))
+      .unionByName(pc.select(col("v").as("u"), col("u").as("v"), col("n_uv")))
+    val sc = sym
+      .join(n.select(col("p").as("u"), col("np").as("nu")), "u")
+      .join(n.select(col("p").as("v"), col("np").as("nv")), "v")
+      .select(col("u").as("part"), col("v").as("nbr"), col("n_uv"),
+        expr("(1000000000000L * n_uv * n_uv) div (nu * nv)").as("cos2_pico"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part")).orderBy(col("cos2_pico").desc, col("nbr").asc)
+    sc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("part"), col("rnk"), col("nbr"), col("n_uv"), col("cos2_pico"))
+      .orderBy(col("part"), col("rnk"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(pageRankStep, pageRank, triangleCount, shortestPath, itemCf)
 }

@@ -153,6 +153,30 @@ class GraphTemporalSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan.take(2000))
   }
 
+  test("item-cf scores are symmetric, bounded, and rank-consistent with double cosine") {
+    val got = graft.graph.Graph.itemCf.fn(spark, sf)
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // per-part ranks are 1..k with strictly valid ordering
+    got.groupBy(_._1).foreach { case (part, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1 to rows.length))
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 > b._5 || (a._5 == b._5 && a._3 < b._3), s"part $part rank order")
+        case _ =>
+      }
+    }
+    // the score is symmetric: whenever v is ranked for u AND u for v, the
+    // pico scores agree exactly (same n_uv², same denominator product)
+    val score = got.map(r => (r._1, r._3) -> r._5).toMap
+    val sym = got.flatMap(r => score.get((r._3, r._1)).map(s => (r._5, s)))
+    assert(sym.nonEmpty)
+    sym.foreach { case (a, b) => assert(a === b) }
+    // cos² ≤ 1 in pico units, n_uv ≥ 1
+    got.foreach { r => assert(r._5 >= 0 && r._5 <= 1000000000000L && r._4 >= 1) }
+  }
+
   test("bfs layers are sound: bipartite parity and a parent in the previous layer") {
     val dist = graft.graph.Graph.bfsDistances(spark, sf, maxHops = 6)
       .as[(Int, Long, Long)].collect()
