@@ -326,6 +326,48 @@ object Temporal {
       .orderBy(col("l_suppkey"))
   }
 
+  /** MARKOV TRANSITION MATRIX over per-user event sequences — for each
+    * (from_type, to_type) pair of consecutive events in a user's timeline,
+    * the transition count and empirical probability. The sequence order is
+    * a total order ((ts, event_id) — ts alone can tie), successors come
+    * from one `lead` window per user (a single shuffle on user_id; no
+    * self-join over the log), and probabilities are exact integer
+    * MICRO-units (`1e6·n div n_from`) so both engines emit identical
+    * values. The per-user window is the whole scale story: 100 TB of
+    * events partition by user, and the transition aggregate downstream is
+    * |types|² rows. This is the "where do users go next" path-analysis
+    * query, and the trained matrix IS a first-order Markov chain. */
+  val markovTransitions: QuerySpec = QuerySpec.sql(
+    "q_markov_transitions",
+    """WITH s AS (
+      |  SELECT user_id, event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |t AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |f AS (SELECT from_type, sum(n) AS n_from FROM t GROUP BY 1)
+      |SELECT t.from_type, t.to_type, t.n,
+      |       CAST(n_from AS BIGINT) AS n_from,
+      |       CAST((1000000 * t.n) // CAST(f.n_from AS BIGINT) AS BIGINT) AS p_micro
+      |FROM t JOIN f USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin) { (spark, dir) =>
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(byTime).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val f = t.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    t.join(broadcast(f), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        expr("(1000000L * n) div n_from").as("p_micro"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(rangeJoin, gapFill, rollingWindow, funnel, ohlc, retention, intervalMerge)
+    Seq(rangeJoin, gapFill, rollingWindow, funnel, ohlc, retention, intervalMerge,
+      markovTransitions)
 }
