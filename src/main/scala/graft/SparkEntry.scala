@@ -18,6 +18,7 @@ object SparkEntry {
       ops.Skew.all ++
       ops.Extras.all ++
       ops.Temporal.all ++
+      ops.Skyline.all ++
       ops.Sampling.all ++
       etl.EtlQueries.all ++
       sources.Sources.all ++

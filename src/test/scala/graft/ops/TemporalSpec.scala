@@ -46,4 +46,25 @@ class TemporalSpec extends AnyFunSuite {
       assert(rel < 0.05, s"$k: approx p50 $v vs exact ${exact(k)} (rel $rel)")
     }
   }
+
+  test("skyline: kept points are mutually non-dominated, dropped points all dominated") {
+    val pts = Skyline.pointsOf(spark, sf)
+      .as[(String, Long, Int)].collect().toSet
+    val kept = Skyline.skylineOf(Skyline.pointsOf(spark, sf))
+      .as[(String, Long, Int)].collect().toSet
+    assert(kept.nonEmpty && kept.subsetOf(pts))
+    def dominates(y: (String, Long, Int), x: (String, Long, Int)): Boolean =
+      y._1 == x._1 && y._2 <= x._2 && y._3 <= x._3 && (y._2 < x._2 || y._3 < x._3)
+    // brute-force truth over every point of every brand
+    pts.groupBy(_._1).foreach { case (_, grp) =>
+      grp.foreach { x =>
+        val dominated = grp.exists(y => dominates(y, x))
+        assert(kept.contains(x) === !dominated, s"$x kept=${kept.contains(x)}")
+      }
+    }
+    // one hash shuffle (the window's group partitioning), nothing pairwise
+    val plan = Skyline.skylineOf(Skyline.pointsOf(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan.take(1500))
+  }
 }
