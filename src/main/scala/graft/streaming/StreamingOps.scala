@@ -389,6 +389,94 @@ object StreamingOps {
     sink
   }
 
+  /** STREAMING DOMAIN-MIXTURE sampling — [[graft.ops.Sampling.dataMixture]]
+    * applied to a document STREAM: the per-domain rates (epochs + exact
+    * fractional remainder) come from the static corpus stats, broadcast
+    * once, and every micro-batch then decides each document's copy count
+    * with the same md5-Bernoulli draw the batch sampler uses. The draw
+    * depends only on doc_id, so the sampled multiset is independent of how
+    * the stream batches — each batch is a stateless project+broadcast-join,
+    * no state store, retry-idempotent per-batch sink — and the batch
+    * oracle replays it exactly. This is the ingest-time "data mixing" step
+    * of a streaming training-data pipeline: at 100 TB/day the rates come
+    * from yesterday's stats (or a control plane) and each arriving shard
+    * is sampled in flight, never re-scanned. */
+  val streamMixture: QuerySpec = QuerySpec.sql(
+    "q_stream_mixture",
+    """WITH d AS (
+      |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |t AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS dt FROM d GROUP BY 1),
+      |g AS (SELECT CAST(sum(dt) AS BIGINT) AS b, count(*) AS l FROM t),
+      |e AS (SELECT lang, dt, b // l AS target,
+      |             (b // l) // dt AS epochs, (b // l) % dt AS rem
+      |      FROM t, g),
+      |c AS (
+      |  SELECT d.lang, d.ntok, e.dt, e.target, e.epochs,
+      |         e.epochs + CASE WHEN
+      |             (CAST(CAST('0x' || substring(md5('mx-' || d.doc_id), 1, 8) AS UBIGINT)
+      |                   AS BIGINT) + 1) * e.dt < e.rem * 4294967296
+      |           THEN 1 ELSE 0 END AS copies
+      |  FROM d JOIN e USING (lang))
+      |SELECT lang, min(dt) AS domain_tokens, min(target) AS target_tokens,
+      |       CAST(min(epochs) AS INTEGER) AS epochs,
+      |       CAST(sum(copies) AS BIGINT) AS n_docs_sampled,
+      |       CAST(sum(ntok * copies) AS BIGINT) AS n_tokens_sampled
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val sink = streamMixtureSampled(spark, dir)
+    spark.read.parquet(sink)
+      .groupBy(col("lang"))
+      .agg(
+        min(col("dt")).as("domain_tokens"),
+        min(col("target")).as("target_tokens"),
+        min(col("epochs")).cast("int").as("epochs"),
+        sum(col("copies")).cast("long").as("n_docs_sampled"),
+        sum(col("ntok") * col("copies")).cast("long").as("n_tokens_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  /** Stage documents as a stream feed, broadcast the static per-domain
+    * rates, and sample every micro-batch in flight; returns the sink path
+    * (rows carry the rate columns so the reader can reaggregate). Shared
+    * with `StreamingSpec`'s batch-equivalence pin. */
+  def streamMixtureSampled(spark: SparkSession, dir: String): String = {
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val staged = s"$tmp/graft_scratch/docs_mix_stream"
+    val sink = s"$tmp/graft_scratch/docs_mix_sink"
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+    // static rates: one tiny aggregate of corpus stats (in production this
+    // is yesterday's stats table or a control-plane config)
+    val t = d.groupBy(col("lang")).agg(sum(col("ntok")).cast("long").as("dt"))
+    val g = t.agg(sum(col("dt")).cast("long").as("b"), count(lit(1)).as("l"))
+    val rates = t.crossJoin(broadcast(g))
+      .select(col("lang"), col("dt"),
+        expr("b div l").as("target"),
+        expr("(b div l) div dt").as("epochs"),
+        expr("(b div l) % dt").as("rem"))
+      .persist()
+    try {
+      rates.count() // materialize once, not per micro-batch
+      d.repartition(8).write.mode("overwrite").parquet(staged)
+      val ckpt = freshCheckpoint("stream_mixture", staged + "_ck")
+      val probe = spark.readStream
+        .schema(d.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staged)
+      val h = conv(substring(md5(concat(lit("mx-"), col("doc_id"))), 1, 8), 16, 10)
+        .cast("long") + 1
+      val sampled = probe.join(broadcast(rates), Seq("lang"))
+        .select(col("lang"), col("ntok"), col("dt"), col("target"), col("epochs"),
+          (col("epochs") +
+            when(h * col("dt") < col("rem") * lit(4294967296L), 1L).otherwise(0L))
+            .as("copies"))
+        .filter(col("copies") > 0) // zero-copy docs never reach the sink
+      runToParquetSink(spark, sampled, ckpt, sink)
+    } finally rates.unpersist()
+    sink
+  }
+
   /** Fresh checkpoint dir for a streaming query: tmpfs when present (the
     * streamWindow LOCAL-MODE note — state-store delta commits off the
     * contended disk), cleaned before each run. A cluster deployment points
@@ -440,7 +528,7 @@ object StreamingOps {
 
   val all: Seq[QuerySpec] =
     Seq(streamWindow, sessionize, sessionWindowBuiltin, streamDedup, streamJoin,
-      streamLate, streamAsOf)
+      streamLate, streamAsOf, streamMixture)
 }
 
 /** Typed event for stateful sessionization. */

@@ -385,4 +385,19 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Option[Long], Option[Double])].collect().toSet
     assert(streamed === batch)
   }
+
+  test("streaming mixture sampling equals the batch sampler, across several micro-batches") {
+    val sink = StreamingOps.streamMixtureSampled(spark, sf)
+    // it really streamed: 8 staged files at maxFilesPerTrigger=2 → ≥3 batches
+    val batches = new java.io.File(sink).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batches.length >= 3, s"expected >=3 micro-batches, got ${batches.length}")
+    // per-lang sampled totals equal the registered batch mixture exactly —
+    // the md5 draw is batch-boundary-invariant by construction
+    val streamed = StreamingOps.streamMixture.fn(spark, sf)
+      .as[(String, Long, Long, Int, Long, Long)].collect().toSet
+    val batch = graft.ops.Sampling.dataMixture.fn(spark, sf)
+      .as[(String, Long, Long, Int, Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
 }
