@@ -271,7 +271,66 @@ object CorpusPipeline {
       .orderBy(col("lang"))
   }
 
+  /** PMI COLLOCATIONS — the statistically-bound word pairs of the corpus
+    * (Church & Hanks 1990): bigrams whose observed count beats what the
+    * unigram frequencies predict, ranked by the pointwise-mutual-
+    * information ratio n_ab·N / (n_a·n_b). The ratio is computed in exact
+    * integer MICRO-units with a fixed two-step truncating division
+    * (`((1e6·n_ab) div n_a)·N div n_b` — each intermediate bounded by
+    * 1e6·N, overflow-safe at any corpus size, and bit-identical in both
+    * engines; rank order is the score's own order, so no float log ever
+    * enters). Min support 5 kills the noise floor. One explode + two
+    * aggregates + one broadcast-sized join against the unigram table slice
+    * it needs — the collocation mining step of corpus analysis, linear in
+    * corpus tokens. */
+  val pmiCollocations: QuerySpec = QuerySpec.sql(
+    "q_pmi_collocations",
+    """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |uni AS (SELECT unnest(w) AS tok FROM t),
+      |u AS (SELECT tok, count(*) AS n FROM uni GROUP BY 1),
+      |nt AS (SELECT count(*) AS total FROM uni),
+      |g AS (SELECT unnest(list_transform(range(1, len(w)),
+      |                    i -> w[i] || ' ' || w[i+1])) AS bigram
+      |      FROM t),
+      |b AS (SELECT string_split(bigram, ' ')[1] AS w1,
+      |             string_split(bigram, ' ')[2] AS w2,
+      |             count(*) AS n_ab
+      |      FROM g GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+      |         CAST((((1000000 * b.n_ab) // ua.n) * nt.total) // ub.n AS BIGINT)
+      |           AS pmi_ratio_micro
+      |  FROM b JOIN u ua ON ua.tok = b.w1 JOIN u ub ON ub.tok = b.w2, nt
+      |  WHERE b.n_ab >= 5)
+      |SELECT w1, w2, n_ab, pmi_ratio_micro
+      |FROM sc ORDER BY pmi_ratio_micro DESC, w1, w2 LIMIT 50""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir).select(toks.as("w"))
+    val uni = docs.select(explode(col("w")).as("tok"))
+    val u = uni.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val nt = uni.agg(count(lit(1)).as("total"))
+    // token array materialized before the slice (the q_ngram_counts note)
+    val bigrams = when(size(col("w")) >= 2,
+      transform(
+        sequence(lit(0), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val b = docs
+      .select(explode(bigrams).as("bigram"))
+      .select(element_at(split(col("bigram"), " "), 1).as("w1"),
+        element_at(split(col("bigram"), " "), 2).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    b.join(u.select(col("tok").as("w1"), col("n").as("n_a")), "w1")
+      .join(u.select(col("tok").as("w2"), col("n").as("n_b")), "w2")
+      .crossJoin(broadcast(nt))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        expr("(((1000000L * n_ab) div n_a) * total) div n_b").as("pmi_ratio_micro"))
+      .orderBy(col("pmi_ratio_micro").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     qualityFilter, piiRedact, repetition, docPacking, ngramCounts,
-    contamination, heavyHitters, kmvSketch)
+    contamination, heavyHitters, kmvSketch, pmiCollocations)
 }
