@@ -407,5 +407,81 @@ object Graph {
       .orderBy(col("part"), col("rnk"))
   }
 
-  val all: Seq[QuerySpec] = Seq(pageRankStep, pageRank, triangleCount, shortestPath, itemCf)
+  /** Oracle SQL for [[labelProp]]: the k synchronous rounds unrolled as
+    * generated CTEs (the q_bpe_vocab / q_hilbert_layout pattern — the
+    * engines stay in lockstep by construction). */
+  private def lpaOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""c$i AS (
+         |  SELECT e.u AS node, l.lab, count(*) AS n
+         |  FROM e JOIN l${i - 1} l ON l.node = e.v GROUP BY 1, 2),
+         |p$i AS (
+         |  SELECT node, lab FROM (
+         |    SELECT node, lab,
+         |           row_number() OVER (PARTITION BY node
+         |                              ORDER BY n DESC, lab ASC) AS rn
+         |    FROM c$i) WHERE rn = 1),
+         |l$i AS (
+         |  SELECT l${i - 1}.node, coalesce(p$i.lab, l${i - 1}.lab) AS lab
+         |  FROM l${i - 1} LEFT JOIN p$i ON p$i.node = l${i - 1}.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+       |       FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+       |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+       |l0 AS (SELECT DISTINCT p AS node, p AS lab FROM li),
+       |$rounds,
+       |sz AS (SELECT lab AS community, count(*) AS n_members FROM l$k GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_communities FROM sz)
+       |SELECT sz.community, sz.n_members, tot.n_communities
+       |FROM sz CROSS JOIN tot
+       |ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+  }
+
+  /** LABEL PROPAGATION community detection (Raghavan et al. 2007),
+    * synchronous variant over the part co-purchase graph: every node
+    * starts as its own community, and each round adopts the most frequent
+    * label among its neighbors (ties → smallest label — the deterministic
+    * tie-break that makes synchronous LPA replayable at all). Each round is
+    * one edge-labels equi-join + a (node, label) count + a per-node rank-1
+    * window — O(edges) shuffle work with no driver-side graph state, the
+    * [[pageRank]] loop budget exactly, so rounds scale to any edge count.
+    * k=3 rounds, fixed: enough to coalesce the co-purchase clusters, and
+    * the oracle unrolls the same 3 rounds as generated CTEs. */
+  val labelProp: QuerySpec = QuerySpec.sql(
+    "q_label_prop", lpaOracleSql(3)) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint() // reused every round — cut the self-join lineage
+    var labels = li.select(col("p").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint()
+    val byVotes = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("n").desc, col("lab").asc)
+    for (_ <- 1 to 3) {
+      val picked = e.join(labels.withColumnRenamed("node", "nbr"),
+          col("v") === col("nbr"))
+        .groupBy(col("u").as("node"), col("lab"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(byVotes))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lab").as("new_lab"))
+      labels = labels.join(picked, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("new_lab"), col("lab")).as("lab"))
+        .localCheckpoint()
+    }
+    val sz = labels.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+    val tot = sz.agg(count(lit(1)).as("n_communities"))
+    sz.crossJoin(broadcast(tot))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(20)
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(pageRankStep, pageRank, triangleCount, shortestPath, itemCf, labelProp)
 }
