@@ -704,7 +704,85 @@ object Ann {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** SemDeDup similarity threshold — calibrated to the synthetic corpus
+    * (within-cluster pair sims top out near 0.47; 0.32 ≈ the top percentile,
+    * so the prune genuinely fires at every SF without emptying clusters). */
+  val SemDedupTau = 0.32
+
+  /** SEMANTIC deduplication (SemDeDup — Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus embeddings, then inside each
+    * cluster drop every example whose cosine similarity to a
+    * HIGHER-KEEP-PRIORITY cluster member exceeds τ, where keep-priority
+    * prefers LOW similarity to the centroid (the paper's diversity-keeping
+    * choice — boilerplate sits near the centroid, outliers carry signal).
+    * This is the paper's exact upper-triangular rule: examples are ordered
+    * within the cluster and example x is dropped iff ANY earlier example is
+    * τ-near it (not the transitive leader variant — a dropped example still
+    * shadows its own near-duplicates, matching the reference
+    * implementation's ordered sim-matrix max).
+    *
+    * Scale shape: assignment is a broadcast of K centroids against a corpus
+    * scan + a per-vector rank-1 window; the pairwise stage is an equi-join
+    * ON THE CLUSTER KEY (never corpus-wide all-pairs — O(Σ cᵢ²) with cᵢ
+    * bounded by K's sizing, the paper's own cost model), and the verdict is
+    * one distinct + left join. All sims come from the codegen'd
+    * [[graft.exprs.DotFExpr]] kernel, bit-identical to the oracle's
+    * sequential double fold. */
+  val semDedup: QuerySpec = QuerySpec.sql(
+    "q_semdedup",
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |a AS (SELECT v.vec_id, c.cid,
+       |             ${simSql("v.embedding", "c.ce")} AS csim
+       |      FROM embeddings v CROSS JOIN c),
+       |m AS (SELECT vec_id, cid, csim FROM (
+       |        SELECT vec_id, cid, csim,
+       |               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rk
+       |        FROM a) WHERE rk = 1),
+       |p AS (SELECT x.vec_id AS xid, x.csim AS xcs, y.vec_id AS yid, y.csim AS ycs,
+       |             ${simSql("ex.embedding", "ey.embedding")} AS sim
+       |      FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+       |      JOIN embeddings ex ON ex.vec_id = x.vec_id
+       |      JOIN embeddings ey ON ey.vec_id = y.vec_id),
+       |d AS (SELECT DISTINCT xid FROM p
+       |      WHERE sim >= $SemDedupTau
+       |        AND (ycs < xcs OR (ycs = xcs AND yid < xid)))
+       |SELECT m.vec_id, m.cid,
+       |       CAST(floor(m.csim * 1000000 + 0.5) AS BIGINT) AS csim_micro,
+       |       (d.xid IS NULL) AS kept
+       |FROM m LEFT JOIN d ON d.xid = m.vec_id
+       |ORDER BY m.vec_id""".stripMargin) { (spark, dir) =>
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        norm2(col("embedding")).as("cn2"))
+    val v = e.select(col("vec_id"), col("embedding").as("ve"),
+      norm2(col("embedding")).as("vn2"))
+    val wv = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+    val m = v.crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(col("ve"), col("ce"), col("vn2"), col("cn2")))
+      .withColumn("rk", row_number().over(wv))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"), col("csim"), col("ve"), col("vn2"))
+    val x = m.select(col("cid"), col("vec_id").as("xid"), col("csim").as("xcs"),
+      col("ve").as("xe"), col("vn2").as("xn2"))
+    val y = m.select(col("cid"), col("vec_id").as("yid"), col("csim").as("ycs"),
+      col("ve").as("ye"), col("vn2").as("yn2"))
+    val dropped = x.join(y, Seq("cid"))
+      .filter(col("xid") =!= col("yid"))
+      // y strictly precedes x in keep order (low centroid-sim first)
+      .filter(col("ycs") < col("xcs") ||
+        (col("ycs") === col("xcs") && col("yid") < col("xid")))
+      .filter(cosine(col("xe"), col("ye"), col("xn2"), col("yn2")) >= lit(SemDedupTau))
+      .select(col("xid")).distinct()
+    m.join(dropped, m("vec_id") === dropped("xid"), "left")
+      .select(col("vec_id"), col("cid"),
+        floor(col("csim") * 1000000 + 0.5).cast("long").as("csim_micro"),
+        col("xid").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(annCosine, annIvf, embeddingNearDup, embeddingClusters, annLsh, kmeansStep,
-      pqAnn, ivfPqAnn, hybridSearch)
+      pqAnn, ivfPqAnn, hybridSearch, semDedup)
 }

@@ -309,6 +309,52 @@ object TextAnalysis {
       .filter(col("rnk") <= topN)
   }
 
+  /** Per-source token-distribution Shannon entropy — the corpus-diversity
+    * diagnostic an LLM-data pipeline runs before mixing sources (a
+    * low-entropy source is boilerplate/templated text; entropy also bounds
+    * the compressibility a tokenizer can exploit). H = Σ_w (c_w/N)·ln(N/c_w)
+    * over the source's unigram distribution, reported alongside vocabulary
+    * size and a type/token ratio proxy.
+    *
+    * Cross-engine exactness: per token TYPE, ln(N/c) floors to integer
+    * micro-nats BEFORE the Σ c_w·(·) weighting, and the final division by N
+    * is integer `div` — the q_tfidf/q_lm_score ln-parity rule, so the hash
+    * compare is exact. One explode + two aggregations per source; the token
+    * count N rides the same groupBy (no second scan), and nothing leaves
+    * the per-source partition until the 4-row result. */
+  val entropy: QuerySpec = QuerySpec.sql(
+    "q_entropy",
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |v AS (SELECT source, w, count(*) AS c FROM t GROUP BY 1, 2),
+      |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |             count(*) AS vocab FROM v GROUP BY 1),
+      |sc AS (SELECT v.source, v.c,
+      |              CAST(floor(ln(n.n_tokens / CAST(v.c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |                AS plogn_micro
+      |       FROM v JOIN n ON n.source = v.source)
+      |SELECT n.source, n.n_tokens, CAST(n.vocab AS BIGINT) AS vocab,
+      |       CAST(sum(sc.c * sc.plogn_micro) // n.n_tokens AS BIGINT) AS entropy_micro,
+      |       CAST((1000000 * n.vocab) // n.n_tokens AS BIGINT) AS ttr_micro
+      |FROM sc JOIN n ON n.source = sc.source
+      |GROUP BY n.source, n.n_tokens, n.vocab ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val t = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+    val v = t.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val n = v.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
+    v.join(n, "source")
+      .select(col("source"), col("c"), col("n_tokens"), col("vocab"),
+        floor(log(col("n_tokens") / col("c").cast("double")) * 1000000 + 0.5)
+          .cast("long").as("plogn_micro"))
+      .groupBy(col("source"), col("n_tokens"), col("vocab"))
+      .agg(expr("sum(c * plogn_micro) div n_tokens").as("entropy_micro"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        col("entropy_micro"),
+        expr("(1000000L * vocab) div n_tokens").as("ttr_micro"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(textQuality, tokenCount, langId, tfidf, textNormalize, lmScore, bm25)
+    Seq(textQuality, tokenCount, langId, tfidf, textNormalize, lmScore, bm25,
+      entropy)
 }

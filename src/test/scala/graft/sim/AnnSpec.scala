@@ -122,6 +122,37 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("semdedup: no two kept cluster members are tau-near; every drop is shadowed") {
+    graft.exprs.GraftFunctions.register(spark)
+    val res = Ann.semDedup.fn(spark, sf)
+      .select("vec_id", "cid", "csim_micro", "kept")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val vecs = graft.model.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (x, y) = (a.map(_.toDouble), b.map(_.toDouble))
+      x.zip(y).map { case (p, q) => p * q }.sum /
+        math.sqrt(x.map(v => v * v).sum * y.map(v => v * v).sum)
+    }
+    assert(res.exists(!_._4) && res.count(_._4) > res.length / 2,
+      "prune should fire without emptying the corpus")
+    // keep-priority: lower centroid-sim first, vec_id tiebreak
+    def precedes(y: (Long, Long, Long, Boolean), x: (Long, Long, Long, Boolean)) =
+      y._3 < x._3 || (y._3 == x._3 && y._1 < x._1)
+    res.groupBy(_._2).foreach { case (_, members) =>
+      for (x <- members; y <- members if y._1 != x._1 && precedes(y, x)) {
+        val near = cos(vecs(x._1), vecs(y._1)) >= Ann.SemDedupTau
+        if (near && x._4 && y._4)
+          fail(s"kept pair ${y._1},${x._1} is tau-near — later one must drop")
+      }
+      members.filter(!_._4).foreach { x =>
+        val shadowed = members.exists(y => y._1 != x._1 && precedes(y, x) &&
+          cos(vecs(x._1), vecs(y._1)) >= Ann.SemDedupTau)
+        assert(shadowed, s"dropped ${x._1} has no tau-near predecessor")
+      }
+    }
+  }
+
   test("cosine kernel agrees with a plain-Scala computation") {
     graft.exprs.GraftFunctions.register(spark)
     val vecs = graft.model.Tables.embeddings(spark, sf)
