@@ -19,6 +19,7 @@ object SparkEntry {
       ops.Extras.all ++
       ops.Temporal.all ++
       ops.Skyline.all ++
+      ops.Anomaly.all ++
       ops.Sampling.all ++
       etl.EtlQueries.all ++
       sources.Sources.all ++
