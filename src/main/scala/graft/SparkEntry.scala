@@ -20,6 +20,7 @@ object SparkEntry {
       ops.Temporal.all ++
       ops.Skyline.all ++
       ops.Anomaly.all ++
+      ops.Eval.all ++
       ops.Sampling.all ++
       etl.EtlQueries.all ++
       sources.Sources.all ++
@@ -28,6 +29,7 @@ object SparkEntry {
       text.TextAnalysis.all ++
       text.CorpusPipeline.all ++
       text.TrainingPrep.all ++
+      text.NaiveBayes.all ++
       dedup.Dedup.all ++
       graph.Graph.all ++
       sim.Ann.all ++
