@@ -21,15 +21,22 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame       = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame     = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame   = table(spark, d, "lineitem")
-  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright. Read it as raw nanos (legacy conf) and floor to
-    * microseconds — the same truncation DuckDB applies, so oracle timestamps
-    * match bit-for-bit.
+  /** `events.parquet` has stored `ts` two ways across driver generations:
+    * TIMESTAMP(NANOS) (which Spark's parquet reader rejects outright — read
+    * as raw nanos via the legacy conf and floor to micros, the same
+    * truncation DuckDB applies) or native TIMESTAMP(MICROS) without UTC
+    * adjustment (read as TIMESTAMP_NTZ — cast to session-UTC TIMESTAMP so
+    * downstream code sees one type either way, bit-identical values).
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table(spark, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame  = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

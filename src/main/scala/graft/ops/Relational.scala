@@ -369,27 +369,78 @@ object Relational {
   }
 
   /** Sketch-based distinct (HLL++) — the scale path when exact distinct's
-    * shuffle is too expensive. No oracle (DuckDB's approx algorithm differs);
-    * the ScalaTest suite bounds its error vs the exact count instead. */
-  val approxDistinct: QuerySpec = QuerySpec.rowsOnly("q_approx_distinct") { (spark, dir) =>
-    Tables.lineitem(spark, dir).agg(
-      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-      approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+    * shuffle is too expensive. The sketch value itself is engine-specific
+    * (DuckDB's approx algorithm differs), so the oracle row is an
+    * *invariant*: the exact distinct counts plus a 1/0 flag asserting the
+    * HLL++ estimate (rsd=0.02) landed within 5% of exact. The oracle
+    * computes the same exact counts and literal `1` flags — the row
+    * hash-matches while still failing if the sketch ever drifts out of
+    * its published error bound. */
+  val approxDistinct: QuerySpec = QuerySpec.sql(
+    "q_approx_distinct",
+    """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+      |       count(DISTINCT l_partkey)  AS exact_parts,
+      |       count(DISTINCT l_suppkey)  AS exact_supps,
+      |       CAST(1 AS INTEGER) AS orders_in_bound,
+      |       CAST(1 AS INTEGER) AS parts_in_bound,
+      |       CAST(1 AS INTEGER) AS supps_in_bound
+      |FROM lineitem""".stripMargin) { (spark, dir) =>
+    def inBound(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      when(abs(approx.cast("double") - exact) <= exact * 0.05, 1).otherwise(0).cast("int")
+    Tables.lineitem(spark, dir)
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("a_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("a_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("a_supps"))
+      .select(
+        col("exact_orders"), col("exact_parts"), col("exact_supps"),
+        inBound(col("a_orders"), col("exact_orders")).as("orders_in_bound"),
+        inBound(col("a_parts"), col("exact_parts")).as("parts_in_bound"),
+        inBound(col("a_supps"), col("exact_supps")).as("supps_in_bound"))
   }
 
-  /** Sketch-based percentiles (GK / t-digest-style `approx_percentile` with
-    * a rank-accuracy knob) — the scale path when exact percentile's
-    * full-sort-per-group is too expensive. No oracle (sketch internals are
-    * engine-specific); the test suite bounds the rank error vs the exact
-    * percentile instead. */
-  val approxPercentile: QuerySpec = QuerySpec.rowsOnly("q_approx_percentile") { (spark, dir) =>
-    Tables.lineitem(spark, dir)
+  /** Sketch-based percentiles (GK `approx_percentile`, accuracy=10000) — the
+    * scale path when exact percentile's full-sort-per-group is too
+    * expensive. Sketch values are engine-specific, so the oracle row is an
+    * *invariant*: per-group row counts plus 1/0 flags asserting the value
+    * the sketch returned sits at the right *rank* — strictly-less count
+    * ≤ (q+0.005)·n and less-or-equal count ≥ (q−0.005)·n. Rank error beyond
+    * 0.5% (50× the sketch's nominal ε=1e-4) fails the hash. The rank check
+    * is one broadcast join back over the group — no extra shuffle beyond
+    * the groupBy the sketch itself needs. */
+  val approxPercentile: QuerySpec = QuerySpec.sql(
+    "q_approx_percentile",
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(1 AS INTEGER) AS p50_ok,
+      |       CAST(1 AS INTEGER) AS p90_ok,
+      |       CAST(1 AS INTEGER) AS qty50_ok
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val sketch = li.groupBy(col("l_returnflag")).agg(
+      approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50v"),
+      approx_percentile(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90v"),
+      percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("q50v"))
+    def rankOk(lt: org.apache.spark.sql.Column, le: org.apache.spark.sql.Column, q: Double) =
+      when(lt <= (lit(q + 0.005) * col("n")) && le >= (lit(q - 0.005) * col("n")), 1)
+        .otherwise(0).cast("int")
+    li.join(broadcast(sketch), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("price_p50"),
-        approx_percentile(col("l_extendedprice"), lit(0.9), lit(10000)).as("price_p90"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("qty_p50"))
+        count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("p50v"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("l_extendedprice") <= col("p50v"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_extendedprice") < col("p90v"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("l_extendedprice") <= col("p90v"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("l_quantity") < col("q50v"), 1L).otherwise(0L)).as("ltq"),
+        sum(when(col("l_quantity") <= col("q50v"), 1L).otherwise(0L)).as("leq"))
+      .select(
+        col("l_returnflag"), col("n"),
+        rankOk(col("lt50"), col("le50"), 0.5).as("p50_ok"),
+        rankOk(col("lt90"), col("le90"), 0.9).as("p90_ok"),
+        rankOk(col("ltq"), col("leq"), 0.5).as("qty50_ok"))
       .orderBy(col("l_returnflag"))
   }
 

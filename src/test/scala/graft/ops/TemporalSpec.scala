@@ -35,8 +35,17 @@ class TemporalSpec extends AnyFunSuite {
   }
 
   test("approx percentile within rank-error bound of exact") {
-    val approx = Relational.approxPercentile.fn(spark, sf)
-      .select("l_returnflag", "price_p50").as[(String, Double)].collect().toMap
+    // The *_ok flags are the in-engine rank-bound check (±0.5% rank); also
+    // cross-check the raw sketch value against the exact percentile.
+    Relational.approxPercentile.fn(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Int]("p50_ok") === 1, s"${r.getAs[String]("l_returnflag")} p50")
+      assert(r.getAs[Int]("p90_ok") === 1, s"${r.getAs[String]("l_returnflag")} p90")
+      assert(r.getAs[Int]("qty50_ok") === 1, s"${r.getAs[String]("l_returnflag")} qty50")
+    }
+    val approx = graft.model.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("price_p50"))
+      .as[(String, Double)].collect().toMap
     val exact = graft.model.Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
       .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"))
