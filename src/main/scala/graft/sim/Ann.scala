@@ -448,32 +448,14 @@ object Ann {
       |                            ORDER BY adc ASC, vec_id ASC) AS rnk
       |  FROM adc) WHERE rnk <= 5
       |ORDER BY query_id, rnk""".stripMargin) { (spark, dir) =>
-    val (m, dsub, seeds, nQ, topK) = (4, 16, 8, 5, 5)
-    val pos = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "xf")))
-      .select(col("vec_id"),
-        (col("j0") / dsub).cast("int").as("s"),
-        (col("j0") % dsub).as("j"),
-        floor(col("xf").cast("double") * 1000000 + 0.5).cast("long").as("x"))
-      .localCheckpoint() // four consumers below; materialize the explode once
-    def dist(centroids: DataFrame): DataFrame =
-      pos.join(broadcast(centroids), Seq("s", "j"))
-        .groupBy(col("vec_id"), col("s"), col("cid"))
-        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
-    def argmin(d: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"), col("s"))
-        .orderBy(col("d").asc, col("cid").asc)
-      d.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("vec_id"), col("s"), col("cid"))
-    }
+    val (seeds, nQ, topK) = (8, 5, 5)
+    val pos = pqPositions(spark, dir)
     val seed = pos.filter(col("vec_id") < seeds)
       .select(col("s"), col("vec_id").as("cid"), col("j"), col("x").as("c"))
-    val a1 = argmin(dist(seed))
-    val upd = a1.join(pos, Seq("vec_id", "s"))
-      .groupBy(col("s"), col("cid"), col("j"))
-      .agg(expr("sum(x) div count(1)").as("c"))
-    val d2 = dist(upd)
-    val a2 = argmin(d2)
+    val a1 = pqArgmin(pqDist(pos, seed))
+    val upd = pqUpdate(pos, a1)
+    val d2 = pqDist(pos, upd)
+    val a2 = pqArgmin(d2)
     val adc = a2.join(
         d2.filter(col("vec_id") < nQ)
           .select(col("vec_id").as("query_id"), col("s"), col("cid"), col("d")),
@@ -485,6 +467,161 @@ object Ann {
       .filter(col("rnk") <= topK)
       .select(col("query_id"), col("rnk"), col("vec_id"), col("adc"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ---- PQ Lloyd-step engine ------------------------------------------------
+  //
+  // Shared by q_pq_ann (one step — the oracle-friendliest form), q_pq_train
+  // (k unrolled steps, still oracle-replayed), and pqTrainConverged (the
+  // production fixpoint loop, spec-bounded). Every piece is the exact
+  // integer discipline of [[pqAnn]]: micro-unit components, integer
+  // squared-L2, `sum div count` centroid means.
+
+  /** Exploded (vec_id, subspace, position, micro-component) table — the
+    * relational form PQ trains on. M=4 subspaces × 16 dims. */
+  private def pqPositions(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "xf")))
+      .select(col("vec_id"),
+        (col("j0") / 16).cast("int").as("s"),
+        (col("j0") % 16).as("j"),
+        floor(col("xf").cast("double") * 1000000 + 0.5).cast("long").as("x"))
+      .localCheckpoint() // several consumers; materialize the explode once
+
+  /** Integer squared-L2 of every vector-subspace against every centroid of
+    * its subspace (broadcast codebook — K·M·16 rows). */
+  private def pqDist(pos: DataFrame, cents: DataFrame): DataFrame =
+    pos.join(broadcast(cents), Seq("s", "j"))
+      .groupBy(col("vec_id"), col("s"), col("cid"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+
+  /** Nearest centroid per (vector, subspace), ties to the smaller cid. */
+  private def pqArgmin(d: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("d").asc, col("cid").asc)
+    d.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("s"), col("cid"))
+  }
+
+  /** Lloyd centroid update: integer element-wise mean of each centroid's
+    * assigned vectors (`sum div count` — truncation toward zero in both
+    * engines). Metadata-sized; checkpointed because every consumer would
+    * otherwise replay the assignment window. */
+  private def pqUpdate(pos: DataFrame, a: DataFrame): DataFrame =
+    a.join(pos, Seq("vec_id", "s"))
+      .groupBy(col("s"), col("cid"), col("j"))
+      .agg(expr("sum(x) div count(1)").as("c"))
+      .localCheckpoint()
+
+  /** `rounds` full Lloyd iterations from the deterministic seeds
+    * (vec_id < 8). Returns (final codebook, the assignment that produced
+    * it) — the assignment/update pair the oracle's unrolled CTEs replay. */
+  def pqTrainRounds(spark: SparkSession, dir: String,
+      rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1, "at least one Lloyd round")
+    val pos = pqPositions(spark, dir)
+    var cents = pos.filter(col("vec_id") < 8)
+      .select(col("s"), col("vec_id").as("cid"), col("j"), col("x").as("c"))
+      .localCheckpoint()
+    var assigns: DataFrame = null
+    for (_ <- 1 to rounds) {
+      assigns = pqArgmin(pqDist(pos, cents))
+      cents = pqUpdate(pos, assigns)
+    }
+    (cents, assigns)
+  }
+
+  /** PQ training iterated to CONVERGENCE — the production form; the
+    * registered [[pqTrain]] fixes 4 rounds only so its oracle can unroll
+    * them. Rounds run until NO (vector, subspace) changes centroid, checked
+    * with one tiny count probe per round (the `pageRankConverged`
+    * driver-coordination budget: k-means' objective strictly decreases
+    * until the assignment fixpoint, so the loop terminates). Returns
+    * (codebook, assignments, rounds including the verification round).
+    * Refuses to return an unconverged codebook. */
+  def pqTrainConverged(spark: SparkSession, dir: String,
+      maxIter: Int = 60): (DataFrame, DataFrame, Int) = {
+    val pos = pqPositions(spark, dir)
+    var cents = pos.filter(col("vec_id") < 8)
+      .select(col("s"), col("vec_id").as("cid"), col("j"), col("x").as("c"))
+      .localCheckpoint()
+    var prev: DataFrame = null
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxIter) {
+      val a = pqArgmin(pqDist(pos, cents)).localCheckpoint()
+      if (prev != null) {
+        val changed = a.join( // 1-row probe, like pageRankConverged
+            prev.select(col("vec_id"), col("s"), col("cid").as("pcid")),
+            Seq("vec_id", "s"))
+          .filter(col("cid") =!= col("pcid")).count()
+        stable = changed == 0
+      }
+      if (!stable) cents = pqUpdate(pos, a)
+      prev = a
+      rounds += 1
+    }
+    require(stable, s"PQ training did not converge in $maxIter rounds")
+    (cents, prev, rounds)
+  }
+
+  /** Total integer quantization distortion of `cents` over the corpus —
+    * Σ over (vector, subspace) of the squared-L2 to its nearest centroid.
+    * The scalar the Lloyd iteration minimizes; exposed for the spec's
+    * more-rounds-is-better check. */
+  def pqDistortion(spark: SparkSession, dir: String, cents: DataFrame): Long =
+    pqDist(pqPositions(spark, dir), cents)
+      .groupBy(col("vec_id"), col("s")).agg(min(col("d")).as("d"))
+      .agg(sum(col("d")).cast("long").as("t"))
+      .collect()(0).getLong(0)
+
+  /** Oracle for [[pqTrain]]: the k assignment/update rounds unrolled as
+    * generated CTEs (the q_pagerank / q_label_prop lockstep pattern). */
+  private def pqTrainOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""d$i AS (
+         |  SELECT p.vec_id, p.s, u.cid,
+         |         CAST(sum((p.x - u.c) * (p.x - u.c)) AS BIGINT) AS d
+         |  FROM pos p JOIN u${i - 1} u ON p.s = u.s AND p.j = u.j
+         |  GROUP BY 1, 2, 3),
+         |a$i AS (
+         |  SELECT vec_id, s, cid FROM (
+         |    SELECT vec_id, s, cid,
+         |           row_number() OVER (PARTITION BY vec_id, s
+         |                              ORDER BY d ASC, cid ASC) AS rk
+         |    FROM d$i) WHERE rk = 1),
+         |u$i AS (
+         |  SELECT a$i.s, a$i.cid, p.j, sum(p.x) // count(*) AS c
+         |  FROM a$i JOIN pos p ON a$i.vec_id = p.vec_id AND a$i.s = p.s
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pos AS (
+       |  SELECT vec_id, CAST((j0 - 1) // 16 AS INTEGER) AS s,
+       |         CAST((j0 - 1) % 16 AS INTEGER) AS j,
+       |         CAST(floor(CAST(embedding[j0] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+       |  FROM embeddings, unnest(range(1, 65)) t(j0)),
+       |u0 AS (SELECT s, vec_id AS cid, j, x AS c FROM pos WHERE vec_id < 8),
+       |$rounds,
+       |n AS (SELECT s, cid, count(*) AS n_assigned FROM a$k GROUP BY 1, 2)
+       |SELECT u.s, u.cid, u.j, CAST(u.c AS BIGINT) AS c, n.n_assigned
+       |FROM u$k u JOIN n ON n.s = u.s AND n.cid = u.cid
+       |ORDER BY u.s, u.cid, u.j""".stripMargin
+  }
+
+  /** MULTI-ROUND PQ TRAINING as a registered query: [[pqAnn]] stops after
+    * one Lloyd step; this runs 4 full assignment/update rounds (fixed, so
+    * the oracle can unroll them in lockstep) and emits the trained codebook
+    * with each centroid's final assignment count. A drifted mean, a wrong
+    * tie-break, or a round applied out of order all hash-mismatch. The
+    * spec drives [[pqTrainConverged]] on top and pins that more rounds
+    * strictly reduce distortion vs the 1-step codebook. */
+  val pqTrain: QuerySpec = QuerySpec.sql(
+    "q_pq_train", pqTrainOracleSql(4)) { (spark, dir) =>
+    val (cents, assigns) = pqTrainRounds(spark, dir, 4)
+    val n = assigns.groupBy(col("s"), col("cid")).agg(count(lit(1)).as("n_assigned"))
+    cents.join(n, Seq("s", "cid"))
+      .select(col("s"), col("cid"), col("j"), col("c"), col("n_assigned"))
+      .orderBy(col("s"), col("cid"), col("j"))
   }
 
   /** IVF-PQ — the composition the two halves above exist for (FAISS's
@@ -784,5 +921,5 @@ object Ann {
 
   val all: Seq[QuerySpec] =
     Seq(annCosine, annIvf, embeddingNearDup, embeddingClusters, annLsh, kmeansStep,
-      pqAnn, ivfPqAnn, hybridSearch, semDedup)
+      pqAnn, pqTrain, ivfPqAnn, hybridSearch, semDedup)
 }

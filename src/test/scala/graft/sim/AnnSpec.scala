@@ -153,6 +153,22 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ Lloyd iteration converges and strictly beats the 1-step codebook") {
+    val (converged, _, rounds) = Ann.pqTrainConverged(spark, sf)
+    assert(rounds >= 2, "fixpoint cannot be observed in under 2 rounds")
+    val (oneStep, _) = Ann.pqTrainRounds(spark, sf, 1)
+    val dConv = Ann.pqDistortion(spark, sf, converged)
+    val dOne = Ann.pqDistortion(spark, sf, oneStep)
+    // k-means' objective is non-increasing per round; on this corpus the
+    // extra rounds must actually move the codebook, not just terminate
+    assert(dConv < dOne, s"converged distortion $dConv !< 1-step $dOne")
+    // the registered 4-round query's codebook sits between the two
+    val (four, _) = Ann.pqTrainRounds(spark, sf, 4)
+    val dFour = Ann.pqDistortion(spark, sf, four)
+    assert(dFour <= dOne && dConv <= dFour,
+      s"expected $dConv <= $dFour <= $dOne")
+  }
+
   test("cosine kernel agrees with a plain-Scala computation") {
     graft.exprs.GraftFunctions.register(spark)
     val vecs = graft.model.Tables.embeddings(spark, sf)
