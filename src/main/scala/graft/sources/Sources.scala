@@ -162,12 +162,45 @@ object Sources {
     * table format (Delta/Iceberg-style) instead. */
   def compactPartitioned(
       spark: SparkSession, path: String, partitionCol: String, targetFiles: Int): Unit = {
-    import org.apache.hadoop.fs.Path
     val base = path.stripSuffix("/")
     val staging = base + ".compact-staging"
     spark.read.parquet(path)
       .repartition(targetFiles, col(partitionCol))
       .write.mode("overwrite").partitionBy(partitionCol).parquet(staging)
+    swapCompacted(spark, base, staging)
+  }
+
+  /** CLUSTERING compaction — the maintenance pass and the layout pass in
+    * ONE table rewrite: each Hive partition's small files are rewritten
+    * into ~`targetFiles` total outputs whose rows are range-partitioned
+    * and sorted by `clusterKey` (kept in the data as column
+    * `clusterName`), so the compacted files simultaneously fix the
+    * small-files problem AND carry disjoint cluster-key ranges whose
+    * parquet footer min/max prune selective scans. At 100 TB this halves
+    * the maintenance bill: the streaming-ingest table gets its compaction
+    * rewrite anyway — sorting inside that rewrite is marginal cost, a
+    * separate clustering pass would be a second full read+write. Same
+    * staged-swap crash contract as [[compactPartitioned]]. */
+  def compactClustered(
+      spark: SparkSession, path: String, partitionCol: String, targetFiles: Int,
+      clusterKey: Column, clusterName: String): Unit = {
+    val base = path.stripSuffix("/")
+    val staging = base + ".compact-staging"
+    spark.read.parquet(path)
+      .withColumn(clusterName, clusterKey)
+      // range on (partition, key): each task owns a contiguous key span of
+      // one partition, so every output file covers a disjoint key range
+      .repartitionByRange(targetFiles, col(partitionCol), col(clusterName))
+      .sortWithinPartitions(col(partitionCol), col(clusterName))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(staging)
+    swapCompacted(spark, base, staging)
+  }
+
+  /** The two-rename swap shared by the compaction passes: original survives
+    * any failure before the first rename; a failed second rename rolls
+    * back. */
+  private def swapCompacted(spark: SparkSession, base: String, staging: String): Unit = {
+    import org.apache.hadoop.fs.Path
     val cur = new Path(base)
     val stg = new Path(staging)
     val old = new Path(base + ".compact-old")
@@ -414,6 +447,64 @@ object Sources {
     out
   }
 
+  /** CLUSTERING COMPACTION round-trip as a registered query: lineitem lands
+    * as a fragmented Hive-partitioned table (the streaming-ingest shape —
+    * 32 small files per l_returnflag partition), [[compactClustered]]
+    * rewrites it with the Hilbert key of (l_partkey, l_suppkey,
+    * l_quantity) as the within-partition sort, and the result is read back
+    * through a partition filter + 3-d rectangle filter. The oracle replays
+    * the same filter AND the same 21-step Hilbert kernel over the source
+    * table, so a row lost or duplicated by the staged swap, or a key
+    * corrupted by the rewrite, hash-mismatches via min_hkey.
+    * `MaintenanceSpec` pins the operational claims: fewer files than the
+    * fragmented input, and strictly fewer files scanned under the
+    * rectangle than an unclustered compaction of the same input. */
+  val compactCluster: QuerySpec = QuerySpec.sql(
+    "q_compact_cluster",
+    s"""WITH h0 AS (
+       |  SELECT l_returnflag, l_extendedprice,
+       |         CAST(l_partkey % 256 AS BIGINT) AS x0,
+       |         CAST(l_suppkey % 256 AS BIGINT) AS x1,
+       |         CAST(l_quantity AS BIGINT) % 256 AS x2
+       |  FROM lineitem
+       |  WHERE l_returnflag IN ('A', 'N')
+       |    AND l_partkey BETWEEN 50 AND 74 AND l_suppkey BETWEEN 2 AND 3
+       |    AND l_quantity BETWEEN 10 AND 19),
+       |${hilbertSqlCtes("l_returnflag, l_extendedprice")}
+       |SELECT l_returnflag, count(*) AS n,
+       |       sum(floor(l_extendedprice * 100 + 0.5)) / 100.0 AS total,
+       |       CAST(min(hkey) AS BIGINT) AS min_hkey
+       |FROM hk GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val out = compactedClusteredLineitem(spark, dir)
+    spark.read.parquet(out)
+      .filter(col("l_returnflag").isin("A", "N") &&
+        col("l_partkey").between(50, 74) && col("l_suppkey").between(2, 3) &&
+        col("l_quantity").between(10, 19))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("l_extendedprice") * 100 + 0.5)) / 100.0).as("total"),
+        min(col("hkey")).as("min_hkey"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Fragment lineitem into a small-files Hive layout by l_returnflag, then
+    * [[compactClustered]] it on the Hilbert key; returns the table path
+    * (shared by the registered query and `MaintenanceSpec`). */
+  def compactedClusteredLineitem(spark: SparkSession, dir: String): String = {
+    import graft.exprs.GraftFunctions
+    GraftFunctions.register(spark)
+    val out = scratch("lineitem_compact_hilbert")
+    Tables.lineitem(spark, dir)
+      .repartition(32) // the fragmented pre-state: 32 files per partition
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    compactClustered(spark, out, "l_returnflag", 12,
+      GraftFunctions.hilbert3(
+        col("l_partkey").cast("long") % 256,
+        col("l_suppkey").cast("long") % 256,
+        col("l_quantity").cast("long") % 256, 8), "hkey")
+    out
+  }
+
   /** Schema evolution on a parquet table: an early batch written BEFORE a
     * column existed plus a later batch with it, read back through
     * `mergeSchema` — the old rows surface the new column as null (additive
@@ -449,5 +540,5 @@ object Sources {
   val all: Seq[QuerySpec] = Seq(
     csvRoundtrip, csvInferRoundtrip, jsonRoundtrip, partitionedSink, externalTable,
     orcRoundtrip, bucketedJoin, clusteredLayout, zorderLayout, hilbertLayout,
-    schemaEvolution)
+    compactCluster, schemaEvolution)
 }
