@@ -919,7 +919,151 @@ object Ann {
       .orderBy(col("vec_id"))
   }
 
+  /** IVF INDEX MAINTENANCE UNDER MERGE — the ANN suite composed with the
+    * transactional table: the embedding corpus lives as a
+    * [[graft.sources.ManifestTable]] PARTITIONED BY COARSE CELL (the index
+    * IS the layout — a probe reads exactly its cells' files), and an
+    * arriving batch of vectors is folded in WITHOUT retraining:
+    *
+    *   1. coarse centroids train once on the BASE corpus (one integer
+    *      Lloyd step from deterministic seeds, frozen thereafter — the
+    *      FAISS operational model: the quantizer is versioned training
+    *      state, not recomputed per ingest);
+    *   2. ONLY the arriving vectors compute centroid distances —
+    *      O(|batch|·cells), not O(corpus) — giving each its cell;
+    *   3. updated vectors may CHANGE cell, so maintenance is the
+    *      relocation-safe pair of table verbs: transactional DELETE of the
+    *      re-ingested keys (removing stale copies from their OLD cells),
+    *      then MERGE of the batch into its NEW cells — copy-on-write
+    *      touches only the affected cells, commits v2 and v3;
+    *   4. probed search (nprobe=2 of 4 cells, exact integer L2 in-cell)
+    *      runs against the POST-MERGE snapshot.
+    *
+    * The oracle replays a FULL REBUILD: merged corpus, same frozen
+    * centroids, every vector re-assigned, same probe + search. Incremental
+    * maintenance must therefore be indistinguishable from rebuilding the
+    * index — a stale row surviving in its old cell, a dropped cold
+    * partition, or a drifted assignment all surface as extra/missing
+    * candidates and hash-mismatch. Queries are three freshly-inserted
+    * vectors, so rank 1 must be the vector itself — the index is provably
+    * fresh. */
+  val annIncremental: QuerySpec = QuerySpec.sql(
+    "q_ann_incremental",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, embedding FROM e WHERE vec_id >= 25
+      |  UNION ALL
+      |  SELECT vec_id, list_transform(embedding, x -> -x) AS embedding
+      |  FROM e WHERE vec_id >= 20 AND vec_id < 25
+      |  UNION ALL
+      |  SELECT vec_id, embedding FROM e WHERE vec_id < 20),
+      |bpos AS (
+      |  SELECT vec_id, (j0 - 1) AS jg,
+      |         CAST(floor(CAST(embedding[j0] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+      |  FROM e, unnest(range(1, 65)) t(j0) WHERE vec_id >= 20),
+      |seed AS (SELECT vec_id AS cell, jg, x AS c FROM bpos WHERE vec_id < 24),
+      |d1 AS (
+      |  SELECT p.vec_id, s.cell, CAST(sum((p.x - s.c) * (p.x - s.c)) AS BIGINT) AS d
+      |  FROM bpos p JOIN seed s ON p.jg = s.jg GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rk
+      |    FROM d1) WHERE rk = 1),
+      |cents AS (
+      |  SELECT a1.cell, p.jg, sum(p.x) // count(*) AS c
+      |  FROM a1 JOIN bpos p ON a1.vec_id = p.vec_id GROUP BY 1, 2),
+      |mpos AS (
+      |  SELECT vec_id, (j0 - 1) AS jg,
+      |         CAST(floor(CAST(embedding[j0] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+      |  FROM m, unnest(range(1, 65)) t(j0)),
+      |md AS (
+      |  SELECT p.vec_id, c.cell, CAST(sum((p.x - c.c) * (p.x - c.c)) AS BIGINT) AS d
+      |  FROM mpos p JOIN cents c ON p.jg = c.jg GROUP BY 1, 2),
+      |asg AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rk
+      |    FROM md) WHERE rk = 1),
+      |probe AS (
+      |  SELECT vec_id AS query_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rk
+      |    FROM md WHERE vec_id < 3) WHERE rk <= 2),
+      |cand AS (SELECT pr.query_id, a.vec_id FROM probe pr JOIN asg a ON a.cell = pr.cell),
+      |dist AS (
+      |  SELECT c.query_id, c.vec_id,
+      |         CAST(sum((qp.x - cp.x) * (qp.x - cp.x)) AS BIGINT) AS d
+      |  FROM cand c
+      |  JOIN mpos qp ON qp.vec_id = c.query_id
+      |  JOIN mpos cp ON cp.vec_id = c.vec_id AND cp.jg = qp.jg
+      |  GROUP BY 1, 2)
+      |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, vec_id, d FROM (
+      |  SELECT query_id, vec_id, d,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id ASC) AS rnk
+      |  FROM dist) WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin) { (spark, dir) =>
+    import graft.sources.ManifestTable
+    val (nProbe, topK) = (2, 5)
+    val tbl = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/ann_manifest"
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    def micro(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("jg", "xf")))
+      .select(col("vec_id"), col("jg"),
+        floor(col("xf").cast("double") * 1000000 + 0.5).cast("long").as("x"))
+    def cdist(cents: DataFrame, p: DataFrame): DataFrame =
+      p.join(broadcast(cents), Seq("jg"))
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+    def nearest(d: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d").asc, col("cell").asc)
+      d.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("cell"))
+    }
+    // 1. frozen coarse quantizer: one Lloyd step on the base corpus
+    val bpos = micro(e.filter(col("vec_id") >= 20)).localCheckpoint()
+    val seed = bpos.filter(col("vec_id") < 24)
+      .select(col("vec_id").as("cell"), col("jg"), col("x").as("c"))
+    val a1 = nearest(cdist(seed, bpos))
+    val cents = a1.join(bpos, Seq("vec_id"))
+      .groupBy(col("cell"), col("jg")).agg(expr("sum(x) div count(1)").as("c"))
+      .localCheckpoint()
+    // v1: base corpus assigned and laid out by cell
+    val baseAssigned = e.filter(col("vec_id") >= 20)
+      .join(nearest(cdist(cents, bpos)), Seq("vec_id"))
+    ManifestTable.create(spark, tbl, baseAssigned, "cell")
+    // 2. the arriving batch: 20 inserts + 5 replaced (negated) vectors,
+    // assigned with the FROZEN centroids — O(|batch|·cells) work only
+    val batch = e.filter(col("vec_id") < 20)
+      .unionByName(e.filter(col("vec_id") >= 20 && col("vec_id") < 25)
+        .withColumn("embedding", transform(col("embedding"), x => -x)))
+    val batchAssigned = batch.join(nearest(cdist(cents, micro(batch))), Seq("vec_id"))
+    // 3. relocation-safe maintenance: stale copies out of their OLD cells
+    // (transactional DELETE), batch into its NEW cells (MERGE)
+    ManifestTable.deleteWhere(spark, tbl, col("vec_id").between(20, 24), "cell")
+    ManifestTable.merge(spark, tbl, batchAssigned, "vec_id", "cell")
+    // 4. probed search on the post-merge snapshot
+    val queries = micro(e.filter(col("vec_id") < 3)).localCheckpoint()
+    val wp = Window.partitionBy(col("vec_id")).orderBy(col("d").asc, col("cell").asc)
+    val probe = cdist(cents, queries)
+      .withColumn("rk", row_number().over(wp)).filter(col("rk") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = ManifestTable.read(spark, tbl).join(probe, Seq("cell"))
+      .select(col("query_id"), col("vec_id"), posexplode(col("embedding")).as(Seq("jg", "xf")))
+      .select(col("query_id"), col("vec_id"), col("jg"),
+        floor(col("xf").cast("double") * 1000000 + 0.5).cast("long").as("x"))
+    val dist = cand.join(
+        broadcast(queries.select(col("vec_id").as("query_id"), col("jg"), col("x").as("qx"))),
+        Seq("query_id", "jg"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum((col("qx") - col("x")) * (col("qx") - col("x"))).as("d"))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("vec_id").asc)
+    dist.withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("d"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(annCosine, annIvf, embeddingNearDup, embeddingClusters, annLsh, kmeansStep,
-      pqAnn, pqTrain, ivfPqAnn, hybridSearch, semDedup)
+      pqAnn, pqTrain, ivfPqAnn, hybridSearch, semDedup, annIncremental)
 }

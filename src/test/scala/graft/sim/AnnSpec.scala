@@ -169,6 +169,29 @@ class AnnSpec extends AnyFunSuite {
       s"expected $dConv <= $dFour <= $dOne")
   }
 
+  test("incremental IVF maintenance: fresh self at rank 1, relocation actually occurs") {
+    val res = Ann.annIncremental.fn(spark, sf).collect()
+    assert(res.nonEmpty)
+    // queries are freshly-inserted vectors: the post-merge index must
+    // return each at distance 0, rank 1 — the index is provably fresh
+    res.filter(_.getAs[Int]("rnk") == 1).foreach { r =>
+      assert(r.getAs[Long]("query_id") === r.getAs[Long]("vec_id"))
+      assert(r.getAs[Long]("d") === 0L)
+    }
+    // the replaced (negated) vectors must include a CELL CHANGE, or the
+    // delete-then-merge relocation path was never exercised
+    val tbl = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/ann_manifest"
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(col("vec_id").between(20, 24))
+        .select(col("vec_id"), col("cell").cast("long"))
+        .as[(Long, Long)].collect().toMap
+    val v1 = cells(graft.sources.ManifestTable.readVersion(spark, tbl, 1))
+    val now = cells(graft.sources.ManifestTable.read(spark, tbl))
+    assert(v1.keySet === now.keySet)
+    assert(v1.exists { case (k, c) => now(k) != c },
+      "no replaced vector changed cell — relocation untested")
+  }
+
   test("cosine kernel agrees with a plain-Scala computation") {
     graft.exprs.GraftFunctions.register(spark)
     val vecs = graft.model.Tables.embeddings(spark, sf)
