@@ -477,6 +477,73 @@ object StreamingOps {
     sink
   }
 
+  /** STREAMING ANOMALY DETECTION — [[graft.ops.Anomaly.anomalyMad]]'s
+    * Hampel identifier applied to an event STREAM: the per-type robust
+    * thresholds (lower median and MAD, in integer cents) are STATIC state
+    * trained on the reference corpus with the same two-phase grouped-rank
+    * passes the batch detector uses, broadcast once; every micro-batch is
+    * then a stateless broadcast-join + filter, so the detector adds no
+    * state store, survives any batching (the flag depends only on the
+    * event itself), and lands flagged events per-batch-idempotently. This
+    * is the production monitoring shape: thresholds re-fit periodically
+    * from history, applied to live traffic in flight — at 100 TB/day the
+    * threshold table is KBs while the stream never re-scans history. The
+    * oracle replays the batch Hampel filter over the same events, so a
+    * dropped micro-batch, a stale threshold, or a wrong-side comparison
+    * all hash-mismatch. */
+  val streamAnomaly: QuerySpec = QuerySpec.sql(
+    "q_stream_anomaly",
+    """WITH e AS (SELECT event_id, event_type,
+      |                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+      |          FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v_c, event_id) AS rk,
+      |             count(*) OVER (PARTITION BY event_type) AS n FROM e),
+      |med AS (SELECT event_type, v_c AS med_c FROM r WHERE rk = (n + 1) // 2),
+      |d AS (SELECT e.event_id, e.event_type, e.v_c, med.med_c,
+      |             abs(e.v_c - med.med_c) AS dev_c
+      |      FROM e JOIN med USING (event_type)),
+      |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev_c, event_id) AS rk,
+      |              count(*) OVER (PARTITION BY event_type) AS n FROM d),
+      |mad AS (SELECT event_type, dev_c AS mad_c FROM r2 WHERE rk = (n + 1) // 2)
+      |SELECT d.event_id, d.event_type, d.v_c, d.med_c, mad.mad_c, d.dev_c
+      |FROM d JOIN mad USING (event_type)
+      |WHERE d.dev_c > 5 * mad.mad_c
+      |ORDER BY d.event_id""".stripMargin) { (spark, dir) =>
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val staged = s"$tmp/graft_scratch/events_anom_stream"
+    val sink = s"$tmp/graft_scratch/events_anom_sink"
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v_c"))
+    // train the static thresholds exactly as the batch detector does
+    val med = graft.ops.Anomaly.groupMedian(e, "event_type", "v_c", "event_id", "med_c")
+    val dAll = e.join(broadcast(med), "event_type")
+      .withColumn("dev_c", abs(col("v_c") - col("med_c")))
+    val mad = graft.ops.Anomaly.groupMedian(
+      dAll.select(col("event_type"), col("dev_c"), col("event_id")),
+      "event_type", "dev_c", "event_id", "mad_c")
+    val thresholds = med.join(mad, Seq("event_type")).persist()
+    try {
+      thresholds.count() // materialize once, not per micro-batch
+      e.repartition(8).write.mode("overwrite").parquet(staged)
+      val ckpt = freshCheckpoint("stream_anomaly", staged + "_ck")
+      val probe = spark.readStream
+        .schema(e.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staged)
+      val flagged = probe.join(broadcast(thresholds), Seq("event_type"))
+        .withColumn("dev_c", abs(col("v_c") - col("med_c")))
+        .filter(col("dev_c") > lit(5) * col("mad_c"))
+        .select(col("event_id"), col("event_type"), col("v_c"),
+          col("med_c"), col("mad_c"), col("dev_c"))
+      runToParquetSink(spark, flagged, ckpt, sink)
+    } finally thresholds.unpersist()
+    spark.read.parquet(sink)
+      .select(col("event_id"), col("event_type"), col("v_c"),
+        col("med_c"), col("mad_c"), col("dev_c"))
+      .orderBy(col("event_id"))
+  }
+
   /** Fresh checkpoint dir for a streaming query: tmpfs when present (the
     * streamWindow LOCAL-MODE note — state-store delta commits off the
     * contended disk), cleaned before each run. A cluster deployment points
@@ -528,7 +595,7 @@ object StreamingOps {
 
   val all: Seq[QuerySpec] =
     Seq(streamWindow, sessionize, sessionWindowBuiltin, streamDedup, streamJoin,
-      streamLate, streamAsOf, streamMixture)
+      streamLate, streamAsOf, streamMixture, streamAnomaly)
 }
 
 /** Typed event for stateful sessionization. */

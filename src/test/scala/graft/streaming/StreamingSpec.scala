@@ -400,4 +400,18 @@ class StreamingSpec extends AnyFunSuite {
       .as[(String, Long, Long, Int, Long, Long)].collect().toSet
     assert(streamed === batch)
   }
+
+  test("streaming Hampel filter flags exactly the batch detector's events, across micro-batches") {
+    val streamed = StreamingOps.streamAnomaly.fn(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    // it really streamed: 8 staged files at maxFilesPerTrigger=2 → ≥3 batches
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val batches = new java.io.File(s"$tmp/graft_scratch/events_anom_sink").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batches.length >= 3, s"expected >=3 micro-batches, got ${batches.length}")
+    val batch = graft.ops.Anomaly.anomalyMad.fn(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
