@@ -207,6 +207,57 @@ object ManifestTable {
     true
   }
 
+  /** APPEND — the cheap ingest verb: write `df`'s rows as NEW files and
+    * commit a manifest that is the old entry set plus the new files. No
+    * existing file is read, rewritten, or rearranged — an append's cost is
+    * exactly the new data, which is why streaming/batch ingest at 100 TB
+    * lands this way. The price is FRAGMENTATION: a partition accumulates
+    * one file set per append until [[optimizeTable]] compacts it. Atomic
+    * and crash-safe like every verb here (the commit rename). */
+  def append(spark: SparkSession, base: String, df: DataFrame, partCol: String): Unit = {
+    val v = currentVersion(spark, base)
+    val newFiles = writeSnapshotFiles(spark, base, v + 1, df, partCol)
+    commit(spark, base, v + 1, entries(spark, base, v) ++ newFiles)
+  }
+
+  /** OPTIMIZE — compaction as a TABLE VERB (the manifest-table form of
+    * [[Sources.compactPartitioned]]): partitions holding at least
+    * `minFiles` files are read and rewritten as one file each; every other
+    * partition carries into the new snapshot BY REFERENCE. Data is
+    * byte-identical before and after — only the file layout changes — and
+    * pre-optimize snapshots stay addressable (their files are never
+    * touched; [[expireSnapshots]] reclaims them later). At 100 TB the
+    * rewrite is sized by the fragmented partitions only, which is what
+    * makes continuous APPEND ingest + periodic OPTIMIZE a sustainable
+    * loop. Returns (partitions compacted, files before → after). */
+  def optimizeTable(spark: SparkSession, base: String,
+      partCol: String, minFiles: Int = 2): (Int, Int, Int) = {
+    val v = currentVersion(spark, base)
+    val es = entries(spark, base, v)
+    val hotVals = es.groupBy(_._1).filter(_._2.size >= minFiles).keySet
+    if (hotVals.isEmpty) return (0, 0, 0)
+    val (hot, cold) = es.partition { case (pval, _) => hotVals(pval) }
+    val rows = spark.read.parquet(hot.map { case (_, rel) => s"$base/$rel" }: _*)
+    val newFiles = writeSnapshotFiles(spark, base, v + 1, rows, partCol)
+    commit(spark, base, v + 1, cold ++ newFiles)
+    (hotVals.size, hot.size, newFiles.size)
+  }
+
+  /** RESTORE — roll the table back to snapshot `toVersion` as a NEW
+    * commit: the new manifest simply names the old snapshot's files
+    * (pure carry-by-reference — zero data I/O, one rename). History stays
+    * intact: the undone versions remain addressable until
+    * [[expireSnapshots]], so a bad merge is reversible and auditable —
+    * the operational "undo" every transactional table needs. Returns the
+    * new version number. */
+  def restore(spark: SparkSession, base: String, toVersion: Int): Int = {
+    val vs = versions(spark, base)
+    require(vs.contains(toVersion), s"no snapshot v$toVersion under $base")
+    val v = vs.last
+    commit(spark, base, v + 1, entries(spark, base, toVersion))
+    v + 1
+  }
+
   /** Snapshot expiration (VACUUM): keep the newest `keep` snapshots, drop
     * older manifests, and physically delete data files no kept manifest
     * references. Because merges/deletes carry cold partitions by reference,
@@ -305,6 +356,110 @@ object ManifestTable {
         base
       })
     }
+
+  /** Build-once fixture: v1 = ordersKeyed, v2 = MERGE(standardUpdates),
+    * v3 = RESTORE to v1 (pure reference commit). */
+  private[sources] def restoredFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("restored", dir), {
+        val base =
+          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/orders_rfix_" +
+            java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+        val t = ordersKeyed(spark, dir)
+        create(spark, base, t, "o_year")
+        merge(spark, base, standardUpdates(t), "o_orderkey", "o_year")
+        restore(spark, base, 1)
+        base
+      })
+    }
+
+  /** Build-once fixture: v1 = 3/4 of orders, v2..v4 = three APPEND batches
+    * landing the remaining quarter (fragmenting the shared partitions),
+    * v5 = OPTIMIZE back to one file per partition. */
+  private[sources] def appendedFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("appended", dir), {
+        val base =
+          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/orders_afix_" +
+            java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+        val t = Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("int").as("o_year"),
+            col("o_custkey"), col("o_totalprice"))
+        create(spark, base,
+          t.filter(col("o_orderkey") % 4 =!= 3).drop("o_custkey"), "o_year")
+        for (k <- 0 to 2)
+          append(spark, base,
+            t.filter(col("o_orderkey") % 4 === 3 && col("o_custkey") % 3 === k)
+              .drop("o_custkey"),
+            "o_year")
+        optimizeTable(spark, base, "o_year")
+        base
+      })
+    }
+
+  /** Registered RESTORE round-trip: the [[restoredFixture]] history — a
+    * MERGE applied then rolled back by a reference-only commit. The row
+    * pairs the CURRENT snapshot's per-year aggregate (which must equal the
+    * pre-merge base — the restore worked) with snapshot v2's via time
+    * travel (which must equal the merge replay — history survived the
+    * rollback). A restore that copied stale data, missed a partition, or
+    * clobbered history hash-mismatches one side or the other. */
+  val tableRestore: QuerySpec = QuerySpec.sql(
+    "q_table_restore",
+    """WITH t AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         o_totalprice
+      |  FROM orders),
+      |u AS (
+      |  SELECT o_orderkey, o_year, o_totalprice + 1000.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 0 AND o_year >= 1996
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_year, 42.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 5 AND o_year >= 1996),
+      |m AS (
+      |  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      |  UNION ALL SELECT * FROM u),
+      |a AS (SELECT o_year, count(*) AS n_cur,
+      |             sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS total_cur
+      |      FROM t GROUP BY 1),
+      |b AS (SELECT o_year, count(*) AS n_v2,
+      |             sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS total_v2
+      |      FROM m GROUP BY 1)
+      |SELECT a.o_year, a.n_cur, a.total_cur, b.n_v2, b.total_v2
+      |FROM a JOIN b ON a.o_year = b.o_year ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = restoredFixture(spark, dir)
+    def agg(df: DataFrame, n: String, total: String): DataFrame =
+      df.groupBy(col("o_year"))
+        .agg(count(lit(1)).as(n),
+          (sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0).as(total))
+    agg(read(spark, base), "n_cur", "total_cur")
+      .join(agg(readVersion(spark, base, 2), "n_v2", "total_v2"), Seq("o_year"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Registered APPEND + OPTIMIZE round-trip: the [[appendedFixture]]
+    * history — a quarter of the table lands as three fragmenting appends,
+    * then OPTIMIZE compacts the fragmented partitions (cold ones carry by
+    * reference). The aggregate over the optimized snapshot must equal the
+    * plain full-table aggregate: a lost append batch, a row duplicated or
+    * dropped by the compaction rewrite, or a dropped carried partition all
+    * hash-mismatch. `MergeTableSpec` pins the layout claims (files
+    * per partition 4 → 1, pre-optimize snapshots intact). */
+  val tableOptimize: QuerySpec = QuerySpec.sql(
+    "q_table_optimize",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n,
+      |       count(DISTINCT o_orderkey) AS n_keys,
+      |       sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = appendedFixture(spark, dir)
+    read(spark, base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        (sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0).as("total"))
+      .orderBy(col("o_year"))
+  }
 
   /** Registered DELETE round-trip: the cohort-erasure shape — every order
     * of a 1-in-97 customer cohort placed 1996 or later is transactionally
@@ -582,5 +737,6 @@ object ManifestTable {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete)
+    Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
+      tableRestore, tableOptimize)
 }

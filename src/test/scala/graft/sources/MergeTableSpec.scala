@@ -222,4 +222,53 @@ class MergeTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, base).filter(col("o_totalprice") === 9.0).count() ===
       t.filter(col("o_orderkey") % 3 === 0).count())
   }
+
+  test("restore is a reference-only commit: no data I/O, history intact") {
+    val base = s"$tmp/graft_scratch/mtable_restore"
+    val t = target()
+    ManifestTable.create(spark, base, t, "o_year")
+    val u = t.filter(col("o_orderkey") % 5 === 0).withColumn("o_totalprice", lit(1.0))
+    ManifestTable.merge(spark, base, u, "o_orderkey", "o_year")
+    def dataFiles() = java.nio.file.Files.walk(java.nio.file.Paths.get(base, "files"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val before = dataFiles()
+    assert(ManifestTable.restore(spark, base, 1) === 3)
+    // zero new files: the restore commit names v1's files by reference
+    assert(dataFiles() === before)
+    assert(snapshotSum(ManifestTable.read(spark, base)) === snapshotSum(t))
+    // the undone merge stays addressable
+    assert(ManifestTable.readVersion(spark, base, 2)
+      .filter(col("o_totalprice") === 1.0).count() ===
+      t.filter(col("o_orderkey") % 5 === 0).count())
+  }
+
+  test("append fragments, optimize compacts hot partitions only, history intact") {
+    val base = s"$tmp/graft_scratch/mtable_optimize"
+    val t = target()
+    // cold partition: pre-1996 years land once and are never appended to
+    ManifestTable.create(spark, base, t.filter(col("o_year") < 1996), "o_year")
+    val late = t.filter(col("o_year") >= 1996)
+    for (k <- 0 to 2)
+      ManifestTable.append(spark, base, late.filter(col("o_orderkey") % 3 === k), "o_year")
+    def filesPerPartition(v: Int): Map[String, Int] = {
+      val p = java.nio.file.Paths.get(base, "_manifests", s"v$v.manifest")
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .split("\n").filter(_.nonEmpty)
+        .map(_.split("\t")(0)).groupBy(identity).view.mapValues(_.length).toMap
+    }
+    val frag = filesPerPartition(4)
+    assert(frag.filter(_._1.toInt >= 1996).values.forall(_ >= 3),
+      s"appends did not fragment: $frag")
+    val coldBefore = filesPerPartition(4).filter(_._1.toInt < 1996)
+    val (nParts, filesBefore, filesAfter) =
+      ManifestTable.optimizeTable(spark, base, "o_year")
+    assert(nParts > 0 && filesAfter < filesBefore)
+    val opt = filesPerPartition(5)
+    // hot partitions: one file each; cold partitions: identical entries
+    assert(opt.filter(_._1.toInt >= 1996).values.forall(_ === 1), s"$opt")
+    assert(opt.filter(_._1.toInt < 1996) === coldBefore)
+    // data unchanged, fragmented snapshot still addressable
+    assert(snapshotSum(ManifestTable.read(spark, base)) === snapshotSum(t))
+    assert(snapshotSum(ManifestTable.readVersion(spark, base, 4)) === snapshotSum(t))
+  }
 }
