@@ -192,6 +192,95 @@ object TrainingPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** INTERPOLATED KNESER-NEY bigram LM (Kneser & Ney 1995; Chen & Goodman
+    * 1998's interpolated form) — the standard n-gram smoothing, one step
+    * past [[lmBigram]]'s stupid backoff: absolute discount d=0.75 off every
+    * seen bigram, with the reclaimed mass interpolated against the
+    * CONTINUATION unigram P_cont(w2) = N1+(·w2)/|bigram types| (how many
+    * contexts a word follows, not how often it occurs — the insight that
+    * makes KN the default). Per test bigram:
+    *
+    *   P(w2|w1) = max(c(w1w2)−d, 0)/c(w1·) + d·N1+(w1·)/c(w1·) · P_cont(w2)
+    *
+    * with unseen contexts scored by P_cont alone and unseen continuations
+    * floored at N1+ = 1 (the lmBigram floor convention). Model state is
+    * three aggregates of the train-split bigram table — equi-joined at
+    * score time, no driver state. Scores floor to integer micro-NLL before
+    * the per-doc sum; the double-arithmetic expression trees are written
+    * identically in both engines (the q_tfidf ln-parity discipline). */
+  val lmKneserNey: QuerySpec = QuerySpec.sql(
+    "q_lm_kneser_ney",
+    """WITH d AS (SELECT doc_id, doc_id % 10 AS b, string_split(text, ' ') AS w FROM documents),
+      |trb AS (SELECT unnest(list_transform(range(1, len(w)),
+      |                i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+      |        FROM d WHERE b < 8),
+      |cb AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c FROM trb GROUP BY 1, 2),
+      |cw AS (SELECT w1, CAST(sum(c) AS DOUBLE) AS cw1,
+      |              CAST(count(*) AS DOUBLE) AS n1f
+      |       FROM cb GROUP BY 1),
+      |cp AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n1p FROM cb GROUP BY 1),
+      |bt AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM cb),
+      |te AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |                i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+      |       FROM d WHERE b >= 8),
+      |sc AS (
+      |  SELECT te.doc_id,
+      |         CASE WHEN cw.w1 IS NULL THEN 1 ELSE 0 END AS is_oov_ctx,
+      |         CAST(floor(-ln(
+      |           CASE WHEN cw.w1 IS NOT NULL THEN
+      |             (greatest(coalesce(cb.c, 0) - 0.75, 0.0) / cw.cw1)
+      |               + ((0.75 * cw.n1f) / cw.cw1) * (coalesce(cp.n1p, 1.0) / bt.bt)
+      |           ELSE coalesce(cp.n1p, 1.0) / bt.bt END) * 1000000 + 0.5) AS BIGINT)
+      |           AS nll_micro
+      |  FROM te
+      |  LEFT JOIN cb ON te.p.w1 = cb.w1 AND te.p.w2 = cb.w2
+      |  LEFT JOIN cw ON te.p.w1 = cw.w1
+      |  LEFT JOIN cp ON te.p.w2 = cp.w2
+      |  CROSS JOIN bt)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(sum(is_oov_ctx) AS BIGINT) AS n_oov_ctx,
+      |       CAST(sum(nll_micro) AS BIGINT) AS nll_micro_sum
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 10).as("b"), toks.as("w"))
+    val pairsOf = when(size(col("w")) >= 2,
+      transform(
+        sequence(lit(0), size(col("w")) - 2),
+        i => struct(
+          element_at(col("w"), i + 1).as("w1"),
+          element_at(col("w"), i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val cb = d.filter(col("b") < 8).select(explode(pairsOf).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // three aggregate consumers below
+    val cw = cb.groupBy(col("w1"))
+      .agg(sum(col("c")).cast("double").as("cw1"),
+        count(lit(1)).cast("double").as("n1f"))
+    val cp = cb.groupBy(col("w2")).agg(count(lit(1)).cast("double").as("n1p"))
+    val bt = cb.agg(count(lit(1)).cast("double").as("bt"))
+    val te = d.filter(col("b") >= 8).select(col("doc_id"), explode(pairsOf).as("p"))
+    val prob = when(col("cw1").isNotNull,
+        (greatest(coalesce(col("c_bg"), lit(0L)) - 0.75, lit(0.0)) / col("cw1"))
+          + ((lit(0.75) * col("n1f")) / col("cw1"))
+            * (coalesce(col("n1p"), lit(1.0)) / col("bt")))
+      .otherwise(coalesce(col("n1p"), lit(1.0)) / col("bt"))
+    te.join(cb.select(col("w1").as("b1"), col("w2").as("b2"), col("c").as("c_bg")),
+        col("p.w1") === col("b1") && col("p.w2") === col("b2"), "left")
+      .join(cw, col("p.w1") === cw("w1"), "left")
+      .join(cp, col("p.w2") === cp("w2"), "left")
+      .crossJoin(broadcast(bt))
+      .select(col("doc_id"),
+        when(col("cw1").isNull, 1).otherwise(0).as("is_oov_ctx"),
+        floor(-log(prob) * 1000000 + 0.5).cast("long").as("nll_micro"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("is_oov_ctx")).cast("long").as("n_oov_ctx"),
+        sum(col("nll_micro")).as("nll_micro_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One BPE merge iteration at the character level — the inner step of
     * vocabulary induction: count adjacent symbol pairs across the corpus
     * weighted by word frequency (overlapping, the standard counting
@@ -527,5 +616,7 @@ object TrainingPrep {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QuerySpec] = Seq(docChunks, qualityDeciles, lmBigram, bpeStep, bpeVocab, bpeEncode, lmTrigram)
+  val all: Seq[QuerySpec] =
+    Seq(docChunks, qualityDeciles, lmBigram, lmKneserNey, bpeStep, bpeVocab,
+      bpeEncode, lmTrigram)
 }

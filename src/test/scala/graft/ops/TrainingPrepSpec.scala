@@ -93,6 +93,41 @@ class TrainingPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("Kneser-Ney bigram model is a proper distribution per seen context") {
+    // for any trained context w1, sums telescope exactly:
+    //   sum_{w2 seen in training} P_KN(w2|w1)
+    //     = (cw1 - d*N1+(w1))/cw1 + lambda(w1)*1 = 1
+    // verify numerically from the same train split the query uses
+    val d = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(col("doc_id") % 10 < 8)
+    val pairsOf = transform(
+      sequence(lit(0), size(col("w")) - 2),
+      i => struct(element_at(col("w"), i + 1).as("w1"),
+        element_at(col("w"), i + 2).as("w2")))
+    val cb = d.filter(size(col("w")) >= 2).select(explode(pairsOf).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val bt = cb.count().toDouble
+    val cw = cb.groupBy(col("w1"))
+      .agg(sum(col("c")).cast("double").as("cw1"), count(lit(1)).cast("double").as("n1f"))
+    val cp = cb.groupBy(col("w2")).agg(count(lit(1)).cast("double").as("n1p"))
+    // over the FULL continuation vocabulary (unseen bigrams contribute
+    // lambda(w1) * P_cont(w2)) the mass telescopes to exactly 1; check the
+    // 3 contexts with the most continuations — they stress it hardest
+    val ctx = cw.orderBy(col("n1f").desc, col("w1").asc).limit(3)
+    val sums = broadcast(ctx).crossJoin(cp.withColumnRenamed("w2", "v"))
+      .join(cb, ctx("w1") === cb("w1") && col("v") === cb("w2"), "left")
+      .select(ctx("w1"),
+        ((greatest(coalesce(col("c"), lit(0L)) - 0.75, lit(0.0)) / col("cw1"))
+          + ((lit(0.75) * col("n1f")) / col("cw1")) * (col("n1p") / lit(bt))).as("p"))
+      .groupBy(ctx("w1")).agg(sum(col("p")).as("mass"))
+      .select(col("mass")).as[Double].collect()
+    assert(sums.length === 3)
+    sums.foreach(m => assert(math.abs(m - 1.0) < 1e-9, s"mass $m != 1"))
+  }
+
   test("SCD2 intervals chain per customer: contiguous, tier-changing, one current row") {
     val hist = graft.ops.Scd.scd2.fn(spark, sf)
       .select($"o_custkey", $"tier", $"valid_from", $"valid_to", $"is_current")
