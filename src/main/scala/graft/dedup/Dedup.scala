@@ -584,7 +584,54 @@ object Dedup {
       .orderBy(col("cluster"))
   }
 
+  /** CHUNK-LEVEL (paragraph) DEDUP — exact dedup at SUB-document
+    * granularity: documents split into non-overlapping 32-token chunks,
+    * each chunk content-hashed, and only the globally FIRST occurrence of
+    * each hash (smallest (doc_id, offset)) survives — the production
+    * pattern for boilerplate and quotation removal, where near-identical
+    * documents share most paragraphs but whole-doc dedup keeps both
+    * copies. One shuffle on the content hash (the [[dedupExact]] plan at
+    * chunk granularity — at 100 TB the hash group-by is the same
+    * linear-shuffle shape, ~30× more rows than documents). Output is the
+    * per-document retention profile: a duplicated document keeps 0 chunks
+    * unless it is the first copy, and partially-copied documents surface
+    * as tokens_kept < tokens_total. */
+  val chunkDedup: QuerySpec = QuerySpec.sql(
+    "q_chunk_dedup",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id, w, unnest(range(0, len(w), 32)) AS start FROM d),
+      |c AS (SELECT doc_id, CAST(start AS INTEGER) AS start,
+      |             CAST(len(list_slice(w, start + 1, start + 32)) AS INTEGER) AS ntok,
+      |             md5(array_to_string(list_slice(w, start + 1, start + 32), ' ')) AS h
+      |      FROM s),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY h
+      |                                   ORDER BY doc_id, start) AS rk FROM c)
+      |SELECT doc_id,
+      |       count(*) AS n_chunks,
+      |       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(ntok) AS BIGINT) AS tokens_total,
+      |       CAST(sum(CASE WHEN rk = 1 THEN ntok ELSE 0 END) AS BIGINT) AS tokens_kept
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val chunk = 32
+    val w = split(col("text"), " ")
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(chunk))).as("start"))
+      .select(col("doc_id"), col("start").cast("int").as("start"),
+        size(slice(col("w"), col("start") + 1, lit(chunk))).as("ntok"),
+        md5(concat_ws(" ", slice(col("w"), col("start") + 1, lit(chunk)))).as("h"))
+    val byFirst = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("start"))
+    chunks.withColumn("rk", row_number().over(byFirst))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("ntok")).cast("long").as("tokens_total"),
+        sum(when(col("rk") === 1, col("ntok").cast("long")).otherwise(0L)).as("tokens_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(dedupExact, nearDupPairs, minhashSigs, simhashPairs, fingerprintOverlap,
-      dedupClusters, dedupBest, dedupIncremental)
+      dedupClusters, dedupBest, dedupIncremental, chunkDedup)
 }

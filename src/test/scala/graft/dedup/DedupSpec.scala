@@ -117,6 +117,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk dedup keeps each distinct chunk exactly once and actually drops duplicates") {
+    val prof = Dedup.chunkDedup.fn(spark, sf).collect()
+    val kept = prof.map(_.getAs[Long]("n_kept")).sum
+    val total = prof.map(_.getAs[Long]("n_chunks")).sum
+    assert(kept < total, "no duplicate chunk in the corpus — dedup untested")
+    // global invariant: survivors = distinct chunk hashes
+    val distinctChunks = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(explode(org.apache.spark.sql.functions.sequence(
+        lit(0), size(col("w")) - 1, lit(32))).as("start"), col("w"))
+      .select(md5(concat_ws(" ", slice(col("w"), col("start") + 1, lit(32)))).as("h"))
+      .distinct().count()
+    assert(kept === distinctChunks)
+    prof.foreach { r =>
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("tokens_total"))
+    }
+  }
+
   test("expressions usable from SQL text after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT simhash64('a b c') AS h, size(fingerprints('abcdefghijklmnop')) AS n")
