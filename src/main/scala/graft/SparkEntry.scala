@@ -21,6 +21,7 @@ object SparkEntry {
       ops.Skyline.all ++
       ops.Anomaly.all ++
       ops.Eval.all ++
+      ops.Expectations.all ++
       ops.Sampling.all ++
       etl.EtlQueries.all ++
       sources.Sources.all ++

@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.QuerySpec
+import graft.model.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative DATA-QUALITY EXPECTATIONS over the warehouse tables — the
+  * standalone audit report feeding the same gate
+  * [[graft.sources.ManifestTable.auditedMerge]] enforces transactionally
+  * (the Deequ / dbt-test / Delta-constraints surface): completeness,
+  * range, uniqueness, and referential-integrity checks, each one
+  * distributed aggregate or anti-join — never a driver-side row loop, so
+  * the report costs one scan per table at any scale.
+  *
+  * The report is honest about failures: the `customer_has_order`
+  * completeness check genuinely fails on TPC-H-shaped data (customers with
+  * zero orders exist by construction), so the "violations found and
+  * reported" path is exercised, not just the all-green one.
+  */
+object Expectations {
+
+  val expectations: QuerySpec = QuerySpec.sql(
+    "q_expectations",
+    """WITH r AS (
+      |  SELECT 'orders_price_non_negative' AS check_name,
+      |         (SELECT count(*) FROM orders) AS n_checked,
+      |         (SELECT count(*) FROM orders WHERE o_totalprice < 0) AS n_violations
+      |  UNION ALL
+      |  SELECT 'orders_key_unique',
+      |         (SELECT count(*) FROM orders),
+      |         (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+      |  UNION ALL
+      |  SELECT 'orders_date_complete',
+      |         (SELECT count(*) FROM orders),
+      |         (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+      |  UNION ALL
+      |  SELECT 'lineitem_order_fk',
+      |         (SELECT count(*) FROM lineitem),
+      |         (SELECT count(*) FROM lineitem l
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                            WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL
+      |  SELECT 'lineitem_qty_range',
+      |         (SELECT count(*) FROM lineitem),
+      |         (SELECT count(*) FROM lineitem
+      |          WHERE l_quantity < 1 OR l_quantity > 50)
+      |  UNION ALL
+      |  SELECT 'customer_has_order',
+      |         (SELECT count(*) FROM customer),
+      |         (SELECT count(*) FROM customer c
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                            WHERE o.o_custkey = c.c_custkey)))
+      |SELECT check_name, n_checked, n_violations,
+      |       CAST(n_violations = 0 AS INTEGER) AS passed
+      |FROM r ORDER BY check_name""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    // each check is one distributed pass; single-table checks fuse the
+    // checked/violation counts into one aggregate
+    def one(name: String, df: DataFrame, violation: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(lit(1)).as("n_checked"),
+          sum(when(violation, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
+    // referential checks: left join the (distinct) referenced keys and
+    // count the unmatched — one shuffle, no driver-side key set
+    def orphans(name: String, child: DataFrame, childKey: String,
+        parentKeys: DataFrame): DataFrame =
+      child.select(col(childKey))
+        .join(parentKeys.distinct().withColumnRenamed(parentKeys.columns.head, "__pk"),
+          col(childKey) === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
+    val uniq = o.agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
+      .select(lit("orders_key_unique").as("check_name"),
+        col("n_checked"), col("n_violations"))
+    one("orders_price_non_negative", o, col("o_totalprice") < 0)
+      .unionByName(uniq)
+      .unionByName(one("orders_date_complete", o, col("o_orderdate").isNull))
+      .unionByName(orphans("lineitem_order_fk", li, "l_orderkey",
+        o.select(col("o_orderkey"))))
+      .unionByName(one("lineitem_qty_range", li,
+        col("l_quantity") < 1 || col("l_quantity") > 50))
+      .unionByName(orphans("customer_has_order", cust, "c_custkey",
+        o.select(col("o_custkey"))))
+      .select(col("check_name"), col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0).cast("int").as("passed"))
+      .orderBy(col("check_name"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(expectations)
+}

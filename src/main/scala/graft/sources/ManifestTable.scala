@@ -207,6 +207,53 @@ object ManifestTable {
     true
   }
 
+  /** WRITE-AUDIT-PUBLISH merge — [[merge]] with a QUALITY GATE between the
+    * write and the commit (the Iceberg WAP / Delta-constraints pattern):
+    * the copy-on-write rewrite runs as usual, but the CANDIDATE snapshot
+    * (carried cold files + staged new files) is audited against
+    * `expectations` — (name, violation predicate) pairs — BEFORE the
+    * commit rename. Any violating row anywhere in the would-be table
+    * vetoes the publish: the staged files are deleted, no manifest is
+    * written, and readers never see the bad state — the audit rides the
+    * same atomicity the crash contract already guarantees. All
+    * expectations are counted in ONE aggregate pass over the candidate
+    * (at 100 TB the audit costs one scan of the touched partitions plus
+    * the carried manifest references, not a separate validation job).
+    * Returns (published?, per-expectation violation counts). */
+  def auditedMerge(
+      spark: SparkSession, base: String, updates: DataFrame,
+      keyCol: String, partCol: String,
+      expectations: Seq[(String, org.apache.spark.sql.Column)]): (Boolean, Seq[(String, Long)]) = {
+    require(expectations.nonEmpty, "an audit needs at least one expectation")
+    val v = currentVersion(spark, base)
+    val es = entries(spark, base, v)
+    val touched = updates.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (hot, cold) = es.partition { case (pval, _) => touched(pval) }
+    val rewritten =
+      if (hot.isEmpty) updates
+      else {
+        val oldData = spark.read.parquet(hot.map { case (_, rel) => s"$base/$rel" }: _*)
+        oldData.join(updates.select(keyCol), Seq(keyCol), "left_anti")
+          .unionByName(updates)
+      }
+    val newFiles = writeSnapshotFiles(spark, base, v + 1, rewritten, partCol)
+    val candidate = spark.read.parquet(
+      (cold ++ newFiles).map { case (_, rel) => s"$base/$rel" }: _*)
+    val aggs = expectations.map { case (n, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"viol_$n") }
+    val row = candidate.agg(aggs.head, aggs.tail: _*).head
+    val counts = expectations.zipWithIndex.map { case ((n, _), i) =>
+      n -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
+    if (counts.exists(_._2 > 0)) {
+      fsOf(spark, new Path(base)).delete(new Path(base, s"files/v${v + 1}"), true)
+      (false, counts)
+    } else {
+      commit(spark, base, v + 1, cold ++ newFiles)
+      (true, counts)
+    }
+  }
+
   /** APPEND — the cheap ingest verb: write `df`'s rows as NEW files and
     * commit a manifest that is the old entry set plus the new files. No
     * existing file is read, rewritten, or rearranged — an append's cost is
@@ -397,6 +444,82 @@ object ManifestTable {
         base
       })
     }
+
+  /** Build-once fixture for [[tableAudit]]: v1 = ordersKeyed; a POISONED
+    * merge (every matched row re-priced NEGATIVE) is VETOED by the
+    * non-negative-price expectation — no commit; then the clean
+    * standardUpdates merge publishes as v2. The audit outcome rows land at
+    * `<base>-audit` so the registered query reads what the gate actually
+    * measured, not a recomputation. */
+  private[sources] def auditedFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("audited", dir), {
+        val base =
+          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/orders_qfix_" +
+            java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+        val t = ordersKeyed(spark, dir)
+        create(spark, base, t, "o_year")
+        val noNegativePrice = "price_non_negative" -> (col("o_totalprice") < 0)
+        val poisoned = t.filter(col("o_orderkey") % 10 === 0 && col("o_year") >= 1996)
+          .withColumn("o_totalprice", -col("o_totalprice"))
+        val (pubBad, badCounts) = auditedMerge(
+          spark, base, poisoned, "o_orderkey", "o_year", Seq(noNegativePrice))
+        val (pubGood, _) = auditedMerge(
+          spark, base, standardUpdates(t), "o_orderkey", "o_year", Seq(noNegativePrice))
+        import spark.implicits._
+        Seq((if (pubBad) 1L else 0L, badCounts.head._2, if (pubGood) 1L else 0L,
+            currentVersion(spark, base).toLong))
+          .toDF("bad_published", "n_rejected", "good_published", "n_versions")
+          .write.mode("overwrite").parquet(s"$base-audit")
+        base
+      })
+    }
+
+  /** Registered WRITE-AUDIT-PUBLISH round-trip: the [[auditedFixture]]
+    * history. The row set pairs the final table's per-year aggregate
+    * (which must equal the CLEAN merge replay — the poisoned rows never
+    * entered) with the gate's own measurements: the poisoned publish was
+    * vetoed (bad_published = 0, n_rejected = the poisoned row count), the
+    * clean one landed (good_published = 1), and exactly 2 versions exist —
+    * the vetoed merge left NO commit behind. An audit that counted wrong,
+    * published bad data, or burned a version number all hash-mismatch. */
+  val tableAudit: QuerySpec = QuerySpec.sql(
+    "q_table_audit",
+    """WITH t AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         o_totalprice
+      |  FROM orders),
+      |u AS (
+      |  SELECT o_orderkey, o_year, o_totalprice + 1000.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 0 AND o_year >= 1996
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_year, 42.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 5 AND o_year >= 1996),
+      |m AS (
+      |  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      |  UNION ALL SELECT * FROM u),
+      |bad AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rejected
+      |  FROM t WHERE o_orderkey % 10 = 0 AND o_year >= 1996)
+      |SELECT m.o_year, count(*) AS n,
+      |       sum(floor(m.o_totalprice * 100 + 0.5)) / 100.0 AS total,
+      |       CAST(0 AS BIGINT) AS bad_published,
+      |       bad.n_rejected,
+      |       CAST(1 AS BIGINT) AS good_published,
+      |       CAST(2 AS BIGINT) AS n_versions
+      |FROM m CROSS JOIN bad
+      |GROUP BY m.o_year, bad.n_rejected ORDER BY m.o_year""".stripMargin) { (spark, dir) =>
+    val base = auditedFixture(spark, dir)
+    read(spark, base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0).as("total"))
+      .crossJoin(broadcast(spark.read.parquet(s"$base-audit")))
+      .select(col("o_year"), col("n"), col("total"),
+        col("bad_published"), col("n_rejected"), col("good_published"),
+        col("n_versions"))
+      .orderBy(col("o_year"))
+  }
 
   /** Registered RESTORE round-trip: the [[restoredFixture]] history — a
     * MERGE applied then rolled back by a reference-only commit. The row
@@ -738,5 +861,5 @@ object ManifestTable {
 
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
-      tableRestore, tableOptimize)
+      tableRestore, tableOptimize, tableAudit)
 }

@@ -223,6 +223,29 @@ class MergeTableSpec extends AnyFunSuite {
       t.filter(col("o_orderkey") % 3 === 0).count())
   }
 
+  test("audited merge vetoes a bad publish atomically: no commit, no leaked files") {
+    val base = s"$tmp/graft_scratch/mtable_audit"
+    val t = target()
+    ManifestTable.create(spark, base, t, "o_year")
+    val gate = Seq("price_non_negative" -> (col("o_totalprice") < 0))
+    val poisoned = t.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", -col("o_totalprice"))
+    val (published, counts) =
+      ManifestTable.auditedMerge(spark, base, poisoned, "o_orderkey", "o_year", gate)
+    assert(!published && counts.head._2 === poisoned.count())
+    // veto left nothing behind: version unchanged, staged files gone
+    assert(ManifestTable.currentVersion(spark, base) === 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(base, "files", "v2")))
+    assert(snapshotSum(ManifestTable.read(spark, base)) === snapshotSum(t))
+    // a clean batch through the same gate publishes as v2
+    val clean = t.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+    val (ok, zero) =
+      ManifestTable.auditedMerge(spark, base, clean, "o_orderkey", "o_year", gate)
+    assert(ok && zero.head._2 === 0L)
+    assert(ManifestTable.currentVersion(spark, base) === 2)
+  }
+
   test("restore is a reference-only commit: no data I/O, history intact") {
     val base = s"$tmp/graft_scratch/mtable_restore"
     val t = target()
