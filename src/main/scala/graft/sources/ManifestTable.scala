@@ -305,6 +305,77 @@ object ManifestTable {
     v + 1
   }
 
+  /** FILE-LEVEL COLUMN STATISTICS sidecar — the Iceberg min/max file-skipping
+    * half of the format ([[readVersion]]'s manifest gives partition pruning;
+    * this gives pruning WITHIN a partition on any clustered column): one
+    * grouped scan of the current snapshot computes each data file's
+    * (min, max) of `statCol`, written as `_manifests/v<N>.stats.<col>` with
+    * the same temp-write + rename the manifest commit uses. Stats are
+    * per-snapshot immutable metadata, KBs at any table size; collection
+    * costs one scan — in production it piggybacks on the write (parquet
+    * footers already hold these), kept separate here so any snapshot can
+    * be indexed after the fact. */
+  def buildStats(spark: SparkSession, base: String, statCol: String): Unit = {
+    val v = currentVersion(spark, base)
+    val es = entries(spark, base, v)
+    val rows = spark.read.parquet(es.map { case (_, rel) => s"$base/$rel" }: _*)
+      .select(col(statCol).cast("long").as("__v"), input_file_name().as("__f"))
+      .groupBy(col("__f"))
+      .agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+      .collect() // one row per data file: metadata-sized
+    // input_file_name is a URI; manifest entries are base-relative — match
+    // by unique path suffix
+    val byFile = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lines = es.map { case (_, rel) =>
+      byFile.find(_._1.endsWith(rel)) match {
+        case Some((_, mn, mx)) => s"$rel\t$mn\t$mx"
+        case None => throw new IllegalStateException(s"no stats row for $rel")
+      }
+    }
+    val dir = manifestDir(base)
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir, s".tmp-stats-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val dest = new Path(dir, s"v$v.stats.$statCol")
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"cannot commit stats $dest")
+  }
+
+  /** Data-file paths of the current snapshot whose [`statCol`] range
+    * intersects [lo, hi], plus the total file count — the file-skipping
+    * decision, made entirely from the KB-sized stats sidecar (no data I/O).
+    * Exposed separately from [[readPruned]] so tests can pin the skip. */
+  def prunedPaths(spark: SparkSession, base: String, statCol: String,
+      lo: Long, hi: Long): (Seq[String], Int) = {
+    val v = currentVersion(spark, base)
+    val p = new Path(manifestDir(base), s"v$v.stats.$statCol")
+    val fs = fsOf(spark, p)
+    require(fs.exists(p), s"no stats for $statCol at v$v — run buildStats first")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val all = text.split("\n").filter(_.nonEmpty).map { line =>
+      val Array(rel, mn, mx) = line.split("\t")
+      (rel, mn.toLong, mx.toLong)
+    }
+    val kept = all.collect { case (rel, mn, mx) if mx >= lo && mn <= hi => s"$base/$rel" }
+    (kept.toSeq, all.length)
+  }
+
+  /** Read only the files that can contain `statCol` ∈ [lo, hi] (the caller
+    * still applies the row-level filter — stats prune FILES, not rows). At
+    * 100 TB with the column clustered (e.g. [[append]]-ordered ingest or
+    * [[optimizeTable]] after [[Sources.compactClustered]]-style layout), a
+    * point/range lookup opens a handful of files instead of the
+    * partition. */
+  def readPruned(spark: SparkSession, base: String, statCol: String,
+      lo: Long, hi: Long): DataFrame = {
+    val (paths, _) = prunedPaths(spark, base, statCol, lo, hi)
+    if (paths.isEmpty) read(spark, base).filter(lit(false))
+    else spark.read.parquet(paths: _*)
+  }
+
   /** Snapshot expiration (VACUUM): keep the newest `keep` snapshots, drop
     * older manifests, and physically delete data files no kept manifest
     * references. Because merges/deletes carry cold partitions by reference,
@@ -474,6 +545,51 @@ object ManifestTable {
         base
       })
     }
+
+  /** Build-once fixture for [[tableStatsSkip]]: orders lands in three
+    * key-range-banded APPEND waves (the arrival-ordered ingest shape — a
+    * monotonic key means every append's files cover a disjoint key range
+    * per partition), then [[buildStats]] indexes o_orderkey. */
+  private[sources] def statsFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("stats", dir), {
+        val base =
+          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/orders_sfix_" +
+            java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+        val t = ordersKeyed(spark, dir)
+        val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
+        val (k1, k2) = (mx / 3, 2 * mx / 3)
+        create(spark, base, t.filter(col("o_orderkey") <= k1), "o_year")
+        append(spark, base,
+          t.filter(col("o_orderkey") > k1 && col("o_orderkey") <= k2), "o_year")
+        append(spark, base, t.filter(col("o_orderkey") > k2), "o_year")
+        buildStats(spark, base, "o_orderkey")
+        base
+      })
+    }
+
+  /** Registered FILE-SKIPPING round-trip: a narrow key-range lookup against
+    * the [[statsFixture]] table through [[readPruned]] — the stats sidecar
+    * keeps only the first key band's files (1 of 3 per partition), the
+    * row filter does the rest, and the aggregate must equal the plain
+    * full-table filter: a file wrongly skipped loses rows, a stats range
+    * computed wrong brings the wrong files — both hash-mismatch.
+    * `MergeTableSpec` pins that files really are skipped and that
+    * pruned ∪ filter ≡ unpruned ∪ filter file-for-file. */
+  val tableStatsSkip: QuerySpec = QuerySpec.sql(
+    "q_stats_skip",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n,
+      |       sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS total
+      |FROM orders WHERE o_orderkey BETWEEN 128 AND 640
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = statsFixture(spark, dir)
+    readPruned(spark, base, "o_orderkey", 128L, 640L)
+      .filter(col("o_orderkey").between(128, 640))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0).as("total"))
+      .orderBy(col("o_year"))
+  }
 
   /** Registered WRITE-AUDIT-PUBLISH round-trip: the [[auditedFixture]]
     * history. The row set pairs the final table's per-year aggregate
@@ -861,5 +977,5 @@ object ManifestTable {
 
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
-      tableRestore, tableOptimize, tableAudit)
+      tableRestore, tableOptimize, tableAudit, tableStatsSkip)
 }

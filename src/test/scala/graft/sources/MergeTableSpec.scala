@@ -246,6 +246,31 @@ class MergeTableSpec extends AnyFunSuite {
     assert(ManifestTable.currentVersion(spark, base) === 2)
   }
 
+  test("file-level stats skip files but never rows") {
+    val base = s"$tmp/graft_scratch/mtable_stats"
+    val t = target()
+    val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
+    ManifestTable.create(spark, base, t.filter(col("o_orderkey") <= mx / 2), "o_year")
+    ManifestTable.append(spark, base, t.filter(col("o_orderkey") > mx / 2), "o_year")
+    ManifestTable.buildStats(spark, base, "o_orderkey")
+    // a lookup in the low band must open strictly fewer files than exist
+    val (kept, total) = ManifestTable.prunedPaths(spark, base, "o_orderkey", 1L, mx / 4)
+    assert(kept.nonEmpty && kept.length < total,
+      s"no files skipped: ${kept.length} of $total")
+    // and lose no rows vs the unpruned scan under the same row filter
+    def agg(df: org.apache.spark.sql.DataFrame) = snapshotSum(
+      df.filter(col("o_orderkey").between(1L, mx / 4)))
+    assert(agg(ManifestTable.readPruned(spark, base, "o_orderkey", 1L, mx / 4)) ===
+      agg(ManifestTable.read(spark, base)))
+    // a range spanning both bands reads everything — stats never over-prune
+    val (all, tot2) = ManifestTable.prunedPaths(spark, base, "o_orderkey", 1L, mx)
+    assert(all.length === tot2)
+    // an empty band reads nothing
+    val (none, _) = ManifestTable.prunedPaths(spark, base, "o_orderkey", mx + 10, mx + 20)
+    assert(none.isEmpty)
+    assert(ManifestTable.readPruned(spark, base, "o_orderkey", mx + 10, mx + 20).count() === 0)
+  }
+
   test("restore is a reference-only commit: no data I/O, history intact") {
     val base = s"$tmp/graft_scratch/mtable_restore"
     val t = target()
