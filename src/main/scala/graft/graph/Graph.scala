@@ -481,8 +481,10 @@ object Graph {
     "q_label_prop", lpaOracleSql(3)) { (spark, dir) =>
     val (li, pc) = coPurchaseStage(spark, dir)
     val e0 = pc.select(col("u"), col("v"))
-    // reused every round; parquet-backed, so no lineage cut needed
+    // consumed once per round (3x): pin the symmetrized edge list in
+    // memory rather than re-scanning + re-unioning the staged parquet
     val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
     var labels = li.select(col("p").as("node")).distinct()
       .withColumn("lab", col("node"))
       .localCheckpoint()

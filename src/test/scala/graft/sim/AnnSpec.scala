@@ -180,7 +180,7 @@ class AnnSpec extends AnyFunSuite {
     }
     // the replaced (negated) vectors must include a CELL CHANGE, or the
     // delete-then-merge relocation path was never exercised
-    val tbl = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/ann_manifest"
+    val tbl = Ann.annManifestFixture(spark, sf)
     def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       df.filter(col("vec_id").between(20, 24))
         .select(col("vec_id"), col("cell").cast("long"))
