@@ -25,7 +25,12 @@ object Bench {
     // engine, not the neighbors. A rep that THROWS records NaN so a
     // fast-failing rep can never beat a successful slow one; a query whose
     // every rep fails reports -1 (the error signal, excluded from the total).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional trailing args: restrict to named queries (local iteration);
+    // the driver always runs the full registry
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val times = (1 to math.max(1, reps)).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

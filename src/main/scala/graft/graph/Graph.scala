@@ -488,16 +488,18 @@ object Graph {
     var labels = li.select(col("p").as("node")).distinct()
       .withColumn("lab", col("node"))
       .localCheckpoint()
-    val byVotes = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("n").desc, col("lab").asc)
     for (_ <- 1 to 3) {
+      // rank-1-by-(votes desc, label asc) as a MAX of (n, -lab) structs:
+      // same winner as the oracle's row_number window, but an aggregate
+      // with map-side partials instead of a per-node shuffle SORT — the
+      // vote count and the argmax ride the same exchange
       val picked = e.join(labels.withColumnRenamed("node", "nbr"),
           col("v") === col("nbr"))
         .groupBy(col("u").as("node"), col("lab"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("rn", row_number().over(byVotes))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("lab").as("new_lab"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("n"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("new_lab"))
       labels = labels.join(picked, Seq("node"), "left_outer")
         .select(col("node"), coalesce(col("new_lab"), col("lab")).as("lab"))
         .localCheckpoint()
