@@ -128,6 +128,27 @@ class TrainingPrepSpec extends AnyFunSuite {
     sums.foreach(m => assert(math.abs(m - 1.0) < 1e-9, s"mass $m != 1"))
   }
 
+  test("PIT join matches each order exactly once and differs from a lookback join") {
+    val orders = graft.model.Tables.orders(spark, sf)
+    val nOrders = orders.count()
+    val pit = Scd.scd2Pit.fn(spark, sf)
+    // exactly-one-version-per-order: group totals must cover every order once
+    assert(pit.agg(sum("n_orders")).head.getLong(0) === nOrders)
+    // lookback bias is a REAL hazard here: joining the CURRENT tier instead
+    // of the as-of-date tier must move orders between tiers
+    val dim = Scd.scd2.fn(spark, sf).filter(col("is_current"))
+      .select(col("o_custkey").as("k"), col("tier").as("cur_tier"))
+    val lookback = orders.join(dim, orders("o_custkey") === col("k"))
+      .groupBy(year(col("o_orderdate")).cast("int").as("o_year"),
+        col("cur_tier").as("pit_tier"))
+      .agg(count(lit(1)).as("n_orders"))
+    val a = pit.select("o_year", "pit_tier", "n_orders")
+      .as[(Int, String, Long)].collect().toSet
+    val b = lookback.select("o_year", "pit_tier", "n_orders")
+      .as[(Int, String, Long)].collect().toSet
+    assert(a !== b, "PIT join equals the lookback join — nothing was tested")
+  }
+
   test("SCD2 intervals chain per customer: contiguous, tier-changing, one current row") {
     val hist = graft.ops.Scd.scd2.fn(spark, sf)
       .select($"o_custkey", $"tier", $"valid_from", $"valid_to", $"is_current")
