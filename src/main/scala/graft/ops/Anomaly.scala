@@ -54,6 +54,33 @@ object Anomaly {
       .select(col(grp), col(v).as(out))
   }
 
+  private val thrCache = scala.collection.mutable.Map[String, String]()
+
+  /** The Hampel thresholds (per-type lower median and MAD, integer cents)
+    * staged to parquet once per (dir) per JVM — the "trained on history"
+    * artifact [[graft.streaming.StreamingOps.streamAnomaly]] broadcasts
+    * against live traffic. The batch [[anomalyMad]] keeps computing its own
+    * thresholds in-query: it IS the trainer being measured. */
+  def hampelThresholds(spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    thrCache.synchronized {
+      thrCache.getOrElseUpdate(dir, {
+        val path =
+          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/hampel_thr_" +
+            java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+        val e = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("v_c"))
+        val med = groupMedian(e, "event_type", "v_c", "event_id", "med_c")
+        val dAll = e.join(broadcast(med), "event_type")
+          .withColumn("dev_c", abs(col("v_c") - col("med_c")))
+        val mad = groupMedian(
+          dAll.select(col("event_type"), col("dev_c"), col("event_id")),
+          "event_type", "dev_c", "event_id", "mad_c")
+        med.join(mad, Seq("event_type")).write.mode("overwrite").parquet(path)
+        path
+      })
+    }
+
   /** Hampel outliers over event values per event type, k=5: heavy-tail
     * events whose deviation from the type's median exceeds 5×MAD. */
   val anomalyMad: QuerySpec = QuerySpec.sql(

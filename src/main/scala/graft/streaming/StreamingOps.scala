@@ -515,29 +515,21 @@ object StreamingOps {
     val e = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"),
         floor(col("value") * 100 + 0.5).cast("long").as("v_c"))
-    // train the static thresholds exactly as the batch detector does
-    val med = graft.ops.Anomaly.groupMedian(e, "event_type", "v_c", "event_id", "med_c")
-    val dAll = e.join(broadcast(med), "event_type")
+    // the trained-on-history artifact, staged once per (dir) per JVM
+    val thresholds =
+      spark.read.parquet(graft.ops.Anomaly.hampelThresholds(spark, dir))
+    e.repartition(8).write.mode("overwrite").parquet(staged)
+    val ckpt = freshCheckpoint("stream_anomaly", staged + "_ck")
+    val probe = spark.readStream
+      .schema(e.schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(staged)
+    val flagged = probe.join(broadcast(thresholds), Seq("event_type"))
       .withColumn("dev_c", abs(col("v_c") - col("med_c")))
-    val mad = graft.ops.Anomaly.groupMedian(
-      dAll.select(col("event_type"), col("dev_c"), col("event_id")),
-      "event_type", "dev_c", "event_id", "mad_c")
-    val thresholds = med.join(mad, Seq("event_type")).persist()
-    try {
-      thresholds.count() // materialize once, not per micro-batch
-      e.repartition(8).write.mode("overwrite").parquet(staged)
-      val ckpt = freshCheckpoint("stream_anomaly", staged + "_ck")
-      val probe = spark.readStream
-        .schema(e.schema)
-        .option("maxFilesPerTrigger", "2")
-        .parquet(staged)
-      val flagged = probe.join(broadcast(thresholds), Seq("event_type"))
-        .withColumn("dev_c", abs(col("v_c") - col("med_c")))
-        .filter(col("dev_c") > lit(5) * col("mad_c"))
-        .select(col("event_id"), col("event_type"), col("v_c"),
-          col("med_c"), col("mad_c"), col("dev_c"))
-      runToParquetSink(spark, flagged, ckpt, sink)
-    } finally thresholds.unpersist()
+      .filter(col("dev_c") > lit(5) * col("mad_c"))
+      .select(col("event_id"), col("event_type"), col("v_c"),
+        col("med_c"), col("mad_c"), col("dev_c"))
+    runToParquetSink(spark, flagged, ckpt, sink)
     spark.read.parquet(sink)
       .select(col("event_id"), col("event_type"), col("v_c"),
         col("med_c"), col("mad_c"), col("dev_c"))
