@@ -282,6 +282,29 @@ class PlanQualitySpec extends AnyFunSuite {
       s"lineitem scan not pruned to join columns:\n$p")
   }
 
+  test("chunk dedup scan reads only (doc_id, text); hash shuffle carries no text") {
+    val p = plan(graft.dedup.Dedup.chunkDedup.fn(spark, sf))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan not pruned to the two used columns:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("PIT join is a key equi-join (interval as post-filter), never a cartesian") {
+    val p = plan(Scd.scd2Pit.fn(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PIT join degenerated to an all-pairs plan:\n$p")
+    // orders scan pruned to exactly the fact columns the query touches
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double,o_orderdate:timestamp"),
+      s"orders scan not pruned:\n$p")
+  }
+
+  test("Kneser-Ney scoring joins stay equi-joins against bounded model tables") {
+    val p = plan(graft.text.TrainingPrep.lmKneserNey.fn(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in KN plan:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan not pruned:\n$p")
+  }
+
   test("salted aggregation equals plain aggregation") {
     import spark.implicits._
     val salted = Skew.saltedAggQuery.fn(spark, sf)
