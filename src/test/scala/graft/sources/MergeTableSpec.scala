@@ -271,6 +271,26 @@ class MergeTableSpec extends AnyFunSuite {
     assert(ManifestTable.readPruned(spark, base, "o_orderkey", mx + 10, mx + 20).count() === 0)
   }
 
+  test("incremental stats refresh scans only new files and equals a full rebuild") {
+    val base = s"$tmp/graft_scratch/mtable_refresh"
+    val t = target()
+    val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
+    ManifestTable.create(spark, base, t.filter(col("o_orderkey") <= mx / 2), "o_year")
+    ManifestTable.buildStats(spark, base, "o_orderkey")
+    ManifestTable.append(spark, base, t.filter(col("o_orderkey") > mx / 2), "o_year")
+    val (scanned, carried) = ManifestTable.refreshStats(spark, base, "o_orderkey")
+    assert(scanned > 0 && carried > 0, s"scanned=$scanned carried=$carried")
+    def sidecar(): String = {
+      val p = java.nio.file.Paths.get(base, "_manifests",
+        s"v${ManifestTable.currentVersion(spark, base)}.stats.o_orderkey")
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    }
+    val incremental = sidecar()
+    ManifestTable.buildStats(spark, base, "o_orderkey") // overwrite with full rebuild
+    assert(incremental === sidecar(),
+      "incremental refresh diverged from a from-scratch rebuild")
+  }
+
   test("restore is a reference-only commit: no data I/O, history intact") {
     val base = s"$tmp/graft_scratch/mtable_restore"
     val t = target()
