@@ -330,7 +330,89 @@ object CorpusPipeline {
       .limit(50)
   }
 
+  /** END-TO-END TRAINING-DATA PIPELINE as ONE registered query — the
+    * composition the individual operators exist for, and the reference's
+    * actual purpose (raw corpus in, training-ready accounting out):
+    *
+    *   quality filter (the [[qualityFilter]] keep gate)
+    *     → 32-token chunking ([[graft.dedup.Dedup.chunkDedup]]'s shape)
+    *     → corpus-wide chunk dedup, first occurrence wins
+    *     → per-language yield: docs kept, chunk retention, tokens kept,
+    *       and the packed 256-token sequence estimate.
+    *
+    * Order matters and is part of the spec: dedup's "first occurrence"
+    * is computed over the FILTERED corpus, so a document dropped by the
+    * gate can never shadow a kept document's chunks. Every stage is the
+    * already-proven plan (codegen'd projections, one content-hash
+    * shuffle, one per-lang aggregate); chaining adds NO new shuffle
+    * beyond its stages, which is the point — at 100 TB the pipeline is
+    * one pass over the corpus plus the dedup exchange. The oracle
+    * replays the full composition, so a stage applied out of order, a
+    * filter leaking into dedup, or drifted accounting all
+    * hash-mismatch. */
+  val pipelineE2e: QuerySpec = QuerySpec.sql(
+    "q_pipeline_e2e",
+    """WITH m AS (
+      |  SELECT doc_id, lang, text,
+      |         len(string_split(text, ' ')) AS n_tokens,
+      |         (length(text) - len(string_split(text, ' ')) + 1)
+      |           / len(string_split(text, ' ')) AS mean_tok_len,
+      |         len(list_filter(string_split(text, ' '),
+      |             t -> t IN ('the','a','of','to','and','in','is','it')))
+      |           / len(string_split(text, ' ')) AS stop_ratio,
+      |         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+      |           / CAST(length(text) AS DOUBLE) AS digit_ratio
+      |  FROM documents),
+      |kept AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM m
+      |  WHERE NOT (n_tokens < 8 OR n_tokens > 1000
+      |             OR mean_tok_len < 2 OR mean_tok_len > 12
+      |             OR stop_ratio < 0.01 OR digit_ratio > 0.2)),
+      |s AS (SELECT doc_id, lang, w, unnest(range(0, len(w), 32)) AS start FROM kept),
+      |c AS (SELECT doc_id, lang, CAST(start AS INTEGER) AS start,
+      |             CAST(len(list_slice(w, start + 1, start + 32)) AS INTEGER) AS ntok,
+      |             md5(array_to_string(list_slice(w, start + 1, start + 32), ' ')) AS h
+      |      FROM s),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY h
+      |                                   ORDER BY doc_id, start) AS rk FROM c)
+      |SELECT lang,
+      |       count(DISTINCT doc_id) AS n_docs_kept,
+      |       count(*) AS n_chunks,
+      |       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks_kept,
+      |       CAST(sum(CASE WHEN rk = 1 THEN ntok ELSE 0 END) AS BIGINT) AS tokens_kept,
+      |       CAST((sum(CASE WHEN rk = 1 THEN ntok ELSE 0 END) + 255) // 256 AS BIGINT)
+      |         AS n_sequences
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val chunk = 32
+    val meanTokLen = (length(col("text")) - nTok + 1) / nTok
+    val digitRatio = (length(col("text")) -
+      length(regexp_replace(col("text"), "[0-9]", ""))) / length(col("text")).cast("double")
+    val kept = Tables.documents(spark, dir)
+      .filter(!(nTok < 8 || nTok > 1000
+        || meanTokLen < 2 || meanTokLen > 12
+        || stopRatio < 0.01 || digitRatio > 0.2))
+      .select(col("doc_id"), col("lang"), toks.as("w"))
+    val chunks = kept
+      .select(col("doc_id"), col("lang"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(chunk))).as("start"))
+      .select(col("doc_id"), col("lang"), col("start").cast("int").as("start"),
+        size(slice(col("w"), col("start") + 1, lit(chunk))).as("ntok"),
+        md5(concat_ws(" ", slice(col("w"), col("start") + 1, lit(chunk)))).as("h"))
+    val byFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("start"))
+    chunks.withColumn("rk", row_number().over(byFirst))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs_kept"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_chunks_kept"),
+        sum(when(col("rk") === 1, col("ntok").cast("long")).otherwise(0L)).as("tokens_kept"),
+        expr("(sum(CASE WHEN rk = 1 THEN CAST(ntok AS BIGINT) ELSE 0 END) + 255) div 256")
+          .as("n_sequences"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     qualityFilter, piiRedact, repetition, docPacking, ngramCounts,
-    contamination, heavyHitters, kmvSketch, pmiCollocations)
+    contamination, heavyHitters, kmvSketch, pmiCollocations, pipelineE2e)
 }
