@@ -685,10 +685,75 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Pearson CORRELATION MATRIX over the lineitem measures — the BI
+    * "which metrics move together" surface, computed CROSS-ENGINE-EXACTLY:
+    * built-in `corr` accumulates running doubles whose rounding differs by
+    * partitioning, so instead ONE aggregate pass collects the integer
+    * moment sums (values scaled to exact integer cents; sums exact in both
+    * engines — Spark decimal(38), DuckDB HUGEINT), and the correlation is
+    * then a fixed scalar expression over those integers, written with the
+    * identical parse tree in both engines and floored to micro-units.
+    * Map-side partial aggregation applies to every sum, so the matrix
+    * costs one scan + one 1-row reduce at any scale. */
+  val corrMatrix: QuerySpec = {
+    val ms = Seq(
+      "qty" -> "CAST(l_quantity AS BIGINT)",
+      "price" -> "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+      "disc" -> "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)",
+      "tax" -> "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)")
+    val pairs = for (i <- ms.indices; j <- ms.indices if i < j)
+      yield (ms(i)._1, ms(j)._1)
+    def corrSql(a: String, b: String): String =
+      s"""CAST(floor((n * s_${a}_${b} - s_$a * s_$b)
+         |  / sqrt((n * s_${a}_$a - s_$a * s_$a) * (n * s_${b}_$b - s_$b * s_$b))
+         |  * 1000000 + 0.5) AS BIGINT) AS corr_${a}_${b}_micro""".stripMargin
+    QuerySpec.sql(
+      "q_corr_matrix",
+      s"""WITH v AS (SELECT ${ms.map { case (n, e) => s"$e AS $n" }.mkString(", ")}
+         |           FROM lineitem),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |             ${ms.map { case (n, _) => s"CAST(sum($n) AS DOUBLE) AS s_$n" }.mkString(",\n             ")},
+         |             ${(for (i <- ms.indices; j <- ms.indices if i <= j)
+                           yield s"CAST(sum(${ms(i)._1} * ${ms(j)._1}) AS DOUBLE) AS s_${ms(i)._1}_${ms(j)._1}")
+                          .mkString(",\n             ")}
+         |      FROM v)
+         |SELECT CAST(n AS BIGINT) AS n_rows,
+         |       ${pairs.map { case (a, b) => corrSql(a, b) }.mkString(",\n       ")}
+         |FROM s""".stripMargin) { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir)
+      val vals: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        "qty" -> col("l_quantity").cast("long"),
+        "price" -> floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
+        "disc" -> floor(col("l_discount") * 100 + 0.5).cast("long"),
+        "tax" -> floor(col("l_tax") * 100 + 0.5).cast("long"))
+      val v = li.select(vals.map { case (n, c) => c.as(n) }: _*)
+      // exact integer moment sums via decimal(38,0); converted to double
+      // ONCE, so the scalar math below sees the same values as DuckDB's
+      // HUGEINT sums cast to double
+      val sums =
+        Seq(count(lit(1)).cast("double").as("n")) ++
+          vals.map { case (n, _) =>
+            sum(col(n).cast("decimal(38,0)")).cast("double").as(s"s_$n") } ++
+          (for (i <- vals.indices; j <- vals.indices if i <= j) yield {
+            val (a, b) = (vals(i)._1, vals(j)._1)
+            sum((col(a) * col(b)).cast("decimal(38,0)")).cast("double").as(s"s_${a}_$b")
+          })
+      val s = v.agg(sums.head, sums.tail: _*)
+      val outCols = Seq(col("n").cast("long").as("n_rows")) ++
+        pairs.map { case (a, b) =>
+          floor((col("n") * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+            / sqrt((col("n") * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a"))
+              * (col("n") * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b")))
+            * 1000000 + 0.5).cast("long").as(s"corr_${a}_${b}_micro")
+        }
+      s.select(outCols: _*)
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     salesTrends, salesBySegment, pricingSummary, latestEvent, asOf, asOfNative, asOfTolerance,
     asOfToleranceNative, asOfForward, asOfNearest, joinEnrich, bloomJoin,
     topKPerGroup, semiJoin, antiJoin, mergeUpsert, windowFuncs, rollupRevenue,
     topK, counts, approxDistinct, approxPercentile, setOps, dateParts,
-    jsonExtract)
+    jsonExtract, corrMatrix)
 }

@@ -58,6 +58,29 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(joined.count() === li.count())
   }
 
+  test("correlation matrix: bounded and agrees with built-in corr on every pair") {
+    val r = Relational.corrMatrix.fn(spark, sf).collect().head
+    val cols = r.schema.fieldNames.filter(_.startsWith("corr_"))
+    cols.foreach { c =>
+      val v = r.getAs[Long](c)
+      assert(v >= -1000000L && v <= 1000000L, s"$c=$v out of [-1,1]")
+    }
+    // cross-check every pair against Spark's built-in corr on the same
+    // integer-cents inputs (loose tolerance: the built-in accumulates
+    // running doubles, ours exact integer moments)
+    val li = graft.model.Tables.lineitem(spark, sf).select(
+      col("l_quantity").cast("long").as("qty"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price"),
+      floor(col("l_discount") * 100 + 0.5).cast("long").as("disc"),
+      floor(col("l_tax") * 100 + 0.5).cast("long").as("tax"))
+    cols.foreach { c =>
+      val Array(_, a, b, _) = c.split("_")
+      val builtin = li.agg(corr(col(a), col(b))).head.getDouble(0)
+      assert(math.abs(builtin - r.getAs[Long](c) / 1e6) < 1e-3,
+        s"$c: builtin $builtin vs ${r.getAs[Long](c) / 1e6}")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     // The in-bound flags ARE the 5% check, computed in-engine; also
     // cross-check one sketch value independently against exact distinct.
