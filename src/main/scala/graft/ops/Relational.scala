@@ -685,6 +685,46 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** FIVE-TABLE STAR JOIN — revenue by region and year across
+    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region (the TPC-H Q5 shape):
+    * the one fact-to-fact shuffle (lineitem⋈orders on the order key)
+    * carries the stream; every dimension hop (customer, nation, region) is
+    * an explicit broadcast, so the enriched fact NEVER reshuffles on a
+    * dimension key — at 100 TB the plan is scan → one exchange → three
+    * broadcast probes → final (region, year) aggregate. The geographic
+    * rollup every warehouse demo ships, proving the dimension chain
+    * composes. */
+  val starJoin: QuerySpec = QuerySpec.sql(
+    "q_star_join",
+    """SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |       count(*) AS n_items,
+      |       sum(floor(l_extendedprice * 100 + 0.5)) / 100.0 AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(floor(col("l_extendedprice") * 100 + 0.5)) / 100.0).as("revenue"))
+      .orderBy(col("r_name"), col("o_year"))
+  }
+
   /** Pearson CORRELATION MATRIX over the lineitem measures — the BI
     * "which metrics move together" surface, computed CROSS-ENGINE-EXACTLY:
     * built-in `corr` accumulates running doubles whose rounding differs by
@@ -755,5 +795,5 @@ object Relational {
     asOfToleranceNative, asOfForward, asOfNearest, joinEnrich, bloomJoin,
     topKPerGroup, semiJoin, antiJoin, mergeUpsert, windowFuncs, rollupRevenue,
     topK, counts, approxDistinct, approxPercentile, setOps, dateParts,
-    jsonExtract, corrMatrix)
+    jsonExtract, corrMatrix, starJoin)
 }

@@ -632,6 +632,64 @@ object ManifestTable {
       })
     }
 
+  /** CHANGE-DATA-FEED READ — the producer half of the CDC story
+    * ([[streamMerge]] is the consumer): any two committed snapshots emit a
+    * row-level change stream in the Delta CDF vocabulary — `insert`,
+    * `delete`, `update_preimage`/`update_postimage` pairs — derived
+    * entirely from [[diffVersions]]'s manifest-pruned diff, so producing
+    * the feed costs the touched partitions, not the table. The registered
+    * query reads BOTH steps of the [[restoredFixture]] history
+    * (v1→v2 = the merge: inserts + updates; v2→v3 = the restore: the same
+    * changes UNDONE — deletes + reverse updates) and aggregates per
+    * (step, op): a missed image, a pre/post swap, or a phantom change on a
+    * carried partition all hash-mismatch against the oracle's replay. */
+  val tableCdc: QuerySpec = QuerySpec.sql(
+    "q_table_cdc",
+    """WITH t AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         o_totalprice
+      |  FROM orders),
+      |upd AS (SELECT o_orderkey, o_totalprice FROM t
+      |        WHERE o_orderkey % 10 = 0 AND o_year >= 1996),
+      |ins AS (SELECT -o_orderkey AS o_orderkey FROM t
+      |        WHERE o_orderkey % 10 = 5 AND o_year >= 1996),
+      |feed AS (
+      |  SELECT '1->2' AS step, 'insert' AS op, 42.0 AS price FROM ins
+      |  UNION ALL
+      |  SELECT '1->2', 'update_preimage', o_totalprice FROM upd
+      |  UNION ALL
+      |  SELECT '1->2', 'update_postimage', o_totalprice + 1000.0 FROM upd
+      |  UNION ALL
+      |  SELECT '2->3', 'delete', 42.0 FROM ins
+      |  UNION ALL
+      |  SELECT '2->3', 'update_preimage', o_totalprice + 1000.0 FROM upd
+      |  UNION ALL
+      |  SELECT '2->3', 'update_postimage', o_totalprice FROM upd)
+      |SELECT step, op, count(*) AS n,
+      |       sum(floor(price * 100 + 0.5)) / 100.0 AS total
+      |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val base = restoredFixture(spark, dir)
+    def feed(v1: Int, v2: Int, step: String): DataFrame = {
+      val (diff, _) = diffVersions(spark, base, v1, v2, "o_orderkey")
+      val images = when(col("change_type") === "insert",
+          array(struct(lit("insert").as("op"), col("vb.o_totalprice").as("price"))))
+        .when(col("change_type") === "delete",
+          array(struct(lit("delete").as("op"), col("va.o_totalprice").as("price"))))
+        .when(col("change_type") === "update",
+          array(
+            struct(lit("update_preimage").as("op"), col("va.o_totalprice").as("price")),
+            struct(lit("update_postimage").as("op"), col("vb.o_totalprice").as("price"))))
+        .otherwise(array().cast("array<struct<op:string,price:double>>"))
+      diff.select(explode(images).as("img"))
+        .select(lit(step).as("step"), col("img.op").as("op"), col("img.price").as("price"))
+    }
+    feed(1, 2, "1->2").unionByName(feed(2, 3, "2->3"))
+      .groupBy(col("step"), col("op"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("price") * 100 + 0.5)) / 100.0).as("total"))
+      .orderBy(col("step"), col("op"))
+  }
+
   /** Registered FILE-SKIPPING round-trip: a narrow key-range lookup against
     * the [[statsFixture]] table through [[readPruned]] — the stats sidecar
     * keeps only the first key band's files (1 of 3 per partition), the
@@ -1041,5 +1099,5 @@ object ManifestTable {
 
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
-      tableRestore, tableOptimize, tableAudit, tableStatsSkip)
+      tableRestore, tableOptimize, tableAudit, tableStatsSkip, tableCdc)
 }

@@ -305,6 +305,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"documents scan not pruned:\n$p")
   }
 
+  test("star join: one fact shuffle, every dimension hop broadcast") {
+    val p = plan(Relational.starJoin.fn(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the enriched fact never reshuffles on a dimension key
+    assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
+      !p.contains("Exchange hashpartitioning(c_custkey") &&
+      !p.contains("Exchange hashpartitioning(c_nationkey") &&
+      !p.contains("Exchange hashpartitioning(n_regionkey"),
+      s"dimension hop reshuffled the fact stream:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast dim join:\n$p")
+  }
+
   test("salted aggregation equals plain aggregation") {
     import spark.implicits._
     val salted = Skew.saltedAggQuery.fn(spark, sf)
