@@ -505,6 +505,45 @@ object Sources {
     out
   }
 
+  /** MALFORMED-INPUT ACCOUNTING as a registered query (the `MalformedSpec`
+    * behaviors, oracle-gated): orders serialize to JSONL with every
+    * `o_orderkey % 10 == 7` record deterministically truncated mid-object,
+    * and the PERMISSIVE read routes each broken line into
+    * `_corrupt_record` while parsing the rest — the quarantine pattern
+    * every ingest pipeline needs (count the damage, keep the good rows,
+    * never fail the job). The oracle knows exactly which records were
+    * poisoned, so a parser that silently drops corrupt lines, mis-routes a
+    * good row, or double-counts hash-mismatches. */
+  val jsonMalformed: QuerySpec = QuerySpec.sql(
+    "q_json_malformed",
+    """SELECT CAST(sum(CASE WHEN o_orderkey % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+      |       CAST(sum(CASE WHEN o_orderkey % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+      |       sum(CASE WHEN o_orderkey % 10 <> 7
+      |                THEN floor(o_totalprice * 100 + 0.5) ELSE 0 END) / 100.0 AS total_good
+      |FROM orders""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val staged = scratch("orders_jsonl_corrupt")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        to_json(struct(col("o_orderkey"), col("o_totalprice"))).as("j"))
+      .select(when(col("o_orderkey") % 10 === 7, substring(col("j"), 1, 10))
+        .otherwise(col("j")).as("value"))
+      .write.mode("overwrite").text(staged)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(staged)
+      .agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        (sum(when(col("_corrupt_record").isNull,
+          floor(col("o_totalprice") * 100 + 0.5)).otherwise(0.0)) / 100.0).as("total_good"))
+  }
+
   /** Schema evolution on a parquet table: an early batch written BEFORE a
     * column existed plus a later batch with it, read back through
     * `mergeSchema` — the old rows surface the new column as null (additive
@@ -540,5 +579,5 @@ object Sources {
   val all: Seq[QuerySpec] = Seq(
     csvRoundtrip, csvInferRoundtrip, jsonRoundtrip, partitionedSink, externalTable,
     orcRoundtrip, bucketedJoin, clusteredLayout, zorderLayout, hilbertLayout,
-    compactCluster, schemaEvolution)
+    compactCluster, schemaEvolution, jsonMalformed)
 }
