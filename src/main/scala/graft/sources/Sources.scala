@@ -148,6 +148,48 @@ object Sources {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** SHUFFLE-FREE AGGREGATION on a bucketed table — the other half of what
+    * bucketing buys ([[bucketedJoin]] elides the join exchanges; this
+    * elides the AGGREGATION exchange): lineitem bucketed by `l_suppkey`
+    * satisfies the group-by's required distribution straight off the scan,
+    * so the per-supplier aggregate runs with ZERO exchanges — at 100 TB
+    * that is the difference between a full-table shuffle and a pure
+    * map-side pass for every recurring per-key rollup on the bucket key.
+    * `PlanQualitySpec` pins the no-exchange plan; the oracle checks the
+    * numbers survive the bucketed round-trip. */
+  val bucketedAgg: QuerySpec = QuerySpec.sql(
+    "q_bucketed_agg",
+    """SELECT l_suppkey, count(*) AS n,
+      |       sum(floor(l_extendedprice * 100 + 0.5)) / 100.0 AS total
+      |FROM lineitem GROUP BY 1 ORDER BY n DESC, l_suppkey LIMIT 25""".stripMargin) { (spark, dir) =>
+    bucketedLineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("l_extendedprice") * 100 + 0.5)) / 100.0).as("total"))
+      .orderBy(col("n").desc, col("l_suppkey"))
+      .limit(25)
+  }
+
+  /** lineitem as a table bucketed+sorted by l_suppkey (shared by the
+    * registered query and the plan spec). */
+  def bucketedLineitem(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val t = "q_b_lineitem_" + java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+    if (!spark.catalog.tableExists(t)) {
+      val d = new java.io.File(
+        s"${spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")}/$t")
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      Tables.lineitem(spark, dir)
+        .select(col("l_suppkey"), col("l_extendedprice"))
+        .write.mode("overwrite").bucketBy(8, "l_suppkey").sortBy("l_suppkey")
+        .saveAsTable(t)
+    }
+    spark.table(t)
+  }
+
   /** Small-files compaction for a Hive-partitioned parquet layout: rewrite
     * each partition's files into ~`targetFiles` outputs via a partition-
     * column repartition. The maintenance job every long-lived 100 TB table
@@ -578,6 +620,6 @@ object Sources {
 
   val all: Seq[QuerySpec] = Seq(
     csvRoundtrip, csvInferRoundtrip, jsonRoundtrip, partitionedSink, externalTable,
-    orcRoundtrip, bucketedJoin, clusteredLayout, zorderLayout, hilbertLayout,
-    compactCluster, schemaEvolution, jsonMalformed)
+    orcRoundtrip, bucketedJoin, bucketedAgg, clusteredLayout, zorderLayout,
+    hilbertLayout, compactCluster, schemaEvolution, jsonMalformed)
 }

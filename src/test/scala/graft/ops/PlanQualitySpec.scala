@@ -305,6 +305,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"documents scan not pruned:\n$p")
   }
 
+  test("bucketed aggregation runs with zero exchanges") {
+    val agg = graft.sources.Sources.bucketedLineitem(spark, sf)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"))
+    val p = plan(agg)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed groupBy still shuffled:\n$p")
+    assert(p.contains("Bucketed: true"), s"scan did not use buckets:\n$p")
+  }
+
   test("star join: one fact shuffle, every dimension hop broadcast") {
     val p = plan(Relational.starJoin.fn(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
