@@ -26,8 +26,18 @@ object Bench {
     // fast-failing rep can never beat a successful slow one; a query whose
     // every rep fails reports -1 (the error signal, excluded from the total).
     // optional trailing args: restrict to named queries (local iteration);
-    // the driver always runs the full registry
+    // the driver always runs the full registry. Unknown names are a hard
+    // error — a typo'd filter would otherwise produce an empty run whose
+    // total=0 artifact is indistinguishable from a real clean bench.
     val only = args.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")} — " +
+          "valid names are SparkEntry.queries keys")
+      spark.stop()
+      sys.exit(2)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>

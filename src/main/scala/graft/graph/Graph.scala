@@ -244,9 +244,9 @@ object Graph {
     val (liPath, pcPath) = stageCache.synchronized {
       stageCache.getOrElseUpdate(dir, {
         val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-        val h = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
-        val liP = s"$tmp/graft_scratch/copurchase_li_$h"
-        val pcP = s"$tmp/graft_scratch/copurchase_pc_$h"
+        val h = graft.Scratch.dirToken(dir)
+        val liP = s"${graft.Scratch.root}/copurchase_li_$h"
+        val pcP = s"${graft.Scratch.root}/copurchase_pc_$h"
         Tables.lineitem(spark, dir)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
           .write.mode("overwrite").parquet(liP)

@@ -65,8 +65,7 @@ object Anomaly {
     thrCache.synchronized {
       thrCache.getOrElseUpdate(dir, {
         val path =
-          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/hampel_thr_" +
-            java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+          s"${graft.Scratch.root}/hampel_thr_${graft.Scratch.dirToken(dir)}"
         val e = Tables.events(spark, dir)
           .select(col("event_id"), col("event_type"),
             floor(col("value") * 100 + 0.5).cast("long").as("v_c"))

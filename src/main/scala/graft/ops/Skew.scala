@@ -159,7 +159,7 @@ object Skew {
       |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM fact JOIN dim USING (k)
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
-    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/skew_aqe"
+    val out = s"${graft.Scratch.root}/skew_aqe"
     withSkewDemoConfs(spark) {
       skewedJoinAgg(spark, dir).write.mode("overwrite").parquet(out)
     }

@@ -952,8 +952,7 @@ object Ann {
       annFixCache.getOrElseUpdate(dir, {
         import graft.sources.ManifestTable
         val tbl =
-          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/ann_manifest_" +
-            java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+          s"${graft.Scratch.root}/ann_manifest_${graft.Scratch.dirToken(dir)}"
         val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
         // 1. frozen coarse quantizer: one Lloyd step on the base corpus
         val bpos = annMicro(e.filter(col("vec_id") >= 20)).localCheckpoint()

@@ -74,7 +74,7 @@ object Jdbc {
     """SELECT s_nationkey, count(*) AS n,
       |       sum(floor(s_acctbal * 100 + 0.5)) / 100.0 AS total_bal
       |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
-    val dbDir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/derby_wh"
+    val dbDir = s"${graft.Scratch.root}/derby_wh"
     val url = derbyUrl(dbDir)
     bulkLoad(
       Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey", "s_acctbal"),

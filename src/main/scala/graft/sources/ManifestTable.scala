@@ -173,6 +173,7 @@ object ManifestTable {
     if (failBeforeCommit)
       throw new RuntimeException("injected crash before manifest commit")
     commit(spark, base, v + 1, cold ++ newFiles)
+    refreshAllStats(spark, base)
   }
 
   /** Transactional DELETE WHERE — the erasure verb of the format (GDPR /
@@ -204,6 +205,7 @@ object ManifestTable {
     if (failBeforeCommit)
       throw new RuntimeException("injected crash before manifest commit")
     commit(spark, base, v + 1, cold ++ newFiles)
+    refreshAllStats(spark, base)
     true
   }
 
@@ -246,10 +248,18 @@ object ManifestTable {
     val counts = expectations.zipWithIndex.map { case ((n, _), i) =>
       n -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
     if (counts.exists(_._2 > 0)) {
-      fsOf(spark, new Path(base)).delete(new Path(base, s"files/v${v + 1}"), true)
+      // remove ONLY this writer's staged files: files/v(N+1) is a shared
+      // root under the optimistic-concurrency model (another writer racing
+      // to commit v(N+1) stages into the same directory), so a recursive
+      // delete could destroy files already named by a concurrently
+      // committed manifest — the one thing the format promises never
+      // happens to a committed snapshot
+      val fs = fsOf(spark, new Path(base))
+      newFiles.foreach { case (_, rel) => fs.delete(new Path(base, rel), false) }
       (false, counts)
     } else {
       commit(spark, base, v + 1, cold ++ newFiles)
+      refreshAllStats(spark, base)
       (true, counts)
     }
   }
@@ -265,6 +275,7 @@ object ManifestTable {
     val v = currentVersion(spark, base)
     val newFiles = writeSnapshotFiles(spark, base, v + 1, df, partCol)
     commit(spark, base, v + 1, entries(spark, base, v) ++ newFiles)
+    refreshAllStats(spark, base)
   }
 
   /** OPTIMIZE — compaction as a TABLE VERB (the manifest-table form of
@@ -287,6 +298,7 @@ object ManifestTable {
     val rows = spark.read.parquet(hot.map { case (_, rel) => s"$base/$rel" }: _*)
     val newFiles = writeSnapshotFiles(spark, base, v + 1, rows, partCol)
     commit(spark, base, v + 1, cold ++ newFiles)
+    refreshAllStats(spark, base)
     (hotVals.size, hot.size, newFiles.size)
   }
 
@@ -302,6 +314,7 @@ object ManifestTable {
     require(vs.contains(toVersion), s"no snapshot v$toVersion under $base")
     val v = vs.last
     commit(spark, base, v + 1, entries(spark, base, toVersion))
+    refreshAllStats(spark, base)
     v + 1
   }
 
@@ -315,21 +328,44 @@ object ManifestTable {
     * costs one scan — in production it piggybacks on the write (parquet
     * footers already hold these), kept separate here so any snapshot can
     * be indexed after the fact. */
-  def buildStats(spark: SparkSession, base: String, statCol: String): Unit = {
-    val v = currentVersion(spark, base)
-    val es = entries(spark, base, v)
-    val rows = spark.read.parquet(es.map { case (_, rel) => s"$base/$rel" }: _*)
-      .select(col(statCol).cast("long").as("__v"), input_file_name().as("__f"))
-      .groupBy(col("__f"))
-      .agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
-      .collect() // one row per data file: metadata-sized
-    // input_file_name is a URI; manifest entries are base-relative — match
-    // by unique path suffix
-    val byFile = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+  /** A file's (min, max) of a stat column; None = the column is entirely
+    * NULL in that file (serialized `-`/`-`) — a range predicate can never
+    * match such a file, so pruning always skips it. */
+  private type Stat = Option[(Long, Long)]
+
+  private def statsPath(base: String, v: Int, statCol: String): Path =
+    new Path(manifestDir(base), s"v$v.stats.$statCol")
+
+  /** Columns a sidecar indexes at version `v`. */
+  private def statCols(spark: SparkSession, base: String, v: Int): Seq[String] = {
+    val dir = manifestDir(base)
+    val fs = fsOf(spark, dir)
+    val glob = fs.globStatus(new Path(dir, s"v$v.stats.*"))
+    if (glob == null) Seq.empty
+    else glob.toSeq.map(_.getPath.getName.stripPrefix(s"v$v.stats."))
+  }
+
+  private def readStatsFile(
+      spark: SparkSession, base: String, v: Int, statCol: String): Option[Map[String, Stat]] = {
+    val p = statsPath(base, v, statCol)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      Some(text.split("\n").filter(_.nonEmpty).map { line =>
+        val Array(rel, mn, mx) = line.split("\t")
+        rel -> (if (mn == "-") (None: Stat) else Some((mn.toLong, mx.toLong)))
+      }.toMap)
+    }
+  }
+
+  private def writeStatsFile(spark: SparkSession, base: String, v: Int,
+      statCol: String, es: Seq[(String, String)], stats: Map[String, Stat]): Unit = {
     val lines = es.map { case (_, rel) =>
-      byFile.find(_._1.endsWith(rel)) match {
-        case Some((_, mn, mx)) => s"$rel\t$mn\t$mx"
-        case None => throw new IllegalStateException(s"no stats row for $rel")
+      stats.getOrElse(rel, None) match {
+        case Some((mn, mx)) => s"$rel\t$mn\t$mx"
+        case None => s"$rel\t-\t-"
       }
     }
     val dir = manifestDir(base)
@@ -337,69 +373,85 @@ object ManifestTable {
     val tmp = new Path(dir, s".tmp-stats-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
-    val dest = new Path(dir, s"v$v.stats.$statCol")
+    val dest = statsPath(base, v, statCol)
     fs.delete(dest, false)
     if (!fs.rename(tmp, dest))
       throw new java.io.IOException(s"cannot commit stats $dest")
   }
 
+  /** One grouped scan of `rels`, returning each file's stats keyed by its
+    * manifest-relative path. `input_file_name` yields a (possibly
+    * percent-encoded) URI while manifest entries store raw paths, so rows
+    * are matched on the DECODED last two path components
+    * (`p=<pval>/<basename>`): the parquet basename embeds the write job's
+    * UUID, and the partition dir disambiguates a task that wrote the same
+    * part number into two partitions of one job. A file with zero rows (or
+    * an all-NULL stat column) maps to None — never kept by pruning. */
+  private def scanStats(spark: SparkSession, base: String,
+      statCol: String, rels: Seq[String]): Map[String, Stat] = {
+    if (rels.isEmpty) return Map.empty
+    def tail2(p: String): String = p.split('/').takeRight(2).mkString("/")
+    def decoded(uri: String): String =
+      try new java.net.URI(uri).getPath catch { case _: java.net.URISyntaxException => uri }
+    val byTail = rels.map(rel => tail2(rel) -> rel).toMap
+    require(byTail.size == rels.size,
+      s"ambiguous (partition, basename) pairs among ${rels.size} files")
+    val rows = spark.read.parquet(rels.map(rel => s"$base/$rel"): _*)
+      .select(col(statCol).cast("long").as("__v"), input_file_name().as("__f"))
+      .groupBy(col("__f"))
+      .agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+      .collect() // one row per data file: metadata-sized
+    rows.map { r =>
+      val rel = byTail.getOrElse(tail2(decoded(r.getString(0))),
+        throw new IllegalStateException(s"scanned file ${r.getString(0)} not in file set"))
+      rel -> (if (r.isNullAt(1)) (None: Stat) else Some((r.getLong(1), r.getLong(2))))
+    }.toMap
+  }
+
+  def buildStats(spark: SparkSession, base: String, statCol: String): Unit = {
+    val v = currentVersion(spark, base)
+    val es = entries(spark, base, v)
+    writeStatsFile(spark, base, v, statCol, es, scanStats(spark, base, statCol, es.map(_._2)))
+  }
+
   /** INCREMENTAL stats refresh — the maintenance form of [[buildStats]]:
     * a data file is immutable once committed, so its (min, max) never
-    * changes; files already present in the PREVIOUS version's sidecar
-    * carry their stats forward by copy, and only files NEW in the current
+    * changes; files already indexed by ANY prior version's sidecar carry
+    * their stats forward by copy (a RESTORE's carried files may predate
+    * the immediately previous sidecar), and only files NEW in the current
     * snapshot are scanned. After a partition-grained MERGE or an APPEND,
     * that is exactly the touched partitions' files — stats maintenance
     * costs O(new data), not O(table), which is what lets every commit
     * keep its index fresh at 100 TB. Falls back to a full [[buildStats]]
-    * when no previous sidecar exists. Returns (files scanned, files
+    * when no prior sidecar exists. Returns (files scanned, files
     * carried). */
   def refreshStats(spark: SparkSession, base: String, statCol: String): (Int, Int) = {
     val v = currentVersion(spark, base)
-    val prev = versions(spark, base).filter(_ < v).lastOption
-    val prevStats: Map[String, (Long, Long)] = prev match {
-      case None => Map.empty
-      case Some(pv) =>
-        val p = new Path(manifestDir(base), s"v$pv.stats.$statCol")
-        val fs = fsOf(spark, p)
-        if (!fs.exists(p)) Map.empty
-        else {
-          val in = fs.open(p)
-          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          text.split("\n").filter(_.nonEmpty).map { line =>
-            val Array(rel, mn, mx) = line.split("\t")
-            rel -> (mn.toLong, mx.toLong)
-          }.toMap
-        }
-    }
+    val prior: Map[String, Stat] = versions(spark, base).filter(_ < v)
+      .flatMap(pv => readStatsFile(spark, base, pv, statCol))
+      .foldLeft(Map.empty[String, Stat])(_ ++ _)
     val es = entries(spark, base, v)
-    val (carried, fresh) = es.partition { case (_, rel) => prevStats.contains(rel) }
-    if (prevStats.isEmpty) { buildStats(spark, base, statCol); return (es.size, 0) }
-    val freshStats: Map[String, (Long, Long)] =
-      if (fresh.isEmpty) Map.empty
-      else spark.read.parquet(fresh.map { case (_, rel) => s"$base/$rel" }: _*)
-        .select(col(statCol).cast("long").as("__v"), input_file_name().as("__f"))
-        .groupBy(col("__f"))
-        .agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
-        .collect()
-        .flatMap { r =>
-          fresh.collectFirst { case (_, rel) if r.getString(0).endsWith(rel) =>
-            rel -> (r.getLong(1), r.getLong(2)) }
-        }.toMap
-    val lines = es.map { case (_, rel) =>
-      val (mn, mx) = prevStats.getOrElse(rel, freshStats(rel))
-      s"$rel\t$mn\t$mx"
-    }
-    val dir = manifestDir(base)
-    val fs = fsOf(spark, dir)
-    val tmp = new Path(dir, s".tmp-stats-${java.util.UUID.randomUUID}")
-    val out = fs.create(tmp, false)
-    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
-    val dest = new Path(dir, s"v$v.stats.$statCol")
-    fs.delete(dest, false)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"cannot commit stats $dest")
+    if (prior.isEmpty) { buildStats(spark, base, statCol); return (es.size, 0) }
+    val (carried, fresh) = es.partition { case (_, rel) => prior.contains(rel) }
+    val freshStats = scanStats(spark, base, statCol, fresh.map(_._2))
+    val full = es.map { case (_, rel) =>
+      rel -> prior.getOrElse(rel, freshStats.getOrElse(rel, None)) }.toMap
+    writeStatsFile(spark, base, v, statCol, es, full)
     (fresh.size, carried.size)
+  }
+
+  /** Every stat column indexed at any prior (or the current) version is
+    * incrementally refreshed for the new snapshot. Called by each verb
+    * IMMEDIATELY AFTER its commit rename: the sidecar is part of the
+    * table's commit path, not a separate maintenance job a caller can
+    * forget — a MERGE can no longer leave `readPruned` consulting a stale
+    * index. Cost per commit: one scan of the NEW files per indexed column
+    * (carried files copy their entries). */
+  private def refreshAllStats(spark: SparkSession, base: String): Unit = {
+    val v = currentVersion(spark, base)
+    versions(spark, base).filter(_ < v)
+      .flatMap(pv => statCols(spark, base, pv))
+      .distinct.foreach(c => refreshStats(spark, base, c))
   }
 
   /** Data-file paths of the current snapshot whose [`statCol`] range
@@ -407,19 +459,27 @@ object ManifestTable {
     * decision, made entirely from the KB-sized stats sidecar (no data I/O).
     * Exposed separately from [[readPruned]] so tests can pin the skip. */
   def prunedPaths(spark: SparkSession, base: String, statCol: String,
-      lo: Long, hi: Long): (Seq[String], Int) = {
+      lo: Long, hi: Long): (Seq[String], Int) =
+    prunedPathsMulti(spark, base, Seq((statCol, lo, hi)))
+
+  /** MULTI-COLUMN file skipping: a file survives only when EVERY
+    * (col, lo, hi) conjunct's range intersects that file's stats — the
+    * conjunction prunes the INTERSECTION of the single-column keeps, which
+    * is how Iceberg evaluates its per-file column bounds. Each named
+    * column needs its own sidecar at the current version (kept fresh by
+    * the commit path once built). */
+  def prunedPathsMulti(spark: SparkSession, base: String,
+      preds: Seq[(String, Long, Long)]): (Seq[String], Int) = {
+    require(preds.nonEmpty, "need at least one (column, lo, hi) conjunct")
     val v = currentVersion(spark, base)
-    val p = new Path(manifestDir(base), s"v$v.stats.$statCol")
-    val fs = fsOf(spark, p)
-    require(fs.exists(p), s"no stats for $statCol at v$v — run buildStats first")
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val all = text.split("\n").filter(_.nonEmpty).map { line =>
-      val Array(rel, mn, mx) = line.split("\t")
-      (rel, mn.toLong, mx.toLong)
-    }
-    val kept = all.collect { case (rel, mn, mx) if mx >= lo && mn <= hi => s"$base/$rel" }
-    (kept.toSeq, all.length)
+    val statsByCol = preds.map { case (c, _, _) =>
+      c -> readStatsFile(spark, base, v, c).getOrElse(throw new IllegalStateException(
+        s"no stats for $c at v$v — run buildStats first")) }.toMap
+    val es = entries(spark, base, v)
+    val kept = es.collect { case (_, rel) if preds.forall { case (c, lo, hi) =>
+        statsByCol(c).getOrElse(rel, None).exists { case (mn, mx) => mx >= lo && mn <= hi } } =>
+      s"$base/$rel" }
+    (kept, es.size)
   }
 
   /** Read only the files that can contain `statCol` ∈ [lo, hi] (the caller
@@ -429,8 +489,13 @@ object ManifestTable {
     * point/range lookup opens a handful of files instead of the
     * partition. */
   def readPruned(spark: SparkSession, base: String, statCol: String,
-      lo: Long, hi: Long): DataFrame = {
-    val (paths, _) = prunedPaths(spark, base, statCol, lo, hi)
+      lo: Long, hi: Long): DataFrame =
+    readPrunedMulti(spark, base, Seq((statCol, lo, hi)))
+
+  /** [[readPruned]] over a conjunction of range predicates. */
+  def readPrunedMulti(spark: SparkSession, base: String,
+      preds: Seq[(String, Long, Long)]): DataFrame = {
+    val (paths, _) = prunedPathsMulti(spark, base, preds)
     if (paths.isEmpty) read(spark, base).filter(lit(false))
     else spark.read.parquet(paths: _*)
   }
@@ -455,7 +520,13 @@ object ManifestTable {
       .distinct.filterNot(live)
     val fs = fsOf(spark, new Path(base))
     dead.foreach(rel => fs.delete(new Path(base, rel), false))
-    dropVs.foreach(v => fs.delete(new Path(manifestDir(base), s"v$v.manifest"), false))
+    dropVs.foreach { v =>
+      fs.delete(new Path(manifestDir(base), s"v$v.manifest"), false)
+      // stats sidecars are per-snapshot metadata: expire them with their
+      // manifest, or a long merge history accumulates them forever
+      val stale = fs.globStatus(new Path(manifestDir(base), s"v$v.stats.*"))
+      if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
+    }
     (dropVs.size, dead.size)
   }
 
@@ -498,8 +569,7 @@ object ManifestTable {
     fixtureCache.synchronized {
       fixtureCache.getOrElseUpdate(("merged", dir), {
         val base =
-          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/orders_mfix_" +
-            java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+          s"${graft.Scratch.root}/orders_mfix_${graft.Scratch.dirToken(dir)}"
         val t = ordersKeyed(spark, dir)
         create(spark, base, t, "o_year")
         // the materialized aggregate of v1 (in production this already
@@ -521,8 +591,7 @@ object ManifestTable {
     fixtureCache.synchronized {
       fixtureCache.getOrElseUpdate(("deleted", dir), {
         val base =
-          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/orders_dfix_" +
-            java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+          s"${graft.Scratch.root}/orders_dfix_${graft.Scratch.dirToken(dir)}"
         val t = Tables.orders(spark, dir)
           .select(col("o_orderkey"),
             year(col("o_orderdate")).cast("int").as("o_year"),
@@ -540,8 +609,7 @@ object ManifestTable {
     fixtureCache.synchronized {
       fixtureCache.getOrElseUpdate(("restored", dir), {
         val base =
-          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/orders_rfix_" +
-            java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+          s"${graft.Scratch.root}/orders_rfix_${graft.Scratch.dirToken(dir)}"
         val t = ordersKeyed(spark, dir)
         create(spark, base, t, "o_year")
         merge(spark, base, standardUpdates(t), "o_orderkey", "o_year")
@@ -557,8 +625,7 @@ object ManifestTable {
     fixtureCache.synchronized {
       fixtureCache.getOrElseUpdate(("appended", dir), {
         val base =
-          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/orders_afix_" +
-            java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+          s"${graft.Scratch.root}/orders_afix_${graft.Scratch.dirToken(dir)}"
         val t = Tables.orders(spark, dir)
           .select(col("o_orderkey"),
             year(col("o_orderdate")).cast("int").as("o_year"),
@@ -585,8 +652,7 @@ object ManifestTable {
     fixtureCache.synchronized {
       fixtureCache.getOrElseUpdate(("audited", dir), {
         val base =
-          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/orders_qfix_" +
-            java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+          s"${graft.Scratch.root}/orders_qfix_${graft.Scratch.dirToken(dir)}"
         val t = ordersKeyed(spark, dir)
         create(spark, base, t, "o_year")
         val noNegativePrice = "price_non_negative" -> (col("o_totalprice") < 0)
@@ -613,21 +679,21 @@ object ManifestTable {
     fixtureCache.synchronized {
       fixtureCache.getOrElseUpdate(("stats", dir), {
         val base =
-          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/orders_sfix_" +
-            java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+          s"${graft.Scratch.root}/orders_sfix_${graft.Scratch.dirToken(dir)}"
         val t = ordersKeyed(spark, dir)
         val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
         val (k1, k2) = (mx / 3, 2 * mx / 3)
         create(spark, base, t.filter(col("o_orderkey") <= k1), "o_year")
         buildStats(spark, base, "o_orderkey")
-        // each append's stats land INCREMENTALLY: carried files copy their
-        // entries, only the new wave is scanned — the registered query
-        // therefore exercises the maintained sidecar, not a full rebuild
+        buildStats(spark, base, "o_year")
+        // no explicit refresh calls: once a column is indexed, each verb's
+        // commit path maintains its sidecar incrementally (carried files
+        // copy their entries, only the new wave is scanned) — the
+        // registered queries therefore exercise the TRANSACTIONALLY
+        // maintained sidecar, not a fixture-driven rebuild
         append(spark, base,
           t.filter(col("o_orderkey") > k1 && col("o_orderkey") <= k2), "o_year")
-        refreshStats(spark, base, "o_orderkey")
         append(spark, base, t.filter(col("o_orderkey") > k2), "o_year")
-        refreshStats(spark, base, "o_orderkey")
         base
       })
     }
@@ -707,6 +773,34 @@ object ManifestTable {
     val base = statsFixture(spark, dir)
     readPruned(spark, base, "o_orderkey", 128L, 640L)
       .filter(col("o_orderkey").between(128, 640))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0).as("total"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Registered MULTI-COLUMN file skipping: the same [[statsFixture]] table
+    * through [[readPrunedMulti]] with a CONJUNCTION — a key-range lookup
+    * restricted to two order years. The fixture's ingest bands files by
+    * key and its layout partitions by year, so each conjunct prunes an
+    * independent axis (key band × year) and the intersection opens a small
+    * fraction of the snapshot; both sidecars were maintained by the commit
+    * path across the appends, never rebuilt. The row filter still applies
+    * (stats prune files, not rows), so a wrongly-skipped file loses rows
+    * against the oracle's plain filtered aggregate and hash-mismatches.
+    * `MergeTableSpec` pins that the conjunction keeps strictly fewer files
+    * than either single-column prune. */
+  val tableStatsSkipMulti: QuerySpec = QuerySpec.sql(
+    "q_stats_skip2",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n,
+      |       sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS total
+      |FROM orders WHERE o_orderkey BETWEEN 128 AND 640
+      |  AND year(o_orderdate) BETWEEN 1996 AND 1997
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = statsFixture(spark, dir)
+    readPrunedMulti(spark, base,
+        Seq(("o_orderkey", 128L, 640L), ("o_year", 1996L, 1997L)))
+      .filter(col("o_orderkey").between(128, 640) && col("o_year").between(1996, 1997))
       .groupBy(col("o_year"))
       .agg(count(lit(1)).as("n"),
         (sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0).as("total"))
@@ -1060,8 +1154,8 @@ object ManifestTable {
       |       sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS total
       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    val base = s"$tmp/graft_scratch/orders_smtable"
-    val feed = s"$tmp/graft_scratch/orders_smfeed"
+    val base = s"${graft.Scratch.root}/orders_smtable"
+    val feed = s"${graft.Scratch.root}/orders_smfeed"
     val t = Tables.orders(spark, dir)
       .select(col("o_orderkey"),
         year(col("o_orderdate")).cast("int").as("o_year"),
@@ -1099,5 +1193,6 @@ object ManifestTable {
 
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
-      tableRestore, tableOptimize, tableAudit, tableStatsSkip, tableCdc)
+      tableRestore, tableOptimize, tableAudit, tableStatsSkip,
+      tableStatsSkipMulti, tableCdc)
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
 object Sources {
 
   private def scratch(name: String): String = {
-    val d = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/$name"
+    val d = s"${graft.Scratch.root}/$name"
     d
   }
 

@@ -29,7 +29,7 @@ object StreamingOps {
       |       count(*) AS n,
       |       sum(floor(value * 100 + 0.5)) / 100.0 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
-    val staged = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/events_stream"
+    val staged = s"${graft.Scratch.root}/events_stream"
     val ev = Tables.events(spark, dir)
     // stage into a bounded file count so the micro-batch count is
     // independent of the writing parallelism: 8 files / 4 per trigger = 2
@@ -166,8 +166,8 @@ object StreamingOps {
       |       sum(floor(value * 100 + 0.5)) / 100.0 AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    val staged = s"$tmp/graft_scratch/events_dup_stream"
-    val sink = s"$tmp/graft_scratch/events_dedup_sink"
+    val staged = s"${graft.Scratch.root}/events_dup_stream"
+    val sink = s"${graft.Scratch.root}/events_dedup_sink"
     val ev = Tables.events(spark, dir)
     ev.union(ev.filter(col("event_id") % 10 === 0))
       .repartition(8).write.mode("overwrite").parquet(staged)
@@ -211,8 +211,8 @@ object StreamingOps {
       | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    val staged = s"$tmp/graft_scratch/events_join_stream"
-    val sink = s"$tmp/graft_scratch/events_join_sink"
+    val staged = s"${graft.Scratch.root}/events_join_stream"
+    val sink = s"${graft.Scratch.root}/events_join_sink"
     val ev = Tables.events(spark, dir)
     ev.repartition(8).write.mode("overwrite").parquet(staged)
     val ckpt = freshCheckpoint("stream_join", staged + "_ck")
@@ -282,8 +282,8 @@ object StreamingOps {
       |WHERE w.window_start + INTERVAL 1 HOUR <= mx.m - INTERVAL 1 DAY
       |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    val staged = s"$tmp/graft_scratch/events_late_stream"
-    val sink = s"$tmp/graft_scratch/events_late_sink"
+    val staged = s"${graft.Scratch.root}/events_late_stream"
+    val sink = s"${graft.Scratch.root}/events_late_sink"
     val ev = Tables.events(spark, dir)
     val onTime = ev.filter(col("ts") >= lit("2024-01-28 00:00:00").cast("timestamp"))
     // stragglers end strictly before Jan 26, so every straggler window
@@ -350,8 +350,8 @@ object StreamingOps {
     * (shared by the registered query and `StreamingSpec`'s batch pin). */
   def streamAsOfEnriched(spark: SparkSession, dir: String): String = {
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    val staged = s"$tmp/graft_scratch/events_asof_stream"
-    val sink = s"$tmp/graft_scratch/events_asof_sink"
+    val staged = s"${graft.Scratch.root}/events_asof_stream"
+    val sink = s"${graft.Scratch.root}/events_asof_sink"
     val ev = Tables.events(spark, dir)
     ev.repartition(8).write.mode("overwrite").parquet(staged)
     val ckpt = freshCheckpoint("stream_asof", staged + "_ck")
@@ -441,8 +441,8 @@ object StreamingOps {
     * with `StreamingSpec`'s batch-equivalence pin. */
   def streamMixtureSampled(spark: SparkSession, dir: String): String = {
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    val staged = s"$tmp/graft_scratch/docs_mix_stream"
-    val sink = s"$tmp/graft_scratch/docs_mix_sink"
+    val staged = s"${graft.Scratch.root}/docs_mix_stream"
+    val sink = s"${graft.Scratch.root}/docs_mix_sink"
     val d = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("ntok"))
@@ -510,8 +510,8 @@ object StreamingOps {
       |WHERE d.dev_c > 5 * mad.mad_c
       |ORDER BY d.event_id""".stripMargin) { (spark, dir) =>
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    val staged = s"$tmp/graft_scratch/events_anom_stream"
-    val sink = s"$tmp/graft_scratch/events_anom_sink"
+    val staged = s"${graft.Scratch.root}/events_anom_stream"
+    val sink = s"${graft.Scratch.root}/events_anom_sink"
     val e = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"),
         floor(col("value") * 100 + 0.5).cast("long").as("v_c"))

@@ -57,7 +57,7 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("partition pruning fires on the Hive-partitioned sink read-back") {
-    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/prune_test"
+    val out = s"${graft.Scratch.root}/prune_test"
     Tables.orders(spark, sf)
       .withColumn("o_year", year(col("o_orderdate")))
       .repartition(col("o_year"))
@@ -145,7 +145,7 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("dynamic partition pruning fires on a partitioned fact x selective dim join") {
     import spark.implicits._
-    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/dpp_fact"
+    val out = s"${graft.Scratch.root}/dpp_fact"
     Tables.orders(spark, sf)
       .withColumn("o_year", year(col("o_orderdate")))
       .repartition(col("o_year"))

@@ -26,7 +26,7 @@ class MergeTableSpec extends AnyFunSuite {
   }
 
   test("an interrupted merge leaves the old snapshot fully readable and unchanged") {
-    val base = s"$tmp/graft_scratch/mtable_crash"
+    val base = s"${graft.Scratch.root}/mtable_crash"
     val t = target()
     ManifestTable.create(spark, base, t, "o_year")
     val before = snapshotSum(ManifestTable.read(spark, base))
@@ -49,7 +49,7 @@ class MergeTableSpec extends AnyFunSuite {
   }
 
   test("time travel: every committed snapshot stays addressable and immutable") {
-    val base = s"$tmp/graft_scratch/mtable_tt"
+    val base = s"${graft.Scratch.root}/mtable_tt"
     val t = target()
     ManifestTable.create(spark, base, t, "o_year")
     val v1 = snapshotSum(ManifestTable.readVersion(spark, base, 1))
@@ -66,7 +66,7 @@ class MergeTableSpec extends AnyFunSuite {
   }
 
   test("copy-on-write is partition-grained: untouched partitions carry over by reference") {
-    val base = s"$tmp/graft_scratch/mtable_cow"
+    val base = s"${graft.Scratch.root}/mtable_cow"
     val t = target()
     ManifestTable.create(spark, base, t, "o_year")
     val updates = t.filter(col("o_year") >= 1996 && col("o_orderkey") % 10 === 0)
@@ -99,7 +99,7 @@ class MergeTableSpec extends AnyFunSuite {
   }
 
   test("snapshot diff is manifest-pruned: carried partitions never enter the scan") {
-    val base = s"$tmp/graft_scratch/mtable_diff"
+    val base = s"${graft.Scratch.root}/mtable_diff"
     val t = target()
     ManifestTable.create(spark, base, t, "o_year")
     val updates = t.filter(col("o_year") >= 1996 && col("o_orderkey") % 10 === 0)
@@ -133,7 +133,7 @@ class MergeTableSpec extends AnyFunSuite {
 
   test("streaming upsert commits one snapshot per micro-batch; history stays addressable") {
     ManifestTable.streamMerge.fn(spark, sf).collect() // run the full ingest
-    val base = s"$tmp/graft_scratch/orders_smtable"
+    val base = s"${graft.Scratch.root}/orders_smtable"
     val vCur = ManifestTable.currentVersion(spark, base)
     // 4 feed files at maxFilesPerTrigger=2 → 2 micro-batches → v1 + 2 commits
     assert(vCur === 3, s"expected v1 + one commit per micro-batch, got v$vCur")
@@ -149,7 +149,7 @@ class MergeTableSpec extends AnyFunSuite {
   }
 
   test("delete is partition-grained copy-on-write; emptied partitions vanish; crash-safe") {
-    val base = s"$tmp/graft_scratch/mtable_del"
+    val base = s"${graft.Scratch.root}/mtable_del"
     val t = target().withColumn("o_custkey", (col("o_orderkey") % 1000).cast("long"))
     ManifestTable.create(spark, base, t, "o_year")
     val pred = col("o_custkey") % 97 === 7 && col("o_year") >= 1996
@@ -182,7 +182,7 @@ class MergeTableSpec extends AnyFunSuite {
   }
 
   test("snapshot expiration deletes only files no kept manifest references") {
-    val base = s"$tmp/graft_scratch/mtable_vac"
+    val base = s"${graft.Scratch.root}/mtable_vac"
     val t = target()
     ManifestTable.create(spark, base, t, "o_year")
     val u = t.filter(col("o_year") >= 1996 && col("o_orderkey") % 10 === 0)
@@ -206,7 +206,7 @@ class MergeTableSpec extends AnyFunSuite {
   }
 
   test("racing commits of the same version: exactly one wins") {
-    val base = s"$tmp/graft_scratch/mtable_race"
+    val base = s"${graft.Scratch.root}/mtable_race"
     val t = target().filter(col("o_year") === 1995)
     ManifestTable.create(spark, base, t, "o_year")
     val u = t.filter(col("o_orderkey") % 3 === 0).withColumn("o_totalprice", lit(9.0))
@@ -224,7 +224,7 @@ class MergeTableSpec extends AnyFunSuite {
   }
 
   test("audited merge vetoes a bad publish atomically: no commit, no leaked files") {
-    val base = s"$tmp/graft_scratch/mtable_audit"
+    val base = s"${graft.Scratch.root}/mtable_audit"
     val t = target()
     ManifestTable.create(spark, base, t, "o_year")
     val gate = Seq("price_non_negative" -> (col("o_totalprice") < 0))
@@ -233,9 +233,12 @@ class MergeTableSpec extends AnyFunSuite {
     val (published, counts) =
       ManifestTable.auditedMerge(spark, base, poisoned, "o_orderkey", "o_year", gate)
     assert(!published && counts.head._2 === poisoned.count())
-    // veto left nothing behind: version unchanged, staged files gone
+    // veto left nothing behind: version unchanged, staged DATA files gone
+    // (empty partition dirs may remain — files/v(N+1) is shared with any
+    // concurrent writer, so the veto removes its own files, never the dir)
     assert(ManifestTable.currentVersion(spark, base) === 1)
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(base, "files", "v2")))
+    assert(java.nio.file.Files.walk(java.nio.file.Paths.get(base, "files", "v2"))
+      .filter(p => p.toString.endsWith(".parquet")).count() === 0)
     assert(snapshotSum(ManifestTable.read(spark, base)) === snapshotSum(t))
     // a clean batch through the same gate publishes as v2
     val clean = t.filter(col("o_orderkey") % 7 === 0)
@@ -247,7 +250,7 @@ class MergeTableSpec extends AnyFunSuite {
   }
 
   test("file-level stats skip files but never rows") {
-    val base = s"$tmp/graft_scratch/mtable_stats"
+    val base = s"${graft.Scratch.root}/mtable_stats"
     val t = target()
     val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
     ManifestTable.create(spark, base, t.filter(col("o_orderkey") <= mx / 2), "o_year")
@@ -272,7 +275,7 @@ class MergeTableSpec extends AnyFunSuite {
   }
 
   test("incremental stats refresh scans only new files and equals a full rebuild") {
-    val base = s"$tmp/graft_scratch/mtable_refresh"
+    val base = s"${graft.Scratch.root}/mtable_refresh"
     val t = target()
     val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
     ManifestTable.create(spark, base, t.filter(col("o_orderkey") <= mx / 2), "o_year")
@@ -291,8 +294,118 @@ class MergeTableSpec extends AnyFunSuite {
       "incremental refresh diverged from a from-scratch rebuild")
   }
 
+  test("stats refresh is transactional with every verb: sidecar ≡ full rebuild after each commit") {
+    val base = s"${graft.Scratch.root}/mtable_txstats"
+    val t = target()
+    val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
+    ManifestTable.create(spark, base, t.filter(col("o_orderkey") <= mx / 2), "o_year")
+    ManifestTable.buildStats(spark, base, "o_orderkey")
+    def sidecar(): String = {
+      val p = java.nio.file.Paths.get(base, "_manifests",
+        s"v${ManifestTable.currentVersion(spark, base)}.stats.o_orderkey")
+      assert(java.nio.file.Files.exists(p),
+        s"commit left no sidecar at ${p.getFileName} — stats refresh not transactional")
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    }
+    def pinFreshSidecar(): Unit = {
+      val maintained = sidecar()
+      ManifestTable.buildStats(spark, base, "o_orderkey") // full rebuild overwrite
+      assert(maintained === sidecar(),
+        "commit-path refresh diverged from a from-scratch rebuild")
+    }
+    // every verb's commit must leave the CURRENT version's sidecar equal to
+    // a full rebuild, with no explicit refresh call anywhere
+    ManifestTable.append(spark, base, t.filter(col("o_orderkey") > mx / 2), "o_year")
+    pinFreshSidecar()
+    ManifestTable.merge(spark, base,
+      t.filter(col("o_orderkey") % 10 === 0 && col("o_year") >= 1996)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+      "o_orderkey", "o_year")
+    pinFreshSidecar()
+    ManifestTable.deleteWhere(spark, base,
+      col("o_orderkey") % 13 === 3 && col("o_year") >= 1997, "o_year")
+    pinFreshSidecar()
+    ManifestTable.optimizeTable(spark, base, "o_year")
+    pinFreshSidecar()
+    ManifestTable.restore(spark, base, 2)
+    pinFreshSidecar()
+    // and the maintained index still skips: a low-band lookup after the
+    // whole history opens strictly fewer files than the snapshot holds
+    val (kept, total) = ManifestTable.prunedPaths(spark, base, "o_orderkey", 1L, mx / 4)
+    assert(kept.nonEmpty && kept.length < total)
+  }
+
+  test("multi-column stats prune on the conjunction: strictly tighter than either column alone") {
+    val base = s"${graft.Scratch.root}/mtable_multistats"
+    val t = target()
+    val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
+    // key-banded ingest × year partitioning: the two columns prune
+    // independent axes of the file grid
+    ManifestTable.create(spark, base, t.filter(col("o_orderkey") <= mx / 2), "o_year")
+    ManifestTable.buildStats(spark, base, "o_orderkey")
+    ManifestTable.buildStats(spark, base, "o_year")
+    ManifestTable.append(spark, base, t.filter(col("o_orderkey") > mx / 2), "o_year")
+    // both sidecars were maintained by the append's commit path
+    val keyPred = ("o_orderkey", 1L, mx / 4)
+    val yearPred = ("o_year", 1996L, 1997L)
+    val (keyOnly, total) = ManifestTable.prunedPathsMulti(spark, base, Seq(keyPred))
+    val (yearOnly, _) = ManifestTable.prunedPathsMulti(spark, base, Seq(yearPred))
+    val (both, _) = ManifestTable.prunedPathsMulti(spark, base, Seq(keyPred, yearPred))
+    assert(keyOnly.length < total && yearOnly.length < total)
+    assert(both.length < keyOnly.length && both.length < yearOnly.length,
+      s"conjunction not tighter: both=${both.length} key=${keyOnly.length} year=${yearOnly.length}")
+    assert(both.toSet === keyOnly.toSet.intersect(yearOnly.toSet))
+    // rows survive exactly
+    val rowPred = col("o_orderkey").between(1L, mx / 4) &&
+      col("o_year").between(1996, 1997)
+    assert(snapshotSum(ManifestTable.readPrunedMulti(spark, base, Seq(keyPred, yearPred))
+        .filter(rowPred)) ===
+      snapshotSum(ManifestTable.read(spark, base).filter(rowPred)))
+  }
+
+  test("a vetoed audit never deletes a concurrent writer's staged v(N+1) files") {
+    val base = s"${graft.Scratch.root}/mtable_auditrace"
+    val t = target().filter(col("o_year") >= 1996)
+    ManifestTable.create(spark, base, t, "o_year")
+    // another writer racing to v2 has already staged a file into the shared
+    // files/v2 root (writeSnapshotFiles moves files in BEFORE the commit
+    // rename) — the veto must remove only ITS OWN staged files
+    val otherDir = java.nio.file.Paths.get(base, "files", "v2", "p=1996")
+    java.nio.file.Files.createDirectories(otherDir)
+    val otherFile = otherDir.resolve("part-99999-other-writer.parquet")
+    java.nio.file.Files.write(otherFile, Array[Byte](1, 2, 3))
+    val gate = Seq("price_non_negative" -> (col("o_totalprice") < 0))
+    val poisoned = t.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", -col("o_totalprice"))
+    val (published, _) =
+      ManifestTable.auditedMerge(spark, base, poisoned, "o_orderkey", "o_year", gate)
+    assert(!published)
+    assert(java.nio.file.Files.exists(otherFile),
+      "veto deleted a file it did not stage — a committed v2 would be corrupted")
+    // and its own staged files really are gone: only the survivor remains
+    val left = java.nio.file.Files.walk(java.nio.file.Paths.get(base, "files", "v2"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(left === 1, s"expected only the other writer's file, found $left")
+  }
+
+  test("an all-NULL stat column yields prunable (never kept) entries, not an NPE") {
+    val base = s"${graft.Scratch.root}/mtable_nullstats"
+    val t = target().withColumn("sparse_k",
+      when(col("o_year") >= 1996, col("o_orderkey")))
+    ManifestTable.create(spark, base, t, "o_year")
+    ManifestTable.buildStats(spark, base, "sparse_k") // pre-1996 files: all NULL
+    val (kept, total) = ManifestTable.prunedPaths(spark, base, "sparse_k",
+      Long.MinValue, Long.MaxValue)
+    assert(kept.length < total, "all-NULL files were not skipped")
+    // NULL never satisfies a range predicate, so rows survive exactly
+    val p = col("sparse_k").isNotNull
+    assert(snapshotSum(ManifestTable.readPruned(spark, base, "sparse_k",
+        Long.MinValue, Long.MaxValue).filter(p)) ===
+      snapshotSum(ManifestTable.read(spark, base).filter(p)))
+  }
+
   test("restore is a reference-only commit: no data I/O, history intact") {
-    val base = s"$tmp/graft_scratch/mtable_restore"
+    val base = s"${graft.Scratch.root}/mtable_restore"
     val t = target()
     ManifestTable.create(spark, base, t, "o_year")
     val u = t.filter(col("o_orderkey") % 5 === 0).withColumn("o_totalprice", lit(1.0))
@@ -311,7 +424,7 @@ class MergeTableSpec extends AnyFunSuite {
   }
 
   test("append fragments, optimize compacts hot partitions only, history intact") {
-    val base = s"$tmp/graft_scratch/mtable_optimize"
+    val base = s"${graft.Scratch.root}/mtable_optimize"
     val t = target()
     // cold partition: pre-1996 years land once and are never appended to
     ManifestTable.create(spark, base, t.filter(col("o_year") < 1996), "o_year")

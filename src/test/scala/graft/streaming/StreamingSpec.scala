@@ -247,7 +247,7 @@ class StreamingSpec extends AnyFunSuite {
     // re-processing a batch REPLACES its partitions instead of appending
     // duplicates — at-least-once delivery becomes effectively-once output
     implicit val sc = spark.sqlContext
-    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_scratch/fb_sink"
+    val out = s"${graft.Scratch.root}/fb_sink"
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     try {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -308,11 +308,11 @@ class StreamingSpec extends AnyFunSuite {
     // with a state operator (order-insensitive — the closing no-data batch
     // evicts everything below the final watermark either way).
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    val staged = s"$tmp/graft_scratch/events_statebound"
+    val staged = s"${graft.Scratch.root}/events_statebound"
     val ev = graft.model.Tables.events(spark, sf)
     ev.repartition(8).write.mode("overwrite").parquet(staged)
     def finalStateRows(delay: String, tag: String): Long = {
-      val ckpt = s"$tmp/graft_scratch/ck_statebound_$tag"
+      val ckpt = s"${graft.Scratch.root}/ck_statebound_$tag"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       val agg = spark.readStream
         .schema(ev.schema)
@@ -406,7 +406,7 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, String, Long, Long, Long, Long)].collect().toSet
     // it really streamed: 8 staged files at maxFilesPerTrigger=2 → ≥3 batches
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    val batches = new java.io.File(s"$tmp/graft_scratch/events_anom_sink").listFiles()
+    val batches = new java.io.File(s"${graft.Scratch.root}/events_anom_sink").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
     assert(batches.length >= 3, s"expected >=3 micro-batches, got ${batches.length}")
     val batch = graft.ops.Anomaly.anomalyMad.fn(spark, sf)
