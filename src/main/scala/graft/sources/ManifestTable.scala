@@ -612,6 +612,13 @@ object ManifestTable {
           s"${graft.Scratch.root}/orders_rfix_${graft.Scratch.dirToken(dir)}"
         val t = ordersKeyed(spark, dir)
         create(spark, base, t, "o_year")
+        // the materialized aggregate of v1 — the MV state [[applyCdf]]
+        // maintains through the merge→restore history
+        read(spark, base)
+          .groupBy(col("o_year"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+          .write.mode("overwrite").parquet(s"$base-agg_view")
         merge(spark, base, standardUpdates(t), "o_orderkey", "o_year")
         restore(spark, base, 1)
         base
@@ -698,12 +705,110 @@ object ManifestTable {
       })
     }
 
+  /** CHANGE-DATA-FEED between two committed snapshots, in the Delta CDF
+    * vocabulary: one row per `insert` / `delete` image and TWO rows per
+    * update (`update_preimage`, `update_postimage`), each carrying the key
+    * and the op's row image (the post row for insert/postimage, the pre
+    * row for delete/preimage). Derived entirely from [[diffVersions]]'s
+    * manifest-pruned diff, so producing the feed costs the touched
+    * partitions, not the table. This is the PRODUCER half of the CDC
+    * story; [[streamMerge]] consumes upserts and [[applyCdf]] maintains a
+    * materialized aggregate from exactly these rows. */
+  def changeFeed(spark: SparkSession, base: String, v1: Int, v2: Int,
+      keyCol: String): DataFrame = {
+    val (diff, _) = diffVersions(spark, base, v1, v2, keyCol)
+    if (diff.columns.isEmpty) return diff
+    val images = when(col("change_type") === "insert",
+        array(struct(lit("insert").as("op"), col("vb").as("img"))))
+      .when(col("change_type") === "delete",
+        array(struct(lit("delete").as("op"), col("va").as("img"))))
+      .when(col("change_type") === "update",
+        array(
+          struct(lit("update_preimage").as("op"), col("va").as("img")),
+          struct(lit("update_postimage").as("op"), col("vb").as("img"))))
+    diff.filter(col("change_type") =!= "unchanged")
+      .select(col(keyCol), explode(images).as("e"))
+      .select(col(keyCol), col("e.op").as("op"), col("e.img").as("img"))
+  }
+
+  /** INCREMENTAL MATERIALIZED-VIEW maintenance FROM THE CHANGE FEED — the
+    * Delta/Iceberg MV story: a stored per-`groupCol` (count, cent-sum)
+    * aggregate is brought forward by folding CDF rows as deltas — images
+    * on the "arriving" side (insert, update_postimage) add, images on the
+    * "departing" side (delete, update_preimage) subtract, so an update
+    * touches only its group's running totals and unchanged rows
+    * contribute nothing (they never enter the feed). At 100 TB the MV
+    * update costs the feed (the merge's touched partitions), not the
+    * table, and the SAME feed rows can fan out to any number of
+    * downstream views — unlike a [[diffVersions]]-consuming maintainer,
+    * the producer runs once. A group whose count reaches zero leaves the
+    * view. */
+  def applyCdf(view: DataFrame, feed: DataFrame,
+      groupCol: String, valueCol: String): DataFrame = {
+    val sign = when(col("op").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val deltas = feed
+      .select(col(s"img.$groupCol").as(groupCol), sign.as("s"),
+        (sign * floor(col(s"img.$valueCol") * 100 + 0.5).cast("long")).as("dc"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("s")).as("dn"), sum(col("dc")).as("dcents"))
+    view.join(deltas, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("cents"), lit(0L)) + coalesce(col("dcents"), lit(0L))).as("cents"))
+      .filter(col("n") =!= 0)
+  }
+
+  /** Registered CDF-DRIVEN MV maintenance: the v1 aggregate view of the
+    * [[restoredFixture]] is carried through BOTH steps of the history by
+    * [[applyCdf]] — the merge's feed (inserts + update images) takes it to
+    * the v2 state, the restore's feed (deletes + reverse updates) takes it
+    * back. The row set pairs the intermediate MV (which must equal the
+    * oracle's merge replay — so the feed's images, signs, and grouping are
+    * all load-bearing) with the final MV (which must equal the plain base
+    * aggregate — the restore's feed really undid the merge). A wrong delta
+    * sign, a missed image, or a phantom change on a carried partition all
+    * hash-mismatch; no step ever recomputes from the table. */
+  val tableCdfAgg: QuerySpec = QuerySpec.sql(
+    "q_cdf_agg",
+    """WITH t AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         o_totalprice
+      |  FROM orders),
+      |u AS (
+      |  SELECT o_orderkey, o_year, o_totalprice + 1000.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 0 AND o_year >= 1996
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_year, 42.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 5 AND o_year >= 1996),
+      |m AS (
+      |  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      |  UNION ALL SELECT * FROM u),
+      |a AS (SELECT o_year, count(*) AS n_v2,
+      |             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_v2
+      |      FROM m GROUP BY 1),
+      |b AS (SELECT o_year, count(*) AS n_v3,
+      |             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_v3
+      |      FROM t GROUP BY 1)
+      |SELECT a.o_year, a.n_v2, a.cents_v2, b.n_v3, b.cents_v3
+      |FROM a JOIN b ON a.o_year = b.o_year ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = restoredFixture(spark, dir)
+    val mv1 = spark.read.parquet(s"$base-agg_view")
+    val mv2 = applyCdf(mv1,
+      changeFeed(spark, base, 1, 2, "o_orderkey"), "o_year", "o_totalprice")
+    val mv3 = applyCdf(mv2,
+      changeFeed(spark, base, 2, 3, "o_orderkey"), "o_year", "o_totalprice")
+    mv2.select(col("o_year"), col("n").as("n_v2"), col("cents").as("cents_v2"))
+      .join(mv3.select(col("o_year"), col("n").as("n_v3"), col("cents").as("cents_v3")),
+        Seq("o_year"))
+      .orderBy(col("o_year"))
+  }
+
   /** CHANGE-DATA-FEED READ — the producer half of the CDC story
     * ([[streamMerge]] is the consumer): any two committed snapshots emit a
     * row-level change stream in the Delta CDF vocabulary — `insert`,
     * `delete`, `update_preimage`/`update_postimage` pairs — derived
-    * entirely from [[diffVersions]]'s manifest-pruned diff, so producing
-    * the feed costs the touched partitions, not the table. The registered
+    * entirely from [[changeFeed]]'s manifest-pruned diff. The registered
     * query reads BOTH steps of the [[restoredFixture]] history
     * (v1→v2 = the merge: inserts + updates; v2→v3 = the restore: the same
     * changes UNDONE — deletes + reverse updates) and aggregates per
@@ -735,20 +840,10 @@ object ManifestTable {
       |       sum(floor(price * 100 + 0.5)) / 100.0 AS total
       |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
     val base = restoredFixture(spark, dir)
-    def feed(v1: Int, v2: Int, step: String): DataFrame = {
-      val (diff, _) = diffVersions(spark, base, v1, v2, "o_orderkey")
-      val images = when(col("change_type") === "insert",
-          array(struct(lit("insert").as("op"), col("vb.o_totalprice").as("price"))))
-        .when(col("change_type") === "delete",
-          array(struct(lit("delete").as("op"), col("va.o_totalprice").as("price"))))
-        .when(col("change_type") === "update",
-          array(
-            struct(lit("update_preimage").as("op"), col("va.o_totalprice").as("price")),
-            struct(lit("update_postimage").as("op"), col("vb.o_totalprice").as("price"))))
-        .otherwise(array().cast("array<struct<op:string,price:double>>"))
-      diff.select(explode(images).as("img"))
-        .select(lit(step).as("step"), col("img.op").as("op"), col("img.price").as("price"))
-    }
+    def feed(v1: Int, v2: Int, step: String): DataFrame =
+      changeFeed(spark, base, v1, v2, "o_orderkey")
+        .select(lit(step).as("step"), col("op"),
+          col("img.o_totalprice").as("price"))
     feed(1, 2, "1->2").unionByName(feed(2, 3, "2->3"))
       .groupBy(col("step"), col("op"))
       .agg(count(lit(1)).as("n"),
@@ -1194,5 +1289,5 @@ object ManifestTable {
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
-      tableStatsSkipMulti, tableCdc)
+      tableStatsSkipMulti, tableCdc, tableCdfAgg)
 }

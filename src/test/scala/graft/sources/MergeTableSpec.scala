@@ -404,6 +404,35 @@ class MergeTableSpec extends AnyFunSuite {
       snapshotSum(ManifestTable.read(spark, base).filter(p)))
   }
 
+  test("CDF-maintained view round-trips a merge and its restore back to the stored state") {
+    val base = s"${graft.Scratch.root}/mtable_cdfmv"
+    val t = target()
+    ManifestTable.create(spark, base, t, "o_year")
+    val view = ManifestTable.read(spark, base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .localCheckpoint()
+    val u = t.filter(col("o_orderkey") % 10 === 0 && col("o_year") >= 1996)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    ManifestTable.merge(spark, base, u, "o_orderkey", "o_year")
+    ManifestTable.restore(spark, base, 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val mv2 = ManifestTable.applyCdf(view,
+      ManifestTable.changeFeed(spark, base, 1, 2, "o_orderkey"), "o_year", "o_totalprice")
+    // intermediate state = recompute of the post-merge snapshot
+    val v2Truth = ManifestTable.readVersion(spark, base, 2)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+    assert(rows(mv2) === rows(v2Truth))
+    // the restore's feed undoes the merge's: back to the stored view exactly
+    val mv3 = ManifestTable.applyCdf(mv2,
+      ManifestTable.changeFeed(spark, base, 2, 3, "o_orderkey"), "o_year", "o_totalprice")
+    assert(rows(mv3) === rows(view))
+  }
+
   test("restore is a reference-only commit: no data I/O, history intact") {
     val base = s"${graft.Scratch.root}/mtable_restore"
     val t = target()
