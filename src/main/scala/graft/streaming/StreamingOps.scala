@@ -195,36 +195,49 @@ object StreamingOps {
   /** Watermarked stream-stream join as a registered query: `click` events
     * joined to each user's `view` events within the following hour —
     * BOTH sides unbounded streams (the enrichment batch broadcast joins
-    * cannot express), state on each side bounded by watermark + range.
-    * Each joined micro-batch lands via `foreachBatch`; the oracle replays
-    * the identical time-range join in batch SQL. Results are aggregated
-    * per event_type pair so the output is layout-independent. */
+    * cannot express), state on each side bounded by a REAL 1-day
+    * watermark + the range condition. Two AvailableNow runs share the
+    * checkpoint (the [[streamLate]] two-run technique): run 1 joins the
+    * on-time wave in one gulp and commits watermark = max(ts) − 1 day;
+    * run 2 delivers a straggler wave of clicks AND views from ≥ 2 days
+    * below that watermark — their join state is unbuildable (late input
+    * is dropped at the source), so the sink must not gain a single pair.
+    * The oracle replays the time-range join over ONLY the on-time wave:
+    * a straggler pair surviving eviction hash-mismatches. Each joined
+    * micro-batch lands via `foreachBatch`; results are aggregated per
+    * user so the output is layout-independent. */
   val streamJoin: QuerySpec = QuerySpec.sql(
     "q_stream_join",
-    """SELECT l.user_id,
+    """WITH ot AS (
+      |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-21 00:00:00')
+      |SELECT l.user_id,
       |       count(*) AS n_pairs,
       |       CAST(sum(CAST(floor(l.value * 100 + 0.5) AS BIGINT)
       |                + CAST(floor(r.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
-      |FROM events l JOIN events r
+      |FROM ot l JOIN ot r
       |  ON l.user_id = r.user_id
       | AND l.event_type = 'click' AND r.event_type = 'view'
       | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
-    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
     val staged = s"${graft.Scratch.root}/events_join_stream"
     val sink = s"${graft.Scratch.root}/events_join_sink"
     val ev = Tables.events(spark, dir)
-    ev.repartition(8).write.mode("overwrite").parquet(staged)
+    val onTime = ev.filter(col("ts") >= lit("2024-01-21 00:00:00").cast("timestamp"))
+    // stragglers end strictly before Jan 19 — days below the committed
+    // watermark, dropped deterministically, and disjoint from the on-time
+    // wave (≥ Jan 21), so no straggler can pair under the 1-hour range
+    val late = ev.filter(col("ts") < lit("2024-01-19 00:00:00").cast("timestamp"))
+    onTime.repartition(8).write.mode("overwrite").parquet(staged)
     val ckpt = freshCheckpoint("stream_join", staged + "_ck")
+    // one gulp per run: within a run the watermark only advances at run
+    // end, so on-time pairs never race their own watermark; across runs
+    // the RESUMED watermark is what drops the stragglers
     def side(t: String) = spark.readStream
       .schema(ev.schema)
-      .option("maxFilesPerTrigger", "4")
       .parquet(staged)
       .filter(col("event_type") === t)
-      // generous watermark: all duplicates of state eviction stay out of
-      // the correctness picture at test scale; a live pipeline tightens it
-      .withWatermark("ts", "3650 days")
-    val joined = side("click").alias("l")
+      .withWatermark("ts", "1 day")
+    def joined = side("click").alias("l")
       .join(side("view").alias("r"),
         expr("""l.user_id = r.user_id AND
                 r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR"""))
@@ -234,6 +247,8 @@ object StreamingOps {
     // a stream-stream join keeps FOUR state stores per partition (two per
     // side), so runToParquetSink's state-sized parallelism matters 4x more
     runToParquetSink(spark, joined, ckpt, sink)
+    late.repartition(4).write.mode("append").parquet(staged)
+    runToParquetSink(spark, joined, ckpt, sink, clean = false)
     spark.read.parquet(sink)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("cents")).as("sum_cents"))
@@ -309,6 +324,77 @@ object StreamingOps {
       .select(
         col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** STREAMING TOP-K OVER FINALIZED WINDOWS — "trending event types per
+    * closed hour": the [[streamLate]] bounded-watermark pattern composed
+    * with the custom [[graft.plans.TopKPerGroup]] bounded-heap operator.
+    * The append-mode hourly aggregation emits each window's rows EXACTLY
+    * ONCE — in the micro-batch whose watermark closes it — so every
+    * `foreachBatch` invocation holds only COMPLETE windows, and the
+    * per-window top-3 runs inside the batch at finalization time through
+    * the same two-phase heap exec the batch engine uses (k rows per
+    * window per partition shuffled, no sort). Two AvailableNow runs share
+    * the checkpoint: the straggler wave lands below the resumed watermark
+    * and must change nothing. The oracle replays
+    * top-3-by-(count DESC, type ASC) over the on-time wave's closed
+    * windows only — a window emitted twice, a straggler surviving
+    * eviction, or a heap mis-ordering all hash-mismatch. */
+  val streamTopK: QuerySpec = QuerySpec.sql(
+    "q_stream_topk",
+    """WITH ot AS (
+      |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'),
+      |mx AS (SELECT max(ts) AS m FROM ot),
+      |w AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      |         event_type, count(*) AS n
+      |  FROM ot GROUP BY 1, 2),
+      |f AS (SELECT w.* FROM w, mx
+      |      WHERE w.window_start + INTERVAL 1 HOUR <= mx.m - INTERVAL 1 DAY),
+      |r AS (SELECT window_start, event_type, n,
+      |             row_number() OVER (PARTITION BY window_start
+      |                                ORDER BY n DESC, event_type ASC) AS rk
+      |      FROM f)
+      |SELECT window_start, event_type, n FROM r WHERE rk <= 3
+      |ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val staged = s"${graft.Scratch.root}/events_topk_stream"
+    val sink = s"${graft.Scratch.root}/events_topk_sink"
+    val ev = Tables.events(spark, dir)
+    val onTime = ev.filter(col("ts") >= lit("2024-01-28 00:00:00").cast("timestamp"))
+    val late = ev.filter(col("ts") < lit("2024-01-26 00:00:00").cast("timestamp"))
+    onTime.repartition(4).write.mode("overwrite").parquet(staged)
+    val ckpt = freshCheckpoint("stream_topk", staged + "_ck")
+    def agg = spark.readStream
+      .schema(ev.schema)
+      .parquet(staged) // one gulp per run, as in streamLate
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    def runOnce(clean: Boolean): Unit = {
+      if (clean) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
+      withShufflePartitions(spark, 8) {
+        val q = agg.writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.plans.TopKPerGroup.topKPerGroup(
+                batch, keyCol = "window_start", ordCol = "n",
+                tieCol = "event_type", k = 3)
+              .write.mode("overwrite").parquet(s"$sink/batch=$batchId")
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    runOnce(clean = true)
+    late.repartition(4).write.mode("append").parquet(staged)
+    runOnce(clean = false)
+    spark.read.parquet(sink)
+      .select(col("window_start"), col("event_type"), col("n"))
       .orderBy(col("window_start"), col("event_type"))
   }
 
@@ -587,7 +673,7 @@ object StreamingOps {
 
   val all: Seq[QuerySpec] =
     Seq(streamWindow, sessionize, sessionWindowBuiltin, streamDedup, streamJoin,
-      streamLate, streamAsOf, streamMixture, streamAnomaly)
+      streamLate, streamTopK, streamAsOf, streamMixture, streamAnomaly)
 }
 
 /** Typed event for stateful sessionization. */

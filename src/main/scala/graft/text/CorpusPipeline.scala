@@ -2,7 +2,7 @@ package graft.text
 
 import graft.QuerySpec
 import graft.model.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -108,18 +108,50 @@ object CorpusPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Exclusive prefix sum of `valCol` over rows ordered by `keyCol`,
+    * as a RECURSIVE multi-level parallel prefix: each level cumsums within
+    * contiguous `fanout`-sized key groups in parallel (a partitioned
+    * window) and recurses on the one-row-per-group totals, so the only
+    * unpartitioned window runs at the DEEPEST level over
+    * n / fanout^levels rows — bounded at any corpus size by picking
+    * levels (10⁹ batch totals at fanout 64, levels 2 → ~244k then ~4k
+    * rows; no level ever moves unbounded data through one partition).
+    * Returns (keyCol, off) with off = sum of all strictly-smaller keys'
+    * values. */
+  private def exclusivePrefix(totals: DataFrame, keyCol: String,
+      valCol: String, fanout: Int, levels: Int): DataFrame = {
+    if (levels == 0) {
+      val w = Window.orderBy(col(keyCol).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      totals.withColumn("off", coalesce(sum(col(valCol)).over(w), lit(0L)))
+        .select(col(keyCol), col("off"))
+    } else {
+      val sup = s"__sup$levels"
+      val g = totals.withColumn(sup, floor(col(keyCol) / fanout))
+      val wLoc = Window.partitionBy(col(sup)).orderBy(col(keyCol).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = g.withColumn("__loff", coalesce(sum(col(valCol)).over(wLoc), lit(0L)))
+      val supTotals = g.groupBy(col(sup)).agg(sum(col(valCol)).as(s"__tot$levels"))
+      val supOff = exclusivePrefix(supTotals, sup, s"__tot$levels", fanout, levels - 1)
+      local.join(supOff, Seq(sup))
+        .select(col(keyCol), (col("__loff") + col("off")).as("off"))
+    }
+  }
+
   /** Greedy sequence packing: running token count bucketed into
     * fixed-budget training sequences (start-offset packing). The global
-    * cumsum is computed as a TWO-PHASE PARALLEL PREFIX SUM, never a global
-    * single-partition window: docs are batched by the contiguous
+    * cumsum is computed as a MULTI-LEVEL PARALLEL PREFIX SUM, never a
+    * global single-partition window: docs are batched by the contiguous
     * `floor(doc_id / batchSize)` key (monotone in the deterministic order
     * key, so batches are contiguous runs); phase 1 cumsums within each
-    * batch in parallel; phase 2 runs an exclusive prefix over the tiny
-    * one-row-per-batch totals (corpus/batchSize rows — the only unbounded-
-    * window input, already reduced by the batch factor) and broadcasts the
-    * offsets back. global_cum = batch_offset + local_cum, bit-identical to
-    * the naive global window, so the oracle is the straightforward global
-    * cumsum. batchSize is deployment-tunable (≫64 at 100 TB). */
+    * batch in parallel; phase 2 feeds the one-row-per-batch totals to
+    * [[exclusivePrefix]], which applies the same trick RECURSIVELY — the
+    * only unpartitioned window anywhere runs over
+    * n_docs / batchSize^3 rows (≈ 4k at 10⁹ docs), so no stage ever
+    * funnels an unbounded row count through one partition. global_cum =
+    * batch_offset + local_cum, bit-identical to the naive global window,
+    * so the oracle is the straightforward global cumsum. batchSize is
+    * deployment-tunable (≫64 at 100 TB). */
   val docPacking: QuerySpec = QuerySpec.sql(
     "q_doc_packing",
     """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
@@ -140,12 +172,12 @@ object CorpusPipeline {
     val wLocal = Window.partitionBy(col("batch")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = d.withColumn("lcum", sum(col("n_tok")).over(wLocal))
-    // phase 2: exclusive prefix over per-batch totals (corpus/batchSize rows)
-    val wBatch = Window.orderBy(col("batch").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = d.groupBy(col("batch")).agg(sum(col("n_tok")).as("btot"))
-      .withColumn("off", coalesce(sum(col("btot")).over(wBatch), lit(0L)))
-      .select(col("batch"), col("off"))
+    // phase 2: recursive exclusive prefix over per-batch totals — two more
+    // levels of the same partitioned-cumsum trick, so the top window sees
+    // n_docs/batchSize³ rows, never an unbounded count
+    val offsets = exclusivePrefix(
+      d.groupBy(col("batch")).agg(sum(col("n_tok")).as("btot")),
+      "batch", "btot", batchSize, levels = 2)
     local.join(broadcast(offsets), Seq("batch"))
       .withColumn("cum", col("lcum") + col("off"))
       .groupBy(((col("cum") - col("n_tok")) / 2048).cast("long").as("seq_id"))
