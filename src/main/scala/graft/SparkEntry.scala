@@ -32,6 +32,7 @@ object SparkEntry {
       text.TrainingPrep.all ++
       text.NaiveBayes.all ++
       dedup.Dedup.all ++
+      dedup.EntityResolution.all ++
       graph.Graph.all ++
       sim.Ann.all ++
       mm.Multimodal.all ++

@@ -575,6 +575,64 @@ object Ann {
       .agg(sum(col("d")).cast("long").as("t"))
       .collect()(0).getLong(0)
 
+  /** OPQ-STYLE DIMENSION-ALLOCATION probe (Ge et al., "Optimized Product
+    * Quantization", CVPR 2013, with the learned rotation RESTRICTED to a
+    * permutation): instead of slicing dimensions contiguously into
+    * subspaces (s = j0/16), deal them round-robin in descending-variance
+    * order so each subspace carries a balanced share of the corpus energy
+    * — OPQ's eigenvalue-allocation idea without the dense rotation (which
+    * the integer-exact oracle replay cannot express). Both allocations
+    * train to the Lloyd fixpoint from the same seeds; totals are
+    * comparable because every dimension contributes its squared error
+    * exactly once under either split. Returns (contiguous distortion,
+    * variance-balanced distortion); AnnSpec records the measured
+    * ship/reject verdict. */
+  private[sim] def pqAllocationProbe(spark: SparkSession, dir: String): (Long, Long) = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "xf")))
+      .select(col("vec_id"), col("j0"),
+        floor(col("xf").cast("double") * 1000000 + 0.5).cast("long").as("x"))
+      .localCheckpoint()
+    // per-dimension variance: 64 rows, driver-side like any codebook
+    val byVar = base.groupBy(col("j0"))
+      .agg(avg(col("x")).as("m"), avg(col("x") * col("x")).as("m2"))
+      .select(col("j0"), (col("m2") - col("m") * col("m")).as("v"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy { case (j0, v) => (-v, j0) }
+    import spark.implicits._
+    def posWith(alloc: Seq[(Int, Int, Int)]): DataFrame =
+      base.join(broadcast(alloc.toDF("j0", "s", "j")), Seq("j0"))
+        .select(col("vec_id"), col("s"), col("j"), col("x"))
+    val contiguous = (0 until 64).map(j0 => (j0, j0 / 16, j0 % 16))
+    val balanced = byVar.zipWithIndex.map { case ((j0, _), i) => (j0, i % 4, i / 4) }.toSeq
+    def convergedDistortion(pos: DataFrame): Long = {
+      var cents = pos.filter(col("vec_id") < 8)
+        .select(col("s"), col("vec_id").as("cid"), col("j"), col("x").as("c"))
+        .localCheckpoint()
+      var prev: DataFrame = null
+      var stable = false
+      var rounds = 0
+      while (!stable && rounds < 60) {
+        val a = pqArgmin(pqDist(pos, cents)).localCheckpoint()
+        if (prev != null) {
+          stable = a.join(
+              prev.select(col("vec_id"), col("s"), col("cid").as("pcid")),
+              Seq("vec_id", "s"))
+            .filter(col("cid") =!= col("pcid")).count() == 0
+        }
+        if (!stable) cents = pqUpdate(pos, a)
+        prev = a
+        rounds += 1
+      }
+      require(stable, "allocation probe did not converge")
+      pqDist(pos, cents)
+        .groupBy(col("vec_id"), col("s")).agg(min(col("d")).as("d"))
+        .agg(sum(col("d")).cast("long").as("t"))
+        .collect()(0).getLong(0)
+    }
+    (convergedDistortion(posWith(contiguous)), convergedDistortion(posWith(balanced)))
+  }
+
   /** Oracle for [[pqTrain]]: the k assignment/update rounds unrolled as
     * generated CTEs (the q_pagerank / q_label_prop lockstep pattern). */
   private def pqTrainOracleSql(k: Int): String = {

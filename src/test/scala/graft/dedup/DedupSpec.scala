@@ -135,6 +135,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("entity resolution: every planted corruption resolves to its true source, via equi-join blocks") {
+    val res = EntityResolution.entityResolution.fn(spark, sf)
+    // recall: both corruption types are distance-1 edits that preserve the
+    // blocking character, so the true source is always in the block and
+    // within threshold — no dirty record may miss
+    val truth = graft.model.Tables.part(spark, sf)
+      .filter(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey").as("d_id"), col("p_name").as("src"))
+    val joined = res.join(truth, Seq("d_id")).cache()
+    try {
+      assert(joined.filter(col("n_match") < 1).count() === 0, "a corruption missed its block")
+      assert(joined.filter(col("n_match") === 1 && col("best_match") =!= col("src")).count() === 0,
+        "a unique match resolved to the wrong source")
+      assert(joined.count() > 0)
+      // candidate generation is blocked: an equi-join on the blocking key,
+      // never a cross/nested-loop product over the catalog
+      val plan = res.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"ER plan fell back to an all-pairs product:\n$plan")
+      // and blocks really restrict comparisons: fewer candidates per dirty
+      // record than catalog names
+      val catalog = graft.model.Tables.part(spark, sf).select("p_name").distinct().count()
+      assert(joined.agg(max(col("n_cand"))).head.getLong(0) < catalog)
+    } finally joined.unpersist()
+    ()
+  }
+
   test("expressions usable from SQL text after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT simhash64('a b c') AS h, size(fingerprints('abcdefghijklmnop')) AS n")
