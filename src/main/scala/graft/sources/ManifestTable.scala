@@ -1286,8 +1286,93 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
+  /** STREAMING CDC PIPELINE END-TO-END — [[streamMerge]]'s ingest and
+    * [[tableCdfAgg]]'s feed-driven MV maintenance fused into ONE loop: each
+    * micro-batch MERGEs into the table (committing v→v+1) and then, inside
+    * the same `foreachBatch`, advances the stored materialized view by
+    * [[applyCdf]] over [[changeFeed]](v, v+1) — the view is maintained
+    * purely from the commit's own change feed while the table is still
+    * ingesting, never by recomputing from the table. MV snapshots are
+    * KEYED BY TABLE VERSION (`mv/v=<n>`), which is what makes the loop
+    * retry-idempotent: a replayed batch re-merges the same keys (a no-op
+    * at the content level), reads the version-v view it already derived
+    * from, and overwrites the same version-keyed output. At 100 TB each
+    * iteration costs the batch's touched partitions (the merge) plus the
+    * feed (rows the merge changed) — the table itself is never rescanned
+    * after the v1 bootstrap aggregate. The oracle recomputes the FINAL
+    * aggregate from scratch: any dropped feed row, wrong delta sign, or
+    * batch-boundary dependence across the whole ingest hash-mismatches. */
+  val streamCdf: QuerySpec = QuerySpec.sql(
+    "q_stream_cdf",
+    """WITH t AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         o_totalprice
+      |  FROM orders),
+      |u AS (
+      |  SELECT o_orderkey, o_year, o_totalprice + 1000.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 0 AND o_year >= 1996
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_year, 42.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 5 AND o_year >= 1996),
+      |m AS (
+      |  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      |  UNION ALL SELECT * FROM u)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = s"${graft.Scratch.root}/orders_scdf_table"
+    val feed = s"${graft.Scratch.root}/orders_scdf_feed"
+    val mv = s"${graft.Scratch.root}/orders_scdf_mv"
+    val t = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"),
+        col("o_totalprice"))
+    create(spark, base, t, "o_year")
+    // MV bootstrap: the ONLY full-table aggregate in the pipeline
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mv))
+    readVersion(spark, base, 1)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .write.mode("overwrite").parquet(s"$mv/v=1")
+    val updates = t.filter(col("o_orderkey") % 10 === 0 && col("o_year") >= 1996)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(
+        t.filter(col("o_orderkey") % 10 === 5 && col("o_year") >= 1996)
+          .withColumn("o_orderkey", -col("o_orderkey"))
+          .withColumn("o_totalprice", lit(42.0)))
+    updates.repartition(4).write.mode("overwrite").parquet(feed)
+    val fs = fsOf(spark, new Path(feed + "_ck"))
+    fs.delete(new Path(feed + "_ck"), true)
+    val stream = spark.readStream
+      .schema(updates.schema)
+      .option("maxFilesPerTrigger", "2") // several micro-batches, one commit + one MV step each
+      .parquet(feed)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val v0 = currentVersion(spark, base)
+          merge(spark, base, batch, "o_orderkey", "o_year")
+          val v1 = currentVersion(spark, base)
+          applyCdf(
+              spark.read.parquet(s"$mv/v=$v0"),
+              changeFeed(spark, base, v0, v1, "o_orderkey"),
+              "o_year", "o_totalprice")
+            .write.mode("overwrite").parquet(s"$mv/v=$v1")
+        }
+        ()
+      }
+      .option("checkpointLocation", feed + "_ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$mv/v=${currentVersion(spark, base)}")
+      .select(col("o_year"), col("n"), col("cents"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
-      tableStatsSkipMulti, tableCdc, tableCdfAgg)
+      tableStatsSkipMulti, tableCdc, tableCdfAgg, streamCdf)
 }

@@ -133,7 +133,12 @@ object CorpusPipeline {
       val local = g.withColumn("__loff", coalesce(sum(col(valCol)).over(wLoc), lit(0L)))
       val supTotals = g.groupBy(col(sup)).agg(sum(col(valCol)).as(s"__tot$levels"))
       val supOff = exclusivePrefix(supTotals, sup, s"__tot$levels", fanout, levels - 1)
-      local.join(supOff, Seq(sup))
+      // join strategy declared shuffle-safe, not broadcast: the offsets side
+      // is n/fanout^k rows — small here, unbounded-by-assumption in general
+      // (see docPacking's join note). The big side is already hash-
+      // partitioned on `sup` by the window above, so the SHJ reuses that
+      // exchange; AQE may still demote to broadcast at runtime when small.
+      local.join(supOff.hint("shuffle_hash"), Seq(sup))
         .select(col(keyCol), (col("__loff") + col("off")).as("off"))
     }
   }
@@ -178,7 +183,13 @@ object CorpusPipeline {
     val offsets = exclusivePrefix(
       d.groupBy(col("batch")).agg(sum(col("n_tok")).as("btot")),
       "batch", "btot", batchSize, levels = 2)
-    local.join(broadcast(offsets), Seq("batch"))
+    // offsets is n_docs/batchSize rows — bounded ONLY relative to the corpus
+    // (10⁹ docs ⇒ ~15M rows), so an unconditional broadcast would pin the
+    // driver at scale. Declare the shuffle-hash strategy instead: `local` is
+    // already hash-partitioned on `batch` by the phase-1 window, so the big
+    // side reuses that exchange and only the offsets side shuffles; AQE
+    // demotes to broadcast at runtime when the offsets side really is small.
+    local.join(offsets.hint("shuffle_hash"), Seq("batch"))
       .withColumn("cum", col("lcum") + col("off"))
       .groupBy(((col("cum") - col("n_tok")) / 2048).cast("long").as("seq_id"))
       .agg(

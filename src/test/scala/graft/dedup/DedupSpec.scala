@@ -162,6 +162,55 @@ class DedupSpec extends AnyFunSuite {
     ()
   }
 
+  test("multi-key blocking: each key alone is blind to its corruption class; the stack has full recall") {
+    import org.apache.spark.sql.Column
+    val part = graft.model.Tables.part(spark, sf)
+    // the q_er_multikey fixture: even keys corrupt the FIRST character,
+    // odd keys the LAST — each designed to escape exactly one blocking key
+    val dirty = part.filter(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey").as("d_id"),
+        when(col("p_partkey") % 2 === 0,
+            concat(lit("x"), expr("substring(p_name, 2, 200)")))
+          .otherwise(concat(expr("substring(p_name, 1, length(p_name) - 1)"), lit("x")))
+          .as("d_name"))
+    val clean = part.select(col("p_name").as("c_name")).distinct()
+    def matchedBy(dk: Column, ck: Column): Set[Long] =
+      dirty.withColumn("bk", dk)
+        .join(clean.withColumn("bk", ck), Seq("bk"))
+        .filter(levenshtein(col("d_name"), col("c_name")) <= 1)
+        .select("d_id").distinct().as[Long].collect().toSet
+    val byFirst = matchedBy(
+      substring(col("d_name"), 1, 1), substring(col("c_name"), 1, 1))
+    val byLast = matchedBy(
+      expr("substring(d_name, length(d_name), 1)"),
+      expr("substring(c_name, length(c_name), 1)"))
+    val ids = dirty.select("d_id").as[Long].collect().toSet
+    val evens = ids.filter(_ % 2 == 0)
+    val odds = ids -- evens
+    assert(evens.nonEmpty && odds.nonEmpty)
+    // single-key recall gaps are exactly the designed corruption classes
+    assert(byFirst.intersect(evens).isEmpty, "first-char key saw a first-char corruption")
+    assert(odds.subsetOf(byFirst), "first-char key missed a last-char corruption")
+    assert(byLast.intersect(odds).isEmpty, "last-char key saw a last-char corruption")
+    assert(evens.subsetOf(byLast), "last-char key missed a first-char corruption")
+    // the registered stacked query recovers everything, still without a product
+    val res = EntityResolution.erMultiKey.fn(spark, sf)
+    assert(res.filter(col("n_match") < 1).count() === 0, "stacked blocking missed a corruption")
+    assert(res.count().toInt === ids.size)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("streaming entity resolution equals the batch resolver bit-for-bit") {
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    val batch = key(EntityResolution.entityResolution.fn(spark, sf))
+    val stream = key(EntityResolution.streamEntity.fn(spark, sf))
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+
   test("expressions usable from SQL text after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT simhash64('a b c') AS h, size(fingerprints('abcdefghijklmnop')) AS n")

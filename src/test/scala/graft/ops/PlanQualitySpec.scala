@@ -141,6 +141,13 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(w.child.collect { case a: BaseAggregateExec => a }.nonEmpty,
         s"single-partition Window over unreduced input:\n$w")
     }
+    // the offsets joins are declared shuffle-safe (never an unconditional
+    // broadcast of a corpus-proportional side): the declared plan is SHJ —
+    // the probe side reuses the phase-1 window's hash partitioning, and
+    // only AQE may demote to broadcast at runtime when genuinely small
+    val ps = p.toString
+    assert(ps.contains("ShuffledHashJoin") && !ps.contains("BroadcastHashJoin"),
+      s"offsets join not shuffle-declared:\n$ps")
   }
 
   test("dynamic partition pruning fires on a partitioned fact x selective dim join") {

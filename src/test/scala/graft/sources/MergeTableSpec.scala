@@ -452,6 +452,29 @@ class MergeTableSpec extends AnyFunSuite {
       t.filter(col("o_orderkey") % 5 === 0).count())
   }
 
+  test("streaming CDC pipeline: every per-version MV snapshot equals a fresh recompute of that version") {
+    // drive the full ingest+maintenance loop, then audit the MV history it
+    // left behind: the view at EVERY version must equal an aggregate
+    // recomputed from that version's snapshot — not just the final state
+    // the oracle checks — so a delta that cancels out later can't hide
+    ManifestTable.streamCdf.fn(spark, sf).collect()
+    val base = s"${graft.Scratch.root}/orders_scdf_table"
+    val mv = s"${graft.Scratch.root}/orders_scdf_mv"
+    val vMax = ManifestTable.currentVersion(spark, base)
+    assert(vMax >= 3, s"expected several micro-batch commits, got $vMax versions")
+    def keyOf(df: org.apache.spark.sql.DataFrame): Set[(Int, Long, Long)] =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    (1 to vMax).foreach { v =>
+      val got = keyOf(spark.read.parquet(s"$mv/v=$v").select("o_year", "n", "cents"))
+      val exp = keyOf(ManifestTable.readVersion(spark, base, v)
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+        .select("o_year", "n", "cents"))
+      assert(got === exp, s"feed-maintained MV diverged from recompute at v$v")
+    }
+  }
+
   test("append fragments, optimize compacts hot partitions only, history intact") {
     val base = s"${graft.Scratch.root}/mtable_optimize"
     val t = target()
