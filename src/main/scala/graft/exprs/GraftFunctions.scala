@@ -36,6 +36,11 @@ object GraftFunctions {
       "kmv_sketch", es => KmvSketchAgg(
         es(0), es(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
       "built-in")
+    fr.createOrReplaceTempFunction(
+      "bloom_agg", es => BloomFilterAgg(
+        es(0), es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
+      "built-in")
   }
 
   def simhash64(c: Column): Column = call_function("simhash64", c)
@@ -48,6 +53,9 @@ object GraftFunctions {
     call_function("heavy_hitters", c, org.apache.spark.sql.functions.lit(k))
   def kmvSketch(c: Column, k: Int): Column =
     call_function("kmv_sketch", c, org.apache.spark.sql.functions.lit(k))
+  def bloomAgg(c: Column, mBits: Int, k: Int): Column =
+    call_function("bloom_agg", c,
+      org.apache.spark.sql.functions.lit(mBits), org.apache.spark.sql.functions.lit(k))
   def hilbert3(x: Column, y: Column, z: Column, bits: Int): Column =
     call_function("hilbert3", x, y, z, org.apache.spark.sql.functions.lit(bits))
 }

@@ -449,9 +449,13 @@ object ManifestTable {
     * (carried files copy their entries). */
   private def refreshAllStats(spark: SparkSession, base: String): Unit = {
     val v = currentVersion(spark, base)
-    versions(spark, base).filter(_ < v)
-      .flatMap(pv => statCols(spark, base, pv))
+    val prior = versions(spark, base).filter(_ < v)
+    prior.flatMap(pv => statCols(spark, base, pv))
       .distinct.foreach(c => refreshStats(spark, base, c))
+    // bloom sidecars ride the same commit path: once a column is
+    // bloom-indexed, every verb keeps its filter fresh incrementally
+    prior.flatMap(pv => bloomCols(spark, base, pv))
+      .distinct.foreach(c => refreshBloom(spark, base, c))
   }
 
   /** Data-file paths of the current snapshot whose [`statCol`] range
@@ -500,6 +504,162 @@ object ManifestTable {
     else spark.read.parquet(paths: _*)
   }
 
+  // ---- per-file BLOOM sidecars --------------------------------------------
+  //
+  // Range stats prune files only when the column correlates with the file
+  // layout (ingest-ordered keys, clustered layouts). A point lookup on an
+  // UNCORRELATED column — "all orders of customer X" against files laid out
+  // by order key — keeps every file, because every file's (min, max) spans
+  // the whole domain. The per-file Bloom sidecar is the standard fix
+  // (Parquet bloom columns, Delta's bloom index): `mBits` of filter per
+  // file, built by ONE grouped scan through [[graft.exprs.BloomFilterAgg]],
+  // probed driver-side from the KB-sized sidecar with zero data I/O.
+  // Maintained by the same commit path as the range stats (immutable files
+  // carry their filter forward; only new files are scanned).
+
+  private type BloomEntry = Option[Array[Long]] // None = zero-row/all-NULL file
+  private def bloomPath(base: String, v: Int, bloomCol: String): Path =
+    new Path(manifestDir(base), s"v$v.bloom.$bloomCol")
+
+  /** Columns bloom-indexed at version `v`. */
+  private def bloomCols(spark: SparkSession, base: String, v: Int): Seq[String] = {
+    val dir = manifestDir(base)
+    val glob = fsOf(spark, dir).globStatus(new Path(dir, s"v$v.bloom.*"))
+    if (glob == null) Seq.empty
+    else glob.toSeq.map(_.getPath.getName.stripPrefix(s"v$v.bloom."))
+  }
+
+  /** Sidecar layout: header `#\tmBits\tk`, then one `rel\t<base64>` (or
+    * `rel\t-`) line per manifest entry. Returns ((mBits, k), entries). */
+  private def readBloomFile(spark: SparkSession, base: String, v: Int,
+      bloomCol: String): Option[((Int, Int), Map[String, BloomEntry])] = {
+    val p = bloomPath(base, v, bloomCol)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val lines = text.split("\n").filter(_.nonEmpty)
+      val Array(_, m, k) = lines.head.split("\t")
+      val es = lines.tail.map { line =>
+        val Array(rel, b) = line.split("\t")
+        rel -> (if (b == "-") (None: BloomEntry)
+                else Some(graft.exprs.Bloom.fromBytes(
+                  java.util.Base64.getDecoder.decode(b))))
+      }.toMap
+      Some(((m.toInt, k.toInt), es))
+    }
+  }
+
+  private def writeBloomFile(spark: SparkSession, base: String, v: Int,
+      bloomCol: String, mBits: Int, k: Int, es: Seq[(String, String)],
+      blooms: Map[String, BloomEntry]): Unit = {
+    val lines = s"#\t$mBits\t$k" +: es.map { case (_, rel) =>
+      blooms.getOrElse(rel, None) match {
+        case Some(bits) =>
+          s"$rel\t${java.util.Base64.getEncoder.encodeToString(graft.exprs.Bloom.toBytes(bits))}"
+        case None => s"$rel\t-"
+      }
+    }
+    val dir = manifestDir(base)
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir, s".tmp-bloom-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val dest = bloomPath(base, v, bloomCol)
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"cannot commit bloom sidecar $dest")
+  }
+
+  /** One grouped scan building each file's Bloom filter — the same
+    * decoded-(partition, basename) matching as [[scanStats]], with the
+    * filter built by the mergeable [[graft.exprs.BloomFilterAgg]] so each
+    * scan partition reduces to `mBits/8` bytes before the exchange. */
+  private def scanBlooms(spark: SparkSession, base: String, bloomCol: String,
+      rels: Seq[String], mBits: Int, k: Int): Map[String, BloomEntry] = {
+    if (rels.isEmpty) return Map.empty
+    def tail2(p: String): String = p.split('/').takeRight(2).mkString("/")
+    def decoded(uri: String): String =
+      try new java.net.URI(uri).getPath catch { case _: java.net.URISyntaxException => uri }
+    val byTail = rels.map(rel => tail2(rel) -> rel).toMap
+    require(byTail.size == rels.size,
+      s"ambiguous (partition, basename) pairs among ${rels.size} files")
+    graft.exprs.GraftFunctions.register(spark)
+    val rows = spark.read.parquet(rels.map(rel => s"$base/$rel"): _*)
+      .select(col(bloomCol).cast("long").as("__v"), input_file_name().as("__f"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__f"))
+      .agg(graft.exprs.GraftFunctions.bloomAgg(col("__v"), mBits, k).as("bloom"))
+      .collect() // one mBits/8-byte row per data file: sidecar-sized
+    rows.map { r =>
+      val rel = byTail.getOrElse(tail2(decoded(r.getString(0))),
+        throw new IllegalStateException(s"scanned file ${r.getString(0)} not in file set"))
+      rel -> (Some(graft.exprs.Bloom.fromBytes(r.getAs[Array[Byte]](1))): BloomEntry)
+    }.toMap
+  }
+
+  /** Build the per-file Bloom sidecar for `bloomCol` at the current snapshot.
+    * Size `mBits` for the expected distinct keys per FILE (default 2 KB /
+    * file ≈ 1% false-keep at ~1.4k keys); at 100 TB the sidecar is
+    * `files × mBits/8` bytes — metadata-scale, like the manifest itself. */
+  def buildBloom(spark: SparkSession, base: String, bloomCol: String,
+      mBits: Int = 1 << 14, k: Int = 7): Unit = {
+    val v = currentVersion(spark, base)
+    val es = entries(spark, base, v)
+    writeBloomFile(spark, base, v, bloomCol, mBits, k, es,
+      scanBlooms(spark, base, bloomCol, es.map(_._2), mBits, k))
+  }
+
+  /** Incremental bloom refresh — same contract as [[refreshStats]]: files
+    * are immutable, so filters carry forward from the UNION of prior
+    * sidecars and only files new in the current snapshot are scanned (at
+    * the parameters the index was built with). Returns (scanned,
+    * carried). */
+  def refreshBloom(spark: SparkSession, base: String, bloomCol: String): (Int, Int) = {
+    val v = currentVersion(spark, base)
+    val priors = versions(spark, base).filter(_ < v)
+      .flatMap(pv => readBloomFile(spark, base, pv, bloomCol))
+    if (priors.isEmpty)
+      throw new IllegalStateException(s"no prior bloom sidecar for $bloomCol under $base")
+    val (mBits, k) = priors.last._1 // parameters are fixed at build time
+    val prior = priors.foldLeft(Map.empty[String, BloomEntry])(_ ++ _._2)
+    val es = entries(spark, base, v)
+    val (carried, fresh) = es.partition { case (_, rel) => prior.contains(rel) }
+    val freshBlooms = scanBlooms(spark, base, bloomCol, fresh.map(_._2), mBits, k)
+    val full = es.map { case (_, rel) =>
+      rel -> prior.getOrElse(rel, freshBlooms.getOrElse(rel, None)) }.toMap
+    writeBloomFile(spark, base, v, bloomCol, mBits, k, es, full)
+    (fresh.size, carried.size)
+  }
+
+  /** Data-file paths of the current snapshot whose Bloom filter might
+    * contain `value` in `bloomCol`, plus the total file count — the point-lookup
+    * skipping decision, made entirely from the sidecar. A `-` entry
+    * (zero-row / all-NULL file) cannot contain the value and is pruned. */
+  def prunedPathsBloom(spark: SparkSession, base: String, bloomCol: String,
+      value: Long): (Seq[String], Int) = {
+    val v = currentVersion(spark, base)
+    val ((mBits, k), blooms) = readBloomFile(spark, base, v, bloomCol)
+      .getOrElse(throw new IllegalStateException(
+        s"no bloom sidecar for $bloomCol at v$v — run buildBloom first"))
+    val es = entries(spark, base, v)
+    val kept = es.collect { case (_, rel) if blooms.getOrElse(rel, None)
+        .exists(bits => graft.exprs.Bloom.mightContain(bits, mBits, k, value)) =>
+      s"$base/$rel" }
+    (kept, es.size)
+  }
+
+  /** Read only the files that might contain `bloomCol = value` (the caller still
+    * applies the row filter — blooms admit false positives, never false
+    * negatives). */
+  def readPrunedBloom(spark: SparkSession, base: String, bloomCol: String,
+      value: Long): DataFrame = {
+    val (paths, _) = prunedPathsBloom(spark, base, bloomCol, value)
+    if (paths.isEmpty) read(spark, base).filter(lit(false))
+    else spark.read.parquet(paths: _*)
+  }
+
   /** Snapshot expiration (VACUUM): keep the newest `keep` snapshots, drop
     * older manifests, and physically delete data files no kept manifest
     * references. Because merges/deletes carry cold partitions by reference,
@@ -522,10 +682,12 @@ object ManifestTable {
     dead.foreach(rel => fs.delete(new Path(base, rel), false))
     dropVs.foreach { v =>
       fs.delete(new Path(manifestDir(base), s"v$v.manifest"), false)
-      // stats sidecars are per-snapshot metadata: expire them with their
-      // manifest, or a long merge history accumulates them forever
-      val stale = fs.globStatus(new Path(manifestDir(base), s"v$v.stats.*"))
-      if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
+      // stats/bloom sidecars are per-snapshot metadata: expire them with
+      // their manifest, or a long merge history accumulates them forever
+      Seq(s"v$v.stats.*", s"v$v.bloom.*").foreach { pat =>
+        val stale = fs.globStatus(new Path(manifestDir(base), pat))
+        if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
+      }
     }
     (dropVs.size, dead.size)
   }
@@ -704,6 +866,69 @@ object ManifestTable {
         base
       })
     }
+
+  /** Build-once fixture for Bloom skipping: orders INCLUDING `o_custkey`
+    * (uncorrelated with the ingest order), created + twice appended in
+    * `o_orderkey` bands exactly like [[statsFixture]]. Both an `o_custkey`
+    * bloom AND an `o_custkey` range-stats sidecar are built at v1 — the
+    * spec contrasts them: the commit path maintains both, the range index
+    * keeps ~every file for a point lookup (every band spans the customer
+    * domain), the bloom keeps only files that really contain the
+    * customer. */
+  private[sources] def bloomFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("bloom", dir), {
+        val base =
+          s"${graft.Scratch.root}/orders_bfix_${graft.Scratch.dirToken(dir)}"
+        val t = Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("int").as("o_year"),
+            col("o_custkey"), col("o_totalprice"))
+        val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
+        val (k1, k2) = (mx / 3, 2 * mx / 3)
+        create(spark, base, t.filter(col("o_orderkey") <= k1), "o_year")
+        buildBloom(spark, base, "o_custkey")
+        buildStats(spark, base, "o_custkey")
+        append(spark, base,
+          t.filter(col("o_orderkey") > k1 && col("o_orderkey") <= k2), "o_year")
+        append(spark, base, t.filter(col("o_orderkey") > k2), "o_year")
+        base
+      })
+    }
+
+  /** Registered BLOOM-SKIPPING point lookup: all orders of one customer
+    * (the customer of the minimum order key — deterministic at every SF)
+    * through [[readPrunedBloom]] against the [[bloomFixture]] table. The
+    * filter was built at v1 and MAINTAINED BY THE COMMIT PATH across both
+    * appends; blooms admit false keeps but never false drops, so the
+    * row filter does the rest and the aggregate must equal the plain
+    * full-table filter — a false drop loses rows and hash-mismatches.
+    * `MergeTableSpec` pins that files are really skipped AND that the
+    * range-stats index cannot prune this lookup (the bloom's reason to
+    * exist). */
+  val tableBloomSkip: QuerySpec = QuerySpec.sql(
+    "q_bloom_skip",
+    """WITH o AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         o_custkey, o_totalprice
+      |  FROM orders),
+      |ck AS (SELECT o_custkey AS c FROM o
+      |       WHERE o_orderkey = (SELECT min(o_orderkey) FROM o))
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM o, ck WHERE o.o_custkey = ck.c
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = bloomFixture(spark, dir)
+    val key = Tables.orders(spark, dir) // 1-row probe: the lookup key itself
+      .orderBy(col("o_orderkey")).select(col("o_custkey")).limit(1)
+      .head.getLong(0)
+    readPrunedBloom(spark, base, "o_custkey", key)
+      .filter(col("o_custkey") === key)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("o_year"))
+  }
 
   /** CHANGE-DATA-FEED between two committed snapshots, in the Delta CDF
     * vocabulary: one row per `insert` / `delete` image and TWO rows per
@@ -1374,5 +1599,5 @@ object ManifestTable {
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
-      tableStatsSkipMulti, tableCdc, tableCdfAgg, streamCdf)
+      tableStatsSkipMulti, tableBloomSkip, tableCdc, tableCdfAgg, streamCdf)
 }

@@ -452,6 +452,50 @@ class MergeTableSpec extends AnyFunSuite {
       t.filter(col("o_orderkey") % 5 === 0).count())
   }
 
+  test("bloom sidecar prunes a point lookup the range index cannot, with zero false drops") {
+    val base = ManifestTable.bloomFixture(spark, sf)
+    val key = graft.model.Tables.orders(spark, sf)
+      .orderBy(col("o_orderkey")).select(col("o_custkey")).limit(1).head.getLong(0)
+    val (bloomKept, total) = ManifestTable.prunedPathsBloom(spark, base, "o_custkey", key)
+    assert(bloomKept.size < total, s"bloom skipped nothing (${bloomKept.size}/$total)")
+    // the range index on the same column is useless here: the customer key
+    // is uncorrelated with the orderkey-band layout, so every band's
+    // (min, max) spans the lookup value — that gap is the bloom's purpose
+    val (rangeKept, _) = ManifestTable.prunedPaths(spark, base, "o_custkey", key, key)
+    assert(bloomKept.size < rangeKept.size,
+      s"range index pruned as well as bloom (${rangeKept.size} vs ${bloomKept.size})")
+    // no false drops: pruned ∪ row-filter ≡ full ∪ row-filter, exactly
+    def keys(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("o_custkey") === key).select("o_orderkey")
+        .collect().map(_.getLong(0)).toSet
+    val full = keys(ManifestTable.read(spark, base))
+    assert(full.nonEmpty)
+    assert(keys(ManifestTable.readPrunedBloom(spark, base, "o_custkey", key)) === full)
+  }
+
+  test("commit-path bloom maintenance is byte-identical to a from-scratch rebuild") {
+    val base = ManifestTable.bloomFixture(spark, sf)
+    val v = ManifestTable.currentVersion(spark, base)
+    val sidecar = java.nio.file.Paths.get(base, "_manifests", s"v$v.bloom.o_custkey")
+    val maintained = java.nio.file.Files.readAllBytes(sidecar)
+    ManifestTable.buildBloom(spark, base, "o_custkey") // full rescan at the same params
+    val rebuilt = java.nio.file.Files.readAllBytes(sidecar)
+    assert(java.util.Arrays.equals(maintained, rebuilt),
+      "incrementally carried bloom entries diverge from a full rebuild")
+  }
+
+  test("an all-NULL bloom column yields prunable entries, not an NPE") {
+    import spark.implicits._
+    val base = s"${graft.Scratch.root}/mtable_bloom_null"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "p")
+      .withColumn("v", lit(null).cast("long"))
+    ManifestTable.create(spark, base, df, "p")
+    ManifestTable.buildBloom(spark, base, "v")
+    val (kept, total) = ManifestTable.prunedPathsBloom(spark, base, "v", 7L)
+    assert(total > 0 && kept.isEmpty, "a file that cannot contain the value was kept")
+    assert(ManifestTable.readPrunedBloom(spark, base, "v", 7L).count() === 0)
+  }
+
   test("streaming CDC pipeline: every per-version MV snapshot equals a fresh recompute of that version") {
     // drive the full ingest+maintenance loop, then audit the MV history it
     // left behind: the view at EVERY version must equal an aggregate
