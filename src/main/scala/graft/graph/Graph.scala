@@ -512,6 +512,81 @@ object Graph {
       .limit(20)
   }
 
+  /** Oracle for [[kCore]]: iterative peeling UNROLLED to `n` rounds of
+    * plain CTEs (degrees → keep ≥ k → induced edges). Peeling is a
+    * monotonically shrinking fixpoint, so extra rounds past convergence
+    * are no-ops — the round-`n` state IS the k-core whenever the real
+    * peel converges within `n` rounds (measured: ≤5 rounds at every test
+    * SF; `GraphSpec` pins the margin). Recursive CTEs can't express a
+    * shrinking set under UNION semantics, hence the unroll. */
+  private def kcoreOracleSql(k: Int, n: Int): String = {
+    // AS MATERIALIZED: each e_i is referenced 5× downstream — inlined CTEs
+    // would expand 5^n-fold (DuckDB's default), materialized ones evaluate
+    // once per round, mirroring the engine's per-round checkpoints
+    val rounds = (1 to n).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e${i - 1}
+         |           UNION ALL SELECT v FROM e${i - 1}) m$i
+         |        GROUP BY 1 HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+         |        WHERE u IN (SELECT node FROM k$i)
+         |          AND v IN (SELECT node FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+       |       FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |$rounds
+       |SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM (SELECT u AS node FROM e$n UNION ALL SELECT v FROM e$n) fin
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** K-CORE DECOMPOSITION (k = 2) of the REPEAT-co-purchase graph (pairs
+    * bought together in ≥ 2 orders — the confidence-filtered edge set, far
+    * sparser than the raw co-purchase graph) by distributed iterative
+    * peeling: each round computes degrees (one aggregate over the edge
+    * list), drops nodes below k, and induces the surviving subgraph with
+    * two SEMI-joins against the metadata-small survivor set (broadcast in
+    * practice — the peel never shuffles the edge list on anything but its
+    * own keys). Rounds ≅ the graph's degeneracy, not its size; each round
+    * is O(edges remaining), and the edge list shrinks monotonically —
+    * the textbook scalable formulation (Batagelj-Zaveršnik peeling,
+    * synchronized rounds). A 1-row `limit(1)` probe per round is the only
+    * driver coordination, the same budget as BFS/PageRank. The 2-core —
+    * every part that lies on a cycle of repeat-co-purchases — is what
+    * survives; output is each core member with its within-core degree. */
+  val kCore: QuerySpec = QuerySpec.sql(
+    "q_kcore", kcoreOracleSql(2, 10)) { (spark, dir) =>
+    val k = 2
+    var edges = coPurchaseStage(spark, dir)._2
+      .filter(col("n_uv") >= 2).select(col("u"), col("v"))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 10) {
+      val deg = edges.select(col("u").as("node"))
+        .unionByName(edges.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      if (deg.filter(col("deg") < k).limit(1).count() == 0) converged = true
+      else {
+        val keep = deg.filter(col("deg") >= k).select("node")
+        edges = edges
+          .join(keep.withColumnRenamed("node", "u"), Seq("u"), "semi")
+          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "semi")
+          .localCheckpoint()
+        rounds += 1
+      }
+    }
+    // the oracle unrolls 10 rounds; a slower peel would diverge from it
+    require(converged, s"k-core peel did not converge within 10 rounds")
+    edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+      .orderBy(col("node"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(pageRankStep, pageRank, triangleCount, shortestPath, itemCf, labelProp)
+    Seq(pageRankStep, pageRank, triangleCount, shortestPath, itemCf, labelProp,
+      kCore)
 }

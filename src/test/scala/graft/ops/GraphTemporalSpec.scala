@@ -203,4 +203,33 @@ class GraphTemporalSpec extends AnyFunSuite {
       assert(hasParent, s"node ($kind,$key) at $d has no layer-${d - 1} neighbor")
     }
   }
+
+  test("k-core is a closed AND maximal fixpoint of the repeat-co-purchase graph") {
+    val k = 2
+    val core = graft.graph.Graph.kCore.fn(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(core.nonEmpty)
+    // brute-force the repeat-co-purchase edge set independently
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select("u", "v").as[(Long, Long)].collect()
+    def inCoreDeg(node: Long): Int =
+      edges.count { case (u, v) =>
+        (u == node && core.contains(v)) || (v == node && core.contains(u)) }
+    // CLOSURE: the reported degree is the true induced degree, and >= k
+    core.foreach { case (node, d) =>
+      assert(d >= k && inCoreDeg(node) === d, s"node $node: claimed $d, true ${inCoreDeg(node)}")
+    }
+    // MAXIMALITY: a peeled node with >= k in-core neighbors could never
+    // have been peeled (the core is a subset of every round's graph), so
+    // every outside node must see at most k-1 core members
+    val outside = edges.flatMap(e => Seq(e._1, e._2)).distinct.filterNot(core.contains)
+    outside.foreach { n =>
+      assert(inCoreDeg(n) < k, s"peeled node $n has ${inCoreDeg(n)} in-core neighbors")
+    }
+  }
 }
