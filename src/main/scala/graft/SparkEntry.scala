@@ -26,6 +26,7 @@ object SparkEntry {
       etl.EtlQueries.all ++
       sources.Sources.all ++
       sources.ManifestTable.all ++
+      sources.HiddenPartition.all ++
       sources.Jdbc.all ++
       text.TextAnalysis.all ++
       text.CorpusPipeline.all ++

@@ -66,8 +66,20 @@ object ManifestTable {
     vs.last
   }
 
+  /** Resolve a manifest entry to a readable path. Entries are normally
+    * table-relative; a SHALLOW CLONE ([[cloneTable]]) commits ABSOLUTE
+    * entries pointing into its source table, which resolve as-is. */
+  private[sources] def resolve(base: String, rel: String): String =
+    if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
+
+  /** True iff the entry lives OUTSIDE this table's base (a clone's
+    * borrowed file) — such files are never deleted by this table's
+    * maintenance verbs, whatever the manifests say. */
+  private def external(rel: String): Boolean =
+    rel.startsWith("/") || rel.contains("://")
+
   /** (pval, relative path) entries of snapshot `v`. */
-  private def entries(spark: SparkSession, base: String, v: Int): Seq[(String, String)] = {
+  private[sources] def entries(spark: SparkSession, base: String, v: Int): Seq[(String, String)] = {
     val p = new Path(manifestDir(base), s"v$v.manifest")
     val fs = fsOf(spark, p)
     val in = fs.open(p)
@@ -103,9 +115,18 @@ object ManifestTable {
     * `__p` copy exists only to drive the directory layout). */
   private def writeSnapshotFiles(
       spark: SparkSession, base: String, version: Int, df: DataFrame,
-      partCol: String): Seq[(String, String)] = {
+      partCol: String): Seq[(String, String)] =
+    writeSnapshotFilesExpr(spark, base, version, df, col(partCol))
+
+  /** [[writeSnapshotFiles]] generalized to an arbitrary partition
+    * EXPRESSION over `df`'s columns — the layout key need not be a stored
+    * column (Iceberg's hidden partitioning: the `__p` value lives only in
+    * directory names and manifest entries, never in the data files). */
+  private[sources] def writeSnapshotFilesExpr(
+      spark: SparkSession, base: String, version: Int, df: DataFrame,
+      partExpr: org.apache.spark.sql.Column): Seq[(String, String)] = {
     val stage = new Path(base, s".stage-${java.util.UUID.randomUUID}")
-    df.withColumn("__p", col(partCol).cast("string"))
+    df.withColumn("__p", partExpr.cast("string"))
       .repartition(col("__p"))
       .write.partitionBy("__p").parquet(stage.toString)
     val fs = fsOf(spark, stage)
@@ -139,7 +160,7 @@ object ManifestTable {
 
   /** Read snapshot `v` (exactly the files its manifest names). */
   def readVersion(spark: SparkSession, base: String, v: Int): DataFrame = {
-    val paths = entries(spark, base, v).map { case (_, rel) => s"$base/$rel" }
+    val paths = entries(spark, base, v).map { case (_, rel) => resolve(base, rel) }
     spark.read.parquet(paths: _*)
   }
 
@@ -165,7 +186,7 @@ object ManifestTable {
     val rewritten =
       if (hot.isEmpty) updates
       else {
-        val oldData = spark.read.parquet(hot.map { case (_, rel) => s"$base/$rel" }: _*)
+        val oldData = spark.read.parquet(hot.map { case (_, rel) => resolve(base, rel) }: _*)
         oldData.join(updates.select(keyCol), Seq(keyCol), "left_anti")
           .unionByName(updates)
       }
@@ -199,7 +220,7 @@ object ManifestTable {
     if (touched.isEmpty) return false
     val (hot, cold) = es.partition { case (pval, _) => touched(pval) }
     val survivors = spark.read
-      .parquet(hot.map { case (_, rel) => s"$base/$rel" }: _*)
+      .parquet(hot.map { case (_, rel) => resolve(base, rel) }: _*)
       .filter(!pred)
     val newFiles = writeSnapshotFiles(spark, base, v + 1, survivors, partCol)
     if (failBeforeCommit)
@@ -235,13 +256,13 @@ object ManifestTable {
     val rewritten =
       if (hot.isEmpty) updates
       else {
-        val oldData = spark.read.parquet(hot.map { case (_, rel) => s"$base/$rel" }: _*)
+        val oldData = spark.read.parquet(hot.map { case (_, rel) => resolve(base, rel) }: _*)
         oldData.join(updates.select(keyCol), Seq(keyCol), "left_anti")
           .unionByName(updates)
       }
     val newFiles = writeSnapshotFiles(spark, base, v + 1, rewritten, partCol)
     val candidate = spark.read.parquet(
-      (cold ++ newFiles).map { case (_, rel) => s"$base/$rel" }: _*)
+      (cold ++ newFiles).map { case (_, rel) => resolve(base, rel) }: _*)
     val aggs = expectations.map { case (n, pred) =>
       sum(when(pred, 1L).otherwise(0L)).as(s"viol_$n") }
     val row = candidate.agg(aggs.head, aggs.tail: _*).head
@@ -295,7 +316,7 @@ object ManifestTable {
     val hotVals = es.groupBy(_._1).filter(_._2.size >= minFiles).keySet
     if (hotVals.isEmpty) return (0, 0, 0)
     val (hot, cold) = es.partition { case (pval, _) => hotVals(pval) }
-    val rows = spark.read.parquet(hot.map { case (_, rel) => s"$base/$rel" }: _*)
+    val rows = spark.read.parquet(hot.map { case (_, rel) => resolve(base, rel) }: _*)
     val newFiles = writeSnapshotFiles(spark, base, v + 1, rows, partCol)
     commit(spark, base, v + 1, cold ++ newFiles)
     refreshAllStats(spark, base)
@@ -396,7 +417,7 @@ object ManifestTable {
     val byTail = rels.map(rel => tail2(rel) -> rel).toMap
     require(byTail.size == rels.size,
       s"ambiguous (partition, basename) pairs among ${rels.size} files")
-    val rows = spark.read.parquet(rels.map(rel => s"$base/$rel"): _*)
+    val rows = spark.read.parquet(rels.map(rel => resolve(base, rel)): _*)
       .select(col(statCol).cast("long").as("__v"), input_file_name().as("__f"))
       .groupBy(col("__f"))
       .agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
@@ -447,7 +468,7 @@ object ManifestTable {
     * forget — a MERGE can no longer leave `readPruned` consulting a stale
     * index. Cost per commit: one scan of the NEW files per indexed column
     * (carried files copy their entries). */
-  private def refreshAllStats(spark: SparkSession, base: String): Unit = {
+  private[sources] def refreshAllStats(spark: SparkSession, base: String): Unit = {
     val v = currentVersion(spark, base)
     val prior = versions(spark, base).filter(_ < v)
     prior.flatMap(pv => statCols(spark, base, pv))
@@ -482,7 +503,7 @@ object ManifestTable {
     val es = entries(spark, base, v)
     val kept = es.collect { case (_, rel) if preds.forall { case (c, lo, hi) =>
         statsByCol(c).getOrElse(rel, None).exists { case (mn, mx) => mx >= lo && mn <= hi } } =>
-      s"$base/$rel" }
+      resolve(base, rel) }
     (kept, es.size)
   }
 
@@ -586,7 +607,7 @@ object ManifestTable {
     require(byTail.size == rels.size,
       s"ambiguous (partition, basename) pairs among ${rels.size} files")
     graft.exprs.GraftFunctions.register(spark)
-    val rows = spark.read.parquet(rels.map(rel => s"$base/$rel"): _*)
+    val rows = spark.read.parquet(rels.map(rel => resolve(base, rel)): _*)
       .select(col(bloomCol).cast("long").as("__v"), input_file_name().as("__f"))
       .filter(col("__v").isNotNull)
       .groupBy(col("__f"))
@@ -646,7 +667,7 @@ object ManifestTable {
     val es = entries(spark, base, v)
     val kept = es.collect { case (_, rel) if blooms.getOrElse(rel, None)
         .exists(bits => graft.exprs.Bloom.mightContain(bits, mBits, k, value)) =>
-      s"$base/$rel" }
+      resolve(base, rel) }
     (kept, es.size)
   }
 
@@ -678,6 +699,9 @@ object ManifestTable {
       .flatMap(v => entries(spark, base, v).map(_._2)).toSet
     val dead = dropVs.flatMap(v => entries(spark, base, v).map(_._2))
       .distinct.filterNot(live)
+      // a clone's absolute entries borrow files from its SOURCE table:
+      // expiring the clone's history must never reach outside its base
+      .filterNot(external)
     val fs = fsOf(spark, new Path(base))
     dead.foreach(rel => fs.delete(new Path(base, rel), false))
     dropVs.foreach { v =>
@@ -690,6 +714,68 @@ object ManifestTable {
       }
     }
     (dropVs.size, dead.size)
+  }
+
+  /** SHALLOW CLONE — a zero-copy fork of `srcBase`'s current snapshot
+    * (Delta's CLONE, Iceberg's snapshot-ref branch): the clone's v1
+    * manifest names the source's data files by ABSOLUTE path, so creating
+    * it costs one metadata write no matter the table size. The clone then
+    * evolves independently — its merges/deletes rewrite touched partitions
+    * into its OWN `files/` tree while untouched partitions keep borrowing
+    * the source's files by reference, and the source never observes any of
+    * it (no verb here ever rewrites a committed file). Maintenance on the
+    * clone ([[expireSnapshots]], [[removeOrphans]]) is fenced from the
+    * borrowed files: a clone can only ever delete under its own base. The
+    * 100 TB use is the dev/test fork and the "what-if" pipeline run: fork,
+    * mutate, measure, drop — paying only for the delta. */
+  def cloneTable(spark: SparkSession, srcBase: String, dstBase: String): Unit = {
+    val v = currentVersion(spark, srcBase)
+    val abs = entries(spark, srcBase, v)
+      .map { case (p, rel) => (p, resolve(srcBase, rel)) }
+    val fs = fsOf(spark, new Path(dstBase))
+    fs.delete(new Path(dstBase), true)
+    commit(spark, dstBase, 1, abs)
+  }
+
+  /** ORPHAN-FILE cleanup — delete files under this table's `files/` tree
+    * that NO committed manifest references (plus abandoned `.stage-*`
+    * dirs). Orphans are exactly what a crash between staging and the
+    * commit rename leaves behind (the crash-safety contract keeps the
+    * table readable but cannot unlink the half-published files), and what
+    * [[auditedMerge]]'s veto already cleans for its own writer. The
+    * `olderThanMs` retention fences a CONCURRENT writer mid-stage — its
+    * freshly moved files are not yet named by any manifest and must
+    * survive, the same reason Delta's VACUUM has a retention window.
+    * Returns the deleted table-relative paths. */
+  def removeOrphans(spark: SparkSession, base: String,
+      olderThanMs: Long = 0L): Seq[String] = {
+    val fs = fsOf(spark, new Path(base))
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val qbase = fs.makeQualified(new Path(base)).toString
+    val referenced = versions(spark, base)
+      .flatMap(v => entries(spark, base, v).map(_._2))
+      .filterNot(external).toSet
+    val deleted = scala.collection.mutable.Buffer[String]()
+    val filesRoot = new Path(base, "files")
+    if (fs.exists(filesRoot)) {
+      val it = fs.listFiles(filesRoot, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toString.stripPrefix(qbase).stripPrefix("/")
+        if (!referenced(rel) && st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, false)
+          deleted += rel
+        }
+      }
+    }
+    val stages = fs.globStatus(new Path(base, ".stage-*"))
+    if (stages != null) stages.foreach { s =>
+      if (s.getModificationTime < cutoff) {
+        deleted += s.getPath.getName
+        fs.delete(s.getPath, true)
+      }
+    }
+    deleted.toSeq
   }
 
   // ---- shared snapshot-history fixtures -----------------------------------
@@ -1321,7 +1407,7 @@ object ManifestTable {
     val pvals = (e1.keySet ++ e2.keySet).toSeq.sorted
     val (carried, changed) = pvals.partition(p => e1.get(p) == e2.get(p))
     def side(em: Map[String, Seq[String]]): Option[DataFrame] = {
-      val files = changed.flatMap(p => em.getOrElse(p, Nil)).map(rel => s"$base/$rel")
+      val files = changed.flatMap(p => em.getOrElse(p, Nil)).map(rel => resolve(base, rel))
       if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
     }
     val diff = (side(e1), side(e2)) match {
@@ -1596,8 +1682,65 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
+  /** Build-once fixture: a SHALLOW CLONE of the [[mergedFixture]] (v2
+    * state) that then deletes the 1997 `key % 3 = 0` cohort — so only the
+    * 1997 partition is rewritten into the clone's own file tree, and every
+    * other partition keeps BORROWING the source's files by absolute
+    * reference. The source history is never touched. */
+  private[sources] def clonedFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("cloned", dir), {
+        val src = mergedFixture(spark, dir)
+        val base =
+          s"${graft.Scratch.root}/orders_clfix_${graft.Scratch.dirToken(dir)}"
+        cloneTable(spark, src, base)
+        deleteWhere(spark, base,
+          col("o_orderkey") % 3 === 0 && col("o_year") === 1997, "o_year")
+        base
+      })
+    }
+
+  /** Registered SHALLOW-CLONE divergence: fork the merged table for free,
+    * delete a cohort in the fork, read the fork back through its mixed
+    * manifest (borrowed absolute entries + own rewritten partition). The
+    * oracle replays merge-then-delete over plain `orders`; losing a
+    * borrowed partition, leaking the delete into the source, or resolving
+    * an absolute entry against the clone's base all hash-mismatch.
+    * `CloneVacuumSpec` pins the zero-copy commit, source isolation, and
+    * that the clone's VACUUM can't reach the source's files. */
+  val tableClone: QuerySpec = QuerySpec.sql(
+    "q_table_clone",
+    """WITH t AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         o_totalprice
+      |  FROM orders),
+      |u AS (
+      |  SELECT o_orderkey, o_year, o_totalprice + 1000.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 0 AND o_year >= 1996
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_year, 42.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 5 AND o_year >= 1996),
+      |m AS (
+      |  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      |  UNION ALL SELECT * FROM u),
+      |c AS (
+      |  SELECT * FROM m WHERE NOT (o_orderkey % 3 = 0 AND o_year = 1997))
+      |SELECT o_year, count(*) AS n,
+      |       count(DISTINCT o_orderkey) AS n_keys,
+      |       sum(floor(o_totalprice * 100 + 0.5)) / 100.0 AS total
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = clonedFixture(spark, dir)
+    read(spark, base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        (sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0).as("total"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
-      tableStatsSkipMulti, tableBloomSkip, tableCdc, tableCdfAgg, streamCdf)
+      tableStatsSkipMulti, tableBloomSkip, tableCdc, tableCdfAgg, streamCdf,
+      tableClone)
 }

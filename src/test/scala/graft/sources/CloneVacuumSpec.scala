@@ -1,0 +1,85 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the shallow-clone and orphan-cleanup verbs: the clone commit
+  * is metadata-only, divergence is isolated in both directions, the
+  * clone's vacuum is fenced from borrowed files, and orphan removal
+  * deletes exactly the crash debris while every committed snapshot stays
+  * byte-complete. */
+class CloneVacuumSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("shallow clone commits zero data files; divergence isolated both ways") {
+    val src = ManifestTable.mergedFixture(spark, sf)
+    val srcRowsBefore = ManifestTable.read(spark, src).count()
+    val srcVerBefore = ManifestTable.currentVersion(spark, src)
+
+    val clone = ManifestTable.clonedFixture(spark, sf)
+    // v1 was a pure metadata commit: every entry absolute, no own files
+    val v1 = ManifestTable.entries(spark, clone, 1)
+    assert(v1.nonEmpty && v1.forall(_._2.startsWith("/")))
+    val fs = new Path(clone).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new Path(clone, "files/v1")))
+    // the clone's delete rewrote ONLY 1997 into its own tree; everything
+    // else still borrows the source's files
+    val cur = ManifestTable.entries(spark, clone,
+      ManifestTable.currentVersion(spark, clone))
+    val (own, borrowed) = cur.partition(_._2.startsWith("files/"))
+    assert(own.nonEmpty && own.forall(_._1 == "1997"))
+    assert(borrowed.nonEmpty && borrowed.forall(_._1 != "1997"))
+    // source never observed any of it
+    assert(ManifestTable.currentVersion(spark, src) === srcVerBefore)
+    assert(ManifestTable.read(spark, src).count() === srcRowsBefore)
+    // and the deletion really happened in the clone
+    assert(ManifestTable.read(spark, clone)
+      .filter(col("o_orderkey") % 3 === 0 && col("o_year") === 1997)
+      .count() === 0L)
+  }
+
+  test("vacuum on the clone never deletes the source's files") {
+    val src = ManifestTable.mergedFixture(spark, sf)
+    val clone = ManifestTable.clonedFixture(spark, sf)
+    // expiring the clone's v1 makes its borrowed-1997 entries dead — but
+    // they are external, so nothing outside the clone's base is touched
+    val (expired, deletedFiles) = ManifestTable.expireSnapshots(spark, clone, 1)
+    assert(expired >= 0)
+    assert(deletedFiles === 0, "dead absolute entries must not be deleted")
+    assert(ManifestTable.read(spark, src).count() > 0)
+    assert(ManifestTable.read(spark, clone).count() > 0)
+  }
+
+  test("removeOrphans deletes exactly the crash debris and nothing committed") {
+    val base = s"${graft.Scratch.root}/orphan_tbl"
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    ManifestTable.create(spark, base, t, "o_year")
+    val before = ManifestTable.read(spark, base).count()
+    // a crashed merge: files staged and moved, no manifest committed
+    intercept[RuntimeException] {
+      ManifestTable.merge(spark, base,
+        t.limit(100).withColumn("o_totalprice", col("o_totalprice") + 1),
+        "o_orderkey", "o_year", failBeforeCommit = true)
+    }
+    val orphans = ManifestTable.removeOrphans(spark, base)
+    assert(orphans.nonEmpty, "the crash must have left staged files behind")
+    assert(orphans.forall(p => p.startsWith("files/v2/") || p.startsWith(".stage-")))
+    // the committed snapshot is byte-complete after cleanup
+    assert(ManifestTable.read(spark, base).count() === before)
+    // idempotent: a second sweep finds nothing
+    assert(ManifestTable.removeOrphans(spark, base).isEmpty)
+    // retention fences young files: re-crash, then a sweep with a long
+    // retention window must leave the fresh debris alone
+    intercept[RuntimeException] {
+      ManifestTable.merge(spark, base,
+        t.limit(100).withColumn("o_totalprice", col("o_totalprice") + 1),
+        "o_orderkey", "o_year", failBeforeCommit = true)
+    }
+    assert(ManifestTable.removeOrphans(spark, base, olderThanMs = 3600000L).isEmpty)
+    assert(ManifestTable.removeOrphans(spark, base).nonEmpty)
+  }
+}
