@@ -631,7 +631,75 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** DUPLICATED-PASSAGE detection — substring-grain dedup in the spirit of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better", the ExactSubstr pass): find every position where a 5-token
+    * window recurs ANYWHERE in the corpus, then merge overlapping hits
+    * into maximal duplicated spans per document. Lee et al. build a
+    * corpus-wide suffix array; the distributed formulation is an inverted
+    * index instead — explode (doc, pos, 5-gram), one hash shuffle on the
+    * gram to find grams with corpus frequency > 1, equi-join the hits
+    * back, and interval-merge per document with two bounded windows (the
+    * running-max + flag-cumsum island pattern of `q_interval_merge`;
+    * partitioned by doc_id, so no window ever exceeds one document's
+    * hits). Reported per doc: merged span count, duplicated-token
+    * coverage, and the longest span — exactly the statistics that decide
+    * whether to cut the spans or drop the doc. At 100 TB the gram shuffle
+    * dominates and is unavoidable (it IS the duplicate discovery); rare
+    * grams could be pre-filtered by a count-min sketch, but exactness is
+    * the point of the ExactSubstr pass. */
+  val dupPassages: QuerySpec = QuerySpec.sql(
+    "q_dup_passages",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(range(1, len(w) - 3)) AS pos FROM d),
+      |ng AS (SELECT g.doc_id, g.pos,
+      |              array_to_string(list_slice(d.w, g.pos, g.pos + 4), ' ') AS gram
+      |       FROM g JOIN d ON g.doc_id = d.doc_id),
+      |dup AS (SELECT gram FROM ng GROUP BY gram HAVING count(*) > 1),
+      |pts AS (SELECT ng.doc_id, ng.pos, ng.pos + 4 AS e
+      |        FROM ng JOIN dup ON ng.gram = dup.gram),
+      |mx AS (SELECT doc_id, pos, e,
+      |              max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |       FROM pts),
+      |grp AS (SELECT doc_id, pos, e,
+      |               sum(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+      |                 OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+      |        FROM mx),
+      |spans AS (SELECT doc_id, gid, min(pos) AS s, max(e) AS e
+      |          FROM grp GROUP BY 1, 2)
+      |SELECT doc_id, count(*) AS n_spans,
+      |       CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+      |       CAST(max(e - s + 1) AS BIGINT) AS longest
+      |FROM spans GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    // (doc, pos, gram) for every 5-token window; 1-based pos like the SQL
+    val grams = d.filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("w")) - 4),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("w"), i, lit(5))).as("gram")))).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.gram").as("gram"))
+    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("gram"))
+    val pts = grams.join(dup, "gram")
+      .select(col("doc_id"), col("pos"), (col("pos") + 4).as("e"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pmax = max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = pts.withColumn("fresh",
+      when(pmax.isNull || col("pos") > pmax, 1L).otherwise(0L))
+    val grouped = flagged.withColumn("gid", sum(col("fresh")).over(byPos))
+    grouped.groupBy(col("doc_id"), col("gid"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"),
+        max(col("e") - col("s") + 1).cast("long").as("longest"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(dedupExact, nearDupPairs, minhashSigs, simhashPairs, fingerprintOverlap,
-      dedupClusters, dedupBest, dedupIncremental, chunkDedup)
+      dedupClusters, dedupBest, dedupIncremental, chunkDedup, dupPassages)
 }

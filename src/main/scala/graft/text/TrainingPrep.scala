@@ -616,7 +616,107 @@ object TrainingPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** PERPLEXITY-BASED QUALITY FILTERING — the CCNet gate (Wenzek et al.
+    * 2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data"): score every document under a language model trained on
+    * a trusted reference split, and band the corpus by per-token negative
+    * log-likelihood (low NLL ≈ fluent "head", high NLL ≈ noisy "tail").
+    * The reference split here is the `doc_id % 10 < 8` shard standing in
+    * for CCNet's Wikipedia LM; the model is [[lmKneserNey]]'s interpolated
+    * KN bigram (same discount, same continuation floor), re-used verbatim
+    * so the two queries cannot drift. Per doc: integer micro-NLL summed
+    * over bigrams, integer-divided by the bigram count (exact in both
+    * engines), banded at fixed thresholds — fixed because that is what
+    * CCNet does (the threshold comes from the reference model, not from a
+    * corpus-relative percentile), and because it keeps the gate one
+    * aggregate: train (2 shuffles over the train split) + score (3
+    * equi-joins against broadcast-sized model tables) + band (1 shuffle on
+    * a 3-value key). No windows, no driver state — the 100 TB shape.
+    * Sub-2-token docs carry no bigram evidence and are not scored (CCNet
+    * likewise drops paragraphs too short to score). */
+  val perplexityFilter: QuerySpec = QuerySpec.sql(
+    "q_perplexity_filter",
+    """WITH d AS (SELECT doc_id, doc_id % 10 AS b, string_split(text, ' ') AS w FROM documents),
+      |trb AS (SELECT unnest(list_transform(range(1, len(w)),
+      |                i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+      |        FROM d WHERE b < 8),
+      |cb AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c FROM trb GROUP BY 1, 2),
+      |cw AS (SELECT w1, CAST(sum(c) AS DOUBLE) AS cw1,
+      |              CAST(count(*) AS DOUBLE) AS n1f
+      |       FROM cb GROUP BY 1),
+      |cp AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n1p FROM cb GROUP BY 1),
+      |bt AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM cb),
+      |te AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |                i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+      |       FROM d),
+      |sc AS (
+      |  SELECT te.doc_id,
+      |         CAST(floor(-ln(
+      |           CASE WHEN cw.w1 IS NOT NULL THEN
+      |             (greatest(coalesce(cb.c, 0) - 0.75, 0.0) / cw.cw1)
+      |               + ((0.75 * cw.n1f) / cw.cw1) * (coalesce(cp.n1p, 1.0) / bt.bt)
+      |           ELSE coalesce(cp.n1p, 1.0) / bt.bt END) * 1000000 + 0.5) AS BIGINT)
+      |           AS nll_micro
+      |  FROM te
+      |  LEFT JOIN cb ON te.p.w1 = cb.w1 AND te.p.w2 = cb.w2
+      |  LEFT JOIN cw ON te.p.w1 = cw.w1
+      |  LEFT JOIN cp ON te.p.w2 = cp.w2
+      |  CROSS JOIN bt),
+      |doc AS (SELECT doc_id, count(*) AS nb, CAST(sum(nll_micro) AS BIGINT) AS snll
+      |        FROM sc GROUP BY 1)
+      |SELECT CASE WHEN snll // nb < 3360000 THEN 'clean'
+      |            WHEN snll // nb < 3420000 THEN 'fair'
+      |            ELSE 'noisy' END AS band,
+      |       count(*) AS n_docs,
+      |       CAST(sum(nb) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(snll) AS BIGINT) AS nll_micro_sum
+      |FROM doc GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 10).as("b"), toks.as("w"))
+    val pairsOf = when(size(col("w")) >= 2,
+      transform(
+        sequence(lit(0), size(col("w")) - 2),
+        i => struct(
+          element_at(col("w"), i + 1).as("w1"),
+          element_at(col("w"), i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val cb = d.filter(col("b") < 8).select(explode(pairsOf).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // three aggregate consumers below
+    val cw = cb.groupBy(col("w1"))
+      .agg(sum(col("c")).cast("double").as("cw1"),
+        count(lit(1)).cast("double").as("n1f"))
+    val cp = cb.groupBy(col("w2")).agg(count(lit(1)).cast("double").as("n1p"))
+    val bt = cb.agg(count(lit(1)).cast("double").as("bt"))
+    val te = d.select(col("doc_id"), explode(pairsOf).as("p"))
+    val prob = when(col("cw1").isNotNull,
+        (greatest(coalesce(col("c_bg"), lit(0L)) - 0.75, lit(0.0)) / col("cw1"))
+          + ((lit(0.75) * col("n1f")) / col("cw1"))
+            * (coalesce(col("n1p"), lit(1.0)) / col("bt")))
+      .otherwise(coalesce(col("n1p"), lit(1.0)) / col("bt"))
+    te.join(cb.select(col("w1").as("b1"), col("w2").as("b2"), col("c").as("c_bg")),
+        col("p.w1") === col("b1") && col("p.w2") === col("b2"), "left")
+      .join(cw, col("p.w1") === cw("w1"), "left")
+      .join(cp, col("p.w2") === cp("w2"), "left")
+      .crossJoin(broadcast(bt))
+      .select(col("doc_id"),
+        floor(-log(prob) * 1000000 + 0.5).cast("long").as("nll_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"), sum(col("nll_micro")).as("snll"))
+      .select(
+        when(expr("snll div nb") < 3360000L, "clean")
+          .when(expr("snll div nb") < 3420000L, "fair")
+          .otherwise("noisy").as("band"),
+        col("nb"), col("snll"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("n_bigrams"),
+        sum(col("snll")).as("nll_micro_sum"))
+      .orderBy(col("band"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(docChunks, qualityDeciles, lmBigram, lmKneserNey, bpeStep, bpeVocab,
-      bpeEncode, lmTrigram)
+      bpeEncode, lmTrigram, perplexityFilter)
 }

@@ -211,6 +211,49 @@ class DedupSpec extends AnyFunSuite {
     assert(stream.nonEmpty)
   }
 
+  test("duplicated-passage spans are maximal, disjoint, and really duplicated") {
+    // recompute the merged spans (not just the per-doc stats) and check the
+    // interval-merge invariants the registered query's aggregates rest on
+    val d = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val grams = d.filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("w")) - 4),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("w"), i, lit(5))).as("gram")))).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.gram").as("gram"))
+    val dupG = grams.groupBy(col("gram")).count().filter(col("count") > 1)
+    // every surviving gram occurs at >= 2 (doc, pos) sites — "duplicated"
+    assert(dupG.count() > 0)
+    val res = Dedup.dupPassages.fn(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val (n, tok, longest) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(longest >= 5, "a span covers at least one 5-gram")
+      assert(tok >= n * 5, "disjoint spans each cover >= 5 tokens")
+      assert(longest <= tok)
+    }
+    // coverage never exceeds the doc's token count (spans are disjoint and
+    // clamped to the doc)
+    val lens = d.select(col("doc_id"), size(col("w")).cast("long").as("len"))
+    val joined = Dedup.dupPassages.fn(spark, sf).join(lens, "doc_id")
+    assert(joined.filter(col("dup_tokens") > col("len")).count() === 0)
+  }
+
+  test("perplexity bands order by fluency and cover every scored doc") {
+    val bands = graft.text.TrainingPrep.perplexityFilter.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(bands.keySet === Set("clean", "fair", "noisy"))
+    // avg micro-NLL per bigram must be ordered clean < fair < noisy — the
+    // banding really separates fluency, it isn't a relabeled count
+    def avg(b: String) = bands(b)._3.toDouble / bands(b)._2
+    assert(avg("clean") < avg("fair") && avg("fair") < avg("noisy"))
+    // every doc with >= 2 tokens is scored exactly once
+    val scorable = graft.model.Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(bands.values.map(_._1).sum === scorable)
+  }
+
   test("expressions usable from SQL text after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT simhash64('a b c') AS h, size(fingerprints('abcdefghijklmnop')) AS n")
