@@ -91,5 +91,42 @@ object Expectations {
       .orderBy(col("check_name"))
   }
 
-  val all: Seq[QuerySpec] = Seq(expectations)
+  /** K-ANONYMITY audit (Sweeney 2002, "k-Anonymity: A Model for
+    * Protecting Privacy") — the re-identification check a privacy review
+    * runs before a dataset ships: group rows by their quasi-identifier
+    * combination (here nation × market segment, the released attributes an
+    * adversary could link on) and count, per candidate k, the equivalence
+    * classes smaller than k and the rows inside them. A row in a
+    * sub-k class is re-identifiable by linkage; `rows_at_risk` is the
+    * population that would need suppression or generalization to publish
+    * at that k. Distributed shape: ONE group-size aggregate over the data
+    * (the only data-sized shuffle), then a broadcast cross with the
+    * 3-row k ladder over the GROUP table — at 100 TB the audit costs one
+    * pass, and the per-k report is metadata-sized arithmetic. The
+    * complement of the [[graft.text.CorpusPipeline]] PII scan: that finds
+    * identifiers IN the text, this measures identifiability OF the rows. */
+  val kAnonymity: QuerySpec = QuerySpec.sql(
+    "q_k_anonymity",
+    """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz
+      |           FROM customer GROUP BY 1, 2),
+      |k AS (SELECT unnest([2, 5, 10]) AS k)
+      |SELECT k.k AS k,
+      |       CAST(count(CASE WHEN g.sz < k.k THEN 1 END) AS BIGINT) AS n_groups_below,
+      |       CAST(coalesce(sum(CASE WHEN g.sz < k.k THEN g.sz END), 0) AS BIGINT) AS rows_at_risk,
+      |       CAST(min(g.sz) AS BIGINT) AS min_group
+      |FROM g CROSS JOIN k GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val g = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("sz"))
+    val ks = spark.range(1).select(explode(array(lit(2L), lit(5L), lit(10L))).as("k"))
+    g.crossJoin(broadcast(ks))
+      .groupBy(col("k"))
+      .agg(
+        sum(when(col("sz") < col("k"), 1L).otherwise(0L)).as("n_groups_below"),
+        coalesce(sum(when(col("sz") < col("k"), col("sz"))), lit(0L)).as("rows_at_risk"),
+        min(col("sz")).as("min_group"))
+      .orderBy(col("k"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(expectations, kAnonymity)
 }

@@ -124,10 +124,22 @@ object ManifestTable {
     * directory names and manifest entries, never in the data files). */
   private[sources] def writeSnapshotFilesExpr(
       spark: SparkSession, base: String, version: Int, df: DataFrame,
-      partExpr: org.apache.spark.sql.Column): Seq[(String, String)] = {
+      partExpr: org.apache.spark.sql.Column): Seq[(String, String)] =
+    writeSnapshotFilesArranged(spark, base, version, df, partExpr,
+      _.repartition(col("__p")))
+
+  /** [[writeSnapshotFilesExpr]] with the pre-write shuffle made pluggable:
+    * `arrange` receives the frame WITH its `__p` layout column and decides
+    * how rows map to tasks (and therefore to files). The default is one
+    * hash partition per `__p`; [[optimizeSorted]] range-partitions on
+    * `(__p, clusterCol)` instead so each file bounds a narrow cluster-key
+    * range. */
+  private def writeSnapshotFilesArranged(
+      spark: SparkSession, base: String, version: Int, df: DataFrame,
+      partExpr: org.apache.spark.sql.Column,
+      arrange: DataFrame => DataFrame): Seq[(String, String)] = {
     val stage = new Path(base, s".stage-${java.util.UUID.randomUUID}")
-    df.withColumn("__p", partExpr.cast("string"))
-      .repartition(col("__p"))
+    arrange(df.withColumn("__p", partExpr.cast("string")))
       .write.partitionBy("__p").parquet(stage.toString)
     val fs = fsOf(spark, stage)
     val destRoot = new Path(base, s"files/v$version")
@@ -321,6 +333,33 @@ object ManifestTable {
     commit(spark, base, v + 1, cold ++ newFiles)
     refreshAllStats(spark, base)
     (hotVals.size, hot.size, newFiles.size)
+  }
+
+  /** CLUSTERED OPTIMIZE — `OPTIMIZE ... ZORDER BY (col)` in one dimension:
+    * rewrite the table so each partition's rows land in
+    * ~`filesPerPartition` RANGE-DISJOINT files of the cluster column
+    * (range-partition on `(partition, clusterCol)` — every task, and so
+    * every file, bounds a contiguous cluster-key slice). Compaction alone
+    * ([[optimizeTable]]) gives one file per partition whose cluster-key
+    * range spans the whole domain, so the min/max sidecar can never skip
+    * WITHIN a partition; after this rewrite a cluster-key range predicate
+    * keeps only the few files whose slice intersects it. The sidecars are
+    * refreshed by the same commit path as every verb, so `readPruned`
+    * benefits immediately. Data is byte-identical; only layout changes;
+    * prior snapshots stay addressable. At 100 TB this is the periodic
+    * layout-maintenance job that keeps point/range lookups on a secondary
+    * key from reading whole partitions. Returns (files before, after). */
+  def optimizeSorted(spark: SparkSession, base: String, partCol: String,
+      sortCol: String, filesPerPartition: Int): (Int, Int) = {
+    val v = currentVersion(spark, base)
+    val es = entries(spark, base, v)
+    val nPvals = es.map(_._1).distinct.size
+    val newFiles = writeSnapshotFilesArranged(spark, base, v + 1,
+      read(spark, base), col(partCol),
+      _.repartitionByRange(nPvals * filesPerPartition, col("__p"), col(sortCol)))
+    commit(spark, base, v + 1, newFiles)
+    refreshAllStats(spark, base)
+    (es.size, newFiles.size)
   }
 
   /** RESTORE — roll the table back to snapshot `toVersion` as a NEW
@@ -1738,9 +1777,67 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
+  /** Build-once fixture for clustered optimize: orders created + twice
+    * appended in `o_orderkey` bands (so every file's `o_custkey` range
+    * spans the whole customer domain — the layout-uncorrelated worst
+    * case), an `o_custkey` stats sidecar from v1, then [[optimizeSorted]]
+    * re-clusters each year partition into ~4 custkey-range-disjoint
+    * files. The sidecar is maintained by the optimize commit itself. */
+  private[sources] def sortedFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("sorted", dir), {
+        val base =
+          s"${graft.Scratch.root}/orders_sofix_${graft.Scratch.dirToken(dir)}"
+        val t = Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("int").as("o_year"),
+            col("o_custkey"), col("o_totalprice"))
+        val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
+        val (k1, k2) = (mx / 3, 2 * mx / 3)
+        create(spark, base, t.filter(col("o_orderkey") <= k1), "o_year")
+        buildStats(spark, base, "o_custkey")
+        append(spark, base,
+          t.filter(col("o_orderkey") > k1 && col("o_orderkey") <= k2), "o_year")
+        append(spark, base, t.filter(col("o_orderkey") > k2), "o_year")
+        optimizeSorted(spark, base, "o_year", "o_custkey", 4)
+        base
+      })
+    }
+
+  /** Registered CLUSTERED-OPTIMIZE range lookup: a middle slice of the
+    * customer domain read through [[readPruned]] against the
+    * [[sortedFixture]]. Before the rewrite no file can be skipped (every
+    * ingest band spans the whole custkey domain); after it the sidecar
+    * keeps only the files whose cluster slice intersects the range —
+    * `CloneVacuumSpec` pins that the kept set really shrank and that the
+    * rewrite moved no data. Bounds derive from min/max by exact integer
+    * arithmetic in both engines, so the query is deterministic at every
+    * SF. */
+  val tableOptimizeSorted: QuerySpec = QuerySpec.sql(
+    "q_optimize_sort",
+    """WITH b AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM orders),
+      |r AS (SELECT mn + (mx - mn) * 2 // 5 AS lo, mn + (mx - mn) // 2 AS hi FROM b)
+      |SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM orders, r
+      |WHERE o_custkey BETWEEN r.lo AND r.hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = sortedFixture(spark, dir)
+    val row = Tables.orders(spark, dir)
+      .agg(min(col("o_custkey")), max(col("o_custkey"))).head
+    val (mn, mx) = (row.getLong(0), row.getLong(1))
+    val (lo, hi) = (mn + (mx - mn) * 2 / 5, mn + (mx - mn) / 2)
+    readPruned(spark, base, "o_custkey", lo, hi)
+      .filter(col("o_custkey").between(lo, hi))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
       tableStatsSkipMulti, tableBloomSkip, tableCdc, tableCdfAgg, streamCdf,
-      tableClone)
+      tableClone, tableOptimizeSorted)
 }

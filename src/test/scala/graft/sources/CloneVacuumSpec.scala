@@ -52,6 +52,32 @@ class CloneVacuumSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, clone).count() > 0)
   }
 
+  test("clustered optimize turns an unskippable layout into a skipping one") {
+    val base = ManifestTable.sortedFixture(spark, sf)
+    val t = graft.model.Tables.orders(spark, sf)
+    val row = t.agg(min(col("o_custkey")), max(col("o_custkey"))).head
+    val (mn, mx) = (row.getLong(0), row.getLong(1))
+    val (lo, hi) = (mn + (mx - mn) * 2 / 5, mn + (mx - mn) / 2)
+    // BEFORE (v3, the fragmented ingest-banded layout): every file's
+    // custkey range intersects the probe range — zero skip potential
+    val v3 = ManifestTable.entries(spark, base, 3)
+    v3.foreach { case (_, rel) =>
+      val r = spark.read.parquet(ManifestTable.resolve(base, rel))
+        .agg(min(col("o_custkey")), max(col("o_custkey"))).head
+      assert(r.getLong(0) <= hi && r.getLong(1) >= lo,
+        s"pre-optimize file $rel unexpectedly skippable")
+    }
+    // AFTER (v4, range-clustered): the maintained sidecar skips most files
+    val (kept, total) = ManifestTable.prunedPaths(spark, base, "o_custkey", lo, hi)
+    assert(kept.size < total && kept.size <= total / 2,
+      s"clustered layout kept ${kept.size} of $total")
+    // the rewrite moved no data
+    val before = ManifestTable.readVersion(spark, base, 3)
+    val after = ManifestTable.readVersion(spark, base, 4)
+    assert(after.count() === before.count())
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+  }
+
   test("removeOrphans deletes exactly the crash debris and nothing committed") {
     val base = s"${graft.Scratch.root}/orphan_tbl"
     val t = graft.model.Tables.orders(spark, sf)
