@@ -1835,9 +1835,48 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
+  /** Registered INDEX JOIN through the bloom sidecar: a bounded, selective
+    * probe set (the customers of the three smallest orders) joined against
+    * the bloom-indexed table by UNIONING each key's possible-file set and
+    * reading only that — the table-format analogue of an index-nested-loop
+    * join, where the "index lookups" are pure metadata (no data I/O until
+    * the final pruned scan + row filter). This is the right plan when the
+    * probe side is small and selective; a large probe set degrades
+    * gracefully to the ordinary shuffled equi-join (`q_join_enrich`), the
+    * same way an RDBMS flips from index-nested-loop to hash join. Blooms
+    * admit false keeps, never false drops, so the row filter makes the
+    * result exact — a false drop would lose a customer's orders and
+    * hash-mismatch against the plain-SQL oracle. */
+  val tableIndexJoin: QuerySpec = QuerySpec.sql(
+    "q_index_join",
+    """WITH o AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         o_custkey, o_totalprice
+      |  FROM orders),
+      |ck AS (SELECT DISTINCT o_custkey FROM (
+      |         SELECT o_custkey FROM o ORDER BY o_orderkey LIMIT 3))
+      |SELECT o.o_custkey, count(*) AS n,
+      |       CAST(sum(floor(o.o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM o JOIN ck ON o.o_custkey = ck.o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = bloomFixture(spark, dir)
+    val keys = Tables.orders(spark, dir) // bounded probe: 3 driver-side keys
+      .orderBy(col("o_orderkey")).select(col("o_custkey")).limit(3)
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val paths = keys
+      .flatMap(k => prunedPathsBloom(spark, base, "o_custkey", k)._1)
+      .distinct
+    spark.read.parquet(paths: _*)
+      .filter(col("o_custkey").isin(keys: _*))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("o_custkey"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
       tableStatsSkipMulti, tableBloomSkip, tableCdc, tableCdfAgg, streamCdf,
-      tableClone, tableOptimizeSorted)
+      tableClone, tableOptimizeSorted, tableIndexJoin)
 }

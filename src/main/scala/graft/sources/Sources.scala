@@ -618,8 +618,50 @@ object Sources {
       .orderBy(col("priority"))
   }
 
+  /** DYNAMIC PARTITION PRUNING over the Hive-partitioned sink — the
+    * run-time half of partition pruning: the fact table is partitioned by
+    * `o_year`, the pruning years are only known after FILTERING THE DIM
+    * side (here a year-attribute dim derived from the data, filtered to
+    * its "modern" label), so no static filter can reach the fact scan.
+    * Catalyst's DPP injects the dim's broadcast result as a runtime
+    * partition filter (`dynamicpruning` subquery in the scan's
+    * PartitionFilters — `PlanQualitySpec` pins it), and the fact side
+    * opens only the surviving year directories. At 100 TB this is what
+    * keeps star-join queries from scanning every partition of the fact
+    * table when the predicate lives on the dimension. */
+  val dppJoin: QuerySpec = QuerySpec.sql(
+    "q_dpp_join",
+    """WITH dim AS (
+      |  SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS d_year,
+      |         CASE WHEN year(o_orderdate) >= 1996 THEN 'modern' ELSE 'legacy' END AS era
+      |  FROM orders),
+      |f AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_totalprice
+      |      FROM orders)
+      |SELECT f.o_year, count(*) AS n,
+      |       CAST(sum(floor(f.o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM f JOIN dim ON f.o_year = dim.d_year
+      |WHERE dim.era = 'modern'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val out = scratch("orders_dpp")
+    Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+      .repartition(col("o_year"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    val dim = Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("int").as("d_year"),
+        when(year(col("o_orderdate")) >= 1996, "modern").otherwise("legacy").as("era"))
+      .distinct()
+    spark.read.parquet(out)
+      .join(broadcast(dim), col("o_year") === col("d_year"))
+      .filter(col("era") === "modern")
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     csvRoundtrip, csvInferRoundtrip, jsonRoundtrip, partitionedSink, externalTable,
     orcRoundtrip, bucketedJoin, bucketedAgg, clusteredLayout, zorderLayout,
-    hilbertLayout, compactCluster, schemaEvolution, jsonMalformed)
+    hilbertLayout, compactCluster, schemaEvolution, jsonMalformed, dppJoin)
 }

@@ -334,6 +334,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast dim join:\n$p")
   }
 
+  test("dpp join: fact scan carries a runtime dynamic-pruning partition filter") {
+    val p = plan(graft.sources.Sources.dppJoin.fn(spark, sf))
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+    assert(p.contains("PartitionFilters"), s"fact scan not partition-filtered:\n$p")
+  }
+
   test("salted aggregation equals plain aggregation") {
     import spark.implicits._
     val salted = Skew.saltedAggQuery.fn(spark, sf)
