@@ -1874,9 +1874,87 @@ object ManifestTable {
       .orderBy(col("o_custkey"))
   }
 
+  /** METADATA TABLE (Iceberg's `.files`, Delta's DESCRIBE DETAIL): the
+    * current snapshot's per-partition file census as a DataFrame — pure
+    * manifest arithmetic, zero data I/O, driver-sized like every manifest
+    * operation. */
+  def tablePartitionsDf(spark: SparkSession, base: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = entries(spark, base, currentVersion(spark, base))
+      .groupBy(_._1).view.mapValues(_.size).toSeq.sortBy(_._1)
+      .map { case (p, n) => org.apache.spark.sql.Row(p, n.toLong) }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pval",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_files",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  /** METADATA TABLE (Iceberg's `.history` / `.snapshots`): one row per
+    * committed version — file and partition counts, plus how many files
+    * the commit CARRIED from its predecessor vs ADDED, which is the
+    * at-a-glance audit of whether the verbs really are copy-on-write at
+    * partition grain. Manifest-only; no data I/O. */
+  def tableHistoryDf(spark: SparkSession, base: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val vs = versions(spark, base)
+    val sets = vs.map(v => v -> entries(spark, base, v).map(_._2).toSet).toMap
+    val rows = vs.map { v =>
+      val cur = sets(v)
+      val prev = vs.filter(_ < v).lastOption.map(sets).getOrElse(Set.empty[String])
+      org.apache.spark.sql.Row(v, cur.size.toLong,
+        entries(spark, base, v).map(_._1).distinct.size.toLong,
+        (cur & prev).size.toLong, (cur -- prev).size.toLong)
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("n_files",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_partitions",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_carried",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_added",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  /** Registered METADATA-TABLE query: the [[statsFixture]]'s per-partition
+    * file census joined with its row counts. The file counts come from
+    * MANIFEST METADATA ONLY — and the oracle can still check them exactly,
+    * because the fixture's layout is replayable in SQL: each of the three
+    * ingest waves (orderkey tertiles) wrote exactly one file into every
+    * year it touched, so a year's file count ≡ the number of waves with at
+    * least one row in that year. A wrong manifest grouping, a lost append,
+    * or a phantom compaction all hash-mismatch. */
+  val tablePartitions: QuerySpec = QuerySpec.sql(
+    "q_table_partitions",
+    """WITH t AS (SELECT o_orderkey,
+      |                  CAST(year(o_orderdate) AS INTEGER) AS o_year
+      |           FROM orders),
+      |mx AS (SELECT max(o_orderkey) AS mx FROM t),
+      |w AS (SELECT o_year,
+      |             CASE WHEN o_orderkey <= mx // 3 THEN 0
+      |                  WHEN o_orderkey <= mx * 2 // 3 THEN 1
+      |                  ELSE 2 END AS wave
+      |      FROM t, mx)
+      |SELECT o_year, CAST(count(DISTINCT wave) AS BIGINT) AS n_files,
+      |       count(*) AS n_rows
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = statsFixture(spark, dir)
+    val meta = tablePartitionsDf(spark, base)
+    val rows = read(spark, base)
+      .groupBy(col("o_year")).agg(count(lit(1)).as("n_rows"))
+    meta.select(col("pval").cast("int").as("o_year"), col("n_files"))
+      .join(rows, "o_year")
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
       tableStatsSkipMulti, tableBloomSkip, tableCdc, tableCdfAgg, streamCdf,
-      tableClone, tableOptimizeSorted, tableIndexJoin)
+      tableClone, tableOptimizeSorted, tableIndexJoin, tablePartitions)
 }

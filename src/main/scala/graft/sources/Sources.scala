@@ -660,8 +660,51 @@ object Sources {
       .orderBy(col("o_year"))
   }
 
+  /** PARQUET AGGREGATE PUSHDOWN — a table profile (row count, min/max)
+    * answered ENTIRELY from parquet footer statistics: with the v2 source
+    * and `spark.sql.parquet.aggregatePushdown` on, Catalyst pushes
+    * COUNT(*) / MIN / MAX into the scan (`PushedAggregation` in the plan,
+    * pinned by `PlanQualitySpec`) and no data page is ever decoded. At
+    * 100 TB this is the difference between a metadata round-trip and a
+    * full-table scan for the profiling pass every ingest job runs. Both
+    * confs are scoped to this query: they are flipped, the result is
+    * MATERIALIZED under them (plans resolve at action time, so returning
+    * a lazy frame would re-plan after the restore), and restored in the
+    * finally. */
+  val aggPushdown: QuerySpec = QuerySpec.sql(
+    "q_agg_pushdown",
+    """SELECT 'lineitem' AS tbl, count(*) AS n,
+      |       min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders', count(*), min(o_totalprice), max(o_totalprice)
+      |FROM orders
+      |ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    val prevPush = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      def prof(t: String, c: String) =
+        spark.read.parquet(s"$dir/$t.parquet")
+          .agg(expr("count(*)").as("n"), min(col(c)).as("mn"), max(col(c)).as("mx"))
+          .select(lit(t).as("tbl"), col("n"), col("mn"), col("mx"))
+      val df = prof("lineitem", "l_extendedprice")
+        .unionByName(prof("orders", "o_totalprice"))
+        .orderBy(col("tbl"))
+      val rows = df.collect().toSeq
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), df.schema)
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", prevPush)
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     csvRoundtrip, csvInferRoundtrip, jsonRoundtrip, partitionedSink, externalTable,
     orcRoundtrip, bucketedJoin, bucketedAgg, clusteredLayout, zorderLayout,
-    hilbertLayout, compactCluster, schemaEvolution, jsonMalformed, dppJoin)
+    hilbertLayout, compactCluster, schemaEvolution, jsonMalformed, dppJoin,
+    aggPushdown)
 }

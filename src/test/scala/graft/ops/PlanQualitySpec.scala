@@ -341,6 +341,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters"), s"fact scan not partition-filtered:\n$p")
   }
 
+  test("profile aggregates push into the parquet scan (footer-only answer)") {
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    val prevPush = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val df = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(expr("count(*)"), min(col("l_extendedprice")), max(col("l_extendedprice")))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [COUNT(*), MIN(l_extendedprice), MAX(l_extendedprice)]"),
+        s"aggregate not pushed to the scan:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", prevPush)
+    }
+  }
+
   test("salted aggregation equals plain aggregation") {
     import spark.implicits._
     val salted = Skew.saltedAggQuery.fn(spark, sf)

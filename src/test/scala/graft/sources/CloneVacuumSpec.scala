@@ -78,6 +78,23 @@ class CloneVacuumSpec extends AnyFunSuite {
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
   }
 
+  test("history metadata table shows copy-on-write at partition grain") {
+    val base = ManifestTable.mergedFixture(spark, sf)
+    val h = ManifestTable.tableHistoryDf(spark, base).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // v1: everything added, nothing carried
+    assert(h(1)._3 === 0L && h(1)._4 === h(1)._1)
+    // v2 (the merge): strictly carries cold partitions AND adds rewritten
+    // ones — the copy-on-write signature; full-rewrite would carry zero
+    assert(h(2)._3 > 0L && h(2)._4 > 0L)
+    assert(h(2)._1 === h(2)._3 + h(2)._4)
+    // partition census sums to the manifest's file count, with no data I/O
+    val parts = ManifestTable.tablePartitionsDf(spark, base).collect()
+    assert(parts.map(_.getLong(1)).sum ===
+      ManifestTable.entries(spark, base, 2).size.toLong)
+  }
+
   test("removeOrphans deletes exactly the crash debris and nothing committed") {
     val base = s"${graft.Scratch.root}/orphan_tbl"
     val t = graft.model.Tables.orders(spark, sf)
