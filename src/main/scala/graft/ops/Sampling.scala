@@ -182,6 +182,73 @@ object Sampling {
       .orderBy(col("lang"))
   }
 
+  /** TEMPERATURE-SCALED domain mixture (the UniMax / multilingual-T5
+    * recipe: sample domain d with probability ∝ n_d^(1/T)) at T = 2 —
+    * between proportional sampling (T = 1, which starves small domains)
+    * and uniform (T = ∞, [[dataMixture]], which over-epochs them). All
+    * arithmetic is exact: the weight floor(sqrt(domain_tokens)) is an
+    * IEEE-correctly-rounded sqrt of an integer-valued double, identical
+    * in both engines, and targets/epochs/remainders are integer ops from
+    * there. The fractional remainder of each domain's target is filled by
+    * the same exact-integer md5-uniform thinning as [[dataMixture]]
+    * (fresh salt, so the two samples decorrelate); the whole plan is two
+    * aggregates and a broadcast join — no windows, no driver state. The
+    * overall budget is half the corpus (a real mixture downsamples). */
+  val mixtureTemp: QuerySpec = QuerySpec.sql(
+    "q_mixture_temp",
+    """WITH d AS (
+      |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |t AS (SELECT lang, CAST(sum(ntok) AS BIGINT) AS dt FROM d GROUP BY 1),
+      |w AS (SELECT lang, dt, CAST(floor(sqrt(dt)) AS BIGINT) AS wgt FROM t),
+      |g AS (SELECT CAST(sum(wgt) AS BIGINT) AS sw, CAST(sum(dt) AS BIGINT) AS b
+      |      FROM w),
+      |e AS (SELECT lang, dt, wgt, (b // 2) * wgt // sw AS target,
+      |             ((b // 2) * wgt // sw) // dt AS epochs,
+      |             ((b // 2) * wgt // sw) % dt AS rem
+      |      FROM w, g),
+      |c AS (
+      |  SELECT d.lang, d.ntok, e.dt, e.target, e.epochs,
+      |         e.epochs + CASE WHEN
+      |             (CAST(CAST('0x' || substring(md5('mxt-' || d.doc_id), 1, 8) AS UBIGINT)
+      |                   AS BIGINT) + 1) * e.dt < e.rem * 4294967296
+      |           THEN 1 ELSE 0 END AS copies
+      |  FROM d JOIN e USING (lang))
+      |SELECT lang, min(dt) AS domain_tokens, min(target) AS target_tokens,
+      |       CAST(min(epochs) AS INTEGER) AS epochs,
+      |       CAST(sum(copies) AS BIGINT) AS n_docs_sampled,
+      |       CAST(sum(ntok * copies) AS BIGINT) AS n_tokens_sampled
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+    val t = d.groupBy(col("lang")).agg(sum(col("ntok")).cast("long").as("dt"))
+    val w = t.select(col("lang"), col("dt"),
+      floor(sqrt(col("dt").cast("double"))).cast("long").as("wgt"))
+    val g = w.agg(sum(col("wgt")).cast("long").as("sw"),
+      sum(col("dt")).cast("long").as("b"))
+    val e = w.crossJoin(broadcast(g))
+      .select(col("lang"), col("dt"),
+        expr("(b div 2) * wgt div sw").as("target"),
+        expr("((b div 2) * wgt div sw) div dt").as("epochs"),
+        expr("((b div 2) * wgt div sw) % dt").as("rem"))
+    val h = conv(substring(md5(concat(lit("mxt-"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("long") + 1
+    d.join(broadcast(e), Seq("lang"))
+      .select(col("lang"), col("ntok"), col("dt"), col("target"), col("epochs"),
+        (col("epochs") +
+          when(h * col("dt") < col("rem") * lit(4294967296L), 1L).otherwise(0L)).as("copies"))
+      .groupBy(col("lang"))
+      .agg(
+        min(col("dt")).as("domain_tokens"),
+        min(col("target")).as("target_tokens"),
+        min(col("epochs")).cast("int").as("epochs"),
+        sum(col("copies")).cast("long").as("n_docs_sampled"),
+        sum(col("ntok") * col("copies")).cast("long").as("n_tokens_sampled"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(dataSplit, sampleQuery, stratifiedQuery, weightedSample, dataMixture)
+    Seq(dataSplit, sampleQuery, stratifiedQuery, weightedSample, dataMixture,
+      mixtureTemp)
 }

@@ -1952,9 +1952,70 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
+  /** Read the current snapshot under SCHEMA EVOLUTION: files written
+    * before a column existed contribute NULL for it (parquet schema
+    * merging across the manifest's file set — additive evolution, the
+    * Delta `mergeSchema` / Iceberg add-column story). The plain [[read]]
+    * skips the footer-merging pass, so evolution-aware reads are explicit
+    * and the common case stays cheap. */
+  def readEvolved(spark: SparkSession, base: String): DataFrame = {
+    val v = currentVersion(spark, base)
+    val paths = entries(spark, base, v).map { case (_, rel) => resolve(base, rel) }
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+  }
+
+  /** Build-once fixture for additive schema evolution: v1 = the first
+    * orderkey half WITHOUT `o_channel`, v2 = an append of the second half
+    * WITH it. No old file is rewritten — the schema change is carried
+    * entirely by the new files plus the evolution-aware read. */
+  private[sources] def evolveFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("evolve", dir), {
+        val base =
+          s"${graft.Scratch.root}/orders_evfix_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
+        create(spark, base, t.filter(col("o_orderkey") <= mx / 2), "o_year")
+        append(spark, base,
+          t.filter(col("o_orderkey") > mx / 2)
+            .withColumn("o_channel",
+              when(col("o_orderkey") % 2 === 0, "web").otherwise("store")),
+          "o_year")
+        base
+      })
+    }
+
+  /** Registered SCHEMA-EVOLUTION read: the [[evolveFixture]] table grouped
+    * by the late-added column, with pre-evolution rows surfacing as the
+    * NULL→'legacy' bucket. The oracle replays the evolution point (the
+    * orderkey median) in SQL; losing the old files' NULLs, defaulting them
+    * wrongly, or failing to merge the footer schemas all hash-mismatch. */
+  val tableEvolve: QuerySpec = QuerySpec.sql(
+    "q_table_evolve",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |mx AS (SELECT max(o_orderkey) AS mx FROM t),
+      |v AS (SELECT o_totalprice,
+      |             CASE WHEN o_orderkey > mx // 2 THEN
+      |               CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END
+      |             END AS o_channel
+      |      FROM t, mx)
+      |SELECT coalesce(o_channel, 'legacy') AS channel, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM v GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = evolveFixture(spark, dir)
+    readEvolved(spark, base)
+      .groupBy(coalesce(col("o_channel"), lit("legacy")).as("channel"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("channel"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
       tableStatsSkipMulti, tableBloomSkip, tableCdc, tableCdfAgg, streamCdf,
-      tableClone, tableOptimizeSorted, tableIndexJoin, tablePartitions)
+      tableClone, tableOptimizeSorted, tableIndexJoin, tablePartitions,
+      tableEvolve)
 }
