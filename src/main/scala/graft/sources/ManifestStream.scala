@@ -1,0 +1,167 @@
+package graft.sources
+
+import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The manifest table as a STRUCTURED STREAMING SOURCE — a custom DSv2
+  * connector (the Delta streaming-source story): offsets are COMMITTED
+  * VERSION NUMBERS, each micro-batch is exactly the files one commit
+  * ADDED, and admission control caps progress at one version per batch —
+  * so a downstream pipeline consumes the table's append history with
+  * exactly-once version boundaries, checkpoint/restart included, instead
+  * of racing a directory listing (the file-source approach, which can
+  * tear a commit in half and never sees commit boundaries at all).
+  *
+  * This is the fourth kind of Spark extension point in the engine, after
+  * custom expressions, custom physical operators, and injected optimizer
+  * rules: a `TableProvider` → `Table` → `Scan` → `MicroBatchStream`
+  * stack. The executor-side reader decodes parquet through the public
+  * parquet-hadoop API into `InternalRow`s for the user-declared schema by
+  * FIELD NAME, so column order in old files doesn't matter.
+  *
+  * Scale: `latestOffset`/`planInputPartitions` are manifest arithmetic
+  * (driver, metadata-sized); each added file is one `InputPartition`, so
+  * read parallelism is file-grained exactly like the batch scan. Only
+  * APPEND histories stream faithfully (a merge's rewritten files would
+  * re-emit carried rows) — the same restriction Delta's streaming source
+  * has without `skipChangeCommits`; feed-accurate change consumption is
+  * [[ManifestTable.changeFeed]]'s job.
+  */
+class ManifestStreamProvider extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "manifest-stream requires a user-specified schema (.schema(...))")
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val base = properties.get("path")
+    require(base != null && base.nonEmpty, "manifest-stream requires .load(<table base>)")
+    new ManifestStreamTable(schema, base)
+  }
+}
+
+final class ManifestStreamTable(schema: StructType, base: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"manifest-stream($base)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ManifestMicroBatchStream(base, schema)
+      }
+    }
+}
+
+/** Offset = highest committed version already processed (0 = nothing). */
+final case class VersionOffset(v: Int) extends Offset {
+  override def json(): String = v.toString
+}
+
+final class ManifestMicroBatchStream(base: String, schema: StructType)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // driver-side manifest arithmetic (metadata-sized, like every commit op)
+  private def fs: FileSystem =
+    new Path(base).getFileSystem(new Configuration())
+  private def committedVersions: Seq[Int] = {
+    val dir = new Path(base, "_manifests")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .sorted
+  }
+  private def entriesOf(v: Int): Seq[String] = {
+    val p = new Path(base, s"_manifests/v$v.manifest")
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty)
+      .map(l => l.substring(l.indexOf('\t') + 1))
+  }
+
+  // Trigger.AvailableNow pins the catch-up target ONCE, so a concurrent
+  // writer committing mid-run can't extend this execution unboundedly
+  private var target: Int = -1
+  override def prepareForTriggerAvailableNow(): Unit =
+    target = committedVersions.lastOption.getOrElse(0)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = if (target >= 0) target else committedVersions.lastOption.getOrElse(0)
+    val s = start.asInstanceOf[VersionOffset].v
+    // admission control: ONE committed version per micro-batch — the batch
+    // boundary IS the commit boundary
+    VersionOffset(math.min(cur, s + 1))
+  }
+  override def reportLatestOffset(): Offset =
+    VersionOffset(committedVersions.lastOption.getOrElse(0))
+  override def latestOffset(): Offset = reportLatestOffset()
+  override def initialOffset(): Offset = VersionOffset(0)
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
+    (s + 1 to e).flatMap { v =>
+      val prev = if (v == 1) Set.empty[String] else entriesOf(v - 1).toSet
+      entriesOf(v).filterNot(prev).map { rel =>
+        val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
+        ManifestFilePartition(abs): InputPartition
+      }
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestFileReaderFactory(schema)
+}
+
+final case class ManifestFilePartition(path: String) extends InputPartition
+
+final class ManifestFileReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val path = partition.asInstanceOf[ManifestFilePartition].path
+    new PartitionReader[InternalRow] {
+      private val reader = ParquetReader
+        .builder(new GroupReadSupport(), new Path(path))
+        .withConf(new Configuration())
+        .build()
+      private var cur: org.apache.parquet.example.data.Group = _
+      override def next(): Boolean = { cur = reader.read(); cur != null }
+      override def get(): InternalRow = {
+        val vals = schema.fields.map { f =>
+          val gt = cur.getType
+          if (!gt.containsField(f.name) ||
+              cur.getFieldRepetitionCount(f.name) == 0) null
+          else f.dataType match {
+            case LongType    => cur.getLong(f.name, 0)
+            case IntegerType => cur.getInteger(f.name, 0)
+            case DoubleType  => cur.getDouble(f.name, 0)
+            case StringType  => UTF8String.fromString(cur.getString(f.name, 0))
+            case dt => throw new UnsupportedOperationException(
+              s"manifest-stream reader: unsupported type $dt for ${f.name}")
+          }
+        }
+        new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+}

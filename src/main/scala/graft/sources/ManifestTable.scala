@@ -2012,10 +2012,65 @@ object ManifestTable {
       .orderBy(col("channel"))
   }
 
+  /** Registered STREAMING READ OF THE TABLE ITSELF through the custom
+    * DSv2 connector ([[ManifestStreamProvider]]): the [[statsFixture]]'s
+    * append history consumed as micro-batches whose boundaries are the
+    * COMMIT boundaries (one version per batch, by admission control), each
+    * batch landed idempotently in a `batch=<id>` sink. The oracle checks
+    * BOTH the data (per-year counts/cents ≡ plain orders) and the
+    * batching itself: a year's `n_batches` must equal the number of
+    * ingest waves that touched it — replayable in SQL because the waves
+    * are orderkey tertiles. Collapsing the history into one batch,
+    * tearing a commit across batches, or re-emitting carried files all
+    * hash-mismatch. */
+  val streamTable: QuerySpec = QuerySpec.sql(
+    "q_stream_table",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |mx AS (SELECT max(o_orderkey) AS mx FROM t),
+      |w AS (SELECT o_year, o_totalprice,
+      |             CASE WHEN o_orderkey <= mx // 3 THEN 0
+      |                  WHEN o_orderkey <= mx * 2 // 3 THEN 1
+      |                  ELSE 2 END AS wave
+      |      FROM t, mx)
+      |SELECT o_year, CAST(count(DISTINCT wave) AS BIGINT) AS n_batches,
+      |       count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = statsFixture(spark, dir)
+    val sink = s"${graft.Scratch.root}/stream_table_${graft.Scratch.dirToken(dir)}"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_year",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType)))
+    val q = spark.readStream
+      .format("graft.sources.ManifestStreamProvider")
+      .schema(schema)
+      .load(base)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/batch=$id"); ()
+      }
+      .option("checkpointLocation", s"$sink-ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .groupBy(col("o_year"))
+      .agg(countDistinct(col("batch")).as("n_batches"),
+        count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
       tableStatsSkipMulti, tableBloomSkip, tableCdc, tableCdfAgg, streamCdf,
       tableClone, tableOptimizeSorted, tableIndexJoin, tablePartitions,
-      tableEvolve)
+      tableEvolve, streamTable)
 }

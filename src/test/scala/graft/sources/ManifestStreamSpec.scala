@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the DSv2 manifest streaming source: checkpointed restart
+  * consumes ONLY versions committed since the last run, batch boundaries
+  * are commit boundaries, and a schema-less read is refused. */
+class ManifestStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val schema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_year", IntegerType),
+    StructField("o_totalprice", DoubleType)))
+
+  private def runOnce(base: String, sink: String): Unit = {
+    val q = spark.readStream
+      .format("graft.sources.ManifestStreamProvider")
+      .schema(schema).load(base)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/batch=$id"); ()
+      }
+      .option("checkpointLocation", s"$sink-ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("checkpointed restart streams only newly committed versions") {
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
+    val base = s"${graft.Scratch.root}/mstream_tbl"
+    val sink = s"${graft.Scratch.root}/mstream_sink"
+    ManifestTable.create(spark, base, t.filter(col("o_orderkey") <= mx / 2), "o_year")
+    ManifestTable.append(spark, base,
+      t.filter(col("o_orderkey") > mx / 2 && col("o_orderkey") <= mx * 3 / 4), "o_year")
+
+    runOnce(base, sink)
+    val firstBatches = spark.read.parquet(sink)
+      .select(col("batch").cast("long")).distinct().collect().map(_.getLong(0)).sorted
+    assert(firstBatches.length === 2, s"one batch per commit: $firstBatches")
+    val rowsAfterFirst = spark.read.parquet(sink).count()
+    assert(rowsAfterFirst === t.filter(col("o_orderkey") <= mx * 3 / 4).count())
+
+    // a new commit arrives; the restarted stream must consume ONLY it
+    ManifestTable.append(spark, base, t.filter(col("o_orderkey") > mx * 3 / 4), "o_year")
+    runOnce(base, sink)
+    val batches = spark.read.parquet(sink)
+      .select(col("batch").cast("long")).distinct().collect().map(_.getLong(0)).sorted
+    assert(batches.length === 3, s"restart re-emitted or skipped: $batches")
+    val perBatch = spark.read.parquet(sink)
+      .groupBy(col("batch").cast("long").as("batch")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perBatch(batches.last) ===
+      t.filter(col("o_orderkey") > mx * 3 / 4).count(),
+      "the new batch must hold exactly the new commit's rows")
+    // and the union is exactly the table (no re-emission of old files)
+    assert(spark.read.parquet(sink).count() === t.count())
+  }
+
+  test("schema-less stream read is refused") {
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft.sources.ManifestStreamProvider")
+        .load(s"${graft.Scratch.root}/mstream_tbl")
+    }
+    assert(e.getMessage.contains("schema"))
+  }
+}
