@@ -128,5 +128,43 @@ object Expectations {
       .orderBy(col("k"))
   }
 
-  val all: Seq[QuerySpec] = Seq(expectations, kAnonymity)
+  /** JOIN-PRESERVING PSEUDONYMIZATION — the privacy transform between
+    * dropping an identifier and keeping it: replace the raw key with a
+    * salted one-way hash BEFORE data leaves the trust boundary, applied
+    * CONSISTENTLY across tables so referential integrity survives (the
+    * orders↔customer join below runs entirely on pseudonyms; raw keys
+    * never appear in the output). Per-row codegen'd hash, no extra
+    * shuffle beyond the join's own — at 100 TB pseudonymization is free
+    * relative to the join it protects. The salt would be a secret in
+    * production; here it is a literal so the DuckDB oracle can replay the
+    * exact same transform, which also proves the pseudonym is
+    * deterministic (else the join would lose rows and hash-mismatch).
+    * Complements [[kAnonymity]] (quasi-identifier risk) and the PII scan
+    * (identifiers in text). */
+  val pseudonymize: QuerySpec = QuerySpec.sql(
+    "q_pseudonymize",
+    """WITH c AS (SELECT substring(md5('pz-' || c_custkey), 1, 16) AS pid,
+      |                  c_nationkey
+      |           FROM customer),
+      |o AS (SELECT substring(md5('pz-' || o_custkey), 1, 16) AS pid,
+      |             o_totalprice
+      |      FROM orders)
+      |SELECT c_nationkey, count(*) AS n,
+      |       CAST(count(DISTINCT c.pid) AS BIGINT) AS n_customers,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM o JOIN c ON o.pid = c.pid
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    def pid(k: String) =
+      substring(md5(concat(lit("pz-"), col(k).cast("string"))), 1, 16).as("pid")
+    val c = Tables.customer(spark, dir).select(pid("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir).select(pid("o_custkey"), col("o_totalprice"))
+    o.join(c, "pid")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("pid")).as("n_customers"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(expectations, kAnonymity, pseudonymize)
 }

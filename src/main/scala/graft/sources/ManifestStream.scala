@@ -57,15 +57,49 @@ final class ManifestStreamTable(schema: StructType, base: String)
   override def name(): String = s"manifest-stream($base)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // batch reads honor time travel: .option("versionAsOf", v) pins the
+    // snapshot; default is the current version at scan planning time
+    val versionAsOf = Option(options.get("versionAsOf")).map(_.toInt)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ManifestMicroBatchStream(base, schema)
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          new ManifestSnapshotBatch(base, schema, versionAsOf)
       }
     }
+  }
+}
+
+/** Batch read of one committed snapshot through the same connector — the
+  * DSv2 face of [[ManifestTable.readVersion]] (time travel via
+  * `versionAsOf`). One InputPartition per manifest file, same
+  * name-resolved parquet reader as the stream. */
+final class ManifestSnapshotBatch(base: String, schema: StructType,
+    versionAsOf: Option[Int])
+    extends org.apache.spark.sql.connector.read.Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = new Path(base).getFileSystem(new Configuration())
+    val dir = new Path(base, "_manifests")
+    val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }.sorted
+    val v = versionAsOf.getOrElse(vs.last)
+    require(vs.contains(v), s"versionAsOf $v not committed under $base (have $vs)")
+    val p = new Path(dir, s"v$v.manifest")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.split("\n").filter(_.nonEmpty).map { l =>
+      val rel = l.substring(l.indexOf('\t') + 1)
+      val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
+      ManifestFilePartition(abs): InputPartition
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestFileReaderFactory(schema)
 }
 
 /** Offset = highest committed version already processed (0 = nothing). */

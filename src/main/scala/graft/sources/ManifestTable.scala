@@ -2067,10 +2067,45 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
+  /** Registered TIME TRAVEL through the DSv2 connector's batch face:
+    * `.option("versionAsOf", 1)` pins the [[statsFixture]]'s FIRST
+    * snapshot — exactly the first ingest wave (the lowest orderkey
+    * tertile), which the oracle replays in SQL. Reading the current
+    * version by mistake, or resolving the manifest against the wrong
+    * snapshot, triples the row count and hash-mismatches. */
+  val connectorTravel: QuerySpec = QuerySpec.sql(
+    "q_connector_travel",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |mx AS (SELECT max(o_orderkey) AS mx FROM t)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t, mx WHERE o_orderkey <= mx // 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = statsFixture(spark, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_year",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.read
+      .format("graft.sources.ManifestStreamProvider")
+      .schema(schema)
+      .option("versionAsOf", "1")
+      .load(base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
       tableStatsSkipMulti, tableBloomSkip, tableCdc, tableCdfAgg, streamCdf,
       tableClone, tableOptimizeSorted, tableIndexJoin, tablePartitions,
-      tableEvolve, streamTable)
+      tableEvolve, streamTable, connectorTravel)
 }
