@@ -1152,7 +1152,92 @@ object Ann {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** JOHNSON-LINDENSTRAUSS random projection (Achlioptas 2003,
+    * "Database-friendly random projections": a ±1 Rademacher matrix
+    * preserves dot products in expectation, E⟨Pa,Pb⟩ = k⟨a,b⟩) — the
+    * dimension-reduction pass that runs BEFORE indexing when 100 TB of
+    * high-dimensional embeddings won't fit the ANN budget. The projection
+    * matrix is never materialized: the sign s(i,j) is a FUNCTION (an md5
+    * nibble of the coordinate pair), so every executor derives its own
+    * matrix entries and nothing is broadcast or stored — the property
+    * that makes JL free at any scale. All arithmetic is EXACT: embeddings
+    * quantize to 2⁻²⁰-grain integers first, so projections, original dot
+    * products (a codegen'd `zip_with` + integer `aggregate`, no joins),
+    * and the JL drift check |⟨Pa,Pb⟩ − k⟨a,b⟩| ≤ k·2⁴⁰ (≈4σ for these
+    * unit-norm 64-d vectors at k = 16) are order-independent integers in
+    * both engines. A projection that lost a coordinate, signed
+    * inconsistently, or drifted past the bound hash-mismatches. */
+  val randomProj: QuerySpec = QuerySpec.sql(
+    "q_random_proj",
+    """WITH e AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS q
+      |  FROM embeddings WHERE vec_id < 20),
+      |p AS (
+      |  SELECT vec_id, j,
+      |         CAST(sum(qi * CASE WHEN substring(md5('rp-' || i || '-' || j), 1, 1)
+      |                            IN ('0','1','2','3','4','5','6','7')
+      |                       THEN 1 ELSE -1 END) AS BIGINT) AS pj
+      |  FROM (SELECT vec_id, unnest(q) AS qi,
+      |               unnest(range(1, len(q) + 1)) AS i FROM e),
+      |       range(1, 17) AS t(j)
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT 2 * t AS ida, 2 * t + 1 AS idb FROM range(0, 10) AS s(t)),
+      |od AS (
+      |  SELECT ida, idb,
+      |         CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |            i -> a.q[i] * b.q[i])) AS BIGINT) AS orig_dot
+      |  FROM pairs JOIN e a ON a.vec_id = ida JOIN e b ON b.vec_id = idb),
+      |pd AS (
+      |  SELECT pa.vec_id AS ida, pb.vec_id AS idb,
+      |         CAST(sum(pa.pj * pb.pj) AS BIGINT) AS proj_dot
+      |  FROM p pa JOIN p pb ON pa.j = pb.j
+      |  JOIN pairs ON pa.vec_id = pairs.ida AND pb.vec_id = pairs.idb
+      |  GROUP BY 1, 2)
+      |SELECT od.ida, od.idb, orig_dot, proj_dot,
+      |       abs(proj_dot - 16 * orig_dot) <= 17592186044416 AS jl_ok
+      |FROM od JOIN pd ON od.ida = pd.ida AND od.idb = pd.idb
+      |ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val k = 16
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1048576).cast("long")).as("q"))
+      .localCheckpoint() // projection + both dot sides read it
+    val signed = e.select(col("vec_id"), posexplode(col("q")).as(Seq("i0", "qi")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"), col("qi"))
+      .crossJoin(broadcast(
+        spark.range(1, k + 1).select(col("id").as("j"))))
+    val sign = when(substring(
+        md5(concat(lit("rp-"), col("i").cast("string"), lit("-"),
+          col("j").cast("string"))), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L).otherwise(-1L)
+    val p = signed.groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("qi") * sign).as("pj"))
+    val pairs = spark.range(0, 10)
+      .select((col("id") * 2).as("ida"), (col("id") * 2 + 1).as("idb"))
+    val od = pairs
+      .join(e.select(col("vec_id").as("ida"), col("q").as("qa")), "ida")
+      .join(e.select(col("vec_id").as("idb"), col("q").as("qb")), "idb")
+      .select(col("ida"), col("idb"),
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("orig_dot"))
+    val pd = p.select(col("vec_id").as("ida"), col("j"), col("pj").as("pa"))
+      .join(pairs, "ida")
+      .join(p.select(col("vec_id").as("idb"), col("j"), col("pj").as("pb")),
+        Seq("idb", "j"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(sum(col("pa") * col("pb")).as("proj_dot"))
+    od.join(pd, Seq("ida", "idb"))
+      .select(col("ida"), col("idb"), col("orig_dot"), col("proj_dot"),
+        (abs(col("proj_dot") - lit(16L) * col("orig_dot")) <=
+          lit(17592186044416L)).as("jl_ok"))
+      .orderBy(col("ida"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(annCosine, annIvf, embeddingNearDup, embeddingClusters, annLsh, kmeansStep,
-      pqAnn, pqTrain, ivfPqAnn, hybridSearch, semDedup, annIncremental)
+      pqAnn, pqTrain, ivfPqAnn, hybridSearch, semDedup, annIncremental,
+      randomProj)
 }
