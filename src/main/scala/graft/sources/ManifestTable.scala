@@ -188,6 +188,7 @@ object ManifestTable {
   def merge(
       spark: SparkSession, base: String, updates: DataFrame,
       keyCol: String, partCol: String, failBeforeCommit: Boolean = false): Unit = {
+    requireNoPendingDv(spark, base, "merge")
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
     // touched-partition values: metadata-sized (one row per partition), the
@@ -224,6 +225,7 @@ object ManifestTable {
   def deleteWhere(
       spark: SparkSession, base: String, pred: org.apache.spark.sql.Column,
       partCol: String, failBeforeCommit: Boolean = false): Boolean = {
+    requireNoPendingDv(spark, base, "deleteWhere")
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
     val touched = read(spark, base).filter(pred)
@@ -260,6 +262,7 @@ object ManifestTable {
       keyCol: String, partCol: String,
       expectations: Seq[(String, org.apache.spark.sql.Column)]): (Boolean, Seq[(String, Long)]) = {
     require(expectations.nonEmpty, "an audit needs at least one expectation")
+    requireNoPendingDv(spark, base, "auditedMerge")
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
     val touched = updates.select(col(partCol).cast("string")).distinct()
@@ -305,6 +308,7 @@ object ManifestTable {
     * one file set per append until [[optimizeTable]] compacts it. Atomic
     * and crash-safe like every verb here (the commit rename). */
   def append(spark: SparkSession, base: String, df: DataFrame, partCol: String): Unit = {
+    requireNoPendingDv(spark, base, "append")
     val v = currentVersion(spark, base)
     val newFiles = writeSnapshotFiles(spark, base, v + 1, df, partCol)
     commit(spark, base, v + 1, entries(spark, base, v) ++ newFiles)
@@ -323,6 +327,7 @@ object ManifestTable {
     * loop. Returns (partitions compacted, files before → after). */
   def optimizeTable(spark: SparkSession, base: String,
       partCol: String, minFiles: Int = 2): (Int, Int, Int) = {
+    requireNoPendingDv(spark, base, "optimizeTable")
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
     val hotVals = es.groupBy(_._1).filter(_._2.size >= minFiles).keySet
@@ -351,6 +356,7 @@ object ManifestTable {
     * key from reading whole partitions. Returns (files before, after). */
   def optimizeSorted(spark: SparkSession, base: String, partCol: String,
       sortCol: String, filesPerPartition: Int): (Int, Int) = {
+    requireNoPendingDv(spark, base, "optimizeSorted")
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
     val nPvals = es.map(_._1).distinct.size
@@ -370,6 +376,7 @@ object ManifestTable {
     * the operational "undo" every transactional table needs. Returns the
     * new version number. */
   def restore(spark: SparkSession, base: String, toVersion: Int): Int = {
+    requireNoPendingDv(spark, base, "restore")
     val vs = versions(spark, base)
     require(vs.contains(toVersion), s"no snapshot v$toVersion under $base")
     val v = vs.last
@@ -753,6 +760,98 @@ object ManifestTable {
       }
     }
     (dropVs.size, dead.size)
+  }
+
+  // ---- merge-on-read deletes (deletion vectors) ---------------------------
+
+  /** Committed versions that carry a pending deletion vector. */
+  private[sources] def pendingDvVersions(spark: SparkSession, base: String): Seq[Int] = {
+    val fs = fsOf(spark, new Path(base))
+    versions(spark, base).filter(v => fs.exists(new Path(base, s"_dv/v$v")))
+  }
+
+  private def requireNoPendingDv(spark: SparkSession, base: String, verb: String): Unit =
+    require(pendingDvVersions(spark, base).isEmpty,
+      s"$verb requires no pending deletion vectors — run purgeDeletes first " +
+        "(a rewrite or append under pending DVs could resurrect or re-delete rows)")
+
+  /** MERGE-ON-READ DELETE — the deletion-vector trade-off (Delta DVs /
+    * Iceberg v2 delete files) opposite [[deleteWhere]]'s copy-on-write:
+    * instead of rewriting every touched partition NOW, record the deleted
+    * keys (with their partitions) in a sidecar and commit a manifest that
+    * CARRIES EVERY DATA FILE UNCHANGED — the delete costs one
+    * predicate-pushed scan plus a keys-sized write, nothing else, no
+    * matter how many partitions it touches. Readers pay instead:
+    * [[readMoR]] anti-joins the accumulated vectors until
+    * [[purgeDeletes]] folds them in. At 100 TB this is what makes
+    * frequent fine-grained deletes (GDPR erasure across thousands of
+    * partitions) affordable: O(matches) per delete, one consolidated
+    * rewrite later. Crash-safe like every verb — the DV is written before
+    * the commit rename, and an uncommitted `_dv/v(N+1)` dir is invisible
+    * because [[pendingDvVersions]] consults committed versions only.
+    * Returns whether anything matched (no match → no commit). */
+  def deleteWhereMoR(spark: SparkSession, base: String,
+      pred: org.apache.spark.sql.Column, keyCol: String, partCol: String): Boolean = {
+    val v = currentVersion(spark, base)
+    val dvPath = s"$base/_dv/v${v + 1}"
+    read(spark, base).filter(pred)
+      .select(col(keyCol), col(partCol).cast("string").as("__pval"))
+      .write.mode("overwrite").parquet(dvPath)
+    if (spark.read.parquet(dvPath).isEmpty) {
+      fsOf(spark, new Path(base)).delete(new Path(dvPath), true)
+      return false
+    }
+    commit(spark, base, v + 1, entries(spark, base, v))
+    refreshAllStats(spark, base)
+    true
+  }
+
+  /** Read the current snapshot WITH pending deletion vectors applied —
+    * the merge-on-read path: one left-anti join against the accumulated
+    * key vectors (typically broadcast — DVs are matches-sized, not
+    * table-sized). With no pending DVs this is exactly [[read]]. */
+  def readMoR(spark: SparkSession, base: String, keyCol: String): DataFrame = {
+    val dvs = pendingDvVersions(spark, base)
+    val data = read(spark, base)
+    if (dvs.isEmpty) data
+    else {
+      val keys = spark.read
+        .parquet(dvs.map(v => s"$base/_dv/v$v"): _*)
+        .select(col(keyCol)).distinct()
+      data.join(broadcast(keys), Seq(keyCol), "left_anti")
+    }
+  }
+
+  /** REORG — fold the pending deletion vectors into the data (Delta's
+    * `REORG TABLE ... APPLY (PURGE)`): rewrite ONLY the partitions the
+    * vectors name (each DV row carries its partition value, so the
+    * touched set is DV metadata, not a table scan), carry everything else
+    * by reference, commit, then drop the vectors. After the purge
+    * [[read]] and [[readMoR]] agree and every verb is available again.
+    * Crash between the commit and the DV cleanup is benign: re-applying
+    * a vector whose rows are already gone is a no-op anti-join. Returns
+    * (partitions rewritten, keys purged). */
+  def purgeDeletes(spark: SparkSession, base: String,
+      keyCol: String, partCol: String): (Int, Long) = {
+    val dvs = pendingDvVersions(spark, base)
+    if (dvs.isEmpty) return (0, 0L)
+    val v = currentVersion(spark, base)
+    val es = entries(spark, base, v)
+    val dv = spark.read.parquet(dvs.map(dvv => s"$base/_dv/v$dvv"): _*)
+    val touched = dv.select(col("__pval")).distinct()
+      .collect().map(_.getString(0)).toSet // DV-metadata-sized
+    val keys = dv.select(col(keyCol)).distinct()
+    val nKeys = keys.count()
+    val (hot, cold) = es.partition { case (pval, _) => touched(pval) }
+    val survivors = spark.read
+      .parquet(hot.map { case (_, rel) => resolve(base, rel) }: _*)
+      .join(broadcast(keys), Seq(keyCol), "left_anti")
+    val newFiles = writeSnapshotFiles(spark, base, v + 1, survivors, partCol)
+    commit(spark, base, v + 1, cold ++ newFiles)
+    refreshAllStats(spark, base)
+    val fs = fsOf(spark, new Path(base))
+    dvs.foreach(dvv => fs.delete(new Path(base, s"_dv/v$dvv"), true))
+    (touched.size, nKeys)
   }
 
   /** SHALLOW CLONE — a zero-copy fork of `srcBase`'s current snapshot
@@ -2102,10 +2201,52 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
+  /** Build-once fixture: v1 = ordersKeyed, v2 = a MERGE-ON-READ delete of
+    * the 1-in-5 1996+ cohort — a metadata-only commit whose deletion
+    * vector stays pending, so the registered query exercises the
+    * anti-join read path. */
+  private[sources] def morFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("mor", dir), {
+        val base =
+          s"${graft.Scratch.root}/orders_morfix_${graft.Scratch.dirToken(dir)}"
+        create(spark, base, ordersKeyed(spark, dir), "o_year")
+        deleteWhereMoR(spark, base,
+          col("o_orderkey") % 5 === 0 && col("o_year") >= 1996,
+          "o_orderkey", "o_year")
+        base
+      })
+    }
+
+  /** Registered MERGE-ON-READ read: the [[morFixture]] through [[readMoR]]
+    * — the deletion vector is still pending, so the result is data files
+    * UNCHANGED since v1 minus a broadcast anti-join. The oracle replays
+    * the delete over plain orders; applying the vector twice, missing it,
+    * or leaking it into the wrong partition all hash-mismatch.
+    * `CloneVacuumSpec` pins the metadata-only commit, the rewrite-verb
+    * guard, and purge ≡ merge-on-read. */
+  val tableMoR: QuerySpec = QuerySpec.sql(
+    "q_table_mor",
+    """WITH t AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         o_totalprice
+      |  FROM orders)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t WHERE NOT (o_orderkey % 5 = 0 AND o_year >= 1996)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = morFixture(spark, dir)
+    readMoR(spark, base, "o_orderkey")
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
       tableStatsSkipMulti, tableBloomSkip, tableCdc, tableCdfAgg, streamCdf,
       tableClone, tableOptimizeSorted, tableIndexJoin, tablePartitions,
-      tableEvolve, streamTable, connectorTravel)
+      tableEvolve, streamTable, connectorTravel, tableMoR)
 }

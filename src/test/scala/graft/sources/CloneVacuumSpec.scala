@@ -95,6 +95,46 @@ class CloneVacuumSpec extends AnyFunSuite {
       ManifestTable.entries(spark, base, 2).size.toLong)
   }
 
+  test("merge-on-read delete: metadata-only commit, guarded verbs, purge folds in") {
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/mor_tbl"
+    ManifestTable.create(spark, base, t, "o_year")
+    val pred = col("o_orderkey") % 5 === 0 && col("o_year") >= 1996
+    assert(ManifestTable.deleteWhereMoR(spark, base, pred, "o_orderkey", "o_year"))
+    // the commit carried every data file unchanged — the delete wrote no
+    // data files, only the vector
+    assert(ManifestTable.entries(spark, base, 2).toSet ===
+      ManifestTable.entries(spark, base, 1).toSet)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(base, "files/v2")))
+    // merge-on-read equals copy-on-write semantics
+    val expect = t.filter(!pred)
+    val mor = ManifestTable.readMoR(spark, base, "o_orderkey")
+    assert(mor.count() === expect.count())
+    assert(mor.exceptAll(expect).isEmpty)
+    // rewrite verbs refuse to run over pending vectors
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, base, t.limit(10), "o_year")
+    }
+    // purge rewrites ONLY the partitions the vector names, then read() agrees
+    val (parts, keys) = ManifestTable.purgeDeletes(spark, base, "o_orderkey", "o_year")
+    assert(parts > 0 && keys > 0)
+    val v3 = ManifestTable.entries(spark, base, 3)
+    val cold = ManifestTable.entries(spark, base, 2).filter(_._1.toInt < 1996).toSet
+    assert(cold.subsetOf(v3.toSet), "pre-1996 partitions must carry by reference")
+    assert(v3.filterNot(cold).forall(_._1.toInt >= 1996))
+    assert(ManifestTable.read(spark, base).exceptAll(expect).isEmpty)
+    assert(ManifestTable.pendingDvVersions(spark, base).isEmpty)
+    // and the table is writable again
+    ManifestTable.append(spark, base,
+      t.filter(col("o_orderkey") === t.agg(min(col("o_orderkey"))).head.getLong(0))
+        .withColumn("o_orderkey", -col("o_orderkey")), "o_year")
+    assert(ManifestTable.currentVersion(spark, base) === 4)
+  }
+
   test("removeOrphans deletes exactly the crash debris and nothing committed") {
     val base = s"${graft.Scratch.root}/orphan_tbl"
     val t = graft.model.Tables.orders(spark, sf)
