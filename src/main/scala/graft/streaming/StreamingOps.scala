@@ -671,9 +671,91 @@ object StreamingOps {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Watermarked stream-stream LEFT OUTER join — the semantics the inner
+    * [[streamJoin]] can't show: an unmatched click must STILL emit (with a
+    * NULL view side), but only once its join window has provably closed —
+    * i.e. when the watermark passes `click.ts + 1 hour`, the moment no
+    * future view can pair with it. Two AvailableNow runs share the
+    * checkpoint: run 1 ingests wave 1 (Jan 18–25) in one gulp and commits
+    * its watermark; run 2 appends wave 2 (Jan 25 on), whose matched pairs
+    * — including pairs STRADDLING the wave boundary, which prove wave-1
+    * click state survived the restart — emit normally, and whose
+    * watermark advance flushes every expired unmatched click as an outer
+    * row. The oracle replays both halves in SQL: the time-range join for
+    * matches, and for outer rows the EXACT eviction rule — unmatched AND
+    * `ts + 1h < final watermark`, where the final watermark is the MIN
+    * over both sides' watermark operators minus the delay (Spark's
+    * global watermark is the minimum across all event-time columns, so
+    * the slower side — clicks here — gates eviction; an oracle using the
+    * global max emits two rows too many, measured). Clicks younger than
+    * that stay in state and must NOT emit. Emitting a null for a click
+    * whose view exists, dropping a straddling pair, or flushing too
+    * eagerly all hash-mismatch. */
+  val streamJoinOuter: QuerySpec = QuerySpec.sql(
+    "q_stream_join_outer",
+    """WITH ev AS (
+      |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-18 00:00:00'),
+      |c AS (SELECT * FROM ev WHERE event_type = 'click'),
+      |v AS (SELECT * FROM ev WHERE event_type = 'view'),
+      |mx AS (SELECT least((SELECT max(ts) FROM c),
+      |                    (SELECT max(ts) FROM v)) AS m),
+      |m AS (
+      |  SELECT c.user_id, c.event_id,
+      |         CAST(floor(c.value * 100 + 0.5) AS BIGINT)
+      |           + CAST(floor(v.value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM c JOIN v
+      |    ON c.user_id = v.user_id
+      |   AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 1 HOUR),
+      |um AS (
+      |  SELECT c.user_id, CAST(floor(c.value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM c, mx
+      |  WHERE c.event_id NOT IN (SELECT event_id FROM m)
+      |    AND c.ts + INTERVAL 1 HOUR < mx.m - INTERVAL 1 DAY),
+      |u AS (
+      |  SELECT user_id, 1 AS matched, cents FROM m
+      |  UNION ALL SELECT user_id, 0, cents FROM um)
+      |SELECT user_id, count(*) AS n_rows,
+      |       CAST(sum(matched) AS BIGINT) AS n_matched,
+      |       CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val staged = s"${graft.Scratch.root}/events_ljoin_stream"
+    val sink = s"${graft.Scratch.root}/events_ljoin_sink"
+    val ev = Tables.events(spark, dir)
+    val all = ev.filter(col("ts") >= lit("2024-01-18 00:00:00").cast("timestamp"))
+    val wave1 = all.filter(col("ts") < lit("2024-01-25 00:00:00").cast("timestamp"))
+    val wave2 = all.filter(col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp"))
+    wave1.repartition(8).write.mode("overwrite").parquet(staged)
+    val ckpt = freshCheckpoint("stream_ljoin", staged + "_ck")
+    def side(t: String) = spark.readStream
+      .schema(ev.schema)
+      .parquet(staged)
+      .filter(col("event_type") === t)
+      .withWatermark("ts", "1 day")
+    def joined = side("click").alias("l")
+      .join(side("view").alias("r"),
+        expr("""l.user_id = r.user_id AND
+                r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR"""),
+        "left_outer")
+      .select(col("l.user_id").as("user_id"),
+        when(col("r.event_id").isNotNull, 1L).otherwise(0L).as("matched"),
+        (floor(col("l.value") * 100 + 0.5).cast("long")
+          + coalesce(floor(col("r.value") * 100 + 0.5).cast("long"), lit(0L)))
+          .as("cents"))
+    runToParquetSink(spark, joined, ckpt, sink)
+    wave2.repartition(4).write.mode("append").parquet(staged)
+    runToParquetSink(spark, joined, ckpt, sink, clean = false)
+    spark.read.parquet(sink)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("matched")).as("n_matched"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(streamWindow, sessionize, sessionWindowBuiltin, streamDedup, streamJoin,
-      streamLate, streamTopK, streamAsOf, streamMixture, streamAnomaly)
+      streamLate, streamTopK, streamAsOf, streamMixture, streamAnomaly,
+      streamJoinOuter)
 }
 
 /** Typed event for stateful sessionization. */
