@@ -790,10 +790,78 @@ object Relational {
     }
   }
 
+  /** RECURSIVE CTE (SQL-native iteration, new in Spark 4): bounded-depth
+    * BFS over the customer→supplier purchase graph from the minimum
+    * customer, written as `WITH RECURSIVE` and executed by Spark's own
+    * recursion operator — the SQL-surface twin of the driver-loop BFS
+    * (`q_shortest_path`, which remains the 100 TB path: the loop
+    * checkpoints each frontier and dedups against the visited set, where
+    * UNION ALL recursion re-walks every path). Depth is capped at 2 and
+    * distances min-aggregated afterwards — UNION ALL recursion re-walks
+    * every path, so in this dense bipartite graph each extra hop
+    * multiplies path count by the mean degree (depth 3 measured 14 s at
+    * sf0.01 and would be minutes at sf0.1; depth 2 is milliseconds) —
+    * exactly the bound the driver-loop BFS doesn't need, which is the
+    * trade-off this query documents. The oracle runs the IDENTICAL
+    * recursive SQL in DuckDB. */
+  val recursiveCte: QuerySpec = {
+    val sql =
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |root AS (SELECT min(o_custkey) AS c0 FROM orders),
+        |walk(node, side, dist) AS (
+        |  SELECT c0, 'c', 0 FROM root
+        |  UNION ALL
+        |  SELECT CASE WHEN w.side = 'c' THEN e.s ELSE e.c END,
+        |         CASE WHEN w.side = 'c' THEN 's' ELSE 'c' END,
+        |         w.dist + 1
+        |  FROM walk w JOIN e
+        |    ON (w.side = 'c' AND e.c = w.node)
+        |    OR (w.side = 's' AND e.s = w.node)
+        |  WHERE w.dist < 2)
+        |SELECT side, dist, CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
+        |FROM (SELECT node, side, min(dist) AS dist FROM walk GROUP BY 1, 2)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    QuerySpec.sql("q_recursive_cte", sql) { (spark, dir) =>
+      Tables.orders(spark, dir).createOrReplaceTempView("orders")
+      Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+      spark.sql(sql)
+    }
+  }
+
+  /** LATERAL correlated subquery (the SQL form of per-group top-k): for
+    * each market segment, the two highest-spending customers — the inner
+    * query re-runs per outer row with ORDER BY + LIMIT, which Catalyst
+    * decorrelates into the rank-window plan rather than a nested loop.
+    * The engine runs the IDENTICAL SQL text as the DuckDB oracle; spend
+    * is exact integer cents and ties break on custkey, so the top-2 set
+    * is unique. */
+  val lateralTopK: QuerySpec = {
+    val sql =
+      """WITH spend AS (
+        |  SELECT c.c_mktsegment, c.c_custkey,
+        |         CAST(sum(floor(o.o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |seg AS (SELECT DISTINCT c_mktsegment FROM spend)
+        |SELECT seg.c_mktsegment, t.c_custkey, t.cents
+        |FROM seg, LATERAL (
+        |  SELECT c_custkey, cents FROM spend
+        |  WHERE spend.c_mktsegment = seg.c_mktsegment
+        |  ORDER BY cents DESC, c_custkey LIMIT 2) t
+        |ORDER BY 1, 3 DESC, 2""".stripMargin
+    QuerySpec.sql("q_lateral_topk", sql) { (spark, dir) =>
+      Tables.customer(spark, dir).createOrReplaceTempView("customer")
+      Tables.orders(spark, dir).createOrReplaceTempView("orders")
+      spark.sql(sql)
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     salesTrends, salesBySegment, pricingSummary, latestEvent, asOf, asOfNative, asOfTolerance,
     asOfToleranceNative, asOfForward, asOfNearest, joinEnrich, bloomJoin,
     topKPerGroup, semiJoin, antiJoin, mergeUpsert, windowFuncs, rollupRevenue,
     topK, counts, approxDistinct, approxPercentile, setOps, dateParts,
-    jsonExtract, corrMatrix, starJoin)
+    jsonExtract, corrMatrix, starJoin, recursiveCte, lateralTopK)
 }
