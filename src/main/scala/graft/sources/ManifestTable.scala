@@ -738,6 +738,9 @@ object ManifestTable {
     * count). */
   def expireSnapshots(spark: SparkSession, base: String, keep: Int): (Int, Int) = {
     require(keep >= 1, "must keep at least the current snapshot")
+    // a vector rides its version: expiring that manifest would make the
+    // vector invisible and resurrect its rows
+    requireNoPendingDv(spark, base, "expireSnapshots")
     val vs = versions(spark, base)
     val dropVs = vs.dropRight(keep)
     if (dropVs.isEmpty) return (0, 0)
@@ -867,6 +870,9 @@ object ManifestTable {
     * 100 TB use is the dev/test fork and the "what-if" pipeline run: fork,
     * mutate, measure, drop — paying only for the delta. */
   def cloneTable(spark: SparkSession, srcBase: String, dstBase: String): Unit = {
+    // a clone copies manifest entries only — pending vectors would silently
+    // resurrect their rows in the fork
+    requireNoPendingDv(spark, srcBase, "cloneTable")
     val v = currentVersion(spark, srcBase)
     val abs = entries(spark, srcBase, v)
       .map { case (p, rel) => (p, resolve(srcBase, rel)) }
@@ -904,6 +910,17 @@ object ManifestTable {
           fs.delete(st.getPath, false)
           deleted += rel
         }
+      }
+    }
+    // a crashed deleteWhereMoR leaves a vector dir for a version that was
+    // never committed — invisible to readers, but debris all the same
+    val committed = versions(spark, base).toSet
+    val dvDirs = fs.globStatus(new Path(base, "_dv/v*"))
+    if (dvDirs != null) dvDirs.foreach { d =>
+      val v = d.getPath.getName.stripPrefix("v").toIntOption
+      if (v.exists(!committed(_)) && d.getModificationTime < cutoff) {
+        deleted += s"_dv/${d.getPath.getName}"
+        fs.delete(d.getPath, true)
       }
     }
     val stages = fs.globStatus(new Path(base, ".stage-*"))

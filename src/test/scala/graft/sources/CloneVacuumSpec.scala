@@ -133,6 +133,26 @@ class CloneVacuumSpec extends AnyFunSuite {
       t.filter(col("o_orderkey") === t.agg(min(col("o_orderkey"))).head.getLong(0))
         .withColumn("o_orderkey", -col("o_orderkey")), "o_year")
     assert(ManifestTable.currentVersion(spark, base) === 4)
+    // clone and vacuum refuse pending vectors; a crashed MoR delete's
+    // uncommitted vector dir is orphan-swept
+    assert(ManifestTable.deleteWhereMoR(spark, base,
+      col("o_orderkey") % 7 === 0, "o_orderkey", "o_year"))
+    intercept[IllegalArgumentException] {
+      ManifestTable.cloneTable(spark, base, s"${graft.Scratch.root}/mor_clone")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.expireSnapshots(spark, base, 1)
+    }
+    ManifestTable.purgeDeletes(spark, base, "o_orderkey", "o_year")
+    // plant a crashed-MoR vector dir (version never committed) and sweep it
+    val next = ManifestTable.currentVersion(spark, base) + 1
+    graft.model.Tables.orders(spark, sf).limit(5)
+      .select(col("o_orderkey"), lit("1996").as("__pval"))
+      .write.parquet(s"$base/_dv/v$next")
+    assert(ManifestTable.pendingDvVersions(spark, base).isEmpty,
+      "uncommitted vector must be invisible")
+    val swept = ManifestTable.removeOrphans(spark, base)
+    assert(swept.exists(_.startsWith("_dv/")), swept.toString)
   }
 
   test("removeOrphans deletes exactly the crash debris and nothing committed") {
