@@ -62,16 +62,104 @@ final class ManifestStreamTable(schema: StructType, base: String)
     // batch reads honor time travel: .option("versionAsOf", v) pins the
     // snapshot; default is the current version at scan planning time
     val versionAsOf = Option(options.get("versionAsOf")).map(_.toInt)
-    new ScanBuilder {
+    new ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      // column pruning: the reader resolves fields by NAME, so serving a
+      // narrower schema needs no reader changes — a projection reads only
+      // its columns off the parquet pages
+      private var projected: StructType = schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        if (requiredSchema.nonEmpty) projected = requiredSchema
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = schema
+        override def readSchema(): StructType = projected
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ManifestMicroBatchStream(base, schema)
+          new ManifestMicroBatchStream(base, projected)
         override def toBatch: org.apache.spark.sql.connector.read.Batch =
-          new ManifestSnapshotBatch(base, schema, versionAsOf)
+          new ManifestSnapshotBatch(base, projected, versionAsOf)
       }
     }
   }
+}
+
+/** Catalog plugin (the fifth Spark extension point in the engine, after
+  * expressions, physical operators, optimizer rules, and the DSv2
+  * connector): a READ-ONLY `TableCatalog` exposing every manifest table
+  * under a root directory to plain SQL —
+  *
+  *   spark.sql.catalog.graft_cat = graft.sources.ManifestCatalog
+  *   spark.sql.catalog.graft_cat.root = /path/with/tables
+  *   SELECT ... FROM graft_cat.`table_dir`
+  *
+  * `loadTable` infers the schema from one committed data file's footer
+  * (a metadata-sized driver read) and serves the same connector Table,
+  * so SQL reads get snapshot isolation, `versionAsOf` via read options,
+  * and column pruning for free. Writes go through the table verbs, not
+  * SQL — the catalog refuses DDL rather than half-supporting it. */
+class ManifestCatalog
+    extends org.apache.spark.sql.connector.catalog.CatalogPlugin
+    with org.apache.spark.sql.connector.catalog.TableCatalog {
+  import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+
+  private var root: String = _
+  private var catName: String = _
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    root = options.get("root")
+    require(root != null && root.nonEmpty,
+      s"catalog $name needs spark.sql.catalog.$name.root")
+  }
+  override def name(): String = catName
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  private def fs = new Path(root).getFileSystem(new Configuration())
+  private def baseOf(ident: Identifier): String = {
+    require(ident.namespace().isEmpty, s"flat catalog: unexpected namespace in $ident")
+    s"$root/${ident.name()}"
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val r = new Path(root)
+    if (!fs.exists(r)) Array.empty
+    else fs.listStatus(r).toSeq
+      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "_manifests")))
+      .map(s => Identifier.of(Array.empty, s.getPath.getName)).toArray
+  }
+  override def tableExists(ident: Identifier): Boolean =
+    fs.exists(new Path(baseOf(ident), "_manifests"))
+
+  override def loadTable(ident: Identifier): org.apache.spark.sql.connector.catalog.Table = {
+    val base = baseOf(ident)
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    // schema from one committed file's footer — files are schema-uniform
+    // per snapshot (additive evolution aside, where readEvolved is the
+    // explicit path)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val mdir = new Path(base, "_manifests")
+    val v = fs.listStatus(mdir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }.max
+    val p = new Path(mdir, s"v$v.manifest")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val first = text.split("\n").filter(_.nonEmpty).head
+    val rel = first.substring(first.indexOf('\t') + 1)
+    val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
+    new ManifestStreamTable(spark.read.parquet(abs).schema, base)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table =
+    throw new UnsupportedOperationException(
+      "read-only catalog: create tables with ManifestTable.create")
+  override def alterTable(ident: Identifier, changes: TableChange*)
+      : org.apache.spark.sql.connector.catalog.Table =
+    throw new UnsupportedOperationException("read-only catalog")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("read-only catalog")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("read-only catalog")
 }
 
 /** Batch read of one committed snapshot through the same connector — the

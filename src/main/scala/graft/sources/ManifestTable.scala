@@ -2260,10 +2260,31 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
+  /** Registered CATALOG SQL read: the [[statsFixture]] table addressed as
+    * `graft_cat.\`<dir>\`` in plain SQL through [[ManifestCatalog]] — no
+    * DataFrame code, no schema declaration; the catalog infers the schema
+    * from a committed footer and serves the DSv2 connector table, so the
+    * SQL read gets snapshot isolation and column pruning. The oracle is
+    * the plain-orders replay (the fixture unions to exactly orders). */
+  val catalogSql: QuerySpec = QuerySpec.sql(
+    "q_catalog_sql",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = statsFixture(spark, dir)
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
       tableStatsSkipMulti, tableBloomSkip, tableCdc, tableCdfAgg, streamCdf,
       tableClone, tableOptimizeSorted, tableIndexJoin, tablePartitions,
-      tableEvolve, streamTable, connectorTravel, tableMoR)
+      tableEvolve, streamTable, connectorTravel, tableMoR, catalogSql)
 }

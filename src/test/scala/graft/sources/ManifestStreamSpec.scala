@@ -65,6 +65,28 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() === t.count())
   }
 
+  test("catalog lists manifest tables, serves pruned scans, refuses DDL") {
+    // ensure at least one table exists under the scratch root
+    val base = ManifestTable.mergedFixture(spark, sf)
+    val parent = new java.io.File(base).getParent
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", parent)
+    val listed = spark.sql("SHOW TABLES IN graft_cat").collect().map(_.getString(1))
+    assert(listed.contains(tbl), listed.mkString(","))
+    // a two-column projection prunes the connector scan to two columns
+    val df = spark.sql(s"SELECT o_year, o_totalprice FROM graft_cat.`$tbl`")
+    assert(df.count() > 0)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("o_year") && !scan.contains("o_orderkey"),
+      s"scan not pruned:\n$scan")
+    // read-only: DDL refused
+    intercept[Exception] {
+      spark.sql(s"DROP TABLE graft_cat.`$tbl`")
+    }
+    assert(ManifestTable.read(spark, base).count() > 0)
+  }
+
   test("schema-less stream read is refused") {
     val e = intercept[IllegalArgumentException] {
       spark.readStream.format("graft.sources.ManifestStreamProvider")
