@@ -752,10 +752,94 @@ object StreamingOps {
       .orderBy(col("user_id"))
   }
 
+  /** STREAM ENRICHMENT AGAINST A TRANSACTIONALLY-UPDATED DIMENSION — the
+    * production CDC-dim shape: each micro-batch joins the CURRENT
+    * committed snapshot of a manifest dimension table, so a MERGE that
+    * lands between batches takes effect atomically at the next batch
+    * boundary (never a torn half-old/half-new dim within one batch — the
+    * snapshot read guarantees it). Two AvailableNow runs: run 1 enriches
+    * wave 1 against dim v1; a MERGE re-tiers the even users; run 2
+    * enriches wave 2 against dim v2. The oracle replays both pairings —
+    * a stale dim read, a torn join, or the merge leaking into wave 1's
+    * already-sunk batches all hash-mismatch. At 100 TB the dim read is
+    * manifest-pruned and broadcast; the pattern is exactly how
+    * dimension updates reach a 24/7 enrichment stream without stopping
+    * it. */
+  val streamDim: QuerySpec = QuerySpec.sql(
+    "q_stream_dim",
+    """WITH ev AS (
+      |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-18 00:00:00'),
+      |u AS (SELECT DISTINCT user_id FROM events),
+      |d1 AS (SELECT user_id, user_id % 3 AS tier FROM u),
+      |d2 AS (SELECT user_id,
+      |              CASE WHEN user_id % 2 = 0 THEN user_id % 3 + 10
+      |                   ELSE user_id % 3 END AS tier
+      |       FROM u),
+      |j AS (
+      |  SELECT d1.tier, e.value FROM ev e JOIN d1 ON e.user_id = d1.user_id
+      |  WHERE e.ts < TIMESTAMP '2024-01-25 00:00:00'
+      |  UNION ALL
+      |  SELECT d2.tier, e.value FROM ev e JOIN d2 ON e.user_id = d2.user_id
+      |  WHERE e.ts >= TIMESTAMP '2024-01-25 00:00:00')
+      |SELECT tier, count(*) AS n,
+      |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    import graft.sources.ManifestTable
+    val staged = s"${graft.Scratch.root}/events_dim_stream"
+    val sink = s"${graft.Scratch.root}/events_dim_sink"
+    val dimBase = s"${graft.Scratch.root}/events_dim_tbl"
+    val ev = Tables.events(spark, dir)
+    val all = ev.filter(col("ts") >= lit("2024-01-18 00:00:00").cast("timestamp"))
+    val wave1 = all.filter(col("ts") < lit("2024-01-25 00:00:00").cast("timestamp"))
+    val wave2 = all.filter(col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp"))
+    val users = ev.select(col("user_id")).distinct()
+    ManifestTable.create(spark, dimBase,
+      users.withColumn("tier", col("user_id") % 3), "tier")
+    wave1.repartition(4).write.mode("overwrite").parquet(staged)
+    val ckpt = freshCheckpoint("stream_dim", staged + "_ck")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(ev.schema).parquet(staged)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // the join sees ONE committed snapshot per batch — atomic dim flip
+          val dim = broadcast(ManifestTable.read(spark, dimBase))
+          batch.join(dim, "user_id")
+            .select(col("tier"),
+              floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+            .write.mode("overwrite").parquet(s"$sink/batch=$batchId")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
+    run()
+    // the dimension update lands between runs. The re-tier MOVES rows
+    // across the partition column, so it must be the relocation-safe
+    // DELETE + APPEND pair (a partition-grained MERGE rewrites only the
+    // NEW tiers' partitions and would leave the old rows standing — the
+    // same contract q_ann_incremental handles): both commits land before
+    // run 2's first batch reads a snapshot, so the stream still sees the
+    // flip atomically
+    ManifestTable.deleteWhere(spark, dimBase, col("user_id") % 2 === 0, "tier")
+    ManifestTable.append(spark, dimBase,
+      users.filter(col("user_id") % 2 === 0)
+        .withColumn("tier", col("user_id") % 3 + 10),
+      "tier")
+    wave2.repartition(4).write.mode("append").parquet(staged)
+    run()
+    spark.read.parquet(sink)
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy(col("tier"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(streamWindow, sessionize, sessionWindowBuiltin, streamDedup, streamJoin,
       streamLate, streamTopK, streamAsOf, streamMixture, streamAnomaly,
-      streamJoinOuter)
+      streamJoinOuter, streamDim)
 }
 
 /** Typed event for stateful sessionization. */
