@@ -378,8 +378,82 @@ object Extras {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** KMV SKETCH SET OPERATIONS (Beyer et al. 2007, "On Synopses for
+    * Distinct-Value Estimation Under Multiset Operations") — the reason
+    * bottom-k sketches beat HLL when you need more than cardinalities:
+    * two KMV sketches MERGE into a sketch of the union (k smallest of
+    * the combined hash sets), and the merged sketch doubles as a uniform
+    * SAMPLE of the union, so |A∩B| estimates as (members of both ∕ k) ×
+    * est(|A∪B|). Built here on md5-derived 32-bit uniforms (the engine's
+    * cross-engine hash), so the DuckDB oracle replays every hash, every
+    * k-th order statistic, and every integer-division estimate EXACTLY —
+    * no invariant-style tolerance row needed. The k-smallest selections
+    * are TakeOrdered (bounded heap per partition, k rows to the driver),
+    * the membership probe is two broadcast semi-joins against the k-row
+    * union sketch — at 100 TB nothing here scales with the data but the
+    * distinct-scan itself. Exact counts ride along for reference (cheap
+    * at test SF; production drops them). */
+  val kmvSetOps: QuerySpec = QuerySpec.sql(
+    "q_kmv_setops",
+    """WITH a AS (SELECT DISTINCT o_custkey AS v FROM orders
+      |           WHERE year(o_orderdate) = 1996),
+      |b AS (SELECT DISTINCT o_custkey AS v FROM orders
+      |      WHERE year(o_orderdate) = 1997),
+      |ha AS (SELECT v, CAST(CAST('0x' || substring(md5('kmv-' || v), 1, 8) AS UBIGINT)
+      |                 AS BIGINT) + 1 AS h FROM a),
+      |hb AS (SELECT v, CAST(CAST('0x' || substring(md5('kmv-' || v), 1, 8) AS UBIGINT)
+      |                 AS BIGINT) + 1 AS h FROM b),
+      |ska AS (SELECT v, h FROM ha ORDER BY h LIMIT 256),
+      |skb AS (SELECT v, h FROM hb ORDER BY h LIMIT 256),
+      |sku AS (SELECT v, h FROM (SELECT v, h FROM ska UNION SELECT v, h FROM skb)
+      |        ORDER BY h LIMIT 256),
+      |est AS (
+      |  SELECT (SELECT 255 * 4294967296 // max(h) FROM ska) AS est_a,
+      |         (SELECT 255 * 4294967296 // max(h) FROM skb) AS est_b,
+      |         (SELECT 255 * 4294967296 // max(h) FROM sku) AS est_union,
+      |         (SELECT count(*) FROM sku
+      |          WHERE v IN (SELECT v FROM a) AND v IN (SELECT v FROM b)) AS n_both),
+      |x AS (SELECT (SELECT count(*) FROM a) AS exact_a,
+      |             (SELECT count(*) FROM b) AS exact_b,
+      |             (SELECT count(*) FROM a WHERE v IN (SELECT v FROM b)) AS exact_i)
+      |SELECT CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
+      |       CAST(est_union AS BIGINT) AS est_union,
+      |       CAST(n_both AS BIGINT) AS n_both,
+      |       CAST(n_both * est_union // 256 AS BIGINT) AS est_intersection,
+      |       CAST(exact_a AS BIGINT) AS exact_a, CAST(exact_b AS BIGINT) AS exact_b,
+      |       CAST(exact_i AS BIGINT) AS exact_intersection
+      |FROM est, x""".stripMargin) { (spark, dir) =>
+    val k = 256
+    def side(yr: Int) = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey").as("v")).distinct()
+      .withColumn("h",
+        conv(substring(md5(concat(lit("kmv-"), col("v").cast("string"))), 1, 8),
+          16, 10).cast("long") + 1)
+    val (a, b) = (side(1996).localCheckpoint(), side(1997).localCheckpoint())
+    val ska = a.orderBy(col("h")).limit(k)
+    val skb = b.orderBy(col("h")).limit(k)
+    val sku = ska.select("v", "h").union(skb.select("v", "h")).distinct()
+      .orderBy(col("h")).limit(k).localCheckpoint() // union sketch: k rows
+    def est(sk: org.apache.spark.sql.DataFrame) =
+      sk.agg(max(col("h"))).head.getLong(0) match {
+        case hk => (k - 1).toLong * 4294967296L / hk
+      }
+    val nBoth = sku
+      .join(a.select(col("v")), Seq("v"), "left_semi")
+      .join(b.select(col("v")), Seq("v"), "left_semi")
+      .count()
+    val (estA, estB, estU) = (est(ska), est(skb), est(sku))
+    val (exactA, exactB) = (a.count(), b.count())
+    val exactI = a.select("v").join(b.select("v"), Seq("v"), "left_semi").count()
+    import spark.implicits._
+    Seq((estA, estB, estU, nBoth, nBoth * estU / k, exactA, exactB, exactI))
+      .toDF("est_a", "est_b", "est_union", "n_both", "est_intersection",
+        "exact_a", "exact_b", "exact_intersection")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(pivotQuery, unpivotQuery, stringFuncs, collectQuery, explodeQuery,
       percentiles, dateArith, nullFuncs, groupingSets, windowFuncs2,
-      equidepthHist, featureScale)
+      equidepthHist, featureScale, kmvSetOps)
 }

@@ -367,7 +367,56 @@ object Temporal {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** EXPONENTIALLY-WEIGHTED moving value, exact — the time-series
+    * smoother that is normally un-oracle-able because EWMA is a
+    * non-associative float recurrence. Two choices make it exact and
+    * distributed: α = 1/2 (every weight is a power of two, so each term
+    * `cents·2^j` is an INTEGER — no float accumulates), and a 16-point
+    * truncation (the dropped tail's weight is ≤ 2⁻¹⁶ of the newest
+    * point — below cent resolution — and it bounds the window frame, so
+    * state never grows with history). Each user's last event reports the
+    * raw weighted sum over its trailing frame: one hash shuffle on
+    * user_id carries the frame window, the collect_list is frame-bounded
+    * (≤ 16 elements), and the weighted fold is a codegen'd HOF. The
+    * oracle replays the identical integer fold (lists are 1-based there,
+    * 0-based here — the only divergence, handled in the index). */
+  val ewma: QuerySpec = QuerySpec.sql(
+    "q_ewma",
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, ts, event_id,
+      |         list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l,
+      |         row_number() OVER (PARTITION BY user_id
+      |           ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM e)
+      |SELECT user_id, CAST(len(l) AS INTEGER) AS n_pts,
+      |       CAST(list_sum(list_transform(range(1, len(l) + 1),
+      |              j -> l[j] * CAST(pow(2, j - 1) AS BIGINT))) AS BIGINT) AS wsum
+      |FROM f WHERE rn = 1 ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val frame = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-15, Window.currentRow)
+    val last = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("l", collect_list(col("cents")).over(frame))
+      .withColumn("rn", row_number().over(last))
+      .filter(col("rn") === 1)
+      .select(col("user_id"),
+        size(col("l")).as("n_pts"),
+        aggregate(
+          transform(sequence(lit(1), size(col("l"))),
+            j => element_at(col("l"), j) * pow(lit(2), j - 1).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("wsum"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(rangeJoin, gapFill, rollingWindow, funnel, ohlc, retention, intervalMerge,
-      markovTransitions)
+      markovTransitions, ewma)
 }
