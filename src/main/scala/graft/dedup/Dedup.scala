@@ -699,7 +699,81 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** DUPLICATED-PASSAGE CUTTING — the apply step over [[dupPassages]]'s
+    * detection (Lee et al.'s ExactSubstr policy: keep ONE occurrence of
+    * each duplicated substring, cut the rest). Occurrence selection is
+    * global and deterministic: for each duplicated 5-gram, the minimal
+    * (doc_id, pos) site survives — a single min-struct aggregate per
+    * gram, no window — and every OTHER site becomes a cut point. Cut
+    * points interval-merge per doc (the same bounded island windows as
+    * detection), and the report is the per-doc token budget after
+    * cutting: original length, tokens cut, tokens kept. Survivor sites
+    * contribute nothing, so a doc whose duplicated text is all
+    * first-occurrence keeps every token — documents not in the output
+    * lost nothing. At 100 TB the added cost over detection is one
+    * min-aggregate on the same gram shuffle. */
+  val dupCut: QuerySpec = QuerySpec.sql(
+    "q_dedup_cut",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(range(1, len(w) - 3)) AS pos FROM d),
+      |ng AS (SELECT g.doc_id, g.pos,
+      |              array_to_string(list_slice(d.w, g.pos, g.pos + 4), ' ') AS gram
+      |       FROM g JOIN d ON g.doc_id = d.doc_id),
+      |keep AS (SELECT gram, min(struct_pack(doc_id := doc_id, pos := pos)) AS k,
+      |                count(*) AS c
+      |         FROM ng GROUP BY 1 HAVING count(*) > 1),
+      |cut AS (SELECT ng.doc_id, ng.pos, ng.pos + 4 AS e
+      |        FROM ng JOIN keep ON ng.gram = keep.gram
+      |        WHERE NOT (ng.doc_id = keep.k.doc_id AND ng.pos = keep.k.pos)),
+      |mx AS (SELECT doc_id, pos, e,
+      |              max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |       FROM cut),
+      |grp AS (SELECT doc_id, pos, e,
+      |               sum(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+      |                 OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+      |        FROM mx),
+      |spans AS (SELECT doc_id, gid, min(pos) AS s, max(e) AS e
+      |          FROM grp GROUP BY 1, 2),
+      |per AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS cut_tokens
+      |        FROM spans GROUP BY 1)
+      |SELECT per.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens, per.cut_tokens,
+      |       CAST(len(d.w) - per.cut_tokens AS BIGINT) AS kept_tokens
+      |FROM per JOIN d ON per.doc_id = d.doc_id
+      |ORDER BY per.doc_id""".stripMargin) { (spark, dir) =>
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val grams = d.filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("w")) - 4),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("w"), i, lit(5))).as("gram")))).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.gram").as("gram"))
+    val keep = grams.groupBy(col("gram"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"),
+        count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    val cuts = grams.join(keep, "gram")
+      .filter(!(col("doc_id") === col("k.doc_id") && col("pos") === col("k.pos")))
+      .select(col("doc_id"), col("pos"), (col("pos") + 4).as("e"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pmax = max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = cuts
+      .withColumn("fresh", when(pmax.isNull || col("pos") > pmax, 1L).otherwise(0L))
+      .withColumn("gid", sum(col("fresh")).over(byPos))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s") + 1).cast("long").as("cut_tokens"))
+    spans.join(d.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens")),
+        "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("cut_tokens"),
+        (col("n_tokens") - col("cut_tokens")).as("kept_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(dedupExact, nearDupPairs, minhashSigs, simhashPairs, fingerprintOverlap,
-      dedupClusters, dedupBest, dedupIncremental, chunkDedup, dupPassages)
+      dedupClusters, dedupBest, dedupIncremental, chunkDedup, dupPassages,
+      dupCut)
 }
