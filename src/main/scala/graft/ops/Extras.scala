@@ -452,8 +452,41 @@ object Extras {
         "exact_a", "exact_b", "exact_intersection")
   }
 
+  /** ARRAY-FUNCTION surface parity: per order, the sorted line-number
+    * array and the canonical array ops over it — size, membership, slice,
+    * reverse, integer fold — every output deterministic (arrays are
+    * sorted before anything order-sensitive, and serialized to strings in
+    * the result so the driver's row comparator sorts them) and exactly
+    * replayable in DuckDB's list vocabulary. One hash aggregation builds the arrays;
+    * the per-array ops are codegen'd projections. */
+  val arrayFuncs: QuerySpec = QuerySpec.sql(
+    "q_array_funcs",
+    """WITH a AS (
+      |  SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey,
+      |       array_to_string(lns, ',') AS lns,
+      |       CAST(len(lns) AS INTEGER) AS n,
+      |       list_contains(lns, 4) AS has4,
+      |       array_to_string(list_slice(lns, 1, 2), ',') AS first2,
+      |       array_to_string(list_reverse(lns), ',') AS rev,
+      |       CAST(list_sum(lns) AS BIGINT) AS total
+      |FROM a ORDER BY l_orderkey LIMIT 1000""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"))
+      .select(col("l_orderkey"),
+        array_join(col("lns"), ",").as("lns"),
+        size(col("lns")).as("n"),
+        array_contains(col("lns"), 4).as("has4"),
+        array_join(slice(col("lns"), 1, 2), ",").as("first2"),
+        array_join(reverse(col("lns")), ",").as("rev"),
+        aggregate(col("lns"), lit(0L), (a, x) => a + x).as("total"))
+      .orderBy(col("l_orderkey")).limit(1000)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(pivotQuery, unpivotQuery, stringFuncs, collectQuery, explodeQuery,
       percentiles, dateArith, nullFuncs, groupingSets, windowFuncs2,
-      equidepthHist, featureScale, kmvSetOps)
+      equidepthHist, featureScale, kmvSetOps, arrayFuncs)
 }
