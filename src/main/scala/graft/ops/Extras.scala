@@ -485,8 +485,54 @@ object Extras {
       .orderBy(col("l_orderkey")).limit(1000)
   }
 
+  /** MAP-TYPE surface: per line status, a returnflag→quantity map built
+    * with `map_from_entries`, then the canonical map ops — keys, values,
+    * point lookup, `map_concat` with a literal map, `transform_values`.
+    * Maps are unordered, so every map-shaped output serializes through
+    * its SORTED entry list; the oracle never builds a map at all — it
+    * derives the same strings from the underlying pairs, which is exactly
+    * the semantic contract (a map IS its key→value set). Quantities are
+    * exact integers. */
+  val mapFuncs: QuerySpec = QuerySpec.sql(
+    "q_map_funcs",
+    """WITH p AS (
+      |  SELECT l_linestatus, l_returnflag,
+      |         CAST(sum(l_quantity) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT l_linestatus,
+      |         string_agg(l_returnflag || ':' || qty, ',' ORDER BY l_returnflag) AS entries,
+      |         string_agg(l_returnflag, ',' ORDER BY l_returnflag) AS ks,
+      |         CAST(count(*) AS INTEGER) AS n_keys,
+      |         CAST(min(CASE WHEN l_returnflag = 'R' THEN qty END) AS BIGINT) AS r_qty,
+      |         string_agg(l_returnflag || ':' || (qty * 2), ',' ORDER BY l_returnflag)
+      |           AS doubled
+      |  FROM p GROUP BY 1)
+      |SELECT l_linestatus, entries, ks, n_keys, r_qty,
+      |       entries || ',_unit:1' AS with_unit, doubled
+      |FROM m ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val m = Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"), col("l_returnflag"))
+      .agg(sum(col("l_quantity")).cast("long").as("qty"))
+      .groupBy(col("l_linestatus"))
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("l_returnflag"), col("qty"))))).as("m"))
+    def ser(mc: org.apache.spark.sql.Column) = array_join(
+      transform(map_entries(mc), e =>
+        concat(e.getField("key"), lit(":"), e.getField("value"))), ",")
+    m.select(col("l_linestatus"),
+        ser(col("m")).as("entries"),
+        array_join(map_keys(col("m")), ",").as("ks"),
+        size(col("m")).as("n_keys"),
+        element_at(col("m"), "R").as("r_qty"),
+        ser(map_concat(col("m"),
+          map(lit("_unit"), lit(1L)))).as("with_unit"),
+        ser(transform_values(col("m"), (_, v) => v * 2)).as("doubled"))
+      .orderBy(col("l_linestatus"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(pivotQuery, unpivotQuery, stringFuncs, collectQuery, explodeQuery,
       percentiles, dateArith, nullFuncs, groupingSets, windowFuncs2,
-      equidepthHist, featureScale, kmvSetOps, arrayFuncs)
+      equidepthHist, featureScale, kmvSetOps, arrayFuncs, mapFuncs)
 }
