@@ -52,16 +52,39 @@ class ManifestStreamProvider extends TableProvider {
   }
 }
 
-final class ManifestStreamTable(schema: StructType, base: String)
-    extends Table with SupportsRead {
+final class ManifestStreamTable(schema: StructType, base: String,
+    pinnedVersion: Option[Int] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"manifest-stream($base)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.STREAMING_WRITE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            val partCol = info.options.get("partCol")
+            require(partCol != null && info.schema().fieldNames.contains(partCol),
+              "manifest-stream sink needs .option(\"partCol\", <column in the stream>)")
+            new ManifestStreamingWrite(base, info.schema(), partCol, info.queryId())
+          }
+        }
+    }
+  /** The same table pinned to one snapshot (SQL `VERSION AS OF`). */
+  def withVersion(v: Int): ManifestStreamTable =
+    new ManifestStreamTable(schema, base, Some(v))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // batch reads honor time travel: .option("versionAsOf", v) pins the
-    // snapshot; default is the current version at scan planning time
-    val versionAsOf = Option(options.get("versionAsOf")).map(_.toInt)
+    // batch reads honor time travel: .option("versionAsOf", v) or the SQL
+    // VERSION AS OF pin; default is the current version at planning time
+    val versionAsOf =
+      Option(options.get("versionAsOf")).map(_.toInt).orElse(pinnedVersion)
     new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
       // column pruning: the reader resolves fields by NAME, so serving a
@@ -146,6 +169,15 @@ class ManifestCatalog
     val rel = first.substring(first.indexOf('\t') + 1)
     val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
     new ManifestStreamTable(spark.read.parquet(abs).schema, base)
+  }
+
+  /** SQL time travel: `SELECT ... FROM graft_cat.\`t\` VERSION AS OF 2`
+    * resolves through this overload; the connector table pins the
+    * snapshot by injecting the version as its default read option. */
+  override def loadTable(ident: Identifier, version: String)
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val t = loadTable(ident).asInstanceOf[ManifestStreamTable]
+    t.withVersion(version.toInt)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -286,4 +318,171 @@ final class ManifestFileReaderFactory(schema: StructType)
       override def close(): Unit = reader.close()
     }
   }
+}
+
+/** The WRITE half of the connector — a Structured Streaming SINK that
+  * commits EXACTLY ONE table version per epoch (micro-batch), giving the
+  * ingest the same commit-boundary semantics the read side consumes:
+  * `writeStream.format(...).option("partCol", c)` turns a stream into an
+  * append history where every snapshot is one micro-batch's rows.
+  *
+  * Exactly-once under retries: executors stage per-partition parquet
+  * files (public parquet-hadoop writer), the driver's `commit(epoch)`
+  * first checks whether any COMMITTED version already carries this
+  * (queryId, epoch) marker — a replayed epoch after a crash cleans its
+  * stage and returns — then writes the marker, moves the staged files
+  * in, and commits the manifest with the atomic rename every verb uses.
+  * A crash between marker and manifest leaves an uncommitted marker that
+  * the retry overwrites; a crash after the manifest leaves a fully
+  * committed epoch the retry detects. Stage debris from aborted epochs
+  * is `removeOrphans` food like every other crash path. */
+final class ManifestStreamingWrite(base: String, schema: StructType,
+    partCol: String, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    new ManifestSinkWriterFactory(base, schema, partCol)
+
+  private def fs = new Path(base).getFileSystem(new Configuration())
+
+  private def committedVersions: Seq[Int] = {
+    val dir = new Path(base, "_manifests")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }.sorted
+  }
+  private def markerOf(v: Int): Option[String] = {
+    val p = new Path(base, s"_manifests/v$v.epoch")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.flatMap {
+      case m: ManifestSinkFiles => m.files
+    }.toSeq
+    val tag = s"$queryId\t$epochId"
+    val vs = committedVersions
+    if (vs.exists(v => markerOf(v).contains(tag))) {
+      // replayed epoch: already durable — drop the re-staged files
+      staged.foreach { case (_, p) => fs.delete(new Path(p), false) }
+      return
+    }
+    val next = vs.lastOption.getOrElse(0) + 1
+    // marker BEFORE the manifest rename: a crash in between leaves an
+    // uncommitted marker the retry simply overwrites
+    val mp = new Path(base, s"_manifests/v$next.epoch")
+    val out = fs.create(mp, true)
+    try out.write(tag.getBytes("UTF-8")) finally out.close()
+    val moved = staged.map { case (pval, abs) =>
+      val destDir = new Path(base, s"files/v$next/p=$pval")
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, new Path(abs).getName)
+      if (!fs.rename(new Path(abs), dest))
+        throw new java.io.IOException(s"sink move failed: $abs")
+      (pval, s"files/v$next/p=$pval/${dest.getName}")
+    }
+    val prev = vs.lastOption
+      .map(v => ManifestTable.entries(
+        org.apache.spark.sql.SparkSession.active, base, v))
+      .getOrElse(Seq.empty)
+    ManifestTable.commit(org.apache.spark.sql.SparkSession.active,
+      base, next, prev ++ moved)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case m: ManifestSinkFiles =>
+        m.files.foreach { case (_, p) => fs.delete(new Path(p), false) }
+      case _ =>
+    }
+}
+
+final case class ManifestSinkFiles(files: Seq[(String, String)])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class ManifestSinkWriterFactory(base: String, schema: StructType,
+    partCol: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new ManifestSinkWriter(base, schema, partCol, partitionId, taskId, epochId)
+}
+
+/** Executor-side writer: one parquet file per partition value seen by
+  * this task, staged under a task-unique dir (no cross-writer races). */
+final class ManifestSinkWriter(base: String, schema: StructType,
+    partCol: String, partitionId: Int, taskId: Long, epochId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.schema.{MessageType, Types, PrimitiveType, LogicalTypeAnnotation}
+
+  private val partIdx = schema.fieldIndex(partCol)
+  private val msgType: MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType => b.optional(PrimitiveType.PrimitiveTypeName.INT64).named(f.name)
+        case IntegerType => b.optional(PrimitiveType.PrimitiveTypeName.INT32).named(f.name)
+        case DoubleType => b.optional(PrimitiveType.PrimitiveTypeName.DOUBLE).named(f.name)
+        case StringType => b.optional(PrimitiveType.PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case dt => throw new UnsupportedOperationException(
+          s"manifest-stream sink: unsupported type $dt for ${f.name}")
+      }
+    }
+    b.named("graft_sink")
+  }
+  private val factory = new SimpleGroupFactory(msgType)
+  private val stage = s"$base/.stage-sink-e$epochId-p$partitionId-t$taskId"
+  private val writers = scala.collection.mutable.Map[String,
+    org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group]]()
+  private val paths = scala.collection.mutable.Map[String, String]()
+
+  override def write(row: InternalRow): Unit = {
+    val pval = schema.fields(partIdx).dataType match {
+      case LongType => row.getLong(partIdx).toString
+      case IntegerType => row.getInt(partIdx).toString
+      case DoubleType => row.getDouble(partIdx).toString
+      case StringType => row.getUTF8String(partIdx).toString
+      case _ => throw new IllegalStateException("unreachable")
+    }
+    val w = writers.getOrElseUpdate(pval, {
+      val p = s"$stage/part-$pval.parquet"
+      paths(pval) = p
+      val conf = new Configuration()
+      ExampleParquetWriter.builder(new Path(p)).withConf(conf).withType(msgType).build()
+    })
+    val g = factory.newGroup()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        case LongType => g.add(f.name, row.getLong(i))
+        case IntegerType => g.add(f.name, row.getInt(i))
+        case DoubleType => g.add(f.name, row.getDouble(i))
+        case StringType => g.add(f.name, row.getUTF8String(i).toString)
+        case _ => ()
+      }
+    }
+    w.write(g)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writers.values.foreach(_.close())
+    ManifestSinkFiles(paths.toSeq.map { case (pval, p) => (pval, p) })
+  }
+  override def abort(): Unit = {
+    writers.values.foreach(w => scala.util.Try(w.close()))
+    val fs = new Path(base).getFileSystem(new Configuration())
+    fs.delete(new Path(stage), true)
+  }
+  override def close(): Unit = ()
 }

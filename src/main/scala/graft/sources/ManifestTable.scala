@@ -2281,10 +2281,54 @@ object ManifestTable {
          |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Registered STREAMING SINK through the DSv2 connector's write face:
+    * events stream INTO a manifest table via
+    * `writeStream.format("manifest-stream")` — one committed version per
+    * micro-batch (three forced epochs), each commit the atomic rename
+    * every verb uses, exactly-once under epoch replay via per-version
+    * (queryId, epoch) markers. The result reads the produced table back
+    * through the ordinary manifest read; the oracle is the plain batch
+    * aggregate of the same events, so a lost epoch, duplicated replay,
+    * or torn commit hash-mismatches. `ManifestStreamSpec` pins
+    * version-per-epoch, restart idempotence, and that the READ connector
+    * can stream back what the WRITE connector produced. */
+  val streamSink: QuerySpec = QuerySpec.sql(
+    "q_stream_sink",
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val staged = s"${graft.Scratch.root}/events_sink_feed"
+    val base = s"${graft.Scratch.root}/events_sink_tbl"
+    val ck = s"${graft.Scratch.root}/events_sink_ck"
+    val fs = fsOf(spark, new Path(base))
+    fs.delete(new Path(base), true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    val src = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    src.repartition(3).write.mode("overwrite").parquet(staged)
+    val q = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1") // three epochs -> three versions
+      .parquet(staged)
+      .writeStream
+      .format("graft.sources.ManifestStreamProvider")
+      .option("path", base)
+      .option("partCol", "event_type")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    read(spark, base)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
       tableStatsSkipMulti, tableBloomSkip, tableCdc, tableCdfAgg, streamCdf,
       tableClone, tableOptimizeSorted, tableIndexJoin, tablePartitions,
-      tableEvolve, streamTable, connectorTravel, tableMoR, catalogSql)
+      tableEvolve, streamTable, connectorTravel, tableMoR, catalogSql,
+      streamSink)
 }

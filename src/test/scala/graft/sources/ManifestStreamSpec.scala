@@ -85,6 +85,67 @@ class ManifestStreamSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE graft_cat.`$tbl`")
     }
     assert(ManifestTable.read(spark, base).count() > 0)
+    // SQL time travel: VERSION AS OF 1 must see the pre-merge snapshot
+    val v1n = spark.sql(s"SELECT count(*) AS n FROM graft_cat.`$tbl` VERSION AS OF 1")
+      .head.getLong(0)
+    val curn = spark.sql(s"SELECT count(*) AS n FROM graft_cat.`$tbl`")
+      .head.getLong(0)
+    assert(v1n === ManifestTable.readVersion(spark, base, 1).count())
+    assert(curn === ManifestTable.read(spark, base).count())
+    assert(v1n !== curn, "merge inserted rows, so the snapshots must differ")
+  }
+
+  test("streaming sink: one version per epoch, restart-idempotent, read-composable") {
+    val staged = s"${graft.Scratch.root}/sink_spec_feed"
+    val base = s"${graft.Scratch.root}/sink_spec_tbl"
+    val ck = s"${graft.Scratch.root}/sink_spec_ck"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    val src = graft.model.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    src.repartition(3).write.mode("overwrite").parquet(staged)
+    def run(): Unit = {
+      val q = spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .writeStream.format("graft.sources.ManifestStreamProvider")
+        .option("path", base).option("partCol", "event_type")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val v = ManifestTable.currentVersion(spark, base)
+    assert(v === 3, s"one version per epoch: got $v")
+    // every version carries its epoch marker, and the history is append-only
+    (1 to 3).foreach { i =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(base, s"_manifests/v$i.epoch")))
+      assert(ManifestTable.entries(spark, base, math.max(1, i - 1)).toSet
+        .subsetOf(ManifestTable.entries(spark, base, i).toSet))
+    }
+    // the table holds exactly the stream
+    assert(ManifestTable.read(spark, base).count() === src.count())
+    assert(ManifestTable.read(spark, base).exceptAll(src).isEmpty)
+    // restart with nothing new: no new version
+    run()
+    assert(ManifestTable.currentVersion(spark, base) === 3)
+    // composability: the READ connector streams back what the sink wrote,
+    // one micro-batch per committed version
+    val outSink = s"${graft.Scratch.root}/sink_spec_rt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outSink))
+    val q2 = spark.readStream.format("graft.sources.ManifestStreamProvider")
+      .schema(src.schema).load(base)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$outSink/batch=$id"); ()
+      }
+      .option("checkpointLocation", s"$outSink-ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val rt = spark.read.parquet(outSink)
+    assert(rt.count() === src.count())
+    assert(rt.select(col("batch").cast("long")).distinct().count() === 3)
   }
 
   test("schema-less stream read is refused") {
