@@ -368,6 +368,39 @@ object ManifestTable {
     (es.size, newFiles.size)
   }
 
+  /** TWO-DIMENSIONAL clustered OPTIMIZE — [[optimizeSorted]] with a
+    * space-filling curve as the cluster key (OPTIMIZE ZORDER BY (c1, c2),
+    * executed as a Hilbert order via the native codegen'd `hilbert3`
+    * expression): both columns normalize into the curve's 256³ grid, the
+    * rewrite range-partitions on (partition, curve key), and because
+    * consecutive curve cells are spatially adjacent every file bounds a
+    * tight RECTANGLE in (c1, c2) — so the commit-maintained multi-column
+    * sidecar can skip files on EITHER column's predicate and on their
+    * conjunction, which no single-column sort order can give the second
+    * column. The curve scaling uses driver-side min/max (one 1-row
+    * aggregate — at production scale the table stats the commit path
+    * already maintains). Returns (files before, after). */
+  def optimizeClustered2d(spark: SparkSession, base: String, partCol: String,
+      c1: String, c2: String, filesPerPartition: Int): (Int, Int) = {
+    requireNoPendingDv(spark, base, "optimizeClustered2d")
+    graft.exprs.GraftFunctions.register(spark)
+    val v = currentVersion(spark, base)
+    val es = entries(spark, base, v)
+    val rows = read(spark, base)
+    val mx = rows.agg(max(col(c1)), max(col(c2))).head
+    val (m1, m2) = (mx.getLong(0) + 1, mx.getLong(1) + 1)
+    val hk = graft.exprs.GraftFunctions.hilbert3(
+      expr(s"$c1 * 256L div ${m1}L"), expr(s"$c2 * 256L div ${m2}L"), lit(0L), 8)
+    val nPvals = es.map(_._1).distinct.size
+    val newFiles = writeSnapshotFilesArranged(spark, base, v + 1, rows,
+      col(partCol),
+      _.repartitionByRange(nPvals * filesPerPartition,
+        col("__p"), hk))
+    commit(spark, base, v + 1, newFiles)
+    refreshAllStats(spark, base)
+    (es.size, newFiles.size)
+  }
+
   /** RESTORE — roll the table back to snapshot `toVersion` as a NEW
     * commit: the new manifest simply names the old snapshot's files
     * (pure carry-by-reference — zero data I/O, one rename). History stays
@@ -2324,11 +2357,77 @@ object ManifestTable {
       .orderBy(col("event_type"))
   }
 
+  /** Build-once fixture for 2-d clustering: the [[bloomFixture]] column
+    * set (orderkey, year, custkey, price) created + twice appended in
+    * orderkey bands, custkey AND orderkey sidecars from v1, then
+    * [[optimizeClustered2d]] re-clusters each year on the
+    * (custkey, orderkey) Hilbert curve. */
+  private[sources] def sorted2dFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("sorted2d", dir), {
+        val base =
+          s"${graft.Scratch.root}/orders_s2fix_${graft.Scratch.dirToken(dir)}"
+        val t = Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("int").as("o_year"),
+            col("o_custkey"), col("o_totalprice"))
+        val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
+        val (k1, k2) = (mx / 3, 2 * mx / 3)
+        create(spark, base, t.filter(col("o_orderkey") <= k1), "o_year")
+        buildStats(spark, base, "o_custkey")
+        buildStats(spark, base, "o_orderkey")
+        append(spark, base,
+          t.filter(col("o_orderkey") > k1 && col("o_orderkey") <= k2), "o_year")
+        append(spark, base, t.filter(col("o_orderkey") > k2), "o_year")
+        optimizeClustered2d(spark, base, "o_year", "o_custkey", "o_orderkey", 6)
+        base
+      })
+    }
+
+  /** Registered 2-D CLUSTERED range lookup: a conjunction of middle
+    * slices on BOTH curve dimensions through [[readPrunedMulti]] against
+    * the [[sorted2dFixture]]. Under any single-column sort the second
+    * column's range could prune nothing; under the curve every file
+    * bounds a (custkey, orderkey) rectangle, so both predicates prune and
+    * their conjunction intersects — `CloneVacuumSpec` pins exactly that.
+    * Bounds derive from min/max with integer arithmetic in both engines. */
+  val tableOptimize2d: QuerySpec = QuerySpec.sql(
+    "q_optimize_2d",
+    """WITH b AS (SELECT min(o_custkey) AS cmn, max(o_custkey) AS cmx,
+      |                  min(o_orderkey) AS omn, max(o_orderkey) AS omx
+      |           FROM orders),
+      |r AS (SELECT cmn + (cmx - cmn) * 2 // 5 AS clo, cmn + (cmx - cmn) // 2 AS chi,
+      |             omn + (omx - omn) * 2 // 5 AS olo, omn + (omx - omn) // 2 AS ohi
+      |      FROM b)
+      |SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM orders, r
+      |WHERE o_custkey BETWEEN r.clo AND r.chi
+      |  AND o_orderkey BETWEEN r.olo AND r.ohi
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = sorted2dFixture(spark, dir)
+    val row = Tables.orders(spark, dir)
+      .agg(min(col("o_custkey")), max(col("o_custkey")),
+        min(col("o_orderkey")), max(col("o_orderkey"))).head
+    val (cmn, cmx, omn, omx) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val (clo, chi) = (cmn + (cmx - cmn) * 2 / 5, cmn + (cmx - cmn) / 2)
+    val (olo, ohi) = (omn + (omx - omn) * 2 / 5, omn + (omx - omn) / 2)
+    readPrunedMulti(spark, base,
+        Seq(("o_custkey", clo, chi), ("o_orderkey", olo, ohi)))
+      .filter(col("o_custkey").between(clo, chi) &&
+        col("o_orderkey").between(olo, ohi))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
       tableStatsSkipMulti, tableBloomSkip, tableCdc, tableCdfAgg, streamCdf,
       tableClone, tableOptimizeSorted, tableIndexJoin, tablePartitions,
       tableEvolve, streamTable, connectorTravel, tableMoR, catalogSql,
-      streamSink)
+      streamSink, tableOptimize2d)
 }

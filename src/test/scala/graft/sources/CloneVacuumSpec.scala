@@ -155,6 +155,31 @@ class CloneVacuumSpec extends AnyFunSuite {
     assert(swept.exists(_.startsWith("_dv/")), swept.toString)
   }
 
+  test("2-d curve clustering lets BOTH columns and their conjunction skip files") {
+    val base = ManifestTable.sorted2dFixture(spark, sf)
+    val t = graft.model.Tables.orders(spark, sf)
+    val row = t.agg(min(col("o_custkey")), max(col("o_custkey")),
+      min(col("o_orderkey")), max(col("o_orderkey"))).head
+    val (cmn, cmx, omn, omx) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val (clo, chi) = (cmn + (cmx - cmn) * 2 / 5, cmn + (cmx - cmn) / 2)
+    val (olo, ohi) = (omn + (omx - omn) * 2 / 5, omn + (omx - omn) / 2)
+    val (keepC, total) = ManifestTable.prunedPaths(spark, base, "o_custkey", clo, chi)
+    val (keepO, _) = ManifestTable.prunedPaths(spark, base, "o_orderkey", olo, ohi)
+    val (keepBoth, _) = ManifestTable.prunedPathsMulti(spark, base,
+      Seq(("o_custkey", clo, chi), ("o_orderkey", olo, ohi)))
+    // each dimension alone skips — impossible for the second column under
+    // any single-column sort — and the conjunction only tightens
+    assert(keepC.size < total, s"custkey never skipped (${keepC.size}/$total)")
+    assert(keepO.size < total, s"orderkey never skipped (${keepO.size}/$total)")
+    assert(keepBoth.size <= math.min(keepC.size, keepO.size))
+    // the rewrite moved no data
+    val before = ManifestTable.readVersion(spark, base, 3)
+    val after = ManifestTable.readVersion(spark, base, 4)
+    assert(after.count() === before.count())
+    assert(after.exceptAll(before).isEmpty)
+  }
+
   test("removeOrphans deletes exactly the crash debris and nothing committed") {
     val base = s"${graft.Scratch.root}/orphan_tbl"
     val t = graft.model.Tables.orders(spark, sf)
