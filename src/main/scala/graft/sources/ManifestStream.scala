@@ -60,21 +60,35 @@ final class ManifestStreamTable(schema: StructType, base: String,
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder {
+      // the layout column comes from the writer option or, for SQL
+      // INSERT INTO (which passes no options), the table's stored
+      // `partCol` property
+      private def partCol: String = {
+        val fromOpt = Option(info.options.get("partCol"))
+        val c = fromOpt.orElse(
+          ManifestTable.tableProperties(
+            org.apache.spark.sql.SparkSession.active, base).get("partCol"))
+          .getOrElse(throw new IllegalArgumentException(
+            "manifest-stream write needs .option(\"partCol\", c) or the " +
+              "table property partCol"))
+        require(info.schema().fieldNames.contains(c),
+          s"partition column $c not in the written schema")
+        c
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
           override def toStreaming
-              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-            val partCol = info.options.get("partCol")
-            require(partCol != null && info.schema().fieldNames.contains(partCol),
-              "manifest-stream sink needs .option(\"partCol\", <column in the stream>)")
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
             new ManifestStreamingWrite(base, info.schema(), partCol, info.queryId())
-          }
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite =
+            new ManifestBatchAppend(base, info.schema(), partCol)
         }
     }
   /** The same table pinned to one snapshot (SQL `VERSION AS OF`). */
@@ -485,4 +499,62 @@ final class ManifestSinkWriter(base: String, schema: StructType,
     fs.delete(new Path(stage), true)
   }
   override def close(): Unit = ()
+}
+
+/** Batch APPEND through the connector — what SQL `INSERT INTO
+  * graft_cat.\`t\` SELECT ...` resolves to: the same staged-files +
+  * atomic-manifest-rename commit as the APPEND verb, with the layout
+  * column taken from the table's stored `partCol` property. Only append
+  * is offered (the format's other verbs are transactional APIs, not SQL
+  * overwrites); Spark runs one commit per query, so no epoch marker is
+  * needed. */
+final class ManifestBatchAppend(base: String, schema: StructType, partCol: String)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestBatchWriterFactory(base, schema, partCol)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(base).getFileSystem(new Configuration())
+    val staged = messages.flatMap { case m: ManifestSinkFiles => m.files }.toSeq
+    val spark = org.apache.spark.sql.SparkSession.active
+    val vs = {
+      val dir = new Path(base, "_manifests")
+      if (!fs.exists(dir)) Seq.empty[Int]
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+          n.stripPrefix("v").stripSuffix(".manifest").toInt }.sorted
+    }
+    val next = vs.lastOption.getOrElse(0) + 1
+    val moved = staged.map { case (pval, abs) =>
+      val destDir = new Path(base, s"files/v$next/p=$pval")
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, new Path(abs).getName)
+      if (!fs.rename(new Path(abs), dest))
+        throw new java.io.IOException(s"insert move failed: $abs")
+      (pval, s"files/v$next/p=$pval/${dest.getName}")
+    }
+    val prev = vs.lastOption
+      .map(v => ManifestTable.entries(spark, base, v)).getOrElse(Seq.empty)
+    ManifestTable.commit(spark, base, next, prev ++ moved)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(base).getFileSystem(new Configuration())
+    messages.foreach {
+      case m: ManifestSinkFiles =>
+        m.files.foreach { case (_, p) => fs.delete(new Path(p), false) }
+      case _ =>
+    }
+  }
+}
+
+/** Standalone (serializable) factory for the batch-append writers. */
+final class ManifestBatchWriterFactory(base: String, schema: StructType,
+    partCol: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new ManifestSinkWriter(base, schema, partCol, partitionId, taskId, -1L)
 }

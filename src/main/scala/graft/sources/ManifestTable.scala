@@ -790,7 +790,7 @@ object ManifestTable {
       fs.delete(new Path(manifestDir(base), s"v$v.manifest"), false)
       // stats/bloom sidecars are per-snapshot metadata: expire them with
       // their manifest, or a long merge history accumulates them forever
-      Seq(s"v$v.stats.*", s"v$v.bloom.*").foreach { pat =>
+      Seq(s"v$v.stats.*", s"v$v.bloom.*", s"v$v.epoch").foreach { pat =>
         val stale = fs.globStatus(new Path(manifestDir(base), pat))
         if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
       }
@@ -888,6 +888,34 @@ object ManifestTable {
     val fs = fsOf(spark, new Path(base))
     dvs.foreach(dvv => fs.delete(new Path(base, s"_dv/v$dvv"), true))
     (touched.size, nKeys)
+  }
+
+  /** Table properties — the format's tiny metadata key-value store
+    * (`_manifests/table.properties`). The one load-bearing key today is
+    * `partCol`, which lets the catalog's SQL INSERT path know the layout
+    * column without the writer naming it. */
+  def setTableProperty(spark: SparkSession, base: String,
+      key: String, value: String): Unit = {
+    val p = new Path(manifestDir(base), "table.properties")
+    val fs = fsOf(spark, p)
+    val existing = tableProperties(spark, base)
+    val out = fs.create(p, true)
+    try out.write((existing + (key -> value))
+      .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def tableProperties(spark: SparkSession, base: String): Map[String, String] = {
+    val p = new Path(manifestDir(base), "table.properties")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      text.split("\n").filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+      }.toMap
+    }
   }
 
   /** SHALLOW CLONE — a zero-copy fork of `srcBase`'s current snapshot
@@ -2423,11 +2451,54 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
+  /** Registered SQL INSERT through the catalog: a table created with the
+    * first orderkey half gains the second half via plain
+    * `INSERT INTO graft_cat.\`t\` SELECT ...` — resolved to the
+    * connector's batch-append write, the layout column read from the
+    * stored `partCol` table property, the commit the same atomic rename
+    * as the APPEND verb. The result reads the whole table back; the
+    * oracle is the plain-orders replay, so a lost insert, doubled
+    * commit, or mis-partitioned file hash-mismatches. */
+  val catalogInsert: QuerySpec = QuerySpec.sql(
+    "q_catalog_insert",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("insert", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_insfix_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
+        create(spark, b, t.filter(col("o_orderkey") <= mx / 2), "o_year")
+        setTableProperty(spark, b, "partCol", "o_year")
+        spark.conf.set("spark.sql.catalog.graft_cat",
+          "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root",
+          new java.io.File(b).getParent)
+        t.filter(col("o_orderkey") > mx / 2)
+          .createOrReplaceTempView("graft_insert_feed")
+        spark.sql(
+          s"""INSERT INTO graft_cat.`${new java.io.File(b).getName}`
+             |SELECT o_orderkey, o_year, o_totalprice FROM graft_insert_feed""".stripMargin)
+        b
+      })
+    }
+    read(spark, base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
       tableStatsSkipMulti, tableBloomSkip, tableCdc, tableCdfAgg, streamCdf,
       tableClone, tableOptimizeSorted, tableIndexJoin, tablePartitions,
       tableEvolve, streamTable, connectorTravel, tableMoR, catalogSql,
-      streamSink, tableOptimize2d)
+      streamSink, tableOptimize2d, catalogInsert)
 }

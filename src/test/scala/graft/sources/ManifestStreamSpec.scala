@@ -148,6 +148,16 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(rt.select(col("batch").cast("long")).distinct().count() === 3)
   }
 
+  test("SQL INSERT INTO appends exactly one version, carrying v1 by reference") {
+    ManifestTable.catalogInsert.fn(spark, sf).count() // builds the fixture
+    val base = s"${graft.Scratch.root}/orders_insfix_${graft.Scratch.dirToken(sf)}"
+    assert(ManifestTable.currentVersion(spark, base) === 2)
+    assert(ManifestTable.entries(spark, base, 1).toSet
+      .subsetOf(ManifestTable.entries(spark, base, 2).toSet))
+    assert(ManifestTable.tableProperties(spark, base).get("partCol")
+      .contains("o_year"))
+  }
+
   test("schema-less stream read is refused") {
     val e = intercept[IllegalArgumentException] {
       spark.readStream.format("graft.sources.ManifestStreamProvider")
