@@ -179,8 +179,11 @@ class ManifestCatalog
     val p = new Path(mdir, s"v$v.manifest")
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val first = text.split("\n").filter(_.nonEmpty).head
-    val rel = first.substring(first.indexOf('\t') + 1)
+    // the LAST entry is the newest file (manifests append new files after
+    // carried ones), so additive schema evolution surfaces the late-added
+    // columns here and the name-resolving reader nulls them for old files
+    val last = text.split("\n").filter(_.nonEmpty).last
+    val rel = last.substring(last.indexOf('\t') + 1)
     val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
     new ManifestStreamTable(spark.read.parquet(abs).schema, base)
   }
@@ -232,8 +235,52 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
       ManifestFilePartition(abs): InputPartition
     }
   }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestFileReaderFactory(schema)
+
+  /** Pending deletion vectors applied IN-SCAN: for the current-version
+    * read the DV keys load once on the driver (via the same public
+    * parquet reader the executors use) and ride the reader FACTORY —
+    * serialized once, shared by every task — so catalog SQL and
+    * connector reads see merge-on-read semantics without a join. A
+    * vector larger than the in-task budget refuses the scan and points
+    * at REORG; the anti-join path (`ManifestTable.readMoR`) has no such
+    * bound and remains the programmatic API. Time-travel reads skip DV
+    * application — vectors belong to versions after the pinned one. */
+  private def pendingDvKeys(fs: FileSystem): (String, Set[Long]) = {
+    val dvRoot = new Path(base, "_dv")
+    if (versionAsOf.isDefined || !fs.exists(dvRoot)) return ("", Set.empty)
+    val committed = fs.listStatus(new Path(base, "_manifests")).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }.toSet
+    val dvDirs = fs.listStatus(dvRoot).toSeq
+      .filter(d => committed(d.getPath.getName.stripPrefix("v").toInt))
+    if (dvDirs.isEmpty) return ("", Set.empty)
+    var keyCol = ""
+    val keys = scala.collection.mutable.Set[Long]()
+    dvDirs.foreach { d =>
+      fs.listStatus(d.getPath).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+          val r = ParquetReader.builder(new GroupReadSupport(), f.getPath)
+            .withConf(new Configuration()).build()
+          var g = r.read()
+          while (g != null) {
+            if (keyCol.isEmpty) keyCol = g.getType.getFieldName(0)
+            keys += g.getLong(keyCol, 0)
+            require(keys.size <= 1000000,
+              s"deletion vector too large for in-scan application under $base — run purgeDeletes")
+            g = r.read()
+          }
+          r.close()
+        }
+    }
+    (keyCol, keys.toSet)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fs = new Path(base).getFileSystem(new Configuration())
+    val (dvCol, dvKeys) = pendingDvKeys(fs)
+    new ManifestFileReaderFactory(schema, dvCol, dvKeys)
+  }
 }
 
 /** Offset = highest committed version already processed (0 = nothing). */
@@ -302,7 +349,8 @@ final class ManifestMicroBatchStream(base: String, schema: StructType)
 
 final case class ManifestFilePartition(path: String) extends InputPartition
 
-final class ManifestFileReaderFactory(schema: StructType)
+final class ManifestFileReaderFactory(schema: StructType,
+    dvCol: String = "", dvKeys: Set[Long] = Set.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[ManifestFilePartition].path
@@ -312,7 +360,14 @@ final class ManifestFileReaderFactory(schema: StructType)
         .withConf(new Configuration())
         .build()
       private var cur: org.apache.parquet.example.data.Group = _
-      override def next(): Boolean = { cur = reader.read(); cur != null }
+      private def deleted(g: org.apache.parquet.example.data.Group): Boolean =
+        dvKeys.nonEmpty && g.getType.containsField(dvCol) &&
+          g.getFieldRepetitionCount(dvCol) > 0 && dvKeys(g.getLong(dvCol, 0))
+      override def next(): Boolean = {
+        cur = reader.read()
+        while (cur != null && deleted(cur)) cur = reader.read()
+        cur != null
+      }
       override def get(): InternalRow = {
         val vals = schema.fields.map { f =>
           val gt = cur.getType

@@ -2494,11 +2494,46 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
+  /** Registered MERGE-ON-READ through the CONNECTOR: the [[morFixture]]'s
+    * pending deletion vector applied IN-SCAN — the DV keys ride the
+    * reader factory (loaded once on the driver, bounded, shared by every
+    * task) and each reader skips deleted rows as it decodes, so catalog
+    * SQL sees MoR semantics with no join in the plan. Same oracle as
+    * [[tableMoR]]: the two read paths must agree with each other AND with
+    * the SQL replay. */
+  val connectorMoR: QuerySpec = QuerySpec.sql(
+    "q_connector_mor",
+    """WITH t AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         o_totalprice
+      |  FROM orders)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t WHERE NOT (o_orderkey % 5 = 0 AND o_year >= 1996)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = morFixture(spark, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_year",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.read
+      .format("graft.sources.ManifestStreamProvider")
+      .schema(schema)
+      .load(base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
       tableStatsSkipMulti, tableBloomSkip, tableCdc, tableCdfAgg, streamCdf,
       tableClone, tableOptimizeSorted, tableIndexJoin, tablePartitions,
       tableEvolve, streamTable, connectorTravel, tableMoR, catalogSql,
-      streamSink, tableOptimize2d, catalogInsert)
+      streamSink, tableOptimize2d, catalogInsert, connectorMoR)
 }

@@ -158,6 +158,40 @@ class ManifestStreamSpec extends AnyFunSuite {
       .contains("o_year"))
   }
 
+  test("in-scan DV application and evolved catalog schemas") {
+    // connector read of a table with a pending vector == readMoR
+    val morBase = ManifestTable.morFixture(spark, sf)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_year", IntegerType),
+      StructField("o_totalprice", DoubleType)))
+    val viaConnector = spark.read
+      .format("graft.sources.ManifestStreamProvider")
+      .schema(schema).load(morBase)
+    val viaMoR = ManifestTable.readMoR(spark, morBase, "o_orderkey")
+    assert(viaConnector.count() === viaMoR.count())
+    assert(viaConnector.exceptAll(viaMoR).isEmpty)
+    // time travel skips vectors: v1 is the pre-delete table, in full
+    val v1 = spark.read.format("graft.sources.ManifestStreamProvider")
+      .schema(schema).option("versionAsOf", "1").load(morBase)
+    assert(v1.count() === ManifestTable.readVersion(spark, morBase, 1).count())
+    // catalog schema inference follows additive evolution: the late-added
+    // column is visible, with NULL for pre-evolution rows
+    val evBase = ManifestTable.evolveFixture(spark, sf)
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root",
+      new java.io.File(evBase).getParent)
+    val tbl = new java.io.File(evBase).getName
+    val byChannel = spark.sql(
+      s"""SELECT coalesce(o_channel, 'legacy') AS ch, count(*) AS n
+         |FROM graft_cat.`$tbl` GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byChannel.keySet === Set("legacy", "web", "store"))
+    assert(byChannel("legacy") ===
+      ManifestTable.readEvolved(spark, evBase)
+        .filter(col("o_channel").isNull).count())
+  }
+
   test("schema-less stream read is refused") {
     val e = intercept[IllegalArgumentException] {
       spark.readStream.format("graft.sources.ManifestStreamProvider")
