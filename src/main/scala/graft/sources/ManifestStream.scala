@@ -53,7 +53,7 @@ class ManifestStreamProvider extends TableProvider {
 }
 
 final class ManifestStreamTable(schema: StructType, base: String,
-    pinnedVersion: Option[Int] = None)
+    pinnedVersion: Option[Int] = None, layoutCol: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"manifest-stream($base)"
@@ -93,7 +93,7 @@ final class ManifestStreamTable(schema: StructType, base: String,
     }
   /** The same table pinned to one snapshot (SQL `VERSION AS OF`). */
   def withVersion(v: Int): ManifestStreamTable =
-    new ManifestStreamTable(schema, base, Some(v))
+    new ManifestStreamTable(schema, base, Some(v), layoutCol)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // batch reads honor time travel: .option("versionAsOf", v) or the SQL
     // VERSION AS OF pin; default is the current version at planning time
@@ -107,12 +107,30 @@ final class ManifestStreamTable(schema: StructType, base: String,
       private var projected: StructType = schema
       override def pruneColumns(requiredSchema: StructType): Unit =
         if (requiredSchema.nonEmpty) projected = requiredSchema
-      override def build(): Scan = new Scan {
+      override def build(): Scan = new Scan
+          with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
         override def readSchema(): StructType = projected
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ManifestMicroBatchStream(base, projected)
-        override def toBatch: org.apache.spark.sql.connector.read.Batch =
-          new ManifestSnapshotBatch(base, projected, versionAsOf)
+        private lazy val batch =
+          new ManifestSnapshotBatch(base, projected, versionAsOf,
+            layoutCol.filter(projected.fieldNames.contains),
+            layoutCol.map(schema.apply).map(_.dataType))
+        override def toBatch: org.apache.spark.sql.connector.read.Batch = batch
+        // the layout IS a partitioning: every manifest partition holds one
+        // value of the layout column, so the scan reports key-grouped
+        // partitioning and Catalyst can elide the aggregation/join shuffle
+        // on that key (storage-partitioned execution)
+        override def outputPartitioning()
+            : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+          layoutCol.filter(projected.fieldNames.contains) match {
+            case Some(c) =>
+              new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+                Array(org.apache.spark.sql.connector.expressions.Expressions.identity(c)),
+                batch.planInputPartitions().length)
+            case None =>
+              new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+          }
       }
     }
   }
@@ -185,7 +203,11 @@ class ManifestCatalog
     val last = text.split("\n").filter(_.nonEmpty).last
     val rel = last.substring(last.indexOf('\t') + 1)
     val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
-    new ManifestStreamTable(spark.read.parquet(abs).schema, base)
+    // the stored partCol property doubles as the reported key-grouped
+    // layout, so catalog SQL can run storage-partitioned (shuffle-free)
+    // aggregations and joins on it
+    new ManifestStreamTable(spark.read.parquet(abs).schema, base,
+      None, ManifestTable.tableProperties(spark, base).get("partCol"))
   }
 
   /** SQL time travel: `SELECT ... FROM graft_cat.\`t\` VERSION AS OF 2`
@@ -216,7 +238,8 @@ class ManifestCatalog
   * `versionAsOf`). One InputPartition per manifest file, same
   * name-resolved parquet reader as the stream. */
 final class ManifestSnapshotBatch(base: String, schema: StructType,
-    versionAsOf: Option[Int])
+    versionAsOf: Option[Int], layoutCol: Option[String] = None,
+    layoutType: Option[DataType] = None)
     extends org.apache.spark.sql.connector.read.Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = new Path(base).getFileSystem(new Configuration())
@@ -229,10 +252,29 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     val p = new Path(dir, s"v$v.manifest")
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    text.split("\n").filter(_.nonEmpty).map { l =>
-      val rel = l.substring(l.indexOf('\t') + 1)
+    val entries = text.split("\n").filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('\t')
+      val rel = l.substring(i + 1)
       val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
-      ManifestFilePartition(abs): InputPartition
+      (l.substring(0, i), abs)
+    }
+    layoutCol match {
+      case Some(_) =>
+        // key-grouped: ONE input partition per layout value (all its
+        // files), each carrying its partition key for Catalyst
+        entries.groupBy(_._1).toSeq.sortBy(_._1).map { case (pval, fs0) =>
+          val key = layoutType.get match {
+            case IntegerType => new GenericInternalRow(Array[Any](pval.toInt))
+            case LongType => new GenericInternalRow(Array[Any](pval.toLong))
+            case StringType =>
+              new GenericInternalRow(Array[Any](UTF8String.fromString(pval)))
+            case dt => throw new UnsupportedOperationException(
+              s"key-grouped layout on type $dt")
+          }
+          ManifestKeyedPartition(fs0.map(_._2).toSeq, key): InputPartition
+        }.toArray
+      case None =>
+        entries.map { case (_, abs) => ManifestFilePartition(abs): InputPartition }
     }
   }
 
@@ -349,11 +391,40 @@ final class ManifestMicroBatchStream(base: String, schema: StructType)
 
 final case class ManifestFilePartition(path: String) extends InputPartition
 
+/** One partition per layout value, carrying its key for Catalyst's
+  * key-grouped (storage-partitioned) execution. */
+final case class ManifestKeyedPartition(paths: Seq[String], key: InternalRow)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 final class ManifestFileReaderFactory(schema: StructType,
     dvCol: String = "", dvKeys: Set[Long] = Set.empty)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[ManifestFilePartition].path
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case ManifestFilePartition(path) => fileReader(path)
+      case ManifestKeyedPartition(paths, _) =>
+        // chain the value's files through one reader
+        new PartitionReader[InternalRow] {
+          private val it = paths.iterator
+          private var cur: PartitionReader[InternalRow] = _
+          override def next(): Boolean = {
+            while (cur == null || !cur.next()) {
+              if (cur != null) cur.close()
+              if (!it.hasNext) { cur = null; return false }
+              cur = fileReader(it.next())
+            }
+            true
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case other => throw new IllegalStateException(s"unexpected partition $other")
+    }
+
+  private def fileReader(path: String): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val reader = ParquetReader
         .builder(new GroupReadSupport(), new Path(path))

@@ -2529,11 +2529,37 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
+  /** Registered STORAGE-PARTITIONED aggregation through the catalog: the
+    * connector reports the table's layout as a key-grouped partitioning
+    * (one input partition per layout value, each carrying its key), so a
+    * `GROUP BY` on that column runs with ZERO exchanges — the layout IS
+    * the distribution, the DSv2 face of what `q_bucketed_agg` shows for
+    * bucketed tables. `ManifestStreamSpec` pins the exchange-free plan;
+    * the oracle is the plain-orders replay over the [[catalogInsert]]
+    * fixture (which stores the `partCol` property the report needs). */
+  val catalogAgg: QuerySpec = QuerySpec.sql(
+    "q_catalog_agg",
+    """WITH t AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    catalogInsert.fn(spark, dir).count() // ensures the fixture + catalog conf
+    val base =
+      s"${graft.Scratch.root}/orders_insfix_${graft.Scratch.dirToken(dir)}"
+    val tbl = new java.io.File(base).getName
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
       tableStatsSkipMulti, tableBloomSkip, tableCdc, tableCdfAgg, streamCdf,
       tableClone, tableOptimizeSorted, tableIndexJoin, tablePartitions,
       tableEvolve, streamTable, connectorTravel, tableMoR, catalogSql,
-      streamSink, tableOptimize2d, catalogInsert, connectorMoR)
+      streamSink, tableOptimize2d, catalogInsert, connectorMoR, catalogAgg)
 }

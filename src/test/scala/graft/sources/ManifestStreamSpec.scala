@@ -192,6 +192,15 @@ class ManifestStreamSpec extends AnyFunSuite {
         .filter(col("o_channel").isNull).count())
   }
 
+  test("key-grouped layout report elides the aggregation exchange") {
+    val df = ManifestTable.catalogAgg.fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"group-by on the layout column still shuffled:\n$plan")
+    assert(plan.contains("BatchScan"), plan)
+    assert(df.count() > 0)
+  }
+
   test("schema-less stream read is refused") {
     val e = intercept[IllegalArgumentException] {
       spark.readStream.format("graft.sources.ManifestStreamProvider")
