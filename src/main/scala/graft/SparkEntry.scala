@@ -27,6 +27,7 @@ object SparkEntry {
       sources.Sources.all ++
       sources.ManifestTable.all ++
       sources.HiddenPartition.all ++
+      sources.MultiTableTxn.all ++
       sources.Jdbc.all ++
       text.TextAnalysis.all ++
       text.CorpusPipeline.all ++
