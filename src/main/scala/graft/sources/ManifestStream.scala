@@ -597,7 +597,9 @@ final class ManifestSinkWriter(base: String, schema: StructType,
       case _ => throw new IllegalStateException("unreachable")
     }
     val w = writers.getOrElseUpdate(pval, {
-      val p = s"$stage/part-$pval.parquet"
+      // task-unique basename: several tasks of one epoch may hold the
+      // same partition value, and commit moves them into one dest dir
+      val p = s"$stage/part-$pval-p$partitionId-t$taskId.parquet"
       paths(pval) = p
       val conf = new Configuration()
       ExampleParquetWriter.builder(new Path(p)).withConf(conf).withType(msgType).build()

@@ -2555,11 +2555,58 @@ object ManifestTable {
          |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Registered LAKEHOUSE END-TO-END composition — the round's three
+    * connector flagships in one pipeline, one oracle row: events STREAM
+    * INTO a manifest table through the DSv2 sink (one version per
+    * epoch), a MERGE-ON-READ delete drops a cohort as a metadata-only
+    * commit, and plain CATALOG SQL reads the result with the pending
+    * vector applied IN-SCAN. The oracle is the batch replay (events
+    * minus the cohort, aggregated) — a failure anywhere in the
+    * sink → DV → catalog chain hash-mismatches. */
+  val lakehouseE2e: QuerySpec = QuerySpec.sql(
+    "q_lakehouse_e2e",
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events WHERE event_id % 7 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("lakehouse", dir), {
+        val b = s"${graft.Scratch.root}/events_lake_${graft.Scratch.dirToken(dir)}"
+        val feed = s"$b-feed"; val ck = s"$b-ck"
+        val fs = fsOf(spark, new Path(b))
+        fs.delete(new Path(b), true)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+        val src = Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        src.repartition(2).write.mode("overwrite").parquet(feed)
+        val q = spark.readStream.schema(src.schema).parquet(feed)
+          .writeStream.format("graft.sources.ManifestStreamProvider")
+          .option("path", b).option("partCol", "event_type")
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        deleteWhereMoR(spark, b, col("event_id") % 7 === 0,
+          "event_id", "event_type")
+        b
+      })
+    }
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root",
+      new java.io.File(base).getParent)
+    val tbl = new java.io.File(base).getName
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
       tableStatsSkipMulti, tableBloomSkip, tableCdc, tableCdfAgg, streamCdf,
       tableClone, tableOptimizeSorted, tableIndexJoin, tablePartitions,
       tableEvolve, streamTable, connectorTravel, tableMoR, catalogSql,
-      streamSink, tableOptimize2d, catalogInsert, connectorMoR, catalogAgg)
+      streamSink, tableOptimize2d, catalogInsert, connectorMoR, catalogAgg,
+      lakehouseE2e)
 }
