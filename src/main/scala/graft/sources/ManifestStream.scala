@@ -279,26 +279,39 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
   }
 
   /** Pending deletion vectors applied IN-SCAN: for the current-version
-    * read the DV keys load once on the driver (via the same public
-    * parquet reader the executors use) and ride the reader FACTORY —
-    * serialized once, shared by every task — so catalog SQL and
-    * connector reads see merge-on-read semantics without a join. A
-    * vector larger than the in-task budget refuses the scan and points
-    * at REORG; the anti-join path (`ManifestTable.readMoR`) has no such
-    * bound and remains the programmatic API. Time-travel reads skip DV
-    * application — vectors belong to versions after the pinned one. */
-  private def pendingDvKeys(fs: FileSystem): (String, Set[Long]) = {
+    * read the DV (key, partition-value) PAIRS load once on the driver
+    * (via the same public parquet reader the executors use) and ride the
+    * reader FACTORY — serialized once, shared by every task — so catalog
+    * SQL and connector reads see merge-on-read semantics without a join.
+    * Pair scoping (not key alone) keeps a key's rows in partitions the
+    * delete predicate did not match — exactly `readMoR`'s and
+    * `purgeDeletes`' contract. A vector larger than the in-task budget
+    * refuses the scan and points at REORG; the anti-join path
+    * (`ManifestTable.readMoR`) has no such bound and remains the
+    * programmatic API. Time-travel reads skip DV application — vectors
+    * belong to versions after the pinned one. */
+  private def pendingDvPairs(fs: FileSystem): (String, String, Set[(Long, String)]) = {
     val dvRoot = new Path(base, "_dv")
-    if (versionAsOf.isDefined || !fs.exists(dvRoot)) return ("", Set.empty)
+    if (versionAsOf.isDefined || !fs.exists(dvRoot)) return ("", "", Set.empty)
     val committed = fs.listStatus(new Path(base, "_manifests")).toSeq
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
         n.stripPrefix("v").stripSuffix(".manifest").toInt }.toSet
     val dvDirs = fs.listStatus(dvRoot).toSeq
       .filter(d => committed(d.getPath.getName.stripPrefix("v").toInt))
-    if (dvDirs.isEmpty) return ("", Set.empty)
+    if (dvDirs.isEmpty) return ("", "", Set.empty)
+    // the _partcol sidecar names the DATA column the recorded partition
+    // values came from; every pending vector of a table must agree
+    val partCols = dvDirs.map { d =>
+      val p = new Path(d.getPath, "_partcol")
+      require(fs.exists(p), s"deletion vector ${d.getPath} lacks its _partcol sidecar")
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    }.distinct
+    require(partCols.size == 1,
+      s"pending deletion vectors disagree on the partition column: $partCols")
     var keyCol = ""
-    val keys = scala.collection.mutable.Set[Long]()
+    val pairs = scala.collection.mutable.Set[(Long, String)]()
     dvDirs.foreach { d =>
       fs.listStatus(d.getPath).toSeq
         .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
@@ -307,21 +320,21 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
           var g = r.read()
           while (g != null) {
             if (keyCol.isEmpty) keyCol = g.getType.getFieldName(0)
-            keys += g.getLong(keyCol, 0)
-            require(keys.size <= 1000000,
+            pairs += ((g.getLong(keyCol, 0), g.getString("__pval", 0)))
+            require(pairs.size <= 1000000,
               s"deletion vector too large for in-scan application under $base — run purgeDeletes")
             g = r.read()
           }
           r.close()
         }
     }
-    (keyCol, keys.toSet)
+    (keyCol, partCols.head, pairs.toSet)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fs = new Path(base).getFileSystem(new Configuration())
-    val (dvCol, dvKeys) = pendingDvKeys(fs)
-    new ManifestFileReaderFactory(schema, dvCol, dvKeys)
+    val (dvCol, dvPart, dvPairs) = pendingDvPairs(fs)
+    new ManifestFileReaderFactory(schema, dvCol, dvPart, dvPairs)
   }
 }
 
@@ -378,6 +391,18 @@ final class ManifestMicroBatchStream(base: String, schema: StructType)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
     (s + 1 to e).flatMap { v =>
+      // a batch's rows are the files version v ADDED over v-1; if either
+      // manifest was expired the diff is unreconstructable — diffing
+      // against an empty set would re-emit every carried file as "new"
+      // and silently duplicate rows downstream. Fail with the remedy.
+      def requireManifest(mv: Int): Unit =
+        if (!fs.exists(new Path(base, s"_manifests/v$mv.manifest")))
+          throw new IllegalStateException(
+            s"manifest v$mv under $base no longer exists (expireSnapshots?) — " +
+              "the stream cannot reconstruct this batch; restart from a fresh " +
+              "checkpoint to take a new initial snapshot")
+      requireManifest(v)
+      if (v > 1) requireManifest(v - 1)
       val prev = if (v == 1) Set.empty[String] else entriesOf(v - 1).toSet
       entriesOf(v).filterNot(prev).map { rel =>
         val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
@@ -400,7 +425,8 @@ final case class ManifestKeyedPartition(paths: Seq[String], key: InternalRow)
 }
 
 final class ManifestFileReaderFactory(schema: StructType,
-    dvCol: String = "", dvKeys: Set[Long] = Set.empty)
+    dvCol: String = "", dvPart: String = "",
+    dvPairs: Set[(Long, String)] = Set.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -431,9 +457,25 @@ final class ManifestFileReaderFactory(schema: StructType,
         .withConf(new Configuration())
         .build()
       private var cur: org.apache.parquet.example.data.Group = _
+      // the file's own partition-column value, stringified the way the DV
+      // recorded it (Spark's cast-to-string of the column)
+      private def pvalOf(g: org.apache.parquet.example.data.Group): Option[String] = {
+        if (!g.getType.containsField(dvPart) ||
+            g.getFieldRepetitionCount(dvPart) == 0) return None
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        g.getType.getType(dvPart).asPrimitiveType().getPrimitiveTypeName match {
+          case INT64  => Some(g.getLong(dvPart, 0).toString)
+          case INT32  => Some(g.getInteger(dvPart, 0).toString)
+          case DOUBLE => Some(g.getDouble(dvPart, 0).toString)
+          case BINARY => Some(g.getString(dvPart, 0))
+          case t => throw new UnsupportedOperationException(
+            s"in-scan DV on partition column of parquet type $t")
+        }
+      }
       private def deleted(g: org.apache.parquet.example.data.Group): Boolean =
-        dvKeys.nonEmpty && g.getType.containsField(dvCol) &&
-          g.getFieldRepetitionCount(dvCol) > 0 && dvKeys(g.getLong(dvCol, 0))
+        dvPairs.nonEmpty && g.getType.containsField(dvCol) &&
+          g.getFieldRepetitionCount(dvCol) > 0 &&
+          pvalOf(g).exists(p => dvPairs((g.getLong(dvCol, 0), p)))
       override def next(): Boolean = {
         cur = reader.read()
         while (cur != null && deleted(cur)) cur = reader.read()
@@ -495,15 +537,33 @@ final class ManifestStreamingWrite(base: String, schema: StructType,
       .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
         n.stripPrefix("v").stripSuffix(".manifest").toInt }.sorted
   }
-  private def markerOf(v: Int): Option[String] = {
+  private def markerLines(v: Int): Option[Seq[String]] = {
     val p = new Path(base, s"_manifests/v$v.epoch")
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.split("\n").toSeq)
       finally in.close()
     }
   }
+
+  /** An epoch is durable at version `v` only when the marker's tag
+    * matches AND the committed manifest actually names every file the
+    * marker listed. The tag alone is not enough: the marker is written
+    * BEFORE the manifest rename, so a crash in between followed by an
+    * INDEPENDENT commit of version `v` would leave a stale
+    * (queryId, epoch) marker on a foreign snapshot — trusting it would
+    * silently drop the replayed epoch's data. */
+  private def epochDurable(v: Int, tag: String): Boolean =
+    markerLines(v) match {
+      case Some(lines) if lines.headOption.map(_.trim).contains(tag) =>
+        val listed = lines.drop(1).filter(_.nonEmpty)
+        val committed = ManifestTable.entries(
+          org.apache.spark.sql.SparkSession.active, base, v).map(_._2).toSet
+        listed.forall(committed.contains)
+      case _ => false
+    }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.flatMap {
@@ -511,24 +571,32 @@ final class ManifestStreamingWrite(base: String, schema: StructType,
     }.toSeq
     val tag = s"$queryId\t$epochId"
     val vs = committedVersions
-    if (vs.exists(v => markerOf(v).contains(tag))) {
+    if (vs.exists(v => epochDurable(v, tag))) {
       // replayed epoch: already durable — drop the re-staged files
       staged.foreach { case (_, p) => fs.delete(new Path(p), false) }
       return
     }
     val next = vs.lastOption.getOrElse(0) + 1
+    // the dest rel paths are known before any move — the marker records
+    // them so a later durability check can verify the manifest that
+    // committed version `next` is OURS, not a foreign writer's
+    val dests = staged.map { case (pval, abs) =>
+      (pval, abs, s"files/v$next/p=$pval/${new Path(abs).getName}")
+    }
     // marker BEFORE the manifest rename: a crash in between leaves an
-    // uncommitted marker the retry simply overwrites
+    // uncommitted marker the retry simply overwrites (or, if a foreign
+    // commit takes the version, a marker whose file list fails the
+    // containment check above)
     val mp = new Path(base, s"_manifests/v$next.epoch")
     val out = fs.create(mp, true)
-    try out.write(tag.getBytes("UTF-8")) finally out.close()
-    val moved = staged.map { case (pval, abs) =>
+    try out.write((tag +: dests.map(_._3)).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val moved = dests.map { case (pval, abs, rel) =>
       val destDir = new Path(base, s"files/v$next/p=$pval")
       fs.mkdirs(destDir)
-      val dest = new Path(destDir, new Path(abs).getName)
-      if (!fs.rename(new Path(abs), dest))
+      if (!fs.rename(new Path(abs), new Path(base, rel)))
         throw new java.io.IOException(s"sink move failed: $abs")
-      (pval, s"files/v$next/p=$pval/${dest.getName}")
+      (pval, rel)
     }
     val prev = vs.lastOption
       .map(v => ManifestTable.entries(
@@ -536,6 +604,10 @@ final class ManifestStreamingWrite(base: String, schema: StructType,
       .getOrElse(Seq.empty)
     ManifestTable.commit(org.apache.spark.sql.SparkSession.active,
       base, next, prev ++ moved)
+    // stats/bloom sidecars are transactional with EVERY commit verb —
+    // the streaming sink included (no-op until a column is indexed)
+    ManifestTable.refreshAllStats(
+      org.apache.spark.sql.SparkSession.active, base)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -666,6 +738,10 @@ final class ManifestBatchAppend(base: String, schema: StructType, partCol: Strin
     val prev = vs.lastOption
       .map(v => ManifestTable.entries(spark, base, v)).getOrElse(Seq.empty)
     ManifestTable.commit(spark, base, next, prev ++ moved)
+    // sidecars ride every commit verb, SQL INSERT included — without this
+    // an insert into a stats/bloom-indexed table would strand readPruned
+    // on a stale index
+    ManifestTable.refreshAllStats(spark, base)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -79,8 +79,12 @@ object ManifestTable {
     rel.startsWith("/") || rel.contains("://")
 
   /** (pval, relative path) entries of snapshot `v`. */
-  private[sources] def entries(spark: SparkSession, base: String, v: Int): Seq[(String, String)] = {
-    val p = new Path(manifestDir(base), s"v$v.manifest")
+  private[sources] def entries(spark: SparkSession, base: String, v: Int): Seq[(String, String)] =
+    entriesAt(spark, new Path(manifestDir(base), s"v$v.manifest"))
+
+  /** Parse a manifest file (committed OR a transaction's temp manifest)
+    * into its (pval, relative path) entries. */
+  private[sources] def entriesAt(spark: SparkSession, p: Path): Seq[(String, String)] = {
     val fs = fsOf(spark, p)
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -188,8 +192,24 @@ object ManifestTable {
   def merge(
       spark: SparkSession, base: String, updates: DataFrame,
       keyCol: String, partCol: String, failBeforeCommit: Boolean = false): Unit = {
-    requireNoPendingDv(spark, base, "merge")
     val v = currentVersion(spark, base)
+    val es = prepareMergeEntries(spark, base, updates, keyCol, partCol, v)
+    if (failBeforeCommit)
+      throw new RuntimeException("injected crash before manifest commit")
+    commit(spark, base, v + 1, es)
+    refreshAllStats(spark, base)
+  }
+
+  /** The PREPARE half of [[merge]]: stage the touched-partition
+    * copy-on-write rewrite of snapshot `v` and return the would-be
+    * manifest v+1 entries WITHOUT committing — the staged state is
+    * invisible until someone writes the manifest. [[merge]] commits it
+    * immediately; [[MultiTableTxn]] defers the commit to its coordinator
+    * record so a MERGE can participate in a multi-table transaction. */
+  private[sources] def prepareMergeEntries(
+      spark: SparkSession, base: String, updates: DataFrame,
+      keyCol: String, partCol: String, v: Int): Seq[(String, String)] = {
+    requireNoPendingDv(spark, base, "merge")
     val es = entries(spark, base, v)
     // touched-partition values: metadata-sized (one row per partition), the
     // same driver-side coordination a manifest commit already is
@@ -204,10 +224,7 @@ object ManifestTable {
           .unionByName(updates)
       }
     val newFiles = writeSnapshotFiles(spark, base, v + 1, rewritten, partCol)
-    if (failBeforeCommit)
-      throw new RuntimeException("injected crash before manifest commit")
-    commit(spark, base, v + 1, cold ++ newFiles)
-    refreshAllStats(spark, base)
+    cold ++ newFiles
   }
 
   /** Transactional DELETE WHERE — the erasure verb of the format (GDPR /
@@ -837,24 +854,56 @@ object ManifestTable {
       fsOf(spark, new Path(base)).delete(new Path(dvPath), true)
       return false
     }
+    // the vector records (key, partition) PAIRS; readers need to know which
+    // data column the partition value came from to scope the anti-join the
+    // same way purgeDeletes scopes its rewrite — name it in a sidecar
+    // (underscore-prefixed: invisible to parquet directory reads)
+    val fs = fsOf(spark, new Path(base))
+    val out = fs.create(new Path(dvPath, "_partcol"), true)
+    try out.write(partCol.getBytes("UTF-8")) finally out.close()
     commit(spark, base, v + 1, entries(spark, base, v))
     refreshAllStats(spark, base)
     true
   }
 
+  /** The partition column every pending vector under `base` was recorded
+    * against (they must agree — one layout per table). */
+  private[sources] def dvPartColOf(spark: SparkSession, base: String,
+      dvs: Seq[Int]): String = {
+    val fs = fsOf(spark, new Path(base))
+    val cols = dvs.map { v =>
+      val p = new Path(base, s"_dv/v$v/_partcol")
+      require(fs.exists(p), s"deletion vector v$v under $base lacks its _partcol sidecar")
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+    }.distinct
+    require(cols.size == 1,
+      s"pending deletion vectors disagree on the partition column: $cols")
+    cols.head
+  }
+
   /** Read the current snapshot WITH pending deletion vectors applied —
     * the merge-on-read path: one left-anti join against the accumulated
-    * key vectors (typically broadcast — DVs are matches-sized, not
-    * table-sized). With no pending DVs this is exactly [[read]]. */
+    * vectors (typically broadcast — DVs are matches-sized, not
+    * table-sized). The join is on the (key, partition-value) PAIR the
+    * vector recorded, not the key alone: a key that also appears in a
+    * partition the delete predicate did NOT match keeps those rows, which
+    * is exactly the set [[purgeDeletes]] preserves — so the "after the
+    * purge, [[read]] and readMoR agree" contract holds for non-unique and
+    * cross-partition keys too. With no pending DVs this is exactly
+    * [[read]]. */
   def readMoR(spark: SparkSession, base: String, keyCol: String): DataFrame = {
     val dvs = pendingDvVersions(spark, base)
     val data = read(spark, base)
     if (dvs.isEmpty) data
     else {
-      val keys = spark.read
+      val pc = dvPartColOf(spark, base, dvs)
+      val pairs = spark.read
         .parquet(dvs.map(v => s"$base/_dv/v$v"): _*)
-        .select(col(keyCol)).distinct()
-      data.join(broadcast(keys), Seq(keyCol), "left_anti")
+        .select(col(keyCol), col("__pval")).distinct()
+      data.withColumn("__pval", col(pc).cast("string"))
+        .join(broadcast(pairs), Seq(keyCol, "__pval"), "left_anti")
+        .drop("__pval")
     }
   }
 
@@ -876,12 +925,17 @@ object ManifestTable {
     val dv = spark.read.parquet(dvs.map(dvv => s"$base/_dv/v$dvv"): _*)
     val touched = dv.select(col("__pval")).distinct()
       .collect().map(_.getString(0)).toSet // DV-metadata-sized
-    val keys = dv.select(col(keyCol)).distinct()
-    val nKeys = keys.count()
+    val pairs = dv.select(col(keyCol), col("__pval")).distinct()
+    val nKeys = dv.select(col(keyCol)).distinct().count()
     val (hot, cold) = es.partition { case (pval, _) => touched(pval) }
+    // anti-join on the (key, partition) PAIR, the same scoping readMoR
+    // applies: a key's rows in a touched partition survive unless the
+    // vector names that exact (key, partition)
     val survivors = spark.read
       .parquet(hot.map { case (_, rel) => resolve(base, rel) }: _*)
-      .join(broadcast(keys), Seq(keyCol), "left_anti")
+      .withColumn("__pval", col(partCol).cast("string"))
+      .join(broadcast(pairs), Seq(keyCol, "__pval"), "left_anti")
+      .drop("__pval")
     val newFiles = writeSnapshotFiles(spark, base, v + 1, survivors, partCol)
     commit(spark, base, v + 1, cold ++ newFiles)
     refreshAllStats(spark, base)
@@ -957,8 +1011,19 @@ object ManifestTable {
     val fs = fsOf(spark, new Path(base))
     val cutoff = System.currentTimeMillis() - olderThanMs
     val qbase = fs.makeQualified(new Path(base)).toString
-    val referenced = versions(spark, base)
-      .flatMap(v => entries(spark, base, v).map(_._2))
+    // a DECIDED multi-table transaction (coordinator record written, not
+    // yet finalized) references its staged files only through a temp
+    // `.txn-*` manifest — those files are NOT orphans: a later
+    // MultiTableTxn.recover commits that exact file list, so deleting them
+    // would finalize a snapshot naming dead files. Temp manifests with no
+    // coordinator record are MultiTableTxn.cleanup's job, after which one
+    // more removeOrphans pass reclaims their staged files.
+    val txnTmp = fs.globStatus(new Path(manifestDir(base), ".txn-*.manifest"))
+    val txnReferenced =
+      if (txnTmp == null) Seq.empty[String]
+      else txnTmp.toSeq.flatMap(s => entriesAt(spark, s.getPath).map(_._2))
+    val referenced = (versions(spark, base)
+      .flatMap(v => entries(spark, base, v).map(_._2)) ++ txnReferenced)
       .filterNot(external).toSet
     val deleted = scala.collection.mutable.Buffer[String]()
     val filesRoot = new Path(base, "files")

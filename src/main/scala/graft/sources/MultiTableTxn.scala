@@ -26,8 +26,12 @@ import org.apache.spark.sql.functions._
   *      per-table commit rename). Idempotent: a finalize that finds the
   *      real manifest already present (or the temp gone) skips.
   *
-  * Crash anywhere before 2: no reader ever sees anything (temp manifests
-  * and staged files are [[ManifestTable.removeOrphans]] debris).
+  * Crash anywhere before 2: no reader ever sees anything — the undecided
+  * temp manifests are [[cleanup]]'s debris (it checks the coordinator log
+  * before deleting), after which the staged files fall to
+  * [[ManifestTable.removeOrphans]]. removeOrphans alone never destroys a
+  * DECIDED transaction: it treats files named by any remaining `.txn-*`
+  * temp manifest as referenced.
   * Crash between 2 and 3: the txn is decided but unfinalized —
   * [[recover]] scans the coordinator log and completes step 3, which any
   * reader/writer runs before trusting multi-table consistency (the
@@ -40,26 +44,42 @@ import org.apache.spark.sql.functions._
   * table. */
 object MultiTableTxn {
 
-  /** One table's contribution to a transaction: append `df` partitioned
-    * by `partCol`. */
+  /** One table's contribution to a transaction. */
+  sealed trait TxnWrite { def base: String }
+  /** Append `df` partitioned by `partCol`. */
   final case class TxnAppend(base: String, df: DataFrame, partCol: String)
+      extends TxnWrite
+  /** MERGE `updates` on `keyCol` — PREPARE stages the touched-partition
+    * copy-on-write rewrite ([[ManifestTable.prepareMergeEntries]]); the
+    * rewrite becomes visible only when the coordinator record decides the
+    * transaction, so a matched-row replacement and another table's append
+    * land both-or-neither. */
+  final case class TxnMerge(base: String, updates: DataFrame,
+      keyCol: String, partCol: String) extends TxnWrite
 
   private def txnDir(coordinator: String) = new Path(coordinator, "_txn")
 
   /** Run PREPARE + COMMIT POINT + FINALIZE. `failBeforeFinalize` injects
-    * the crash between the decision and the per-table renames for the
-    * recovery spec. Returns the transaction id. */
+    * the crash between the decision and the per-table renames;
+    * `failAfterPrepare` the crash before the decision (an undecided
+    * transaction that must leave no trace after [[cleanup]]). Returns the
+    * transaction id. */
   def commitAll(spark: SparkSession, coordinator: String,
-      writes: Seq[TxnAppend], failBeforeFinalize: Boolean = false): String = {
+      writes: Seq[TxnWrite], failBeforeFinalize: Boolean = false,
+      failAfterPrepare: Boolean = false): String = {
     require(writes.nonEmpty)
     val fs = new Path(coordinator).getFileSystem(spark.sessionState.newHadoopConf())
     val txnId = java.util.UUID.randomUUID().toString
     // PREPARE: stage files + temp manifests, all invisible
     val prepared = writes.map { w =>
       val v = ManifestTable.currentVersion(spark, w.base)
-      val newFiles = ManifestTable.writeSnapshotFilesExpr(
-        spark, w.base, v + 1, w.df, col(w.partCol))
-      val entries = ManifestTable.entries(spark, w.base, v) ++ newFiles
+      val entries = w match {
+        case TxnAppend(base, df, partCol) =>
+          ManifestTable.entries(spark, base, v) ++
+            ManifestTable.writeSnapshotFilesExpr(spark, base, v + 1, df, col(partCol))
+        case TxnMerge(base, updates, keyCol, partCol) =>
+          ManifestTable.prepareMergeEntries(spark, base, updates, keyCol, partCol, v)
+      }
       val tmp = new Path(w.base, s"_manifests/.txn-$txnId-v${v + 1}.manifest")
       val out = fs.create(tmp, false)
       try out.write(entries.map { case (p, f) => s"$p\t$f" }
@@ -67,6 +87,8 @@ object MultiTableTxn {
       finally out.close()
       (w.base, v + 1, tmp.toString)
     }
+    if (failAfterPrepare)
+      throw new RuntimeException("injected crash after prepare, before txn commit")
     // COMMIT POINT: one atomic rename decides the whole transaction
     fs.mkdirs(txnDir(coordinator))
     val rec = prepared.map { case (b, v, t) => s"$b\t$v\t$t" }.mkString("\n")
@@ -82,18 +104,37 @@ object MultiTableTxn {
     txnId
   }
 
-  /** FINALIZE one decided transaction (idempotent). */
+  /** FINALIZE one decided transaction (idempotent). A version the
+    * transaction reserved that was meanwhile committed by an INDEPENDENT
+    * writer is detected by content comparison and fails loudly — silently
+    * skipping would drop this table's write while other members advance
+    * (partial application). */
   private def finalizeTxn(spark: SparkSession, coordinator: String,
       txnId: String): Unit = {
     val fs = new Path(coordinator).getFileSystem(spark.sessionState.newHadoopConf())
     val rec = new Path(txnDir(coordinator), s"$txnId.txn")
-    val in = fs.open(rec)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    text.split("\n").filter(_.nonEmpty).foreach { line =>
+    def slurp(p: Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    slurp(rec).split("\n").filter(_.nonEmpty).foreach { line =>
       val Array(base, v, tmp) = line.split("\t")
       val dst = new Path(base, s"_manifests/v$v.manifest")
       val tmpPath = new Path(tmp)
-      if (!fs.exists(dst) && fs.exists(tmpPath)) {
+      if (fs.exists(dst)) {
+        if (fs.exists(tmpPath)) {
+          // dst committed while our temp still exists: either a duplicate
+          // finalize raced us (identical content — clean the temp) or an
+          // independent commit took the version (our write would be lost)
+          if (slurp(dst) == slurp(tmpPath)) fs.delete(tmpPath, false)
+          else throw new IllegalStateException(
+            s"txn $txnId: version $v of $base was committed by an independent " +
+              "writer — this member's write is not applied; re-run the transaction")
+        } // else: our own earlier finalize renamed it — done
+      } else {
+        if (!fs.exists(tmpPath)) throw new IllegalStateException(
+          s"txn $txnId: neither $dst nor its temp manifest exists — " +
+            "staged state was destroyed before finalize")
         if (!fs.rename(tmpPath, dst) && !fs.exists(dst))
           throw new java.io.IOException(s"finalize failed for $base v$v")
       }
@@ -111,6 +152,40 @@ object MultiTableTxn {
     fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .collect { case n if n.endsWith(".txn") => n.stripSuffix(".txn") }
       .map { id => finalizeTxn(spark, coordinator, id); id }
+  }
+
+  /** Crash-debris protocol, run BEFORE [[ManifestTable.removeOrphans]]:
+    * (1) REDO — [[recover]] finalizes every decided transaction, renaming
+    * its temp manifests into place; (2) temp `.txn-*` manifests whose
+    * transaction has NO coordinator record (crash before the commit
+    * point — undecided, and never will be) and are older than the
+    * retention are deleted, after which their staged files are ordinary
+    * removeOrphans food. removeOrphans itself treats files named by any
+    * REMAINING temp manifest as referenced, so running it without this
+    * pass is safe — just incomplete. Returns deleted temp-manifest
+    * paths. */
+  def cleanup(spark: SparkSession, coordinator: String,
+      tables: Seq[String], olderThanMs: Long = 0L): Seq[String] = {
+    recover(spark, coordinator)
+    val fs = new Path(coordinator).getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = txnDir(coordinator)
+    val decided: Set[String] =
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.endsWith(".txn") => n.stripSuffix(".txn") }.toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    tables.flatMap { base =>
+      val glob = fs.globStatus(new Path(base, "_manifests/.txn-*.manifest"))
+      if (glob == null) Seq.empty
+      else glob.toSeq.flatMap { s =>
+        val core = s.getPath.getName.stripPrefix(".txn-").stripSuffix(".manifest")
+        val id = core.substring(0, core.lastIndexOf("-v")) // UUIDs contain '-'
+        if (!decided(id) && s.getModificationTime < cutoff) {
+          fs.delete(s.getPath, false)
+          Some(s.getPath.toString)
+        } else None
+      }
+    }
   }
 
   // ---------------------------------------------------------------- fixture
@@ -178,5 +253,76 @@ object MultiTableTxn {
       .orderBy(col("o_year"))
   }
 
-  def all: Seq[QuerySpec] = Seq(tableTxn)
+  /** Build-once pair advanced by ONE transaction whose members are a
+    * MERGE and an APPEND: the fact table re-prices a deterministic cohort
+    * (+1.00 on every orderkey ≡ 3 mod 10 — a matched-row REPLACEMENT,
+    * staged as the touched-partition copy-on-write rewrite) while the
+    * summary table appends the matching cents delta — both-or-neither. */
+  private[sources] def txnMergeFixture(spark: SparkSession, dir: String): (String, String) =
+    cache.synchronized {
+      cache.getOrElseUpdate(s"merge:$dir", {
+        val fact =
+          s"${graft.Scratch.root}/txnm_fact_${graft.Scratch.dirToken(dir)}"
+        val summ =
+          s"${graft.Scratch.root}/txnm_summ_${graft.Scratch.dirToken(dir)}"
+        val t = Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("int").as("o_year"),
+            col("o_totalprice"))
+        def aggOf(df: DataFrame) = df.groupBy(col("o_year"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+        ManifestTable.create(spark, fact, t, "o_year")
+        ManifestTable.create(spark, summ, aggOf(t), "o_year")
+        val updates = t.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        // the summary delta of a pure replacement: zero count change, the
+        // cents difference new − old per year
+        val delta = t.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("__new", col("o_totalprice") + lit(1.0))
+          .groupBy(col("o_year"))
+          .agg(lit(0L).as("n"),
+            sum(floor(col("__new") * 100 + 0.5).cast("long") -
+              floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+        commitAll(spark, fact, Seq(
+          TxnMerge(fact, updates, "o_orderkey", "o_year"),
+          TxnAppend(summ, delta, "o_year")))
+        (fact, summ)
+      })
+    }
+
+  /** Registered MERGE-member transaction: same consistency cross-check as
+    * [[tableTxn]], but the fact-side member is a MERGE (matched-row
+    * replacement) — the oracle replays the re-pricing in SQL and asserts
+    * the summed summary deltas still equal the fact's recomputed
+    * aggregate, which only holds if the COW rewrite and the delta append
+    * landed in the same decision. `MultiTableTxnSpec` adds the
+    * injected-crash + recovery pin for the merge member. */
+  val tableTxnMerge: QuerySpec = QuerySpec.sql(
+    "q_table_txn_merge",
+    """WITH t AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  CASE WHEN o_orderkey % 10 = 3
+      |                       THEN o_totalprice + 1.0 ELSE o_totalprice
+      |                  END AS price
+      |           FROM orders)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(price * 100 + 0.5)) AS BIGINT) AS cents,
+      |       TRUE AS consistent
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val (fact, summ) = txnMergeFixture(spark, dir)
+    val factAgg = ManifestTable.read(spark, fact)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+    val summAgg = ManifestTable.read(spark, summ)
+      .groupBy(col("o_year"))
+      .agg(sum(col("n")).as("s_n"), sum(col("cents")).as("s_cents"))
+    factAgg.join(summAgg, Seq("o_year"), "full_outer")
+      .select(col("o_year"), col("n"), col("cents"),
+        (col("n") === col("s_n") && col("cents") === col("s_cents"))
+          .as("consistent"))
+      .orderBy(col("o_year"))
+  }
+
+  def all: Seq[QuerySpec] = Seq(tableTxn, tableTxnMerge)
 }

@@ -155,6 +155,34 @@ class CloneVacuumSpec extends AnyFunSuite {
     assert(swept.exists(_.startsWith("_dv/")), swept.toString)
   }
 
+  test("DV scoping: a key in a partition the delete did not match survives all read paths") {
+    // key 1 lives in BOTH partitions; the delete predicate matches only
+    // y >= 1996 — the vector must hide (1, 1997) and NOT (1, 1995), on the
+    // anti-join path, the connector's in-scan path, and after the purge
+    import spark.implicits._
+    val df = Seq((1L, 1995, 10.0), (1L, 1997, 20.0), (2L, 1995, 30.0),
+      (3L, 1997, 40.0)).toDF("k", "y", "p")
+    val base = s"${graft.Scratch.root}/mor_scope"
+    ManifestTable.create(spark, base, df, "y")
+    assert(ManifestTable.deleteWhereMoR(spark, base, col("y") >= 1996, "k", "y"))
+    val expect = Set((1L, 1995), (2L, 1995))
+    val mor = ManifestTable.readMoR(spark, base, "k")
+    assert(mor.select("k", "y").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet === expect)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.DoubleType)))
+    val viaConnector = spark.read
+      .format("graft.sources.ManifestStreamProvider").schema(schema).load(base)
+    assert(viaConnector.select("k", "y").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet === expect)
+    ManifestTable.purgeDeletes(spark, base, "k", "y")
+    assert(ManifestTable.read(spark, base).select("k", "y").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet === expect,
+      "post-purge read must agree with the merge-on-read view")
+  }
+
   test("2-d curve clustering lets BOTH columns and their conjunction skip files") {
     val base = ManifestTable.sorted2dFixture(spark, sf)
     val t = graft.model.Tables.orders(spark, sf)

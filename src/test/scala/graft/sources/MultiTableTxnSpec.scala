@@ -68,9 +68,82 @@ class MultiTableTxnSpec extends AnyFunSuite {
     assert(ManifestTable.currentVersion(spark, a) === 1)
     assert(MultiTableTxn.recover(spark, a).isEmpty)
     assert(ManifestTable.currentVersion(spark, a) === 1)
-    // the staged files are ordinary orphan debris
+    // removeOrphans ALONE must not reclaim: the temp manifest still names
+    // the staged files, and removeOrphans cannot tell decided from
+    // undecided — destroying a decided txn's staged files would commit a
+    // snapshot of dead files at recovery
+    assert(ManifestTable.removeOrphans(spark, a).isEmpty)
+    // the protocol: cleanup consults the coordinator log, sees no record
+    // for this id, deletes the undecided temp manifest — THEN the staged
+    // files are ordinary orphan debris
+    val cleaned = MultiTableTxn.cleanup(spark, a, Seq(a))
+    assert(cleaned.size === 1)
     val swept = ManifestTable.removeOrphans(spark, a)
     assert(swept.nonEmpty)
     assert(ManifestTable.read(spark, a).count() === h1.count())
+  }
+
+  test("crash BEFORE the commit point via injection: cleanup erases the txn") {
+    val (a, b, _, h2) = freshPair("inject")
+    intercept[RuntimeException] {
+      MultiTableTxn.commitAll(spark, a, Seq(
+        MultiTableTxn.TxnAppend(a, h2, "o_year"),
+        MultiTableTxn.TxnAppend(b, h2, "o_year")), failAfterPrepare = true)
+    }
+    // undecided: cleanup removes BOTH tables' temp manifests, recover
+    // finds nothing, and neither table ever advances
+    assert(MultiTableTxn.cleanup(spark, a, Seq(a, b)).size === 2)
+    assert(ManifestTable.currentVersion(spark, a) === 1)
+    assert(ManifestTable.currentVersion(spark, b) === 1)
+    assert(ManifestTable.removeOrphans(spark, a).nonEmpty)
+    assert(ManifestTable.removeOrphans(spark, b).nonEmpty)
+  }
+
+  test("MERGE member: both-or-neither across the injected crash, via recover") {
+    val (a, b, h1, _) = freshPair("merge")
+    // replace a deterministic cohort's price in the fact table AND append
+    // the matching delta to the summary table, one transaction
+    val updates = h1.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+    val delta = updates.groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_touched"))
+    val sumBase = s"${graft.Scratch.root}/txnspec_merge_summ"
+    ManifestTable.create(spark, sumBase,
+      h1.groupBy(col("o_year")).agg(count(lit(1)).as("n_touched")), "o_year")
+    intercept[RuntimeException] {
+      MultiTableTxn.commitAll(spark, a, Seq(
+        MultiTableTxn.TxnMerge(a, updates, "o_orderkey", "o_year"),
+        MultiTableTxn.TxnAppend(sumBase, delta, "o_year")),
+        failBeforeFinalize = true)
+    }
+    // decided but unfinalized: fact still at v1, un-bumped
+    assert(ManifestTable.currentVersion(spark, a) === 1)
+    val pre = ManifestTable.read(spark, a)
+      .filter(col("o_orderkey") % 10 === 3)
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))).head.getLong(0)
+    // removeOrphans cannot destroy the decided txn's staged rewrite
+    assert(ManifestTable.removeOrphans(spark, a).isEmpty)
+    MultiTableTxn.recover(spark, a)
+    assert(ManifestTable.currentVersion(spark, a) === 2)
+    assert(ManifestTable.currentVersion(spark, sumBase) === 2)
+    val post = ManifestTable.read(spark, a)
+      .filter(col("o_orderkey") % 10 === 3)
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))).head.getLong(0)
+    val cohort = updates.count()
+    assert(post === pre + 100L * cohort) // every cohort row re-priced +1.00
+    assert(ManifestTable.read(spark, a).count() === h1.count()) // replace, not insert
+  }
+
+  test("independent commit stealing a reserved version fails finalize loudly") {
+    val (a, b, _, h2) = freshPair("steal")
+    intercept[RuntimeException] {
+      MultiTableTxn.commitAll(spark, a, Seq(
+        MultiTableTxn.TxnAppend(a, h2, "o_year"),
+        MultiTableTxn.TxnAppend(b, h2, "o_year")), failBeforeFinalize = true)
+    }
+    // an INDEPENDENT writer commits v2 of table b before recovery runs
+    ManifestTable.append(spark, b, h2.limit(10), "o_year")
+    val e = intercept[IllegalStateException] { MultiTableTxn.recover(spark, a) }
+    assert(e.getMessage.contains("independent"))
   }
 }
