@@ -100,23 +100,62 @@ final class ManifestStreamTable(schema: StructType, base: String,
     val versionAsOf =
       Option(options.get("versionAsOf")).map(_.toInt).orElse(pinnedVersion)
     new ScanBuilder
-        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       // column pruning: the reader resolves fields by NAME, so serving a
       // narrower schema needs no reader changes — a projection reads only
       // its columns off the parquet pages
       private var projected: StructType = schema
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         if (requiredSchema.nonEmpty) projected = requiredSchema
+      /** FILE skipping, not row filtering: filters on the layout column
+        * prune whole manifest partitions; range filters on stats-indexed
+        * columns and equality on bloom-indexed columns prune individual
+        * files through the commit-maintained sidecars — the same decisions
+        * the programmatic `readPruned`/`readPrunedBloom` paths make, now
+        * reachable from plain catalog SQL. EVERY filter is returned as a
+        * residual (skipping never substitutes for the row-level
+        * predicate, exactly like parquet row-group pruning). */
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        val spark = org.apache.spark.sql.SparkSession.active
+        pushed = filters.filter(f =>
+          ManifestFileSkipping.usable(spark, base, versionAsOf, layoutCol, f))
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
       override def build(): Scan = new Scan
-          with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+          with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+          with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+        // runtime (dynamic partition pruning) state: Spark calls filter()
+        // with the build side's collected join keys before re-planning
+        @volatile private var runtimePvals: Option[Set[String]] = None
         override def readSchema(): StructType = projected
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ManifestMicroBatchStream(base, projected)
         private lazy val batch =
           new ManifestSnapshotBatch(base, projected, versionAsOf,
             layoutCol.filter(projected.fieldNames.contains),
-            layoutCol.map(schema.apply).map(_.dataType))
+            layoutCol.map(schema.apply).map(_.dataType),
+            layoutCol, pushed.toSeq, () => runtimePvals)
         override def toBatch: org.apache.spark.sql.connector.read.Batch = batch
+        override def filterAttributes()
+            : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          layoutCol.map(c => Array(
+            org.apache.spark.sql.connector.expressions.Expressions.column(c)))
+            .getOrElse(Array.empty)
+        override def filter(
+            filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+          import org.apache.spark.sql.sources.{EqualTo, In}
+          val sets = filters.toSeq.collect {
+            case In(a, vs) if layoutCol.exists(_.equalsIgnoreCase(a)) =>
+              vs.filter(_ != null).map(_.toString).toSet
+            case EqualTo(a, v) if layoutCol.exists(_.equalsIgnoreCase(a)) && v != null =>
+              Set(v.toString)
+          }
+          if (sets.nonEmpty) runtimePvals = Some(sets.reduce(_ intersect _))
+        }
         // the layout IS a partitioning: every manifest partition holds one
         // value of the layout column, so the scan reports key-grouped
         // partitioning and Catalyst can elide the aggregation/join shuffle
@@ -133,6 +172,138 @@ final class ManifestStreamTable(schema: StructType, base: String,
           }
       }
     }
+  }
+}
+
+/** Driver-side record of every connector scan-planning decision — the
+  * spec/pinning hook for file skipping (kept vs total manifest files and
+  * whether a runtime filter was applied), without parsing plan strings. */
+object ManifestScanEvents {
+  final case class PlanEvent(base: String, kept: Int, total: Int,
+      runtimeFiltered: Boolean)
+  private val buf = scala.collection.mutable.Buffer[PlanEvent]()
+  private[sources] def record(e: PlanEvent): Unit = buf.synchronized { buf += e }
+  def recent(base: String): Seq[PlanEvent] =
+    buf.synchronized(buf.filter(_.base == base).toSeq)
+  def clear(): Unit = buf.synchronized(buf.clear())
+}
+
+/** The connector's FILE-skipping decisions, shared by push-down admission
+  * (`pushFilters`) and batch planning. All decisions are driver-side
+  * metadata reads: the manifest names the partition values, the
+  * stats/bloom sidecars are KB-sized per snapshot — no data I/O happens
+  * before the surviving files are handed to executors. */
+private[sources] object ManifestFileSkipping {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.sources._
+
+  private def numeric(v: Any): Option[Long] = v match {
+    case n: java.lang.Byte    => Some(n.longValue)
+    case n: java.lang.Short   => Some(n.longValue)
+    case n: java.lang.Integer => Some(n.longValue)
+    case n: java.lang.Long    => Some(n.longValue)
+    case _ => None
+  }
+
+  /** Can this filter prune FILES for this table? — it compares the layout
+    * column, or ranges a stats-indexed column, or equality-probes a
+    * bloom-indexed column (sidecars resolved at the scanned version). */
+  def usable(spark: SparkSession, base: String, versionAsOf: Option[Int],
+      layout: Option[String], f: Filter): Boolean = {
+    val v = versionAsOf.getOrElse(ManifestTable.currentVersion(spark, base))
+    lazy val stat = ManifestTable.statCols(spark, base, v).map(_.toLowerCase).toSet
+    lazy val bloom = ManifestTable.bloomCols(spark, base, v).map(_.toLowerCase).toSet
+    def onLayout(a: String) = layout.exists(_.equalsIgnoreCase(a))
+    f match {
+      case EqualTo(a, x) =>
+        onLayout(a) || (numeric(x).isDefined &&
+          (stat(a.toLowerCase) || bloom(a.toLowerCase)))
+      case In(a, _) => onLayout(a)
+      case GreaterThan(a, x) => onLayout(a) || (numeric(x).isDefined && stat(a.toLowerCase))
+      case GreaterThanOrEqual(a, x) => onLayout(a) || (numeric(x).isDefined && stat(a.toLowerCase))
+      case LessThan(a, x) => onLayout(a) || (numeric(x).isDefined && stat(a.toLowerCase))
+      case LessThanOrEqual(a, x) => onLayout(a) || (numeric(x).isDefined && stat(a.toLowerCase))
+      case _ => false
+    }
+  }
+
+  /** Conjunct predicates over the manifest's partition-value STRINGS,
+    * derived from pushed filters on the layout column. Numeric layouts
+    * compare as longs, string layouts lexically (ASCII pvals). */
+  def partitionPredicates(pushed: Seq[Filter], layout: Option[String],
+      dt: Option[DataType]): Seq[String => Boolean] = layout match {
+    case None => Seq.empty
+    case Some(lc) =>
+      val longly = dt.exists(d => d == LongType || d == IntegerType)
+      def on(a: String) = a.equalsIgnoreCase(lc)
+      pushed.flatMap {
+        case EqualTo(a, v) if on(a) && v != null => Some((p: String) => p == v.toString)
+        case In(a, vs) if on(a) =>
+          val s = vs.filter(_ != null).map(_.toString).toSet
+          Some((p: String) => s(p))
+        case GreaterThan(a, v) if on(a) && longly =>
+          numeric(v).map(n => (p: String) => p.toLong > n)
+        case GreaterThanOrEqual(a, v) if on(a) && longly =>
+          numeric(v).map(n => (p: String) => p.toLong >= n)
+        case LessThan(a, v) if on(a) && longly =>
+          numeric(v).map(n => (p: String) => p.toLong < n)
+        case LessThanOrEqual(a, v) if on(a) && longly =>
+          numeric(v).map(n => (p: String) => p.toLong <= n)
+        case GreaterThan(a, v) if on(a) && dt.contains(StringType) =>
+          Some((p: String) => p > v.toString)
+        case GreaterThanOrEqual(a, v) if on(a) && dt.contains(StringType) =>
+          Some((p: String) => p >= v.toString)
+        case LessThan(a, v) if on(a) && dt.contains(StringType) =>
+          Some((p: String) => p < v.toString)
+        case LessThanOrEqual(a, v) if on(a) && dt.contains(StringType) =>
+          Some((p: String) => p <= v.toString)
+        case _ => None
+      }
+  }
+
+  /** FILE-level skipping through the snapshot's sidecars: each pushed
+    * range conjunct on a stats-indexed column keeps only files whose
+    * (min, max) intersects it; each equality on a bloom-indexed column
+    * keeps only files whose filter might contain the value. Files the
+    * sidecar has no entry for are kept (skipping is safe-over). Returns
+    * the surviving manifest-relative paths. */
+  def fileSurvivors(spark: SparkSession, base: String, v: Int,
+      pushed: Seq[Filter], files: Seq[String]): Set[String] = {
+    // fold every range filter per column into one [lo, hi] conjunct
+    val ranges = pushed.flatMap {
+      case EqualTo(a, x) => numeric(x).map(n => a -> (n, n))
+      case GreaterThan(a, x) => numeric(x).map(n => a -> (n + 1, Long.MaxValue))
+      case GreaterThanOrEqual(a, x) => numeric(x).map(n => a -> (n, Long.MaxValue))
+      case LessThan(a, x) => numeric(x).map(n => a -> (Long.MinValue, n - 1))
+      case LessThanOrEqual(a, x) => numeric(x).map(n => a -> (Long.MinValue, n))
+      case _ => None
+    }.groupBy(_._1).map { case (c, rs) =>
+      c -> rs.map(_._2).reduce((r1, r2) =>
+        (math.max(r1._1, r2._1), math.min(r1._2, r2._2)))
+    }
+    var kept = files.toSet
+    ranges.foreach { case (c, (lo, hi)) =>
+      ManifestTable.readStatsFile(spark, base, v, c).foreach { stats =>
+        kept = kept.filter(rel => stats.get(rel) match {
+          case Some(Some((mn, mx))) => mx >= lo && mn <= hi
+          case Some(None) => false // zero-row / all-NULL file: cannot match
+          case None => true        // not indexed (shouldn't happen): keep
+        })
+      }
+    }
+    pushed.foreach {
+      case EqualTo(c, x) => numeric(x).foreach { n =>
+        ManifestTable.readBloomFile(spark, base, v, c).foreach { case ((m, k), blooms) =>
+          kept = kept.filter(rel => blooms.get(rel) match {
+            case Some(Some(bits)) => graft.exprs.Bloom.mightContain(bits, m, k, n)
+            case Some(None) => false
+            case None => true
+          })
+        }
+      }
+      case _ => ()
+    }
+    kept
   }
 }
 
@@ -239,7 +410,10 @@ class ManifestCatalog
   * name-resolved parquet reader as the stream. */
 final class ManifestSnapshotBatch(base: String, schema: StructType,
     versionAsOf: Option[Int], layoutCol: Option[String] = None,
-    layoutType: Option[DataType] = None)
+    layoutType: Option[DataType] = None,
+    layoutName: Option[String] = None,
+    pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+    runtimePvals: () => Option[Set[String]] = () => None)
     extends org.apache.spark.sql.connector.read.Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = new Path(base).getFileSystem(new Configuration())
@@ -252,12 +426,32 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     val p = new Path(dir, s"v$v.manifest")
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val entries = text.split("\n").filter(_.nonEmpty).map { l =>
+    val all = text.split("\n").filter(_.nonEmpty).map { l =>
       val i = l.indexOf('\t')
-      val rel = l.substring(i + 1)
-      val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
-      (l.substring(0, i), abs)
+      (l.substring(0, i), l.substring(i + 1)) // (pval, rel)
     }
+    // three skipping stages, all driver-side metadata: (1) static
+    // partition pruning from pushed layout-column filters, (2) runtime
+    // partition pruning (DPP — the join's build-side keys arrive through
+    // SupportsRuntimeFiltering.filter), (3) per-file stats/bloom sidecar
+    // skipping for pushed filters on indexed columns
+    val spark = org.apache.spark.sql.SparkSession.active
+    val partPreds = ManifestFileSkipping.partitionPredicates(
+      pushed, layoutName, layoutName.flatMap(n =>
+        schema.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType))
+        .orElse(layoutType))
+    val rt = runtimePvals()
+    val afterPart = all.filter { case (pval, _) =>
+      partPreds.forall(_(pval)) && rt.forall(_.contains(pval)) }
+    val survivors = ManifestFileSkipping.fileSurvivors(
+      spark, base, v, pushed, afterPart.map(_._2).toSeq)
+    val entries = afterPart.filter { case (_, rel) => survivors(rel) }
+      .map { case (pval, rel) =>
+        val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
+        (pval, abs)
+      }
+    ManifestScanEvents.record(ManifestScanEvents.PlanEvent(
+      base, entries.length, all.length, rt.isDefined))
     layoutCol match {
       case Some(_) =>
         // key-grouped: ONE input partition per layout value (all its

@@ -448,13 +448,13 @@ object ManifestTable {
   /** A file's (min, max) of a stat column; None = the column is entirely
     * NULL in that file (serialized `-`/`-`) — a range predicate can never
     * match such a file, so pruning always skips it. */
-  private type Stat = Option[(Long, Long)]
+  private[sources] type Stat = Option[(Long, Long)]
 
   private def statsPath(base: String, v: Int, statCol: String): Path =
     new Path(manifestDir(base), s"v$v.stats.$statCol")
 
   /** Columns a sidecar indexes at version `v`. */
-  private def statCols(spark: SparkSession, base: String, v: Int): Seq[String] = {
+  private[sources] def statCols(spark: SparkSession, base: String, v: Int): Seq[String] = {
     val dir = manifestDir(base)
     val fs = fsOf(spark, dir)
     val glob = fs.globStatus(new Path(dir, s"v$v.stats.*"))
@@ -462,7 +462,7 @@ object ManifestTable {
     else glob.toSeq.map(_.getPath.getName.stripPrefix(s"v$v.stats."))
   }
 
-  private def readStatsFile(
+  private[sources] def readStatsFile(
       spark: SparkSession, base: String, v: Int, statCol: String): Option[Map[String, Stat]] = {
     val p = statsPath(base, v, statCol)
     val fs = fsOf(spark, p)
@@ -634,12 +634,12 @@ object ManifestTable {
   // Maintained by the same commit path as the range stats (immutable files
   // carry their filter forward; only new files are scanned).
 
-  private type BloomEntry = Option[Array[Long]] // None = zero-row/all-NULL file
+  private[sources] type BloomEntry = Option[Array[Long]] // None = zero-row/all-NULL file
   private def bloomPath(base: String, v: Int, bloomCol: String): Path =
     new Path(manifestDir(base), s"v$v.bloom.$bloomCol")
 
   /** Columns bloom-indexed at version `v`. */
-  private def bloomCols(spark: SparkSession, base: String, v: Int): Seq[String] = {
+  private[sources] def bloomCols(spark: SparkSession, base: String, v: Int): Seq[String] = {
     val dir = manifestDir(base)
     val glob = fsOf(spark, dir).globStatus(new Path(dir, s"v$v.bloom.*"))
     if (glob == null) Seq.empty
@@ -648,7 +648,7 @@ object ManifestTable {
 
   /** Sidecar layout: header `#\tmBits\tk`, then one `rel\t<base64>` (or
     * `rel\t-`) line per manifest entry. Returns ((mBits, k), entries). */
-  private def readBloomFile(spark: SparkSession, base: String, v: Int,
+  private[sources] def readBloomFile(spark: SparkSession, base: String, v: Int,
       bloomCol: String): Option[((Int, Int), Map[String, BloomEntry])] = {
     val p = bloomPath(base, v, bloomCol)
     val fs = fsOf(spark, p)
@@ -1230,6 +1230,9 @@ object ManifestTable {
         append(spark, base,
           t.filter(col("o_orderkey") > k1 && col("o_orderkey") <= k2), "o_year")
         append(spark, base, t.filter(col("o_orderkey") > k2), "o_year")
+        // the stored layout lets catalog SQL partition-prune and run
+        // key-grouped (storage-partitioned) plans on this table
+        setTableProperty(spark, base, "partCol", "o_year")
         base
       })
     }
@@ -1259,6 +1262,7 @@ object ManifestTable {
         append(spark, base,
           t.filter(col("o_orderkey") > k1 && col("o_orderkey") <= k2), "o_year")
         append(spark, base, t.filter(col("o_orderkey") > k2), "o_year")
+        setTableProperty(spark, base, "partCol", "o_year")
         base
       })
     }
@@ -2666,6 +2670,177 @@ object ManifestTable {
          |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Registered CATALOG FILTER PUSHDOWN: plain SQL `WHERE` on the
+    * [[statsFixture]] table through [[ManifestCatalog]] now prunes like
+    * the programmatic `readPruned` path — the connector's
+    * `SupportsPushDownFilters` turns the layout-column conjunct into
+    * manifest partition pruning (years < 1996 never planned) and the
+    * `o_orderkey` range conjunct into per-file skipping through the
+    * commit-maintained stats sidecar (waves 2–3 never opened). Every
+    * filter stays a residual, so the aggregate equals the plain replay;
+    * `ManifestStreamSpec` pins kept < total via [[ManifestScanEvents]]. */
+  val catalogPrune: QuerySpec = QuerySpec.sql(
+    "q_catalog_prune",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |mx AS (SELECT max(o_orderkey) AS mx FROM t)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t, mx WHERE o_year >= 1996 AND o_orderkey <= mx // 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = statsFixture(spark, dir)
+    val k1 = Tables.orders(spark, dir)
+      .agg(max(col("o_orderkey"))).head.getLong(0) / 3
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl`
+         |WHERE o_year >= 1996 AND o_orderkey <= ${k1}L
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Registered CATALOG POINT LOOKUP through the bloom sidecar: the
+    * [[bloomFixture]]'s per-file Bloom filters — built for the
+    * programmatic `readPrunedBloom` — now serve catalog SQL too: the
+    * pushed `o_custkey = ?` equality probes each file's filter on the
+    * driver and plans only the files that might contain the customer
+    * (range stats can't help here: every ingest band spans the whole
+    * customer domain). Oracle = the plain full-table replay, because
+    * blooms admit false keeps but never false drops. */
+  val catalogPoint: QuerySpec = QuerySpec.sql(
+    "q_catalog_point",
+    """WITH o AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         o_custkey, o_totalprice
+      |  FROM orders),
+      |ck AS (SELECT o_custkey AS c FROM o
+      |       WHERE o_orderkey = (SELECT min(o_orderkey) FROM o))
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM o, ck WHERE o.o_custkey = ck.c
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = bloomFixture(spark, dir)
+    val key = Tables.orders(spark, dir)
+      .orderBy(col("o_orderkey")).select(col("o_custkey")).limit(1)
+      .head.getLong(0)
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` WHERE o_custkey = ${key}L
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Registered DYNAMIC PARTITION PRUNING through the connector: a join
+    * whose build side's selective filter (on a NON-key column, so no
+    * static constraint can propagate) reaches the fact scan at runtime
+    * via `SupportsRuntimeFiltering` — Spark collects the dim's join keys
+    * and the scan re-plans with only the matching manifest partitions
+    * (the DSv2 twin of the file-source DPP `q_dpp_join` pins). The
+    * oracle replays the two kept years; `ManifestStreamSpec` pins a
+    * runtime-filtered planning event with kept < total. */
+  val catalogDpp: QuerySpec = QuerySpec.sql(
+    "q_catalog_dpp",
+    """WITH t AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t WHERE o_year IN (1996, 1997)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    catalogInsert.fn(spark, dir).count() // fact fixture + catalog conf
+    val base =
+      s"${graft.Scratch.root}/orders_insfix_${graft.Scratch.dirToken(dir)}"
+    val tbl = new java.io.File(base).getName
+    // the dim's filter is on `tag`, NOT the join key — the only way the
+    // fact scan can skip partitions is the runtime filter
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("int").as("y")).distinct()
+      .withColumn("tag",
+        when(col("y").isin(1996, 1997), lit("keep")).otherwise(lit("drop")))
+      .createOrReplaceTempView("graft_dpp_dim")
+    spark.sql(
+      s"""SELECT f.o_year, count(*) AS n,
+         |       CAST(sum(floor(f.o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` f JOIN graft_dpp_dim d ON f.o_year = d.y
+         |WHERE d.tag = 'keep'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Build-once per-year dimension TABLE co-layouted with the
+    * [[catalogInsert]] fact (same partition column, same partition
+    * values) for the storage-partitioned join. */
+  private[sources] def spjDimFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("spjdim", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_spjdim_${graft.Scratch.dirToken(dir)}"
+        create(spark, b, ordersKeyed(spark, dir).groupBy(col("o_year"))
+          .agg(count(lit(1)).as("y_n")), "o_year")
+        setTableProperty(spark, b, "partCol", "o_year")
+        b
+      })
+    }
+
+  /** Registered STORAGE-PARTITIONED JOIN: two co-layouted catalog tables
+    * joined on the layout column they both report as a
+    * `KeyGroupedPartitioning` — with `spark.sql.sources.v2.bucketing
+    * .enabled` Catalyst matches the two reported distributions and plans
+    * the join with ZERO exchanges below it (broadcast disabled to make
+    * the storage-partitioned path, not BHJ, carry the proof; both confs
+    * restored after the result materializes). The DSv2 twin of
+    * `q_bucketed_join`; `ManifestStreamSpec` pins the exchange-free
+    * plan. */
+  val catalogSpj: QuerySpec = QuerySpec.sql(
+    "q_spj_join",
+    """WITH t AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |d AS (SELECT o_year, count(*) AS y_n FROM t GROUP BY 1)
+      |SELECT t.o_year, count(*) AS n,
+      |       CAST(sum(floor(t.o_totalprice * 100 + 0.5)) AS BIGINT) AS cents,
+      |       max(d.y_n) AS y_n
+      |FROM t JOIN d ON t.o_year = d.o_year
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    catalogInsert.fn(spark, dir).count() // fact fixture + catalog conf
+    val fact =
+      s"${graft.Scratch.root}/orders_insfix_${graft.Scratch.dirToken(dir)}"
+    val dim = spjDimFixture(spark, dir)
+    val (ft, dt) = (new java.io.File(fact).getName, new java.io.File(dim).getName)
+    val oldBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val oldBroadcast = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(
+        s"""SELECT f.o_year, count(*) AS n,
+           |       CAST(sum(floor(f.o_totalprice * 100 + 0.5)) AS BIGINT) AS cents,
+           |       max(d.y_n) AS y_n
+           |FROM graft_cat.`$ft` f JOIN graft_cat.`$dt` d ON f.o_year = d.o_year
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+      // materialize INSIDE the conf scope — the plan must execute under
+      // the storage-partitioned settings, not whatever runs next
+      val rows = df.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), df.schema)
+    } finally {
+      oldBucketing match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      oldBroadcast match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
@@ -2673,5 +2848,5 @@ object ManifestTable {
       tableClone, tableOptimizeSorted, tableIndexJoin, tablePartitions,
       tableEvolve, streamTable, connectorTravel, tableMoR, catalogSql,
       streamSink, tableOptimize2d, catalogInsert, connectorMoR, catalogAgg,
-      lakehouseE2e)
+      lakehouseE2e, catalogPrune, catalogPoint, catalogDpp, catalogSpj)
 }

@@ -208,4 +208,77 @@ class ManifestStreamSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("schema"))
   }
+
+  test("catalog WHERE prunes partitions AND files, like the programmatic path") {
+    val base = ManifestTable.statsFixture(spark, sf)
+    ManifestScanEvents.clear()
+    assert(ManifestTable.catalogPrune.fn(spark, sf).count() > 0)
+    val evs = ManifestScanEvents.recent(base)
+    assert(evs.nonEmpty, "catalog scan planned no events")
+    val e = evs.last
+    assert(e.kept < e.total,
+      s"catalog SQL WHERE read every file (${e.kept}/${e.total})")
+    // the partition conjunct alone removes 1992–1995 (4 of 7 years) and
+    // the stats conjunct removes waves 2–3 — together well under half
+    assert(e.kept * 2 < e.total, s"weak pruning: ${e.kept}/${e.total}")
+    // the programmatic path must agree on which files can match
+    val k1 = graft.model.Tables.orders(spark, sf)
+      .agg(max(col("o_orderkey"))).head.getLong(0) / 3
+    val (paths, _) = ManifestTable.prunedPaths(spark, base, "o_orderkey", Long.MinValue, k1)
+    val yearsKept = paths.map(_.split("/p=")(1).split("/")(0).toInt).toSet
+    assert(yearsKept.exists(_ >= 1996), "sanity: stats keep includes 1996+ files")
+  }
+
+  test("catalog point lookup probes the bloom sidecar for file skipping") {
+    val base = ManifestTable.bloomFixture(spark, sf)
+    ManifestScanEvents.clear()
+    assert(ManifestTable.catalogPoint.fn(spark, sf).count() > 0)
+    val e = ManifestScanEvents.recent(base).last
+    assert(e.kept < e.total,
+      s"bloom-indexed point lookup read every file (${e.kept}/${e.total})")
+  }
+
+  test("runtime filtering (DPP) reaches the connector scan") {
+    val base =
+      s"${graft.Scratch.root}/orders_insfix_${graft.Scratch.dirToken(sf)}"
+    ManifestTable.catalogInsert.fn(spark, sf).count() // build the fixture
+    ManifestScanEvents.clear()
+    assert(ManifestTable.catalogDpp.fn(spark, sf).count() === 2) // 1996, 1997
+    val evs = ManifestScanEvents.recent(base)
+    assert(evs.exists(e => e.runtimeFiltered && e.kept < e.total),
+      s"no runtime-filtered planning event with pruning: $evs")
+  }
+
+  test("storage-partitioned join plans with zero exchanges") {
+    ManifestTable.catalogInsert.fn(spark, sf).count()
+    val fact =
+      s"${graft.Scratch.root}/orders_insfix_${graft.Scratch.dirToken(sf)}"
+    val dim = ManifestTable.spjDimFixture(spark, sf)
+    val (ft, dt) = (new java.io.File(fact).getName, new java.io.File(dim).getName)
+    val oldB = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val oldT = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(
+        s"""SELECT f.o_year, count(*) AS n, max(d.y_n) AS y_n
+           |FROM graft_cat.`$ft` f JOIN graft_cat.`$dt` d ON f.o_year = d.o_year
+           |GROUP BY 1""".stripMargin)
+      assert(df.count() > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join still shuffled:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join carried by the reported partitioning:\n$plan")
+    } finally {
+      oldB match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      oldT match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
