@@ -33,11 +33,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scale: `latestOffset`/`planInputPartitions` are manifest arithmetic
   * (driver, metadata-sized); each added file is one `InputPartition`, so
-  * read parallelism is file-grained exactly like the batch scan. Only
-  * APPEND histories stream faithfully (a merge's rewritten files would
-  * re-emit carried rows) — the same restriction Delta's streaming source
-  * has without `skipChangeCommits`; feed-accurate change consumption is
-  * [[ManifestTable.changeFeed]]'s job.
+  * read parallelism is file-grained exactly like the batch scan. The
+  * DEFAULT mode streams faithfully only over APPEND histories (a merge's
+  * rewritten files would re-emit carried rows — Delta's restriction
+  * without `skipChangeCommits`); `.option("changeFeed", "true")` lifts
+  * it: every commit streams as insert/delete IMAGES (added files,
+  * removed files, and a merge-on-read delete's DV-named rows), stamped
+  * with `_change_type` / `_commit_version` — the streaming face of
+  * [[ManifestTable.changeFeed]], batch-boundary-exact.
   */
 class ManifestStreamProvider extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -48,12 +51,22 @@ class ManifestStreamProvider extends TableProvider {
       properties: util.Map[String, String]): Table = {
     val base = properties.get("path")
     require(base != null && base.nonEmpty, "manifest-stream requires .load(<table base>)")
-    new ManifestStreamTable(schema, base)
+    val cdf = Option(properties.get("changeFeed")).exists(_.toBoolean)
+    // change-feed reads serve the user's data schema plus the two CDF
+    // metadata columns the reader stamps per image
+    val served =
+      if (cdf && !schema.fieldNames.contains("_change_type"))
+        StructType(schema.fields ++ Seq(
+          StructField("_change_type", StringType),
+          StructField("_commit_version", IntegerType)))
+      else schema
+    new ManifestStreamTable(served, base, changeFeed = cdf)
   }
 }
 
 final class ManifestStreamTable(schema: StructType, base: String,
-    pinnedVersion: Option[Int] = None, layoutCol: Option[String] = None)
+    pinnedVersion: Option[Int] = None, layoutCol: Option[String] = None,
+    changeFeed: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"manifest-stream($base)"
@@ -133,7 +146,7 @@ final class ManifestStreamTable(schema: StructType, base: String,
         @volatile private var runtimePvals: Option[Set[String]] = None
         override def readSchema(): StructType = projected
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ManifestMicroBatchStream(base, projected)
+          new ManifestMicroBatchStream(base, projected, changeFeed)
         private lazy val batch =
           new ManifestSnapshotBatch(base, projected, versionAsOf,
             layoutCol.filter(projected.fieldNames.contains),
@@ -537,7 +550,43 @@ final case class VersionOffset(v: Int) extends Offset {
   override def json(): String = v.toString
 }
 
-final class ManifestMicroBatchStream(base: String, schema: StructType)
+/** Change-feed-mode streaming: one whole file's rows as images of one
+  * change type (`insert` for files a commit added, `delete` for files it
+  * removed), or — for a merge-on-read DELETE commit, which removes no
+  * files — the DV-named rows of one carried file as delete images. */
+final case class CdfFilePartition(path: String, changeType: String, version: Int)
+    extends InputPartition
+final case class CdfDvPartition(path: String, keyCol: String,
+    keys: Seq[Long], version: Int) extends InputPartition
+
+/** Driver-side load of the deletion vector committed AT one version:
+  * (key column name, partition value → deleted keys). Bounded like the
+  * in-scan DV (vectors are matches-sized metadata, not data). */
+private[sources] object ManifestDvSidecar {
+  def pairsAt(base: String, v: Int): (String, Map[String, Set[Long]]) = {
+    val fs = new Path(base).getFileSystem(new Configuration())
+    val d = new Path(base, s"_dv/v$v")
+    if (!fs.exists(d)) return ("", Map.empty)
+    var keyCol = ""
+    val m = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
+    fs.listStatus(d).toSeq.filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+      val r = ParquetReader.builder(new GroupReadSupport(), f.getPath)
+        .withConf(new Configuration()).build()
+      var g = r.read()
+      while (g != null) {
+        if (keyCol.isEmpty) keyCol = g.getType.getFieldName(0)
+        m.getOrElseUpdate(g.getString("__pval", 0),
+          scala.collection.mutable.Set[Long]()) += g.getLong(keyCol, 0)
+        g = r.read()
+      }
+      r.close()
+    }
+    (keyCol, m.map { case (k, s) => k -> s.toSet }.toMap)
+  }
+}
+
+final class ManifestMicroBatchStream(base: String, schema: StructType,
+    changeFeed: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // driver-side manifest arithmetic (metadata-sized, like every commit op)
@@ -551,13 +600,16 @@ final class ManifestMicroBatchStream(base: String, schema: StructType)
         n.stripPrefix("v").stripSuffix(".manifest").toInt }
       .sorted
   }
-  private def entriesOf(v: Int): Seq[String] = {
+  private def entriesOf(v: Int): Seq[String] = entriesPvalOf(v).map(_._2)
+  private def entriesPvalOf(v: Int): Seq[(String, String)] = {
     val p = new Path(base, s"_manifests/v$v.manifest")
     if (!fs.exists(p)) return Seq.empty
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    text.split("\n").toSeq.filter(_.nonEmpty)
-      .map(l => l.substring(l.indexOf('\t') + 1))
+    text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('\t')
+      (l.substring(0, i), l.substring(i + 1))
+    }
   }
 
   // Trigger.AvailableNow pins the catch-up target ONCE, so a concurrent
@@ -597,10 +649,36 @@ final class ManifestMicroBatchStream(base: String, schema: StructType)
               "checkpoint to take a new initial snapshot")
       requireManifest(v)
       if (v > 1) requireManifest(v - 1)
-      val prev = if (v == 1) Set.empty[String] else entriesOf(v - 1).toSet
-      entriesOf(v).filterNot(prev).map { rel =>
-        val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
-        ManifestFilePartition(abs): InputPartition
+      def abs(rel: String): String =
+        if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
+      if (!changeFeed) {
+        val prev = if (v == 1) Set.empty[String] else entriesOf(v - 1).toSet
+        entriesOf(v).filterNot(prev).map { rel =>
+          ManifestFilePartition(abs(rel)): InputPartition
+        }
+      } else {
+        // CHANGE-FEED consumption: version v streams as the row IMAGES
+        // its commit implies — added files as inserts, removed files as
+        // deletes (a merge's rewritten partition emits delete preimages
+        // of its old files plus insert postimages of its new files, so
+        // carried rows cancel downstream instead of duplicating), and a
+        // merge-on-read DELETE (no file change at all) emits the
+        // DV-named rows of the touched partitions' carried files as
+        // delete images
+        val cur = entriesPvalOf(v)
+        val prev = if (v == 1) Seq.empty[(String, String)] else entriesPvalOf(v - 1)
+        val curSet = cur.map(_._2).toSet
+        val prevSet = prev.map(_._2).toSet
+        val inserts = cur.filterNot(c => prevSet(c._2))
+          .map { case (_, rel) => CdfFilePartition(abs(rel), "insert", v): InputPartition }
+        val deletes = prev.filterNot(p => curSet(p._2))
+          .map { case (_, rel) => CdfFilePartition(abs(rel), "delete", v): InputPartition }
+        val (kc, dvm) = ManifestDvSidecar.pairsAt(base, v)
+        val dvParts = if (dvm.isEmpty) Seq.empty else cur.collect {
+          case (pval, rel) if dvm.contains(pval) =>
+            CdfDvPartition(abs(rel), kc, dvm(pval).toSeq, v): InputPartition
+        }
+        inserts ++ deletes ++ dvParts
       }
     }.toArray
   }
@@ -624,7 +702,17 @@ final class ManifestFileReaderFactory(schema: StructType,
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case ManifestFilePartition(path) => fileReader(path)
+      case ManifestFilePartition(path) => fileReader(path, g => !deleted(g))
+      case CdfFilePartition(path, ct, v) =>
+        fileReader(path, _ => true, Map(
+          "_change_type" -> UTF8String.fromString(ct), "_commit_version" -> v))
+      case CdfDvPartition(path, kc, keys, v) =>
+        val ks = keys.toSet
+        fileReader(path,
+          g => g.getType.containsField(kc) &&
+            g.getFieldRepetitionCount(kc) > 0 && ks(g.getLong(kc, 0)),
+          Map("_change_type" -> UTF8String.fromString("delete"),
+            "_commit_version" -> v))
       case ManifestKeyedPartition(paths, _) =>
         // chain the value's files through one reader
         new PartitionReader[InternalRow] {
@@ -634,7 +722,7 @@ final class ManifestFileReaderFactory(schema: StructType,
             while (cur == null || !cur.next()) {
               if (cur != null) cur.close()
               if (!it.hasNext) { cur = null; return false }
-              cur = fileReader(it.next())
+              cur = fileReader(it.next(), g => !deleted(g))
             }
             true
           }
@@ -644,50 +732,58 @@ final class ManifestFileReaderFactory(schema: StructType,
       case other => throw new IllegalStateException(s"unexpected partition $other")
     }
 
-  private def fileReader(path: String): PartitionReader[InternalRow] = {
+  // the file's own partition-column value, stringified the way the DV
+  // recorded it (Spark's cast-to-string of the column)
+  private def pvalOf(g: org.apache.parquet.example.data.Group): Option[String] = {
+    if (!g.getType.containsField(dvPart) ||
+        g.getFieldRepetitionCount(dvPart) == 0) return None
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    g.getType.getType(dvPart).asPrimitiveType().getPrimitiveTypeName match {
+      case INT64  => Some(g.getLong(dvPart, 0).toString)
+      case INT32  => Some(g.getInteger(dvPart, 0).toString)
+      case DOUBLE => Some(g.getDouble(dvPart, 0).toString)
+      case BINARY => Some(g.getString(dvPart, 0))
+      case t => throw new UnsupportedOperationException(
+        s"in-scan DV on partition column of parquet type $t")
+    }
+  }
+  private def deleted(g: org.apache.parquet.example.data.Group): Boolean =
+    dvPairs.nonEmpty && g.getType.containsField(dvCol) &&
+      g.getFieldRepetitionCount(dvCol) > 0 &&
+      pvalOf(g).exists(p => dvPairs((g.getLong(dvCol, 0), p)))
+
+  /** Decode one parquet file into rows of `schema`, keeping only rows
+    * `keep` admits; `overrides` supplies values for schema fields the
+    * file does not store (the CDF metadata columns). */
+  private def fileReader(path: String,
+      keep: org.apache.parquet.example.data.Group => Boolean,
+      overrides: Map[String, Any] = Map.empty): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val reader = ParquetReader
         .builder(new GroupReadSupport(), new Path(path))
         .withConf(new Configuration())
         .build()
       private var cur: org.apache.parquet.example.data.Group = _
-      // the file's own partition-column value, stringified the way the DV
-      // recorded it (Spark's cast-to-string of the column)
-      private def pvalOf(g: org.apache.parquet.example.data.Group): Option[String] = {
-        if (!g.getType.containsField(dvPart) ||
-            g.getFieldRepetitionCount(dvPart) == 0) return None
-        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-        g.getType.getType(dvPart).asPrimitiveType().getPrimitiveTypeName match {
-          case INT64  => Some(g.getLong(dvPart, 0).toString)
-          case INT32  => Some(g.getInteger(dvPart, 0).toString)
-          case DOUBLE => Some(g.getDouble(dvPart, 0).toString)
-          case BINARY => Some(g.getString(dvPart, 0))
-          case t => throw new UnsupportedOperationException(
-            s"in-scan DV on partition column of parquet type $t")
-        }
-      }
-      private def deleted(g: org.apache.parquet.example.data.Group): Boolean =
-        dvPairs.nonEmpty && g.getType.containsField(dvCol) &&
-          g.getFieldRepetitionCount(dvCol) > 0 &&
-          pvalOf(g).exists(p => dvPairs((g.getLong(dvCol, 0), p)))
       override def next(): Boolean = {
         cur = reader.read()
-        while (cur != null && deleted(cur)) cur = reader.read()
+        while (cur != null && !keep(cur)) cur = reader.read()
         cur != null
       }
       override def get(): InternalRow = {
         val vals = schema.fields.map { f =>
-          val gt = cur.getType
-          if (!gt.containsField(f.name) ||
-              cur.getFieldRepetitionCount(f.name) == 0) null
-          else f.dataType match {
-            case LongType    => cur.getLong(f.name, 0)
-            case IntegerType => cur.getInteger(f.name, 0)
-            case DoubleType  => cur.getDouble(f.name, 0)
-            case StringType  => UTF8String.fromString(cur.getString(f.name, 0))
-            case dt => throw new UnsupportedOperationException(
-              s"manifest-stream reader: unsupported type $dt for ${f.name}")
-          }
+          overrides.getOrElse(f.name, {
+            val gt = cur.getType
+            if (!gt.containsField(f.name) ||
+                cur.getFieldRepetitionCount(f.name) == 0) null
+            else f.dataType match {
+              case LongType    => cur.getLong(f.name, 0)
+              case IntegerType => cur.getInteger(f.name, 0)
+              case DoubleType  => cur.getDouble(f.name, 0)
+              case StringType  => UTF8String.fromString(cur.getString(f.name, 0))
+              case dt => throw new UnsupportedOperationException(
+                s"manifest-stream reader: unsupported type $dt for ${f.name}")
+            }
+          })
         }
         new GenericInternalRow(vals.asInstanceOf[Array[Any]])
       }

@@ -2841,6 +2841,121 @@ object ManifestTable {
     }
   }
 
+  /** Build-once CDF-stream fixture: v1 = ordersKeyed, v2 =
+    * MERGE(standardUpdates) (rewrites the 1996+ partitions), v3 = a
+    * merge-on-read DELETE of the mod-7 cohort (metadata-only commit, DV
+    * pending) — one history exercising all three image producers. */
+  private[sources] def cdfStreamFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("cdfstream", dir), {
+        val base =
+          s"${graft.Scratch.root}/orders_cdfsfix_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        create(spark, base, t, "o_year")
+        merge(spark, base, standardUpdates(t), "o_orderkey", "o_year")
+        deleteWhereMoR(spark, base,
+          col("o_orderkey") % 7 === 0 && col("o_year") >= 1996,
+          "o_orderkey", "o_year")
+        base
+      })
+    }
+
+  /** Registered CHANGE-FEED STREAMING READ: the [[cdfStreamFixture]]'s
+    * create → MERGE → MoR-delete history consumed with
+    * `.option("changeFeed", "true")` — each commit arrives as one
+    * micro-batch of insert/delete IMAGES (the merge's rewritten
+    * partitions as delete preimages + insert postimages, the DV commit
+    * as delete images of exactly the vector's rows), instead of the
+    * append-only mode's carried-row re-emission. The query folds the
+    * accumulated feed back into final state (per key: latest version
+    * wins, insert beats delete within a version) AND reports the
+    * per-year image counts, so the oracle pins BOTH the reconstructed
+    * table (= batch replay of merge-then-delete) and the exact image
+    * mechanics — a re-emitted carried file, missing preimage, or
+    * key-scoped-wrong DV image all hash-mismatch. */
+  val streamCdfRead: QuerySpec = QuerySpec.sql(
+    "q_stream_cdf_read",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |u AS (SELECT o_orderkey, o_year, o_totalprice + 1000.0 AS o_totalprice
+      |      FROM t WHERE o_orderkey % 10 = 0 AND o_year >= 1996
+      |      UNION ALL
+      |      SELECT -o_orderkey, o_year, 42.0 AS o_totalprice
+      |      FROM t WHERE o_orderkey % 10 = 5 AND o_year >= 1996),
+      |m AS (SELECT * FROM t
+      |      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      |      UNION ALL SELECT * FROM u),
+      |tv AS (SELECT DISTINCT o_year FROM u),
+      |f AS (SELECT * FROM m
+      |      WHERE NOT (o_orderkey % 7 = 0 AND o_year >= 1996)),
+      |ins AS (SELECT o_year, count(*) AS c FROM (
+      |          SELECT o_year FROM t
+      |          UNION ALL
+      |          SELECT o_year FROM m WHERE o_year IN (SELECT o_year FROM tv)
+      |        ) GROUP BY 1),
+      |del AS (SELECT o_year, count(*) AS c FROM (
+      |          SELECT o_year FROM t WHERE o_year IN (SELECT o_year FROM tv)
+      |          UNION ALL
+      |          SELECT o_year FROM m
+      |          WHERE o_orderkey % 7 = 0 AND o_year >= 1996
+      |        ) GROUP BY 1)
+      |SELECT f.o_year, count(*) AS n,
+      |       CAST(sum(floor(f.o_totalprice * 100 + 0.5)) AS BIGINT) AS cents,
+      |       CAST(max(coalesce(ins.c, 0)) AS BIGINT) AS n_ins,
+      |       CAST(max(coalesce(del.c, 0)) AS BIGINT) AS n_del
+      |FROM f LEFT JOIN ins ON f.o_year = ins.o_year
+      |       LEFT JOIN del ON f.o_year = del.o_year
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = cdfStreamFixture(spark, dir)
+    val sink = s"${graft.Scratch.root}/cdfstream_sink_${graft.Scratch.dirToken(dir)}"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_year",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType)))
+    val q = spark.readStream
+      .format("graft.sources.ManifestStreamProvider")
+      .schema(schema)
+      .option("changeFeed", "true")
+      .load(base)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/batch=$id"); ()
+      }
+      .option("checkpointLocation", s"$sink-ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val changes = spark.read.parquet(sink)
+    // fold the feed to final state: per key the latest version wins, and
+    // within a version (a rewrite's delete preimage + insert postimage)
+    // the insert is the surviving image
+    val state = changes.groupBy(col("o_orderkey"))
+      .agg(max_by(
+        struct(col("o_year"), col("o_totalprice"), col("_change_type")),
+        struct(col("_commit_version"),
+          when(col("_change_type") === "insert", 1).otherwise(0))).as("s"))
+      .select(col("o_orderkey"), col("s.o_year").as("o_year"),
+        col("s.o_totalprice").as("o_totalprice"),
+        col("s._change_type").as("ct"))
+      .filter(col("ct") === "insert")
+    val imgs = changes.groupBy(col("o_year"))
+      .agg(
+        sum(when(col("_change_type") === "insert", 1L).otherwise(0L)).as("n_ins"),
+        sum(when(col("_change_type") === "delete", 1L).otherwise(0L)).as("n_del"))
+    state.groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .join(imgs, Seq("o_year"), "left")
+      .select(col("o_year"), col("n"), col("cents"),
+        coalesce(col("n_ins"), lit(0L)).as("n_ins"),
+        coalesce(col("n_del"), lit(0L)).as("n_del"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
@@ -2848,5 +2963,6 @@ object ManifestTable {
       tableClone, tableOptimizeSorted, tableIndexJoin, tablePartitions,
       tableEvolve, streamTable, connectorTravel, tableMoR, catalogSql,
       streamSink, tableOptimize2d, catalogInsert, connectorMoR, catalogAgg,
-      lakehouseE2e, catalogPrune, catalogPoint, catalogDpp, catalogSpj)
+      lakehouseE2e, catalogPrune, catalogPoint, catalogDpp, catalogSpj,
+      streamCdfRead)
 }

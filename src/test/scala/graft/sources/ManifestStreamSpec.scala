@@ -209,6 +209,46 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("schema"))
   }
 
+  test("change-feed stream: one batch per commit, correct image kinds per commit") {
+    val base = ManifestTable.cdfStreamFixture(spark, sf)
+    val sink = s"${graft.Scratch.root}/cdfspec_sink"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$sink-ck"))
+    val cdfSchema = schema // data schema; the source appends the CDF columns
+    val q = spark.readStream
+      .format("graft.sources.ManifestStreamProvider")
+      .schema(cdfSchema).option("changeFeed", "true").load(base)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/batch=$id"); ()
+      }
+      .option("checkpointLocation", s"$sink-ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val feed = spark.read.parquet(sink)
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    // three commits → three batches, _commit_version matches batch order
+    val byBatch = feed.groupBy(col("batch").cast("long").as("b"), col("_change_type"))
+      .count().collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byBatch.keys.map(_._1).toSet === Set(0L, 1L, 2L))
+    // batch 0 (create): inserts only, one image per v1 row
+    assert(byBatch((0L, "insert")) === t.count())
+    assert(!byBatch.contains((0L, "delete")))
+    // batch 1 (merge): delete preimages = v1 rows of the touched years,
+    // plus insert postimages (strictly more than the deletes — inserts)
+    val touched = t.filter(col("o_year") >= 1996).count()
+    assert(byBatch((1L, "delete")) === touched)
+    assert(byBatch((1L, "insert")) > touched)
+    // batch 2 (MoR delete): deletes only, every image in the cohort
+    assert(!byBatch.contains((2L, "insert")))
+    val b2 = spark.read.parquet(s"$sink/batch=2")
+    assert(b2.filter(col("_change_type") =!= "delete").isEmpty)
+    assert(b2.filter(!(col("o_orderkey") % 7 === 0 && col("o_year") >= 1996)).isEmpty,
+      "a DV image outside the deleted cohort leaked into the feed")
+  }
+
   test("catalog WHERE prunes partitions AND files, like the programmatic path") {
     val base = ManifestTable.statsFixture(spark, sf)
     ManifestScanEvents.clear()
