@@ -188,6 +188,54 @@ final class ManifestStreamTable(schema: StructType, base: String,
   }
 }
 
+/** The table's DECLARED schema as a table property (`schema` =
+  * `name:type,...`) — the canonical read schema once a writer has
+  * evolved it. The streaming sink and the batch INSERT stamp the
+  * ADDITIVE UNION of the stored schema and each write's schema here, so
+  * the catalog serves late-added columns without relying on which file's
+  * footer it happens to inspect; the name-resolving reader then nulls
+  * the new columns for pre-evolution files. */
+private[sources] object ManifestSchemaProp {
+  def serialize(schema: StructType): String =
+    schema.fields.map(f => s"${f.name}:${f.dataType.typeName}").mkString(",")
+  def parse(s: String): StructType = StructType(s.split(",").map { p =>
+    val Array(n, t) = p.split(":")
+    StructField(n, t match {
+      case "long" => LongType
+      case "integer" => IntegerType
+      case "double" => DoubleType
+      case "string" => StringType
+      case other => throw new UnsupportedOperationException(
+        s"schema property: unsupported type $other for $n")
+    })
+  })
+  /** Union the stored schema with a write's schema, additively: existing
+    * columns must keep their type (a retype is a TEAR, refused loudly);
+    * new columns append. Returns None when nothing changed. */
+  def evolve(spark: org.apache.spark.sql.SparkSession, base: String,
+      written: StructType): Option[StructType] =
+    ManifestTable.tableProperties(spark, base).get("schema").map(parse) match {
+      case None => Some(written)
+      case Some(baseline) =>
+        written.fields.foreach { f =>
+          baseline.fields.find(_.name.equalsIgnoreCase(f.name)).foreach { old =>
+            require(old.dataType == f.dataType,
+              s"schema evolution under $base is ADDITIVE only: ${f.name} is " +
+                s"${old.dataType.typeName}, write carries ${f.dataType.typeName}")
+          }
+        }
+        val added = written.fields.filterNot(f =>
+          baseline.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        if (added.isEmpty) None else Some(StructType(baseline.fields ++ added))
+    }
+  /** Stamp the evolved schema after a successful commit (no-op when the
+    * write introduced nothing new and a schema is already stored). */
+  def stamp(spark: org.apache.spark.sql.SparkSession, base: String,
+      written: StructType): Unit =
+    evolve(spark, base, written).foreach(s =>
+      ManifestTable.setTableProperty(spark, base, "schema", serialize(s)))
+}
+
 /** Driver-side record of every connector scan-planning decision — the
   * spec/pinning hook for file skipping (kept vs total manifest files and
   * whether a runtime filter was applied), without parsing plan strings. */
@@ -381,17 +429,23 @@ class ManifestCatalog
     val p = new Path(mdir, s"v$v.manifest")
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    // the LAST entry is the newest file (manifests append new files after
-    // carried ones), so additive schema evolution surfaces the late-added
-    // columns here and the name-resolving reader nulls them for old files
-    val last = text.split("\n").filter(_.nonEmpty).last
-    val rel = last.substring(last.indexOf('\t') + 1)
-    val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
+    // schema resolution order: the `schema` table property (stamped by
+    // evolving writers — authoritative for the column UNION) beats footer
+    // inference; without it, the LAST entry is the newest file (manifests
+    // append new files after carried ones), so additive evolution
+    // surfaces the late-added columns there and the name-resolving
+    // reader nulls them for old files
+    val props = ManifestTable.tableProperties(spark, base)
+    val served = props.get("schema").map(ManifestSchemaProp.parse).getOrElse {
+      val last = text.split("\n").filter(_.nonEmpty).last
+      val rel = last.substring(last.indexOf('\t') + 1)
+      val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
+      spark.read.parquet(abs).schema
+    }
     // the stored partCol property doubles as the reported key-grouped
     // layout, so catalog SQL can run storage-partitioned (shuffle-free)
     // aggregations and joins on it
-    new ManifestStreamTable(spark.read.parquet(abs).schema, base,
-      None, ManifestTable.tableProperties(spark, base).get("partCol"))
+    new ManifestStreamTable(served, base, None, props.get("partCol"))
   }
 
   /** SQL time travel: `SELECT ... FROM graft_cat.\`t\` VERSION AS OF 2`
@@ -866,6 +920,10 @@ final class ManifestStreamingWrite(base: String, schema: StructType,
       staged.foreach { case (_, p) => fs.delete(new Path(p), false) }
       return
     }
+    // validate additive evolution BEFORE anything becomes visible: a
+    // retyped column refuses the epoch instead of committing a torn table
+    val evolved = ManifestSchemaProp.evolve(
+      org.apache.spark.sql.SparkSession.active, base, schema)
     val next = vs.lastOption.getOrElse(0) + 1
     // the dest rel paths are known before any move — the marker records
     // them so a later durability check can verify the manifest that
@@ -894,6 +952,11 @@ final class ManifestStreamingWrite(base: String, schema: StructType,
       .getOrElse(Seq.empty)
     ManifestTable.commit(org.apache.spark.sql.SparkSession.active,
       base, next, prev ++ moved)
+    // stamp the (additively unioned) schema so the catalog serves the
+    // late-added columns whatever footer it inspects
+    evolved.foreach(s => ManifestTable.setTableProperty(
+      org.apache.spark.sql.SparkSession.active, base,
+      "schema", ManifestSchemaProp.serialize(s)))
     // stats/bloom sidecars are transactional with EVERY commit verb —
     // the streaming sink included (no-op until a column is indexed)
     ManifestTable.refreshAllStats(
@@ -1009,6 +1072,7 @@ final class ManifestBatchAppend(base: String, schema: StructType, partCol: Strin
     val fs = new Path(base).getFileSystem(new Configuration())
     val staged = messages.flatMap { case m: ManifestSinkFiles => m.files }.toSeq
     val spark = org.apache.spark.sql.SparkSession.active
+    val evolved = ManifestSchemaProp.evolve(spark, base, schema)
     val vs = {
       val dir = new Path(base, "_manifests")
       if (!fs.exists(dir)) Seq.empty[Int]
@@ -1028,6 +1092,8 @@ final class ManifestBatchAppend(base: String, schema: StructType, partCol: Strin
     val prev = vs.lastOption
       .map(v => ManifestTable.entries(spark, base, v)).getOrElse(Seq.empty)
     ManifestTable.commit(spark, base, next, prev ++ moved)
+    evolved.foreach(s => ManifestTable.setTableProperty(
+      spark, base, "schema", ManifestSchemaProp.serialize(s)))
     // sidecars ride every commit verb, SQL INSERT included — without this
     // an insert into a stats/bloom-indexed table would strand readPruned
     // on a stale index

@@ -2956,6 +2956,73 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
+  /** Build-once fixture: TWO streaming ingests into one sink table with
+    * schemas v1 ⊂ v2 — the first wave (lower orderkey half) without
+    * `o_channel`, the second with it. The sink validates the evolution
+    * as ADDITIVE before anything becomes visible and stamps the unioned
+    * schema into the table-properties store on commit. */
+  private[sources] def streamEvolveFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("streamevolve", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_sevfix_${graft.Scratch.dirToken(dir)}"
+        val fs = fsOf(spark, new Path(b))
+        fs.delete(new Path(b), true)
+        val t = ordersKeyed(spark, dir)
+        val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
+        def wave(df: DataFrame, n: Int): Unit = {
+          val feed = s"$b-feed$n"; val ck = s"$b-ck$n"
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+          df.write.mode("overwrite").parquet(feed)
+          val q = spark.readStream.schema(df.schema).parquet(feed)
+            .writeStream.format("graft.sources.ManifestStreamProvider")
+            .option("path", b).option("partCol", "o_year")
+            .option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        wave(t.filter(col("o_orderkey") <= mx / 2), 1)
+        wave(t.filter(col("o_orderkey") > mx / 2)
+          .withColumn("o_channel",
+            when(col("o_orderkey") % 2 === 0, "web").otherwise("store")), 2)
+        setTableProperty(spark, b, "partCol", "o_year")
+        b
+      })
+    }
+
+  /** Registered STREAMING SINK SCHEMA EVOLUTION: the
+    * [[streamEvolveFixture]] read back through plain catalog SQL — the
+    * catalog serves the property-stamped UNION schema (not whichever
+    * footer it inspects), the name-resolving reader nulls `o_channel`
+    * for wave-1 files, and the oracle replays the evolution point
+    * (the orderkey median) in SQL — exactly [[tableEvolve]]'s contract,
+    * now reached through the streaming WRITE face. `ManifestStreamSpec`
+    * adds the retype-refusal pin. */
+  val streamEvolve: QuerySpec = QuerySpec.sql(
+    "q_stream_evolve",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |mx AS (SELECT max(o_orderkey) AS mx FROM t),
+      |v AS (SELECT o_totalprice,
+      |             CASE WHEN o_orderkey > mx // 2 THEN
+      |               CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END
+      |             END AS o_channel
+      |      FROM t, mx)
+      |SELECT coalesce(o_channel, 'legacy') AS channel, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM v GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = streamEvolveFixture(spark, dir)
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT coalesce(o_channel, 'legacy') AS channel, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
@@ -2964,5 +3031,5 @@ object ManifestTable {
       tableEvolve, streamTable, connectorTravel, tableMoR, catalogSql,
       streamSink, tableOptimize2d, catalogInsert, connectorMoR, catalogAgg,
       lakehouseE2e, catalogPrune, catalogPoint, catalogDpp, catalogSpj,
-      streamCdfRead)
+      streamCdfRead, streamEvolve)
 }

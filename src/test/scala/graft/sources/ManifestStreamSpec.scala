@@ -249,6 +249,45 @@ class ManifestStreamSpec extends AnyFunSuite {
       "a DV image outside the deleted cohort leaked into the feed")
   }
 
+  test("sink schema evolution: additive accepted + stamped, retype refused") {
+    val base = ManifestTable.streamEvolveFixture(spark, sf)
+    // the unioned schema is stamped as the table property
+    val stored = ManifestTable.tableProperties(spark, base)("schema")
+    assert(stored.contains("o_channel:string"), stored)
+    // catalog read serves the union; legacy rows null-fill the new column
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root",
+      new java.io.File(base).getParent)
+    val df = spark.sql(s"SELECT * FROM graft_cat.`$tbl`")
+    assert(df.schema.fieldNames.contains("o_channel"))
+    assert(df.filter(col("o_channel").isNull).count() > 0, "legacy rows lost")
+    // a RETYPED column refuses the epoch before anything becomes visible
+    val vBefore = ManifestTable.currentVersion(spark, base)
+    val feed = s"${graft.Scratch.root}/sev_retype_feed"
+    val ck = s"${graft.Scratch.root}/sev_retype_ck"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    graft.model.Tables.orders(spark, sf).limit(5)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"),
+        col("o_totalprice").cast("string").as("o_totalprice")) // double → string
+      .write.mode("overwrite").parquet(feed)
+    val src = spark.read.parquet(feed)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.schema(src.schema).parquet(feed)
+        .writeStream.format("graft.sources.ManifestStreamProvider")
+        .option("path", base).option("partCol", "o_year")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("ADDITIVE")), messages(e).mkString(" | "))
+    assert(ManifestTable.currentVersion(spark, base) === vBefore,
+      "the refused epoch must not have committed")
+  }
+
   test("catalog WHERE prunes partitions AND files, like the programmatic path") {
     val base = ManifestTable.statsFixture(spark, sf)
     ManifestScanEvents.clear()
