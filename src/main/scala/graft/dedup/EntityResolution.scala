@@ -226,5 +226,74 @@ object EntityResolution {
       .orderBy(col("d_id"))
   }
 
-  val all: Seq[QuerySpec] = Seq(entityResolution, erMultiKey, streamEntity)
+  /** FUZZY ER beyond single-edit dirt — the two corruption families a
+    * pure edit-distance-≤1 matcher misses:
+    *   - TOKEN REORDER (even keys: the name's tokens reversed) — edit
+    *     distance is large, but the TOKEN SET is unchanged, so the
+    *     token-set comparator (array_distinct/array_intersect/array_union
+    *     — codegen'd built-ins, no UDF) catches it exactly;
+    *   - TRANSPOSITION (odd keys: characters 2 and 3 swapped) — distance
+    *     2 under plain Levenshtein (no Damerau built-in), caught by
+    *     widening the edit budget inside blocks.
+    * The hybrid verdict is `token sets equal OR levenshtein ≤ 2`.
+    *
+    * Blocking must survive BOTH corruptions: first/last-char keys die on
+    * reorder, so the block key is the name LENGTH — invariant under a
+    * same-length transposition and under reorder with single-space
+    * joining (classic length blocking; production stacks it with the
+    * q_er_multikey keys). Still an equi-join: O(sum of block²), never a
+    * product. The oracle replays corruption, blocking, both comparators,
+    * and resolution in SQL; `DedupSpec` pins full recall of the planted
+    * dirt and the no-product plan. */
+  val erFuzzy: QuerySpec = QuerySpec.sql(
+    "q_er_fuzzy",
+    """WITH dirty AS (
+      |  SELECT p_partkey AS d_id,
+      |         CASE WHEN p_partkey % 2 = 0
+      |              THEN array_to_string(list_reverse(string_split(p_name, ' ')), ' ')
+      |              ELSE substring(p_name, 1, 1) || substring(p_name, 3, 1)
+      |                   || substring(p_name, 2, 1) || substring(p_name, 4, 200)
+      |         END AS d_name
+      |  FROM part WHERE p_partkey % 3 = 0),
+      |clean AS (SELECT DISTINCT p_name AS c_name FROM part),
+      |cand AS (
+      |  SELECT d.d_id, d.d_name, c.c_name,
+      |         levenshtein(d.d_name, c.c_name) AS dist,
+      |         len(list_intersect(list_distinct(string_split(d.d_name, ' ')),
+      |                            list_distinct(string_split(c.c_name, ' ')))) AS ni,
+      |         len(list_distinct(list_concat(string_split(d.d_name, ' '),
+      |                                       string_split(c.c_name, ' ')))) AS nu
+      |  FROM dirty d JOIN clean c ON length(d.d_name) = length(c.c_name))
+      |SELECT d_id, d_name, count(*) AS n_cand,
+      |       CAST(sum(CASE WHEN ni = nu OR dist <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_match,
+      |       min(CASE WHEN ni = nu OR dist <= 2 THEN c_name END) AS best_match
+      |FROM cand GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val part = Tables.part(spark, dir)
+    val dirty = part.filter(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey").as("d_id"),
+        when(col("p_partkey") % 2 === 0,
+            concat_ws(" ", reverse(split(col("p_name"), " "))))
+          .otherwise(concat(
+            substring(col("p_name"), 1, 1), substring(col("p_name"), 3, 1),
+            substring(col("p_name"), 2, 1), substring(col("p_name"), 4, 200)))
+          .as("d_name"))
+    val clean = part.select(col("p_name").as("c_name")).distinct()
+    val dT = array_distinct(split(col("d_name"), " "))
+    val cT = array_distinct(split(col("c_name"), " "))
+    val isMatch = (col("ni") === col("nu")) || col("dist") <= 2
+    dirty.withColumn("bk", length(col("d_name")))
+      .join(clean.withColumn("bk", length(col("c_name"))), Seq("bk"))
+      .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
+      .withColumn("ni", size(array_intersect(dT, cT)))
+      .withColumn("nu", size(array_union(split(col("d_name"), " "),
+        split(col("c_name"), " "))))
+      .groupBy(col("d_id"), col("d_name"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(isMatch, 1L).otherwise(0L)).as("n_match"),
+        min(when(isMatch, col("c_name"))).as("best_match"))
+      .orderBy(col("d_id"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(entityResolution, erMultiKey, streamEntity, erFuzzy)
 }

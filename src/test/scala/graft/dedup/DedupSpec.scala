@@ -162,6 +162,39 @@ class DedupSpec extends AnyFunSuite {
     ()
   }
 
+  test("fuzzy ER: token reorder + transposition both recovered; edit-distance-1 alone is blind to reorder") {
+    val part = graft.model.Tables.part(spark, sf)
+    val res = EntityResolution.erFuzzy.fn(spark, sf)
+    val truth = part.filter(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey").as("d_id"), col("p_name").as("src"))
+    val joined = res.join(truth, Seq("d_id")).cache()
+    try {
+      // full recall: length blocking survives both corruption families and
+      // the hybrid comparator admits both — no dirty record may miss
+      assert(joined.filter(col("n_match") < 1).count() === 0,
+        "a planted corruption found no match under the hybrid comparator")
+      assert(joined.count() > 0)
+      // the REORDERED half is invisible to a pure levenshtein ≤ 1 matcher:
+      // the true source sits at a large edit distance (tokens moved), which
+      // is the reason the token-set comparator exists
+      val reordered = truth.filter(col("d_id") % 2 === 0)
+        .withColumn("d_name", concat_ws(" ", reverse(split(col("src"), " "))))
+        .filter(col("d_name") =!= col("src")) // both-tokens-equal names aside
+      val blindCount = reordered
+        .filter(levenshtein(col("d_name"), col("src")) <= 1).count()
+      assert(blindCount === 0,
+        "fixture too easy: reorder should defeat single-edit matching")
+      assert(reordered.count() > 0)
+      // still blocked: equi-join, never a product
+      val plan = res.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"fuzzy ER plan fell back to an all-pairs product:\n$plan")
+      val catalog = part.select("p_name").distinct().count()
+      assert(joined.agg(max(col("n_cand"))).head.getLong(0) < catalog)
+    } finally joined.unpersist()
+    ()
+  }
+
   test("multi-key blocking: each key alone is blind to its corruption class; the stack has full recall") {
     import org.apache.spark.sql.Column
     val part = graft.model.Tables.part(spark, sf)

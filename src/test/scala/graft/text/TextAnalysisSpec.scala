@@ -35,4 +35,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     }.sum / nTok
     assert(h0 === expect, s"$src0: engine $h0 vs scala $expect")
   }
+
+  test("sequence packing declares shuffle joins for the offsets, never a pinned broadcast") {
+    // the offsets side is n_docs/batchSize rows — bounded only RELATIVE to
+    // the corpus (~15M rows at 10⁹ docs), so the declared strategy must be
+    // a shuffle join; AQE is free to demote to broadcast at runtime when
+    // the side really is small, so the pin reads the PRE-adaptive plan
+    val df = graft.text.CorpusPipeline.docPacking.fn(spark, sf)
+    val declared = df.queryExecution.sparkPlan.toString
+    assert(declared.contains("ShuffledHashJoin"),
+      s"offsets join lost its declared shuffle strategy:\n$declared")
+    assert(!declared.contains("BroadcastHashJoin"),
+      s"a pinned broadcast would cap the corpus size at the driver:\n$declared")
+    assert(df.count() > 0)
+  }
 }
