@@ -114,14 +114,40 @@ final class ManifestStreamTable(schema: StructType, base: String,
       Option(options.get("versionAsOf")).map(_.toInt).orElse(pinnedVersion)
     new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+        with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
       // column pruning: the reader resolves fields by NAME, so serving a
       // narrower schema needs no reader changes — a projection reads only
       // its columns off the parquet pages
       private var projected: StructType = schema
       private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+      private var allFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+      private var metaAgg: Option[(StructType, Seq[Seq[Any]])] = None
+      private var pushedLimit: Option[Int] = None
       override def pruneColumns(requiredSchema: StructType): Unit =
         if (requiredSchema.nonEmpty) projected = requiredSchema
+      /** COMPLETE metadata aggregation (see [[ManifestMetaAgg]]): only
+        * claimed when every aggregate, the grouping, and the snapshot
+        * state are answerable from manifest + sidecars alone. */
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        ManifestMetaAgg.plan(org.apache.spark.sql.SparkSession.active, base,
+          versionAsOf, layoutCol, schema, agg, allFilters.nonEmpty).isDefined
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+        metaAgg = ManifestMetaAgg.plan(org.apache.spark.sql.SparkSession.active,
+          base, versionAsOf, layoutCol, schema, agg, allFilters.nonEmpty)
+        metaAgg.isDefined
+      }
+      /** LIMIT reaches file planning: with no filters in play, the
+        * sidecar row counts let the scan keep only enough files to cover
+        * the limit (Spark still applies the row-exact limit above —
+        * isPartiallyPushed stays true). */
+      override def pushLimit(l: Int): Boolean = {
+        if (allFilters.isEmpty && l >= 0) { pushedLimit = Some(l); true }
+        else false
+      }
       /** FILE skipping, not row filtering: filters on the layout column
         * prune whole manifest partitions; range filters on stats-indexed
         * columns and equality on bloom-indexed columns prune individual
@@ -133,12 +159,21 @@ final class ManifestStreamTable(schema: StructType, base: String,
       override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
           : Array[org.apache.spark.sql.sources.Filter] = {
         val spark = org.apache.spark.sql.SparkSession.active
+        allFilters = filters
         pushed = filters.filter(f =>
           ManifestFileSkipping.usable(spark, base, versionAsOf, layoutCol, f))
         filters
       }
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-      override def build(): Scan = new Scan
+      override def build(): Scan = metaAgg match {
+        case Some((aggSchema, rows)) =>
+          new ManifestMetaAggScan(aggSchema, rows, base,
+            ManifestTable.entries(org.apache.spark.sql.SparkSession.active, base,
+              versionAsOf.getOrElse(ManifestTable.currentVersion(
+                org.apache.spark.sql.SparkSession.active, base))).size)
+        case None => buildDataScan()
+      }
+      private def buildDataScan(): Scan = new Scan
           with org.apache.spark.sql.connector.read.SupportsReportPartitioning
           with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
         // runtime (dynamic partition pruning) state: Spark calls filter()
@@ -151,7 +186,7 @@ final class ManifestStreamTable(schema: StructType, base: String,
           new ManifestSnapshotBatch(base, projected, versionAsOf,
             layoutCol.filter(projected.fieldNames.contains),
             layoutCol.map(schema.apply).map(_.dataType),
-            layoutCol, pushed.toSeq, () => runtimePvals)
+            layoutCol, pushed.toSeq, () => runtimePvals, pushedLimit)
         override def toBatch: org.apache.spark.sql.connector.read.Batch = batch
         override def filterAttributes()
             : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -241,12 +276,170 @@ private[sources] object ManifestSchemaProp {
   * whether a runtime filter was applied), without parsing plan strings. */
 object ManifestScanEvents {
   final case class PlanEvent(base: String, kept: Int, total: Int,
-      runtimeFiltered: Boolean)
+      runtimeFiltered: Boolean, aggPushed: Boolean = false,
+      limitPruned: Boolean = false)
   private val buf = scala.collection.mutable.Buffer[PlanEvent]()
   private[sources] def record(e: PlanEvent): Unit = buf.synchronized { buf += e }
   def recent(base: String): Seq[PlanEvent] =
     buf.synchronized(buf.filter(_.base == base).toSeq)
   def clear(): Unit = buf.synchronized(buf.clear())
+}
+
+/** METADATA AGGREGATION — the Iceberg "answer it from the manifests"
+  * optimization as a DSv2 `SupportsPushDownAggregates` COMPLETE
+  * pushdown: `COUNT(*)`, `MIN(c)`, `MAX(c)` (integral `c` with a stats
+  * sidecar at the scanned version), grouped by nothing or by the layout
+  * column, are computed ENTIRELY from the manifest + the
+  * commit-maintained sidecars on the driver — the scan ships the
+  * finished rows and no data page is ever decoded (the connector twin of
+  * the parquet footer-only `q_agg_pushdown`). Refused whenever a filter,
+  * pending deletion vector, or non-sidecar aggregate is in play — Spark
+  * then simply runs the ordinary scan + aggregate. */
+private[sources] object ManifestMetaAgg {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  private def fieldName(e: Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  private sealed trait Src
+  private case object Cnt extends Src
+  private final case class Mn(c: String) extends Src
+  private final case class Mx(c: String) extends Src
+
+  /** Resolve the aggregation to (output schema, finished rows) if every
+    * part is answerable from metadata at the scanned version; None
+    * otherwise. Row values use external JVM types (String for strings —
+    * converted to UTF8String executor-side). */
+  def plan(spark: SparkSession, base: String, versionAsOf: Option[Int],
+      layout: Option[String], tableSchema: StructType,
+      agg: Aggregation, anyFilters: Boolean): Option[(StructType, Seq[Seq[Any]])] = {
+    if (anyFilters) return None
+    if (versionAsOf.isEmpty && ManifestTable.pendingDvVersions(spark, base).nonEmpty)
+      return None // DV-hidden rows would not be discounted
+    val v = versionAsOf.getOrElse(ManifestTable.currentVersion(spark, base))
+    // grouping: none, or exactly the layout column
+    val groupNames = agg.groupByExpressions.toSeq.map(fieldName)
+    if (groupNames.exists(_.isEmpty)) return None
+    val byLayout = groupNames.flatten match {
+      case Seq() => false
+      case Seq(g) if layout.exists(_.equalsIgnoreCase(g)) => true
+      case _ => return None
+    }
+    def colField(c: String): Option[StructField] =
+      tableSchema.fields.find(_.name.equalsIgnoreCase(c))
+    val srcs: Seq[Option[(Src, StructField)]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some((Cnt, StructField("count", LongType, nullable = false)))
+      case m: Min => fieldName(m.column).flatMap(colField).collect {
+        case f if f.dataType == LongType || f.dataType == IntegerType =>
+          (Mn(f.name), StructField(s"min_${f.name}", f.dataType))
+      }
+      case m: Max => fieldName(m.column).flatMap(colField).collect {
+        case f if f.dataType == LongType || f.dataType == IntegerType =>
+          (Mx(f.name), StructField(s"max_${f.name}", f.dataType))
+      }
+      case _ => None
+    }
+    if (srcs.exists(_.isEmpty)) return None
+    val resolved = srcs.flatten
+    val es = ManifestTable.entries(spark, base, v)
+    val allRels = es.map(_._2)
+    // every Mn/Mx column needs a sidecar covering EVERY file of the
+    // snapshot; COUNT(*) needs row counts from any sidecar covering all
+    val statsFor: Map[String, Map[String, ManifestTable.Stat]] =
+      resolved.collect { case (Mn(c), _) => c; case (Mx(c), _) => c }.distinct.flatMap { c =>
+        ManifestTable.readStatsFile(spark, base, v, c)
+          .filter(m => allRels.forall(m.contains)).map(c -> _)
+      }.toMap
+    if (resolved.exists { case (Mn(c), _) => !statsFor.contains(c)
+                          case (Mx(c), _) => !statsFor.contains(c)
+                          case _ => false }) return None
+    val counts: Option[Map[String, Long]] =
+      if (!resolved.exists(_._1 == Cnt)) Some(Map.empty)
+      else ManifestTable.statCols(spark, base, v).view
+        .map(c => ManifestTable.readStatsCounts(spark, base, v, c))
+        .find(m => allRels.forall(m.contains))
+    if (counts.isEmpty) return None
+    val layoutField = layout.flatMap(colField)
+    if (byLayout && layoutField.isEmpty) return None
+    val schemaOut = StructType(
+      (if (byLayout) Seq(layoutField.get) else Seq.empty) ++ resolved.map(_._2))
+    val groups: Seq[(Option[String], Seq[String])] =
+      if (byLayout) es.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (p, fs) => (Some(p), fs.map(_._2)) }
+      else Seq((None, allRels))
+    val rows = groups.flatMap { case (pvalOpt, rels) =>
+      val cnt = rels.map(r => counts.get.getOrElse(r, 0L)).sum
+      // a group whose files hold zero rows produces NO row under real
+      // GROUP BY semantics; the global (ungrouped) aggregate always does
+      if (byLayout && cnt == 0L) None
+      else {
+        def reduceStats(c: String, takeMin: Boolean): Any = {
+          val vs = rels.flatMap(r => statsFor(c).getOrElse(r, None))
+            .map(r => if (takeMin) r._1 else r._2)
+          if (vs.isEmpty) null
+          else {
+            val x = if (takeMin) vs.min else vs.max
+            colField(c).get.dataType match {
+              case IntegerType => Int.box(x.toInt)
+              case _ => Long.box(x)
+            }
+          }
+        }
+        val key: Seq[Any] = pvalOpt.toSeq.map { p =>
+          layoutField.get.dataType match {
+            case IntegerType => Int.box(p.toInt)
+            case LongType => Long.box(p.toLong)
+            case StringType => p
+            case dt => throw new UnsupportedOperationException(
+              s"metadata aggregate grouped by layout of type $dt")
+          }
+        }
+        Some(key ++ resolved.map {
+          case (Cnt, _) => Long.box(cnt)
+          case (Mn(c), _) => reduceStats(c, takeMin = true)
+          case (Mx(c), _) => reduceStats(c, takeMin = false)
+        })
+      }
+    }
+    Some((schemaOut, rows))
+  }
+}
+
+/** A scan whose rows were finished at PLANNING time from table metadata
+  * (see [[ManifestMetaAgg]]): one input partition shipping the computed
+  * aggregate rows, zero data I/O on executors. */
+final case class ManifestAggPartition(rows: Seq[Seq[Any]]) extends InputPartition
+
+final class ManifestMetaAggScan(aggSchema: StructType, rows: Seq[Seq[Any]],
+    base: String, totalFiles: Int) extends Scan {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions(): Array[InputPartition] = {
+        ManifestScanEvents.record(ManifestScanEvents.PlanEvent(
+          base, 0, totalFiles, runtimeFiltered = false, aggPushed = true))
+        Array(ManifestAggPartition(rows))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+            new PartitionReader[InternalRow] {
+              private val it = p.asInstanceOf[ManifestAggPartition].rows.iterator
+              private var cur: Seq[Any] = _
+              override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+              override def get(): InternalRow = new GenericInternalRow(
+                cur.map {
+                  case s: String => UTF8String.fromString(s)
+                  case x => x
+                }.toArray)
+              override def close(): Unit = ()
+            }
+        }
+    }
 }
 
 /** The connector's FILE-skipping decisions, shared by push-down admission
@@ -480,7 +673,8 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     layoutType: Option[DataType] = None,
     layoutName: Option[String] = None,
     pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
-    runtimePvals: () => Option[Set[String]] = () => None)
+    runtimePvals: () => Option[Set[String]] = () => None,
+    pushedLimit: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = new Path(base).getFileSystem(new Configuration())
@@ -512,13 +706,35 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
       partPreds.forall(_(pval)) && rt.forall(_.contains(pval)) }
     val survivors = ManifestFileSkipping.fileSurvivors(
       spark, base, v, pushed, afterPart.map(_._2).toSeq)
-    val entries = afterPart.filter { case (_, rel) => survivors(rel) }
-      .map { case (pval, rel) =>
-        val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
-        (pval, abs)
-      }
+    val afterFiles = afterPart.filter { case (_, rel) => survivors(rel) }
+    // LIMIT-driven file pruning: with no filters (pushLimit refuses
+    // otherwise), no runtime filter, and no pending deletion vector, the
+    // sidecar row counts bound how many files can be needed — keep files
+    // only while the cumulative count is still under the limit (any
+    // `limit` rows are a correct answer to an unordered LIMIT; Spark
+    // still applies the row-exact cut above)
+    val limited = pushedLimit match {
+      case Some(l) if rt.isEmpty && pushed.isEmpty &&
+          (versionAsOf.isDefined ||
+            ManifestTable.pendingDvVersions(spark, base).isEmpty) =>
+        ManifestTable.statCols(spark, base, v).view
+          .map(c => ManifestTable.readStatsCounts(spark, base, v, c))
+          .find(m => afterFiles.forall { case (_, rel) => m.contains(rel) }) match {
+          case Some(m) =>
+            var cum = 0L
+            afterFiles.takeWhile { case (_, rel) =>
+              val before = cum; cum += m(rel); before < l }
+          case None => afterFiles
+        }
+      case _ => afterFiles
+    }
+    val entries = limited.map { case (pval, rel) =>
+      val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
+      (pval, abs)
+    }
     ManifestScanEvents.record(ManifestScanEvents.PlanEvent(
-      base, entries.length, all.length, rt.isDefined))
+      base, entries.length, all.length, rt.isDefined,
+      limitPruned = limited.length < afterFiles.length))
     layoutCol match {
       case Some(_) =>
         // key-grouped: ONE input partition per layout value (all its

@@ -471,18 +471,38 @@ object ManifestTable {
       val in = fs.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       Some(text.split("\n").filter(_.nonEmpty).map { line =>
-        val Array(rel, mn, mx) = line.split("\t")
-        rel -> (if (mn == "-") (None: Stat) else Some((mn.toLong, mx.toLong)))
+        val f = line.split("\t") // 3 fields (legacy) or 4 (with row count)
+        (f(0), if (f(1) == "-") (None: Stat) else Some((f(1).toLong, f(2).toLong)))
       }.toMap)
     }
   }
 
+  /** Per-file ROW COUNTS from a stats sidecar (the 4th field) — the
+    * metadata behind COUNT(*) pushdown and limit-driven file pruning.
+    * Files whose carried entry predates the count field are absent. */
+  private[sources] def readStatsCounts(
+      spark: SparkSession, base: String, v: Int, statCol: String): Map[String, Long] = {
+    val p = statsPath(base, v, statCol)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      text.split("\n").filter(_.nonEmpty).flatMap { line =>
+        val f = line.split("\t")
+        if (f.length >= 4 && f(3) != "-") Some(f(0) -> f(3).toLong) else None
+      }.toMap
+    }
+  }
+
   private def writeStatsFile(spark: SparkSession, base: String, v: Int,
-      statCol: String, es: Seq[(String, String)], stats: Map[String, Stat]): Unit = {
+      statCol: String, es: Seq[(String, String)], stats: Map[String, Stat],
+      counts: Map[String, Long]): Unit = {
     val lines = es.map { case (_, rel) =>
+      val cnt = counts.get(rel).map(_.toString).getOrElse("-")
       stats.getOrElse(rel, None) match {
-        case Some((mn, mx)) => s"$rel\t$mn\t$mx"
-        case None => s"$rel\t-\t-"
+        case Some((mn, mx)) => s"$rel\t$mn\t$mx\t$cnt"
+        case None => s"$rel\t-\t-\t$cnt"
       }
     }
     val dir = manifestDir(base)
@@ -505,7 +525,7 @@ object ManifestTable {
     * part number into two partitions of one job. A file with zero rows (or
     * an all-NULL stat column) maps to None — never kept by pruning. */
   private def scanStats(spark: SparkSession, base: String,
-      statCol: String, rels: Seq[String]): Map[String, Stat] = {
+      statCol: String, rels: Seq[String]): Map[String, (Stat, Long)] = {
     if (rels.isEmpty) return Map.empty
     def tail2(p: String): String = p.split('/').takeRight(2).mkString("/")
     def decoded(uri: String): String =
@@ -516,19 +536,24 @@ object ManifestTable {
     val rows = spark.read.parquet(rels.map(rel => resolve(base, rel)): _*)
       .select(col(statCol).cast("long").as("__v"), input_file_name().as("__f"))
       .groupBy(col("__f"))
-      .agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+      .agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"),
+        count(lit(1)).as("cnt")) // row count rides the same pass
       .collect() // one row per data file: metadata-sized
     rows.map { r =>
       val rel = byTail.getOrElse(tail2(decoded(r.getString(0))),
         throw new IllegalStateException(s"scanned file ${r.getString(0)} not in file set"))
-      rel -> (if (r.isNullAt(1)) (None: Stat) else Some((r.getLong(1), r.getLong(2))))
+      rel -> ((if (r.isNullAt(1)) (None: Stat) else Some((r.getLong(1), r.getLong(2))),
+        r.getLong(3)))
     }.toMap
   }
 
   def buildStats(spark: SparkSession, base: String, statCol: String): Unit = {
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
-    writeStatsFile(spark, base, v, statCol, es, scanStats(spark, base, statCol, es.map(_._2)))
+    val scanned = scanStats(spark, base, statCol, es.map(_._2))
+    writeStatsFile(spark, base, v, statCol, es,
+      scanned.map { case (rel, (st, _)) => rel -> st },
+      scanned.map { case (rel, (_, c)) => rel -> c })
   }
 
   /** INCREMENTAL stats refresh — the maintenance form of [[buildStats]]:
@@ -544,16 +569,21 @@ object ManifestTable {
     * carried). */
   def refreshStats(spark: SparkSession, base: String, statCol: String): (Int, Int) = {
     val v = currentVersion(spark, base)
-    val prior: Map[String, Stat] = versions(spark, base).filter(_ < v)
+    val priors = versions(spark, base).filter(_ < v)
+    val prior: Map[String, Stat] = priors
       .flatMap(pv => readStatsFile(spark, base, pv, statCol))
       .foldLeft(Map.empty[String, Stat])(_ ++ _)
     val es = entries(spark, base, v)
     if (prior.isEmpty) { buildStats(spark, base, statCol); return (es.size, 0) }
+    val priorCnt: Map[String, Long] = priors
+      .map(pv => readStatsCounts(spark, base, pv, statCol))
+      .foldLeft(Map.empty[String, Long])(_ ++ _)
     val (carried, fresh) = es.partition { case (_, rel) => prior.contains(rel) }
     val freshStats = scanStats(spark, base, statCol, fresh.map(_._2))
     val full = es.map { case (_, rel) =>
-      rel -> prior.getOrElse(rel, freshStats.getOrElse(rel, None)) }.toMap
-    writeStatsFile(spark, base, v, statCol, es, full)
+      rel -> prior.getOrElse(rel, freshStats.get(rel).map(_._1).getOrElse(None)) }.toMap
+    val fullCnt = priorCnt ++ freshStats.map { case (rel, (_, c)) => rel -> c }
+    writeStatsFile(spark, base, v, statCol, es, full, fullCnt)
     (fresh.size, carried.size)
   }
 
@@ -3023,6 +3053,51 @@ object ManifestTable {
          |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Registered METADATA AGGREGATION through the catalog: `COUNT(*)`,
+    * `MIN(o_orderkey)`, `MAX(o_orderkey)` grouped by the layout column,
+    * answered ENTIRELY from the manifest + the commit-maintained stats
+    * sidecars via the connector's complete `SupportsPushDownAggregates`
+    * — no data page is decoded; the scan ships rows finished on the
+    * driver (the DSv2 twin of the parquet footer-only `q_agg_pushdown`).
+    * The [[statsFixture]] history (create + two appends, sidecars
+    * refreshed by each commit) makes the counts/ranges non-trivial; the
+    * oracle is the plain replay and `ManifestStreamSpec` pins the
+    * agg-pushed planning event. */
+  val catalogMetaAgg: QuerySpec = QuerySpec.sql(
+    "q_catalog_meta_agg",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year
+      |           FROM orders)
+      |SELECT o_year, count(*) AS n,
+      |       min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = statsFixture(spark, dir)
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n,
+         |       min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Registered LIMIT-driven file planning: an unordered `LIMIT` over
+    * the catalog table keeps only enough files to cover the limit (the
+    * sidecar row counts bound the need; Spark still applies the
+    * row-exact cut, so any subset of rows is a correct answer). The
+    * oracle pins the COUNT of the limited subquery — the one
+    * deterministic fact of an unordered limit; `ManifestStreamSpec`
+    * pins that files were really left unplanned. */
+  val catalogLimit: QuerySpec = QuerySpec.sql(
+    "q_catalog_limit",
+    """SELECT count(*) AS n FROM (SELECT * FROM orders LIMIT 500)""") { (spark, dir) =>
+    val base = statsFixture(spark, dir)
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"SELECT count(*) AS n FROM (SELECT * FROM graft_cat.`$tbl` LIMIT 500)")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
@@ -3031,5 +3106,5 @@ object ManifestTable {
       tableEvolve, streamTable, connectorTravel, tableMoR, catalogSql,
       streamSink, tableOptimize2d, catalogInsert, connectorMoR, catalogAgg,
       lakehouseE2e, catalogPrune, catalogPoint, catalogDpp, catalogSpj,
-      streamCdfRead, streamEvolve)
+      streamCdfRead, streamEvolve, catalogMetaAgg, catalogLimit)
 }

@@ -328,6 +328,44 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"no runtime-filtered planning event with pruning: $evs")
   }
 
+  test("metadata aggregation ships finished rows: agg-pushed event, data-identical") {
+    val base = ManifestTable.statsFixture(spark, sf)
+    ManifestScanEvents.clear()
+    val df = ManifestTable.catalogMetaAgg.fn(spark, sf)
+    val got = df.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(got.nonEmpty)
+    assert(ManifestScanEvents.recent(base).exists(_.aggPushed),
+      s"no agg-pushed planning event: ${ManifestScanEvents.recent(base)}")
+    // the metadata answer must equal the data answer exactly
+    val expect = ManifestTable.read(spark, base).groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("mn"),
+        max(col("o_orderkey")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === expect.toSeq)
+    // a non-sidecar aggregate (sum of a price) must NOT claim pushdown —
+    // the catalog query still answers correctly through the ordinary scan
+    val tbl = new java.io.File(base).getName
+    ManifestScanEvents.clear()
+    val sums = spark.sql(
+      s"""SELECT o_year, CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS c
+         |FROM graft_cat.`$tbl` GROUP BY 1""".stripMargin).collect()
+    assert(sums.nonEmpty)
+    assert(!ManifestScanEvents.recent(base).exists(_.aggPushed),
+      "sum() wrongly claimed metadata pushdown")
+  }
+
+  test("LIMIT plans only enough files to cover the limit") {
+    val base = ManifestTable.statsFixture(spark, sf)
+    ManifestScanEvents.clear()
+    val n = ManifestTable.catalogLimit.fn(spark, sf).head.getLong(0)
+    assert(n === 500L)
+    val e = ManifestScanEvents.recent(base).filter(_.limitPruned)
+    assert(e.nonEmpty, s"limit did not prune files: ${ManifestScanEvents.recent(base)}")
+    assert(e.last.kept < e.last.total, e.last.toString)
+  }
+
   test("storage-partitioned join plans with zero exchanges") {
     ManifestTable.catalogInsert.fn(spark, sf).count()
     val fact =
