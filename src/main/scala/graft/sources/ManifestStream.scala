@@ -3,7 +3,7 @@ package graft.sources
 import java.util
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -966,13 +966,35 @@ final case class ManifestKeyedPartition(paths: Seq[String], key: InternalRow)
   override def partitionKey(): InternalRow = key
 }
 
+/** Test-only observability for the reader's page-level projection: the
+  * number of parquet fields each file reader actually REQUESTED (after
+  * footer intersection). Local-mode specs read it to pin that a narrow
+  * projection decodes narrow — production cost is one integer per
+  * reader construction. */
+object ManifestReaderStats {
+  private val counts = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+  private[sources] def record(n: Int): Unit = counts.add(n)
+  def drain(): Seq[Int] = {
+    val b = scala.collection.mutable.Buffer[Int]()
+    var x = counts.poll()
+    while (x != null) { b += x; x = counts.poll() }
+    b.toSeq
+  }
+}
+
 final class ManifestFileReaderFactory(schema: StructType,
     dvCol: String = "", dvPart: String = "",
     dvPairs: Set[(Long, String)] = Set.empty)
     extends PartitionReaderFactory {
+  // columns the row-filter side needs beyond the served schema: the DV
+  // key + partition columns must decode even when the projection drops
+  // them, or in-scan deletes would stop applying
+  private def dvFields: Seq[String] =
+    if (dvPairs.nonEmpty) Seq(dvCol, dvPart) else Seq.empty
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case ManifestFilePartition(path) => fileReader(path, g => !deleted(g))
+      case ManifestFilePartition(path) => fileReader(path, g => !deleted(g), extraFields = dvFields)
       case CdfFilePartition(path, ct, v) =>
         fileReader(path, _ => true, Map(
           "_change_type" -> UTF8String.fromString(ct), "_commit_version" -> v))
@@ -982,7 +1004,8 @@ final class ManifestFileReaderFactory(schema: StructType,
           g => g.getType.containsField(kc) &&
             g.getFieldRepetitionCount(kc) > 0 && ks(g.getLong(kc, 0)),
           Map("_change_type" -> UTF8String.fromString("delete"),
-            "_commit_version" -> v))
+            "_commit_version" -> v),
+          extraFields = Seq(kc))
       case ManifestKeyedPartition(paths, _) =>
         // chain the value's files through one reader
         new PartitionReader[InternalRow] {
@@ -992,7 +1015,7 @@ final class ManifestFileReaderFactory(schema: StructType,
             while (cur == null || !cur.next()) {
               if (cur != null) cur.close()
               if (!it.hasNext) { cur = null; return false }
-              cur = fileReader(it.next(), g => !deleted(g))
+              cur = fileReader(it.next(), g => !deleted(g), extraFields = dvFields)
             }
             true
           }
@@ -1024,15 +1047,44 @@ final class ManifestFileReaderFactory(schema: StructType,
 
   /** Decode one parquet file into rows of `schema`, keeping only rows
     * `keep` admits; `overrides` supplies values for schema fields the
-    * file does not store (the CDF metadata columns). */
+    * file does not store (the CDF metadata columns); `extraFields` are
+    * columns the keep-filter reads beyond the served schema.
+    *
+    * COLUMN PRUNING REACHES THE PAGES: the requested read schema is the
+    * file's OWN footer schema filtered to the needed field names
+    * (`parquet.read.schema`), so parquet-hadoop materializes only those
+    * column chunks — a narrow projection over a wide table skips the
+    * other columns' pages entirely. Building the request from the file's
+    * footer (one metadata read, which a parquet split does anyway) keeps
+    * evolved files safe: a late-added column simply isn't requested from
+    * files that predate it, and the name-resolving `get()` nulls it. */
   private def fileReader(path: String,
       keep: org.apache.parquet.example.data.Group => Boolean,
-      overrides: Map[String, Any] = Map.empty): PartitionReader[InternalRow] = {
+      overrides: Map[String, Any] = Map.empty,
+      extraFields: Seq[String] = Seq.empty): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
-      private val reader = ParquetReader
-        .builder(new GroupReadSupport(), new Path(path))
-        .withConf(new Configuration())
-        .build()
+      private val reader = {
+        import scala.jdk.CollectionConverters._
+        val conf = new Configuration()
+        val wanted: Set[String] =
+          (schema.fields.map(_.name).toSet -- overrides.keySet) ++ extraFields
+        val inFile = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(path), conf)
+        val fr = ParquetFileReader.open(inFile)
+        val fileSchema =
+          try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+        val fields = fileSchema.getFields.asScala.filter(f => wanted(f.getName))
+        if (fields.nonEmpty && fields.size < fileSchema.getFieldCount)
+          conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+            new org.apache.parquet.schema.MessageType(
+              fileSchema.getName, fields.asJava).toString)
+        ManifestReaderStats.record(
+          if (fields.nonEmpty) fields.size else fileSchema.getFieldCount)
+        ParquetReader
+          .builder(new GroupReadSupport(), new Path(path))
+          .withConf(conf)
+          .build()
+      }
       private var cur: org.apache.parquet.example.data.Group = _
       override def next(): Boolean = {
         cur = reader.read()

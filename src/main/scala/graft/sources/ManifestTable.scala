@@ -1086,6 +1086,19 @@ object ManifestTable {
         fs.delete(s.getPath, true)
       }
     }
+    // a crash between a temp write and its rename (manifest, stats or
+    // bloom sidecar) leaves a `.tmp-*` file under _manifests that no
+    // rename will ever claim — metadata debris, swept with the same
+    // retention fence. `.txn-*` temp manifests are NOT debris here:
+    // they may belong to a decided transaction (MultiTableTxn.cleanup
+    // owns their lifecycle via the coordinator log).
+    val tmps = fs.globStatus(new Path(manifestDir(base), ".tmp-*"))
+    if (tmps != null) tmps.foreach { t =>
+      if (t.getModificationTime < cutoff) {
+        deleted += s"_manifests/${t.getPath.getName}"
+        fs.delete(t.getPath, false)
+      }
+    }
     deleted.toSeq
   }
 

@@ -237,5 +237,16 @@ class CloneVacuumSpec extends AnyFunSuite {
     }
     assert(ManifestTable.removeOrphans(spark, base, olderThanMs = 3600000L).isEmpty)
     assert(ManifestTable.removeOrphans(spark, base).nonEmpty)
+    // a crash between a sidecar/manifest temp write and its rename leaves
+    // `.tmp-*` metadata debris under _manifests — swept too
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(base, "_manifests/.tmp-v9-deadbeef")
+    val out = fs.create(tmp, false)
+    try out.write("1994\tfiles/v1/zombie.parquet".getBytes("UTF-8")) finally out.close()
+    val swept = ManifestTable.removeOrphans(spark, base)
+    assert(swept.contains("_manifests/.tmp-v9-deadbeef"), swept.toString)
+    assert(!fs.exists(tmp))
+    assert(ManifestTable.read(spark, base).count() === before)
   }
 }

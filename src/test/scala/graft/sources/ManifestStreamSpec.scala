@@ -366,6 +366,29 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(e.last.kept < e.last.total, e.last.toString)
   }
 
+  test("narrow projection decodes narrow parquet schemas; DV columns still ride along") {
+    val base = ManifestTable.statsFixture(spark, sf) // 3 data columns
+    def connector(b: String) = spark.read
+      .format("graft.sources.ManifestStreamProvider").schema(schema).load(b)
+    ManifestReaderStats.drain()
+    assert(connector(base).select(col("o_year")).distinct().count() > 0)
+    val narrow = ManifestReaderStats.drain()
+    assert(narrow.nonEmpty && narrow.forall(_ === 1),
+      s"a 1-column projection must request 1 parquet field per file: $narrow")
+    assert(connector(base).count() > 0) // count(*) prunes to empty → full decode is fine
+    // a pending deletion vector's key/partition columns are requested even
+    // when the projection drops them — in-scan deletes keep applying
+    val mor = ManifestTable.morFixture(spark, sf)
+    ManifestReaderStats.drain()
+    val perYear = connector(mor).groupBy(col("o_year")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expect = ManifestTable.readMoR(spark, mor, "o_orderkey")
+      .groupBy(col("o_year")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perYear === expect,
+      "projection must not drop the DV columns the in-scan filter reads")
+  }
+
   test("storage-partitioned join plans with zero exchanges") {
     ManifestTable.catalogInsert.fn(spark, sf).count()
     val fact =
