@@ -95,7 +95,21 @@ final class ManifestStreamTable(schema: StructType, base: String,
         c
       }
       override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.Write {
+        new org.apache.spark.sql.connector.write.Write
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          // request rows CLUSTERED by the layout column before the write:
+          // each partition value lands in exactly one task, so an epoch
+          // (or INSERT) commits one file per partition value instead of
+          // tasks × values — the small-files problem solved where Delta/
+          // Iceberg solve it, in the writer's required distribution
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              Array(org.apache.spark.sql.connector.expressions.Expressions
+                .identity(partCol)))
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
             new ManifestStreamingWrite(base, info.schema(), partCol, info.queryId())
@@ -175,7 +189,35 @@ final class ManifestStreamTable(schema: StructType, base: String,
       }
       private def buildDataScan(): Scan = new Scan
           with org.apache.spark.sql.connector.read.SupportsReportPartitioning
-          with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+          with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+        /** Size/row estimates from table METADATA (file statuses + the
+          * sidecar row counts), replacing Spark's pessimistic
+          * defaultSizeInBytes for v2 relations — a genuinely small
+          * catalog table now auto-broadcasts in joins without a hint. */
+        override def estimateStatistics()
+            : org.apache.spark.sql.connector.read.Statistics = {
+          val spark = org.apache.spark.sql.SparkSession.active
+          val v = versionAsOf.getOrElse(ManifestTable.currentVersion(spark, base))
+          val rels = ManifestTable.entries(spark, base, v).map(_._2)
+          val fsys = new Path(base).getFileSystem(new Configuration())
+          val size = rels.map { rel =>
+            val p = new Path(if (rel.startsWith("/") || rel.contains("://")) rel
+              else s"$base/$rel")
+            if (fsys.exists(p)) fsys.getFileStatus(p).getLen else 0L
+          }.sum
+          val rows = ManifestTable.statCols(spark, base, v).view
+            .map(c => ManifestTable.readStatsCounts(spark, base, v, c))
+            .find(m => rels.forall(m.contains))
+            .map(m => rels.map(m).sum)
+          new org.apache.spark.sql.connector.read.Statistics {
+            override def sizeInBytes(): java.util.OptionalLong =
+              java.util.OptionalLong.of(size)
+            override def numRows(): java.util.OptionalLong =
+              rows.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+          }
+        }
         // runtime (dynamic partition pruning) state: Spark calls filter()
         // with the build side's collected join keys before re-planning
         @volatile private var runtimePvals: Option[Set[String]] = None
@@ -357,9 +399,12 @@ private[sources] object ManifestMetaAgg {
     if (resolved.exists { case (Mn(c), _) => !statsFor.contains(c)
                           case (Mx(c), _) => !statsFor.contains(c)
                           case _ => false }) return None
+    // row counts are ALWAYS required, even when no COUNT(*) was pushed:
+    // a pure group-by pushdown (Spark prunes the aggregate list to
+    // nothing under an outer count) still must suppress zero-row groups,
+    // and only real per-file counts can decide that
     val counts: Option[Map[String, Long]] =
-      if (!resolved.exists(_._1 == Cnt)) Some(Map.empty)
-      else ManifestTable.statCols(spark, base, v).view
+      ManifestTable.statCols(spark, base, v).view
         .map(c => ManifestTable.readStatsCounts(spark, base, v, c))
         .find(m => allRels.forall(m.contains))
     if (counts.isEmpty) return None

@@ -354,6 +354,15 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(sums.nonEmpty)
     assert(!ManifestScanEvents.recent(base).exists(_.aggPushed),
       "sum() wrongly claimed metadata pushdown")
+    // the stacked shape: an OUTER count over the grouped query makes
+    // Spark prune the inner aggregate to a BARE group-by pushdown (zero
+    // aggregate functions) — the scan must still emit one row per
+    // non-empty group (regression: an empty counts map made every group
+    // look zero-row and the stacked count returned 0)
+    val stacked = spark.sql(
+      s"SELECT o_year, count(*) AS n FROM graft_cat.`$tbl` GROUP BY 1").count()
+    assert(stacked === expect.length.toLong,
+      s"stacked aggregate over the pushed group-by lost groups: $stacked")
   }
 
   test("LIMIT plans only enough files to cover the limit") {
@@ -387,6 +396,53 @@ class ManifestStreamSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(perYear === expect,
       "projection must not drop the DV columns the in-scan filter reads")
+  }
+
+  test("reported statistics: a small catalog table auto-broadcasts, no hint") {
+    ManifestTable.catalogInsert.fn(spark, sf).count()
+    val fact =
+      s"${graft.Scratch.root}/orders_insfix_${graft.Scratch.dirToken(sf)}"
+    val dim = ManifestTable.spjDimFixture(spark, sf)
+    val (ft, dt) = (new java.io.File(fact).getName, new java.io.File(dim).getName)
+    // default broadcast threshold; the 7-row dim's reported size makes the
+    // STATIC plan a broadcast join — without SupportsReportStatistics the
+    // v2 relation weighs defaultSizeInBytes and the pre-AQE plan is a SMJ
+    val df = spark.sql(
+      s"""SELECT f.o_year, count(*) AS n, max(d.y_n) AS y_n
+         |FROM graft_cat.`$ft` f JOIN graft_cat.`$dt` d ON f.o_year = d.o_year
+         |GROUP BY 1""".stripMargin)
+    val declared = df.queryExecution.sparkPlan.toString
+    assert(declared.contains("BroadcastHashJoin"),
+      s"dim statistics not consulted at static planning:\n$declared")
+    assert(df.count() > 0)
+  }
+
+  test("sink write clusters by the layout column: one file per partition value") {
+    val feed = s"${graft.Scratch.root}/cluster_sink_feed"
+    val base = s"${graft.Scratch.root}/cluster_sink_tbl"
+    val ck = s"${graft.Scratch.root}/cluster_sink_ck"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    val src = graft.model.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    // 8 source partitions × 5 event types would write up to 40 files per
+    // epoch without the writer's required distribution; WITH it every
+    // partition value lands in one task → one file each
+    src.repartition(8).write.mode("overwrite").parquet(feed)
+    val q = spark.readStream.schema(src.schema).parquet(feed)
+      .writeStream.format("graft.sources.ManifestStreamProvider")
+      .option("path", base).option("partCol", "event_type")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val nTypes = src.select(col("event_type")).distinct().count()
+    val files = ManifestTable.entries(spark, base,
+      ManifestTable.currentVersion(spark, base))
+    assert(files.size === nTypes,
+      s"expected one file per partition value, got ${files.size} for $nTypes values")
+    assert(ManifestTable.read(spark, base).count() === src.count())
   }
 
   test("storage-partitioned join plans with zero exchanges") {
