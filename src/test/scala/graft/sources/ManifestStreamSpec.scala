@@ -288,6 +288,45 @@ class ManifestStreamSpec extends AnyFunSuite {
       "the refused epoch must not have committed")
   }
 
+  test("change-feed stream restart: only commits since the checkpoint, as images") {
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/cdfrestart_tbl"
+    val sink = s"${graft.Scratch.root}/cdfrestart_sink"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$sink-ck"))
+    val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
+    ManifestTable.create(spark, base, t.filter(col("o_orderkey") <= mx / 2), "o_year")
+    def runCdf(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.ManifestStreamProvider")
+        .schema(schema).option("changeFeed", "true").load(base)
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$sink/batch=$id"); ()
+        }
+        .option("checkpointLocation", s"$sink-ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runCdf()
+    assert(spark.read.parquet(sink).count() ===
+      t.filter(col("o_orderkey") <= mx / 2).count())
+    // a MoR delete lands AFTER the checkpoint; the restart must stream
+    // ONLY its delete images — not re-emit the initial snapshot
+    ManifestTable.deleteWhereMoR(spark, base,
+      col("o_orderkey") % 3 === 0, "o_orderkey", "o_year")
+    runCdf()
+    val feed = spark.read.parquet(sink)
+    val batches = feed.select(col("batch").cast("long")).distinct().count()
+    assert(batches === 2L, s"restart re-emitted or skipped: $batches batches")
+    val b1 = spark.read.parquet(s"$sink/batch=1")
+    assert(b1.filter(col("_change_type") =!= "delete").isEmpty)
+    assert(b1.count() ===
+      t.filter(col("o_orderkey") <= mx / 2 && col("o_orderkey") % 3 === 0).count())
+  }
+
   test("catalog WHERE prunes partitions AND files, like the programmatic path") {
     val base = ManifestTable.statsFixture(spark, sf)
     ManifestScanEvents.clear()
