@@ -888,10 +888,14 @@ private[sources] object ManifestDvSidecar {
       val r = ParquetReader.builder(new GroupReadSupport(), f.getPath)
         .withConf(new Configuration()).build()
       var g = r.read()
+      var n = 0L
       while (g != null) {
         if (keyCol.isEmpty) keyCol = g.getType.getFieldName(0)
         m.getOrElseUpdate(g.getString("__pval", 0),
           scala.collection.mutable.Set[Long]()) += g.getLong(keyCol, 0)
+        n += 1
+        require(n <= 1000000,
+          s"deletion vector at v$v under $base too large to stream as images — run purgeDeletes first")
         g = r.read()
       }
       r.close()
