@@ -68,9 +68,38 @@ final class ManifestStreamTable(schema: StructType, base: String,
     pinnedVersion: Option[Int] = None, layoutCol: Option[String] = None,
     changeFeed: Boolean = false)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"manifest-stream($base)"
   override def schema(): StructType = schema
+
+  /** SQL `DELETE FROM graft_cat.\`t\` WHERE ...` (and `TRUNCATE TABLE`,
+    * which arrives as a delete with no filters): the translated
+    * conjuncts run through the transactional copy-on-write
+    * [[ManifestTable.deleteWhere]] — only partitions holding matching
+    * rows rewrite, the commit is the usual atomic rename, sidecars
+    * refresh transactionally. A predicate Spark cannot translate to
+    * source filters is refused ([[canDeleteWhere]]) rather than
+    * half-applied; `deleteWhereMoR` stays the programmatic choice for
+    * metadata-only deletes. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => ManifestDeleteSql.toColumn(f).isDefined) &&
+      ManifestTable.tableProperties(
+        org.apache.spark.sql.SparkSession.active, base).contains("partCol")
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val partCol = ManifestTable.tableProperties(spark, base).getOrElse("partCol",
+      throw new UnsupportedOperationException(
+        s"DELETE needs the partCol table property under $base"))
+    val pred = filters.flatMap(ManifestDeleteSql.toColumn).toSeq match {
+      case Seq() => org.apache.spark.sql.functions.lit(true) // TRUNCATE
+      case cs => cs.reduce(_ && _)
+    }
+    ManifestTable.deleteWhere(spark, base, pred, partCol)
+    ()
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
       TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE)
@@ -606,20 +635,54 @@ private[sources] object ManifestFileSkipping {
   }
 }
 
+/** Translate the v1 source filters a SQL DELETE pushes into `Column`
+  * predicates over the table's columns. None = untranslatable (the
+  * delete is refused whole, never half-applied). */
+private[sources] object ManifestDeleteSql {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+  import org.apache.spark.sql.sources._
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(not)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}
+
 /** Catalog plugin (the fifth Spark extension point in the engine, after
   * expressions, physical operators, optimizer rules, and the DSv2
-  * connector): a READ-ONLY `TableCatalog` exposing every manifest table
-  * under a root directory to plain SQL —
+  * connector): a `TableCatalog` exposing every manifest table under a
+  * root directory to plain SQL —
   *
   *   spark.sql.catalog.graft_cat = graft.sources.ManifestCatalog
   *   spark.sql.catalog.graft_cat.root = /path/with/tables
-  *   SELECT ... FROM graft_cat.`table_dir`
+  *   CREATE TABLE graft_cat.`t` (...) PARTITIONED BY (c)
+  *   INSERT INTO / SELECT / DELETE FROM / TRUNCATE / ALTER ADD COLUMN /
+  *   DROP TABLE graft_cat.`t`
   *
-  * `loadTable` infers the schema from one committed data file's footer
-  * (a metadata-sized driver read) and serves the same connector Table,
-  * so SQL reads get snapshot isolation, `versionAsOf` via read options,
-  * and column pruning for free. Writes go through the table verbs, not
-  * SQL — the catalog refuses DDL rather than half-supporting it. */
+  * `loadTable` serves the stored `schema` property (stamped by CREATE
+  * and by evolving writers) or infers from a committed footer, over the
+  * same connector Table — SQL reads get snapshot isolation, `versionAsOf`
+  * via read options, and column pruning for free; DML routes through
+  * the transactional verbs (INSERT = APPEND commit, DELETE = the
+  * copy-on-write rewrite). RENAME is the one refusal (paths are table
+  * identity). */
 class ManifestCatalog
     extends org.apache.spark.sql.connector.catalog.CatalogPlugin
     with org.apache.spark.sql.connector.catalog.TableCatalog {
@@ -695,18 +758,76 @@ class ManifestCatalog
     t.withVersion(version.toInt)
   }
 
+  /** SQL `CREATE TABLE graft_cat.\`t\` (...) PARTITIONED BY (c)`: one
+    * identity partition transform becomes the table's `partCol` property
+    * (the layout every verb and the key-grouped report use), the schema
+    * is stamped as the `schema` property (the empty v1 snapshot has no
+    * footers to infer from), and v1 commits as an EMPTY manifest through
+    * the usual atomic rename — after which INSERT INTO / DELETE FROM /
+    * SELECT all work on the brand-new table. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])
-      : org.apache.spark.sql.connector.catalog.Table =
-    throw new UnsupportedOperationException(
-      "read-only catalog: create tables with ManifestTable.create")
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val base = baseOf(ident)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val partCol = partitions.toSeq match {
+      case Seq(t) =>
+        val refs = t.references()
+        require(t.name() == "identity" && refs.length == 1 &&
+            refs(0).fieldNames.length == 1,
+          s"manifest tables take exactly one identity partition column, got $t")
+        refs(0).fieldNames()(0)
+      case other => throw new UnsupportedOperationException(
+        s"manifest tables need exactly one PARTITIONED BY column, got ${other.size}")
+    }
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(partCol)),
+      s"partition column $partCol not in the table schema")
+    val spark = org.apache.spark.sql.SparkSession.active
+    ManifestTable.commit(spark, base, 1, Seq.empty)
+    ManifestTable.setTableProperty(spark, base, "partCol", partCol)
+    ManifestTable.setTableProperty(spark, base, "schema",
+      ManifestSchemaProp.serialize(schema))
+    loadTable(ident)
+  }
+
+  /** `ALTER TABLE ... ADD COLUMN`: additive evolution as a pure
+    * metadata stamp — the unioned schema lands in the properties store,
+    * committed files are untouched, and the name-resolving reader nulls
+    * the new column for them (exactly the writer-driven evolution path).
+    * Every other change is refused rather than half-supported. */
   override def alterTable(ident: Identifier, changes: TableChange*)
-      : org.apache.spark.sql.connector.catalog.Table =
-    throw new UnsupportedOperationException("read-only catalog")
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("read-only catalog")
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val base = baseOf(ident)
+    changes.foreach {
+      case add: org.apache.spark.sql.connector.catalog.TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "manifest tables support top-level ADD COLUMN only")
+        val cur = ManifestTable.tableProperties(spark, base).get("schema")
+          .map(ManifestSchemaProp.parse)
+          .getOrElse(loadTable(ident).asInstanceOf[ManifestStreamTable].schema())
+        val added = StructType(cur.fields :+
+          StructField(add.fieldNames()(0), add.dataType))
+        ManifestTable.setTableProperty(spark, base, "schema",
+          ManifestSchemaProp.serialize(added))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported table change for manifest tables: $other")
+    }
+    loadTable(ident)
+  }
+
+  /** `DROP TABLE`: delete the table directory (manifests, sidecars,
+    * data) — true iff it existed. A clone's borrowed files live under
+    * the SOURCE base and are untouched, same fence as the maintenance
+    * verbs. */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    fs.delete(new Path(baseOf(ident)), true)
+  }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("read-only catalog")
+    throw new UnsupportedOperationException(
+      "rename is not supported (paths are table identity)")
 }
 
 /** Batch read of one committed snapshot through the same connector — the

@@ -174,10 +174,21 @@ object ManifestTable {
     commit(spark, base, 1, writeSnapshotFiles(spark, base, 1, df, partCol))
   }
 
-  /** Read snapshot `v` (exactly the files its manifest names). */
+  /** Read snapshot `v` (exactly the files its manifest names). An EMPTY
+    * snapshot (a freshly CREATEd table, or one truncated by an
+    * unconditional DELETE) reads as zero rows of the stored `schema`
+    * property — the one place a manifest table's schema must outlive its
+    * data files. */
   def readVersion(spark: SparkSession, base: String, v: Int): DataFrame = {
     val paths = entries(spark, base, v).map { case (_, rel) => resolve(base, rel) }
-    spark.read.parquet(paths: _*)
+    if (paths.isEmpty) {
+      val s = tableProperties(spark, base).getOrElse("schema",
+        throw new IllegalStateException(
+          s"empty snapshot v$v under $base and no stored schema property"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        ManifestSchemaProp.parse(s))
+    } else spark.read.parquet(paths: _*)
   }
 
   /** Read the current snapshot. */
@@ -3111,6 +3122,84 @@ object ManifestTable {
       s"SELECT count(*) AS n FROM (SELECT * FROM graft_cat.`$tbl` LIMIT 500)")
   }
 
+  /** Registered SQL DDL LIFECYCLE: `CREATE TABLE ... PARTITIONED BY`
+    * through [[ManifestCatalog]] (empty v1 manifest + stamped
+    * schema/partCol properties), `INSERT INTO ... SELECT` (the
+    * connector's APPEND commit), `SELECT` back — a user needs no
+    * DataFrame code to stand up and load a manifest table. The oracle is
+    * the plain replay; `ManifestStreamSpec` pins the full lifecycle
+    * including ALTER ADD COLUMN, TRUNCATE, and DROP. */
+  val catalogCreate: QuerySpec = QuerySpec.sql(
+    "q_catalog_create",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("sqlcreate", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_createfix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(b).getParent)
+        val tbl = new java.io.File(b).getName
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(o_orderkey BIGINT, o_year INT, o_totalprice DOUBLE)
+             |PARTITIONED BY (o_year)""".stripMargin)
+        ordersKeyed(spark, dir).createOrReplaceTempView("graft_create_feed")
+        spark.sql(
+          s"""INSERT INTO graft_cat.`$tbl`
+             |SELECT o_orderkey, o_year, o_totalprice FROM graft_create_feed""".stripMargin)
+        b
+      })
+    }
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Registered SQL DELETE: `DELETE FROM graft_cat.\`t\` WHERE ...`
+    * resolved through the connector's `SupportsDelete` to the
+    * transactional copy-on-write [[deleteWhere]] — pre-1996 partitions
+    * carry by reference, the touched ones rewrite their survivors, one
+    * atomic commit. The oracle replays the deletion over plain orders. */
+  val catalogDelete: QuerySpec = QuerySpec.sql(
+    "q_catalog_delete",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t WHERE NOT (o_year >= 1996 AND o_totalprice < 50000.0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("sqldelete", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_delfix_${graft.Scratch.dirToken(dir)}"
+        create(spark, b, ordersKeyed(spark, dir), "o_year")
+        setTableProperty(spark, b, "partCol", "o_year")
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(b).getParent)
+        spark.sql(
+          s"""DELETE FROM graft_cat.`${new java.io.File(b).getName}`
+             |WHERE o_year >= 1996 AND o_totalprice < 50000.0""".stripMargin)
+        b
+      })
+    }
+    read(spark, base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
@@ -3119,5 +3208,6 @@ object ManifestTable {
       tableEvolve, streamTable, connectorTravel, tableMoR, catalogSql,
       streamSink, tableOptimize2d, catalogInsert, connectorMoR, catalogAgg,
       lakehouseE2e, catalogPrune, catalogPoint, catalogDpp, catalogSpj,
-      streamCdfRead, streamEvolve, catalogMetaAgg, catalogLimit)
+      streamCdfRead, streamEvolve, catalogMetaAgg, catalogLimit,
+      catalogCreate, catalogDelete)
 }

@@ -65,7 +65,7 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() === t.count())
   }
 
-  test("catalog lists manifest tables, serves pruned scans, refuses DDL") {
+  test("catalog lists manifest tables, serves pruned scans, refuses rename") {
     // ensure at least one table exists under the scratch root
     val base = ManifestTable.mergedFixture(spark, sf)
     val parent = new java.io.File(base).getParent
@@ -80,9 +80,9 @@ class ManifestStreamSpec extends AnyFunSuite {
     val scan = df.queryExecution.executedPlan.toString
     assert(scan.contains("o_year") && !scan.contains("o_orderkey"),
       s"scan not pruned:\n$scan")
-    // read-only: DDL refused
+    // RENAME is the one refused DDL (paths are table identity)
     intercept[Exception] {
-      spark.sql(s"DROP TABLE graft_cat.`$tbl`")
+      spark.sql(s"ALTER TABLE graft_cat.`$tbl` RENAME TO graft_cat.`renamed`")
     }
     assert(ManifestTable.read(spark, base).count() > 0)
     // SQL time travel: VERSION AS OF 1 must see the pre-merge snapshot
@@ -482,6 +482,56 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(files.size === nTypes,
       s"expected one file per partition value, got ${files.size} for $nTypes values")
     assert(ManifestTable.read(spark, base).count() === src.count())
+  }
+
+  test("SQL DDL/DML lifecycle: CREATE, INSERT, ALTER ADD, DELETE, TRUNCATE, DROP") {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", graft.Scratch.root)
+    val base = s"${graft.Scratch.root}/ddl_lifecycle"
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    spark.sql("""CREATE TABLE graft_cat.`ddl_lifecycle`
+      (k BIGINT, y INT, p DOUBLE) PARTITIONED BY (y)""")
+    assert(spark.sql("SELECT * FROM graft_cat.`ddl_lifecycle`").count() === 0)
+    spark.sql("""INSERT INTO graft_cat.`ddl_lifecycle` VALUES
+      (1L, 1995, 10.0), (2L, 1995, 20.0), (3L, 1996, 30.0), (4L, 1996, 40.0)""")
+    assert(spark.sql("SELECT * FROM graft_cat.`ddl_lifecycle`").count() === 4)
+    // additive evolution via DDL: metadata stamp only, old rows null-fill
+    spark.sql("ALTER TABLE graft_cat.`ddl_lifecycle` ADD COLUMN tag STRING")
+    val evolved = spark.sql("SELECT tag FROM graft_cat.`ddl_lifecycle`")
+    assert(evolved.schema.fieldNames.sameElements(Array("tag")))
+    assert(evolved.filter(col("tag").isNotNull).count() === 0)
+    spark.sql("""INSERT INTO graft_cat.`ddl_lifecycle` VALUES
+      (5L, 1997, 50.0, 'new')""")
+    assert(spark.sql(
+      "SELECT * FROM graft_cat.`ddl_lifecycle` WHERE tag = 'new'").count() === 1)
+    // DELETE routes through the copy-on-write rewrite: cold partitions
+    // carry by reference (their v-old files survive in the new manifest)
+    val preDelete = ManifestTable.entries(spark, base,
+      ManifestTable.currentVersion(spark, base)).toMap
+    spark.sql("DELETE FROM graft_cat.`ddl_lifecycle` WHERE y = 1996 AND p >= 40.0")
+    assert(spark.sql("SELECT * FROM graft_cat.`ddl_lifecycle`").count() === 4)
+    assert(spark.sql(
+      "SELECT * FROM graft_cat.`ddl_lifecycle` WHERE p >= 40.0 AND y = 1996").count() === 0)
+    val postDelete = ManifestTable.entries(spark, base,
+      ManifestTable.currentVersion(spark, base))
+    assert(postDelete.filter(_._1 == "1995").forall { case (p, rel) =>
+      preDelete.get(p).contains(rel) || preDelete.values.toSet.contains(rel) },
+      "untouched partitions must carry by reference through SQL DELETE")
+    // a predicate Spark cannot translate to source filters is refused
+    // whole, never half-applied
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft_cat.`ddl_lifecycle` WHERE k % 2 = 0")
+    }
+    assert(spark.sql("SELECT * FROM graft_cat.`ddl_lifecycle`").count() === 4)
+    // TRUNCATE = unconditional delete; the schema survives in properties
+    spark.sql("TRUNCATE TABLE graft_cat.`ddl_lifecycle`")
+    assert(spark.sql("SELECT * FROM graft_cat.`ddl_lifecycle`").count() === 0)
+    // DROP removes the table
+    spark.sql("DROP TABLE graft_cat.`ddl_lifecycle`")
+    assert(!spark.sql("SHOW TABLES IN graft_cat").collect()
+      .map(_.getString(1)).contains("ddl_lifecycle"))
   }
 
   test("storage-partitioned join plans with zero exchanges") {
