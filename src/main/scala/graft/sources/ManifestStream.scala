@@ -350,7 +350,11 @@ object ManifestScanEvents {
       runtimeFiltered: Boolean, aggPushed: Boolean = false,
       limitPruned: Boolean = false)
   private val buf = scala.collection.mutable.Buffer[PlanEvent]()
-  private[sources] def record(e: PlanEvent): Unit = buf.synchronized { buf += e }
+  private[sources] def record(e: PlanEvent): Unit = buf.synchronized {
+    buf += e
+    // bounded diagnostics: a long-lived session plans many scans
+    if (buf.length > 10000) buf.remove(0, buf.length - 10000)
+  }
   def recent(base: String): Seq[PlanEvent] =
     buf.synchronized(buf.filter(_.base == base).toSeq)
   def clear(): Unit = buf.synchronized(buf.clear())
