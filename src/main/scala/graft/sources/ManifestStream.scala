@@ -788,6 +788,10 @@ class ManifestCatalog
     require(schema.fieldNames.exists(_.equalsIgnoreCase(partCol)),
       s"partition column $partCol not in the table schema")
     val spark = org.apache.spark.sql.SparkSession.active
+    // validate the declared types round-trip through the property store
+    // NOW — an unsupported column type must refuse the CREATE, not the
+    // first read
+    ManifestSchemaProp.parse(ManifestSchemaProp.serialize(schema))
     ManifestTable.commit(spark, base, 1, Seq.empty)
     ManifestTable.setTableProperty(spark, base, "partCol", partCol)
     ManifestTable.setTableProperty(spark, base, "schema",
@@ -813,6 +817,8 @@ class ManifestCatalog
           .getOrElse(loadTable(ident).asInstanceOf[ManifestStreamTable].schema())
         val added = StructType(cur.fields :+
           StructField(add.fieldNames()(0), add.dataType))
+        // unsupported column types refuse the ALTER, not the next read
+        ManifestSchemaProp.parse(ManifestSchemaProp.serialize(added))
         ManifestTable.setTableProperty(spark, base, "schema",
           ManifestSchemaProp.serialize(added))
       case other => throw new UnsupportedOperationException(
