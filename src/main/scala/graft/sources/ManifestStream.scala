@@ -69,9 +69,41 @@ final class ManifestStreamTable(schema: StructType, base: String,
     changeFeed: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"manifest-stream($base)"
   override def schema(): StructType = schema
+
+  /** One metadata column: `_pval`, the manifest partition value the row's
+    * file lives under (served by the reader from the FILE's manifest
+    * entry — no data decoding). Row-level operations request it so
+    * Spark's write path takes the metadata-projecting task, which is
+    * also what strips the internal `__row_operation` column before rows
+    * reach the data writer. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_pval"
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "manifest partition value of the row's file"
+    })
+
+  /** SQL `UPDATE` / `MERGE INTO` (and non-translatable `DELETE`s) as a
+    * GROUP-BASED copy-on-write row-level operation: Spark's rewrite
+    * reads the AFFECTED groups (the runtime group filter collects the
+    * matching rows' layout values and prunes the scan through the same
+    * `SupportsRuntimeFiltering` face DPP uses), computes their full new
+    * content, and the write REPLACES exactly the groups the executed
+    * scan planned — cold partitions carry by reference, one atomic
+    * manifest commit, the same semantics as the programmatic [[ManifestTable.merge]].
+    * Groups a MERGE only INSERTS into are never read, so their staged
+    * files simply append. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new ManifestRowLevelOp(this, base, info.command())
 
   /** SQL `DELETE FROM graft_cat.\`t\` WHERE ...` (and `TRUNCATE TABLE`,
     * which arrives as a delete with no filters): the translated
@@ -150,7 +182,15 @@ final class ManifestStreamTable(schema: StructType, base: String,
   /** The same table pinned to one snapshot (SQL `VERSION AS OF`). */
   def withVersion(v: Int): ManifestStreamTable =
     new ManifestStreamTable(schema, base, Some(v), layoutCol)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    scanBuilderRecording(options, _ => ())
+
+  /** [[newScanBuilder]] with a PLANNING RECORDER: `onPlan` receives the
+    * partition values the batch ultimately plans (post filter/runtime
+    * pruning) — the coordination a row-level operation's write needs to
+    * know which groups the executed scan read (and must replace). */
+  private[sources] def scanBuilderRecording(options: CaseInsensitiveStringMap,
+      onPlan: Seq[String] => Unit): ScanBuilder = {
     // batch reads honor time travel: .option("versionAsOf", v) or the SQL
     // VERSION AS OF pin; default is the current version at planning time
     val versionAsOf =
@@ -257,7 +297,7 @@ final class ManifestStreamTable(schema: StructType, base: String,
           new ManifestSnapshotBatch(base, projected, versionAsOf,
             layoutCol.filter(projected.fieldNames.contains),
             layoutCol.map(schema.apply).map(_.dataType),
-            layoutCol, pushed.toSeq, () => runtimePvals, pushedLimit)
+            layoutCol, pushed.toSeq, () => runtimePvals, pushedLimit, onPlan)
         override def toBatch: org.apache.spark.sql.connector.read.Batch = batch
         override def filterAttributes()
             : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -639,6 +679,101 @@ private[sources] object ManifestFileSkipping {
   }
 }
 
+/** One SQL row-level DML statement (UPDATE / MERGE INTO / group-based
+  * DELETE) against a manifest table: the SCAN face is the ordinary
+  * snapshot scan with a PLANNING RECORDER (the partition values the
+  * executed scan ultimately read — shrunk by Spark's runtime group
+  * filter through the same SupportsRuntimeFiltering face DPP uses); the
+  * WRITE face stages the groups' full new content through the standard
+  * per-value writers and commits `carried-cold ++ staged` — replacing
+  * exactly the groups that were read, appending into groups that were
+  * only inserted into, all under one atomic manifest rename. */
+final class ManifestRowLevelOp(table: ManifestStreamTable, base: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  // which partition values the (executed) scan planned; None = the scan
+  // never planned (or read everything pre-recording) → replace all
+  @volatile private[sources] var planned: Option[Set[String]] = None
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    table.scanBuilderRecording(options, pvals => planned = Some(pvals.toSet))
+  // requesting the `_pval` metadata column routes Spark's write through
+  // the metadata-projecting task — the data writer then receives clean
+  // table-schema rows (the internal __row_operation column stripped)
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_pval"))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val partCol = ManifestTable.tableProperties(
+      org.apache.spark.sql.SparkSession.active, base).getOrElse("partCol",
+      throw new UnsupportedOperationException(
+        s"row-level ${cmd} needs the partCol table property under $base"))
+    println(s"=== ROWLEVEL WRITE SCHEMA: ${info.schema().map(f => f.name + ":" + f.dataType.typeName).mkString(",")}")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              Array(org.apache.spark.sql.connector.expressions.Expressions
+                .identity(partCol)))
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new ManifestReplaceGroups(base, info.schema(), partCol, () => planned)
+        }
+    }
+  }
+}
+
+/** The REPLACE-GROUPS commit behind a row-level operation: staged files
+  * become the new content of every group the operation's scan read;
+  * untouched groups carry by reference; a staged group the scan never
+  * read (a MERGE's pure inserts) appends. */
+final class ManifestReplaceGroups(base: String, schema: StructType,
+    partCol: String, planned: () => Option[Set[String]])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestBatchWriterFactory(base, schema, partCol)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(base).getFileSystem(new Configuration())
+    val staged = messages.flatMap { case m: ManifestSinkFiles => m.files }.toSeq
+    val spark = org.apache.spark.sql.SparkSession.active
+    val v = ManifestTable.currentVersion(spark, base)
+    val es = ManifestTable.entries(spark, base, v)
+    val replaced = planned().getOrElse(es.map(_._1).toSet)
+    val cold = es.filterNot { case (pval, _) => replaced(pval) }
+    val next = v + 1
+    val moved = staged.map { case (pval, abs) =>
+      val destDir = new Path(base, s"files/v$next/p=$pval")
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, new Path(abs).getName)
+      if (!fs.rename(new Path(abs), dest))
+        throw new java.io.IOException(s"replace move failed: $abs")
+      (pval, s"files/v$next/p=$pval/${dest.getName}")
+    }
+    ManifestTable.commit(spark, base, next, cold ++ moved)
+    ManifestTable.refreshAllStats(spark, base)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(base).getFileSystem(new Configuration())
+    messages.foreach {
+      case m: ManifestSinkFiles =>
+        m.files.foreach { case (_, p) => fs.delete(new Path(p), false) }
+      case _ =>
+    }
+  }
+}
+
 /** Translate the v1 source filters a SQL DELETE pushes into `Column`
   * predicates over the table's columns. None = untranslatable (the
   * delete is refused whole, never half-applied). */
@@ -850,7 +985,8 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     layoutName: Option[String] = None,
     pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
     runtimePvals: () => Option[Set[String]] = () => None,
-    pushedLimit: Option[Int] = None)
+    pushedLimit: Option[Int] = None,
+    onPlan: Seq[String] => Unit = _ => ())
     extends org.apache.spark.sql.connector.read.Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = new Path(base).getFileSystem(new Configuration())
@@ -911,6 +1047,7 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     ManifestScanEvents.record(ManifestScanEvents.PlanEvent(
       base, entries.length, all.length, rt.isDefined,
       limitPruned = limited.length < afterFiles.length))
+    onPlan(limited.map(_._1).distinct.toSeq)
     layoutCol match {
       case Some(_) =>
         // key-grouped: ONE input partition per layout value (all its
@@ -924,10 +1061,11 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
             case dt => throw new UnsupportedOperationException(
               s"key-grouped layout on type $dt")
           }
-          ManifestKeyedPartition(fs0.map(_._2).toSeq, key): InputPartition
+          ManifestKeyedPartition(fs0.map(_._2).toSeq, key, pval): InputPartition
         }.toArray
       case None =>
-        entries.map { case (_, abs) => ManifestFilePartition(abs): InputPartition }
+        entries.map { case (pval, abs) =>
+          ManifestFilePartition(abs, pval): InputPartition }
     }
   }
 
@@ -1103,8 +1241,8 @@ final class ManifestMicroBatchStream(base: String, schema: StructType,
         if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
       if (!changeFeed) {
         val prev = if (v == 1) Set.empty[String] else entriesOf(v - 1).toSet
-        entriesOf(v).filterNot(prev).map { rel =>
-          ManifestFilePartition(abs(rel)): InputPartition
+        entriesPvalOf(v).filterNot(e => prev(e._2)).map { case (pval, rel) =>
+          ManifestFilePartition(abs(rel), pval): InputPartition
         }
       } else {
         // CHANGE-FEED consumption: version v streams as the row IMAGES
@@ -1136,11 +1274,13 @@ final class ManifestMicroBatchStream(base: String, schema: StructType,
     new ManifestFileReaderFactory(schema)
 }
 
-final case class ManifestFilePartition(path: String) extends InputPartition
+final case class ManifestFilePartition(path: String, pval: String = "")
+    extends InputPartition
 
 /** One partition per layout value, carrying its key for Catalyst's
   * key-grouped (storage-partitioned) execution. */
-final case class ManifestKeyedPartition(paths: Seq[String], key: InternalRow)
+final case class ManifestKeyedPartition(paths: Seq[String], key: InternalRow,
+    pval: String = "")
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = key
@@ -1172,9 +1312,17 @@ final class ManifestFileReaderFactory(schema: StructType,
   private def dvFields: Seq[String] =
     if (dvPairs.nonEmpty) Seq(dvCol, dvPart) else Seq.empty
 
+  /** Serve the `_pval` METADATA column (when projected) from the file's
+    * manifest entry — a constant per partition, no decoding. */
+  private def pvalOverride(pval: String): Map[String, Any] =
+    if (schema.fieldNames.contains("_pval"))
+      Map("_pval" -> UTF8String.fromString(pval))
+    else Map.empty
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case ManifestFilePartition(path) => fileReader(path, g => !deleted(g), extraFields = dvFields)
+      case ManifestFilePartition(path, pval) =>
+        fileReader(path, g => !deleted(g), pvalOverride(pval), extraFields = dvFields)
       case CdfFilePartition(path, ct, v) =>
         fileReader(path, _ => true, Map(
           "_change_type" -> UTF8String.fromString(ct), "_commit_version" -> v))
@@ -1186,7 +1334,7 @@ final class ManifestFileReaderFactory(schema: StructType,
           Map("_change_type" -> UTF8String.fromString("delete"),
             "_commit_version" -> v),
           extraFields = Seq(kc))
-      case ManifestKeyedPartition(paths, _) =>
+      case ManifestKeyedPartition(paths, _, pval) =>
         // chain the value's files through one reader
         new PartitionReader[InternalRow] {
           private val it = paths.iterator
@@ -1195,7 +1343,8 @@ final class ManifestFileReaderFactory(schema: StructType,
             while (cur == null || !cur.next()) {
               if (cur != null) cur.close()
               if (!it.hasNext) { cur = null; return false }
-              cur = fileReader(it.next(), g => !deleted(g), extraFields = dvFields)
+              cur = fileReader(it.next(), g => !deleted(g), pvalOverride(pval),
+                extraFields = dvFields)
             }
             true
           }

@@ -3200,6 +3200,92 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
+  /** Registered SQL UPDATE: a non-translatable predicate (modulo) drives
+    * the GROUP-BASED row-level path — Spark's runtime group filter
+    * collects the matching rows' layout values through the connector's
+    * `SupportsRuntimeFiltering`, reads only the affected partitions,
+    * and the write replaces exactly those groups (cold partitions carry
+    * by reference, spec-pinned). The oracle replays the re-pricing. */
+  val catalogUpdate: QuerySpec = QuerySpec.sql(
+    "q_catalog_update",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  CASE WHEN year(o_orderdate) >= 1996 AND o_orderkey % 10 = 0
+      |                       THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price
+      |           FROM orders)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(price * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("sqlupdate", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_updfix_${graft.Scratch.dirToken(dir)}"
+        create(spark, b, ordersKeyed(spark, dir), "o_year")
+        setTableProperty(spark, b, "partCol", "o_year")
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(b).getParent)
+        spark.sql(
+          s"""UPDATE graft_cat.`${new java.io.File(b).getName}`
+             |SET o_totalprice = o_totalprice + 1000.0
+             |WHERE o_year >= 1996 AND o_orderkey % 10 = 0""".stripMargin)
+        b
+      })
+    }
+    read(spark, base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Registered SQL MERGE INTO: the standard update set applied through
+    * `MERGE INTO ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    * THEN INSERT *` — the same replace-groups machinery as UPDATE, with
+    * pure inserts landing in groups the scan never read (appended, not
+    * replaced). The oracle is [[tableMerge]]'s replay, so SQL MERGE and
+    * the programmatic verb must agree bit-for-bit. */
+  val catalogMergeInto: QuerySpec = QuerySpec.sql(
+    "q_catalog_merge_into",
+    """WITH t AS (
+      |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         o_totalprice
+      |  FROM orders),
+      |u AS (
+      |  SELECT o_orderkey, o_year, o_totalprice + 1000.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 0 AND o_year >= 1996
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_year, 42.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 5 AND o_year >= 1996),
+      |m AS (
+      |  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      |  UNION ALL SELECT * FROM u)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("sqlmergeinto", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_smifix_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        create(spark, b, t, "o_year")
+        setTableProperty(spark, b, "partCol", "o_year")
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(b).getParent)
+        standardUpdates(t).createOrReplaceTempView("graft_merge_feed")
+        spark.sql(
+          s"""MERGE INTO graft_cat.`${new java.io.File(b).getName}` tgt
+             |USING graft_merge_feed u ON tgt.o_orderkey = u.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        b
+      })
+    }
+    read(spark, base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
@@ -3209,5 +3295,5 @@ object ManifestTable {
       streamSink, tableOptimize2d, catalogInsert, connectorMoR, catalogAgg,
       lakehouseE2e, catalogPrune, catalogPoint, catalogDpp, catalogSpj,
       streamCdfRead, streamEvolve, catalogMetaAgg, catalogLimit,
-      catalogCreate, catalogDelete)
+      catalogCreate, catalogDelete, catalogUpdate, catalogMergeInto)
 }

@@ -519,12 +519,13 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(postDelete.filter(_._1 == "1995").forall { case (p, rel) =>
       preDelete.get(p).contains(rel) || preDelete.values.toSet.contains(rel) },
       "untouched partitions must carry by reference through SQL DELETE")
-    // a predicate Spark cannot translate to source filters is refused
-    // whole, never half-applied
-    intercept[Exception] {
-      spark.sql("DELETE FROM graft_cat.`ddl_lifecycle` WHERE k % 2 = 0")
-    }
-    assert(spark.sql("SELECT * FROM graft_cat.`ddl_lifecycle`").count() === 4)
+    // a predicate Spark cannot translate to source filters falls through
+    // to the GROUP-BASED row-level path (SupportsRowLevelOperations)
+    // instead of being refused — the modulo delete works
+    spark.sql("DELETE FROM graft_cat.`ddl_lifecycle` WHERE k % 2 = 0")
+    assert(spark.sql("SELECT * FROM graft_cat.`ddl_lifecycle`").count() === 3)
+    assert(spark.sql(
+      "SELECT * FROM graft_cat.`ddl_lifecycle` WHERE k % 2 = 0").count() === 0)
     // TRUNCATE = unconditional delete; the schema survives in properties
     spark.sql("TRUNCATE TABLE graft_cat.`ddl_lifecycle`")
     assert(spark.sql("SELECT * FROM graft_cat.`ddl_lifecycle`").count() === 0)
@@ -532,6 +533,59 @@ class ManifestStreamSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.`ddl_lifecycle`")
     assert(!spark.sql("SHOW TABLES IN graft_cat").collect()
       .map(_.getString(1)).contains("ddl_lifecycle"))
+  }
+
+  test("SQL UPDATE and MERGE INTO: group-based copy-on-write through the catalog") {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", graft.Scratch.root)
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/rowlevel_tbl"
+    ManifestTable.create(spark, base, t, "o_year")
+    ManifestTable.setTableProperty(spark, base, "partCol", "o_year")
+    val tbl = "rowlevel_tbl"
+    val preEntries = ManifestTable.entries(spark, base, 1).toSet
+    // UPDATE with a NON-translatable predicate (modulo) — only the
+    // row-level path can run this
+    spark.sql(
+      s"""UPDATE graft_cat.`$tbl` SET o_totalprice = o_totalprice + 1000.0
+         |WHERE o_year >= 1996 AND o_orderkey % 10 = 0""".stripMargin)
+    val after = ManifestTable.read(spark, base)
+    assert(after.count() === t.count(), "UPDATE must not change the row count")
+    val bumped = after.join(t.withColumnRenamed("o_totalprice", "old"),
+      Seq("o_orderkey", "o_year"))
+    assert(bumped.filter(col("o_year") >= 1996 && col("o_orderkey") % 10 === 0)
+      .filter(col("o_totalprice") =!= col("old") + 1000.0).count() === 0)
+    assert(bumped.filter(!(col("o_year") >= 1996 && col("o_orderkey") % 10 === 0))
+      .filter(col("o_totalprice") =!= col("old")).count() === 0,
+      "rows outside the predicate must be byte-identical")
+    // cold groups carry by reference: pre-1996 files survive verbatim in
+    // the new manifest (the runtime group filter pruned the rewrite)
+    val postEntries = ManifestTable.entries(spark, base,
+      ManifestTable.currentVersion(spark, base))
+    val coldCarried = postEntries.filter(_._1.toInt < 1996).toSet
+    assert(coldCarried.nonEmpty && coldCarried.subsetOf(preEntries),
+      "pre-1996 partitions must carry by reference through SQL UPDATE")
+    // MERGE INTO: matched rows re-priced, unmatched negative keys inserted
+    t.filter(col("o_orderkey") % 7 === 0 && col("o_year") >= 1997)
+      .withColumn("o_totalprice", lit(1.5))
+      .unionByName(t.filter(col("o_orderkey") % 7 === 3 && col("o_year") >= 1997)
+        .withColumn("o_orderkey", -col("o_orderkey")))
+      .createOrReplaceTempView("rowlevel_updates")
+    spark.sql(
+      s"""MERGE INTO graft_cat.`$tbl` tgt USING rowlevel_updates u
+         |ON tgt.o_orderkey = u.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val merged = ManifestTable.read(spark, base)
+    val nInserted = t.filter(col("o_orderkey") % 7 === 3 && col("o_year") >= 1997).count()
+    assert(merged.count() === t.count() + nInserted)
+    assert(merged.filter(col("o_orderkey") % 7 === 0 && col("o_year") >= 1997 &&
+      col("o_orderkey") > 0).filter(col("o_totalprice") =!= 1.5).count() === 0,
+      "MERGE matched rows must carry the update")
+    assert(merged.filter(col("o_orderkey") < 0).count() === nInserted,
+      "MERGE must insert exactly the unmatched rows")
   }
 
   test("storage-partitioned join plans with zero exchanges") {
