@@ -707,8 +707,13 @@ final class ManifestRowLevelOp(table: ManifestStreamTable, base: String,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    val partCol = ManifestTable.tableProperties(
-      org.apache.spark.sql.SparkSession.active, base).getOrElse("partCol",
+    val spark0 = org.apache.spark.sql.SparkSession.active
+    // same fence as every rewrite verb: a group rewrite under pending
+    // deletion vectors could permanently apply or re-apply them half-way
+    require(ManifestTable.pendingDvVersions(spark0, base).isEmpty,
+      s"row-level $cmd under $base requires no pending deletion vectors — " +
+        "run purgeDeletes first")
+    val partCol = ManifestTable.tableProperties(spark0, base).getOrElse("partCol",
       throw new UnsupportedOperationException(
         s"row-level ${cmd} needs the partCol table property under $base"))
     println(s"=== ROWLEVEL WRITE SCHEMA: ${info.schema().map(f => f.name + ":" + f.dataType.typeName).mkString(",")}")
