@@ -122,9 +122,24 @@ final class ManifestStreamTable(schema: StructType, base: String,
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val partCol = ManifestTable.tableProperties(spark, base).getOrElse("partCol",
+    val props = ManifestTable.tableProperties(spark, base)
+    val partCol = props.getOrElse("partCol",
       throw new UnsupportedOperationException(
         s"DELETE needs the partCol table property under $base"))
+    // a TRUNCATE (or a predicate matching every row) commits an EMPTY
+    // manifest, and empty snapshots are readable only through the stored
+    // `schema` property — stamp it from the data schema BEFORE the commit
+    // so a table created programmatically (partCol property only) never
+    // becomes unreadable by emptying itself
+    if (!props.contains("schema")) {
+      val meta = Set("_pval", "_change_type", "_commit_version")
+      val data = StructType(schema.fields.filterNot(f => meta(f.name)))
+      val ser = ManifestSchemaProp.serialize(data)
+      // only stamp a schema the property store can round-trip — an
+      // unparseable stamp would be worse than the missing-property error
+      scala.util.Try(ManifestSchemaProp.parse(ser)).foreach(_ =>
+        ManifestTable.setTableProperty(spark, base, "schema", ser))
+    }
     val pred = filters.flatMap(ManifestDeleteSql.toColumn).toSeq match {
       case Seq() => org.apache.spark.sql.functions.lit(true) // TRUNCATE
       case cs => cs.reduce(_ && _)
@@ -692,7 +707,8 @@ final class ManifestRowLevelOp(table: ManifestStreamTable, base: String,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   // which partition values the (executed) scan planned; None = the scan
-  // never planned (or read everything pre-recording) → replace all
+  // never planned — the commit refuses (an unknown read set is never a
+  // safe basis for a destructive replace)
   @volatile private[sources] var planned: Option[Set[String]] = None
 
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
@@ -716,7 +732,6 @@ final class ManifestRowLevelOp(table: ManifestStreamTable, base: String,
     val partCol = ManifestTable.tableProperties(spark0, base).getOrElse("partCol",
       throw new UnsupportedOperationException(
         s"row-level ${cmd} needs the partCol table property under $base"))
-    println(s"=== ROWLEVEL WRITE SCHEMA: ${info.schema().map(f => f.name + ":" + f.dataType.typeName).mkString(",")}")
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write
@@ -754,7 +769,13 @@ final class ManifestReplaceGroups(base: String, schema: StructType,
     val spark = org.apache.spark.sql.SparkSession.active
     val v = ManifestTable.currentVersion(spark, base)
     val es = ManifestTable.entries(spark, base, v)
-    val replaced = planned().getOrElse(es.map(_._1).toSet)
+    // an unknown read set is NEVER a safe basis for a destructive replace:
+    // if the planning recorder never fired, defaulting to replace-all would
+    // keep no cold entries and silently shrink the table to the staged
+    // files — fail the statement instead (the previous snapshot is intact)
+    val replaced = planned().getOrElse(throw new IllegalStateException(
+      s"row-level write under $base: the operation's scan never planned, so " +
+        "the read set (groups to replace) is unknown — refusing to commit"))
     val cold = es.filterNot { case (pval, _) => replaced(pval) }
     val next = v + 1
     val moved = staged.map { case (pval, abs) =>
@@ -849,15 +870,23 @@ class ManifestCatalog
     s"$root/${ident.name()}"
   }
 
+  /** A table EXISTS once a manifest version is committed — the commit
+    * rename is the visibility point. A `_manifests` dir holding only the
+    * property file (a CREATE that crashed before its v1 commit) is not
+    * yet a table; re-running CREATE completes it. */
+  private def hasCommitted(base: String): Boolean = {
+    val g = fs.globStatus(new Path(base, "_manifests/v*.manifest"))
+    g != null && g.nonEmpty
+  }
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val r = new Path(root)
     if (!fs.exists(r)) Array.empty
     else fs.listStatus(r).toSeq
-      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "_manifests")))
+      .filter(s => s.isDirectory && hasCommitted(s.getPath.toString))
       .map(s => Identifier.of(Array.empty, s.getPath.getName)).toArray
   }
   override def tableExists(ident: Identifier): Boolean =
-    fs.exists(new Path(baseOf(ident), "_manifests"))
+    hasCommitted(baseOf(ident))
 
   override def loadTable(ident: Identifier): org.apache.spark.sql.connector.catalog.Table = {
     val base = baseOf(ident)
@@ -932,10 +961,15 @@ class ManifestCatalog
     // NOW — an unsupported column type must refuse the CREATE, not the
     // first read
     ManifestSchemaProp.parse(ManifestSchemaProp.serialize(schema))
-    ManifestTable.commit(spark, base, 1, Seq.empty)
+    // properties FIRST, the v1 manifest commit LAST: the commit rename is
+    // the table's visibility point ([[tableExists]] requires a committed
+    // manifest), so a crash between the steps leaves an invisible,
+    // re-creatable stub — never a created-but-unreadable table whose
+    // empty snapshot lacks its schema property
     ManifestTable.setTableProperty(spark, base, "partCol", partCol)
     ManifestTable.setTableProperty(spark, base, "schema",
       ManifestSchemaProp.serialize(schema))
+    ManifestTable.commit(spark, base, 1, Seq.empty)
     loadTable(ident)
   }
 

@@ -163,9 +163,17 @@ object MultiTableTxn {
     * removeOrphans food. removeOrphans itself treats files named by any
     * REMAINING temp manifest as referenced, so running it without this
     * pass is safe — just incomplete. Returns deleted temp-manifest
-    * paths. */
+    * paths.
+    *
+    * The retention window is the LIVENESS fence: a transaction currently
+    * between PREPARE and its commit-point rename has temp manifests but
+    * no coordinator record yet — zero retention would classify it as
+    * undecided debris, delete its temps, and (if it then decides)
+    * poison every future [[recover]] with an unfinalizable record. The
+    * default is comfortably longer than any PREPARE; pass a smaller
+    * value only when no writer can be in flight. */
   def cleanup(spark: SparkSession, coordinator: String,
-      tables: Seq[String], olderThanMs: Long = 0L): Seq[String] = {
+      tables: Seq[String], olderThanMs: Long = 10 * 60 * 1000L): Seq[String] = {
     recover(spark, coordinator)
     val fs = new Path(coordinator).getFileSystem(spark.sessionState.newHadoopConf())
     val dir = txnDir(coordinator)

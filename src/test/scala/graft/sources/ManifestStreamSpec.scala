@@ -535,6 +535,31 @@ class ManifestStreamSpec extends AnyFunSuite {
       .map(_.getString(1)).contains("ddl_lifecycle"))
   }
 
+  test("TRUNCATE of a programmatic table (partCol property only) stays readable") {
+    // the at-risk shape: ManifestTable.create + setTableProperty("partCol")
+    // never stamps the `schema` property, yet canDeleteWhere admits the
+    // truncate — the delete path must stamp the schema BEFORE committing
+    // the empty manifest, or the table is permanently unreadable
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", graft.Scratch.root)
+    val base = s"${graft.Scratch.root}/trunc_prog_tbl"
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+      .limit(100)
+    ManifestTable.create(spark, base, t, "o_year")
+    ManifestTable.setTableProperty(spark, base, "partCol", "o_year")
+    assert(!ManifestTable.tableProperties(spark, base).contains("schema"))
+    spark.sql("TRUNCATE TABLE graft_cat.`trunc_prog_tbl`")
+    // both the catalog read and the programmatic read survive the empty
+    // snapshot, serving zero rows of the stamped schema
+    assert(spark.sql("SELECT * FROM graft_cat.`trunc_prog_tbl`").count() === 0)
+    val back = ManifestTable.read(spark, base)
+    assert(back.count() === 0)
+    assert(back.schema.fieldNames.toSet ===
+      Set("o_orderkey", "o_year", "o_totalprice"))
+  }
+
   test("SQL UPDATE and MERGE INTO: group-based copy-on-write through the catalog") {
     spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
     spark.conf.set("spark.sql.catalog.graft_cat.root", graft.Scratch.root)

@@ -73,10 +73,16 @@ class MultiTableTxnSpec extends AnyFunSuite {
     // undecided — destroying a decided txn's staged files would commit a
     // snapshot of dead files at recovery
     assert(ManifestTable.removeOrphans(spark, a).isEmpty)
-    // the protocol: cleanup consults the coordinator log, sees no record
+    // the DEFAULT retention protects an in-flight prepare: this temp is
+    // seconds old, so cleanup must NOT classify it as undecided debris
+    // (a txn between PREPARE and its commit-point rename looks exactly
+    // like this)
+    assert(MultiTableTxn.cleanup(spark, a, Seq(a)).isEmpty)
+    // the protocol: with the retention waived (no writer is in flight in
+    // this test), cleanup consults the coordinator log, sees no record
     // for this id, deletes the undecided temp manifest — THEN the staged
     // files are ordinary orphan debris
-    val cleaned = MultiTableTxn.cleanup(spark, a, Seq(a))
+    val cleaned = MultiTableTxn.cleanup(spark, a, Seq(a), olderThanMs = 0L)
     assert(cleaned.size === 1)
     val swept = ManifestTable.removeOrphans(spark, a)
     assert(swept.nonEmpty)
@@ -90,9 +96,10 @@ class MultiTableTxnSpec extends AnyFunSuite {
         MultiTableTxn.TxnAppend(a, h2, "o_year"),
         MultiTableTxn.TxnAppend(b, h2, "o_year")), failAfterPrepare = true)
     }
-    // undecided: cleanup removes BOTH tables' temp manifests, recover
-    // finds nothing, and neither table ever advances
-    assert(MultiTableTxn.cleanup(spark, a, Seq(a, b)).size === 2)
+    // undecided: cleanup (retention waived — no writer in flight here)
+    // removes BOTH tables' temp manifests, recover finds nothing, and
+    // neither table ever advances
+    assert(MultiTableTxn.cleanup(spark, a, Seq(a, b), olderThanMs = 0L).size === 2)
     assert(ManifestTable.currentVersion(spark, a) === 1)
     assert(ManifestTable.currentVersion(spark, b) === 1)
     assert(ManifestTable.removeOrphans(spark, a).nonEmpty)
