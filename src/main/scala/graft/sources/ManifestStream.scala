@@ -198,14 +198,16 @@ final class ManifestStreamTable(schema: StructType, base: String,
   def withVersion(v: Int): ManifestStreamTable =
     new ManifestStreamTable(schema, base, Some(v), layoutCol)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    scanBuilderRecording(options, _ => ())
+    scanBuilderRecording(options, (_, _) => ())
 
   /** [[newScanBuilder]] with a PLANNING RECORDER: `onPlan` receives the
     * partition values the batch ultimately plans (post filter/runtime
-    * pruning) — the coordination a row-level operation's write needs to
-    * know which groups the executed scan read (and must replace). */
+    * pruning) and the snapshot VERSION it planned against — the
+    * coordination a row-level operation's write needs to know which
+    * groups the executed scan read (and must replace) and which snapshot
+    * that read set is valid for (the commit's conflict check). */
   private[sources] def scanBuilderRecording(options: CaseInsensitiveStringMap,
-      onPlan: Seq[String] => Unit): ScanBuilder = {
+      onPlan: (Seq[String], Int) => Unit): ScanBuilder = {
     // batch reads honor time travel: .option("versionAsOf", v) or the SQL
     // VERSION AS OF pin; default is the current version at planning time
     val versionAsOf =
@@ -706,14 +708,16 @@ private[sources] object ManifestFileSkipping {
 final class ManifestRowLevelOp(table: ManifestStreamTable, base: String,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
-  // which partition values the (executed) scan planned; None = the scan
-  // never planned — the commit refuses (an unknown read set is never a
-  // safe basis for a destructive replace)
-  @volatile private[sources] var planned: Option[Set[String]] = None
+  // which partition values the (executed) scan planned, and the snapshot
+  // version it planned against; None = the scan never planned — the
+  // commit refuses (an unknown read set is never a safe basis for a
+  // destructive replace)
+  @volatile private[sources] var planned: Option[(Set[String], Int)] = None
 
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    table.scanBuilderRecording(options, pvals => planned = Some(pvals.toSet))
+    table.scanBuilderRecording(options,
+      (pvals, v) => planned = Some((pvals.toSet, v)))
   // requesting the `_pval` metadata column routes Spark's write through
   // the metadata-projecting task — the data writer then receives clean
   // table-schema rows (the internal __row_operation column stripped)
@@ -756,7 +760,7 @@ final class ManifestRowLevelOp(table: ManifestStreamTable, base: String,
   * untouched groups carry by reference; a staged group the scan never
   * read (a MERGE's pure inserts) appends. */
 final class ManifestReplaceGroups(base: String, schema: StructType,
-    partCol: String, planned: () => Option[Set[String]])
+    partCol: String, planned: () => Option[(Set[String], Int)])
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
@@ -767,17 +771,14 @@ final class ManifestReplaceGroups(base: String, schema: StructType,
     val fs = new Path(base).getFileSystem(new Configuration())
     val staged = messages.flatMap { case m: ManifestSinkFiles => m.files }.toSeq
     val spark = org.apache.spark.sql.SparkSession.active
-    val v = ManifestTable.currentVersion(spark, base)
-    val es = ManifestTable.entries(spark, base, v)
     // an unknown read set is NEVER a safe basis for a destructive replace:
     // if the planning recorder never fired, defaulting to replace-all would
     // keep no cold entries and silently shrink the table to the staged
     // files — fail the statement instead (the previous snapshot is intact)
-    val replaced = planned().getOrElse(throw new IllegalStateException(
+    val (replaced, readV) = planned().getOrElse(throw new IllegalStateException(
       s"row-level write under $base: the operation's scan never planned, so " +
         "the read set (groups to replace) is unknown — refusing to commit"))
-    val cold = es.filterNot { case (pval, _) => replaced(pval) }
-    val next = v + 1
+    val next = ManifestTable.currentVersion(spark, base) + 1
     val moved = staged.map { case (pval, abs) =>
       val destDir = new Path(base, s"files/v$next/p=$pval")
       fs.mkdirs(destDir)
@@ -786,7 +787,10 @@ final class ManifestReplaceGroups(base: String, schema: StructType,
         throw new java.io.IOException(s"replace move failed: $abs")
       (pval, s"files/v$next/p=$pval/${dest.getName}")
     }
-    ManifestTable.commit(spark, base, next, cold ++ moved)
+    // staged rows were computed from the snapshot the scan planned against
+    // (readV): the retrying commit rebases over concurrent commits into
+    // OTHER groups and fails loudly when a replaced group changed
+    ManifestTable.commitRetrying(spark, base, readV, moved, Some(replaced))
     ManifestTable.refreshAllStats(spark, base)
   }
 
@@ -1025,7 +1029,7 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
     runtimePvals: () => Option[Set[String]] = () => None,
     pushedLimit: Option[Int] = None,
-    onPlan: Seq[String] => Unit = _ => ())
+    onPlan: (Seq[String], Int) => Unit = (_, _) => ())
     extends org.apache.spark.sql.connector.read.Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = new Path(base).getFileSystem(new Configuration())
@@ -1086,7 +1090,7 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     ManifestScanEvents.record(ManifestScanEvents.PlanEvent(
       base, entries.length, all.length, rt.isDefined,
       limitPruned = limited.length < afterFiles.length))
-    onPlan(limited.map(_._1).distinct.toSeq)
+    onPlan(limited.map(_._1).distinct.toSeq, v)
     layoutCol match {
       case Some(_) =>
         // key-grouped: ONE input partition per layout value (all its
@@ -1709,14 +1713,10 @@ final class ManifestBatchAppend(base: String, schema: StructType, partCol: Strin
     val staged = messages.flatMap { case m: ManifestSinkFiles => m.files }.toSeq
     val spark = org.apache.spark.sql.SparkSession.active
     val evolved = ManifestSchemaProp.evolve(spark, base, schema)
-    val vs = {
-      val dir = new Path(base, "_manifests")
-      if (!fs.exists(dir)) Seq.empty[Int]
-      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
-          n.stripPrefix("v").stripSuffix(".manifest").toInt }.sorted
-    }
-    val next = vs.lastOption.getOrElse(0) + 1
+    val glob = fs.globStatus(new Path(base, "_manifests/v*.manifest"))
+    val hasCommits = glob != null && glob.nonEmpty
+    val readV = if (hasCommits) ManifestTable.currentVersion(spark, base) else 0
+    val next = readV + 1
     val moved = staged.map { case (pval, abs) =>
       val destDir = new Path(base, s"files/v$next/p=$pval")
       fs.mkdirs(destDir)
@@ -1725,9 +1725,12 @@ final class ManifestBatchAppend(base: String, schema: StructType, partCol: Strin
         throw new java.io.IOException(s"insert move failed: $abs")
       (pval, s"files/v$next/p=$pval/${dest.getName}")
     }
-    val prev = vs.lastOption
-      .map(v => ManifestTable.entries(spark, base, v)).getOrElse(Seq.empty)
-    ManifestTable.commit(spark, base, next, prev ++ moved)
+    // an INSERT is a pure append: losing the version race to a concurrent
+    // writer rebases onto the winner's entries and retries (the dest dir's
+    // version name is bookkeeping — entries are paths); a first write to
+    // an uncommitted base commits v1 directly
+    if (hasCommits) ManifestTable.commitRetrying(spark, base, readV, moved, None)
+    else ManifestTable.commit(spark, base, 1, moved)
     evolved.foreach(s => ManifestTable.setTableProperty(
       spark, base, "schema", ManifestSchemaProp.serialize(s)))
     // sidecars ride every commit verb, SQL INSERT included — without this

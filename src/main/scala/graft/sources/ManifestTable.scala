@@ -114,6 +114,87 @@ object ManifestTable {
     }
   }
 
+  /** Thrown when a rewrite's READ SET was invalidated by a concurrent
+    * commit — the one conflict the optimistic-concurrency protocol cannot
+    * re-plan automatically: the caller must re-run its operation against
+    * the new snapshot (its staged rewrite was computed from rows that are
+    * no longer the table's truth). */
+  final class ConcurrentRewriteException(msg: String)
+      extends RuntimeException(msg)
+
+  /** OPTIMISTIC-CONCURRENCY COMMIT with classified conflict resolution —
+    * the Delta/Iceberg retry protocol the bare [[commit]] rename lacks.
+    * A verb stages its files against the snapshot it READ (`readV`), then
+    * commits here; when a concurrent writer advanced the table in the
+    * meantime the outcome depends on WHAT this commit is:
+    *
+    *   - APPEND (`replaced = None`): staged files only add rows, so the
+    *     commit commutes with any interleaved commit — rebase by taking
+    *     the CURRENT entries plus the staged files and retry at the next
+    *     version. (An append never needs the caller re-run.)
+    *   - REWRITE (`replaced = Some(groups)`): the staged files are the
+    *     full new content of those groups, computed from rows read at
+    *     `readV`. The rebase is valid iff every replaced group's file set
+    *     is UNCHANGED between `readV` and now (concurrent commits touched
+    *     only other groups) and no deletion vector landed after the read;
+    *     then current-minus-replaced-plus-staged is exactly the rewrite
+    *     re-planned against the new snapshot. Otherwise the read set is
+    *     stale and the commit fails with [[ConcurrentRewriteException]] —
+    *     never silently, never half-applied.
+    *
+    * The version race itself (two writers picking the same next version)
+    * is resolved by [[commit]]'s rename-refuses-to-overwrite: the loser
+    * loops, revalidates against the winner's snapshot, and retries. At
+    * 100 TB every attempt is manifest arithmetic (driver-side, metadata-
+    * sized) — no staged data file is ever rewritten by a retry, because
+    * entries are paths and the `files/v<N>/` dir name is bookkeeping.
+    * Returns the version that committed. */
+  private[sources] def commitRetrying(
+      spark: SparkSession, base: String, readV: Int,
+      staged: Seq[(String, String)], replaced: Option[Set[String]],
+      maxAttempts: Int = 20): Int = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = currentVersion(spark, base)
+      if (cur != readV) {
+        // a DV committed after the read names rows the staged files did
+        // not discount — unsafe for a rewrite (it would resurrect them)
+        // AND for an append (the vector would wrongly hide fresh rows
+        // that matched its keys but never matched its predicate)
+        if (pendingDvVersions(spark, base).exists(_ > readV))
+          throw new ConcurrentRewriteException(
+            s"commit under $base: a deletion vector landed after the read " +
+              s"(v$readV) — re-run the operation against the current snapshot")
+        replaced.foreach { rep =>
+          val before = entries(spark, base, readV)
+            .filter { case (p, _) => rep(p) }.toSet
+          val now = entries(spark, base, cur)
+            .filter { case (p, _) => rep(p) }.toSet
+          if (before != now)
+            throw new ConcurrentRewriteException(
+              s"commit under $base: groups ${rep.mkString("{", ",", "}")} " +
+                s"changed between read (v$readV) and commit (v$cur) — the " +
+                "staged rewrite is stale; re-run the operation")
+        }
+      }
+      val es = entries(spark, base, cur)
+      val merged = replaced match {
+        case None => es ++ staged
+        case Some(rep) => es.filterNot { case (p, _) => rep(p) } ++ staged
+      }
+      try {
+        commit(spark, base, cur + 1, merged)
+        return cur + 1
+      } catch {
+        case _: java.io.IOException if attempt < maxAttempts => () // lost the
+          // version race to a concurrent writer — loop: revalidate against
+          // the winner's snapshot and retry at the next version
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Write `df` partition-wise under `files/v<version>/` and return the new
     * manifest entries. The partition column stays IN the data files (the
     * `__p` copy exists only to drive the directory layout). */
@@ -204,10 +285,13 @@ object ManifestTable {
       spark: SparkSession, base: String, updates: DataFrame,
       keyCol: String, partCol: String, failBeforeCommit: Boolean = false): Unit = {
     val v = currentVersion(spark, base)
-    val es = prepareMergeEntries(spark, base, updates, keyCol, partCol, v)
+    val (touched, _, newFiles) =
+      prepareMergeParts(spark, base, updates, keyCol, partCol, v)
     if (failBeforeCommit)
       throw new RuntimeException("injected crash before manifest commit")
-    commit(spark, base, v + 1, es)
+    // classified-conflict retry: a concurrent commit into OTHER partitions
+    // rebases and retries; one into a touched partition fails loudly
+    commitRetrying(spark, base, v, newFiles, Some(touched))
     refreshAllStats(spark, base)
   }
 
@@ -220,6 +304,19 @@ object ManifestTable {
   private[sources] def prepareMergeEntries(
       spark: SparkSession, base: String, updates: DataFrame,
       keyCol: String, partCol: String, v: Int): Seq[(String, String)] = {
+    val (_, cold, newFiles) =
+      prepareMergeParts(spark, base, updates, keyCol, partCol, v)
+    cold ++ newFiles
+  }
+
+  /** The staged pieces of a MERGE against snapshot `v`: (touched partition
+    * values, carried cold entries, staged new files). Split out so
+    * [[merge]] can hand [[commitRetrying]] its read set while
+    * [[MultiTableTxn]] keeps the flat entry list. */
+  private[sources] def prepareMergeParts(
+      spark: SparkSession, base: String, updates: DataFrame,
+      keyCol: String, partCol: String, v: Int)
+      : (Set[String], Seq[(String, String)], Seq[(String, String)]) = {
     requireNoPendingDv(spark, base, "merge")
     val es = entries(spark, base, v)
     // touched-partition values: metadata-sized (one row per partition), the
@@ -235,7 +332,7 @@ object ManifestTable {
           .unionByName(updates)
       }
     val newFiles = writeSnapshotFiles(spark, base, v + 1, rewritten, partCol)
-    cold ++ newFiles
+    (touched, cold, newFiles)
   }
 
   /** Transactional DELETE WHERE — the erasure verb of the format (GDPR /
@@ -260,14 +357,14 @@ object ManifestTable {
       .select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     if (touched.isEmpty) return false
-    val (hot, cold) = es.partition { case (pval, _) => touched(pval) }
+    val (hot, _) = es.partition { case (pval, _) => touched(pval) }
     val survivors = spark.read
       .parquet(hot.map { case (_, rel) => resolve(base, rel) }: _*)
       .filter(!pred)
     val newFiles = writeSnapshotFiles(spark, base, v + 1, survivors, partCol)
     if (failBeforeCommit)
       throw new RuntimeException("injected crash before manifest commit")
-    commit(spark, base, v + 1, cold ++ newFiles)
+    commitRetrying(spark, base, v, newFiles, Some(touched))
     refreshAllStats(spark, base)
     true
   }
@@ -339,7 +436,9 @@ object ManifestTable {
     requireNoPendingDv(spark, base, "append")
     val v = currentVersion(spark, base)
     val newFiles = writeSnapshotFiles(spark, base, v + 1, df, partCol)
-    commit(spark, base, v + 1, entries(spark, base, v) ++ newFiles)
+    // appends commute with any interleaved commit: losing the version race
+    // rebases onto the winner's entries and retries
+    commitRetrying(spark, base, v, newFiles, None)
     refreshAllStats(spark, base)
   }
 
@@ -360,10 +459,12 @@ object ManifestTable {
     val es = entries(spark, base, v)
     val hotVals = es.groupBy(_._1).filter(_._2.size >= minFiles).keySet
     if (hotVals.isEmpty) return (0, 0, 0)
-    val (hot, cold) = es.partition { case (pval, _) => hotVals(pval) }
+    val (hot, _) = es.partition { case (pval, _) => hotVals(pval) }
     val rows = spark.read.parquet(hot.map { case (_, rel) => resolve(base, rel) }: _*)
     val newFiles = writeSnapshotFiles(spark, base, v + 1, rows, partCol)
-    commit(spark, base, v + 1, cold ++ newFiles)
+    // compaction is a rewrite of the hot groups: concurrent commits into
+    // other partitions rebase; one into a compacted partition conflicts
+    commitRetrying(spark, base, v, newFiles, Some(hotVals.toSet))
     refreshAllStats(spark, base)
     (hotVals.size, hot.size, newFiles.size)
   }
@@ -968,7 +1069,7 @@ object ManifestTable {
       .collect().map(_.getString(0)).toSet // DV-metadata-sized
     val pairs = dv.select(col(keyCol), col("__pval")).distinct()
     val nKeys = dv.select(col(keyCol)).distinct().count()
-    val (hot, cold) = es.partition { case (pval, _) => touched(pval) }
+    val (hot, _) = es.partition { case (pval, _) => touched(pval) }
     // anti-join on the (key, partition) PAIR, the same scoping readMoR
     // applies: a key's rows in a touched partition survive unless the
     // vector names that exact (key, partition)
@@ -978,7 +1079,7 @@ object ManifestTable {
       .join(broadcast(pairs), Seq(keyCol, "__pval"), "left_anti")
       .drop("__pval")
     val newFiles = writeSnapshotFiles(spark, base, v + 1, survivors, partCol)
-    commit(spark, base, v + 1, cold ++ newFiles)
+    commitRetrying(spark, base, v, newFiles, Some(touched))
     refreshAllStats(spark, base)
     val fs = fsOf(spark, new Path(base))
     dvs.foreach(dvv => fs.delete(new Path(base, s"_dv/v$dvv"), true))
@@ -3286,6 +3387,62 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
+  /** Registered OPTIMISTIC-CONCURRENCY RETRY: a copy-on-write rewrite of
+    * one partition loses the version race to a concurrent append into a
+    * DIFFERENT partition — the classified retry protocol rebases the
+    * rewrite onto the winner's snapshot and commits it at the next
+    * version, so BOTH writers' effects land without either re-running
+    * (the Delta/Iceberg conflict-resolution contract). The fixture
+    * interleaves the two commits deliberately: the rewrite stages against
+    * v1, the append wins v2, the rewrite rebases into v3. The oracle
+    * replays both effects in SQL; `ConcurrentCommitSpec` pins the
+    * conflicting cases (same-group commit, post-read deletion vector)
+    * failing loudly instead. */
+  val tableConcurrent: QuerySpec = QuerySpec.sql(
+    "q_table_concurrent",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |u AS (
+      |  SELECT o_orderkey, o_year,
+      |         CASE WHEN o_year = 1995 THEN o_totalprice + 1.0
+      |              ELSE o_totalprice END AS price
+      |  FROM t
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_year, o_totalprice AS price
+      |  FROM t WHERE o_year = 1996)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(price * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("concurrent", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_ccfix_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        create(spark, b, t, "o_year")
+        // writer 1 stages a rewrite of partition 1995 against v1 ...
+        val hot = entries(spark, b, 1).filter(_._1 == "1995")
+        val repriced = spark.read
+          .parquet(hot.map { case (_, rel) => resolve(b, rel) }: _*)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        val staged = writeSnapshotFilesExpr(spark, b, 2, repriced, col("o_year"))
+        // ... writer 2 wins v2 with an append into partition 1996 ...
+        append(spark, b,
+          t.filter(col("o_year") === 1996)
+            .withColumn("o_orderkey", -col("o_orderkey")), "o_year")
+        // ... writer 1's commit revalidates (1995 untouched), rebases, lands v3
+        val landed = commitRetrying(spark, b, 1, staged, Some(Set("1995")))
+        require(landed == 3, s"expected the rebased rewrite at v3, got v$landed")
+        b
+      })
+    }
+    read(spark, base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
@@ -3295,5 +3452,6 @@ object ManifestTable {
       streamSink, tableOptimize2d, catalogInsert, connectorMoR, catalogAgg,
       lakehouseE2e, catalogPrune, catalogPoint, catalogDpp, catalogSpj,
       streamCdfRead, streamEvolve, catalogMetaAgg, catalogLimit,
-      catalogCreate, catalogDelete, catalogUpdate, catalogMergeInto)
+      catalogCreate, catalogDelete, catalogUpdate, catalogMergeInto,
+      tableConcurrent)
 }
