@@ -115,10 +115,20 @@ final class ManifestStreamTable(schema: StructType, base: String,
     * half-applied; `deleteWhereMoR` stays the programmatic choice for
     * metadata-only deletes. */
   override def canDeleteWhere(
-      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val props = ManifestTable.tableProperties(
+      org.apache.spark.sql.SparkSession.active, base)
+    // RENAMEd/DROPPED columns make the raw translate path unsound (it
+    // reads files by their footer names): refuse, and Spark falls through
+    // to the row-level DELETE whose reader resolves the name mapping.
+    // TRUNCATE (no filters, or AlwaysTrue only) reads nothing and stays.
+    val mapped = props.get("colmap").exists(_.contains(">")) ||
+      props.get("deadcols").exists(_.nonEmpty)
+    val unconditional = filters.forall(
+      _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
     filters.forall(f => ManifestDeleteSql.toColumn(f).isDefined) &&
-      ManifestTable.tableProperties(
-        org.apache.spark.sql.SparkSession.active, base).contains("partCol")
+      props.contains("partCol") && (!mapped || unconditional)
+  }
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -140,11 +150,26 @@ final class ManifestStreamTable(schema: StructType, base: String,
       scala.util.Try(ManifestSchemaProp.parse(ser)).foreach(_ =>
         ManifestTable.setTableProperty(spark, base, "schema", ser))
     }
-    val pred = filters.flatMap(ManifestDeleteSql.toColumn).toSeq match {
-      case Seq() => org.apache.spark.sql.functions.lit(true) // TRUNCATE
-      case cs => cs.reduce(_ && _)
+    val preds = filters
+      .filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+      .flatMap(ManifestDeleteSql.toColumn).toSeq
+    if (preds.isEmpty) {
+      // TRUNCATE: a PURE METADATA commit — replace every group with
+      // nothing (no data file is read or written; the schema property
+      // stamped above keeps the empty snapshot readable). Same pending-DV
+      // fence as every rewrite verb.
+      require(ManifestTable.pendingDvVersions(spark, base).isEmpty,
+        s"TRUNCATE under $base requires no pending deletion vectors — " +
+          "run purgeDeletes first")
+      val v = ManifestTable.currentVersion(spark, base)
+      val pvals = ManifestTable.entries(spark, base, v).map(_._1).toSet
+      if (pvals.nonEmpty) {
+        ManifestTable.commitRetrying(spark, base, v, Seq.empty, Some(pvals))
+        ManifestTable.refreshAllStats(spark, base)
+      }
+    } else {
+      ManifestTable.deleteWhere(spark, base, preds.reduce(_ && _), partCol)
     }
-    ManifestTable.deleteWhere(spark, base, pred, partCol)
     ()
   }
   override def capabilities(): util.Set[TableCapability] =
@@ -397,6 +422,40 @@ private[sources] object ManifestSchemaProp {
       written: StructType): Unit =
     evolve(spark, base, written).foreach(s =>
       ManifestTable.setTableProperty(spark, base, "schema", serialize(s)))
+}
+
+/** NAME-MAPPING indirection for `ALTER TABLE ... RENAME/DROP COLUMN` —
+  * the field-ID trick (Iceberg name mapping) expressed on plain names so
+  * committed footers never rewrite:
+  *
+  *   - `colmap` property (`logical>physical,...`): each RENAMEd column
+  *     maps its current LOGICAL name to the ORIGINAL footer name (chains
+  *     resolve at rename time, so the physical name is stable forever).
+  *     The reader requests the physical name from old files and falls
+  *     back to the logical name for files written after the rename
+  *     (connector writers stage logical names).
+  *   - `deadcols` property: names DROPPED columns may still carry inside
+  *     committed files. A dropped column costs one metadata stamp — the
+  *     data stays but is never requested — and re-ADDing any dead name
+  *     is refused loudly: a new column under that name would resurrect
+  *     the old values from pre-drop files.
+  */
+private[sources] object ManifestColMap {
+  def parse(s: String): Map[String, String] =
+    s.split(",").filter(_.contains(">")).map { p =>
+      val i = p.indexOf('>')
+      (p.substring(0, i), p.substring(i + 1))
+    }.toMap
+  def serialize(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (l, p) => s"$l>$p" }.mkString(",")
+  /** logical → physical (identity entries omitted). */
+  def of(spark: org.apache.spark.sql.SparkSession, base: String): Map[String, String] =
+    ManifestTable.tableProperties(spark, base).get("colmap")
+      .map(parse).getOrElse(Map.empty)
+  /** Names that may still appear in committed files with STALE data. */
+  def dead(spark: org.apache.spark.sql.SparkSession, base: String): Set[String] =
+    ManifestTable.tableProperties(spark, base).get("deadcols")
+      .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
 }
 
 /** Driver-side record of every connector scan-planning decision — the
@@ -977,28 +1036,103 @@ class ManifestCatalog
     loadTable(ident)
   }
 
-  /** `ALTER TABLE ... ADD COLUMN`: additive evolution as a pure
-    * metadata stamp — the unioned schema lands in the properties store,
-    * committed files are untouched, and the name-resolving reader nulls
-    * the new column for them (exactly the writer-driven evolution path).
-    * Every other change is refused rather than half-supported. */
+  /** `ALTER TABLE ... ADD / RENAME / DROP COLUMN` — all three as PURE
+    * METADATA stamps; no committed file ever rewrites:
+    *
+    *   - ADD appends to the stored schema; the name-resolving reader
+    *     nulls the new column for old files (the writer-driven evolution
+    *     path). Re-adding a DROPPED name is refused: old files still
+    *     carry that column, and serving it would resurrect stale values.
+    *   - RENAME records `new-logical > original-footer-name` in the
+    *     `colmap` property ([[ManifestColMap]]); old files serve the
+    *     column under its physical name, post-rename writes under the
+    *     logical one, and the per-file reader resolves both. Renaming
+    *     the layout column follows it through the `partCol` property
+    *     (manifest partition values are name-free strings — unaffected).
+    *   - DROP removes the column from the served schema and marks its
+    *     names dead. The layout column cannot drop (it IS the table's
+    *     physical organization).
+    *
+    * Rename/drop are fenced from pending deletion vectors like every
+    * rewrite verb — a DV names data columns recorded at delete time. */
   override def alterTable(ident: Identifier, changes: TableChange*)
       : org.apache.spark.sql.connector.catalog.Table = {
     val spark = org.apache.spark.sql.SparkSession.active
     val base = baseOf(ident)
+    def curSchema: StructType =
+      ManifestTable.tableProperties(spark, base).get("schema")
+        .map(ManifestSchemaProp.parse)
+        .getOrElse(loadTable(ident).asInstanceOf[ManifestStreamTable].schema())
+    def stampSchema(s: StructType): Unit = {
+      // unsupported column types refuse the ALTER, not the next read
+      ManifestSchemaProp.parse(ManifestSchemaProp.serialize(s))
+      ManifestTable.setTableProperty(spark, base, "schema",
+        ManifestSchemaProp.serialize(s))
+    }
+    def fenceDv(verb: String): Unit =
+      require(ManifestTable.pendingDvVersions(spark, base).isEmpty,
+        s"$verb under $base requires no pending deletion vectors — run purgeDeletes first")
     changes.foreach {
       case add: org.apache.spark.sql.connector.catalog.TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "manifest tables support top-level ADD COLUMN only")
-        val cur = ManifestTable.tableProperties(spark, base).get("schema")
-          .map(ManifestSchemaProp.parse)
-          .getOrElse(loadTable(ident).asInstanceOf[ManifestStreamTable].schema())
-        val added = StructType(cur.fields :+
-          StructField(add.fieldNames()(0), add.dataType))
-        // unsupported column types refuse the ALTER, not the next read
-        ManifestSchemaProp.parse(ManifestSchemaProp.serialize(added))
-        ManifestTable.setTableProperty(spark, base, "schema",
-          ManifestSchemaProp.serialize(added))
+        val name = add.fieldNames()(0)
+        val cur = curSchema
+        require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column $name already exists")
+        require(!ManifestColMap.dead(spark, base).exists(_.equalsIgnoreCase(name)),
+          s"column name $name was DROPPED from this table: committed files " +
+            "still carry it, and re-adding the name would resurrect their " +
+            "stale values — use a new name")
+        stampSchema(StructType(cur.fields :+ StructField(name, add.dataType)))
+      case rn: org.apache.spark.sql.connector.catalog.TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "manifest tables support top-level RENAME COLUMN only")
+        fenceDv("RENAME COLUMN")
+        val from = rn.fieldNames()(0)
+        val to = rn.newName()
+        val cur = curSchema
+        require(cur.fieldNames.exists(_.equalsIgnoreCase(from)),
+          s"no column $from to rename")
+        require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"column $to already exists")
+        require(!ManifestColMap.dead(spark, base).exists(_.equalsIgnoreCase(to)),
+          s"column name $to was DROPPED from this table — old files still " +
+            "carry it; renaming onto a dead name would resurrect stale values")
+        val cm = ManifestColMap.of(spark, base)
+        // chains resolve NOW: the map always points at the original
+        // footer name, whatever the column was called in between
+        val physical = cm.getOrElse(from, from)
+        val next = (cm - from) ++
+          (if (to == physical) Map.empty[String, String] else Map(to -> physical))
+        ManifestTable.setTableProperty(spark, base, "colmap",
+          ManifestColMap.serialize(next))
+        stampSchema(StructType(cur.fields.map(f =>
+          if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)))
+        // the layout column follows its rename (pvals are name-free)
+        if (ManifestTable.tableProperties(spark, base)
+            .get("partCol").exists(_.equalsIgnoreCase(from)))
+          ManifestTable.setTableProperty(spark, base, "partCol", to)
+      case del: org.apache.spark.sql.connector.catalog.TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "manifest tables support top-level DROP COLUMN only")
+        fenceDv("DROP COLUMN")
+        val name = del.fieldNames()(0)
+        val cur = curSchema
+        require(cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"no column $name to drop")
+        require(!ManifestTable.tableProperties(spark, base)
+            .get("partCol").exists(_.equalsIgnoreCase(name)),
+          s"cannot drop the layout column $name")
+        val cm = ManifestColMap.of(spark, base)
+        val physical = cm.getOrElse(name, name)
+        // both names the column ever had in files become dead
+        val dead = ManifestColMap.dead(spark, base) + physical + name
+        ManifestTable.setTableProperty(spark, base, "deadcols",
+          dead.toSeq.sorted.mkString(","))
+        ManifestTable.setTableProperty(spark, base, "colmap",
+          ManifestColMap.serialize(cm - name))
+        stampSchema(StructType(cur.fields.filterNot(_.name.equalsIgnoreCase(name))))
       case other => throw new UnsupportedOperationException(
         s"unsupported table change for manifest tables: $other")
     }
@@ -1168,7 +1302,8 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val fs = new Path(base).getFileSystem(new Configuration())
     val (dvCol, dvPart, dvPairs) = pendingDvPairs(fs)
-    new ManifestFileReaderFactory(schema, dvCol, dvPart, dvPairs)
+    new ManifestFileReaderFactory(schema, dvCol, dvPart, dvPairs,
+      ManifestColMap.of(org.apache.spark.sql.SparkSession.active, base))
   }
 }
 
@@ -1314,7 +1449,8 @@ final class ManifestMicroBatchStream(base: String, schema: StructType,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestFileReaderFactory(schema)
+    new ManifestFileReaderFactory(schema, colmap =
+      ManifestColMap.of(org.apache.spark.sql.SparkSession.active, base))
 }
 
 final case class ManifestFilePartition(path: String, pval: String = "")
@@ -1347,8 +1483,14 @@ object ManifestReaderStats {
 
 final class ManifestFileReaderFactory(schema: StructType,
     dvCol: String = "", dvPart: String = "",
-    dvPairs: Set[(Long, String)] = Set.empty)
+    dvPairs: Set[(Long, String)] = Set.empty,
+    colmap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
+  // RENAME name mapping: a served (logical) column reads its ORIGINAL
+  // footer name from pre-rename files and its logical name from files
+  // written after the rename — per file, physical wins when present
+  private def physicalOf(logical: String): String =
+    colmap.getOrElse(logical, logical)
   // columns the row-filter side needs beyond the served schema: the DV
   // key + partition columns must decode even when the projection drops
   // them, or in-scan deletes would stop applying
@@ -1439,7 +1581,8 @@ final class ManifestFileReaderFactory(schema: StructType,
         import scala.jdk.CollectionConverters._
         val conf = new Configuration()
         val wanted: Set[String] =
-          (schema.fields.map(_.name).toSet -- overrides.keySet) ++ extraFields
+          (schema.fields.filterNot(f => overrides.contains(f.name))
+            .flatMap(f => Seq(f.name, physicalOf(f.name))).toSet) ++ extraFields
         val inFile = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new Path(path), conf)
         val fr = ParquetFileReader.open(inFile)
@@ -1467,13 +1610,20 @@ final class ManifestFileReaderFactory(schema: StructType,
         val vals = schema.fields.map { f =>
           overrides.getOrElse(f.name, {
             val gt = cur.getType
-            if (!gt.containsField(f.name) ||
-                cur.getFieldRepetitionCount(f.name) == 0) null
+            // per-file name resolution: the mapped physical name (old
+            // files) wins when the footer has it; a post-rename file
+            // carries the logical name instead
+            val phys = physicalOf(f.name)
+            val use =
+              if (gt.containsField(phys)) phys
+              else if (phys != f.name && gt.containsField(f.name)) f.name
+              else null
+            if (use == null || cur.getFieldRepetitionCount(use) == 0) null
             else f.dataType match {
-              case LongType    => cur.getLong(f.name, 0)
-              case IntegerType => cur.getInteger(f.name, 0)
-              case DoubleType  => cur.getDouble(f.name, 0)
-              case StringType  => UTF8String.fromString(cur.getString(f.name, 0))
+              case LongType    => cur.getLong(use, 0)
+              case IntegerType => cur.getInteger(use, 0)
+              case DoubleType  => cur.getDouble(use, 0)
+              case StringType  => UTF8String.fromString(cur.getString(use, 0))
               case dt => throw new UnsupportedOperationException(
                 s"manifest-stream reader: unsupported type $dt for ${f.name}")
             }

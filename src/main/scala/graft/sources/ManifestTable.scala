@@ -3443,6 +3443,103 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
+  /** Registered `ALTER TABLE ... RENAME COLUMN`: a pure metadata stamp
+    * through the [[ManifestColMap]] name mapping — committed files keep
+    * serving the column under its ORIGINAL footer name, a post-rename
+    * INSERT writes it under the new name, and one catalog query reads
+    * the mixed file set through the per-file resolver. The oracle
+    * replays both waves; `CatalogEvolutionSpec` pins the refusals
+    * (rename onto an existing/dead name) and the layout-column rename. */
+  val catalogRename: QuerySpec = QuerySpec.sql(
+    "q_catalog_rename",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |u AS (SELECT o_orderkey, o_year, o_totalprice AS price FROM t
+      |      UNION ALL
+      |      SELECT -o_orderkey, o_year, o_totalprice + 5.0 AS price
+      |      FROM t WHERE o_year >= 1997)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(price * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("sqlrename", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_renfix_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        create(spark, b, t, "o_year")
+        setTableProperty(spark, b, "partCol", "o_year")
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(b).getParent)
+        val tbl = new java.io.File(b).getName
+        spark.sql(s"ALTER TABLE graft_cat.`$tbl` RENAME COLUMN o_totalprice TO price")
+        // post-rename wave: new files carry the LOGICAL name
+        t.filter(col("o_year") >= 1997)
+          .select((-col("o_orderkey")).as("o_orderkey"), col("o_year"),
+            (col("o_totalprice") + 5.0).as("price"))
+          .createOrReplaceTempView("graft_rename_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_rename_feed")
+        b
+      })
+    }
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n,
+         |       CAST(sum(floor(price * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Registered `ALTER TABLE ... DROP COLUMN`: the column leaves the
+    * served schema by metadata stamp alone — committed files keep its
+    * bytes but no read ever requests them, a post-drop INSERT writes the
+    * narrowed schema, and re-ADDing the dead name is refused
+    * (`CatalogEvolutionSpec`) because old files would resurrect stale
+    * values. The oracle replays the same history without the column. */
+  val catalogDropCol: QuerySpec = QuerySpec.sql(
+    "q_catalog_drop_col",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |u AS (SELECT o_orderkey, o_year, o_totalprice FROM t
+      |      UNION ALL
+      |      SELECT -o_orderkey, o_year, o_totalprice FROM t WHERE o_year = 1995)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("sqldropcol", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_dropfix_${graft.Scratch.dirToken(dir)}"
+        val t = Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("int").as("o_year"),
+            col("o_custkey"), col("o_totalprice"))
+        create(spark, b, t, "o_year")
+        setTableProperty(spark, b, "partCol", "o_year")
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(b).getParent)
+        val tbl = new java.io.File(b).getName
+        spark.sql(s"ALTER TABLE graft_cat.`$tbl` DROP COLUMN o_custkey")
+        // post-drop wave writes the NARROWED schema
+        t.filter(col("o_year") === 1995)
+          .select((-col("o_orderkey")).as("o_orderkey"), col("o_year"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("graft_drop_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_drop_feed")
+        b
+      })
+    }
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
@@ -3453,5 +3550,5 @@ object ManifestTable {
       lakehouseE2e, catalogPrune, catalogPoint, catalogDpp, catalogSpj,
       streamCdfRead, streamEvolve, catalogMetaAgg, catalogLimit,
       catalogCreate, catalogDelete, catalogUpdate, catalogMergeInto,
-      tableConcurrent)
+      tableConcurrent, catalogRename, catalogDropCol)
 }

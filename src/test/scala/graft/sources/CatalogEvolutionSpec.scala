@@ -1,0 +1,142 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for RENAME/DROP COLUMN name mapping ([[ManifestColMap]]): mixed
+  * old/new files resolve per file, row-level DML works through the map,
+  * the layout column can rename but not drop, and every resurrection
+  * hazard (re-ADD of a dead name, rename onto one) is refused. */
+class CatalogEvolutionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def catalogConf(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", graft.Scratch.root)
+  }
+  private def freshTable(tag: String): (String, org.apache.spark.sql.DataFrame) = {
+    catalogConf()
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/colevo_$tag"
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    ManifestTable.create(spark, base, t, "o_year")
+    ManifestTable.setTableProperty(spark, base, "partCol", "o_year")
+    (s"colevo_$tag", t)
+  }
+
+  test("rename: old files serve the physical name, new files the logical one") {
+    val (tbl, t) = freshTable("mix")
+    spark.sql(s"ALTER TABLE graft_cat.`$tbl` RENAME COLUMN o_totalprice TO price")
+    // the served schema speaks the new name immediately, old files included
+    val served = spark.sql(s"SELECT * FROM graft_cat.`$tbl`")
+    assert(served.schema.fieldNames.toSeq === Seq("o_orderkey", "o_year", "price"))
+    assert(served.agg(sum(floor(col("price") * 100 + 0.5).cast("long"))).head.getLong(0) ===
+      t.agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))).head.getLong(0))
+    // a post-rename INSERT stages files carrying the LOGICAL name; the
+    // mixed read still unifies
+    spark.sql(
+      s"""INSERT INTO graft_cat.`$tbl`
+         |SELECT -1000000L AS o_orderkey, 1995 AS o_year, 7.0 AS price""".stripMargin)
+    assert(spark.sql(
+      s"SELECT price FROM graft_cat.`$tbl` WHERE o_orderkey = -1000000")
+      .head.getDouble(0) === 7.0)
+    assert(spark.sql(s"SELECT * FROM graft_cat.`$tbl`").count() === t.count() + 1)
+  }
+
+  test("row-level DML works through the name map (UPDATE + fall-through DELETE)") {
+    val (tbl, t) = freshTable("dml")
+    spark.sql(s"ALTER TABLE graft_cat.`$tbl` RENAME COLUMN o_totalprice TO price")
+    // UPDATE uses the logical name over pre-rename (physical-name) files
+    spark.sql(
+      s"""UPDATE graft_cat.`$tbl` SET price = price + 1000.0
+         |WHERE o_year = 1996 AND o_orderkey % 10 = 0""".stripMargin)
+    val cohort = t.filter(col("o_year") === 1996 && col("o_orderkey") % 10 === 0)
+    val preCents = cohort
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))).head.getLong(0)
+    val postCents = spark.sql(
+      s"""SELECT CAST(sum(floor(price * 100 + 0.5)) AS BIGINT)
+         |FROM graft_cat.`$tbl` WHERE o_year = 1996 AND o_orderkey % 10 = 0""".stripMargin)
+      .head.getLong(0)
+    assert(postCents === preCents + 100000L * cohort.count())
+    // a TRANSLATABLE delete must not take the raw path under a name map
+    // (old files lack the logical column): it falls through to the
+    // row-level rewrite and still lands
+    spark.sql(s"DELETE FROM graft_cat.`$tbl` WHERE price < 50000.0 AND o_year = 1995")
+    assert(spark.sql(
+      s"SELECT * FROM graft_cat.`$tbl` WHERE price < 50000.0 AND o_year = 1995")
+      .count() === 0)
+    val survivors = t.filter(!(col("o_totalprice") < 50000.0 && col("o_year") === 1995))
+    assert(spark.sql(s"SELECT * FROM graft_cat.`$tbl`").count() === survivors.count())
+  }
+
+  test("the layout column renames with the table; TRUNCATE stays metadata-only") {
+    val (tbl, t) = freshTable("layout")
+    val base = s"${graft.Scratch.root}/$tbl"
+    spark.sql(s"ALTER TABLE graft_cat.`$tbl` RENAME COLUMN o_year TO yr")
+    assert(ManifestTable.tableProperties(spark, base)("partCol") === "yr")
+    // partition pruning still works on the renamed layout (manifest pvals
+    // are name-free strings)
+    ManifestScanEvents.clear()
+    assert(spark.sql(s"SELECT * FROM graft_cat.`$tbl` WHERE yr = 1995").count() ===
+      t.filter(col("o_year") === 1995).count())
+    val ev = ManifestScanEvents.recent(base)
+    assert(ev.nonEmpty && ev.last.kept < ev.last.total,
+      "layout filter must still prune manifest partitions after the rename")
+    // TRUNCATE commits an empty manifest without reading a byte
+    spark.sql(s"TRUNCATE TABLE graft_cat.`$tbl`")
+    assert(spark.sql(s"SELECT * FROM graft_cat.`$tbl`").count() === 0)
+    assert(spark.sql(s"SELECT * FROM graft_cat.`$tbl`").schema.fieldNames.toSeq ===
+      Seq("o_orderkey", "yr", "o_totalprice"))
+  }
+
+  test("resurrection hazards are refused; the layout column cannot drop") {
+    val (tbl, _) = freshTable("refuse")
+    spark.sql(s"ALTER TABLE graft_cat.`$tbl` DROP COLUMN o_totalprice")
+    assert(spark.sql(s"SELECT * FROM graft_cat.`$tbl`")
+      .schema.fieldNames.toSeq === Seq("o_orderkey", "o_year"))
+    // re-ADD of the dead name would serve stale values from old files
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_cat.`$tbl` ADD COLUMN o_totalprice DOUBLE")
+    }
+    assert(e1.getMessage.contains("DROPPED"))
+    // rename ONTO the dead name is the same hazard
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_cat.`$tbl` RENAME COLUMN o_orderkey TO o_totalprice")
+    }
+    assert(e2.getMessage.contains("DROPPED"))
+    // renaming onto an existing column is refused
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_cat.`$tbl` RENAME COLUMN o_orderkey TO o_year")
+    }
+    // the layout column is the table's physical organization
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_cat.`$tbl` DROP COLUMN o_year")
+    }
+    assert(e3.getMessage.contains("layout"))
+    // a fresh name works, and old files null-fill it
+    spark.sql(s"ALTER TABLE graft_cat.`$tbl` ADD COLUMN o_totalprice2 DOUBLE")
+    assert(spark.sql(
+      s"SELECT * FROM graft_cat.`$tbl` WHERE o_totalprice2 IS NOT NULL").count() === 0)
+  }
+
+  test("rename chains resolve to the original footer name") {
+    val (tbl, t) = freshTable("chain")
+    val base = s"${graft.Scratch.root}/$tbl"
+    spark.sql(s"ALTER TABLE graft_cat.`$tbl` RENAME COLUMN o_totalprice TO cost")
+    spark.sql(s"ALTER TABLE graft_cat.`$tbl` RENAME COLUMN cost TO price")
+    // one map entry, pointing at the ORIGINAL physical name
+    assert(ManifestColMap.of(spark, base) === Map("price" -> "o_totalprice"))
+    assert(spark.sql(
+      s"SELECT CAST(sum(floor(price * 100 + 0.5)) AS BIGINT) FROM graft_cat.`$tbl`")
+      .head.getLong(0) ===
+      t.agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))).head.getLong(0))
+    // renaming BACK to the original name drops the indirection entirely
+    spark.sql(s"ALTER TABLE graft_cat.`$tbl` RENAME COLUMN price TO o_totalprice")
+    assert(ManifestColMap.of(spark, base).isEmpty)
+  }
+}
