@@ -61,8 +61,8 @@ object HiddenPartition {
   def append(spark: SparkSession, base: String, df: DataFrame, partExpr: Column): Unit = {
     val v = ManifestTable.currentVersion(spark, base)
     val newFiles = ManifestTable.writeSnapshotFilesExpr(spark, base, v + 1, df, partExpr)
-    ManifestTable.commit(spark, base, v + 1,
-      ManifestTable.entries(spark, base, v) ++ newFiles)
+    // an append commutes — a lost version race rebases like every append
+    ManifestTable.commitRetrying(spark, base, v, newFiles, None)
     ManifestTable.refreshAllStats(spark, base)
   }
 

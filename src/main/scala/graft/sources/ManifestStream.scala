@@ -112,8 +112,9 @@ final class ManifestStreamTable(schema: StructType, base: String,
     * rows rewrite, the commit is the usual atomic rename, sidecars
     * refresh transactionally. A predicate Spark cannot translate to
     * source filters is refused ([[canDeleteWhere]]) rather than
-    * half-applied; `deleteWhereMoR` stays the programmatic choice for
-    * metadata-only deletes. */
+    * half-applied. Tables stamped `write.mode=merge-on-read` (+ `keyCol`)
+    * route the translated predicate to the DELETION-VECTOR commit
+    * instead — metadata-only SQL DELETE, no file rewritten. */
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
     val props = ManifestTable.tableProperties(
@@ -145,10 +146,17 @@ final class ManifestStreamTable(schema: StructType, base: String,
       val meta = Set("_pval", "_change_type", "_commit_version")
       val data = StructType(schema.fields.filterNot(f => meta(f.name)))
       val ser = ManifestSchemaProp.serialize(data)
-      // only stamp a schema the property store can round-trip — an
-      // unparseable stamp would be worse than the missing-property error
-      scala.util.Try(ManifestSchemaProp.parse(ser)).foreach(_ =>
-        ManifestTable.setTableProperty(spark, base, "schema", ser))
+      // the stamp must round-trip through the property store, or the
+      // empty post-TRUNCATE snapshot would be permanently unreadable —
+      // refuse the TRUNCATE loudly rather than proceed without the stamp
+      try ManifestSchemaProp.parse(ser)
+      catch {
+        case e: Exception => throw new UnsupportedOperationException(
+          s"cannot TRUNCATE $base: its schema does not round-trip through " +
+            s"the property store (${e.getMessage}) — the empty snapshot " +
+            "would be unreadable", e)
+      }
+      ManifestTable.setTableProperty(spark, base, "schema", ser)
     }
     val preds = filters
       .filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
@@ -158,7 +166,7 @@ final class ManifestStreamTable(schema: StructType, base: String,
       // nothing (no data file is read or written; the schema property
       // stamped above keeps the empty snapshot readable). Same pending-DV
       // fence as every rewrite verb.
-      require(ManifestTable.pendingDvVersions(spark, base).isEmpty,
+      require(ManifestTable.pendingDvRels(spark, base).isEmpty,
         s"TRUNCATE under $base requires no pending deletion vectors — " +
           "run purgeDeletes first")
       val v = ManifestTable.currentVersion(spark, base)
@@ -167,6 +175,18 @@ final class ManifestStreamTable(schema: StructType, base: String,
         ManifestTable.commitRetrying(spark, base, v, Seq.empty, Some(pvals))
         ManifestTable.refreshAllStats(spark, base)
       }
+    } else if (props.get("write.mode").contains("merge-on-read") &&
+        props.contains("keyCol")) {
+      // MoR routing: with `write.mode=merge-on-read` (+ `keyCol`) stamped
+      // on the table, a SQL DELETE FROM commits a DELETION VECTOR instead
+      // of the copy-on-write rewrite — no data file is touched, the
+      // predicate scan writes O(matches) metadata, and every read path
+      // (catalog SQL included) applies the vector in-scan until
+      // purgeDeletes folds it in. The same GDPR-erasure economics the
+      // programmatic deleteWhereMoR gives, reachable from plain SQL.
+      ManifestTable.deleteWhereMoR(spark, base, preds.reduce(_ && _),
+        props("keyCol"), partCol)
+      ()
     } else {
       ManifestTable.deleteWhere(spark, base, preds.reduce(_ && _), partCol)
     }
@@ -439,7 +459,15 @@ private[sources] object ManifestSchemaProp {
   *     data stays but is never requested — and re-ADDing any dead name
   *     is refused loudly: a new column under that name would resurrect
   *     the old values from pre-drop files.
-  */
+  *
+  * TIME TRAVEL is CURRENT-SCHEMA (the Delta convention, not Iceberg's
+  * snapshot-schema): a `VERSION AS OF` read of a pre-rename snapshot
+  * serves the column under its CURRENT logical name (values resolved
+  * through the map to the original footer bytes), and never serves a
+  * dead column — the schema is a property of the TABLE, versioned by its
+  * evolution stamps, while a snapshot pins only the DATA. One schema for
+  * all history keeps every downstream view/query valid across renames;
+  * pinned in `CatalogEvolutionSpec`. */
 private[sources] object ManifestColMap {
   def parse(s: String): Map[String, String] =
     s.split(",").filter(_.contains(">")).map { p =>
@@ -500,6 +528,7 @@ private[sources] object ManifestMetaAgg {
   private case object Cnt extends Src
   private final case class Mn(c: String) extends Src
   private final case class Mx(c: String) extends Src
+  private final case class Sm(c: String) extends Src
 
   /** Resolve the aggregation to (output schema, finished rows) if every
     * part is answerable from metadata at the scanned version; None
@@ -509,7 +538,7 @@ private[sources] object ManifestMetaAgg {
       layout: Option[String], tableSchema: StructType,
       agg: Aggregation, anyFilters: Boolean): Option[(StructType, Seq[Seq[Any]])] = {
     if (anyFilters) return None
-    if (versionAsOf.isEmpty && ManifestTable.pendingDvVersions(spark, base).nonEmpty)
+    if (versionAsOf.isEmpty && ManifestTable.pendingDvRels(spark, base).nonEmpty)
       return None // DV-hidden rows would not be discounted
     val v = versionAsOf.getOrElse(ManifestTable.currentVersion(spark, base))
     // grouping: none, or exactly the layout column
@@ -532,6 +561,15 @@ private[sources] object ManifestMetaAgg {
         case f if f.dataType == LongType || f.dataType == IntegerType =>
           (Mx(f.name), StructField(s"max_${f.name}", f.dataType))
       }
+      // SUM is answerable from the per-file sums the sidecar carries —
+      // INTEGRAL columns only (exact in any addition order; a float sum
+      // re-associated across files could differ from the row-scan answer,
+      // so it is refused, never approximated). Spark types sum(int)/
+      // sum(long) as LongType, which is exactly the sidecar's arithmetic.
+      case s: Sum if !s.isDistinct => fieldName(s.column).flatMap(colField).collect {
+        case f if f.dataType == LongType || f.dataType == IntegerType =>
+          (Sm(f.name), StructField(s"sum_${f.name}", LongType))
+      }
       case _ => None
     }
     if (srcs.exists(_.isEmpty)) return None
@@ -547,6 +585,16 @@ private[sources] object ManifestMetaAgg {
       }.toMap
     if (resolved.exists { case (Mn(c), _) => !statsFor.contains(c)
                           case (Mx(c), _) => !statsFor.contains(c)
+                          case _ => false }) return None
+    // SUM needs the sum field KNOWN for every file (a carried legacy
+    // sidecar entry without one refuses the pushdown — "absent" must
+    // never read as "zero")
+    val sumsFor: Map[String, Map[String, Option[Long]]] =
+      resolved.collect { case (Sm(c), _) => c }.distinct.flatMap { c =>
+        val m = ManifestTable.readStatsSums(spark, base, v, c)
+        if (allRels.forall(m.contains)) Some(c -> m) else None
+      }.toMap
+    if (resolved.exists { case (Sm(c), _) => !sumsFor.contains(c)
                           case _ => false }) return None
     // row counts are ALWAYS required, even when no COUNT(*) was pushed:
     // a pure group-by pushdown (Spark prunes the aggregate list to
@@ -596,6 +644,11 @@ private[sources] object ManifestMetaAgg {
           case (Cnt, _) => Long.box(cnt)
           case (Mn(c), _) => reduceStats(c, takeMin = true)
           case (Mx(c), _) => reduceStats(c, takeMin = false)
+          case (Sm(c), _) =>
+            // SUM semantics: NULLs are ignored; all-NULL (every file's
+            // sum is None) yields NULL, not 0
+            val parts = rels.flatMap(r => sumsFor(c)(r))
+            if (parts.isEmpty) null else Long.box(parts.sum)
         })
       }
     }
@@ -789,7 +842,7 @@ final class ManifestRowLevelOp(table: ManifestStreamTable, base: String,
     val spark0 = org.apache.spark.sql.SparkSession.active
     // same fence as every rewrite verb: a group rewrite under pending
     // deletion vectors could permanently apply or re-apply them half-way
-    require(ManifestTable.pendingDvVersions(spark0, base).isEmpty,
+    require(ManifestTable.pendingDvRels(spark0, base).isEmpty,
       s"row-level $cmd under $base requires no pending deletion vectors — " +
         "run purgeDeletes first")
     val partCol = ManifestTable.tableProperties(spark0, base).getOrElse("partCol",
@@ -974,7 +1027,8 @@ class ManifestCatalog
     // reader nulls them for old files
     val props = ManifestTable.tableProperties(spark, base)
     val served = props.get("schema").map(ManifestSchemaProp.parse).getOrElse {
-      val last = text.split("\n").filter(_.nonEmpty).last
+      val last = text.split("\n").filter(_.nonEmpty)
+        .filterNot(_.startsWith(ManifestTable.DvMarker + "\t")).last
       val rel = last.substring(last.indexOf('\t') + 1)
       val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
       spark.read.parquet(abs).schema
@@ -1070,8 +1124,26 @@ class ManifestCatalog
         ManifestSchemaProp.serialize(s))
     }
     def fenceDv(verb: String): Unit =
-      require(ManifestTable.pendingDvVersions(spark, base).isEmpty,
+      require(ManifestTable.pendingDvRels(spark, base).isEmpty,
         s"$verb under $base requires no pending deletion vectors — run purgeDeletes first")
+    // a name is UNAVAILABLE if old footers may still carry data under it:
+    // dead (DROPPED) names, and the PHYSICAL (original footer) names of
+    // RENAMEd columns — the per-file reader prefers a footer's own field,
+    // so introducing either would silently serve pre-rename/pre-drop bytes
+    // `exceptOf`: the column being renamed may return to its OWN physical
+    // name (that footer data IS its data — the indirection just drops)
+    def refuseShadowedName(name: String, verb: String,
+        exceptOf: Option[String] = None): Unit = {
+      require(!ManifestColMap.dead(spark, base).exists(_.equalsIgnoreCase(name)),
+        s"column name $name was DROPPED from this table: committed files " +
+          "still carry it, and reusing the name would resurrect their " +
+          "stale values — use a new name")
+      val shadowing = (ManifestColMap.of(spark, base) -- exceptOf.toSeq).values
+      require(!shadowing.exists(_.equalsIgnoreCase(name)),
+        s"$verb $name refused: a RENAMEd column's data still lives under " +
+          s"that name in committed footers — the reader would serve the " +
+          "old column's bytes for the new one; use a different name")
+    }
     changes.foreach {
       case add: org.apache.spark.sql.connector.catalog.TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -1080,25 +1152,25 @@ class ManifestCatalog
         val cur = curSchema
         require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"column $name already exists")
-        require(!ManifestColMap.dead(spark, base).exists(_.equalsIgnoreCase(name)),
-          s"column name $name was DROPPED from this table: committed files " +
-            "still carry it, and re-adding the name would resurrect their " +
-            "stale values — use a new name")
+        refuseShadowedName(name, "ADD COLUMN")
         stampSchema(StructType(cur.fields :+ StructField(name, add.dataType)))
       case rn: org.apache.spark.sql.connector.catalog.TableChange.RenameColumn =>
         require(rn.fieldNames.length == 1,
           "manifest tables support top-level RENAME COLUMN only")
         fenceDv("RENAME COLUMN")
-        val from = rn.fieldNames()(0)
         val to = rn.newName()
         val cur = curSchema
-        require(cur.fieldNames.exists(_.equalsIgnoreCase(from)),
-          s"no column $from to rename")
+        // canonicalize to the schema's exact field name: colmap storage
+        // and the per-file reader resolve EXACT names, so a case-variant
+        // `from` (possible via the programmatic API) must not record a
+        // physical name no footer will ever match
+        val from = cur.fields.map(_.name)
+          .find(_.equalsIgnoreCase(rn.fieldNames()(0)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column ${rn.fieldNames()(0)} to rename"))
         require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
           s"column $to already exists")
-        require(!ManifestColMap.dead(spark, base).exists(_.equalsIgnoreCase(to)),
-          s"column name $to was DROPPED from this table — old files still " +
-            "carry it; renaming onto a dead name would resurrect stale values")
+        refuseShadowedName(to, "RENAME COLUMN to", exceptOf = Some(from))
         val cm = ManifestColMap.of(spark, base)
         // chains resolve NOW: the map always points at the original
         // footer name, whatever the column was called in between
@@ -1108,7 +1180,7 @@ class ManifestCatalog
         ManifestTable.setTableProperty(spark, base, "colmap",
           ManifestColMap.serialize(next))
         stampSchema(StructType(cur.fields.map(f =>
-          if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)))
+          if (f.name == from) f.copy(name = to) else f)))
         // the layout column follows its rename (pvals are name-free)
         if (ManifestTable.tableProperties(spark, base)
             .get("partCol").exists(_.equalsIgnoreCase(from)))
@@ -1117,10 +1189,13 @@ class ManifestCatalog
         require(del.fieldNames.length == 1,
           "manifest tables support top-level DROP COLUMN only")
         fenceDv("DROP COLUMN")
-        val name = del.fieldNames()(0)
         val cur = curSchema
-        require(cur.fieldNames.exists(_.equalsIgnoreCase(name)),
-          s"no column $name to drop")
+        // canonical exact name, same reason as RENAME: deadcols must name
+        // the strings footers actually carry
+        val name = cur.fields.map(_.name)
+          .find(_.equalsIgnoreCase(del.fieldNames()(0)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column ${del.fieldNames()(0)} to drop"))
         require(!ManifestTable.tableProperties(spark, base)
             .get("partCol").exists(_.equalsIgnoreCase(name)),
           s"cannot drop the layout column $name")
@@ -1132,7 +1207,7 @@ class ManifestCatalog
           dead.toSeq.sorted.mkString(","))
         ManifestTable.setTableProperty(spark, base, "colmap",
           ManifestColMap.serialize(cm - name))
-        stampSchema(StructType(cur.fields.filterNot(_.name.equalsIgnoreCase(name))))
+        stampSchema(StructType(cur.fields.filterNot(_.name == name)))
       case other => throw new UnsupportedOperationException(
         s"unsupported table change for manifest tables: $other")
     }
@@ -1179,7 +1254,7 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     val all = text.split("\n").filter(_.nonEmpty).map { l =>
       val i = l.indexOf('\t')
       (l.substring(0, i), l.substring(i + 1)) // (pval, rel)
-    }
+    }.filterNot(_._1 == ManifestTable.DvMarker) // DV markers are metadata
     // three skipping stages, all driver-side metadata: (1) static
     // partition pruning from pushed layout-column filters, (2) runtime
     // partition pruning (DPP — the join's build-side keys arrive through
@@ -1205,7 +1280,7 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     val limited = pushedLimit match {
       case Some(l) if rt.isEmpty && pushed.isEmpty &&
           (versionAsOf.isDefined ||
-            ManifestTable.pendingDvVersions(spark, base).isEmpty) =>
+            ManifestTable.pendingDvRels(spark, base).isEmpty) =>
         ManifestTable.statCols(spark, base, v).view
           .map(c => ManifestTable.readStatsCounts(spark, base, v, c))
           .find(m => afterFiles.forall { case (_, rel) => m.contains(rel) }) match {
@@ -1259,20 +1334,18 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     * programmatic API. Time-travel reads skip DV application — vectors
     * belong to versions after the pinned one. */
   private def pendingDvPairs(fs: FileSystem): (String, String, Set[(Long, String)]) = {
-    val dvRoot = new Path(base, "_dv")
-    if (versionAsOf.isDefined || !fs.exists(dvRoot)) return ("", "", Set.empty)
-    val committed = fs.listStatus(new Path(base, "_manifests")).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
-        n.stripPrefix("v").stripSuffix(".manifest").toInt }.toSet
-    val dvDirs = fs.listStatus(dvRoot).toSeq
-      .filter(d => committed(d.getPath.getName.stripPrefix("v").toInt))
-    if (dvDirs.isEmpty) return ("", "", Set.empty)
+    if (versionAsOf.isDefined) return ("", "", Set.empty)
+    // vectors pending at the CURRENT version, read from the manifest's
+    // own `__dv` markers — atomically consistent with the planned snapshot
+    val spark = org.apache.spark.sql.SparkSession.active
+    val rels = ManifestTable.pendingDvRels(spark, base)
+    if (rels.isEmpty) return ("", "", Set.empty)
+    val dvDirs = rels.map(rel => new Path(base, rel))
     // the _partcol sidecar names the DATA column the recorded partition
     // values came from; every pending vector of a table must agree
     val partCols = dvDirs.map { d =>
-      val p = new Path(d.getPath, "_partcol")
-      require(fs.exists(p), s"deletion vector ${d.getPath} lacks its _partcol sidecar")
+      val p = new Path(d, "_partcol")
+      require(fs.exists(p), s"deletion vector $d lacks its _partcol sidecar")
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
     }.distinct
@@ -1281,7 +1354,7 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     var keyCol = ""
     val pairs = scala.collection.mutable.Set[(Long, String)]()
     dvDirs.foreach { d =>
-      fs.listStatus(d.getPath).toSeq
+      fs.listStatus(d).toSeq
         .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
           val r = ParquetReader.builder(new GroupReadSupport(), f.getPath)
             .withConf(new Configuration()).build()
@@ -1327,11 +1400,18 @@ final case class CdfDvPartition(path: String, keyCol: String,
 private[sources] object ManifestDvSidecar {
   def pairsAt(base: String, v: Int): (String, Map[String, Set[Long]]) = {
     val fs = new Path(base).getFileSystem(new Configuration())
-    val d = new Path(base, s"_dv/v$v")
-    if (!fs.exists(d)) return ("", Map.empty)
+    val spark = org.apache.spark.sql.SparkSession.active
+    // the vectors version v's commit INTRODUCED: its markers minus the
+    // previous manifest's (markers carry forward until purged)
+    val landed = ManifestTable.dvMarkersAt(spark, base, v)
+      .diff(if (v > 1) ManifestTable.dvMarkersAt(spark, base, v - 1) else Seq.empty)
+      .map(rel => new Path(base, rel))
+      .filter(fs.exists(_)) // purged vectors tolerate as before
+    if (landed.isEmpty) return ("", Map.empty)
     var keyCol = ""
     val m = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
-    fs.listStatus(d).toSeq.filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+    landed.flatMap(d => fs.listStatus(d).toSeq)
+      .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
       val r = ParquetReader.builder(new GroupReadSupport(), f.getPath)
         .withConf(new Configuration()).build()
       var g = r.read()
@@ -1375,7 +1455,7 @@ final class ManifestMicroBatchStream(base: String, schema: StructType,
     text.split("\n").toSeq.filter(_.nonEmpty).map { l =>
       val i = l.indexOf('\t')
       (l.substring(0, i), l.substring(i + 1))
-    }
+    }.filterNot(_._1 == ManifestTable.DvMarker) // DV markers are metadata
   }
 
   // Trigger.AvailableNow pins the catch-up target ONCE, so a concurrent
@@ -1877,10 +1957,19 @@ final class ManifestBatchAppend(base: String, schema: StructType, partCol: Strin
     }
     // an INSERT is a pure append: losing the version race to a concurrent
     // writer rebases onto the winner's entries and retries (the dest dir's
-    // version name is bookkeeping — entries are paths); a first write to
-    // an uncommitted base commits v1 directly
+    // version name is bookkeeping — entries are paths). A first write to
+    // an uncommitted base tries v1 directly; losing THAT race (two
+    // concurrent first INSERTs) rebases onto the winner's v1 like any
+    // other append instead of failing with orphaned staged files
     if (hasCommits) ManifestTable.commitRetrying(spark, base, readV, moved, None)
-    else ManifestTable.commit(spark, base, 1, moved)
+    else {
+      try ManifestTable.commit(spark, base, 1, moved)
+      catch {
+        case _: ManifestTable.VersionConflictException =>
+          ManifestTable.commitRetrying(spark, base,
+            ManifestTable.currentVersion(spark, base), moved, None)
+      }
+    }
     evolved.foreach(s => ManifestTable.setTableProperty(
       spark, base, "schema", ManifestSchemaProp.serialize(s)))
     // sidecars ride every commit verb, SQL INSERT included — without this

@@ -82,9 +82,21 @@ object ManifestTable {
   private[sources] def entries(spark: SparkSession, base: String, v: Int): Seq[(String, String)] =
     entriesAt(spark, new Path(manifestDir(base), s"v$v.manifest"))
 
+  /** The `pval` field marking a DELETION-VECTOR reference line in a
+    * manifest (Delta's in-log DV reference): `__dv\t<dv dir relpath>`.
+    * A vector becomes visible ATOMICALLY with the commit that names it —
+    * no window where a committed version and its pending vector disagree.
+    * [[entriesAt]] filters these out, so every data consumer is unaware;
+    * [[dvMarkersAt]] reads them back. */
+  private[sources] val DvMarker = "__dv"
+
   /** Parse a manifest file (committed OR a transaction's temp manifest)
-    * into its (pval, relative path) entries. */
-  private[sources] def entriesAt(spark: SparkSession, p: Path): Seq[(String, String)] = {
+    * into its (pval, relative path) DATA entries — deletion-vector marker
+    * lines are metadata and are filtered here, centrally. */
+  private[sources] def entriesAt(spark: SparkSession, p: Path): Seq[(String, String)] =
+    rawEntriesAt(spark, p).filterNot(_._1 == DvMarker)
+
+  private[sources] def rawEntriesAt(spark: SparkSession, p: Path): Seq[(String, String)] = {
     val fs = fsOf(spark, p)
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -93,6 +105,30 @@ object ManifestTable {
       (line.substring(0, i), line.substring(i + 1))
     }
   }
+
+  /** Deletion-vector dir relpaths the manifest of version `v` references
+    * (the vectors PENDING at that version). Missing manifest → empty. */
+  private[sources] def dvMarkersAt(spark: SparkSession, base: String, v: Int): Seq[String] = {
+    val p = new Path(manifestDir(base), s"v$v.manifest")
+    if (!fsOf(spark, p).exists(p)) Seq.empty
+    else rawEntriesAt(spark, p).collect { case (DvMarker, rel) => rel }
+  }
+
+  /** Vectors pending at the CURRENT version (empty for an uncommitted
+    * base). Visibility is read from the manifest itself, so it is always
+    * consistent with the snapshot a reader just resolved. */
+  private[sources] def pendingDvRels(spark: SparkSession, base: String): Seq[String] = {
+    val vs = versions(spark, base)
+    if (vs.isEmpty) Seq.empty else dvMarkersAt(spark, base, vs.last)
+  }
+
+  /** Thrown by [[commit]] when the version was already taken by a
+    * concurrent writer — the ONE failure the optimistic retry may absorb.
+    * Subclasses IOException so pre-existing catch sites keep working, but
+    * [[commitRetrying]] retries on THIS type only: a genuine I/O failure
+    * (permissions, disk) propagates immediately instead of being retried
+    * into a misleading "version already exists" message. */
+  final class VersionConflictException(msg: String) extends java.io.IOException(msg)
 
   /** The commit point: write the manifest to a temp name, rename into
     * place. Rename won't overwrite an existing committed manifest, so a
@@ -109,7 +145,7 @@ object ManifestTable {
     val dest = new Path(dir, s"v$v.manifest")
     if (fs.exists(dest) || !fs.rename(tmp, dest)) {
       fs.delete(tmp, false)
-      throw new java.io.IOException(
+      throw new VersionConflictException(
         s"concurrent commit: version $v already exists under $base")
     }
   }
@@ -152,7 +188,7 @@ object ManifestTable {
   private[sources] def commitRetrying(
       spark: SparkSession, base: String, readV: Int,
       staged: Seq[(String, String)], replaced: Option[Set[String]],
-      maxAttempts: Int = 20): Int = {
+      maxAttempts: Int = 20, dropDvMarkers: Boolean = false): Int = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -161,8 +197,12 @@ object ManifestTable {
         // a DV committed after the read names rows the staged files did
         // not discount — unsafe for a rewrite (it would resurrect them)
         // AND for an append (the vector would wrongly hide fresh rows
-        // that matched its keys but never matched its predicate)
-        if (pendingDvVersions(spark, base).exists(_ > readV))
+        // that matched its keys but never matched its predicate). Marker
+        // visibility is IN the manifest, so this check is atomic with
+        // the version read.
+        val newDvs = dvMarkersAt(spark, base, cur)
+          .diff(dvMarkersAt(spark, base, readV))
+        if (newDvs.nonEmpty)
           throw new ConcurrentRewriteException(
             s"commit under $base: a deletion vector landed after the read " +
               s"(v$readV) — re-run the operation against the current snapshot")
@@ -179,17 +219,60 @@ object ManifestTable {
         }
       }
       val es = entries(spark, base, cur)
+      // pending DV markers ride every rebase unless the verb is the purge
+      // that folds them in — dropping one would silently resurrect rows
+      val markers =
+        if (dropDvMarkers) Seq.empty
+        else dvMarkersAt(spark, base, cur).map((DvMarker, _))
       val merged = replaced match {
-        case None => es ++ staged
-        case Some(rep) => es.filterNot { case (p, _) => rep(p) } ++ staged
+        case None => markers ++ es ++ staged
+        case Some(rep) => markers ++ es.filterNot { case (p, _) => rep(p) } ++ staged
       }
       try {
         commit(spark, base, cur + 1, merged)
         return cur + 1
       } catch {
-        case _: java.io.IOException if attempt < maxAttempts => () // lost the
-          // version race to a concurrent writer — loop: revalidate against
-          // the winner's snapshot and retry at the next version
+        case _: VersionConflictException if attempt < maxAttempts => () // lost
+          // the version race to a concurrent writer — loop: revalidate
+          // against the winner's snapshot and retry at the next version
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** [[commitRetrying]] for FULL-TABLE REPLACEMENT verbs ([[optimizeSorted]],
+    * [[optimizeClustered2d]], [[restore]]): the staged entries are the
+    * complete new snapshot, computed from EVERY row read at `readV` — so
+    * the read set is the whole table and a rebase is valid only when the
+    * interleaved commit changed nothing at all (a pure version race, e.g.
+    * a concurrent commit that itself lost and retried elsewhere). Any
+    * entry-set difference or freshly landed deletion vector means the
+    * staged layout is stale → [[ConcurrentRewriteException]], and the
+    * caller re-runs against the new snapshot. Same cost model as every
+    * retry here: driver-side manifest arithmetic only. */
+  private[sources] def commitRetryingFullTable(
+      spark: SparkSession, base: String, readV: Int,
+      staged: Seq[(String, String)], verb: String,
+      maxAttempts: Int = 20): Int = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = currentVersion(spark, base)
+      if (cur != readV) {
+        val newDvs = dvMarkersAt(spark, base, cur)
+          .diff(dvMarkersAt(spark, base, readV))
+        if (newDvs.nonEmpty || entries(spark, base, cur).toSet !=
+            entries(spark, base, readV).toSet)
+          throw new ConcurrentRewriteException(
+            s"$verb under $base: the table changed between read (v$readV) " +
+              s"and commit (v$cur) — the staged full-table rewrite is " +
+              "stale; re-run the operation")
+      }
+      try {
+        commit(spark, base, cur + 1, staged)
+        return cur + 1
+      } catch {
+        case _: VersionConflictException if attempt < maxAttempts => ()
       }
     }
     -1 // unreachable
@@ -484,15 +567,19 @@ object ManifestTable {
     * layout-maintenance job that keeps point/range lookups on a secondary
     * key from reading whole partitions. Returns (files before, after). */
   def optimizeSorted(spark: SparkSession, base: String, partCol: String,
-      sortCol: String, filesPerPartition: Int): (Int, Int) = {
+      sortCol: String, filesPerPartition: Int,
+      raceInject: () => Unit = () => ()): (Int, Int) = {
     requireNoPendingDv(spark, base, "optimizeSorted")
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
     val nPvals = es.map(_._1).distinct.size
     val newFiles = writeSnapshotFilesArranged(spark, base, v + 1,
-      read(spark, base), col(partCol),
+      readVersion(spark, base, v), col(partCol),
       _.repartitionByRange(nPvals * filesPerPartition, col("__p"), col(sortCol)))
-    commit(spark, base, v + 1, newFiles)
+    raceInject() // test hook: a concurrent commit between stage and commit
+    // full-table layout rewrite: a pure version race retries; any real
+    // interleaved change fails classified (the sorted layout is stale)
+    commitRetryingFullTable(spark, base, v, newFiles, "optimizeSorted")
     refreshAllStats(spark, base)
     (es.size, newFiles.size)
   }
@@ -510,12 +597,13 @@ object ManifestTable {
     * aggregate — at production scale the table stats the commit path
     * already maintains). Returns (files before, after). */
   def optimizeClustered2d(spark: SparkSession, base: String, partCol: String,
-      c1: String, c2: String, filesPerPartition: Int): (Int, Int) = {
+      c1: String, c2: String, filesPerPartition: Int,
+      raceInject: () => Unit = () => ()): (Int, Int) = {
     requireNoPendingDv(spark, base, "optimizeClustered2d")
     graft.exprs.GraftFunctions.register(spark)
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
-    val rows = read(spark, base)
+    val rows = readVersion(spark, base, v)
     val mx = rows.agg(max(col(c1)), max(col(c2))).head
     val (m1, m2) = (mx.getLong(0) + 1, mx.getLong(1) + 1)
     val hk = graft.exprs.GraftFunctions.hilbert3(
@@ -525,7 +613,8 @@ object ManifestTable {
       col(partCol),
       _.repartitionByRange(nPvals * filesPerPartition,
         col("__p"), hk))
-    commit(spark, base, v + 1, newFiles)
+    raceInject() // test hook: a concurrent commit between stage and commit
+    commitRetryingFullTable(spark, base, v, newFiles, "optimizeClustered2d")
     refreshAllStats(spark, base)
     (es.size, newFiles.size)
   }
@@ -537,14 +626,21 @@ object ManifestTable {
     * [[expireSnapshots]], so a bad merge is reversible and auditable —
     * the operational "undo" every transactional table needs. Returns the
     * new version number. */
-  def restore(spark: SparkSession, base: String, toVersion: Int): Int = {
+  def restore(spark: SparkSession, base: String, toVersion: Int,
+      raceInject: () => Unit = () => ()): Int = {
     requireNoPendingDv(spark, base, "restore")
     val vs = versions(spark, base)
     require(vs.contains(toVersion), s"no snapshot v$toVersion under $base")
     val v = vs.last
-    commit(spark, base, v + 1, entries(spark, base, toVersion))
+    raceInject() // test hook: a concurrent commit between read and commit
+    // RESTORE's semantics are "the table becomes exactly snapshot
+    // toVersion" — an interleaved commit would be silently undone by a
+    // blind rebase, so restore replaces the FULL table and classifies any
+    // real concurrent change as a conflict
+    val newV = commitRetryingFullTable(spark, base, v,
+      entries(spark, base, toVersion), "restore")
     refreshAllStats(spark, base)
-    v + 1
+    newV
   }
 
   /** FILE-LEVEL COLUMN STATISTICS sidecar — the Iceberg min/max file-skipping
@@ -607,14 +703,48 @@ object ManifestTable {
     }
   }
 
+  /** Per-file SUMS of the stat column (the 5th field) — the metadata
+    * behind SUM pushdown. A present key means the sum is KNOWN for that
+    * file; `None` means the column is entirely NULL there (SUM over it is
+    * NULL, not 0 — the distinction matters only when every file is).
+    * Files whose carried entry predates the sum field are absent, which
+    * refuses the pushdown rather than risking a wrong total. Sums are
+    * exact only for integral columns, which is all the pushdown serves. */
+  private[sources] def readStatsSums(
+      spark: SparkSession, base: String, v: Int, statCol: String)
+      : Map[String, Option[Long]] = {
+    val p = statsPath(base, v, statCol)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      text.split("\n").filter(_.nonEmpty).flatMap { line =>
+        val f = line.split("\t")
+        if (f.length >= 5)
+          Some(f(0) -> (if (f(4) == "-") None else Some(f(4).toLong)))
+        else None
+      }.toMap
+    }
+  }
+
   private def writeStatsFile(spark: SparkSession, base: String, v: Int,
       statCol: String, es: Seq[(String, String)], stats: Map[String, Stat],
-      counts: Map[String, Long]): Unit = {
+      counts: Map[String, Long],
+      sums: Map[String, Option[Long]] = Map.empty): Unit = {
     val lines = es.map { case (_, rel) =>
       val cnt = counts.get(rel).map(_.toString).getOrElse("-")
+      // the sum field is written ONLY when known (absent ≠ all-NULL):
+      // a carried legacy entry without one refuses SUM pushdown instead
+      // of conflating "never computed" with "sums to NULL"
+      val sm = sums.get(rel) match {
+        case Some(Some(s)) => s"\t$s"
+        case Some(None) => "\t-"
+        case None => ""
+      }
       stats.getOrElse(rel, None) match {
-        case Some((mn, mx)) => s"$rel\t$mn\t$mx\t$cnt"
-        case None => s"$rel\t-\t-\t$cnt"
+        case Some((mn, mx)) => s"$rel\t$mn\t$mx\t$cnt$sm"
+        case None => s"$rel\t-\t-\t$cnt$sm"
       }
     }
     val dir = manifestDir(base)
@@ -637,7 +767,7 @@ object ManifestTable {
     * part number into two partitions of one job. A file with zero rows (or
     * an all-NULL stat column) maps to None — never kept by pruning. */
   private def scanStats(spark: SparkSession, base: String,
-      statCol: String, rels: Seq[String]): Map[String, (Stat, Long)] = {
+      statCol: String, rels: Seq[String]): Map[String, (Stat, Long, Option[Long])] = {
     if (rels.isEmpty) return Map.empty
     def tail2(p: String): String = p.split('/').takeRight(2).mkString("/")
     def decoded(uri: String): String =
@@ -649,13 +779,14 @@ object ManifestTable {
       .select(col(statCol).cast("long").as("__v"), input_file_name().as("__f"))
       .groupBy(col("__f"))
       .agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"),
-        count(lit(1)).as("cnt")) // row count rides the same pass
+        count(lit(1)).as("cnt"), // row count rides the same pass
+        sum(col("__v")).as("sm")) // and the per-file sum (NULL = all-NULL)
       .collect() // one row per data file: metadata-sized
     rows.map { r =>
       val rel = byTail.getOrElse(tail2(decoded(r.getString(0))),
         throw new IllegalStateException(s"scanned file ${r.getString(0)} not in file set"))
       rel -> ((if (r.isNullAt(1)) (None: Stat) else Some((r.getLong(1), r.getLong(2))),
-        r.getLong(3)))
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
     }.toMap
   }
 
@@ -664,8 +795,9 @@ object ManifestTable {
     val es = entries(spark, base, v)
     val scanned = scanStats(spark, base, statCol, es.map(_._2))
     writeStatsFile(spark, base, v, statCol, es,
-      scanned.map { case (rel, (st, _)) => rel -> st },
-      scanned.map { case (rel, (_, c)) => rel -> c })
+      scanned.map { case (rel, (st, _, _)) => rel -> st },
+      scanned.map { case (rel, (_, c, _)) => rel -> c },
+      scanned.map { case (rel, (_, _, s)) => rel -> s })
   }
 
   /** INCREMENTAL stats refresh — the maintenance form of [[buildStats]]:
@@ -690,12 +822,16 @@ object ManifestTable {
     val priorCnt: Map[String, Long] = priors
       .map(pv => readStatsCounts(spark, base, pv, statCol))
       .foldLeft(Map.empty[String, Long])(_ ++ _)
+    val priorSum: Map[String, Option[Long]] = priors
+      .map(pv => readStatsSums(spark, base, pv, statCol))
+      .foldLeft(Map.empty[String, Option[Long]])(_ ++ _)
     val (carried, fresh) = es.partition { case (_, rel) => prior.contains(rel) }
     val freshStats = scanStats(spark, base, statCol, fresh.map(_._2))
     val full = es.map { case (_, rel) =>
       rel -> prior.getOrElse(rel, freshStats.get(rel).map(_._1).getOrElse(None)) }.toMap
-    val fullCnt = priorCnt ++ freshStats.map { case (rel, (_, c)) => rel -> c }
-    writeStatsFile(spark, base, v, statCol, es, full, fullCnt)
+    val fullCnt = priorCnt ++ freshStats.map { case (rel, (_, c, _)) => rel -> c }
+    val fullSum = priorSum ++ freshStats.map { case (rel, (_, _, s)) => rel -> s }
+    writeStatsFile(spark, base, v, statCol, es, full, fullCnt, fullSum)
     (fresh.size, carried.size)
   }
 
@@ -958,15 +1094,18 @@ object ManifestTable {
   }
 
   // ---- merge-on-read deletes (deletion vectors) ---------------------------
+  //
+  // A vector's VISIBILITY is a `__dv` marker line in the manifest itself
+  // (see [[DvMarker]]), so it lands atomically with its commit: there is
+  // no window where the committed version and the pending-vector set can
+  // disagree, and a lost commit race can never leave a stray vector
+  // attached to the winner's snapshot. The dir name is a UUID (not a
+  // version): two concurrent MoR deletes stage into distinct dirs and the
+  // loser simply rebases its marker onto the winner's manifest.
 
-  /** Committed versions that carry a pending deletion vector. */
-  private[sources] def pendingDvVersions(spark: SparkSession, base: String): Seq[Int] = {
-    val fs = fsOf(spark, new Path(base))
-    versions(spark, base).filter(v => fs.exists(new Path(base, s"_dv/v$v")))
-  }
-
-  private def requireNoPendingDv(spark: SparkSession, base: String, verb: String): Unit =
-    require(pendingDvVersions(spark, base).isEmpty,
+  private[sources] def requireNoPendingDv(
+      spark: SparkSession, base: String, verb: String): Unit =
+    require(pendingDvRels(spark, base).isEmpty,
       s"$verb requires no pending deletion vectors — run purgeDeletes first " +
         "(a rewrite or append under pending DVs could resurrect or re-delete rows)")
 
@@ -981,41 +1120,84 @@ object ManifestTable {
     * [[purgeDeletes]] folds them in. At 100 TB this is what makes
     * frequent fine-grained deletes (GDPR erasure across thousands of
     * partitions) affordable: O(matches) per delete, one consolidated
-    * rewrite later. Crash-safe like every verb — the DV is written before
-    * the commit rename, and an uncommitted `_dv/v(N+1)` dir is invisible
-    * because [[pendingDvVersions]] consults committed versions only.
+    * rewrite later. Crash-safe like every verb — the vector stages under
+    * a UUID dir that no reader can see until the commit rename names its
+    * `__dv` marker ([[DvMarker]] — visibility is atomic with the commit,
+    * so a lost race can never leave a stray vector attached to the
+    * winner's snapshot). Concurrency is classified like every verb: a
+    * concurrent commit that left the vector's partitions' DATA untouched
+    * (another DV, an append or rewrite elsewhere) rebases the marker and
+    * retries; one that changed those partitions fails with
+    * [[ConcurrentRewriteException]] — an appended row sharing a recorded
+    * (key, partition) pair would otherwise be wrongly hidden.
     * Returns whether anything matched (no match → no commit). */
   def deleteWhereMoR(spark: SparkSession, base: String,
-      pred: org.apache.spark.sql.Column, keyCol: String, partCol: String): Boolean = {
-    val v = currentVersion(spark, base)
-    val dvPath = s"$base/_dv/v${v + 1}"
-    read(spark, base).filter(pred)
+      pred: org.apache.spark.sql.Column, keyCol: String, partCol: String,
+      raceInject: () => Unit = () => ()): Boolean = {
+    val readV = currentVersion(spark, base)
+    val rel = s"_dv/d-${java.util.UUID.randomUUID}"
+    val dvPath = s"$base/$rel"
+    val fs = fsOf(spark, new Path(base))
+    // the predicate scan is pinned to the snapshot the retry validates
+    readVersion(spark, base, readV).filter(pred)
       .select(col(keyCol), col(partCol).cast("string").as("__pval"))
-      .write.mode("overwrite").parquet(dvPath)
-    if (spark.read.parquet(dvPath).isEmpty) {
-      fsOf(spark, new Path(base)).delete(new Path(dvPath), true)
+      .write.parquet(dvPath)
+    val touched = spark.read.parquet(dvPath)
+      .select(col("__pval")).distinct()
+      .collect().map(_.getString(0)).toSet // DV-metadata-sized
+    if (touched.isEmpty) {
+      fs.delete(new Path(dvPath), true)
       return false
     }
     // the vector records (key, partition) PAIRS; readers need to know which
     // data column the partition value came from to scope the anti-join the
     // same way purgeDeletes scopes its rewrite — name it in a sidecar
     // (underscore-prefixed: invisible to parquet directory reads)
-    val fs = fsOf(spark, new Path(base))
     val out = fs.create(new Path(dvPath, "_partcol"), true)
     try out.write(partCol.getBytes("UTF-8")) finally out.close()
-    commit(spark, base, v + 1, entries(spark, base, v))
-    refreshAllStats(spark, base)
-    true
+    raceInject() // test hook: a concurrent commit between stage and commit
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = currentVersion(spark, base)
+      if (cur != readV) {
+        // concurrent DV markers commute with this one (each names rows it
+        // read at its own snapshot; the anti-join unions them) — only the
+        // DATA of the vector's partitions must be unchanged
+        val before = entries(spark, base, readV)
+          .filter { case (p, _) => touched(p) }.toSet
+        val now = entries(spark, base, cur)
+          .filter { case (p, _) => touched(p) }.toSet
+        if (before != now) {
+          fs.delete(new Path(dvPath), true)
+          throw new ConcurrentRewriteException(
+            s"deleteWhereMoR under $base: partitions " +
+              s"${touched.mkString("{", ",", "}")} changed between read " +
+              s"(v$readV) and commit (v$cur) — the recorded keys are stale; " +
+              "re-run the delete")
+        }
+      }
+      val merged = (dvMarkersAt(spark, base, cur) :+ rel).map((DvMarker, _)) ++
+        entries(spark, base, cur)
+      try {
+        commit(spark, base, cur + 1, merged)
+        refreshAllStats(spark, base)
+        return true
+      } catch {
+        case _: VersionConflictException if attempt < 20 => ()
+      }
+    }
+    true // unreachable
   }
 
-  /** The partition column every pending vector under `base` was recorded
-    * against (they must agree — one layout per table). */
+  /** The partition column every listed vector was recorded against (they
+    * must agree — one layout per table). `rels` are dv dir relpaths. */
   private[sources] def dvPartColOf(spark: SparkSession, base: String,
-      dvs: Seq[Int]): String = {
+      rels: Seq[String]): String = {
     val fs = fsOf(spark, new Path(base))
-    val cols = dvs.map { v =>
-      val p = new Path(base, s"_dv/v$v/_partcol")
-      require(fs.exists(p), s"deletion vector v$v under $base lacks its _partcol sidecar")
+    val cols = rels.map { rel =>
+      val p = new Path(base, s"$rel/_partcol")
+      require(fs.exists(p), s"deletion vector $rel under $base lacks its _partcol sidecar")
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
     }.distinct
@@ -1035,13 +1217,13 @@ object ManifestTable {
     * cross-partition keys too. With no pending DVs this is exactly
     * [[read]]. */
   def readMoR(spark: SparkSession, base: String, keyCol: String): DataFrame = {
-    val dvs = pendingDvVersions(spark, base)
+    val dvs = pendingDvRels(spark, base)
     val data = read(spark, base)
     if (dvs.isEmpty) data
     else {
       val pc = dvPartColOf(spark, base, dvs)
       val pairs = spark.read
-        .parquet(dvs.map(v => s"$base/_dv/v$v"): _*)
+        .parquet(dvs.map(rel => s"$base/$rel"): _*)
         .select(col(keyCol), col("__pval")).distinct()
       data.withColumn("__pval", col(pc).cast("string"))
         .join(broadcast(pairs), Seq(keyCol, "__pval"), "left_anti")
@@ -1060,11 +1242,11 @@ object ManifestTable {
     * (partitions rewritten, keys purged). */
   def purgeDeletes(spark: SparkSession, base: String,
       keyCol: String, partCol: String): (Int, Long) = {
-    val dvs = pendingDvVersions(spark, base)
+    val dvs = pendingDvRels(spark, base)
     if (dvs.isEmpty) return (0, 0L)
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
-    val dv = spark.read.parquet(dvs.map(dvv => s"$base/_dv/v$dvv"): _*)
+    val dv = spark.read.parquet(dvs.map(rel => s"$base/$rel"): _*)
     val touched = dv.select(col("__pval")).distinct()
       .collect().map(_.getString(0)).toSet // DV-metadata-sized
     val pairs = dv.select(col(keyCol), col("__pval")).distinct()
@@ -1079,10 +1261,13 @@ object ManifestTable {
       .join(broadcast(pairs), Seq(keyCol, "__pval"), "left_anti")
       .drop("__pval")
     val newFiles = writeSnapshotFiles(spark, base, v + 1, survivors, partCol)
-    commitRetrying(spark, base, v, newFiles, Some(touched))
+    // the purge's commit DROPS the folded markers (dropDvMarkers) — a DV
+    // that landed after the read is caught by the retry's marker check
+    // and classifies as a conflict (this purge did not fold it)
+    commitRetrying(spark, base, v, newFiles, Some(touched), dropDvMarkers = true)
     refreshAllStats(spark, base)
     val fs = fsOf(spark, new Path(base))
-    dvs.foreach(dvv => fs.delete(new Path(base, s"_dv/v$dvv"), true))
+    dvs.foreach(rel => fs.delete(new Path(base, rel), true))
     (touched.size, nKeys)
   }
 
@@ -1180,14 +1365,18 @@ object ManifestTable {
         }
       }
     }
-    // a crashed deleteWhereMoR leaves a vector dir for a version that was
-    // never committed — invisible to readers, but debris all the same
-    val committed = versions(spark, base).toSet
-    val dvDirs = fs.globStatus(new Path(base, "_dv/v*"))
+    // a crashed or race-losing deleteWhereMoR leaves a vector dir whose
+    // `__dv` marker never committed — invisible to readers (visibility is
+    // the marker, not the dir), but debris all the same. Dirs referenced
+    // by ANY committed manifest stay (old manifests keep their change
+    // feed replayable until expireSnapshots drops them).
+    val dvReferenced = versions(spark, base)
+      .flatMap(v => dvMarkersAt(spark, base, v)).toSet
+    val dvDirs = fs.globStatus(new Path(base, "_dv/*"))
     if (dvDirs != null) dvDirs.foreach { d =>
-      val v = d.getPath.getName.stripPrefix("v").toIntOption
-      if (v.exists(!committed(_)) && d.getModificationTime < cutoff) {
-        deleted += s"_dv/${d.getPath.getName}"
+      val rel = s"_dv/${d.getPath.getName}"
+      if (!dvReferenced(rel) && d.getModificationTime < cutoff) {
+        deleted += rel
         fs.delete(d.getPath, true)
       }
     }
@@ -3540,6 +3729,264 @@ object ManifestTable {
          |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Registered OPTIMIZE-vs-INGEST RACE — the most likely real collision
+    * in a deployment: a nightly full-table `optimizeSorted` races an
+    * ingest append. The full-table layout was computed from EVERY row
+    * read, so the interleaved append makes it stale — the losing OPTIMIZE
+    * aborts CLASSIFIED ([[ConcurrentRewriteException]], never a silent
+    * undo of the ingest), and the re-run against the new snapshot lands.
+    * Both effects survive: the oracle replays ingest + content (a sort
+    * changes layout only); `ConcurrentCommitSpec` adds the pure-version-
+    * race rebase and the clustered/restore/DV variants. */
+  val tableOptimizeConcurrent: QuerySpec = QuerySpec.sql(
+    "q_optimize_concurrent",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |u AS (SELECT o_orderkey, o_year, o_totalprice FROM t
+      |      UNION ALL
+      |      SELECT -o_orderkey, o_year, o_totalprice FROM t WHERE o_year = 1996)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("optconcurrent", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_ocfix_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        create(spark, b, t, "o_year")
+        val extra = t.filter(col("o_year") === 1996)
+          .withColumn("o_orderkey", -col("o_orderkey"))
+        // the nightly OPTIMIZE stages its full-table sort against v1;
+        // the ingest wins v2 — the sort MUST abort classified (a rebase
+        // would commit a layout missing the ingested rows)
+        val aborted =
+          try {
+            optimizeSorted(spark, b, "o_year", "o_totalprice", 2,
+              raceInject = () => append(spark, b, extra, "o_year"))
+            false
+          } catch { case _: ConcurrentRewriteException => true }
+        require(aborted, "racing OPTIMIZE must abort classified")
+        require(currentVersion(spark, b) == 2,
+          "the losing OPTIMIZE must leave the ingest as current truth")
+        // the re-run against the new snapshot lands at v3
+        optimizeSorted(spark, b, "o_year", "o_totalprice", 2)
+        require(currentVersion(spark, b) == 3,
+          "re-run OPTIMIZE must land at v3")
+        b
+      })
+    }
+    read(spark, base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Registered MERGE-ON-READ SQL DELETE: the table is stamped
+    * `write.mode=merge-on-read` (+ `keyCol`), so a plain SQL
+    * `DELETE FROM` commits a DELETION VECTOR instead of the copy-on-write
+    * rewrite — the fixture pins that v2 carries the IDENTICAL data-file
+    * set as v1 (no file rewritten; the commit is O(matches) metadata) and
+    * that exactly one vector is pending. The read back through catalog
+    * SQL applies the vector IN-SCAN, and the oracle replays the deletion
+    * over plain orders — same final answer as the COW `q_catalog_delete`,
+    * reached without touching a data file. */
+  val catalogDeleteMoR: QuerySpec = QuerySpec.sql(
+    "q_catalog_delete_mor",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t WHERE NOT (o_year >= 1996 AND o_totalprice < 50000.0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("sqldeletemor", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_dmorfix_${graft.Scratch.dirToken(dir)}"
+        create(spark, b, ordersKeyed(spark, dir), "o_year")
+        setTableProperty(spark, b, "partCol", "o_year")
+        setTableProperty(spark, b, "keyCol", "o_orderkey")
+        setTableProperty(spark, b, "write.mode", "merge-on-read")
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(b).getParent)
+        spark.sql(
+          s"""DELETE FROM graft_cat.`${new java.io.File(b).getName}`
+             |WHERE o_year >= 1996 AND o_totalprice < 50000.0""".stripMargin)
+        // the commit pins: metadata-only — v2's data files ARE v1's, the
+        // delete landed as one pending vector
+        require(entries(spark, b, 2) == entries(spark, b, 1),
+          "MoR SQL DELETE must not rewrite any data file")
+        require(pendingDvRels(spark, b).size == 1,
+          "MoR SQL DELETE must leave exactly one pending vector")
+        b
+      })
+    }
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Registered SUM METADATA AGGREGATION: `SUM(o_orderkey)` (grouped by
+    * the layout column, alongside COUNT) answered entirely from the
+    * per-file SUMS the stats sidecar now carries — zero data I/O, the
+    * SUM extension of `q_catalog_meta_agg`. Integral columns only: the
+    * sidecar sum is exact in any addition order, where a float sum
+    * re-associated across files could differ from the row-scan answer
+    * (refused, never approximated). `ManifestStreamSpec` pins the
+    * agg-pushed planning event. */
+  val catalogMetaSum: QuerySpec = QuerySpec.sql(
+    "q_catalog_meta_sum",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year
+      |           FROM orders)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS sum_k
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = statsFixture(spark, dir)
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n, sum(o_orderkey) AS sum_k
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Build-once fixture: v1 = ordersKeyed, then `ALTER TABLE ADD COLUMN
+    * o_flag DOUBLE` (a pure schema stamp — no commit, no file touched),
+    * then a post-evolution SQL MERGE INTO whose feed carries the new
+    * column (v2: the 1996+ partitions rewrite through the union-schema-
+    * resolving row-level path). One history whose change feed CROSSES a
+    * schema evolution. */
+  private[sources] def cdfEvolveFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("cdfevolve", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_cdfefix_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        create(spark, b, t, "o_year")
+        setTableProperty(spark, b, "partCol", "o_year")
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(b).getParent)
+        val tbl = new java.io.File(b).getName
+        spark.sql(s"ALTER TABLE graft_cat.`$tbl` ADD COLUMN o_flag DOUBLE")
+        // integral-valued flags keep the double arithmetic exact on both
+        // engines (no float-associativity hazard in the oracle)
+        standardUpdates(t)
+          .withColumn("o_flag", (col("o_orderkey") % 97).cast("double"))
+          .createOrReplaceTempView("graft_cdfe_feed")
+        spark.sql(
+          s"""MERGE INTO graft_cat.`$tbl` tgt
+             |USING graft_cdfe_feed u ON tgt.o_orderkey = u.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        b
+      })
+    }
+
+  /** Registered CHANGE FEED ACROSS SCHEMA EVOLUTION: the
+    * [[cdfEvolveFixture]]'s create → ADD COLUMN → post-evolution MERGE
+    * history consumed as one change-feed stream declaring the stamped
+    * UNION schema. The contract this pins: every batch UNIFIES to that
+    * union schema — pre-evolution images (v1 inserts, the merge's delete
+    * preimages of pre-evolution files) serve `o_flag` as NULL; post-
+    * evolution insert images carry its real values — the feed never
+    * tears into per-batch schemas. The query folds the feed to final
+    * state and reports per-year counts, exact flag sums, AND the image
+    * counts, so a mis-nulled or mis-valued evolved column anywhere in
+    * the feed hash-mismatches; `ManifestCdfSpec` adds the per-batch
+    * schema/null-discipline pins. */
+  val streamCdfEvolve: QuerySpec = QuerySpec.sql(
+    "q_stream_cdf_evolve",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |u AS (SELECT o_orderkey, o_year, o_totalprice + 1000.0 AS o_totalprice
+      |      FROM t WHERE o_orderkey % 10 = 0 AND o_year >= 1996
+      |      UNION ALL
+      |      SELECT -o_orderkey, o_year, 42.0 AS o_totalprice
+      |      FROM t WHERE o_orderkey % 10 = 5 AND o_year >= 1996),
+      |uf AS (SELECT o_orderkey, o_year, o_totalprice,
+      |              CAST(o_orderkey % 97 AS DOUBLE) AS o_flag
+      |       FROM u),
+      |m AS (SELECT o_orderkey, o_year, o_totalprice, CAST(NULL AS DOUBLE) AS o_flag
+      |      FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      |      UNION ALL SELECT * FROM uf),
+      |tv AS (SELECT DISTINCT o_year FROM u),
+      |ins AS (SELECT o_year, count(*) AS c FROM (
+      |          SELECT o_year FROM t
+      |          UNION ALL
+      |          SELECT o_year FROM m WHERE o_year IN (SELECT o_year FROM tv)
+      |        ) GROUP BY 1),
+      |del AS (SELECT o_year, count(*) AS c FROM (
+      |          SELECT o_year FROM t WHERE o_year IN (SELECT o_year FROM tv)
+      |        ) GROUP BY 1)
+      |SELECT m.o_year, count(*) AS n,
+      |       CAST(sum(floor(m.o_totalprice * 100 + 0.5)) AS BIGINT) AS cents,
+      |       count(m.o_flag) AS n_flag,
+      |       CAST(coalesce(sum(m.o_flag), 0) AS BIGINT) AS flag_sum,
+      |       CAST(max(coalesce(ins.c, 0)) AS BIGINT) AS n_ins,
+      |       CAST(max(coalesce(del.c, 0)) AS BIGINT) AS n_del
+      |FROM m LEFT JOIN ins ON m.o_year = ins.o_year
+      |       LEFT JOIN del ON m.o_year = del.o_year
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = cdfEvolveFixture(spark, dir)
+    val sink = s"${graft.Scratch.root}/cdfevolve_sink_${graft.Scratch.dirToken(dir)}"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_year",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("o_flag",
+        org.apache.spark.sql.types.DoubleType)))
+    val q = spark.readStream
+      .format("graft.sources.ManifestStreamProvider")
+      .schema(schema)
+      .option("changeFeed", "true")
+      .load(base)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/batch=$id"); ()
+      }
+      .option("checkpointLocation", s"$sink-ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val changes = spark.read.parquet(sink)
+    val state = changes.groupBy(col("o_orderkey"))
+      .agg(max_by(
+        struct(col("o_year"), col("o_totalprice"), col("o_flag"),
+          col("_change_type")),
+        struct(col("_commit_version"),
+          when(col("_change_type") === "insert", 1).otherwise(0))).as("s"))
+      .select(col("o_orderkey"), col("s.o_year").as("o_year"),
+        col("s.o_totalprice").as("o_totalprice"),
+        col("s.o_flag").as("o_flag"),
+        col("s._change_type").as("ct"))
+      .filter(col("ct") === "insert")
+    val imgs = changes.groupBy(col("o_year"))
+      .agg(
+        sum(when(col("_change_type") === "insert", 1L).otherwise(0L)).as("n_ins"),
+        sum(when(col("_change_type") === "delete", 1L).otherwise(0L)).as("n_del"))
+    state.groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"),
+        count(col("o_flag")).as("n_flag"),
+        coalesce(sum(col("o_flag")), lit(0.0)).cast("long").as("flag_sum"))
+      .join(imgs, Seq("o_year"), "left")
+      .select(col("o_year"), col("n"), col("cents"), col("n_flag"),
+        col("flag_sum"),
+        coalesce(col("n_ins"), lit(0L)).as("n_ins"),
+        coalesce(col("n_del"), lit(0L)).as("n_del"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
@@ -3550,5 +3997,7 @@ object ManifestTable {
       lakehouseE2e, catalogPrune, catalogPoint, catalogDpp, catalogSpj,
       streamCdfRead, streamEvolve, catalogMetaAgg, catalogLimit,
       catalogCreate, catalogDelete, catalogUpdate, catalogMergeInto,
-      tableConcurrent, catalogRename, catalogDropCol)
+      tableConcurrent, catalogRename, catalogDropCol,
+      tableOptimizeConcurrent, catalogDeleteMoR, catalogMetaSum,
+      streamCdfEvolve)
 }

@@ -70,6 +70,11 @@ object MultiTableTxn {
     require(writes.nonEmpty)
     val fs = new Path(coordinator).getFileSystem(spark.sessionState.newHadoopConf())
     val txnId = java.util.UUID.randomUUID().toString
+    // the same pending-DV fence every rewrite/append verb carries: a
+    // member staged from read() under a pending vector would resurrect
+    // its rows (merge) or let the vector wrongly hide fresh ones (append)
+    writes.foreach(w =>
+      ManifestTable.requireNoPendingDv(spark, w.base, "multi-table transaction"))
     // PREPARE: stage files + temp manifests, all invisible
     val prepared = writes.map { w =>
       val v = ManifestTable.currentVersion(spark, w.base)

@@ -124,6 +124,81 @@ class CatalogEvolutionSpec extends AnyFunSuite {
       s"SELECT * FROM graft_cat.`$tbl` WHERE o_totalprice2 IS NOT NULL").count() === 0)
   }
 
+  test("a renamed column's physical name is unavailable to ADD and RENAME") {
+    val (tbl, _) = freshTable("shadow")
+    spark.sql(s"ALTER TABLE graft_cat.`$tbl` RENAME COLUMN o_totalprice TO price")
+    // old footers still carry o_totalprice bytes — a new column under that
+    // name would silently serve the old price data from pre-rename files
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_cat.`$tbl` ADD COLUMN o_totalprice DOUBLE")
+    }
+    assert(e1.getMessage.contains("RENAMEd column"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft_cat.`$tbl` RENAME COLUMN o_orderkey TO o_totalprice")
+    }
+    assert(e2.getMessage.contains("RENAMEd column"), e2.getMessage)
+    // the refusals changed nothing: the table still reads whole
+    assert(spark.sql(s"SELECT price FROM graft_cat.`$tbl` WHERE price IS NULL")
+      .count() === 0)
+  }
+
+  test("a case-variant rename canonicalizes to the footer's exact field name") {
+    val (tbl, t) = freshTable("case")
+    val base = s"${graft.Scratch.root}/$tbl"
+    // the programmatic API can pass any case; colmap must record the
+    // EXACT footer spelling or old files would read all-NULL
+    val cat = new ManifestCatalog
+    cat.initialize("graft_cat", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", graft.Scratch.root)))
+    cat.alterTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, tbl),
+      org.apache.spark.sql.connector.catalog.TableChange.renameColumn(
+        Array("O_TOTALPRICE"), "price"))
+    assert(ManifestColMap.of(spark, base) === Map("price" -> "o_totalprice"))
+    // pre-rename files serve real values (the exact physical name matched)
+    assert(spark.sql(
+      s"SELECT CAST(sum(floor(price * 100 + 0.5)) AS BIGINT) FROM graft_cat.`$tbl`")
+      .head.getLong(0) ===
+      t.agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))).head.getLong(0))
+    // case-variant DROP canonicalizes its dead names the same way
+    cat.alterTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, tbl),
+      org.apache.spark.sql.connector.catalog.TableChange.deleteColumn(
+        Array("PRICE"), false))
+    assert(ManifestColMap.dead(spark, base) === Set("o_totalprice", "price"))
+  }
+
+  test("time travel resolves through the CURRENT schema (Delta-style), rename and drop included") {
+    val (tbl, t) = freshTable("travel")
+    // v2: a post-v1 append, so time travel has something to exclude
+    spark.sql(
+      s"""INSERT INTO graft_cat.`$tbl`
+         |SELECT -2000000L AS o_orderkey, 1995 AS o_year, 9.0 AS o_totalprice""".stripMargin)
+    spark.sql(s"ALTER TABLE graft_cat.`$tbl` RENAME COLUMN o_totalprice TO price")
+    // THE PINNED CHOICE: a time-traveled read serves the CURRENT logical
+    // schema (Delta-style) — `VERSION AS OF 1` speaks `price`, not the
+    // name the column had when v1 committed; values resolve through the
+    // name map to the original footer bytes
+    val v1 = spark.sql(s"SELECT * FROM graft_cat.`$tbl` VERSION AS OF 1")
+    assert(v1.schema.fieldNames.toSeq === Seq("o_orderkey", "o_year", "price"))
+    assert(v1.count() === t.count(), "v1 must exclude the v2 append")
+    assert(v1.agg(sum(floor(col("price") * 100 + 0.5).cast("long"))).head.getLong(0) ===
+      t.agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))).head.getLong(0))
+    // the OLD name is gone from every snapshot, past ones included
+    intercept[Exception] {
+      spark.sql(s"SELECT o_totalprice FROM graft_cat.`$tbl` VERSION AS OF 1").collect()
+    }
+    // DROP follows the same rule: a time-traveled read must NOT serve a
+    // dead column, even though v1's files still carry its bytes
+    spark.sql(s"ALTER TABLE graft_cat.`$tbl` DROP COLUMN price")
+    val v1d = spark.sql(s"SELECT * FROM graft_cat.`$tbl` VERSION AS OF 1")
+    assert(v1d.schema.fieldNames.toSeq === Seq("o_orderkey", "o_year"))
+    assert(v1d.count() === t.count())
+    intercept[Exception] {
+      spark.sql(s"SELECT price FROM graft_cat.`$tbl` VERSION AS OF 1").collect()
+    }
+  }
+
   test("rename chains resolve to the original footer name") {
     val (tbl, t) = freshTable("chain")
     val base = s"${graft.Scratch.root}/$tbl"

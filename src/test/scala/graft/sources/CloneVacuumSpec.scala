@@ -127,7 +127,7 @@ class CloneVacuumSpec extends AnyFunSuite {
     assert(cold.subsetOf(v3.toSet), "pre-1996 partitions must carry by reference")
     assert(v3.filterNot(cold).forall(_._1.toInt >= 1996))
     assert(ManifestTable.read(spark, base).exceptAll(expect).isEmpty)
-    assert(ManifestTable.pendingDvVersions(spark, base).isEmpty)
+    assert(ManifestTable.pendingDvRels(spark, base).isEmpty)
     // and the table is writable again
     ManifestTable.append(spark, base,
       t.filter(col("o_orderkey") === t.agg(min(col("o_orderkey"))).head.getLong(0))
@@ -144,12 +144,12 @@ class CloneVacuumSpec extends AnyFunSuite {
       ManifestTable.expireSnapshots(spark, base, 1)
     }
     ManifestTable.purgeDeletes(spark, base, "o_orderkey", "o_year")
-    // plant a crashed-MoR vector dir (version never committed) and sweep it
-    val next = ManifestTable.currentVersion(spark, base) + 1
+    // plant a crashed-MoR vector dir (its `__dv` marker never committed)
+    // and sweep it
     graft.model.Tables.orders(spark, sf).limit(5)
       .select(col("o_orderkey"), lit("1996").as("__pval"))
-      .write.parquet(s"$base/_dv/v$next")
-    assert(ManifestTable.pendingDvVersions(spark, base).isEmpty,
+      .write.parquet(s"$base/_dv/d-crashed")
+    assert(ManifestTable.pendingDvRels(spark, base).isEmpty,
       "uncommitted vector must be invisible")
     val swept = ManifestTable.removeOrphans(spark, base)
     assert(swept.exists(_.startsWith("_dv/")), swept.toString)

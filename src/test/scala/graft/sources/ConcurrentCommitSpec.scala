@@ -92,6 +92,133 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     assert(ManifestTable.currentVersion(spark, base) === 2)
   }
 
+  // ---- full-table replacement verbs (optimizeSorted / Clustered2d / restore)
+
+  test("optimizeSorted racing a real commit aborts classified; the winner survives") {
+    val (base, t) = freshTable("optsort")
+    val extra = t.filter(col("o_year") === 1996)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+    val e = intercept[ManifestTable.ConcurrentRewriteException] {
+      ManifestTable.optimizeSorted(spark, base, "o_year", "o_totalprice", 2,
+        raceInject = () => ManifestTable.append(spark, base, extra, "o_year"))
+    }
+    assert(e.getMessage.contains("re-run"))
+    // nothing half-applied: the append IS the current truth, count intact
+    assert(ManifestTable.currentVersion(spark, base) === 2)
+    assert(ManifestTable.read(spark, base).count() === t.count() + extra.count())
+    // and re-running against the new snapshot succeeds
+    ManifestTable.optimizeSorted(spark, base, "o_year", "o_totalprice", 2)
+    assert(ManifestTable.read(spark, base).count() === t.count() + extra.count())
+  }
+
+  test("optimizeSorted over a pure version race (no-op carry commit) rebases") {
+    val (base, t) = freshTable("optrace")
+    ManifestTable.optimizeSorted(spark, base, "o_year", "o_totalprice", 2,
+      raceInject = () =>
+        // a commit that changed NOTHING (e.g. another writer's lost-and-
+        // retried attempt): the full-table layout is still valid
+        ManifestTable.commit(spark, base, 2,
+          ManifestTable.entries(spark, base, 1)))
+    assert(ManifestTable.currentVersion(spark, base) === 3)
+    assert(ManifestTable.read(spark, base).count() === t.count())
+  }
+
+  test("optimizeClustered2d racing a real commit aborts classified") {
+    val (base, t) = freshTable("opt2d")
+    val extra = t.filter(col("o_year") === 1995)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+    intercept[ManifestTable.ConcurrentRewriteException] {
+      ManifestTable.optimizeClustered2d(spark, base, "o_year",
+        "o_orderkey", "o_orderkey", 2,
+        raceInject = () => ManifestTable.append(spark, base, extra, "o_year"))
+    }
+    assert(ManifestTable.read(spark, base).count() === t.count() + extra.count())
+  }
+
+  test("restore racing a real commit aborts classified — never silently undoes it") {
+    val (base, t) = freshTable("restore")
+    ManifestTable.append(spark, base,
+      t.limit(10).withColumn("o_orderkey", -col("o_orderkey")), "o_year") // v2
+    val extra = t.filter(col("o_year") === 1997)
+      .withColumn("o_orderkey", -col("o_orderkey") - 20000000L)
+    intercept[ManifestTable.ConcurrentRewriteException] {
+      ManifestTable.restore(spark, base, 1,
+        raceInject = () => ManifestTable.append(spark, base, extra, "o_year"))
+    }
+    // the interleaved append was NOT rolled back by the losing restore
+    assert(ManifestTable.read(spark, base)
+      .filter(col("o_orderkey") < -10000000L).count() === extra.count())
+    // a restore with only a no-op carry commit interleaved still lands
+    val newV = ManifestTable.restore(spark, base, 1,
+      raceInject = () => ManifestTable.commit(spark, base, 4,
+        ManifestTable.entries(spark, base, 3)))
+    assert(newV === 5)
+    assert(ManifestTable.read(spark, base).count() === t.count())
+  }
+
+  // ---- merge-on-read delete (the DV marker commit)
+
+  test("deleteWhereMoR racing an append into OTHER partitions rebases the marker") {
+    val (base, t) = freshTable("dvrace")
+    val extra = t.filter(col("o_year") === 1995)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+    assert(ManifestTable.deleteWhereMoR(spark, base,
+      col("o_orderkey") % 10 === 7 && col("o_year") === 1997, "o_orderkey", "o_year",
+      raceInject = () => ManifestTable.append(spark, base, extra, "o_year")))
+    // both effects landed: v2 = the append, v3 = the delete's marker commit
+    assert(ManifestTable.currentVersion(spark, base) === 3)
+    assert(ManifestTable.pendingDvRels(spark, base).size === 1)
+    val expect = t.unionByName(extra)
+      .filter(!(col("o_orderkey") % 10 === 7 && col("o_year") === 1997))
+    val mor = ManifestTable.readMoR(spark, base, "o_orderkey")
+    assert(mor.count() === expect.count())
+    assert(mor.exceptAll(expect).isEmpty)
+  }
+
+  test("deleteWhereMoR racing a commit INTO its partitions aborts and leaves no vector") {
+    val (base, t) = freshTable("dvconf")
+    val extra = t.filter(col("o_year") === 1997)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+    val e = intercept[ManifestTable.ConcurrentRewriteException] {
+      ManifestTable.deleteWhereMoR(spark, base,
+        col("o_orderkey") % 10 === 7 && col("o_year") === 1997, "o_orderkey", "o_year",
+        raceInject = () => ManifestTable.append(spark, base, extra, "o_year"))
+    }
+    assert(e.getMessage.contains("re-run"))
+    // the aborted delete left NOTHING pending — the appended rows sharing
+    // deleted keys are never wrongly hidden
+    assert(ManifestTable.pendingDvRels(spark, base).isEmpty)
+    assert(ManifestTable.readMoR(spark, base, "o_orderkey").count() ===
+      t.count() + extra.count())
+  }
+
+  test("two racing MoR deletes stack their markers; the purge folds both") {
+    val (base, t) = freshTable("dvdv")
+    assert(ManifestTable.deleteWhereMoR(spark, base,
+      col("o_orderkey") % 10 === 7, "o_orderkey", "o_year",
+      raceInject = () => assert(ManifestTable.deleteWhereMoR(spark, base,
+        col("o_orderkey") % 10 === 3, "o_orderkey", "o_year"))))
+    assert(ManifestTable.pendingDvRels(spark, base).size === 2)
+    val expect = t.filter(col("o_orderkey") % 10 =!= 7 && col("o_orderkey") % 10 =!= 3)
+    assert(ManifestTable.readMoR(spark, base, "o_orderkey").exceptAll(expect).isEmpty)
+    assert(ManifestTable.readMoR(spark, base, "o_orderkey").count() === expect.count())
+    val (parts, _) = ManifestTable.purgeDeletes(spark, base, "o_orderkey", "o_year")
+    assert(parts > 0)
+    assert(ManifestTable.pendingDvRels(spark, base).isEmpty)
+    assert(ManifestTable.read(spark, base).count() === expect.count())
+  }
+
+  test("only a version conflict retries; a genuine I/O failure is typed distinctly") {
+    val (base, _) = freshTable("ioconflict")
+    // committing an already-taken version throws the DEDICATED subtype —
+    // commitRetrying retries on it and on nothing else
+    val e = intercept[ManifestTable.VersionConflictException] {
+      ManifestTable.commit(spark, base, 1, Seq.empty)
+    }
+    assert(e.getMessage.contains("already exists"))
+    assert(e.isInstanceOf[java.io.IOException]) // compatible supertype
+  }
+
   test("a deletion vector landing after the read conflicts for any commit kind") {
     val (base, t) = freshTable("dv")
     val hot = ManifestTable.entries(spark, base, 1).filter(_._1 == "1995")

@@ -404,6 +404,140 @@ class ManifestStreamSpec extends AnyFunSuite {
       s"stacked aggregate over the pushed group-by lost groups: $stacked")
   }
 
+  test("SUM metadata aggregation: sidecar sums push, floats and DISTINCT refuse") {
+    val base = ManifestTable.statsFixture(spark, sf)
+    ManifestScanEvents.clear()
+    val got = ManifestTable.catalogMetaSum.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.nonEmpty)
+    assert(ManifestScanEvents.recent(base).exists(_.aggPushed),
+      s"no agg-pushed planning event: ${ManifestScanEvents.recent(base)}")
+    // the metadata SUM must equal the data answer exactly
+    val expect = ManifestTable.read(spark, base).groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === expect.toSeq)
+    // the ungrouped shape pushes too
+    val tbl = new java.io.File(base).getName
+    ManifestScanEvents.clear()
+    val g = spark.sql(
+      s"SELECT count(*) AS n, sum(o_orderkey) AS s FROM graft_cat.`$tbl`").head
+    assert(ManifestScanEvents.recent(base).exists(_.aggPushed))
+    assert(g.getLong(0) === expect.map(_._2).sum)
+    assert(g.getLong(1) === expect.map(_._3).sum)
+    // a FLOAT column's SUM is refused (re-associating a float sum across
+    // files could differ from the row-scan answer) — never approximated,
+    // the ordinary scan answers
+    ManifestScanEvents.clear()
+    val d = spark.sql(s"SELECT sum(o_totalprice) AS s FROM graft_cat.`$tbl`")
+      .head.getDouble(0)
+    assert(!ManifestScanEvents.recent(base).exists(_.aggPushed),
+      "float SUM wrongly claimed metadata pushdown")
+    assert(d > 0.0)
+    // SUM(DISTINCT) is not answerable from per-file sums
+    ManifestScanEvents.clear()
+    val sd = spark.sql(
+      s"SELECT sum(DISTINCT o_orderkey) AS s FROM graft_cat.`$tbl`").head.getLong(0)
+    assert(!ManifestScanEvents.recent(base).exists(_.aggPushed),
+      "SUM DISTINCT wrongly claimed metadata pushdown")
+    assert(sd === ManifestTable.read(spark, base)
+      .select(col("o_orderkey")).distinct()
+      .agg(sum(col("o_orderkey"))).head.getLong(0))
+  }
+
+  test("MoR-mode SQL DELETE commits a vector: no rewrite, every read path agrees") {
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/mor_sql_tbl"
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    ManifestTable.create(spark, base, t, "o_year")
+    ManifestTable.setTableProperty(spark, base, "partCol", "o_year")
+    ManifestTable.setTableProperty(spark, base, "keyCol", "o_orderkey")
+    ManifestTable.setTableProperty(spark, base, "write.mode", "merge-on-read")
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", graft.Scratch.root)
+    spark.sql(s"DELETE FROM graft_cat.`mor_sql_tbl` WHERE o_year = 1996")
+    // the commit is metadata-only: v2 carries v1's exact data files
+    assert(ManifestTable.entries(spark, base, 2) ===
+      ManifestTable.entries(spark, base, 1))
+    assert(ManifestTable.pendingDvRels(spark, base).size === 1)
+    val expect = t.filter(col("o_year") =!= 1996)
+    // catalog SQL applies the vector in-scan
+    assert(spark.sql(s"SELECT * FROM graft_cat.`mor_sql_tbl`").count() ===
+      expect.count())
+    // the programmatic MoR read agrees
+    assert(ManifestTable.readMoR(spark, base, "o_orderkey").count() === expect.count())
+    // a second MoR DELETE stacks its own vector
+    spark.sql(s"DELETE FROM graft_cat.`mor_sql_tbl` WHERE o_totalprice < 10000.0")
+    assert(ManifestTable.pendingDvRels(spark, base).size === 2)
+    val expect2 = expect.filter(col("o_totalprice") >= 10000.0)
+    assert(spark.sql(s"SELECT * FROM graft_cat.`mor_sql_tbl`").count() ===
+      expect2.count())
+    // purge folds both vectors into one rewrite; content is unchanged
+    ManifestTable.purgeDeletes(spark, base, "o_orderkey", "o_year")
+    assert(ManifestTable.pendingDvRels(spark, base).isEmpty)
+    assert(spark.sql(s"SELECT * FROM graft_cat.`mor_sql_tbl`").count() ===
+      expect2.count())
+    // without the write.mode stamp the same DELETE is copy-on-write:
+    // no vector, files rewritten
+    val base2 = s"${graft.Scratch.root}/cow_sql_tbl"
+    new org.apache.hadoop.fs.Path(base2)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(base2), true)
+    ManifestTable.create(spark, base2, t, "o_year")
+    ManifestTable.setTableProperty(spark, base2, "partCol", "o_year")
+    spark.sql(s"DELETE FROM graft_cat.`cow_sql_tbl` WHERE o_year = 1996")
+    assert(ManifestTable.pendingDvRels(spark, base2).isEmpty)
+    assert(ManifestTable.entries(spark, base2, 2) !==
+      ManifestTable.entries(spark, base2, 1))
+  }
+
+  test("change feed across ADD COLUMN: every batch unifies to the union schema") {
+    val base = ManifestTable.cdfEvolveFixture(spark, sf)
+    val sink = s"${graft.Scratch.root}/cdfe_spec_sink"
+    val union = StructType(schema.fields :+ StructField("o_flag", DoubleType))
+    val q = spark.readStream
+      .format("graft.sources.ManifestStreamProvider")
+      .schema(union).option("changeFeed", "true").load(base)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/batch=$id"); ()
+      }
+      .option("checkpointLocation", s"$sink-ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val all = spark.read.parquet(sink)
+    // THE CONTRACT: the feed never tears into per-batch schemas — every
+    // batch serves the stamped union schema (checked structurally: the
+    // sink's unioned read succeeded AND both batches carry the column)
+    val b0 = spark.read.parquet(s"$sink/batch=0")
+    val b1 = spark.read.parquet(s"$sink/batch=1")
+    assert(b0.schema.fieldNames.contains("o_flag"))
+    assert(b1.schema.fieldNames.contains("o_flag"))
+    // pre-evolution images (all of v1) serve the evolved column as NULL
+    assert(b0.filter(col("o_flag").isNotNull).count() === 0)
+    assert(b0.filter(col("_change_type") =!= "insert").count() === 0)
+    // the merge batch: delete preimages are pre-evolution rows → NULL;
+    // insert postimages carry real values for exactly the feed's keys
+    assert(b1.filter(col("_change_type") === "delete" &&
+      col("o_flag").isNotNull).count() === 0)
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val feedKeys = t.filter(col("o_orderkey") % 10 === 0 && col("o_year") >= 1996)
+      .select(col("o_orderkey"))
+      .union(t.filter(col("o_orderkey") % 10 === 5 && col("o_year") >= 1996)
+        .select(-col("o_orderkey")))
+    assert(b1.filter(col("_change_type") === "insert" &&
+      col("o_flag").isNotNull).count() === feedKeys.count())
+    // flag values are exact: key % 97, as the feed wrote them
+    assert(b1.filter(col("o_flag").isNotNull &&
+      col("o_flag") =!= (col("o_orderkey") % 97).cast("double")).count() === 0)
+  }
+
   test("LIMIT plans only enough files to cover the limit") {
     val base = ManifestTable.statsFixture(spark, sf)
     ManifestScanEvents.clear()
