@@ -7,10 +7,13 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     // the default must never clobber a prior artifact (the fixed literal it
     // used to be is how the r4 driver run overwrote the committed r3 clean
-    // bench): pick the first free BENCH_clean_runN.json; an explicit
-    // SPARK_GRAFT_BENCH_OUT always wins
+    // bench), and it CARRIES THE SCALE FACTOR — an sf0.001 run once sat
+    // unlabeled in the sf0.1 clean-run series (run55) and its total was
+    // nearly misread as a real sf0.1 bench. An explicit
+    // SPARK_GRAFT_BENCH_OUT always wins.
+    val sfTag = new java.io.File(sfDir).getName
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      Iterator.from(1).map(i => s"BENCH_clean_run$i.json")
+      Iterator.from(1).map(i => s"BENCH_clean_${sfTag}_run$i.json")
         .find(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))).get)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
