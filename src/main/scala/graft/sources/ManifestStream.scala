@@ -1333,13 +1333,13 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     * (`ManifestTable.readMoR`) has no such bound and remains the
     * programmatic API. Time-travel reads skip DV application — vectors
     * belong to versions after the pinned one. */
-  private def pendingDvPairs(fs: FileSystem): (String, String, Set[(Long, String)]) = {
-    if (versionAsOf.isDefined) return ("", "", Set.empty)
+  private def pendingDvPairs(fs: FileSystem): (String, String, Map[(Long, String), Int]) = {
+    if (versionAsOf.isDefined) return ("", "", Map.empty)
     // vectors pending at the CURRENT version, read from the manifest's
     // own `__dv` markers — atomically consistent with the planned snapshot
     val spark = org.apache.spark.sql.SparkSession.active
     val rels = ManifestTable.pendingDvRels(spark, base)
-    if (rels.isEmpty) return ("", "", Set.empty)
+    if (rels.isEmpty) return ("", "", Map.empty)
     val dvDirs = rels.map(rel => new Path(base, rel))
     // the _partcol sidecar names the DATA column the recorded partition
     // values came from; every pending vector of a table must agree
@@ -1352,7 +1352,11 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     require(partCols.size == 1,
       s"pending deletion vectors disagree on the partition column: $partCols")
     var keyCol = ""
-    val pairs = scala.collection.mutable.Set[(Long, String)]()
+    // pair -> version fence: hide a row only when its file's dir version
+    // is BELOW the pair's cut (an update vector's own appended copies sit
+    // AT the cut and survive); delete vectors carry no cut = hide always.
+    // Multiple vectors naming one pair keep the MAX cut.
+    val pairs = scala.collection.mutable.Map[(Long, String), Int]()
     dvDirs.foreach { d =>
       fs.listStatus(d).toSeq
         .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
@@ -1361,7 +1365,12 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
           var g = r.read()
           while (g != null) {
             if (keyCol.isEmpty) keyCol = g.getType.getFieldName(0)
-            pairs += ((g.getLong(keyCol, 0), g.getString("__pval", 0)))
+            val cut =
+              if (g.getType.containsField("__cut") &&
+                g.getFieldRepetitionCount("__cut") > 0) g.getInteger("__cut", 0)
+              else Int.MaxValue
+            val k = (g.getLong(keyCol, 0), g.getString("__pval", 0))
+            pairs(k) = math.max(pairs.getOrElse(k, Int.MinValue), cut)
             require(pairs.size <= 1000000,
               s"deletion vector too large for in-scan application under $base — run purgeDeletes")
             g = r.read()
@@ -1369,7 +1378,7 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
           r.close()
         }
     }
-    (keyCol, partCols.head, pairs.toSet)
+    (keyCol, partCols.head, pairs.toMap)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -1398,7 +1407,12 @@ final case class CdfDvPartition(path: String, keyCol: String,
   * (key column name, partition value → deleted keys). Bounded like the
   * in-scan DV (vectors are matches-sized metadata, not data). */
 private[sources] object ManifestDvSidecar {
-  def pairsAt(base: String, v: Int): (String, Map[String, Set[Long]]) = {
+  /** One element per vector version v's commit introduced:
+    * (cut, key column, partition value → deleted keys). The cut is the
+    * vector's version fence (Int.MaxValue for delete-only vectors): the
+    * feed emits delete images only from files BELOW it, so an update
+    * commit's own appended copies are never re-emitted as deletes. */
+  def pairsAt(base: String, v: Int): Seq[(Int, String, Map[String, Set[Long]])] = {
     val fs = new Path(base).getFileSystem(new Configuration())
     val spark = org.apache.spark.sql.SparkSession.active
     // the vectors version v's commit INTRODUCED: its markers minus the
@@ -1407,27 +1421,32 @@ private[sources] object ManifestDvSidecar {
       .diff(if (v > 1) ManifestTable.dvMarkersAt(spark, base, v - 1) else Seq.empty)
       .map(rel => new Path(base, rel))
       .filter(fs.exists(_)) // purged vectors tolerate as before
-    if (landed.isEmpty) return ("", Map.empty)
-    var keyCol = ""
-    val m = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
-    landed.flatMap(d => fs.listStatus(d).toSeq)
-      .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
-      val r = ParquetReader.builder(new GroupReadSupport(), f.getPath)
-        .withConf(new Configuration()).build()
-      var g = r.read()
+    landed.map { d =>
+      var keyCol = ""
+      var cut = Int.MaxValue
+      val m = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
       var n = 0L
-      while (g != null) {
-        if (keyCol.isEmpty) keyCol = g.getType.getFieldName(0)
-        m.getOrElseUpdate(g.getString("__pval", 0),
-          scala.collection.mutable.Set[Long]()) += g.getLong(keyCol, 0)
-        n += 1
-        require(n <= 1000000,
-          s"deletion vector at v$v under $base too large to stream as images — run purgeDeletes first")
-        g = r.read()
+      fs.listStatus(d).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+        val r = ParquetReader.builder(new GroupReadSupport(), f.getPath)
+          .withConf(new Configuration()).build()
+        var g = r.read()
+        while (g != null) {
+          if (keyCol.isEmpty) keyCol = g.getType.getFieldName(0)
+          if (g.getType.containsField("__cut") &&
+              g.getFieldRepetitionCount("__cut") > 0)
+            cut = g.getInteger("__cut", 0)
+          m.getOrElseUpdate(g.getString("__pval", 0),
+            scala.collection.mutable.Set[Long]()) += g.getLong(keyCol, 0)
+          n += 1
+          require(n <= 1000000,
+            s"deletion vector at v$v under $base too large to stream as images — run purgeDeletes first")
+          g = r.read()
+        }
+        r.close()
       }
-      r.close()
+      (cut, keyCol, m.map { case (k, s) => k -> s.toSet }.toMap)
     }
-    (keyCol, m.map { case (k, s) => k -> s.toSet }.toMap)
   }
 }
 
@@ -1519,10 +1538,16 @@ final class ManifestMicroBatchStream(base: String, schema: StructType,
           .map { case (_, rel) => CdfFilePartition(abs(rel), "insert", v): InputPartition }
         val deletes = prev.filterNot(p => curSet(p._2))
           .map { case (_, rel) => CdfFilePartition(abs(rel), "delete", v): InputPartition }
-        val (kc, dvm) = ManifestDvSidecar.pairsAt(base, v)
-        val dvParts = if (dvm.isEmpty) Seq.empty else cur.collect {
-          case (pval, rel) if dvm.contains(pval) =>
-            CdfDvPartition(abs(rel), kc, dvm(pval).toSeq, v): InputPartition
+        val dvParts = ManifestDvSidecar.pairsAt(base, v).flatMap {
+          case (cut, kc, dvm) => cur.collect {
+            // the version fence scopes the delete images exactly like the
+            // read path: only files BELOW the vector's cut — an update
+            // commit's own appended copies stream as inserts, never as
+            // their vector's deletes
+            case (pval, rel) if dvm.contains(pval) &&
+                ManifestTable.dirVersionOf(rel) < cut =>
+              CdfDvPartition(abs(rel), kc, dvm(pval).toSeq, v): InputPartition
+          }
         }
         inserts ++ deletes ++ dvParts
       }
@@ -1563,7 +1588,7 @@ object ManifestReaderStats {
 
 final class ManifestFileReaderFactory(schema: StructType,
     dvCol: String = "", dvPart: String = "",
-    dvPairs: Set[(Long, String)] = Set.empty,
+    dvPairs: Map[(Long, String), Int] = Map.empty,
     colmap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   // RENAME name mapping: a served (logical) column reads its ORIGINAL
@@ -1587,7 +1612,9 @@ final class ManifestFileReaderFactory(schema: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case ManifestFilePartition(path, pval) =>
-        fileReader(path, g => !deleted(g), pvalOverride(pval), extraFields = dvFields)
+        val fv = ManifestTable.dirVersionOf(path)
+        fileReader(path, g => !deleted(g, fv), pvalOverride(pval),
+          extraFields = dvFields)
       case CdfFilePartition(path, ct, v) =>
         fileReader(path, _ => true, Map(
           "_change_type" -> UTF8String.fromString(ct), "_commit_version" -> v))
@@ -1608,7 +1635,9 @@ final class ManifestFileReaderFactory(schema: StructType,
             while (cur == null || !cur.next()) {
               if (cur != null) cur.close()
               if (!it.hasNext) { cur = null; return false }
-              cur = fileReader(it.next(), g => !deleted(g), pvalOverride(pval),
+              val p = it.next()
+              val fv = ManifestTable.dirVersionOf(p)
+              cur = fileReader(p, g => !deleted(g, fv), pvalOverride(pval),
                 extraFields = dvFields)
             }
             true
@@ -1634,10 +1663,15 @@ final class ManifestFileReaderFactory(schema: StructType,
         s"in-scan DV on partition column of parquet type $t")
     }
   }
-  private def deleted(g: org.apache.parquet.example.data.Group): Boolean =
+  /** The version fence: a named (key, pval) pair hides this row only
+    * when the row's file dir version sits BELOW the pair's cut — an
+    * update vector never hides the copies its own commit appended. */
+  private def deleted(g: org.apache.parquet.example.data.Group,
+      fileVer: Int): Boolean =
     dvPairs.nonEmpty && g.getType.containsField(dvCol) &&
       g.getFieldRepetitionCount(dvCol) > 0 &&
-      pvalOf(g).exists(p => dvPairs((g.getLong(dvCol, 0), p)))
+      pvalOf(g).exists(p =>
+        dvPairs.get((g.getLong(dvCol, 0), p)).exists(cut => fileVer < cut))
 
   /** Decode one parquet file into rows of `schema`, keeping only rows
     * `keep` admits; `overrides` supplies values for schema fields the

@@ -1190,6 +1190,120 @@ object ManifestTable {
     true // unreachable
   }
 
+  /** MERGE-ON-READ UPDATE — the Delta DV-update design: ONE commit lands
+    * a deletion vector naming the matched rows AND the updated copies as
+    * appended files, so the update costs O(matches) writes instead of a
+    * partition rewrite, and no committed file is touched.
+    *
+    * The correctness crux is that the vector must hide the OLD rows but
+    * never the NEW ones, which share the same (key, partition) pairs.
+    * Vectors are therefore VERSION-FENCED: each pair carries a `__cut` —
+    * the staged files' dir version — and a row is hidden only when its
+    * file's dir version (`files/v<K>/…`) is BELOW the cut. Every
+    * pre-existing file has K ≤ readV < cut; the update's own staged files
+    * sit exactly AT the cut and survive. The fence keys off the dir
+    * version the STAGED files use (not the landed version a retry may
+    * reach), so it holds under rebase; a concurrent append staging the
+    * same dir version is at-or-above every cut and is never hidden.
+    * Delete-only vectors carry no cut (= hide unconditionally), so their
+    * behavior — and every existing read path — is unchanged.
+    *
+    * Classification is STRICTER than the delete's: concurrent DVs do NOT
+    * commute with an update (a racing delete of the same keys would hide
+    * the update's new rows or miss them), so any DV landing after the
+    * read aborts, as does any data change in the touched partitions.
+    * Version fencing reads the dir version out of entry PATHS, so the
+    * manifest must be all-relative — a shallow clone's borrowed absolute
+    * entries carry the SOURCE's dir numbers and are refused.
+    * Returns whether anything matched (no match → no commit). */
+  def updateWhereMoR(spark: SparkSession, base: String,
+      pred: org.apache.spark.sql.Column, set: Seq[(String, org.apache.spark.sql.Column)],
+      keyCol: String, partCol: String,
+      raceInject: () => Unit = () => ()): Boolean = {
+    val readV = currentVersion(spark, base)
+    require(entries(spark, base, readV).forall { case (_, rel) =>
+      !(rel.startsWith("/") || rel.contains("://")) },
+      s"updateWhereMoR under $base requires an all-relative manifest — " +
+        "borrowed (clone) entries carry foreign dir versions the fence " +
+        "cannot interpret; purge or materialize the clone first")
+    val cut = readV + 1
+    val rel = s"_dv/d-${java.util.UUID.randomUUID}"
+    val dvPath = s"$base/$rel"
+    val fs = fsOf(spark, new Path(base))
+    val matched = readVersion(spark, base, readV).filter(pred)
+    matched
+      .select(col(keyCol), col(partCol).cast("string").as("__pval"),
+        lit(cut).as("__cut"))
+      .write.parquet(dvPath)
+    val touched = spark.read.parquet(dvPath)
+      .select(col("__pval")).distinct()
+      .collect().map(_.getString(0)).toSet // DV-metadata-sized
+    if (touched.isEmpty) {
+      fs.delete(new Path(dvPath), true)
+      return false
+    }
+    val out = fs.create(new Path(dvPath, "_partcol"), true)
+    try out.write(partCol.getBytes("UTF-8")) finally out.close()
+    // the updated copies stage under files/v<cut> — the fence pivot
+    val updated = set.foldLeft(matched) { case (d, (c, e)) => d.withColumn(c, e) }
+    val staged = writeSnapshotFiles(spark, base, cut, updated, partCol)
+    raceInject() // test hook: a concurrent commit between stage and commit
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = currentVersion(spark, base)
+      if (cur != readV) {
+        val newDvs = dvMarkersAt(spark, base, cur)
+          .diff(dvMarkersAt(spark, base, readV))
+        val before = entries(spark, base, readV)
+          .filter { case (p, _) => touched(p) }.toSet
+        val now = entries(spark, base, cur)
+          .filter { case (p, _) => touched(p) }.toSet
+        if (newDvs.nonEmpty || before != now) {
+          fs.delete(new Path(dvPath), true)
+          staged.foreach { case (_, r) => fs.delete(new Path(base, r), true) }
+          throw new ConcurrentRewriteException(
+            s"updateWhereMoR under $base: the table changed between read " +
+              s"(v$readV) and commit (v$cur) in a way the update cannot " +
+              "rebase over (touched-partition data or a concurrent vector) " +
+              "— re-run the update")
+        }
+      }
+      val merged = (dvMarkersAt(spark, base, cur) :+ rel).map((DvMarker, _)) ++
+        entries(spark, base, cur) ++ staged
+      try {
+        commit(spark, base, cur + 1, merged)
+        refreshAllStats(spark, base)
+        return true
+      } catch {
+        case _: VersionConflictException if attempt < 20 => ()
+      }
+    }
+    true // unreachable
+  }
+
+  /** The dir version a manifest entry's file was staged under
+    * (`files/v<K>/…` → K; unparseable → -1, which every fence treats as
+    * "older than any cut" — absolute clone paths keep full DV hiding). */
+  private[sources] def dirVersionOf(rel: String): Int = {
+    val m = DirVersionRe.findFirstMatchIn(rel)
+    m.map(_.group(1).toInt).getOrElse(-1)
+  }
+  private val DirVersionRe = "files/v(\\d+)/".r
+
+  /** The pending vectors' (key, __pval, __cut) rows, schema-unified:
+    * delete-only vectors (no `__cut` column) hide unconditionally and
+    * read as cut = Int.MaxValue. */
+  private[sources] def readDvPairs(spark: SparkSession, base: String,
+      rels: Seq[String], keyCol: String): DataFrame =
+    rels.map { rel =>
+      val d = spark.read.parquet(s"$base/$rel")
+      val withCut =
+        if (d.columns.contains("__cut")) d
+        else d.withColumn("__cut", lit(Int.MaxValue))
+      withCut.select(col(keyCol), col("__pval"), col("__cut"))
+    }.reduce(_ unionByName _)
+
   /** The partition column every listed vector was recorded against (they
     * must agree — one layout per table). `rels` are dv dir relpaths. */
   private[sources] def dvPartColOf(spark: SparkSession, base: String,
@@ -1222,12 +1336,18 @@ object ManifestTable {
     if (dvs.isEmpty) data
     else {
       val pc = dvPartColOf(spark, base, dvs)
-      val pairs = spark.read
-        .parquet(dvs.map(rel => s"$base/$rel"): _*)
-        .select(col(keyCol), col("__pval")).distinct()
+      // per-pair MAX cut: if any vector hides the pair at this file's
+      // version, the row is gone (a later unfenced delete of an updated
+      // key hides the updated copy too, as it must)
+      val pairs = readDvPairs(spark, base, dvs, keyCol)
+        .groupBy(col(keyCol), col("__pval")).agg(max(col("__cut")).as("__cut"))
       data.withColumn("__pval", col(pc).cast("string"))
-        .join(broadcast(pairs), Seq(keyCol, "__pval"), "left_anti")
-        .drop("__pval")
+        .withColumn("__fv",
+          coalesce(regexp_extract(input_file_name(), "files/v(\\d+)/", 1)
+            .cast("int"), lit(-1)))
+        .join(broadcast(pairs), Seq(keyCol, "__pval"), "left")
+        .filter(col("__cut").isNull || col("__fv") >= col("__cut"))
+        .drop("__pval", "__fv", "__cut")
     }
   }
 
@@ -1246,20 +1366,26 @@ object ManifestTable {
     if (dvs.isEmpty) return (0, 0L)
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
-    val dv = spark.read.parquet(dvs.map(rel => s"$base/$rel"): _*)
+    val dv = readDvPairs(spark, base, dvs, keyCol)
     val touched = dv.select(col("__pval")).distinct()
       .collect().map(_.getString(0)).toSet // DV-metadata-sized
-    val pairs = dv.select(col(keyCol), col("__pval")).distinct()
+    val pairs = dv.groupBy(col(keyCol), col("__pval"))
+      .agg(max(col("__cut")).as("__cut"))
     val nKeys = dv.select(col(keyCol)).distinct().count()
     val (hot, _) = es.partition { case (pval, _) => touched(pval) }
-    // anti-join on the (key, partition) PAIR, the same scoping readMoR
-    // applies: a key's rows in a touched partition survive unless the
-    // vector names that exact (key, partition)
+    // the same (key, partition, version-fence) scoping readMoR applies: a
+    // key's rows in a touched partition survive unless a vector names
+    // that exact (key, partition) AND the row's file predates its cut —
+    // an updateWhereMoR's own appended copies always survive their vector
     val survivors = spark.read
       .parquet(hot.map { case (_, rel) => resolve(base, rel) }: _*)
       .withColumn("__pval", col(partCol).cast("string"))
-      .join(broadcast(pairs), Seq(keyCol, "__pval"), "left_anti")
-      .drop("__pval")
+      .withColumn("__fv",
+        coalesce(regexp_extract(input_file_name(), "files/v(\\d+)/", 1)
+          .cast("int"), lit(-1)))
+      .join(broadcast(pairs), Seq(keyCol, "__pval"), "left")
+      .filter(col("__cut").isNull || col("__fv") >= col("__cut"))
+      .drop("__pval", "__fv", "__cut")
     val newFiles = writeSnapshotFiles(spark, base, v + 1, survivors, partCol)
     // the purge's commit DROPS the folded markers (dropDvMarkers) — a DV
     // that landed after the read is caught by the retry's marker check
@@ -3856,6 +3982,52 @@ object ManifestTable {
          |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Registered MERGE-ON-READ UPDATE: [[updateWhereMoR]] re-prices the
+    * standard cohort in ONE commit that carries every committed file
+    * untouched and appends only the updated copies (O(matches) write, no
+    * partition rewrite), with the VERSION-FENCED vector hiding the old
+    * rows but never the new ones. The read back goes through catalog SQL
+    * — the connector's in-scan fence — and the oracle replays the
+    * update; `CloneVacuumSpec` pins the commit shape (v1 ⊂ v2, one
+    * vector), the stacked-delete interaction, the purge, and the
+    * clone/race refusals. */
+  val tableUpdateMoR: QuerySpec = QuerySpec.sql(
+    "q_table_update_mor",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  CASE WHEN year(o_orderdate) >= 1996 AND o_orderkey % 10 = 0
+      |                       THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price
+      |           FROM orders)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(price * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("morupdate", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_mufix_${graft.Scratch.dirToken(dir)}"
+        create(spark, b, ordersKeyed(spark, dir), "o_year")
+        setTableProperty(spark, b, "partCol", "o_year")
+        val matched = updateWhereMoR(spark, b,
+          col("o_orderkey") % 10 === 0 && col("o_year") >= 1996,
+          Seq("o_totalprice" -> (col("o_totalprice") + 1000.0)),
+          "o_orderkey", "o_year")
+        require(matched, "the update cohort must be non-empty")
+        // commit-shape pins: metadata + append only, vector pending
+        require(entries(spark, b, 1).toSet.subsetOf(entries(spark, b, 2).toSet),
+          "MoR UPDATE must not rewrite any committed file")
+        require(pendingDvRels(spark, b).size == 1,
+          "MoR UPDATE must leave exactly one pending vector")
+        b
+      })
+    }
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Build-once fixture: v1 = ordersKeyed, then `ALTER TABLE ADD COLUMN
     * o_flag DOUBLE` (a pure schema stamp — no commit, no file touched),
     * then a post-evolution SQL MERGE INTO whose feed carries the new
@@ -3999,5 +4171,5 @@ object ManifestTable {
       catalogCreate, catalogDelete, catalogUpdate, catalogMergeInto,
       tableConcurrent, catalogRename, catalogDropCol,
       tableOptimizeConcurrent, catalogDeleteMoR, catalogMetaSum,
-      streamCdfEvolve)
+      streamCdfEvolve, tableUpdateMoR)
 }

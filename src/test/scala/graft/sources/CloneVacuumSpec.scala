@@ -155,6 +155,96 @@ class CloneVacuumSpec extends AnyFunSuite {
     assert(swept.exists(_.startsWith("_dv/")), swept.toString)
   }
 
+  test("merge-on-read UPDATE: vector + appended copies in one commit; fence protects its own rows") {
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/mor_upd_tbl"
+    new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(base), true)
+    ManifestTable.create(spark, base, t, "o_year")
+    val pred = col("o_orderkey") % 10 === 0 && col("o_year") >= 1996
+    assert(ManifestTable.updateWhereMoR(spark, base, pred,
+      Seq("o_totalprice" -> (col("o_totalprice") + 1000.0)),
+      "o_orderkey", "o_year"))
+    // ONE commit: every v1 data file carried untouched, the updated
+    // copies appended under files/v2, one vector pending
+    val v1 = ManifestTable.entries(spark, base, 1).toSet
+    val v2 = ManifestTable.entries(spark, base, 2).toSet
+    assert(v1.subsetOf(v2), "no committed file may be rewritten")
+    assert((v2 -- v1).nonEmpty && (v2 -- v1).forall(_._2.startsWith("files/v2/")))
+    assert(ManifestTable.pendingDvRels(spark, base).size === 1)
+    // MoR semantics equal the COW update on every read path
+    val expect = t.withColumn("o_totalprice",
+      when(pred, col("o_totalprice") + 1000.0).otherwise(col("o_totalprice")))
+    val mor = ManifestTable.readMoR(spark, base, "o_orderkey")
+    assert(mor.count() === expect.count(), "the fence must keep the new copies")
+    assert(mor.exceptAll(expect).isEmpty)
+    // the connector's in-scan path applies the same fence
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", graft.Scratch.root)
+    ManifestTable.setTableProperty(spark, base, "partCol", "o_year")
+    val viaSql = spark.sql(s"SELECT * FROM graft_cat.`mor_upd_tbl`")
+    assert(viaSql.count() === expect.count())
+    assert(viaSql.exceptAll(expect).isEmpty)
+    // a later MoR DELETE of an updated key hides the updated copy too
+    // (its unfenced vector out-cuts the update's fence)
+    val delPred = col("o_orderkey") % 20 === 0 && col("o_year") >= 1996
+    assert(ManifestTable.deleteWhereMoR(spark, base, delPred, "o_orderkey", "o_year"))
+    val expect2 = expect.filter(!delPred)
+    val mor2 = ManifestTable.readMoR(spark, base, "o_orderkey")
+    assert(mor2.count() === expect2.count())
+    assert(mor2.exceptAll(expect2).isEmpty)
+    // purge folds BOTH vectors with the fence intact; read() then agrees
+    val (parts, _) = ManifestTable.purgeDeletes(spark, base, "o_orderkey", "o_year")
+    assert(parts > 0)
+    assert(ManifestTable.pendingDvRels(spark, base).isEmpty)
+    assert(ManifestTable.read(spark, base).exceptAll(expect2).isEmpty)
+    assert(ManifestTable.read(spark, base).count() === expect2.count())
+    // a clone's borrowed absolute entries refuse the fence
+    val clone = s"${graft.Scratch.root}/mor_upd_clone"
+    ManifestTable.cloneTable(spark, base, clone)
+    intercept[IllegalArgumentException] {
+      ManifestTable.updateWhereMoR(spark, clone, pred,
+        Seq("o_totalprice" -> (col("o_totalprice") + 1.0)), "o_orderkey", "o_year")
+    }
+  }
+
+  test("merge-on-read UPDATE racing a commit aborts classified and leaves nothing") {
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/mor_upd_race"
+    new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(base), true)
+    ManifestTable.create(spark, base, t, "o_year")
+    val extra = t.filter(col("o_year") === 1997)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+    // an append INTO a touched partition makes the recorded keys stale
+    intercept[ManifestTable.ConcurrentRewriteException] {
+      ManifestTable.updateWhereMoR(spark, base,
+        col("o_orderkey") % 10 === 0 && col("o_year") >= 1996,
+        Seq("o_totalprice" -> (col("o_totalprice") + 1000.0)),
+        "o_orderkey", "o_year",
+        raceInject = () => ManifestTable.append(spark, base, extra, "o_year"))
+    }
+    assert(ManifestTable.pendingDvRels(spark, base).isEmpty)
+    assert(ManifestTable.read(spark, base).count() === t.count() + extra.count())
+    // a concurrent DV is also a conflict for an UPDATE (it could hide the
+    // update's new rows) — unlike for the commuting deletes
+    intercept[ManifestTable.ConcurrentRewriteException] {
+      ManifestTable.updateWhereMoR(spark, base,
+        col("o_orderkey") % 10 === 0 && col("o_year") === 1995,
+        Seq("o_totalprice" -> (col("o_totalprice") + 1.0)),
+        "o_orderkey", "o_year",
+        raceInject = () => assert(ManifestTable.deleteWhereMoR(spark, base,
+          col("o_orderkey") % 13 === 0 && col("o_year") === 1996,
+          "o_orderkey", "o_year")))
+    }
+    // the delete's vector is untouched by the aborted update
+    assert(ManifestTable.pendingDvRels(spark, base).size === 1)
+  }
+
   test("DV scoping: a key in a partition the delete did not match survives all read paths") {
     // key 1 lives in BOTH partitions; the delete predicate matches only
     // y >= 1996 — the vector must hide (1, 1997) and NOT (1, 1995), on the

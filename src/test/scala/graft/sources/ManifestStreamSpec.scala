@@ -538,6 +538,61 @@ class ManifestStreamSpec extends AnyFunSuite {
       col("o_flag") =!= (col("o_orderkey") % 97).cast("double")).count() === 0)
   }
 
+  test("change feed of a MoR UPDATE: old rows as deletes, new copies as inserts") {
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/cdf_upd_tbl"
+    val sink = s"${graft.Scratch.root}/cdf_upd_sink"
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    ManifestTable.create(spark, base, t, "o_year")
+    val pred = col("o_orderkey") % 10 === 0 && col("o_year") >= 1996
+    assert(ManifestTable.updateWhereMoR(spark, base, pred,
+      Seq("o_totalprice" -> (col("o_totalprice") + 1000.0)),
+      "o_orderkey", "o_year"))
+    val q = spark.readStream
+      .format("graft.sources.ManifestStreamProvider")
+      .schema(schema).option("changeFeed", "true").load(base)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/batch=$id"); ()
+      }
+      .option("checkpointLocation", s"$sink-ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val nMatched = t.filter(pred).count()
+    val b1 = spark.read.parquet(s"$sink/batch=1")
+    // the single update commit streams as a proper update feed: the OLD
+    // rows as delete preimages (fence keeps them out of the new files),
+    // the appended copies as insert postimages — matched-count of each
+    val dels = b1.filter(col("_change_type") === "delete")
+    val ins = b1.filter(col("_change_type") === "insert")
+    assert(dels.count() === nMatched, "each matched row must emit one preimage")
+    assert(ins.count() === nMatched, "each matched row must emit one postimage")
+    // preimages carry the OLD price, postimages the NEW one
+    val oldCents = t.filter(pred)
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))).head.getLong(0)
+    assert(dels.agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")))
+      .head.getLong(0) === oldCents)
+    assert(ins.agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")))
+      .head.getLong(0) === oldCents + 100000L * nMatched)
+    // folding the full feed reconstructs the updated table
+    val changes = spark.read.parquet(sink)
+    val state = changes.groupBy(col("o_orderkey"))
+      .agg(max_by(struct(col("o_year"), col("o_totalprice"), col("_change_type")),
+        struct(col("_commit_version"),
+          when(col("_change_type") === "insert", 1).otherwise(0))).as("s"))
+      .filter(col("s._change_type") === "insert")
+      .select(col("o_orderkey"), col("s.o_year").as("o_year"),
+        col("s.o_totalprice").as("o_totalprice"))
+    val expect = t.withColumn("o_totalprice",
+      when(pred, col("o_totalprice") + 1000.0).otherwise(col("o_totalprice")))
+    assert(state.count() === expect.count())
+    assert(state.exceptAll(expect).isEmpty)
+  }
+
   test("LIMIT plans only enough files to cover the limit") {
     val base = ManifestTable.statsFixture(spark, sf)
     ManifestScanEvents.clear()
