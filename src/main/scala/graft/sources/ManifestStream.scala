@@ -103,7 +103,19 @@ final class ManifestStreamTable(schema: StructType, base: String,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new ManifestRowLevelOp(this, base, info.command())
+    () => {
+      // `write.mode=merge-on-read` (+ keyCol) flips row-level SQL from the
+      // group-rewrite to the DELTA op: deletes land as a version-fenced
+      // deletion vector, new rows as appended files — O(changes), not
+      // O(touched partitions)
+      val props = ManifestTable.tableProperties(
+        org.apache.spark.sql.SparkSession.active, base)
+      if (props.get("write.mode").contains("merge-on-read") &&
+          props.contains("keyCol") && props.contains("partCol"))
+        new ManifestRowLevelDeltaOp(this, base, info.command(),
+          props("keyCol"), props("partCol"))
+      else new ManifestRowLevelOp(this, base, info.command())
+    }
 
   /** SQL `DELETE FROM graft_cat.\`t\` WHERE ...` (and `TRUNCATE TABLE`,
     * which arrives as a delete with no filters): the translated
@@ -363,7 +375,10 @@ final class ManifestStreamTable(schema: StructType, base: String,
         override def toBatch: org.apache.spark.sql.connector.read.Batch = batch
         override def filterAttributes()
             : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-          layoutCol.map(c => Array(
+          // only when the layout column survives the projection: a delta
+          // row-level scan may prune to [rowId, _pval], and advertising
+          // an unresolvable attribute breaks Spark's DPP rule
+          layoutCol.filter(projected.fieldNames.contains).map(c => Array(
             org.apache.spark.sql.connector.expressions.Expressions.column(c)))
             .getOrElse(Array.empty)
         override def filter(
@@ -916,6 +931,226 @@ final class ManifestReplaceGroups(base: String, schema: StructType,
   }
 }
 
+/** DELTA-based row-level operation (`SupportsDelta`) — the MERGE-ON-READ
+  * face of SQL `UPDATE` / `MERGE INTO` / non-translatable `DELETE`,
+  * active when the table is stamped `write.mode=merge-on-read` (+
+  * `keyCol`). Where the group-based [[ManifestRowLevelOp]] REWRITES every
+  * group the scan read, this one ships only the CHANGES: Spark routes
+  * each matched row to the writer as a delete/update/insert operation,
+  * executors write the deleted (key, partition) pairs as deletion-vector
+  * FRAGMENTS and the new/updated rows as staged data files, and one
+  * commit lands the vector (version-fenced by its `_cut` sidecar — see
+  * [[ManifestTable.updateWhereMoR]]) plus the appended files. An UPDATE
+  * of k rows in a billion-row partition costs O(k), not a partition
+  * rewrite — the Iceberg/Delta MoR write path, expressed through the
+  * public DSv2 delta API. Pending vectors are allowed (the scan applies
+  * them in-scan, the new vector stacks); the commit classifies like
+  * [[ManifestTable.updateWhereMoR]]: any concurrent vector or change to
+  * a deleted-from partition aborts, other commits rebase. */
+final class ManifestRowLevelDeltaOp(table: ManifestStreamTable, base: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    keyCol: String, partCol: String)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+  @volatile private[sources] var planned: Option[(Set[String], Int)] = None
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    table.scanBuilderRecording(options,
+      (pvals, v) => planned = Some((pvals.toSet, v)))
+  // _pval rides as metadata so each delete knows its partition without
+  // decoding the partition column — the vector records (key, pval) pairs
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_pval"))
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(keyCol))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder = {
+    // the row schema Spark hands a delta write is the DATA row (insert/
+    // update images); strip any metadata column defensively
+    val dataSchema = StructType(info.schema().fields
+      .filterNot(f => f.name == "_pval" || f.name == "__row_operation"))
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new ManifestDeltaWrite(base, dataSchema, keyCol, partCol,
+              () => planned)
+        }
+    }
+  }
+}
+
+/** Commit messages of a delta write: staged data files, deletion-vector
+  * fragment paths, and the partition values deletes touched. */
+final case class ManifestDeltaFiles(files: Seq[(String, String)],
+    dvFrags: Seq[String], delPvals: Set[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class ManifestDeltaWrite(base: String, rowSchema: StructType,
+    keyCol: String, partCol: String,
+    planned: () => Option[(Set[String], Int)])
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  import org.apache.spark.sql.connector.write.{DeltaWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  private val dvToken = java.util.UUID.randomUUID.toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new ManifestDeltaWriterFactory(base, rowSchema, keyCol, partCol, dvToken)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fs = new Path(base).getFileSystem(new Configuration())
+    val msgs = messages.collect { case m: ManifestDeltaFiles => m }.toSeq
+    val staged = msgs.flatMap(_.files)
+    val frags = msgs.flatMap(_.dvFrags)
+    val touched = msgs.flatMap(_.delPvals).toSet
+    if (staged.isEmpty && frags.isEmpty) return // nothing matched, no commit
+    val (_, readV) = planned().getOrElse(throw new IllegalStateException(
+      s"delta row-level write under $base: the operation's scan never " +
+        "planned, so the read snapshot is unknown — refusing to commit"))
+    // the version fence pivot: staged copies live at files/v<cut>, the
+    // vector hides only rows in files BELOW it (see updateWhereMoR)
+    val cut = readV + 1
+    val moved = staged.map { case (pval, abs) =>
+      val destDir = new Path(base, s"files/v$cut/p=$pval")
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, new Path(abs).getName)
+      if (!fs.rename(new Path(abs), dest))
+        throw new java.io.IOException(s"delta move failed: $abs")
+      (pval, s"files/v$cut/p=$pval/${dest.getName}")
+    }
+    val rel = s"_dv/d-$dvToken"
+    val hasDv = frags.nonEmpty
+    if (hasDv) {
+      val out = fs.create(new Path(base, s"$rel/_partcol"), true)
+      try out.write(partCol.getBytes("UTF-8")) finally out.close()
+      ManifestTable.writeDvCut(spark, base, rel, cut)
+    }
+    def cleanup(): Unit = {
+      if (hasDv) fs.delete(new Path(base, rel), true)
+      moved.foreach { case (_, r) => fs.delete(new Path(base, r), true) }
+    }
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = ManifestTable.currentVersion(spark, base)
+      if (cur != readV) {
+        // same classification as updateWhereMoR: a concurrent vector
+        // could hide this write's new rows, a change to a deleted-from
+        // partition staleness the recorded keys — both abort; anything
+        // else (appends/rewrites elsewhere) rebases
+        val newDvs = ManifestTable.dvMarkersAt(spark, base, cur)
+          .diff(ManifestTable.dvMarkersAt(spark, base, readV))
+        val before = ManifestTable.entries(spark, base, readV)
+          .filter { case (p, _) => touched(p) }.toSet
+        val now = ManifestTable.entries(spark, base, cur)
+          .filter { case (p, _) => touched(p) }.toSet
+        if (newDvs.nonEmpty || before != now) {
+          cleanup()
+          throw new ManifestTable.ConcurrentRewriteException(
+            s"delta row-level write under $base: the table changed between " +
+              s"read (v$readV) and commit (v$cur) in a way the write cannot " +
+              "rebase over — re-run the statement")
+        }
+      }
+      val merged =
+        (ManifestTable.dvMarkersAt(spark, base, cur) ++
+          (if (hasDv) Seq(rel) else Nil)).map((ManifestTable.DvMarker, _)) ++
+          ManifestTable.entries(spark, base, cur) ++ moved
+      try {
+        ManifestTable.commit(spark, base, cur + 1, merged)
+        ManifestTable.refreshAllStats(spark, base)
+        return
+      } catch {
+        case _: ManifestTable.VersionConflictException if attempt < 20 => ()
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(base).getFileSystem(new Configuration())
+    messages.foreach {
+      case m: ManifestDeltaFiles =>
+        m.files.foreach { case (_, p) => fs.delete(new Path(p), false) }
+        m.dvFrags.foreach(p => fs.delete(new Path(p), false))
+      case _ =>
+    }
+  }
+}
+
+final class ManifestDeltaWriterFactory(base: String, rowSchema: StructType,
+    keyCol: String, partCol: String, dvToken: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new ManifestDeltaWriter(base, rowSchema, keyCol, partCol, dvToken,
+      partitionId, taskId)
+}
+
+/** Executor-side delta writer: inserts/update-images go through the
+  * ordinary staged-file writer; deletes append (key, pval) pairs to this
+  * task's deletion-vector FRAGMENT (one parquet file per task inside the
+  * shared vector dir — the dir becomes visible only when the driver's
+  * commit names its `__dv` marker). */
+final class ManifestDeltaWriter(base: String, rowSchema: StructType,
+    keyCol: String, partCol: String, dvToken: String,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.schema.{PrimitiveType, Types, LogicalTypeAnnotation}
+
+  private val inner =
+    new ManifestSinkWriter(base, rowSchema, partCol, partitionId, taskId, -2L)
+  private val fragPath = s"$base/_dv/d-$dvToken/frag-p$partitionId-t$taskId.parquet"
+  private val dvType = Types.buildMessage()
+    .optional(PrimitiveType.PrimitiveTypeName.INT64).named(keyCol)
+    .optional(PrimitiveType.PrimitiveTypeName.BINARY)
+    .as(LogicalTypeAnnotation.stringType()).named("__pval")
+    .named("graft_dv")
+  private lazy val dvWriter = ExampleParquetWriter.builder(new Path(fragPath))
+    .withConf(new Configuration()).withType(dvType).build()
+  private val dvFactory = new SimpleGroupFactory(dvType)
+  private var wroteDv = false
+  private val delPvals = scala.collection.mutable.Set[String]()
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val pval = meta.getUTF8String(0).toString
+    val g = dvFactory.newGroup()
+    g.add(keyCol, id.getLong(0))
+    g.add("__pval", pval)
+    dvWriter.write(g)
+    wroteDv = true
+    delPvals += pval
+  }
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
+  override def insert(row: InternalRow): Unit = inner.write(row)
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (wroteDv) dvWriter.close()
+    val m = inner.commit().asInstanceOf[ManifestSinkFiles]
+    ManifestDeltaFiles(m.files,
+      if (wroteDv) Seq(fragPath) else Seq.empty, delPvals.toSet)
+  }
+  override def abort(): Unit = {
+    inner.abort()
+    if (wroteDv) {
+      scala.util.Try(dvWriter.close())
+      new Path(base).getFileSystem(new Configuration())
+        .delete(new Path(fragPath), false)
+    }
+  }
+  override def close(): Unit = ()
+}
+
 /** Translate the v1 source filters a SQL DELETE pushes into `Column`
   * predicates over the table's columns. None = untranslatable (the
   * delete is refused whole, never half-applied). */
@@ -1033,10 +1268,20 @@ class ManifestCatalog
       val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
       spark.read.parquet(abs).schema
     }
+    // a merge-on-read table's key column serves NON-NULLABLE: the delta
+    // row-level path requires a non-null row ID (Spark refuses nullable
+    // row-ID attributes), and the MoR contract already demands non-null
+    // keys — the deletion-vector joins identify rows by them
+    val keyed = props.get("keyCol") match {
+      case Some(k) if props.get("write.mode").contains("merge-on-read") =>
+        StructType(served.fields.map(f =>
+          if (f.name.equalsIgnoreCase(k)) f.copy(nullable = false) else f))
+      case _ => served
+    }
     // the stored partCol property doubles as the reported key-grouped
     // layout, so catalog SQL can run storage-partitioned (shuffle-free)
     // aggregations and joins on it
-    new ManifestStreamTable(served, base, None, props.get("partCol"))
+    new ManifestStreamTable(keyed, base, None, props.get("partCol"))
   }
 
   /** SQL time travel: `SELECT ... FROM graft_cat.\`t\` VERSION AS OF 2`
@@ -1354,10 +1599,12 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     var keyCol = ""
     // pair -> version fence: hide a row only when its file's dir version
     // is BELOW the pair's cut (an update vector's own appended copies sit
-    // AT the cut and survive); delete vectors carry no cut = hide always.
-    // Multiple vectors naming one pair keep the MAX cut.
+    // AT the cut and survive); delete vectors carry no `_cut` sidecar =
+    // hide always. Multiple vectors naming one pair keep the MAX cut.
     val pairs = scala.collection.mutable.Map[(Long, String), Int]()
-    dvDirs.foreach { d =>
+    rels.zip(dvDirs).foreach { case (rel, d) =>
+      val cut = ManifestTable.dvCutOf(
+        org.apache.spark.sql.SparkSession.active, base, rel)
       fs.listStatus(d).toSeq
         .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
           val r = ParquetReader.builder(new GroupReadSupport(), f.getPath)
@@ -1365,10 +1612,6 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
           var g = r.read()
           while (g != null) {
             if (keyCol.isEmpty) keyCol = g.getType.getFieldName(0)
-            val cut =
-              if (g.getType.containsField("__cut") &&
-                g.getFieldRepetitionCount("__cut") > 0) g.getInteger("__cut", 0)
-              else Int.MaxValue
             val k = (g.getLong(keyCol, 0), g.getString("__pval", 0))
             pairs(k) = math.max(pairs.getOrElse(k, Int.MinValue), cut)
             require(pairs.size <= 1000000,
@@ -1419,11 +1662,11 @@ private[sources] object ManifestDvSidecar {
     // previous manifest's (markers carry forward until purged)
     val landed = ManifestTable.dvMarkersAt(spark, base, v)
       .diff(if (v > 1) ManifestTable.dvMarkersAt(spark, base, v - 1) else Seq.empty)
-      .map(rel => new Path(base, rel))
-      .filter(fs.exists(_)) // purged vectors tolerate as before
-    landed.map { d =>
+      .filter(rel => fs.exists(new Path(base, rel))) // purged vectors tolerate
+    landed.map { rel =>
+      val d = new Path(base, rel)
+      val cut = ManifestTable.dvCutOf(spark, base, rel)
       var keyCol = ""
-      var cut = Int.MaxValue
       val m = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
       var n = 0L
       fs.listStatus(d).toSeq
@@ -1433,9 +1676,6 @@ private[sources] object ManifestDvSidecar {
         var g = r.read()
         while (g != null) {
           if (keyCol.isEmpty) keyCol = g.getType.getFieldName(0)
-          if (g.getType.containsField("__cut") &&
-              g.getFieldRepetitionCount("__cut") > 0)
-            cut = g.getInteger("__cut", 0)
           m.getOrElseUpdate(g.getString("__pval", 0),
             scala.collection.mutable.Set[Long]()) += g.getLong(keyCol, 0)
           n += 1

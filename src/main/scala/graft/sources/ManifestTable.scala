@@ -1197,9 +1197,10 @@ object ManifestTable {
     *
     * The correctness crux is that the vector must hide the OLD rows but
     * never the NEW ones, which share the same (key, partition) pairs.
-    * Vectors are therefore VERSION-FENCED: each pair carries a `__cut` —
-    * the staged files' dir version — and a row is hidden only when its
-    * file's dir version (`files/v<K>/…`) is BELOW the cut. Every
+    * Vectors are therefore VERSION-FENCED: the vector dir carries a
+    * `_cut` sidecar — the staged files' dir version — and a row is
+    * hidden only when its file's dir version (`files/v<K>/…`) is BELOW
+    * the cut. Every
     * pre-existing file has K ≤ readV < cut; the update's own staged files
     * sit exactly AT the cut and survive. The fence keys off the dir
     * version the STAGED files use (not the landed version a retry may
@@ -1232,8 +1233,7 @@ object ManifestTable {
     val fs = fsOf(spark, new Path(base))
     val matched = readVersion(spark, base, readV).filter(pred)
     matched
-      .select(col(keyCol), col(partCol).cast("string").as("__pval"),
-        lit(cut).as("__cut"))
+      .select(col(keyCol), col(partCol).cast("string").as("__pval"))
       .write.parquet(dvPath)
     val touched = spark.read.parquet(dvPath)
       .select(col("__pval")).distinct()
@@ -1244,6 +1244,7 @@ object ManifestTable {
     }
     val out = fs.create(new Path(dvPath, "_partcol"), true)
     try out.write(partCol.getBytes("UTF-8")) finally out.close()
+    writeDvCut(spark, base, rel, cut)
     // the updated copies stage under files/v<cut> — the fence pivot
     val updated = set.foldLeft(matched) { case (d, (c, e)) => d.withColumn(c, e) }
     val staged = writeSnapshotFiles(spark, base, cut, updated, partCol)
@@ -1291,17 +1292,34 @@ object ManifestTable {
   }
   private val DirVersionRe = "files/v(\\d+)/".r
 
-  /** The pending vectors' (key, __pval, __cut) rows, schema-unified:
-    * delete-only vectors (no `__cut` column) hide unconditionally and
-    * read as cut = Int.MaxValue. */
+  /** A vector dir's version fence, from its `_cut` sidecar; delete-only
+    * vectors carry none and hide unconditionally (= Int.MaxValue). */
+  private[sources] def dvCutOf(spark: SparkSession, base: String, rel: String): Int = {
+    val p = new Path(base, s"$rel/_cut")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) Int.MaxValue
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
+  private[sources] def writeDvCut(spark: SparkSession, base: String,
+      rel: String, cut: Int): Unit = {
+    val p = new Path(base, s"$rel/_cut")
+    val out = fsOf(spark, p).create(p, true)
+    try out.write(cut.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The pending vectors' (key, __pval, __cut) rows, schema-unified, the
+    * cut stamped per dir from its `_cut` sidecar. */
   private[sources] def readDvPairs(spark: SparkSession, base: String,
       rels: Seq[String], keyCol: String): DataFrame =
     rels.map { rel =>
-      val d = spark.read.parquet(s"$base/$rel")
-      val withCut =
-        if (d.columns.contains("__cut")) d
-        else d.withColumn("__cut", lit(Int.MaxValue))
-      withCut.select(col(keyCol), col("__pval"), col("__cut"))
+      spark.read.parquet(s"$base/$rel")
+        .select(col(keyCol), col("__pval"),
+          lit(dvCutOf(spark, base, rel)).as("__cut"))
     }.reduce(_ unionByName _)
 
   /** The partition column every listed vector was recorded against (they
@@ -4028,6 +4046,82 @@ object ManifestTable {
          |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Registered MoR SQL `UPDATE` + `MERGE INTO` through the DELTA
+    * row-level path (`SupportsDelta`): with `write.mode=merge-on-read`
+    * stamped, the UPDATE lands a version-fenced vector + appended copies
+    * (no rewrite), and the MERGE stacks a SECOND vector over the pending
+    * first plus its insert/update appends — two commits, zero rewritten
+    * files, both pinned by `require`s on the entry sets. The read back
+    * through catalog SQL applies both fenced vectors in-scan; the oracle
+    * replays update-then-merge. `ManifestStreamSpec` adds the purge and
+    * programmatic-agreement pins. */
+  val catalogUpdateMoR: QuerySpec = QuerySpec.sql(
+    "q_catalog_update_mor",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  CASE WHEN year(o_orderdate) >= 1996 AND o_orderkey % 10 = 0
+      |                       THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price
+      |           FROM orders),
+      |u AS (SELECT o_orderkey, o_year, price + 7.0 AS price
+      |      FROM t WHERE o_orderkey % 20 = 0 AND o_year >= 1996
+      |      UNION ALL
+      |      SELECT -o_orderkey, o_year, 42.0 AS price
+      |      FROM t WHERE o_orderkey % 10 = 5 AND o_year >= 1996),
+      |m AS (SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      |      UNION ALL SELECT * FROM u)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(price * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("sqlupdatemor", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_sumfix_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        create(spark, b, t, "o_year")
+        setTableProperty(spark, b, "partCol", "o_year")
+        setTableProperty(spark, b, "keyCol", "o_orderkey")
+        setTableProperty(spark, b, "write.mode", "merge-on-read")
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(b).getParent)
+        val tbl = new java.io.File(b).getName
+        spark.sql(
+          s"""UPDATE graft_cat.`$tbl`
+             |SET o_totalprice = o_totalprice + 1000.0
+             |WHERE o_year >= 1996 AND o_orderkey % 10 = 0""".stripMargin)
+        // the merge feed re-prices the mod-20 cohort of the UPDATED state
+        // and inserts mirrored negatives — stacked over the pending vector
+        val afterU = t.withColumn("o_totalprice",
+          when(col("o_year") >= 1996 && col("o_orderkey") % 10 === 0,
+            col("o_totalprice") + 1000.0).otherwise(col("o_totalprice")))
+        afterU.filter(col("o_orderkey") % 20 === 0 && col("o_year") >= 1996)
+          .withColumn("o_totalprice", col("o_totalprice") + 7.0)
+          .unionByName(
+            afterU.filter(col("o_orderkey") % 10 === 5 && col("o_year") >= 1996)
+              .withColumn("o_orderkey", -col("o_orderkey"))
+              .withColumn("o_totalprice", lit(42.0)))
+          .createOrReplaceTempView("graft_mor_merge_feed")
+        spark.sql(
+          s"""MERGE INTO graft_cat.`$tbl` tgt
+             |USING graft_mor_merge_feed u ON tgt.o_orderkey = u.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        // both commits were metadata + appends: no committed file rewritten
+        require(entries(spark, b, 1).toSet.subsetOf(entries(spark, b, 2).toSet) &&
+          entries(spark, b, 2).toSet.subsetOf(entries(spark, b, 3).toSet),
+          "MoR SQL row-level ops must never rewrite a committed file")
+        require(pendingDvRels(spark, b).size == 2,
+          "UPDATE then MERGE must leave two stacked vectors")
+        b
+      })
+    }
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Build-once fixture: v1 = ordersKeyed, then `ALTER TABLE ADD COLUMN
     * o_flag DOUBLE` (a pure schema stamp — no commit, no file touched),
     * then a post-evolution SQL MERGE INTO whose feed carries the new
@@ -4171,5 +4265,5 @@ object ManifestTable {
       catalogCreate, catalogDelete, catalogUpdate, catalogMergeInto,
       tableConcurrent, catalogRename, catalogDropCol,
       tableOptimizeConcurrent, catalogDeleteMoR, catalogMetaSum,
-      streamCdfEvolve, tableUpdateMoR)
+      streamCdfEvolve, tableUpdateMoR, catalogUpdateMoR)
 }

@@ -538,6 +538,70 @@ class ManifestStreamSpec extends AnyFunSuite {
       col("o_flag") =!= (col("o_orderkey") % 97).cast("double")).count() === 0)
   }
 
+  test("MoR-mode SQL UPDATE and MERGE INTO go delta: vectors + appends, no rewrite") {
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/mor_sqlupd_tbl"
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    ManifestTable.create(spark, base, t, "o_year")
+    ManifestTable.setTableProperty(spark, base, "partCol", "o_year")
+    ManifestTable.setTableProperty(spark, base, "keyCol", "o_orderkey")
+    ManifestTable.setTableProperty(spark, base, "write.mode", "merge-on-read")
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", graft.Scratch.root)
+    spark.sql(
+      s"""UPDATE graft_cat.`mor_sqlupd_tbl`
+         |SET o_totalprice = o_totalprice + 1000.0
+         |WHERE o_year >= 1996 AND o_orderkey % 10 = 0""".stripMargin)
+    // the delta commit: every v1 file carried, updated copies appended,
+    // one version-fenced vector pending
+    val v1 = ManifestTable.entries(spark, base, 1).toSet
+    val v2 = ManifestTable.entries(spark, base, 2).toSet
+    assert(v1.subsetOf(v2), "SQL MoR UPDATE must not rewrite any committed file")
+    assert((v2 -- v1).nonEmpty && (v2 -- v1).forall(_._2.startsWith("files/v2/")))
+    assert(ManifestTable.pendingDvRels(spark, base).size === 1)
+    val predU = col("o_year") >= 1996 && col("o_orderkey") % 10 === 0
+    val expect1 = t.withColumn("o_totalprice",
+      when(predU, col("o_totalprice") + 1000.0).otherwise(col("o_totalprice")))
+    val got1 = spark.sql(s"SELECT * FROM graft_cat.`mor_sqlupd_tbl`")
+    assert(got1.count() === expect1.count())
+    assert(got1.exceptAll(expect1).isEmpty)
+    // MERGE INTO stacks a second vector over the pending first (no purge
+    // needed between MoR writes — the scan applies pending vectors
+    // in-scan and the new one stacks)
+    expect1.filter(col("o_orderkey") % 10 === 5 && col("o_year") >= 1996)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+      .withColumn("o_totalprice", lit(42.0))
+      .unionByName(expect1.filter(col("o_orderkey") % 20 === 0 && col("o_year") >= 1996)
+        .withColumn("o_totalprice", col("o_totalprice") + 7.0))
+      .createOrReplaceTempView("mor_merge_feed")
+    spark.sql(
+      s"""MERGE INTO graft_cat.`mor_sqlupd_tbl` tgt
+         |USING mor_merge_feed u ON tgt.o_orderkey = u.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(ManifestTable.pendingDvRels(spark, base).size === 2)
+    val v3 = ManifestTable.entries(spark, base, 3).toSet
+    assert(v2.subsetOf(v3), "SQL MoR MERGE must not rewrite any committed file")
+    val feed = spark.table("mor_merge_feed")
+    val expect2 = expect1
+      .join(feed.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .unionByName(feed)
+    val got2 = spark.sql(s"SELECT * FROM graft_cat.`mor_sqlupd_tbl`")
+    assert(got2.count() === expect2.count())
+    assert(got2.exceptAll(expect2).isEmpty)
+    // the programmatic MoR read and the purge agree with the SQL view
+    val mor = ManifestTable.readMoR(spark, base, "o_orderkey")
+    assert(mor.count() === expect2.count() && mor.exceptAll(expect2).isEmpty)
+    ManifestTable.purgeDeletes(spark, base, "o_orderkey", "o_year")
+    assert(ManifestTable.pendingDvRels(spark, base).isEmpty)
+    assert(ManifestTable.read(spark, base).exceptAll(expect2).isEmpty)
+    assert(ManifestTable.read(spark, base).count() === expect2.count())
+  }
+
   test("change feed of a MoR UPDATE: old rows as deletes, new copies as inserts") {
     val t = graft.model.Tables.orders(spark, sf)
       .select(col("o_orderkey"),
