@@ -1354,18 +1354,31 @@ object ManifestTable {
     if (dvs.isEmpty) data
     else {
       val pc = dvPartColOf(spark, base, dvs)
-      // per-pair MAX cut: if any vector hides the pair at this file's
-      // version, the row is gone (a later unfenced delete of an updated
-      // key hides the updated copy too, as it must)
-      val pairs = readDvPairs(spark, base, dvs, keyCol)
-        .groupBy(col(keyCol), col("__pval")).agg(max(col("__cut")).as("__cut"))
-      data.withColumn("__pval", col(pc).cast("string"))
-        .withColumn("__fv",
-          coalesce(regexp_extract(input_file_name(), "files/v(\\d+)/", 1)
-            .cast("int"), lit(-1)))
-        .join(broadcast(pairs), Seq(keyCol, "__pval"), "left")
-        .filter(col("__cut").isNull || col("__fv") >= col("__cut"))
-        .drop("__pval", "__fv", "__cut")
+      // FAST PATH — delete-only vectors (no `_cut` sidecar anywhere, the
+      // common case): every named pair hides unconditionally, so the
+      // plain broadcast anti-join suffices — no per-row file-version
+      // extraction, no pair aggregation
+      if (dvs.forall(rel => dvCutOf(spark, base, rel) == Int.MaxValue)) {
+        val pairs = spark.read
+          .parquet(dvs.map(rel => s"$base/$rel"): _*)
+          .select(col(keyCol), col("__pval")).distinct()
+        data.withColumn("__pval", col(pc).cast("string"))
+          .join(broadcast(pairs), Seq(keyCol, "__pval"), "left_anti")
+          .drop("__pval")
+      } else {
+        // per-pair MAX cut: if any vector hides the pair at this file's
+        // version, the row is gone (a later unfenced delete of an updated
+        // key hides the updated copy too, as it must)
+        val pairs = readDvPairs(spark, base, dvs, keyCol)
+          .groupBy(col(keyCol), col("__pval")).agg(max(col("__cut")).as("__cut"))
+        data.withColumn("__pval", col(pc).cast("string"))
+          .withColumn("__fv",
+            coalesce(regexp_extract(input_file_name(), "files/v(\\d+)/", 1)
+              .cast("int"), lit(-1)))
+          .join(broadcast(pairs), Seq(keyCol, "__pval"), "left")
+          .filter(col("__cut").isNull || col("__fv") >= col("__cut"))
+          .drop("__pval", "__fv", "__cut")
+      }
     }
   }
 
@@ -1394,16 +1407,24 @@ object ManifestTable {
     // the same (key, partition, version-fence) scoping readMoR applies: a
     // key's rows in a touched partition survive unless a vector names
     // that exact (key, partition) AND the row's file predates its cut —
-    // an updateWhereMoR's own appended copies always survive their vector
-    val survivors = spark.read
+    // an updateWhereMoR's own appended copies always survive their
+    // vector. Delete-only vectors (no cuts) take the plain anti-join.
+    val hotData = spark.read
       .parquet(hot.map { case (_, rel) => resolve(base, rel) }: _*)
       .withColumn("__pval", col(partCol).cast("string"))
-      .withColumn("__fv",
-        coalesce(regexp_extract(input_file_name(), "files/v(\\d+)/", 1)
-          .cast("int"), lit(-1)))
-      .join(broadcast(pairs), Seq(keyCol, "__pval"), "left")
-      .filter(col("__cut").isNull || col("__fv") >= col("__cut"))
-      .drop("__pval", "__fv", "__cut")
+    val survivors =
+      if (dvs.forall(rel => dvCutOf(spark, base, rel) == Int.MaxValue))
+        hotData
+          .join(broadcast(pairs.select(col(keyCol), col("__pval"))),
+            Seq(keyCol, "__pval"), "left_anti")
+          .drop("__pval")
+      else hotData
+        .withColumn("__fv",
+          coalesce(regexp_extract(input_file_name(), "files/v(\\d+)/", 1)
+            .cast("int"), lit(-1)))
+        .join(broadcast(pairs), Seq(keyCol, "__pval"), "left")
+        .filter(col("__cut").isNull || col("__fv") >= col("__cut"))
+        .drop("__pval", "__fv", "__cut")
     val newFiles = writeSnapshotFiles(spark, base, v + 1, survivors, partCol)
     // the purge's commit DROPS the folded markers (dropDvMarkers) — a DV
     // that landed after the read is caught by the retry's marker check
