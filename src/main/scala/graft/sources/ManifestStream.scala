@@ -676,6 +676,25 @@ private[sources] object ManifestMetaAgg {
   * aggregate rows, zero data I/O on executors. */
 final case class ManifestAggPartition(rows: Seq[Seq[Any]]) extends InputPartition
 
+/** The shared executor face of driver-computed rows: one reader over a
+  * [[ManifestAggPartition]]'s external-typed values. */
+private[sources] object ManifestLocalRows {
+  def readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private val it = p.asInstanceOf[ManifestAggPartition].rows.iterator
+        private var cur: Seq[Any] = _
+        override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+        override def get(): InternalRow = new GenericInternalRow(
+          cur.map {
+            case s: String => UTF8String.fromString(s)
+            case x => x
+          }.toArray)
+        override def close(): Unit = ()
+      }
+  }
+}
+
 final class ManifestMetaAggScan(aggSchema: StructType, rows: Seq[Seq[Any]],
     base: String, totalFiles: Int) extends Scan {
   override def readSchema(): StructType = aggSchema
@@ -687,20 +706,7 @@ final class ManifestMetaAggScan(aggSchema: StructType, rows: Seq[Seq[Any]],
         Array(ManifestAggPartition(rows))
       }
       override def createReaderFactory(): PartitionReaderFactory =
-        new PartitionReaderFactory {
-          override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-            new PartitionReader[InternalRow] {
-              private val it = p.asInstanceOf[ManifestAggPartition].rows.iterator
-              private var cur: Seq[Any] = _
-              override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
-              override def get(): InternalRow = new GenericInternalRow(
-                cur.map {
-                  case s: String => UTF8String.fromString(s)
-                  case x => x
-                }.toArray)
-              override def close(): Unit = ()
-            }
-        }
+        ManifestLocalRows.readerFactory
     }
 }
 
@@ -1239,13 +1245,13 @@ class ManifestCatalog
   override def tableExists(ident: Identifier): Boolean =
     hasCommitted(baseOf(ident))
 
-  override def loadTable(ident: Identifier): org.apache.spark.sql.connector.catalog.Table = {
-    val base = baseOf(ident)
-    if (!tableExists(ident))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    // schema from one committed file's footer — files are schema-uniform
-    // per snapshot (additive evolution aside, where readEvolved is the
-    // explicit path)
+  /** The schema a table under `base` serves: the `schema` property
+    * (stamped by evolving writers — authoritative for the column UNION)
+    * beats footer inference; without it, the LAST manifest entry is the
+    * newest file (manifests append new files after carried ones), so
+    * additive evolution surfaces late-added columns there and the
+    * name-resolving reader nulls them for old files. */
+  private def servedSchemaOf(base: String): StructType = {
     val spark = org.apache.spark.sql.SparkSession.active
     val mdir = new Path(base, "_manifests")
     val v = fs.listStatus(mdir).toSeq.map(_.getPath.getName)
@@ -1254,20 +1260,38 @@ class ManifestCatalog
     val p = new Path(mdir, s"v$v.manifest")
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    // schema resolution order: the `schema` table property (stamped by
-    // evolving writers — authoritative for the column UNION) beats footer
-    // inference; without it, the LAST entry is the newest file (manifests
-    // append new files after carried ones), so additive evolution
-    // surfaces the late-added columns there and the name-resolving
-    // reader nulls them for old files
-    val props = ManifestTable.tableProperties(spark, base)
-    val served = props.get("schema").map(ManifestSchemaProp.parse).getOrElse {
-      val last = text.split("\n").filter(_.nonEmpty)
-        .filterNot(_.startsWith(ManifestTable.DvMarker + "\t")).last
-      val rel = last.substring(last.indexOf('\t') + 1)
-      val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
-      spark.read.parquet(abs).schema
+    ManifestTable.tableProperties(spark, base).get("schema")
+      .map(ManifestSchemaProp.parse).getOrElse {
+        val last = text.split("\n").filter(_.nonEmpty)
+          .filterNot(_.startsWith(ManifestTable.DvMarker + "\t")).last
+        val rel = last.substring(last.indexOf('\t') + 1)
+        val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
+        spark.read.parquet(abs).schema
+      }
+  }
+
+  override def loadTable(ident: Identifier): org.apache.spark.sql.connector.catalog.Table = {
+    // METADATA TABLES (the Iceberg `.history`/`.files` convention, spelt
+    // with `$` since dots nest namespaces in SQL): `t$history`,
+    // `t$partitions`, `t$files` ship driver-computed manifest rows;
+    // `t$changes_<v1>_<v2>` is a DISTRIBUTED batch read of the change
+    // feed between two snapshots (Delta's table_changes)
+    val nm = ident.name()
+    val di = nm.indexOf('$')
+    if (di > 0) {
+      require(ident.namespace().isEmpty, s"flat catalog: unexpected namespace in $ident")
+      val mbase = s"$root/${nm.substring(0, di)}"
+      if (!hasCommitted(mbase))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      return ManifestMetaTables.forSpec(mbase, nm, nm.substring(di + 1),
+        () => servedSchemaOf(mbase))
     }
+    val base = baseOf(ident)
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val props = ManifestTable.tableProperties(spark, base)
+    val served = servedSchemaOf(base)
     // a merge-on-read table's key column serves NON-NULLABLE: the delta
     // row-level path requires a non-null row ID (Spark refuses nullable
     // row-ID attributes), and the MoR contract already demands non-null
@@ -1470,6 +1494,119 @@ class ManifestCatalog
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "rename is not supported (paths are table identity)")
+}
+
+/** SQL METADATA TABLES over a manifest table, the Iceberg
+  * `.history`/`.partitions`/`.files` convention spelt with `$`:
+  *
+  *   SELECT * FROM graft_cat.`t$history`        -- one row per version
+  *   SELECT * FROM graft_cat.`t$partitions`     -- per-partition census
+  *   SELECT * FROM graft_cat.`t$files`          -- per-file entries
+  *   SELECT * FROM graft_cat.`t$changes_1_3`    -- change feed v1 → v3
+  *
+  * The first three ship DRIVER-COMPUTED rows (pure manifest arithmetic,
+  * KB-sized at any table scale, zero data I/O — the SQL face of
+  * [[ManifestTable.tableHistoryDf]]/[[ManifestTable.tablePartitionsDf]]);
+  * `$changes` is a DISTRIBUTED batch read of the commit-exact change
+  * images between two snapshots (Delta's `table_changes`), planned by
+  * the same version-diff machinery as the CDF stream — rewritten
+  * partitions emit delete preimages + insert postimages, MoR deletes
+  * emit their vectors' rows as delete images (version-fenced). */
+private[sources] object ManifestMetaTables {
+  import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+
+  private val ChangesRe = "changes_(\\d+)_(\\d+)".r
+
+  def forSpec(base: String, fullName: String, spec: String,
+      served: () => StructType): Table = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spec match {
+      case "history" => local(fullName,
+        StructType(Seq(
+          StructField("version", IntegerType), StructField("n_files", LongType),
+          StructField("n_partitions", LongType), StructField("n_carried", LongType),
+          StructField("n_added", LongType))),
+        () => ManifestTable.tableHistoryDf(spark, base).collect().toSeq.map(_.toSeq))
+      case "partitions" => local(fullName,
+        StructType(Seq(
+          StructField("pval", StringType), StructField("n_files", LongType))),
+        () => ManifestTable.tablePartitionsDf(spark, base).collect().toSeq.map(_.toSeq))
+      case "files" => local(fullName,
+        StructType(Seq(
+          StructField("pval", StringType), StructField("path", StringType),
+          StructField("dir_version", IntegerType), StructField("bytes", LongType))),
+        () => {
+          val fs = new Path(base).getFileSystem(new Configuration())
+          ManifestTable.entries(spark, base,
+            ManifestTable.currentVersion(spark, base)).map { case (pval, rel) =>
+            val abs = if (rel.startsWith("/") || rel.contains("://")) rel
+              else s"$base/$rel"
+            val sz = if (fs.exists(new Path(abs)))
+              fs.getFileStatus(new Path(abs)).getLen else -1L
+            Seq(pval, rel, Int.box(ManifestTable.dirVersionOf(rel)), Long.box(sz))
+          }
+        })
+      case ChangesRe(a, b) =>
+        val (from, to) = (a.toInt, b.toInt)
+        require(from <= to, s"\\$$changes_${a}_$b: from must be <= to")
+        new ManifestChangesTable(base, fullName, served(), from, to)
+      case other => throw new UnsupportedOperationException(
+        s"unknown metadata table $$$other — supported: $$history, " +
+          "$partitions, $files, $changes_<from>_<to>")
+    }
+  }
+
+  private def local(fullName: String, s: StructType,
+      rows: () => Seq[Seq[Any]]): Table =
+    new Table with SupportsRead {
+      override def name(): String = fullName
+      override def schema(): StructType = s
+      override def capabilities(): util.Set[TableCapability] =
+        util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        () => new Scan {
+          override def readSchema(): StructType = s
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            new org.apache.spark.sql.connector.read.Batch {
+              override def planInputPartitions(): Array[InputPartition] =
+                Array(ManifestAggPartition(rows()))
+              override def createReaderFactory(): PartitionReaderFactory =
+                ManifestLocalRows.readerFactory
+            }
+        }
+    }
+}
+
+/** The `$changes_<from>_<to>` table: the change feed between two
+  * snapshots as one distributed batch read, reusing the CDF stream's
+  * per-version planning (version `from` is the BASE — its rows are not
+  * emitted; every commit in (from, to] streams as images). */
+final class ManifestChangesTable(base: String, fullName: String,
+    dataSchema: StructType, from: Int, to: Int)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  private val full = StructType(dataSchema.fields ++ Seq(
+    StructField("_change_type", StringType),
+    StructField("_commit_version", IntegerType)))
+
+  override def name(): String = fullName
+  override def schema(): StructType = full
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = full
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        new org.apache.spark.sql.connector.read.Batch {
+          private val stream = new ManifestMicroBatchStream(base, full, changeFeed = true)
+          override def planInputPartitions(): Array[InputPartition] =
+            stream.planInputPartitions(VersionOffset(from), VersionOffset(to))
+          override def createReaderFactory(): PartitionReaderFactory =
+            stream.createReaderFactory()
+        }
+    }
 }
 
 /** Batch read of one committed snapshot through the same connector — the

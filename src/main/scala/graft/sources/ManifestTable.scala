@@ -4143,6 +4143,88 @@ object ManifestTable {
          |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Registered SQL METADATA TABLE `$history`: one row per committed
+    * version with file/partition counts and the carried-vs-added split —
+    * driver-computed manifest arithmetic served through plain catalog
+    * SQL (`graft_cat.\`t$history\``). The oracle can check the physical
+    * file counts exactly because the [[statsFixture]] layout is
+    * replayable: each ingest wave (orderkey tertile) wrote one file into
+    * every year it touched, so version v's file count ≡ Σ_year #{waves ≤
+    * v with rows in that year}, carried = the previous count (appends
+    * rewrite nothing). A lost append, phantom compaction, or wrong
+    * version diff all hash-mismatch. */
+  val catalogHistory: QuerySpec = QuerySpec.sql(
+    "q_catalog_history",
+    """WITH t AS (SELECT o_orderkey,
+      |                  CAST(year(o_orderdate) AS INTEGER) AS o_year
+      |           FROM orders),
+      |mx AS (SELECT max(o_orderkey) AS mx FROM t),
+      |w AS (SELECT DISTINCT o_year,
+      |             CASE WHEN o_orderkey <= mx // 3 THEN 1
+      |                  WHEN o_orderkey <= mx * 2 // 3 THEN 2
+      |                  ELSE 3 END AS wave
+      |      FROM t, mx),
+      |v AS (SELECT * FROM (VALUES (1), (2), (3)) AS x(version)),
+      |cnt AS (SELECT v.version, count(*) AS nf,
+      |               count(DISTINCT w.o_year) AS np
+      |        FROM v JOIN w ON w.wave <= v.version GROUP BY 1)
+      |SELECT version, CAST(nf AS BIGINT) AS n_files,
+      |       CAST(np AS BIGINT) AS n_partitions,
+      |       CAST(coalesce(lag(nf) OVER (ORDER BY version), 0) AS BIGINT)
+      |         AS n_carried,
+      |       CAST(nf - coalesce(lag(nf) OVER (ORDER BY version), 0) AS BIGINT)
+      |         AS n_added
+      |FROM cnt ORDER BY version""".stripMargin) { (spark, dir) =>
+    val base = statsFixture(spark, dir)
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT version, n_files, n_partitions, n_carried, n_added
+         |FROM graft_cat.`${tbl + "$history"}` ORDER BY version""".stripMargin)
+  }
+
+  /** Registered SQL CHANGE-FEED TABLE `$changes_<from>_<to>` (Delta's
+    * `table_changes` as a catalog metadata table): the commit-exact
+    * images between two snapshots as one DISTRIBUTED batch read — the
+    * [[mergedFixture]]'s v1→v2 merge emits delete preimages of the
+    * touched partitions' old files and insert postimages of their new
+    * ones, which the oracle replays per (change type, year) with exact
+    * cents — a re-emitted carried file or missing preimage
+    * hash-mismatches. `ManifestStreamSpec` pins the append-only and
+    * unknown-spec cases. */
+  val catalogChanges: QuerySpec = QuerySpec.sql(
+    "q_catalog_changes",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |u AS (SELECT o_orderkey, o_year, o_totalprice + 1000.0 AS o_totalprice
+      |      FROM t WHERE o_orderkey % 10 = 0 AND o_year >= 1996
+      |      UNION ALL
+      |      SELECT -o_orderkey, o_year, 42.0 AS o_totalprice
+      |      FROM t WHERE o_orderkey % 10 = 5 AND o_year >= 1996),
+      |m AS (SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      |      UNION ALL SELECT * FROM u),
+      |tv AS (SELECT DISTINCT o_year FROM u),
+      |f AS (SELECT 'delete' AS change_type, o_year, o_totalprice FROM t
+      |      WHERE o_year IN (SELECT o_year FROM tv)
+      |      UNION ALL
+      |      SELECT 'insert', o_year, o_totalprice FROM m
+      |      WHERE o_year IN (SELECT o_year FROM tv))
+      |SELECT change_type, o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val base = mergedFixture(spark, dir)
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT _change_type AS change_type, o_year, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`${tbl + "$changes_1_2"}`
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   /** Build-once fixture: v1 = ordersKeyed, then `ALTER TABLE ADD COLUMN
     * o_flag DOUBLE` (a pure schema stamp — no commit, no file touched),
     * then a post-evolution SQL MERGE INTO whose feed carries the new
@@ -4286,5 +4368,6 @@ object ManifestTable {
       catalogCreate, catalogDelete, catalogUpdate, catalogMergeInto,
       tableConcurrent, catalogRename, catalogDropCol,
       tableOptimizeConcurrent, catalogDeleteMoR, catalogMetaSum,
-      streamCdfEvolve, tableUpdateMoR, catalogUpdateMoR)
+      streamCdfEvolve, tableUpdateMoR, catalogUpdateMoR, catalogHistory,
+      catalogChanges)
 }

@@ -657,6 +657,47 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(state.exceptAll(expect).isEmpty)
   }
 
+  test("SQL metadata tables: $history, $partitions, $files, $changes") {
+    val base = ManifestTable.statsFixture(spark, sf) // create + 2 appends
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    val es = ManifestTable.entries(spark, base, 3)
+    // $history: one row per version; appends carry everything
+    val hist = spark.sql(s"SELECT * FROM graft_cat.`${tbl + "$history"}` ORDER BY version")
+      .collect()
+    assert(hist.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    assert(hist.last.getLong(1) === es.size.toLong)
+    assert(hist(1).getLong(3) === hist(0).getLong(1), "v2 carries all of v1")
+    assert(hist(1).getLong(1) === hist(1).getLong(3) + hist(1).getLong(4))
+    // $partitions: census equals the manifest grouping
+    val parts = spark.sql(s"SELECT * FROM graft_cat.`${tbl + "$partitions"}`")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts === es.groupBy(_._1).view.mapValues(_.size.toLong).toMap)
+    // $files: one row per manifest entry, dir versions within history,
+    // real sizes
+    val files = spark.sql(s"SELECT * FROM graft_cat.`${tbl + "$files"}`").collect()
+    assert(files.length === es.size)
+    assert(files.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 3))
+    assert(files.forall(_.getLong(3) > 0L))
+    // $changes: the appends' feed — versions 2..3 stream as pure inserts
+    // of exactly the appended rows
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
+    val ch = spark.sql(
+      s"SELECT * FROM graft_cat.`${tbl + "$changes_1_3"}`")
+    assert(ch.filter(col("_change_type") =!= "insert").count() === 0)
+    assert(ch.count() === t.filter(col("o_orderkey") > mx / 3).count())
+    assert(ch.filter(col("_commit_version") === 2).count() ===
+      t.filter(col("o_orderkey") > mx / 3 && col("o_orderkey") <= 2 * mx / 3).count())
+    // unknown spec refuses loudly
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_cat.`${tbl + "$nope"}`").collect()
+    }
+  }
+
   test("LIMIT plans only enough files to cover the limit") {
     val base = ManifestTable.statsFixture(spark, sf)
     ManifestScanEvents.clear()
