@@ -219,6 +219,55 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     assert(e.isInstanceOf[java.io.IOException]) // compatible supertype
   }
 
+  test("STRESS: 8 truly concurrent appenders all land through the retry protocol") {
+    val (base, t) = freshTable("stress8")
+    val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
+    // 8 threads append disjoint negative-key slices at the same time —
+    // every writer races every other for each version slot; the retry
+    // protocol must land all 8 with nothing lost and nothing doubled
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { i =>
+      val slice = t.filter(col("o_orderkey") % 8 === (i - 1))
+        .withColumn("o_orderkey", -col("o_orderkey") - mx * i)
+      new Thread(() =>
+        try ManifestTable.append(spark, base, slice, "o_year")
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(errs.isEmpty, s"no appender may fail: ${errs.toArray.mkString(";")}")
+    assert(ManifestTable.currentVersion(spark, base) === 9,
+      "8 appends over v1 must land exactly v2..v9")
+    assert(ManifestTable.read(spark, base).count() === 2 * t.count(),
+      "every slice lands exactly once")
+    // every version's manifest is a superset of its predecessor (appends
+    // never drop an entry while rebasing)
+    val sets = (1 to 9).map(v =>
+      ManifestTable.entries(spark, base, v).map(_._2).toSet)
+    sets.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.subsetOf(b), "a rebase dropped carried entries") }
+  }
+
+  test("STRESS: concurrent MoR deletes from real threads stack their vectors") {
+    val (base, t) = freshTable("stressdv")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { i =>
+      new Thread(() =>
+        try ManifestTable.deleteWhereMoR(spark, base,
+          col("o_orderkey") % 4 === i && col("o_orderkey") % 3 === 0,
+          "o_orderkey", "o_year")
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(errs.isEmpty, s"deletes commute — none may fail: ${errs.toArray.mkString(";")}")
+    assert(ManifestTable.pendingDvRels(spark, base).size === 4)
+    val expect = t.filter(col("o_orderkey") % 3 =!= 0)
+    val mor = ManifestTable.readMoR(spark, base, "o_orderkey")
+    assert(mor.count() === expect.count())
+    assert(mor.exceptAll(expect).isEmpty)
+    ManifestTable.purgeDeletes(spark, base, "o_orderkey", "o_year")
+    assert(ManifestTable.read(spark, base).count() === expect.count())
+  }
+
   test("a deletion vector landing after the read conflicts for any commit kind") {
     val (base, t) = freshTable("dv")
     val hot = ManifestTable.entries(spark, base, 1).filter(_._1 == "1995")
