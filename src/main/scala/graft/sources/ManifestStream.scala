@@ -208,6 +208,29 @@ final class ManifestStreamTable(schema: StructType, base: String,
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
       TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE)
 
+  /** CHECK constraints from the `constraint.<name>` table properties,
+    * reported ENFORCED + VALID: Spark's own analyzer
+    * (`ResolveTableConstraints`) then injects the check invariant into
+    * every SQL write plan against this table — INSERT / UPDATE / MERGE
+    * rows that violate fail the statement BEFORE the commit, with no
+    * connector-side row loop (the enforcement is codegen'd into the
+    * write plan). ADD CONSTRAINT validated the committed data, so VALID
+    * is truthful. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    ManifestTable.tableProperties(
+      org.apache.spark.sql.SparkSession.active, base).toSeq
+      .collect { case (k, v) if k.startsWith("constraint.") =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.stripPrefix("constraint."))
+          .predicateSql(v)
+          .enforced(true)
+          .validationStatus(org.apache.spark.sql.connector.catalog
+            .constraints.Constraint.ValidationStatus.VALID)
+          .build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.sortBy(_.name()).toArray
+
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -1220,6 +1243,12 @@ class ManifestCatalog
   }
   override def name(): String = catName
   override def defaultNamespace(): Array[String] = Array.empty
+  // CHECK constraints route through alterTable; without this capability
+  // Spark refuses the DDL before the catalog ever sees it
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private def fs = new Path(root).getFileSystem(new Configuration())
   private def baseOf(ident: Identifier): String = {
@@ -1477,6 +1506,40 @@ class ManifestCatalog
         ManifestTable.setTableProperty(spark, base, "colmap",
           ManifestColMap.serialize(cm - name))
         stampSchema(StructType(cur.fields.filterNot(_.name == name)))
+      case ac: org.apache.spark.sql.connector.catalog.TableChange.AddConstraint =>
+        ac.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            val sql = c.predicateSql()
+            require(sql != null && sql.nonEmpty,
+              "CHECK constraint needs a SQL predicate")
+            require(!ManifestTable.tableProperties(spark, base)
+                .contains(s"constraint.${c.name()}"),
+              s"constraint ${c.name()} already exists")
+            // ADD CONSTRAINT validates the COMMITTED data first (one scan
+            // through this catalog, so evolution/DVs apply) — a table
+            // whose history already violates refuses the constraint
+            // rather than serving a lie. CHECK semantics: NULL passes;
+            // a violation is a row where the predicate is FALSE.
+            val bad = spark.sql(
+              s"SELECT count(*) FROM $catName.`${ident.name}` WHERE NOT ($sql)")
+              .head.getLong(0)
+            require(bad == 0,
+              s"cannot ADD CONSTRAINT ${c.name()}: $bad committed row(s) " +
+                s"violate CHECK ($sql)")
+            ManifestTable.setTableProperty(spark, base,
+              s"constraint.${c.name()}", sql)
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are enforceable on a manifest table; " +
+              s"refusing ${other.toDDL} (PRIMARY KEY / UNIQUE / FOREIGN KEY " +
+              "cannot be enforced without a global index)")
+        }
+      case dc: org.apache.spark.sql.connector.catalog.TableChange.DropConstraint =>
+        val key = s"constraint.${dc.name()}"
+        val had = ManifestTable.tableProperties(spark, base).contains(key)
+        if (!had && !dc.ifExists())
+          throw new IllegalArgumentException(
+            s"no constraint ${dc.name()} on ${ident.name}")
+        if (had) ManifestTable.removeTableProperty(spark, base, key)
       case other => throw new UnsupportedOperationException(
         s"unsupported table change for manifest tables: $other")
     }

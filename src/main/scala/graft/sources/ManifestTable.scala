@@ -328,7 +328,33 @@ object ManifestTable {
           }
       }
     fs.delete(stage, true)
+    enforceConstraints(spark, base, moved)
     moved
+  }
+
+  /** CHECK constraints on the PROGRAMMATIC write path: staged files are
+    * validated before any commit can name them (the SQL path is enforced
+    * earlier still, by Spark's own check-invariant in the write plan —
+    * see the connector's `constraints()`). Costs one scan of the NEW
+    * files only, and only when the table declares constraints. CHECK
+    * semantics: NULL passes; a violation is a FALSE predicate. */
+  private def enforceConstraints(spark: SparkSession, base: String,
+      moved: Seq[(String, String)]): Unit = {
+    val cs = tableProperties(spark, base).toSeq.collect {
+      case (k, v) if k.startsWith("constraint.") =>
+        (k.stripPrefix("constraint."), v) }
+    if (cs.isEmpty || moved.isEmpty) return
+    val df = spark.read.parquet(moved.map { case (_, rel) => resolve(base, rel) }: _*)
+    cs.foreach { case (n, sql) =>
+      val bad = df.filter(!org.apache.spark.sql.functions.expr(sql)).limit(1).collect()
+      if (bad.nonEmpty) {
+        val fs = fsOf(spark, new Path(base))
+        moved.foreach { case (_, rel) => fs.delete(new Path(base, rel), false) }
+        throw new IllegalArgumentException(
+          s"CHECK constraint $n ($sql) violated by staged row ${bad.head} — " +
+            "write refused, nothing committed")
+      }
+    }
   }
 
   /** Create snapshot v1 from `df`, partitioned by `partCol`. */
@@ -1447,6 +1473,16 @@ object ManifestTable {
     val existing = tableProperties(spark, base)
     val out = fs.create(p, true)
     try out.write((existing + (key -> value))
+      .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def removeTableProperty(spark: SparkSession, base: String, key: String): Unit = {
+    val p = new Path(manifestDir(base), "table.properties")
+    val fs = fsOf(spark, p)
+    val existing = tableProperties(spark, base)
+    val out = fs.create(p, true)
+    try out.write((existing - key)
       .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -4225,6 +4261,70 @@ object ManifestTable {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** Registered CHECK CONSTRAINTS: `ALTER TABLE ... ADD CONSTRAINT ...
+    * CHECK` stamps an enforced constraint the connector reports to
+    * Spark, whose own analyzer injects the check invariant into every
+    * SQL write plan — the fixture proves a violating INSERT fails the
+    * statement and commits NOTHING (version pinned unchanged) while a
+    * valid insert lands; the programmatic path validates staged files
+    * before commit. The oracle replays base + the one valid wave;
+    * `ManifestStreamSpec` pins ADD-over-violating-history,
+    * PRIMARY KEY refusal, and DROP lifting enforcement. */
+  val catalogConstraint: QuerySpec = QuerySpec.sql(
+    "q_catalog_constraint",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |u AS (SELECT o_orderkey, o_year, o_totalprice FROM t
+      |      UNION ALL
+      |      SELECT -o_orderkey, o_year, o_totalprice + 1.0
+      |      FROM t WHERE o_year = 1996)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("sqlconstraint", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_ckfix_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        create(spark, b, t, "o_year")
+        setTableProperty(spark, b, "partCol", "o_year")
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(b).getParent)
+        val tbl = new java.io.File(b).getName
+        spark.sql(
+          s"""ALTER TABLE graft_cat.`$tbl`
+             |ADD CONSTRAINT positive_price CHECK (o_totalprice > 0)""".stripMargin)
+        // the violating wave fails the STATEMENT; nothing commits
+        val refused =
+          try {
+            spark.sql(
+              s"""INSERT INTO graft_cat.`$tbl`
+                 |SELECT -o_orderkey, o_year, -o_totalprice
+                 |FROM graft_cat.`$tbl` WHERE o_year = 1995""".stripMargin)
+            false
+          } catch { case _: Exception => true }
+        require(refused, "the violating INSERT must fail the statement")
+        require(currentVersion(spark, b) == 1,
+          "a refused INSERT must commit nothing")
+        // the valid wave lands
+        t.filter(col("o_year") === 1996)
+          .select((-col("o_orderkey")).as("o_orderkey"), col("o_year"),
+            (col("o_totalprice") + 1.0).as("o_totalprice"))
+          .createOrReplaceTempView("graft_ck_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_ck_feed")
+        b
+      })
+    }
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Build-once fixture: v1 = ordersKeyed, then `ALTER TABLE ADD COLUMN
     * o_flag DOUBLE` (a pure schema stamp — no commit, no file touched),
     * then a post-evolution SQL MERGE INTO whose feed carries the new
@@ -4369,5 +4469,5 @@ object ManifestTable {
       tableConcurrent, catalogRename, catalogDropCol,
       tableOptimizeConcurrent, catalogDeleteMoR, catalogMetaSum,
       streamCdfEvolve, tableUpdateMoR, catalogUpdateMoR, catalogHistory,
-      catalogChanges)
+      catalogChanges, catalogConstraint)
 }

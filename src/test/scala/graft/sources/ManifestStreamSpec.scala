@@ -698,6 +698,61 @@ class ManifestStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("CHECK constraints: ADD validates history, both write paths enforce, DROP lifts") {
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/ck_tbl"
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    ManifestTable.create(spark, base, t, "o_year")
+    ManifestTable.setTableProperty(spark, base, "partCol", "o_year")
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", graft.Scratch.root)
+    spark.sql(
+      "ALTER TABLE graft_cat.`ck_tbl` ADD CONSTRAINT positive_price CHECK (o_totalprice > 0)")
+    val n0 = spark.sql("SELECT count(*) FROM graft_cat.`ck_tbl`").head.getLong(0)
+    // a violating SQL INSERT fails the STATEMENT and commits nothing —
+    // Spark's own check-invariant, injected from the reported constraint
+    intercept[Exception] {
+      spark.sql(
+        "INSERT INTO graft_cat.`ck_tbl` SELECT -1L, 1995, -5.0")
+    }
+    assert(ManifestTable.currentVersion(spark, base) === 1)
+    assert(spark.sql("SELECT count(*) FROM graft_cat.`ck_tbl`").head.getLong(0) === n0)
+    // a valid insert lands
+    spark.sql("INSERT INTO graft_cat.`ck_tbl` SELECT -1L, 1995, 5.0")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.`ck_tbl`").head.getLong(0) === n0 + 1)
+    // the PROGRAMMATIC path enforces too: staged files validate before
+    // any commit can name them
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, base,
+        t.limit(5).withColumn("o_totalprice", lit(-1.0))
+          .withColumn("o_orderkey", -col("o_orderkey") - 1000000L), "o_year")
+    }
+    assert(ManifestTable.currentVersion(spark, base) === 2)
+    assert(ManifestTable.read(spark, base).count() === n0 + 1)
+    // ADD over a violating history refuses (NULL passes, FALSE violates)
+    intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE graft_cat.`ck_tbl` ADD CONSTRAINT tiny CHECK (o_totalprice < 10)")
+    }
+    assert(!ManifestTable.tableProperties(spark, base).contains("constraint.tiny"))
+    // unenforceable constraint kinds refuse loudly
+    intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE graft_cat.`ck_tbl` ADD CONSTRAINT pk PRIMARY KEY (o_orderkey)")
+    }
+    // DROP lifts enforcement; unknown DROP without IF EXISTS refuses
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.`ck_tbl` DROP CONSTRAINT nope")
+    }
+    spark.sql("ALTER TABLE graft_cat.`ck_tbl` DROP CONSTRAINT positive_price")
+    spark.sql("INSERT INTO graft_cat.`ck_tbl` SELECT -2L, 1995, -5.0")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.`ck_tbl`").head.getLong(0) === n0 + 2)
+  }
+
   test("LIMIT plans only enough files to cover the limit") {
     val base = ManifestTable.statsFixture(spark, sf)
     ManifestScanEvents.clear()
