@@ -522,6 +522,29 @@ private[sources] object ManifestColMap {
   def dead(spark: org.apache.spark.sql.SparkSession, base: String): Set[String] =
     ManifestTable.tableProperties(spark, base).get("deadcols")
       .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  /** Column DEFAULTs as reader-internal values (logical name → Catalyst
+    * value): served for fields ABSENT from a file's footer — Iceberg's
+    * initial-default. A field present but NULL stays NULL (the writer
+    * stored a real null). Evaluated once per scan on the driver. */
+  def defaults(spark: org.apache.spark.sql.SparkSession, base: String,
+      schema: StructType): Map[String, Any] =
+    ManifestTable.tableProperties(spark, base).toSeq.collect {
+      case (k, v) if k.startsWith("coldefault.") =>
+        (k.stripPrefix("coldefault."), v) }
+      .flatMap { case (n, sql) =>
+        schema.fields.find(_.name.equalsIgnoreCase(n)).map { f =>
+          val row = spark.range(1)
+            .select(org.apache.spark.sql.functions.expr(sql)
+              .cast(f.dataType).as("v")).head
+          val value: Any = f.dataType match {
+            case StringType =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(row.getString(0))
+            case _ => row.get(0)
+          }
+          f.name -> value
+        }
+      }.toMap
 }
 
 /** Driver-side record of every connector scan-planning decision — the
@@ -1243,12 +1266,16 @@ class ManifestCatalog
   }
   override def name(): String = catName
   override def defaultNamespace(): Array[String] = Array.empty
-  // CHECK constraints route through alterTable; without this capability
-  // Spark refuses the DDL before the catalog ever sees it
+  // CHECK constraints and column DEFAULTs route through alterTable;
+  // without these capabilities Spark refuses the DDL before the catalog
+  // ever sees it
   override def capabilities()
       : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def fs = new Path(root).getFileSystem(new Configuration())
   private def baseOf(ident: Identifier): String = {
@@ -1289,7 +1316,7 @@ class ManifestCatalog
     val p = new Path(mdir, s"v$v.manifest")
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    ManifestTable.tableProperties(spark, base).get("schema")
+    val raw = ManifestTable.tableProperties(spark, base).get("schema")
       .map(ManifestSchemaProp.parse).getOrElse {
         val last = text.split("\n").filter(_.nonEmpty)
           .filterNot(_.startsWith(ManifestTable.DvMarker + "\t")).last
@@ -1297,6 +1324,23 @@ class ManifestCatalog
         val abs = if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
         spark.read.parquet(abs).schema
       }
+    // column DEFAULTs ride the schema as Spark's standard default
+    // metadata: CURRENT_DEFAULT lets an INSERT omit the column (Spark
+    // fills it), EXISTS_DEFAULT documents what absent fields serve
+    val defaults = ManifestTable.tableProperties(spark, base).collect {
+      case (k, v) if k.startsWith("coldefault.") =>
+        (k.stripPrefix("coldefault."), v) }
+    if (defaults.isEmpty) raw
+    else StructType(raw.fields.map { f =>
+      defaults.get(f.name) match {
+        case Some(sql) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("CURRENT_DEFAULT", sql)
+            .putString("EXISTS_DEFAULT", sql).build())
+        case None => f
+      }
+    })
   }
 
   override def loadTable(ident: Identifier): org.apache.spark.sql.connector.catalog.Table = {
@@ -1376,6 +1420,15 @@ class ManifestCatalog
     // NOW — an unsupported column type must refuse the CREATE, not the
     // first read
     ManifestSchemaProp.parse(ManifestSchemaProp.serialize(schema))
+    // CREATE-time column DEFAULTs would be silently dropped by the
+    // property round-trip (metadata doesn't serialize) — refuse loudly;
+    // ALTER TABLE ADD COLUMN ... DEFAULT after the CREATE is supported
+    schema.fields.filter(_.metadata.contains("CURRENT_DEFAULT")).foreach { f =>
+      throw new UnsupportedOperationException(
+        s"CREATE TABLE with a column DEFAULT (${f.name}) is not supported " +
+          "on manifest tables — ALTER TABLE ... ADD COLUMN ... DEFAULT " +
+          "after the CREATE instead")
+    }
     // properties FIRST, the v1 manifest commit LAST: the commit rename is
     // the table's visibility point ([[tableExists]] requires a committed
     // manifest), so a crash between the steps leaves an invisible,
@@ -1451,6 +1504,21 @@ class ManifestCatalog
         require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"column $name already exists")
         refuseShadowedName(name, "ADD COLUMN")
+        // `ADD COLUMN ... DEFAULT <lit>`: the default is a metadata stamp
+        // like the column itself — committed files serve it for the
+        // ABSENT field (Iceberg's initial-default), new files store real
+        // values, and INSERTs omitting the column fill it Spark-side from
+        // the served schema's default metadata
+        Option(add.defaultValue()).foreach { dv =>
+          val sql = dv.getSql
+          require(sql != null && sql.nonEmpty,
+            "column DEFAULT needs a literal SQL form")
+          // must be a constant-foldable literal of the column's type —
+          // evaluated once NOW, so a bad default refuses the DDL
+          val lit = org.apache.spark.sql.functions.expr(sql).cast(add.dataType())
+          spark.range(1).select(lit).head // evaluates; throws on non-literal
+          ManifestTable.setTableProperty(spark, base, s"coldefault.$name", sql)
+        }
         stampSchema(StructType(cur.fields :+ StructField(name, add.dataType)))
       case rn: org.apache.spark.sql.connector.catalog.TableChange.RenameColumn =>
         require(rn.fieldNames.length == 1,
@@ -1479,6 +1547,12 @@ class ManifestCatalog
           ManifestColMap.serialize(next))
         stampSchema(StructType(cur.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f)))
+        // a column default follows its rename
+        ManifestTable.tableProperties(spark, base).get(s"coldefault.$from")
+          .foreach { d =>
+            ManifestTable.setTableProperty(spark, base, s"coldefault.$to", d)
+            ManifestTable.removeTableProperty(spark, base, s"coldefault.$from")
+          }
         // the layout column follows its rename (pvals are name-free)
         if (ManifestTable.tableProperties(spark, base)
             .get("partCol").exists(_.equalsIgnoreCase(from)))
@@ -1505,6 +1579,9 @@ class ManifestCatalog
           dead.toSeq.sorted.mkString(","))
         ManifestTable.setTableProperty(spark, base, "colmap",
           ManifestColMap.serialize(cm - name))
+        ManifestTable.tableProperties(spark, base).get(s"coldefault.$name")
+          .foreach(_ => ManifestTable.removeTableProperty(
+            spark, base, s"coldefault.$name"))
         stampSchema(StructType(cur.fields.filterNot(_.name == name)))
       case ac: org.apache.spark.sql.connector.catalog.TableChange.AddConstraint =>
         ac.constraint() match {
@@ -1827,8 +1904,10 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val fs = new Path(base).getFileSystem(new Configuration())
     val (dvCol, dvPart, dvPairs) = pendingDvPairs(fs)
+    val spark = org.apache.spark.sql.SparkSession.active
     new ManifestFileReaderFactory(schema, dvCol, dvPart, dvPairs,
-      ManifestColMap.of(org.apache.spark.sql.SparkSession.active, base))
+      ManifestColMap.of(spark, base),
+      ManifestColMap.defaults(spark, base, schema))
   }
 }
 
@@ -1993,9 +2072,12 @@ final class ManifestMicroBatchStream(base: String, schema: StructType,
       }
     }.toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestFileReaderFactory(schema, colmap =
-      ManifestColMap.of(org.apache.spark.sql.SparkSession.active, base))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    new ManifestFileReaderFactory(schema,
+      colmap = ManifestColMap.of(spark, base),
+      defaults = ManifestColMap.defaults(spark, base, schema))
+  }
 }
 
 final case class ManifestFilePartition(path: String, pval: String = "")
@@ -2029,7 +2111,8 @@ object ManifestReaderStats {
 final class ManifestFileReaderFactory(schema: StructType,
     dvCol: String = "", dvPart: String = "",
     dvPairs: Map[(Long, String), Int] = Map.empty,
-    colmap: Map[String, String] = Map.empty)
+    colmap: Map[String, String] = Map.empty,
+    defaults: Map[String, Any] = Map.empty)
     extends PartitionReaderFactory {
   // RENAME name mapping: a served (logical) column reads its ORIGINAL
   // footer name from pre-rename files and its logical name from files
@@ -2172,7 +2255,11 @@ final class ManifestFileReaderFactory(schema: StructType,
               if (gt.containsField(phys)) phys
               else if (phys != f.name && gt.containsField(f.name)) f.name
               else null
-            if (use == null || cur.getFieldRepetitionCount(use) == 0) null
+            // a field ABSENT from the footer serves its declared DEFAULT
+            // (pre-evolution files — Iceberg's initial-default); a field
+            // PRESENT but null stays null (the writer stored a real null)
+            if (use == null) defaults.getOrElse(f.name, null)
+            else if (cur.getFieldRepetitionCount(use) == 0) null
             else f.dataType match {
               case LongType    => cur.getLong(use, 0)
               case IntegerType => cur.getInteger(use, 0)

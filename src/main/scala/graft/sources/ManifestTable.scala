@@ -4325,6 +4325,53 @@ object ManifestTable {
          |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Registered `ADD COLUMN ... DEFAULT`: the default is a metadata
+    * stamp riding the schema property — committed files serve it for the
+    * ABSENT field (Iceberg's initial-default; never a rewrite), an
+    * INSERT omitting the column fills it Spark-side from the served
+    * schema's default metadata, and explicit values/NULLs win. The
+    * oracle replays base-rows-default + wave-rows-explicit;
+    * `CatalogEvolutionSpec` pins null-vs-absent, rename-follows, and the
+    * CREATE-time refusal. */
+  val catalogDefault: QuerySpec = QuerySpec.sql(
+    "q_catalog_default",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |u AS (SELECT o_orderkey, o_year, 3 AS o_prio FROM t
+      |      UNION ALL
+      |      SELECT -o_orderkey, o_year, CAST(o_orderkey % 5 AS INTEGER) AS o_prio
+      |      FROM t WHERE o_year >= 1997)
+      |SELECT o_year, count(*) AS n, CAST(sum(o_prio) AS BIGINT) AS prio_sum
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("sqldefault", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_deffix_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        create(spark, b, t, "o_year")
+        setTableProperty(spark, b, "partCol", "o_year")
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(b).getParent)
+        val tbl = new java.io.File(b).getName
+        spark.sql(s"ALTER TABLE graft_cat.`$tbl` ADD COLUMN o_prio INT DEFAULT 3")
+        // post-evolution wave with EXPLICIT priorities
+        t.filter(col("o_year") >= 1997)
+          .select((-col("o_orderkey")).as("o_orderkey"), col("o_year"),
+            col("o_totalprice"), (col("o_orderkey") % 5).cast("int").as("o_prio"))
+          .createOrReplaceTempView("graft_default_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_default_feed")
+        b
+      })
+    }
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n, CAST(sum(o_prio) AS BIGINT) AS prio_sum
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Build-once fixture: v1 = ordersKeyed, then `ALTER TABLE ADD COLUMN
     * o_flag DOUBLE` (a pure schema stamp — no commit, no file touched),
     * then a post-evolution SQL MERGE INTO whose feed carries the new
@@ -4469,5 +4516,5 @@ object ManifestTable {
       tableConcurrent, catalogRename, catalogDropCol,
       tableOptimizeConcurrent, catalogDeleteMoR, catalogMetaSum,
       streamCdfEvolve, tableUpdateMoR, catalogUpdateMoR, catalogHistory,
-      catalogChanges, catalogConstraint)
+      catalogChanges, catalogConstraint, catalogDefault)
 }

@@ -199,6 +199,51 @@ class CatalogEvolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("ADD COLUMN DEFAULT: absent fields serve it, real nulls stay null, rename follows") {
+    val (tbl, t) = freshTable("default")
+    spark.sql(s"ALTER TABLE graft_cat.`$tbl` ADD COLUMN o_prio INT DEFAULT 3")
+    // pre-evolution files serve the DEFAULT for the absent field, not NULL
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_cat.`$tbl` WHERE o_prio = 3").head.getLong(0) ===
+      t.count())
+    // an INSERT omitting the column fills it Spark-side (CURRENT_DEFAULT
+    // rides the served schema's metadata)
+    spark.sql(
+      s"""INSERT INTO graft_cat.`$tbl` (o_orderkey, o_year, o_totalprice)
+         |SELECT -1L, 1995, 5.0""".stripMargin)
+    assert(spark.sql(
+      s"SELECT o_prio FROM graft_cat.`$tbl` WHERE o_orderkey = -1")
+      .head.getInt(0) === 3)
+    // an explicit NULL is a REAL null: stored, and served as null (the
+    // default applies only to files that predate the column)
+    spark.sql(
+      s"INSERT INTO graft_cat.`$tbl` SELECT -2L, 1995, 6.0, CAST(NULL AS INT)")
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_cat.`$tbl` WHERE o_prio IS NULL")
+      .head.getLong(0) === 1)
+    // an explicit value wins
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT -3L, 1995, 7.0, 9")
+    assert(spark.sql(
+      s"SELECT o_prio FROM graft_cat.`$tbl` WHERE o_orderkey = -3")
+      .head.getInt(0) === 9)
+    // the default follows a RENAME and dies with a DROP
+    spark.sql(s"ALTER TABLE graft_cat.`$tbl` RENAME COLUMN o_prio TO prio")
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_cat.`$tbl` WHERE prio = 3").head.getLong(0) ===
+      t.count() + 1)
+    val base = s"${graft.Scratch.root}/$tbl"
+    assert(ManifestTable.tableProperties(spark, base).contains("coldefault.prio"))
+    spark.sql(s"ALTER TABLE graft_cat.`$tbl` DROP COLUMN prio")
+    assert(!ManifestTable.tableProperties(spark, base).keys
+      .exists(_.startsWith("coldefault.")))
+    // CREATE-time defaults refuse loudly (they would silently drop)
+    intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE graft_cat.`colevo_ctdef`
+           |(k BIGINT, y INT, v DOUBLE DEFAULT 1.0) PARTITIONED BY (y)""".stripMargin)
+    }
+  }
+
   test("rename chains resolve to the original footer name") {
     val (tbl, t) = freshTable("chain")
     val base = s"${graft.Scratch.root}/$tbl"
