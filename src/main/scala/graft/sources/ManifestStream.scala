@@ -1390,6 +1390,29 @@ class ManifestCatalog
     t.withVersion(version.toInt)
   }
 
+  /** SQL `TIMESTAMP AS OF`: resolves to the LAST version whose commit
+    * rename happened at or before the timestamp (the rename IS the
+    * commit instant, so the manifest file's mtime is the commit time —
+    * exactly Delta's resolution rule). A timestamp before the first
+    * commit refuses with the valid range. Spark passes MICROseconds. */
+  override def loadTable(ident: Identifier, timestampMicros: Long)
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val base = baseOf(ident)
+    val t = loadTable(ident).asInstanceOf[ManifestStreamTable]
+    val tsMillis = timestampMicros / 1000L
+    val spark = org.apache.spark.sql.SparkSession.active
+    val committed = ManifestTable.versions(spark, base).map { v =>
+      v -> fs.getFileStatus(new Path(base, s"_manifests/v$v.manifest"))
+        .getModificationTime
+    }
+    val at = committed.filter(_._2 <= tsMillis).map(_._1).maxOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMillis)} predates " +
+          s"the first commit of ${ident.name} " +
+          s"(${java.time.Instant.ofEpochMilli(committed.map(_._2).min)})"))
+    t.withVersion(at)
+  }
+
   /** SQL `CREATE TABLE graft_cat.\`t\` (...) PARTITIONED BY (c)`: one
     * identity partition transform becomes the table's `partCol` property
     * (the layout every verb and the key-grouped report use), the schema

@@ -50,7 +50,7 @@ object ManifestTable {
   private def manifestDir(base: String) = new Path(base, "_manifests")
 
   /** Committed versions, ascending (temp files excluded). */
-  private def versions(spark: SparkSession, base: String): Seq[Int] = {
+  private[sources] def versions(spark: SparkSession, base: String): Seq[Int] = {
     val dir = manifestDir(base)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) Seq.empty

@@ -753,6 +753,37 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft_cat.`ck_tbl`").head.getLong(0) === n0 + 2)
   }
 
+  test("TIMESTAMP AS OF resolves to the last commit at or before the instant") {
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/ts_travel_tbl"
+    val fsys = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+    ManifestTable.create(spark, base, t, "o_year")
+    Thread.sleep(60) // commit instants must be distinguishable in ms
+    ManifestTable.append(spark, base,
+      t.limit(10).withColumn("o_orderkey", -col("o_orderkey")), "o_year")
+    ManifestTable.setTableProperty(spark, base, "partCol", "o_year")
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", graft.Scratch.root)
+    def mtime(v: Int): Long = fsys.getFileStatus(
+      new org.apache.hadoop.fs.Path(base, s"_manifests/v$v.manifest"))
+      .getModificationTime
+    def countAt(ms: Long): Long = spark.sql(
+      s"""SELECT count(*) FROM graft_cat.`ts_travel_tbl`
+         |TIMESTAMP AS OF timestamp_millis(${ms}L)""".stripMargin).head.getLong(0)
+    // at each commit instant, that snapshot; between commits, the earlier
+    assert(countAt(mtime(1)) === t.count())
+    assert(countAt(mtime(2) - 1) === t.count())
+    assert(countAt(mtime(2)) === t.count() + 10)
+    assert(countAt(System.currentTimeMillis() + 10000) === t.count() + 10)
+    // before the first commit: refused with the valid range
+    val e = intercept[Exception] { countAt(mtime(1) - 10000) }
+    assert(e.getMessage.contains("predates"), e.getMessage)
+  }
+
   test("LIMIT plans only enough files to cover the limit") {
     val base = ManifestTable.statsFixture(spark, sf)
     ManifestScanEvents.clear()
