@@ -780,8 +780,15 @@ object ManifestTable {
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
     val dest = statsPath(base, v, statCol)
     fs.delete(dest, false)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"cannot commit stats $dest")
+    if (!fs.rename(tmp, dest)) {
+      // a CONCURRENT refresh of the same snapshot renamed between our
+      // delete and rename: sidecars are derived metadata, deterministic
+      // per (version, column) — the winner's file is equivalent, losing
+      // is benign (observed as a real-thread stress flake)
+      fs.delete(tmp, false)
+      if (!fs.exists(dest))
+        throw new java.io.IOException(s"cannot commit stats $dest")
+    }
   }
 
   /** One grouped scan of `rels`, returning each file's stats keyed by its
@@ -989,8 +996,13 @@ object ManifestTable {
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
     val dest = bloomPath(base, v, bloomCol)
     fs.delete(dest, false)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"cannot commit bloom sidecar $dest")
+    if (!fs.rename(tmp, dest)) {
+      // same benign race as the stats sidecar: a concurrent refresh of
+      // the same snapshot won the rename; its content is equivalent
+      fs.delete(tmp, false)
+      if (!fs.exists(dest))
+        throw new java.io.IOException(s"cannot commit bloom sidecar $dest")
+    }
   }
 
   /** One grouped scan building each file's Bloom filter — the same
