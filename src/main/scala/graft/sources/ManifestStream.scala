@@ -1383,11 +1383,25 @@ class ManifestCatalog
 
   /** SQL time travel: `SELECT ... FROM graft_cat.\`t\` VERSION AS OF 2`
     * resolves through this overload; the connector table pins the
-    * snapshot by injecting the version as its default read option. */
+    * snapshot by injecting the version as its default read option. A
+    * NON-NUMERIC version string is a TAG name (`VERSION AS OF 'audited'`)
+    * and resolves through the table's immutable refs. */
   override def loadTable(ident: Identifier, version: String)
       : org.apache.spark.sql.connector.catalog.Table = {
     val t = loadTable(ident).asInstanceOf[ManifestStreamTable]
-    t.withVersion(version.toInt)
+    version.toIntOption match {
+      case Some(v) => t.withVersion(v)
+      case None =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val base = baseOf(ident)
+        ManifestTable.tagVersion(spark, base, version) match {
+          case Some(v) => t.withVersion(v)
+          case None => throw new IllegalArgumentException(
+            s"VERSION AS OF '$version': no tag named '$version' on " +
+              s"${ident.name} — tags: " +
+              ManifestTable.listTags(spark, base).map(_._1).mkString("[", ", ", "]"))
+        }
+    }
   }
 
   /** SQL `TIMESTAMP AS OF`: resolves to the LAST version whose commit
@@ -1679,6 +1693,7 @@ private[sources] object ManifestMetaTables {
   import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 
   private val ChangesRe = "changes_(\\d+)_(\\d+)".r
+  private val BranchRe = "branch_([A-Za-z][A-Za-z0-9_]*)".r
 
   def forSpec(base: String, fullName: String, spec: String,
       served: () => StructType): Table = {
@@ -1713,9 +1728,14 @@ private[sources] object ManifestMetaTables {
         val (from, to) = (a.toInt, b.toInt)
         require(from <= to, s"\\$$changes_${a}_$b: from must be <= to")
         new ManifestChangesTable(base, fullName, served(), from, to)
+      case BranchRe(name) =>
+        require(ManifestTable.branchExists(spark, base, name),
+          s"no branch named '$name' under $base — branches: " +
+            ManifestTable.listBranches(spark, base).map(_._1).mkString("[", ", ", "]"))
+        new ManifestBranchTable(base, fullName, served(), name)
       case other => throw new UnsupportedOperationException(
         s"unknown metadata table $$$other — supported: $$history, " +
-          "$partitions, $files, $changes_<from>_<to>")
+          "$partitions, $files, $changes_<from>_<to>, $branch_<name>")
     }
   }
 
@@ -1768,6 +1788,47 @@ final class ManifestChangesTable(base: String, fullName: String,
             stream.planInputPartitions(VersionOffset(from), VersionOffset(to))
           override def createReaderFactory(): PartitionReaderFactory =
             stream.createReaderFactory()
+        }
+    }
+}
+
+/** The `$branch_<name>` table: the BRANCH HEAD as a distributed batch
+  * read through the connector's per-file reader (name mapping and column
+  * defaults resolve exactly like a main read — a branch forked before a
+  * RENAME serves the current logical names). Branches carry no deletion
+  * vectors by construction ([[ManifestTable.createBranch]] refuses
+  * pending vectors, appends add none), so the scan is a plain file
+  * union. One InputPartition per branch manifest entry. */
+final class ManifestBranchTable(base: String, fullName: String,
+    dataSchema: StructType, branch: String)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  override def name(): String = fullName
+  override def schema(): StructType = dataSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = dataSchema
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        new org.apache.spark.sql.connector.read.Batch {
+          override def planInputPartitions(): Array[InputPartition] = {
+            val spark = org.apache.spark.sql.SparkSession.active
+            ManifestTable.branchEntries(spark, base, branch).map {
+              case (pval, rel) =>
+                val abs = if (rel.startsWith("/") || rel.contains("://")) rel
+                  else s"$base/$rel"
+                ManifestFilePartition(abs, pval): InputPartition
+            }.toArray
+          }
+          override def createReaderFactory(): PartitionReaderFactory = {
+            val spark = org.apache.spark.sql.SparkSession.active
+            new ManifestFileReaderFactory(dataSchema,
+              colmap = ManifestColMap.of(spark, base),
+              defaults = ManifestColMap.defaults(spark, base, dataSchema))
+          }
         }
     }
 }

@@ -134,19 +134,28 @@ object ManifestTable {
     * place. Rename won't overwrite an existing committed manifest, so a
     * concurrent committer of the same version loses cleanly. */
   private[sources] def commit(
-      spark: SparkSession, base: String, v: Int, es: Seq[(String, String)]): Unit = {
+      spark: SparkSession, base: String, v: Int, es: Seq[(String, String)]): Unit =
+    commitNamed(spark, base, s"v$v.manifest",
+      es, s"concurrent commit: version $v already exists under $base")
+
+  /** [[commit]] generalized to any manifest FILE NAME under `_manifests/`
+    * — the same write-temp-then-rename protocol serves the main sequence
+    * (`v<N>.manifest`), branch sequences (`branch-<name>-v<N>.manifest`),
+    * and immutable tag refs. Rename-refuses-overwrite is the only
+    * arbiter; losing it throws [[VersionConflictException]]. */
+  private def commitNamed(spark: SparkSession, base: String, fileName: String,
+      es: Seq[(String, String)], conflictMsg: String): Unit = {
     val dir = manifestDir(base)
     val fs = fsOf(spark, dir)
     fs.mkdirs(dir)
-    val tmp = new Path(dir, s".tmp-v$v-${java.util.UUID.randomUUID}")
+    val tmp = new Path(dir, s".tmp-$fileName-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try out.write(es.map { case (p, f) => s"$p\t$f" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    val dest = new Path(dir, s"v$v.manifest")
+    val dest = new Path(dir, fileName)
     if (fs.exists(dest) || !fs.rename(tmp, dest)) {
       fs.delete(tmp, false)
-      throw new VersionConflictException(
-        s"concurrent commit: version $v already exists under $base")
+      throw new VersionConflictException(conflictMsg)
     }
   }
 
@@ -1108,10 +1117,17 @@ object ManifestTable {
     // vector invisible and resurrect its rows
     requireNoPendingDv(spark, base, "expireSnapshots")
     val vs = versions(spark, base)
-    val dropVs = vs.dropRight(keep)
+    // a TAG pins its version: the tagged snapshot (manifest AND files)
+    // survives expiry however old it is, until the tag is dropped —
+    // Iceberg's ref-retention rule
+    val pinned = listTags(spark, base).map(_._2).toSet
+    val dropVs = vs.dropRight(keep).filterNot(pinned)
     if (dropVs.isEmpty) return (0, 0)
-    val live = vs.takeRight(keep)
-      .flatMap(v => entries(spark, base, v).map(_._2)).toSet
+    val live = (vs.takeRight(keep) ++ vs.filter(pinned))
+      .flatMap(v => entries(spark, base, v).map(_._2)).toSet ++
+      // branch-referenced files stay live for the same reason as in
+      // removeOrphans: reachable through the ref, not the main sequence
+      branchReferencedEntries(spark, base).toSet
     val dead = dropVs.flatMap(v => entries(spark, base, v).map(_._2))
       .distinct.filterNot(live)
       // a clone's absolute entries borrow files from its SOURCE table:
@@ -1536,6 +1552,234 @@ object ManifestTable {
     commit(spark, dstBase, 1, abs)
   }
 
+  // ---- named refs: TAGS and BRANCHES ---------------------------------------
+  //
+  // Iceberg-style named references over the linear main history:
+  //
+  //   - a TAG is an immutable name for one committed MAIN version
+  //     (`_manifests/ref-tag-<name>` holding the version number). Tags are
+  //     addressable from SQL (`VERSION AS OF 'name'` — the connector
+  //     resolves non-numeric version strings through [[tagVersion]]) and
+  //     PIN their version against [[expireSnapshots]], so "the audited
+  //     quarterly snapshot" stays readable however long the history grows.
+  //   - a BRANCH is an independent manifest sequence forked from main
+  //     (`_manifests/branch-<name>-v<N>.manifest`). The fork commit copies
+  //     main's CURRENT entries by reference — zero data copied, like
+  //     [[cloneTable]] but under the SAME base, so publishing back is a
+  //     metadata commit too. Branch commits use the identical atomic
+  //     rename + optimistic-retry protocol as main ([[commitNamed]]);
+  //     [[fastForward]] publishes the branch head onto main iff main's
+  //     CONTENT has not changed since the fork — the write-audit-publish
+  //     workflow (stage ingest on a branch, audit it, publish by metadata
+  //     swing; abandon = [[dropBranch]] and the staged files become
+  //     orphans for [[removeOrphans]]).
+  //
+  // Ref names must be unambiguous against version numbers (SQL
+  // `VERSION AS OF`) and against the `-v<N>` file-name grammar, hence the
+  // identifier shape with no dashes. At 100 TB every verb here is
+  // driver-side manifest arithmetic: fork, publish, and drop cost one
+  // metadata file each regardless of table size.
+
+  private def tagPath(base: String, name: String) =
+    new Path(manifestDir(base), s"ref-tag-$name")
+
+  private def requireRefName(name: String): Unit =
+    require(name.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"ref name '$name' must match [A-Za-z][A-Za-z0-9_]* — it has to be " +
+        "distinguishable from version numbers and manifest file-name separators")
+
+  /** Create an immutable tag for `version` (default: current). The write
+    * is the usual temp + rename-refuses-overwrite, so two concurrent
+    * `createTag`s of one name race cleanly and the loser gets
+    * [[VersionConflictException]] — tags can never be silently moved. */
+  def createTag(spark: SparkSession, base: String, name: String,
+      version: Option[Int] = None): Int = {
+    requireRefName(name)
+    val vs = versions(spark, base)
+    require(vs.nonEmpty, s"no committed snapshot under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"cannot tag $name: version $v not committed under $base")
+    val dir = manifestDir(base)
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir, s".tmp-tag-$name-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val dest = tagPath(base, name)
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new VersionConflictException(
+        s"tag $name already exists under $base (tags are immutable — drop it first)")
+    }
+    v
+  }
+
+  /** The version a tag pins, or None for no such tag. */
+  def tagVersion(spark: SparkSession, base: String, name: String): Option[Int] = {
+    val p = tagPath(base, name)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      Some(text.toInt)
+    }
+  }
+
+  /** All tags as (name, pinned version), name-sorted. */
+  def listTags(spark: SparkSession, base: String): Seq[(String, Int)] = {
+    val fs = fsOf(spark, manifestDir(base))
+    val st = fs.globStatus(new Path(manifestDir(base), "ref-tag-*"))
+    if (st == null) Seq.empty
+    else st.toSeq.map(_.getPath.getName.stripPrefix("ref-tag-")).sorted
+      .flatMap(n => tagVersion(spark, base, n).map(n -> _))
+  }
+
+  /** Drop a tag. Its version stops being pinned; a later
+    * [[expireSnapshots]] may then reclaim it like any other old version. */
+  def dropTag(spark: SparkSession, base: String, name: String): Unit = {
+    val p = tagPath(base, name)
+    val fs = fsOf(spark, p)
+    require(fs.exists(p), s"no tag named $name under $base")
+    fs.delete(p, false)
+  }
+
+  private def branchManifestName(name: String, v: Int) = s"branch-$name-v$v.manifest"
+
+  /** Committed versions of a branch, ascending (empty = no such branch).
+    * The LOWEST is the fork point (main's version when the branch was
+    * created); the HIGHEST is the branch head. */
+  private[sources] def branchVersions(
+      spark: SparkSession, base: String, name: String): Seq[Int] = {
+    val fs = fsOf(spark, manifestDir(base))
+    val st = fs.globStatus(new Path(manifestDir(base), s"branch-$name-v*.manifest"))
+    if (st == null) Seq.empty
+    else st.toSeq.map(_.getPath.getName
+        .stripPrefix(s"branch-$name-v").stripSuffix(".manifest").toInt)
+      .sorted
+  }
+
+  def branchExists(spark: SparkSession, base: String, name: String): Boolean =
+    branchVersions(spark, base, name).nonEmpty
+
+  /** All branches as (name, fork version, head version), name-sorted. */
+  def listBranches(spark: SparkSession, base: String): Seq[(String, Int, Int)] = {
+    val fs = fsOf(spark, manifestDir(base))
+    val st = fs.globStatus(new Path(manifestDir(base), "branch-*-v*.manifest"))
+    if (st == null) Seq.empty
+    else st.toSeq.map(_.getPath.getName.stripPrefix("branch-")
+        .stripSuffix(".manifest")).map { s =>
+        val i = s.lastIndexOf("-v")
+        (s.substring(0, i), s.substring(i + 2).toInt)
+      }.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (n, vs0) => (n, vs0.map(_._2).min, vs0.map(_._2).max) }
+  }
+
+  /** Fork a branch at main's current version — one metadata commit that
+    * copies the current entries BY REFERENCE (zero data). Refuses while a
+    * deletion vector is pending (same rule as [[cloneTable]]: copying
+    * entries without the vector would resurrect its rows on the branch).
+    * Returns the fork version. */
+  def createBranch(spark: SparkSession, base: String, name: String): Int = {
+    requireRefName(name)
+    requireNoPendingDv(spark, base, "createBranch")
+    require(!branchExists(spark, base, name),
+      s"branch $name already exists under $base")
+    val v = currentVersion(spark, base)
+    commitNamed(spark, base, branchManifestName(name, v),
+      entries(spark, base, v),
+      s"branch $name already exists under $base")
+    v
+  }
+
+  /** Entries of the branch HEAD. */
+  private[sources] def branchEntries(
+      spark: SparkSession, base: String, name: String): Seq[(String, String)] = {
+    val vs = branchVersions(spark, base, name)
+    require(vs.nonEmpty, s"no branch named $name under $base")
+    entriesAt(spark, new Path(manifestDir(base), branchManifestName(name, vs.last)))
+  }
+
+  /** Read the branch head (exactly the files its manifest names). */
+  def readBranch(spark: SparkSession, base: String, name: String): DataFrame = {
+    val paths = branchEntries(spark, base, name)
+      .map { case (_, rel) => resolve(base, rel) }
+    if (paths.isEmpty) {
+      val s = tableProperties(spark, base).getOrElse("schema",
+        throw new IllegalStateException(
+          s"empty branch $name under $base and no stored schema property"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        ManifestSchemaProp.parse(s))
+    } else spark.read.parquet(paths: _*)
+  }
+
+  /** APPEND to a branch — main is untouched. Same optimistic protocol as
+    * a main append: losing the rename race to a concurrent branch writer
+    * rebases onto the winner's entries and retries (appends commute).
+    * Returns the branch version that committed. */
+  def appendBranch(spark: SparkSession, base: String, name: String,
+      df: DataFrame, partCol: String, maxAttempts: Int = 20): Int = {
+    val head0 = branchVersions(spark, base, name)
+    require(head0.nonEmpty, s"no branch named $name under $base")
+    // staged under files/v<headv+1>/ — a shared root like every staged
+    // write here; entries are paths, the dir name is bookkeeping
+    val newFiles = writeSnapshotFiles(spark, base, head0.last + 1, df, partCol)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val head = branchVersions(spark, base, name).last
+      val es = entriesAt(spark,
+        new Path(manifestDir(base), branchManifestName(name, head)))
+      try {
+        commitNamed(spark, base, branchManifestName(name, head + 1),
+          es ++ newFiles,
+          s"concurrent commit: branch $name version ${head + 1} already exists")
+        return head + 1
+      } catch {
+        case _: VersionConflictException if attempt < maxAttempts => ()
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** PUBLISH the branch head onto main (write-audit-publish's publish
+    * step): one metadata commit of the branch's entries, valid iff main's
+    * CONTENT is unchanged since the fork — the branch head was computed
+    * from exactly that state. A concurrent main commit that changed
+    * anything aborts with [[ConcurrentRewriteException]] (re-fork, or
+    * replay the branch's changes against the new main); a pure version
+    * race rebases. Returns the main version that committed. */
+  def fastForward(spark: SparkSession, base: String, name: String): Int = {
+    val vs = branchVersions(spark, base, name)
+    require(vs.nonEmpty, s"no branch named $name under $base")
+    commitRetryingFullTable(spark, base, vs.head,
+      branchEntries(spark, base, name), s"fastForward($name)")
+  }
+
+  /** Drop a branch: delete its manifest sequence. Files only the branch
+    * referenced become unreferenced and are reclaimed by the next
+    * [[removeOrphans]] sweep — dropping is metadata-only, like Iceberg's
+    * drop-ref-then-expire. */
+  def dropBranch(spark: SparkSession, base: String, name: String): Unit = {
+    val vs = branchVersions(spark, base, name)
+    require(vs.nonEmpty, s"no branch named $name under $base")
+    val fs = fsOf(spark, manifestDir(base))
+    vs.foreach(v =>
+      fs.delete(new Path(manifestDir(base), branchManifestName(name, v)), false))
+  }
+
+  /** Entries referenced by ANY branch manifest — live for orphan/expiry
+    * purposes even when no main manifest names them (a branch borrows
+    * main's files at its fork and owns its appended files thereafter). */
+  private def branchReferencedEntries(
+      spark: SparkSession, base: String): Seq[String] = {
+    val fs = fsOf(spark, manifestDir(base))
+    val st = fs.globStatus(new Path(manifestDir(base), "branch-*-v*.manifest"))
+    if (st == null) Seq.empty
+    else st.toSeq.flatMap(s => entriesAt(spark, s.getPath).map(_._2))
+  }
+
   /** ORPHAN-FILE cleanup — delete files under this table's `files/` tree
     * that NO committed manifest references (plus abandoned `.stage-*`
     * dirs). Orphans are exactly what a crash between staging and the
@@ -1563,7 +1807,10 @@ object ManifestTable {
       if (txnTmp == null) Seq.empty[String]
       else txnTmp.toSeq.flatMap(s => entriesAt(spark, s.getPath).map(_._2))
     val referenced = (versions(spark, base)
-      .flatMap(v => entries(spark, base, v).map(_._2)) ++ txnReferenced)
+      .flatMap(v => entries(spark, base, v).map(_._2)) ++ txnReferenced ++
+      // a BRANCH's appended files are named by no main manifest — they are
+      // reachable through the branch ref and must survive until dropBranch
+      branchReferencedEntries(spark, base))
       .filterNot(external).toSet
     val deleted = scala.collection.mutable.Buffer[String]()
     val filesRoot = new Path(base, "files")
@@ -4515,6 +4762,172 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
+  /** Build-once fixture for TAG time travel: the [[statsFixture]] table
+    * (three key-tertile ingest waves = versions 1..3) with immutable tags
+    * `wave1` → v1 and `wave2` → v2. Tags are pure metadata — the shared
+    * underlying fixture is unchanged for its other consumers. */
+  private[sources] def taggedFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("tagged", dir), {
+        val base = statsFixture(spark, dir)
+        createTag(spark, base, "wave1", Some(1))
+        createTag(spark, base, "wave2", Some(2))
+        base
+      })
+    }
+
+  /** Registered TAG time travel: `VERSION AS OF 'wave1'` / `'wave2'` in
+    * plain catalog SQL resolve through the table's immutable refs to the
+    * tagged snapshots, joined against the current read per year. The
+    * oracle replays the key-tertile wave membership, so a tag resolving
+    * to the wrong version (or leaking post-tag rows) hash-mismatches.
+    * `RefSpec` pins immutability, unknown-tag errors, and that
+    * [[expireSnapshots]] keeps a tagged version readable. */
+  val catalogTag: QuerySpec = QuerySpec.sql(
+    "q_catalog_tag",
+    """WITH t AS (SELECT o_orderkey,
+      |                  CAST(year(o_orderdate) AS INTEGER) AS o_year
+      |           FROM orders),
+      |mx AS (SELECT max(o_orderkey) AS mx FROM t),
+      |w AS (SELECT o_year,
+      |             CASE WHEN o_orderkey <= mx // 3 THEN 1
+      |                  WHEN o_orderkey <= mx * 2 // 3 THEN 2
+      |                  ELSE 3 END AS wave
+      |      FROM t, mx)
+      |SELECT o_year,
+      |       CAST(sum(CASE WHEN wave <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_wave1,
+      |       CAST(sum(CASE WHEN wave <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_wave2,
+      |       count(*) AS n_current
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = taggedFixture(spark, dir)
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT c.o_year,
+         |       CAST(coalesce(w1.n, 0) AS BIGINT) AS n_wave1,
+         |       CAST(coalesce(w2.n, 0) AS BIGINT) AS n_wave2,
+         |       c.n AS n_current
+         |FROM (SELECT o_year, count(*) AS n
+         |      FROM graft_cat.`$tbl` GROUP BY 1) c
+         |LEFT JOIN (SELECT o_year, count(*) AS n
+         |           FROM graft_cat.`$tbl` VERSION AS OF 'wave1'
+         |           GROUP BY 1) w1 ON c.o_year = w1.o_year
+         |LEFT JOIN (SELECT o_year, count(*) AS n
+         |           FROM graft_cat.`$tbl` VERSION AS OF 'wave2'
+         |           GROUP BY 1) w2 ON c.o_year = w2.o_year
+         |ORDER BY c.o_year""".stripMargin)
+  }
+
+  /** Build-once fixture for the BRANCH / write-audit-publish workflow:
+    * main v1 = the first key tertile of orders; branch `audit` forks at
+    * v1, stages tertile 2, and is PUBLISHED by [[fastForward]] (main v2 —
+    * one metadata commit); branch `dev` then forks at v2 and stages
+    * tertile 3, left UNPUBLISHED. Isolation is require-pinned at build:
+    * no branch append advances main, and the publish lands exactly the
+    * audited entry set. */
+  private[sources] def branchFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("branch", dir), {
+        val base =
+          s"${graft.Scratch.root}/orders_brfix_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
+        val (k1, k2) = (mx / 3, 2 * mx / 3)
+        create(spark, base, t.filter(col("o_orderkey") <= k1), "o_year")
+        setTableProperty(spark, base, "partCol", "o_year")
+        val fork = createBranch(spark, base, "audit")
+        require(fork == 1, s"audit branch must fork at v1, got v$fork")
+        appendBranch(spark, base, "audit",
+          t.filter(col("o_orderkey") > k1 && col("o_orderkey") <= k2), "o_year")
+        require(currentVersion(spark, base) == 1,
+          "a branch append must not advance main")
+        val pub = fastForward(spark, base, "audit")
+        require(pub == 2, s"publish must land main v2, got v$pub")
+        require(entries(spark, base, 2).toSet ==
+            branchEntries(spark, base, "audit").toSet,
+          "publish must land exactly the audited entry set")
+        val fork2 = createBranch(spark, base, "dev")
+        require(fork2 == 2, s"dev branch must fork at v2, got v$fork2")
+        appendBranch(spark, base, "dev",
+          t.filter(col("o_orderkey") > k2), "o_year")
+        require(currentVersion(spark, base) == 2,
+          "a dev-branch append must not advance main")
+        base
+      })
+    }
+
+  /** Registered BRANCH WRITE-AUDIT-PUBLISH (programmatic face): main read
+    * AFTER the audited branch published — exactly tertiles 1+2, with the
+    * dev branch's staged tertile 3 invisible. The oracle replays the
+    * tertile membership; a publish that lost rows, duplicated the fork's
+    * files, or leaked the unpublished branch all hash-mismatch. */
+  val tableBranch: QuerySpec = QuerySpec.sql(
+    "q_table_branch",
+    """WITH t AS (SELECT o_orderkey,
+      |                  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |mx AS (SELECT max(o_orderkey) AS mx FROM t)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t, mx WHERE o_orderkey <= mx * 2 // 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = branchFixture(spark, dir)
+    read(spark, base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long").as("cents"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Registered BRANCH SQL READ via the `$branch_<name>` metadata table:
+    * the unpublished `dev` branch head (all three tertiles) joined per
+    * year against main (tertiles 1+2) — `cents_staged` isolates exactly
+    * the rows staged on the branch. Proves both isolation directions
+    * from plain SQL: main misses the staged rows, the branch carries
+    * main's files by reference plus its own. */
+  val catalogBranch: QuerySpec = QuerySpec.sql(
+    "q_catalog_branch",
+    """WITH t AS (SELECT o_orderkey,
+      |                  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |mx AS (SELECT max(o_orderkey) AS mx FROM t),
+      |w AS (SELECT o_year, o_totalprice,
+      |             CASE WHEN o_orderkey <= mx // 3 THEN 1
+      |                  WHEN o_orderkey <= mx * 2 // 3 THEN 2
+      |                  ELSE 3 END AS wave
+      |      FROM t, mx),
+      |m AS (SELECT o_year, count(*) AS n,
+      |             sum(floor(o_totalprice * 100 + 0.5)) AS cents
+      |      FROM w WHERE wave <= 2 GROUP BY 1),
+      |b AS (SELECT o_year, count(*) AS n,
+      |             sum(floor(o_totalprice * 100 + 0.5)) AS cents
+      |      FROM w GROUP BY 1)
+      |SELECT m.o_year, m.n AS n_main, b.n AS n_branch,
+      |       CAST(b.cents - m.cents AS BIGINT) AS cents_staged
+      |FROM m JOIN b ON m.o_year = b.o_year
+      |ORDER BY m.o_year""".stripMargin) { (spark, dir) =>
+    val base = branchFixture(spark, dir)
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT m.o_year, m.n AS n_main, b.n AS n_branch,
+         |       CAST(b.cents - m.cents AS BIGINT) AS cents_staged
+         |FROM (SELECT o_year, count(*) AS n,
+         |             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+         |      FROM graft_cat.`$tbl` GROUP BY 1) m
+         |JOIN (SELECT o_year, count(*) AS n,
+         |             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+         |      FROM graft_cat.`${tbl + "$branch_dev"}` GROUP BY 1) b
+         |  ON m.o_year = b.o_year
+         |ORDER BY m.o_year""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
@@ -4528,5 +4941,6 @@ object ManifestTable {
       tableConcurrent, catalogRename, catalogDropCol,
       tableOptimizeConcurrent, catalogDeleteMoR, catalogMetaSum,
       streamCdfEvolve, tableUpdateMoR, catalogUpdateMoR, catalogHistory,
-      catalogChanges, catalogConstraint, catalogDefault)
+      catalogChanges, catalogConstraint, catalogDefault,
+      catalogTag, tableBranch, catalogBranch)
 }

@@ -1,0 +1,173 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for NAMED REFS (tags + branches) over the manifest table:
+  * tag immutability and expiry pinning, branch isolation in both
+  * directions, fast-forward publish semantics (including the classified
+  * abort when main moved since the fork), drop-then-sweep reclamation,
+  * and concurrent branch appends rebasing like main appends. */
+class RefSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ordersYearly = graft.model.Tables.orders(spark, sf)
+    .select(col("o_orderkey"),
+      year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+
+  private def freshTable(tag: String)
+      : (String, org.apache.spark.sql.DataFrame) = {
+    val t = ordersYearly
+    val base = s"${graft.Scratch.root}/refspec_$tag"
+    ManifestTable.create(spark, base, t, "o_year")
+    (base, t)
+  }
+
+  test("tags are immutable, list, resolve, and drop") {
+    val (base, _) = freshTable("tags")
+    assert(ManifestTable.createTag(spark, base, "rc") === 1)
+    // immutable: re-tagging the same name refuses, whatever the version
+    intercept[ManifestTable.VersionConflictException] {
+      ManifestTable.createTag(spark, base, "rc", Some(1))
+    }
+    assert(ManifestTable.tagVersion(spark, base, "rc") === Some(1))
+    assert(ManifestTable.tagVersion(spark, base, "nope") === None)
+    assert(ManifestTable.listTags(spark, base) === Seq("rc" -> 1))
+    ManifestTable.dropTag(spark, base, "rc")
+    assert(ManifestTable.listTags(spark, base).isEmpty)
+    // ref-name grammar: digits-only and dashed names are ambiguous
+    intercept[IllegalArgumentException] {
+      ManifestTable.createTag(spark, base, "1996")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.createTag(spark, base, "a-b")
+    }
+    // tagging an uncommitted version refuses
+    intercept[IllegalArgumentException] {
+      ManifestTable.createTag(spark, base, "future", Some(9))
+    }
+  }
+
+  test("SQL VERSION AS OF resolves tags; unknown tag names the options") {
+    val (base, t) = freshTable("sqltag")
+    ManifestTable.createTag(spark, base, "first")
+    ManifestTable.append(spark, base,
+      t.filter(col("o_year") === 1995).withColumn("o_orderkey", -col("o_orderkey")),
+      "o_year")
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    val tbl = new java.io.File(base).getName
+    val atTag = spark.sql(
+      s"SELECT count(*) AS n FROM graft_cat.`$tbl` VERSION AS OF 'first'")
+      .head.getLong(0)
+    assert(atTag === t.count())
+    val cur = spark.sql(s"SELECT count(*) AS n FROM graft_cat.`$tbl`").head.getLong(0)
+    assert(cur > atTag)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_cat.`$tbl` VERSION AS OF 'ghost'").collect()
+    }
+    assert(e.getMessage.contains("ghost") && e.getMessage.contains("first"))
+  }
+
+  test("expireSnapshots keeps a tag-pinned version readable") {
+    val (base, t) = freshTable("tagexpire")
+    val n1 = t.count()
+    ManifestTable.createTag(spark, base, "keepme", Some(1))
+    ManifestTable.append(spark, base,
+      t.filter(col("o_year") === 1996).withColumn("o_orderkey", -col("o_orderkey")),
+      "o_year")
+    ManifestTable.append(spark, base,
+      t.filter(col("o_year") === 1997).withColumn("o_orderkey", -col("o_orderkey") - 10000000L),
+      "o_year")
+    val (droppedVs, _) = ManifestTable.expireSnapshots(spark, base, 1)
+    // v2 expired; v1 survived through its tag
+    assert(droppedVs === 1)
+    assert(ManifestTable.versions(spark, base) === Seq(1, 3))
+    assert(ManifestTable.readVersion(spark, base, 1).count() === n1)
+    // dropping the tag releases the pin: the next expiry reclaims v1
+    ManifestTable.dropTag(spark, base, "keepme")
+    ManifestTable.expireSnapshots(spark, base, 1)
+    assert(ManifestTable.versions(spark, base) === Seq(3))
+  }
+
+  test("branch isolation both ways; fast-forward publishes the head") {
+    val (base, t) = freshTable("wap")
+    val n1 = t.count()
+    val staged = t.filter(col("o_year") >= 1996)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+    assert(ManifestTable.createBranch(spark, base, "audit") === 1)
+    ManifestTable.appendBranch(spark, base, "audit", staged, "o_year")
+    // main untouched; branch sees fork + staged
+    assert(ManifestTable.currentVersion(spark, base) === 1)
+    assert(ManifestTable.read(spark, base).count() === n1)
+    assert(ManifestTable.readBranch(spark, base, "audit").count() ===
+      n1 + staged.count())
+    assert(ManifestTable.listBranches(spark, base) === Seq(("audit", 1, 2)))
+    // publish: one metadata commit, exact entry set
+    assert(ManifestTable.fastForward(spark, base, "audit") === 2)
+    assert(ManifestTable.read(spark, base).count() === n1 + staged.count())
+    assert(ManifestTable.entries(spark, base, 2).toSet ===
+      ManifestTable.branchEntries(spark, base, "audit").toSet)
+  }
+
+  test("fast-forward aborts classified when main changed since the fork") {
+    val (base, t) = freshTable("ffconflict")
+    ManifestTable.createBranch(spark, base, "late")
+    ManifestTable.appendBranch(spark, base, "late",
+      t.filter(col("o_year") === 1995).withColumn("o_orderkey", -col("o_orderkey")),
+      "o_year")
+    // main moves on (content change) before the publish
+    ManifestTable.append(spark, base,
+      t.filter(col("o_year") === 1998).withColumn("o_orderkey", -col("o_orderkey") - 10000000L),
+      "o_year")
+    intercept[ManifestTable.ConcurrentRewriteException] {
+      ManifestTable.fastForward(spark, base, "late")
+    }
+    // nothing half-applied: main is exactly its own two commits
+    assert(ManifestTable.currentVersion(spark, base) === 2)
+  }
+
+  test("dropBranch then removeOrphans reclaims only the branch's own files") {
+    val (base, t) = freshTable("drop")
+    val mainEntries = ManifestTable.entries(spark, base, 1).map(_._2).toSet
+    ManifestTable.createBranch(spark, base, "scrap")
+    ManifestTable.appendBranch(spark, base, "scrap",
+      t.filter(col("o_year") === 1999).withColumn("o_orderkey", -col("o_orderkey")),
+      "o_year")
+    val branchOwn = ManifestTable.branchEntries(spark, base, "scrap")
+      .map(_._2).toSet -- mainEntries
+    assert(branchOwn.nonEmpty)
+    // live branch: the sweep must not touch its files
+    assert(ManifestTable.removeOrphans(spark, base).isEmpty)
+    ManifestTable.dropBranch(spark, base, "scrap")
+    val swept = ManifestTable.removeOrphans(spark, base).toSet
+    assert(swept === branchOwn)
+    assert(ManifestTable.read(spark, base).count() === t.count())
+  }
+
+  test("concurrent branch appends rebase like main appends") {
+    val (base, t) = freshTable("race")
+    ManifestTable.createBranch(spark, base, "busy")
+    val waves = Seq(1995, 1996, 1997, 1998)
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = waves.map { y => Future {
+        ManifestTable.appendBranch(spark, base, "busy",
+          t.filter(col("o_year") === y).withColumn("o_orderkey", -col("o_orderkey") - y * 10000000L),
+          "o_year")
+      }}
+      val landed = Await.result(Future.sequence(fs), 5.minutes)
+      assert(landed.sorted === Seq(2, 3, 4, 5))
+    } finally pool.shutdown()
+    val extra = waves.map(y => t.filter(col("o_year") === y).count()).sum
+    assert(ManifestTable.readBranch(spark, base, "busy").count() ===
+      t.count() + extra)
+    // and main never moved
+    assert(ManifestTable.currentVersion(spark, base) === 1)
+  }
+}
