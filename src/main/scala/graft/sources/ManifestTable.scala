@@ -5,6 +5,7 @@ import graft.model.Tables
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** A minimal snapshot/manifest table format — the transactionally-correct
   * form of the reference's staged warehouse merge
@@ -558,6 +559,53 @@ object ManifestTable {
     // rebases onto the winner's entries and retries
     commitRetrying(spark, base, v, newFiles, None)
     refreshAllStats(spark, base)
+  }
+
+  /** APPEND with WRITE-TIME SCHEMA MERGE (Delta's `mergeSchema` write
+    * option as a verb): columns `df` carries that the table's schema
+    * lacks are stamped FIRST as a pure metadata evolution — the same
+    * contract as SQL `ALTER TABLE ADD COLUMN` (no committed file
+    * rewritten; pre-evolution files serve NULL for the absent field
+    * through the connector's per-file resolution) — then the rows append
+    * normally. Refusals keep the merge honest: a TYPE change on an
+    * existing column refuses (merge adds columns, it never casts), and a
+    * new name shadowed by this table's rename/drop history refuses
+    * exactly like the DDL path (committed footers still carry stale data
+    * under it). Returns the names of the columns added. */
+  def appendEvolve(spark: SparkSession, base: String,
+      df: DataFrame, partCol: String): Seq[String] = {
+    val cur = tableProperties(spark, base).get("schema")
+      .map(ManifestSchemaProp.parse)
+      .getOrElse(read(spark, base).schema)
+    val (kept, added) = df.schema.fields.partition(f =>
+      cur.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    kept.foreach { f =>
+      val c = cur.fields.find(_.name.equalsIgnoreCase(f.name)).get
+      require(c.dataType == f.dataType,
+        s"appendEvolve under $base: column ${f.name} is ${c.dataType} in " +
+          s"the table but ${f.dataType} in the append — schema merge adds " +
+          "columns, it never changes an existing column's type")
+    }
+    added.foreach { f =>
+      require(!ManifestColMap.dead(spark, base).exists(_.equalsIgnoreCase(f.name)),
+        s"appendEvolve under $base: column ${f.name} was DROPPED from this " +
+          "table — committed files still carry it, and reusing the name " +
+          "would resurrect their stale values; use a new name")
+      require(!ManifestColMap.of(spark, base).values
+          .exists(_.equalsIgnoreCase(f.name)),
+        s"appendEvolve under $base: a RENAMEd column's data still lives " +
+          s"under ${f.name} in committed footers — the reader would serve " +
+          "the old column's bytes for the new one; use a different name")
+    }
+    if (added.nonEmpty) {
+      val merged = StructType(cur.fields ++
+        added.map(f => StructField(f.name, f.dataType)))
+      // unsupported column types refuse the APPEND, not the next read
+      ManifestSchemaProp.parse(ManifestSchemaProp.serialize(merged))
+      setTableProperty(spark, base, "schema", ManifestSchemaProp.serialize(merged))
+    }
+    append(spark, base, df, partCol)
+    added.map(_.name).toSeq
   }
 
   /** OPTIMIZE — compaction as a TABLE VERB (the manifest-table form of
@@ -1755,6 +1803,33 @@ object ManifestTable {
     require(vs.nonEmpty, s"no branch named $name under $base")
     commitRetryingFullTable(spark, base, vs.head,
       branchEntries(spark, base, name), s"fastForward($name)")
+  }
+
+  /** REBASE-PUBLISH an APPEND-ONLY branch onto a main that MOVED since
+    * the fork (Iceberg's cherry-pick, the case [[fastForward]] refuses):
+    * the branch's net change is head-minus-fork entries, and when the
+    * branch never removed or rewrote a fork file that change is pure
+    * appended rows — it commutes with whatever main did in the meantime,
+    * exactly like a plain append, so it lands through the same
+    * [[commitRetrying]] append path. A branch that rewrote fork files
+    * refuses loudly (its read set IS the fork — publishing it over a
+    * moved main would silently undo main's interleaved commits); pending
+    * main deletion vectors refuse for the same reason an append does.
+    * Returns the main version that committed. */
+  def rebasePublish(spark: SparkSession, base: String, name: String): Int = {
+    requireNoPendingDv(spark, base, "rebasePublish")
+    val vs = branchVersions(spark, base, name)
+    require(vs.nonEmpty, s"no branch named $name under $base")
+    val forkEs = entriesAt(spark,
+      new Path(manifestDir(base), branchManifestName(name, vs.head))).toSet
+    val headEs = branchEntries(spark, base, name)
+    val removed = forkEs -- headEs.toSet
+    require(removed.isEmpty,
+      s"rebasePublish($name): the branch rewrote or removed ${removed.size} " +
+        "fork file(s) — only append-only branches can publish onto a moved " +
+        "main; fastForward from an unchanged main, or re-run on a fresh fork")
+    val added = headEs.filterNot(forkEs)
+    commitRetrying(spark, base, currentVersion(spark, base), added, None)
   }
 
   /** Drop a branch: delete its manifest sequence. Files only the branch
@@ -4928,6 +5003,92 @@ object ManifestTable {
          |ORDER BY m.o_year""".stripMargin)
   }
 
+  /** Registered BRANCH REBASE-PUBLISH (Iceberg cherry-pick): main moves
+    * ON past the fork while the branch stages an append; [[fastForward]]
+    * would refuse, [[rebasePublish]] lands the branch's net appended
+    * files through the ordinary append-commute path. Main ends with all
+    * three tertiles — the oracle is plain orders, so losing main's
+    * interleaved commit, double-applying the fork's files, or publishing
+    * stale fork state all hash-mismatch. */
+  val branchRebase: QuerySpec = QuerySpec.sql(
+    "q_branch_rebase",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("branchrebase", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_brrfix_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
+        val (k1, k2) = (mx / 3, 2 * mx / 3)
+        create(spark, b, t.filter(col("o_orderkey") <= k1), "o_year")
+        createBranch(spark, b, "hotfix")
+        appendBranch(spark, b, "hotfix",
+          t.filter(col("o_orderkey") > k1 && col("o_orderkey") <= k2), "o_year")
+        // main moves on past the fork before the publish
+        append(spark, b, t.filter(col("o_orderkey") > k2), "o_year")
+        require(currentVersion(spark, b) == 2,
+          "main must have moved past the fork")
+        val landed = rebasePublish(spark, b, "hotfix")
+        require(landed == 3, s"rebase publish must land main v3, got v$landed")
+        b
+      })
+    }
+    read(spark, base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long").as("cents"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Registered WRITE-TIME SCHEMA MERGE ([[appendEvolve]]): the odd-key
+    * wave arrives carrying a column the table never declared; the append
+    * stamps the schema (metadata only — v1's files are carried untouched,
+    * require-pinned) and the catalog read serves pre-evolution rows as
+    * NULL for the absent field. The oracle replays the parity split;
+    * mis-defaulting old rows, dropping the stamp, or rewriting v1 all
+    * fail. `RefSpec`-style refusals (type change, shadowed name,
+    * stacking) live in `CatalogEvolutionSpec`. */
+  val mergeSchema: QuerySpec = QuerySpec.sql(
+    "q_merge_schema",
+    """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders),
+      |v AS (SELECT o_totalprice,
+      |             CASE WHEN o_orderkey % 2 = 1 THEN
+      |               CASE WHEN o_orderkey % 4 = 1 THEN 'web' ELSE 'store' END
+      |             END AS o_channel
+      |      FROM t)
+      |SELECT coalesce(o_channel, 'legacy') AS channel, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM v GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("mergeschema", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_msfix_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        create(spark, b, t.filter(col("o_orderkey") % 2 === 0), "o_year")
+        setTableProperty(spark, b, "partCol", "o_year")
+        val added = appendEvolve(spark, b,
+          t.filter(col("o_orderkey") % 2 === 1)
+            .withColumn("o_channel",
+              when(col("o_orderkey") % 4 === 1, "web").otherwise("store")),
+          "o_year")
+        require(added == Seq("o_channel"),
+          s"appendEvolve must report the one added column, got $added")
+        require(entries(spark, b, 1).toSet.subsetOf(entries(spark, b, 2).toSet),
+          "schema merge must carry v1's files untouched")
+        b
+      })
+    }
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT coalesce(o_channel, 'legacy') AS channel, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
@@ -4942,5 +5103,5 @@ object ManifestTable {
       tableOptimizeConcurrent, catalogDeleteMoR, catalogMetaSum,
       streamCdfEvolve, tableUpdateMoR, catalogUpdateMoR, catalogHistory,
       catalogChanges, catalogConstraint, catalogDefault,
-      catalogTag, tableBranch, catalogBranch)
+      catalogTag, tableBranch, catalogBranch, branchRebase, mergeSchema)
 }
