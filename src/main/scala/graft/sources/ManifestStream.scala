@@ -268,7 +268,12 @@ final class ManifestStreamTable(schema: StructType, base: String,
             Array.empty
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-            new ManifestStreamingWrite(base, info.schema(), partCol, info.queryId())
+            new ManifestStreamingWrite(base, info.schema(), partCol,
+              info.queryId(),
+              // `.option("branch", name)`: epochs commit to the branch's
+              // manifest sequence (streaming write-audit-publish) — main
+              // is untouched until fastForward/rebasePublish
+              Option(info.options.get("branch")))
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
             new ManifestBatchAppend(base, info.schema(), partCol)
@@ -2378,7 +2383,7 @@ final class ManifestFileReaderFactory(schema: StructType,
   * committed epoch the retry detects. Stage debris from aborted epochs
   * is `removeOrphans` food like every other crash path. */
 final class ManifestStreamingWrite(base: String, schema: StructType,
-    partCol: String, queryId: String)
+    partCol: String, queryId: String, branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
   import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -2389,15 +2394,29 @@ final class ManifestStreamingWrite(base: String, schema: StructType,
 
   private def fs = new Path(base).getFileSystem(new Configuration())
 
+  // STREAMING WAP: with `.option("branch", name)` every epoch commits to
+  // the BRANCH's manifest sequence — main never sees the feed until a
+  // fastForward/rebasePublish publishes the audited head. Same atomic
+  // rename, same exactly-once epoch markers, per-ref file names.
+  private def manifestName(v: Int): String =
+    branch.map(b => s"branch-$b-v$v.manifest").getOrElse(s"v$v.manifest")
+  private def epochName(v: Int): String =
+    branch.map(b => s"branch-$b-v$v.epoch").getOrElse(s"v$v.epoch")
+
   private def committedVersions: Seq[Int] = {
     val dir = new Path(base, "_manifests")
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
-        n.stripPrefix("v").stripSuffix(".manifest").toInt }.sorted
+    else branch match {
+      case None => fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+          n.stripPrefix("v").stripSuffix(".manifest").toInt }.sorted
+      case Some(b) =>
+        ManifestTable.branchVersions(
+          org.apache.spark.sql.SparkSession.active, base, b)
+    }
   }
   private def markerLines(v: Int): Option[Seq[String]] = {
-    val p = new Path(base, s"_manifests/v$v.epoch")
+    val p = new Path(base, s"_manifests/${epochName(v)}")
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -2406,6 +2425,9 @@ final class ManifestStreamingWrite(base: String, schema: StructType,
       finally in.close()
     }
   }
+  private def entriesOf(v: Int): Seq[(String, String)] =
+    ManifestTable.entriesAt(org.apache.spark.sql.SparkSession.active,
+      new Path(base, s"_manifests/${manifestName(v)}"))
 
   /** An epoch is durable at version `v` only when the marker's tag
     * matches AND the committed manifest actually names every file the
@@ -2418,8 +2440,7 @@ final class ManifestStreamingWrite(base: String, schema: StructType,
     markerLines(v) match {
       case Some(lines) if lines.headOption.map(_.trim).contains(tag) =>
         val listed = lines.drop(1).filter(_.nonEmpty)
-        val committed = ManifestTable.entries(
-          org.apache.spark.sql.SparkSession.active, base, v).map(_._2).toSet
+        val committed = entriesOf(v).map(_._2).toSet
         listed.forall(committed.contains)
       case _ => false
     }
@@ -2430,6 +2451,10 @@ final class ManifestStreamingWrite(base: String, schema: StructType,
     }.toSeq
     val tag = s"$queryId\t$epochId"
     val vs = committedVersions
+    // a branch sink lands on an EXISTING fork only: creating the branch is
+    // the user's explicit WAP decision, not a side effect of a typo'd name
+    branch.foreach(b => require(vs.nonEmpty,
+      s"streaming sink: no branch named '$b' under $base — createBranch first"))
     if (vs.exists(v => epochDurable(v, tag))) {
       // replayed epoch: already durable — drop the re-staged files
       staged.foreach { case (_, p) => fs.delete(new Path(p), false) }
@@ -2450,7 +2475,7 @@ final class ManifestStreamingWrite(base: String, schema: StructType,
     // uncommitted marker the retry simply overwrites (or, if a foreign
     // commit takes the version, a marker whose file list fails the
     // containment check above)
-    val mp = new Path(base, s"_manifests/v$next.epoch")
+    val mp = new Path(base, s"_manifests/${epochName(next)}")
     val out = fs.create(mp, true)
     try out.write((tag +: dests.map(_._3)).mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -2461,21 +2486,24 @@ final class ManifestStreamingWrite(base: String, schema: StructType,
         throw new java.io.IOException(s"sink move failed: $abs")
       (pval, rel)
     }
-    val prev = vs.lastOption
-      .map(v => ManifestTable.entries(
-        org.apache.spark.sql.SparkSession.active, base, v))
-      .getOrElse(Seq.empty)
-    ManifestTable.commit(org.apache.spark.sql.SparkSession.active,
-      base, next, prev ++ moved)
+    val prev = vs.lastOption.map(entriesOf).getOrElse(Seq.empty)
+    ManifestTable.commitNamed(org.apache.spark.sql.SparkSession.active,
+      base, manifestName(next), prev ++ moved,
+      s"concurrent commit: ${manifestName(next)} already exists under $base")
     // stamp the (additively unioned) schema so the catalog serves the
-    // late-added columns whatever footer it inspects
+    // late-added columns whatever footer it inspects (schema is TABLE
+    // metadata — a branch feed's evolution is visible on main, like
+    // Iceberg's table-scoped schema under refs)
     evolved.foreach(s => ManifestTable.setTableProperty(
       org.apache.spark.sql.SparkSession.active, base,
       "schema", ManifestSchemaProp.serialize(s)))
     // stats/bloom sidecars are transactional with EVERY commit verb —
-    // the streaming sink included (no-op until a column is indexed)
-    ManifestTable.refreshAllStats(
-      org.apache.spark.sql.SparkSession.active, base)
+    // the streaming sink included (no-op until a column is indexed).
+    // Branch commits carry none (sidecars are per-MAIN-version metadata);
+    // the publish refreshes them when the feed joins main.
+    if (branch.isEmpty)
+      ManifestTable.refreshAllStats(
+        org.apache.spark.sql.SparkSession.active, base)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

@@ -144,7 +144,7 @@ object ManifestTable {
     * (`v<N>.manifest`), branch sequences (`branch-<name>-v<N>.manifest`),
     * and immutable tag refs. Rename-refuses-overwrite is the only
     * arbiter; losing it throws [[VersionConflictException]]. */
-  private def commitNamed(spark: SparkSession, base: String, fileName: String,
+  private[sources] def commitNamed(spark: SparkSession, base: String, fileName: String,
       es: Seq[(String, String)], conflictMsg: String): Unit = {
     val dir = manifestDir(base)
     val fs = fsOf(spark, dir)
@@ -1801,8 +1801,12 @@ object ManifestTable {
   def fastForward(spark: SparkSession, base: String, name: String): Int = {
     val vs = branchVersions(spark, base, name)
     require(vs.nonEmpty, s"no branch named $name under $base")
-    commitRetryingFullTable(spark, base, vs.head,
+    val v = commitRetryingFullTable(spark, base, vs.head,
       branchEntries(spark, base, name), s"fastForward($name)")
+    // the published files join the MAIN sidecars now (branch commits
+    // carry none — sidecars are per-main-version metadata)
+    refreshAllStats(spark, base)
+    v
   }
 
   /** REBASE-PUBLISH an APPEND-ONLY branch onto a main that MOVED since
@@ -1829,7 +1833,9 @@ object ManifestTable {
         "fork file(s) — only append-only branches can publish onto a moved " +
         "main; fastForward from an unchanged main, or re-run on a fresh fork")
     val added = headEs.filterNot(forkEs)
-    commitRetrying(spark, base, currentVersion(spark, base), added, None)
+    val v = commitRetrying(spark, base, currentVersion(spark, base), added, None)
+    refreshAllStats(spark, base)
+    v
   }
 
   /** Drop a branch: delete its manifest sequence. Files only the branch
@@ -1842,6 +1848,9 @@ object ManifestTable {
     val fs = fsOf(spark, manifestDir(base))
     vs.foreach(v =>
       fs.delete(new Path(manifestDir(base), branchManifestName(name, v)), false))
+    // a streaming WAP feed's exactly-once epoch markers die with their ref
+    val epochs = fs.globStatus(new Path(manifestDir(base), s"branch-$name-v*.epoch"))
+    if (epochs != null) epochs.foreach(e => fs.delete(e.getPath, false))
   }
 
   /** Entries referenced by ANY branch manifest — live for orphan/expiry
@@ -5089,6 +5098,61 @@ object ManifestTable {
          |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Registered STREAMING WRITE-AUDIT-PUBLISH: the odd-id half of events
+    * streams through the DSv2 sink with `.option("branch", "ingest")` —
+    * every epoch commits to the BRANCH's manifest sequence (same atomic
+    * rename, same exactly-once markers, per-ref file names) while main
+    * stays pinned at the even-id half; the audited head then publishes by
+    * one [[fastForward]] metadata commit. The oracle is the full events
+    * aggregate, so a feed leaking to main early, a lost/duplicated epoch,
+    * or a publish that dropped the fork's files all hash-mismatch.
+    * `StreamWapSpec` pins main-untouched-during-feed, version-per-epoch
+    * on the branch, and marker cleanup on dropBranch. */
+  val streamWap: QuerySpec = QuerySpec.sql(
+    "q_stream_wap",
+    """SELECT event_type, count(*) AS n,
+      |       count(DISTINCT user_id) AS n_users,
+      |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val staged = s"${graft.Scratch.root}/events_wap_feed"
+    val base = s"${graft.Scratch.root}/events_wap_tbl"
+    val ck = s"${graft.Scratch.root}/events_wap_ck"
+    val fs = fsOf(spark, new Path(base))
+    fs.delete(new Path(base), true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    val src = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    create(spark, base, src.filter(col("event_id") % 2 === 0), "event_type")
+    createBranch(spark, base, "ingest")
+    src.filter(col("event_id") % 2 === 1)
+      .repartition(3).write.mode("overwrite").parquet(staged)
+    val q = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1") // three epochs -> three branch versions
+      .parquet(staged)
+      .writeStream
+      .format("graft.sources.ManifestStreamProvider")
+      .option("path", base)
+      .option("partCol", "event_type")
+      .option("branch", "ingest")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the WAP contract, require-pinned: the feed never touched main
+    require(currentVersion(spark, base) == 1,
+      "a branch-targeted stream must not advance main")
+    require(branchVersions(spark, base, "ingest").size >= 2,
+      "the feed must have committed branch versions")
+    val pub = fastForward(spark, base, "ingest")
+    require(pub == 2, s"publish must land main v2, got v$pub")
+    read(spark, base)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
@@ -5103,5 +5167,6 @@ object ManifestTable {
       tableOptimizeConcurrent, catalogDeleteMoR, catalogMetaSum,
       streamCdfEvolve, tableUpdateMoR, catalogUpdateMoR, catalogHistory,
       catalogChanges, catalogConstraint, catalogDefault,
-      catalogTag, tableBranch, catalogBranch, branchRebase, mergeSchema)
+      catalogTag, tableBranch, catalogBranch, branchRebase, mergeSchema,
+      streamWap)
 }
