@@ -66,7 +66,12 @@ class ManifestStreamProvider extends TableProvider {
 
 final class ManifestStreamTable(schema: StructType, base: String,
     pinnedVersion: Option[Int] = None, layoutCol: Option[String] = None,
-    changeFeed: Boolean = false)
+    changeFeed: Boolean = false,
+    // BUCKET layout (bucket count, key column): pvals are bucket ids of
+    // `pmod(xxhash64(key), n)`, not raw column values — so the identity
+    // layoutCol machinery (value pruning, DPP, key-grouped-by-value) is
+    // OFF and the scan instead reports bucket-transform partitioning
+    bucketLayout: Option[(Int, String)] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -110,6 +115,13 @@ final class ManifestStreamTable(schema: StructType, base: String,
       // O(touched partitions)
       val props = ManifestTable.tableProperties(
         org.apache.spark.sql.SparkSession.active, base)
+      // BUCKET layout: both row-level paths reason in partCol-value
+      // groups / DV partition values — bucket-id pvals would corrupt
+      // either. Refuse loudly until a bucket-aware path exists.
+      if (props.contains("bucket.n"))
+        throw new UnsupportedOperationException(
+          s"row-level SQL on the bucket-layout table $base is not " +
+            "supported — recreate with an identity layout for UPDATE/MERGE")
       if (props.get("write.mode").contains("merge-on-read") &&
           props.contains("keyCol") && props.contains("partCol"))
         new ManifestRowLevelDeltaOp(this, base, info.command(),
@@ -139,8 +151,12 @@ final class ManifestStreamTable(schema: StructType, base: String,
       props.get("deadcols").exists(_.nonEmpty)
     val unconditional = filters.forall(
       _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    // BUCKET layout: pvals are bucket ids, not partCol values — the
+    // group-grained delete would misclassify touched groups. Refuse all
+    // but TRUNCATE (which replaces every group by id, layout-agnostic).
     filters.forall(f => ManifestDeleteSql.toColumn(f).isDefined) &&
-      props.contains("partCol") && (!mapped || unconditional)
+      props.contains("partCol") && (!mapped || unconditional) &&
+      (!props.contains("bucket.n") || unconditional)
   }
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
@@ -250,19 +266,29 @@ final class ManifestStreamTable(schema: StructType, base: String,
           s"partition column $c not in the written schema")
         c
       }
+      // BUCKET layout: the stored bucket.n property flips the writer's
+      // pval from the raw column value to pmod(xxhash64(key), n)
+      private def bucketN: Option[Int] =
+        ManifestTable.tableProperties(
+          org.apache.spark.sql.SparkSession.active, base)
+          .get("bucket.n").map(_.toInt)
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write
             with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
-          // request rows CLUSTERED by the layout column before the write:
-          // each partition value lands in exactly one task, so an epoch
-          // (or INSERT) commits one file per partition value instead of
-          // tasks × values — the small-files problem solved where Delta/
-          // Iceberg solve it, in the writer's required distribution
+          // request rows CLUSTERED by the layout before the write: each
+          // partition value (or bucket) lands in exactly one task, so an
+          // epoch (or INSERT) commits one file per partition value instead
+          // of tasks × values — the small-files problem solved where
+          // Delta/Iceberg solve it, in the writer's required distribution
           override def requiredDistribution()
               : org.apache.spark.sql.connector.distributions.Distribution =
             org.apache.spark.sql.connector.distributions.Distributions.clustered(
-              Array(org.apache.spark.sql.connector.expressions.Expressions
-                .identity(partCol)))
+              Array(bucketN match {
+                case Some(n) => org.apache.spark.sql.connector.expressions
+                  .Expressions.bucket(n, partCol)
+                case None => org.apache.spark.sql.connector.expressions
+                  .Expressions.identity(partCol)
+              }))
           override def requiredOrdering()
               : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
             Array.empty
@@ -273,15 +299,16 @@ final class ManifestStreamTable(schema: StructType, base: String,
               // `.option("branch", name)`: epochs commit to the branch's
               // manifest sequence (streaming write-audit-publish) — main
               // is untouched until fastForward/rebasePublish
-              Option(info.options.get("branch")))
+              Option(info.options.get("branch")), bucketN)
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
-            new ManifestBatchAppend(base, info.schema(), partCol)
+            new ManifestBatchAppend(base, info.schema(), partCol, bucketN)
         }
     }
   /** The same table pinned to one snapshot (SQL `VERSION AS OF`). */
   def withVersion(v: Int): ManifestStreamTable =
-    new ManifestStreamTable(schema, base, Some(v), layoutCol)
+    new ManifestStreamTable(schema, base, Some(v), layoutCol,
+      bucketLayout = bucketLayout)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     scanBuilderRecording(options, (_, _) => ())
 
@@ -399,7 +426,8 @@ final class ManifestStreamTable(schema: StructType, base: String,
           new ManifestSnapshotBatch(base, projected, versionAsOf,
             layoutCol.filter(projected.fieldNames.contains),
             layoutCol.map(schema.apply).map(_.dataType),
-            layoutCol, pushed.toSeq, () => runtimePvals, pushedLimit, onPlan)
+            layoutCol, pushed.toSeq, () => runtimePvals, pushedLimit, onPlan,
+            bucketKeyed = bucketLayout.isDefined)
         override def toBatch: org.apache.spark.sql.connector.read.Batch = batch
         override def filterAttributes()
             : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -426,15 +454,66 @@ final class ManifestStreamTable(schema: StructType, base: String,
         // on that key (storage-partitioned execution)
         override def outputPartitioning()
             : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-          layoutCol.filter(projected.fieldNames.contains) match {
-            case Some(c) =>
+          bucketLayout.filter { case (_, c) =>
+              projected.fieldNames.exists(_.equalsIgnoreCase(c)) } match {
+            // BUCKET layout: every input partition is one bucket of
+            // `bucket(n, key)` — two such tables join storage-partitioned
+            // (the catalog's FunctionCatalog resolves the transform)
+            case Some((n, c)) =>
               new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-                Array(org.apache.spark.sql.connector.expressions.Expressions.identity(c)),
+                Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)),
                 batch.planInputPartitions().length)
-            case None =>
-              new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+            case None => layoutCol.filter(projected.fieldNames.contains) match {
+              case Some(c) =>
+                new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+                  Array(org.apache.spark.sql.connector.expressions.Expressions.identity(c)),
+                  batch.planInputPartitions().length)
+              case None =>
+                new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+            }
           }
       }
+    }
+  }
+}
+
+/** `bucket(n, key)` — the V2 function behind the BUCKET layout
+  * (`pmod(xxhash64(key), n)`, the exact expression the write path uses,
+  * so the reported partitioning and the physical layout can never
+  * disagree). The stable `canonicalName` is what Spark compares when
+  * deciding two scans' KeyGroupedPartitionings are compatible — the
+  * heart of the shuffle-free bucket join. */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key): pmod(xxhash64(key), n) — manifest bucket layout"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2, "bucket takes (n, key)")
+    inputType.fields(1).dataType match {
+      case LongType => BucketLong
+      case dt => throw new UnsupportedOperationException(
+        s"bucket layout supports BIGINT keys, got $dt")
+    }
+  }
+
+  /** Replays the write path's hash exactly (xxhash64 = XXH64 seed 42 over
+    * the long key, non-negative mod) — evaluated by Spark only when it
+    * needs a bucket id for a literal; partition alignment itself is by
+    * partition-value equality. */
+  object BucketLong
+      extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer = {
+      val n = input.getInt(0)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(input.getLong(1), 42L)
+      (((h % n) + n) % n).toInt
     }
   }
 }
@@ -1258,8 +1337,24 @@ private[sources] object ManifestDeleteSql {
   * identity). */
 class ManifestCatalog
     extends org.apache.spark.sql.connector.catalog.CatalogPlugin
-    with org.apache.spark.sql.connector.catalog.TableCatalog {
+    with org.apache.spark.sql.connector.catalog.TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+
+  /** The catalog's one V2 function: `bucket(n, key)`, the layout
+    * transform BUCKET-partitioned tables report. Spark resolves it when
+    * converting the scan's reported `KeyGroupedPartitioning` to catalyst
+    * form — which is what lets two bucket-layout tables join
+    * storage-partitioned (no shuffle on either side). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private var root: String = _
   private var catName: String = _
@@ -1382,8 +1477,15 @@ class ManifestCatalog
     }
     // the stored partCol property doubles as the reported key-grouped
     // layout, so catalog SQL can run storage-partitioned (shuffle-free)
-    // aggregations and joins on it
-    new ManifestStreamTable(keyed, base, None, props.get("partCol"))
+    // aggregations and joins on it. A `bucket.n` property makes the
+    // layout bucket(n, partCol) instead: pvals are bucket ids, so the
+    // identity-value machinery stays off and the scan reports the bucket
+    // transform
+    val bucketLayout = props.get("bucket.n").flatMap(n =>
+      props.get("partCol").map(c => (n.toInt, c)))
+    new ManifestStreamTable(keyed, base, None,
+      if (bucketLayout.isDefined) None else props.get("partCol"),
+      bucketLayout = bucketLayout)
   }
 
   /** SQL time travel: `SELECT ... FROM graft_cat.\`t\` VERSION AS OF 2`
@@ -1445,15 +1547,32 @@ class ManifestCatalog
     val base = baseOf(ident)
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
-    val partCol = partitions.toSeq match {
-      case Seq(t) =>
+    // one identity transform (value layout) or one bucket transform
+    // (`PARTITIONED BY (bucket(n, key))` — hash layout for shuffle-free
+    // bucket joins); (partCol, bucket count)
+    val (partCol, bucketN) = partitions.toSeq match {
+      case Seq(t) if t.name() == "identity" =>
         val refs = t.references()
-        require(t.name() == "identity" && refs.length == 1 &&
-            refs(0).fieldNames.length == 1,
+        require(refs.length == 1 && refs(0).fieldNames.length == 1,
           s"manifest tables take exactly one identity partition column, got $t")
-        refs(0).fieldNames()(0)
+        (refs(0).fieldNames()(0), None)
+      case Seq(t) if t.name() == "bucket" =>
+        val refs = t.references()
+        require(refs.length == 1 && refs(0).fieldNames.length == 1,
+          s"bucket transform needs exactly one key column, got $t")
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.dataType() == IntegerType => l.value().asInstanceOf[Int]
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform needs an integer bucket count, got $t"))
+        require(n > 0, s"bucket count must be positive, got $n")
+        require(schema.fields.find(_.name.equalsIgnoreCase(refs(0).fieldNames()(0)))
+            .exists(_.dataType == LongType),
+          "bucket layout supports BIGINT keys only")
+        (refs(0).fieldNames()(0), Some(n))
       case other => throw new UnsupportedOperationException(
-        s"manifest tables need exactly one PARTITIONED BY column, got ${other.size}")
+        "manifest tables need exactly one PARTITIONED BY transform " +
+          s"(identity or bucket), got $other")
     }
     require(schema.fieldNames.exists(_.equalsIgnoreCase(partCol)),
       s"partition column $partCol not in the table schema")
@@ -1477,6 +1596,8 @@ class ManifestCatalog
     // re-creatable stub — never a created-but-unreadable table whose
     // empty snapshot lacks its schema property
     ManifestTable.setTableProperty(spark, base, "partCol", partCol)
+    bucketN.foreach(n =>
+      ManifestTable.setTableProperty(spark, base, "bucket.n", n.toString))
     ManifestTable.setTableProperty(spark, base, "schema",
       ManifestSchemaProp.serialize(schema))
     ManifestTable.commit(spark, base, 1, Seq.empty)
@@ -1849,7 +1970,10 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     pushed: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
     runtimePvals: () => Option[Set[String]] = () => None,
     pushedLimit: Option[Int] = None,
-    onPlan: (Seq[String], Int) => Unit = (_, _) => ())
+    onPlan: (Seq[String], Int) => Unit = (_, _) => (),
+    // BUCKET-keyed grouping: pvals are bucket ids — one InputPartition
+    // per bucket, keyed by the INT id (never by-value semantics)
+    bucketKeyed: Boolean = false)
     extends org.apache.spark.sql.connector.read.Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = new Path(base).getFileSystem(new Configuration())
@@ -1911,6 +2035,15 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
       base, entries.length, all.length, rt.isDefined,
       limitPruned = limited.length < afterFiles.length))
     onPlan(limited.map(_._1).distinct.toSeq, v)
+    if (bucketKeyed) {
+      // one partition per BUCKET id, keyed by the id itself — what the
+      // reported bucket-transform KeyGroupedPartitioning promises
+      return entries.groupBy(_._1).toSeq.sortBy(_._1.toInt).map {
+        case (pval, fs0) =>
+          ManifestKeyedPartition(fs0.map(_._2).toSeq,
+            new GenericInternalRow(Array[Any](pval.toInt)), pval): InputPartition
+      }.toArray
+    }
     layoutCol match {
       case Some(_) =>
         // key-grouped: ONE input partition per layout value (all its
@@ -2383,14 +2516,15 @@ final class ManifestFileReaderFactory(schema: StructType,
   * committed epoch the retry detects. Stage debris from aborted epochs
   * is `removeOrphans` food like every other crash path. */
 final class ManifestStreamingWrite(base: String, schema: StructType,
-    partCol: String, queryId: String, branch: Option[String] = None)
+    partCol: String, queryId: String, branch: Option[String] = None,
+    bucketN: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
   import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    new ManifestSinkWriterFactory(base, schema, partCol)
+    new ManifestSinkWriterFactory(base, schema, partCol, bucketN)
 
   private def fs = new Path(base).getFileSystem(new Configuration())
 
@@ -2518,17 +2652,19 @@ final case class ManifestSinkFiles(files: Seq[(String, String)])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 final class ManifestSinkWriterFactory(base: String, schema: StructType,
-    partCol: String)
+    partCol: String, bucketN: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new ManifestSinkWriter(base, schema, partCol, partitionId, taskId, epochId)
+    new ManifestSinkWriter(base, schema, partCol, partitionId, taskId, epochId,
+      bucketN)
 }
 
 /** Executor-side writer: one parquet file per partition value seen by
   * this task, staged under a task-unique dir (no cross-writer races). */
 final class ManifestSinkWriter(base: String, schema: StructType,
-    partCol: String, partitionId: Int, taskId: Long, epochId: Long)
+    partCol: String, partitionId: Int, taskId: Long, epochId: Long,
+    bucketN: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -2557,12 +2693,24 @@ final class ManifestSinkWriter(base: String, schema: StructType,
   private val paths = scala.collection.mutable.Map[String, String]()
 
   override def write(row: InternalRow): Unit = {
-    val pval = schema.fields(partIdx).dataType match {
-      case LongType => row.getLong(partIdx).toString
-      case IntegerType => row.getInt(partIdx).toString
-      case DoubleType => row.getDouble(partIdx).toString
-      case StringType => row.getUTF8String(partIdx).toString
-      case _ => throw new IllegalStateException("unreachable")
+    val pval = bucketN match {
+      case Some(n) =>
+        // BUCKET layout: pval is the bucket id — the exact expression
+        // GraftBucketFunction replays, so layout and report agree
+        require(schema.fields(partIdx).dataType == LongType,
+          s"bucket layout needs a BIGINT key, got ${schema.fields(partIdx).dataType}")
+        require(!row.isNullAt(partIdx),
+          s"bucket layout: NULL key in $partCol — bucket keys must be non-null")
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(row.getLong(partIdx), 42L)
+        ((((h % n) + n) % n)).toString
+      case None => schema.fields(partIdx).dataType match {
+        case LongType => row.getLong(partIdx).toString
+        case IntegerType => row.getInt(partIdx).toString
+        case DoubleType => row.getDouble(partIdx).toString
+        case StringType => row.getUTF8String(partIdx).toString
+        case _ => throw new IllegalStateException("unreachable")
+      }
     }
     val w = writers.getOrElseUpdate(pval, {
       // task-unique basename: several tasks of one epoch may hold the
@@ -2604,12 +2752,13 @@ final class ManifestSinkWriter(base: String, schema: StructType,
   * is offered (the format's other verbs are transactional APIs, not SQL
   * overwrites); Spark runs one commit per query, so no epoch marker is
   * needed. */
-final class ManifestBatchAppend(base: String, schema: StructType, partCol: String)
+final class ManifestBatchAppend(base: String, schema: StructType, partCol: String,
+    bucketN: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestBatchWriterFactory(base, schema, partCol)
+    new ManifestBatchWriterFactory(base, schema, partCol, bucketN)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(base).getFileSystem(new Configuration())
@@ -2663,9 +2812,10 @@ final class ManifestBatchAppend(base: String, schema: StructType, partCol: Strin
 
 /** Standalone (serializable) factory for the batch-append writers. */
 final class ManifestBatchWriterFactory(base: String, schema: StructType,
-    partCol: String)
+    partCol: String, bucketN: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new ManifestSinkWriter(base, schema, partCol, partitionId, taskId, -1L)
+    new ManifestSinkWriter(base, schema, partCol, partitionId, taskId, -1L,
+      bucketN)
 }

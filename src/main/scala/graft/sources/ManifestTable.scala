@@ -5153,6 +5153,97 @@ object ManifestTable {
       .orderBy(col("event_type"))
   }
 
+  /** Build-once BUCKET-LAYOUT fixture: two tables created via SQL
+    * `PARTITIONED BY (bucket(8, key))` — orders bucketed by `o_custkey`,
+    * customer balances (pre-floored to exact cents) bucketed by
+    * `c_custkey` — each INSERTed through the connector write path whose
+    * required distribution clusters rows by the bucket transform, so one
+    * task owns one bucket and each table lands 8 hash-partitioned file
+    * groups. pvals are bucket ids of `pmod(xxhash64(key), 8)`. */
+  private[sources] def bucketFixture(spark: SparkSession, dir: String): (String, String) =
+    fixtureCache.synchronized {
+      val key = ("bucketed", dir)
+      val fact = s"${graft.Scratch.root}/orders_bkfix_${graft.Scratch.dirToken(dir)}"
+      val dim = s"${graft.Scratch.root}/cust_bkfix_${graft.Scratch.dirToken(dir)}"
+      fixtureCache.getOrElseUpdate(key, {
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root",
+          new java.io.File(fact).getParent)
+        val (ft, dt) = (new java.io.File(fact).getName, new java.io.File(dim).getName)
+        val fs = fsOf(spark, new Path(fact))
+        fs.delete(new Path(fact), true)
+        fs.delete(new Path(dim), true)
+        spark.sql(s"""CREATE TABLE graft_cat.`$ft`
+          |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+          |PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
+        spark.sql(s"""CREATE TABLE graft_cat.`$dt`
+          |(c_custkey BIGINT, bal_cents BIGINT)
+          |PARTITIONED BY (bucket(8, c_custkey))""".stripMargin)
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .createOrReplaceTempView("graft_bk_orders")
+        Tables.customer(spark, dir)
+          .select(col("c_custkey"),
+            floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_cents"))
+          .createOrReplaceTempView("graft_bk_cust")
+        spark.sql(s"INSERT INTO graft_cat.`$ft` SELECT * FROM graft_bk_orders")
+        spark.sql(s"INSERT INTO graft_cat.`$dt` SELECT * FROM graft_bk_cust")
+        // the layout contract, require-pinned: pvals are the 8 bucket ids
+        val pvals = entries(spark, fact, currentVersion(spark, fact))
+          .map(_._1).distinct.sorted
+        require(pvals.forall(p => p.toInt >= 0 && p.toInt < 8),
+          s"bucket pvals must be ids in [0, 8), got $pvals")
+        fact
+      })
+      (fact, dim)
+    }
+
+  /** Registered SHUFFLE-FREE BUCKET JOIN: two `bucket(8, key)` tables
+    * join on their bucket keys storage-partitioned — the scans report
+    * `KeyGroupedPartitioning(bucket(8, key))` through the catalog's own
+    * V2 `bucket` function, Spark aligns equal bucket ids, and NEITHER
+    * side shuffles (the 100 TB fact-fact join without an exchange;
+    * `BucketJoinSpec` pins zero Exchange nodes in the executed plan).
+    * The oracle is the plain orders × customer join, so a row hashed
+    * into the wrong bucket on either side loses its match and
+    * hash-mismatches. */
+  val bucketJoin: QuerySpec = QuerySpec.sql(
+    "q_bucket_join",
+    """SELECT o.o_custkey AS custkey, count(*) AS n,
+      |       CAST(sum(floor(o.o_totalprice * 100 + 0.5)) AS BIGINT) AS cents,
+      |       CAST(max(floor(c.c_acctbal * 100 + 0.5)) AS BIGINT) AS bal_cents
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val (fact, dim) = bucketFixture(spark, dir)
+    val (ft, dt) = (new java.io.File(fact).getName, new java.io.File(dim).getName)
+    val oldBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val oldBroadcast = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(
+        s"""SELECT f.o_custkey AS custkey, count(*) AS n,
+           |       CAST(sum(floor(f.o_totalprice * 100 + 0.5)) AS BIGINT) AS cents,
+           |       max(d.bal_cents) AS bal_cents
+           |FROM graft_cat.`$ft` f JOIN graft_cat.`$dt` d
+           |  ON f.o_custkey = d.c_custkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+      // materialize INSIDE the conf scope (the plan must execute under
+      // the storage-partitioned settings)
+      val rows = df.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), df.schema)
+    } finally {
+      oldBucketing match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      oldBroadcast match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
@@ -5168,5 +5259,5 @@ object ManifestTable {
       streamCdfEvolve, tableUpdateMoR, catalogUpdateMoR, catalogHistory,
       catalogChanges, catalogConstraint, catalogDefault,
       catalogTag, tableBranch, catalogBranch, branchRebase, mergeSchema,
-      streamWap)
+      streamWap, bucketJoin)
 }
