@@ -422,29 +422,65 @@ final class ManifestStreamTable(schema: StructType, base: String,
         override def readSchema(): StructType = projected
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ManifestMicroBatchStream(base, projected, changeFeed)
+        // STATIC BUCKET PRUNING: point predicates on the bucket key keep
+        // only the buckets their literals hash into — a key lookup opens
+        // 1/n of the table, the hash computed driver-side by the same
+        // function the writer used. Conjunction-only, inclusive (any
+        // filter shape we can't decide prunes nothing).
+        private def staticBucketPvals: Option[Set[String]] =
+          bucketLayout.flatMap { case (n, c) =>
+            import org.apache.spark.sql.sources.{EqualTo, In}
+            val sets = allFilters.toSeq.collect {
+              case EqualTo(a, v: java.lang.Long) if a.equalsIgnoreCase(c) =>
+                Set(GraftBucketFunction.idOf(n, v).toString)
+              case In(a, vs) if a.equalsIgnoreCase(c) &&
+                  vs.forall(_.isInstanceOf[java.lang.Long]) =>
+                vs.map(v => GraftBucketFunction
+                  .idOf(n, v.asInstanceOf[java.lang.Long]).toString).toSet
+            }
+            if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+          }
         private lazy val batch =
           new ManifestSnapshotBatch(base, projected, versionAsOf,
             layoutCol.filter(projected.fieldNames.contains),
             layoutCol.map(schema.apply).map(_.dataType),
             layoutCol, pushed.toSeq, () => runtimePvals, pushedLimit, onPlan,
-            bucketKeyed = bucketLayout.isDefined)
+            bucketKeyed = bucketLayout.isDefined,
+            bucketPvals = staticBucketPvals)
         override def toBatch: org.apache.spark.sql.connector.read.Batch = batch
         override def filterAttributes()
             : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
           // only when the layout column survives the projection: a delta
           // row-level scan may prune to [rowId, _pval], and advertising
-          // an unresolvable attribute breaks Spark's DPP rule
-          layoutCol.filter(projected.fieldNames.contains).map(c => Array(
-            org.apache.spark.sql.connector.expressions.Expressions.column(c)))
+          // an unresolvable attribute breaks Spark's DPP rule. Bucket
+          // layout advertises its KEY column — arriving join-key values
+          // map to bucket ids in filter().
+          layoutCol.orElse(bucketLayout.map(_._2))
+            .filter(c => projected.fieldNames.exists(_.equalsIgnoreCase(c)))
+            .map(c => Array(
+              org.apache.spark.sql.connector.expressions.Expressions.column(c)))
             .getOrElse(Array.empty)
         override def filter(
             filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
           import org.apache.spark.sql.sources.{EqualTo, In}
-          val sets = filters.toSeq.collect {
-            case In(a, vs) if layoutCol.exists(_.equalsIgnoreCase(a)) =>
-              vs.filter(_ != null).map(_.toString).toSet
-            case EqualTo(a, v) if layoutCol.exists(_.equalsIgnoreCase(a)) && v != null =>
-              Set(v.toString)
+          // runtime (DPP) values map to pvals: identity layout takes the
+          // value itself; bucket layout hashes it to its bucket id
+          // (inclusive — a value of an unexpected type prunes nothing)
+          def pvalsOf(vs: Seq[Any]): Option[Set[String]] = bucketLayout match {
+            case Some((n, _)) =>
+              if (vs.forall(_.isInstanceOf[java.lang.Long]))
+                Some(vs.map(v => GraftBucketFunction
+                  .idOf(n, v.asInstanceOf[java.lang.Long]).toString).toSet)
+              else None
+            case None => Some(vs.map(_.toString).toSet)
+          }
+          val keyCol = layoutCol.orElse(bucketLayout.map(_._2))
+          val sets = filters.toSeq.flatMap {
+            case In(a, vs) if keyCol.exists(_.equalsIgnoreCase(a)) =>
+              pvalsOf(vs.filter(_ != null).toSeq)
+            case EqualTo(a, v) if keyCol.exists(_.equalsIgnoreCase(a)) && v != null =>
+              pvalsOf(Seq(v))
+            case _ => None
           }
           if (sets.nonEmpty) runtimePvals = Some(sets.reduce(_ intersect _))
         }
@@ -485,6 +521,12 @@ final class ManifestStreamTable(schema: StructType, base: String,
   * heart of the shuffle-free bucket join. */
 object GraftBucketFunction
     extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  /** The one hash everything shares: write path, reported function, and
+    * driver-side pruning probes. */
+  def idOf(n: Int, key: Long): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(key, 42L)
+    (((h % n) + n) % n).toInt
+  }
   override def name(): String = "bucket"
   override def description(): String =
     "bucket(n, key): pmod(xxhash64(key), n) — manifest bucket layout"
@@ -509,12 +551,8 @@ object GraftBucketFunction
     override def name(): String = "bucket"
     override def canonicalName(): String = "graft.bucket"
     override def isResultNullable: Boolean = false
-    override def produceResult(input: InternalRow): Integer = {
-      val n = input.getInt(0)
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashLong(input.getLong(1), 42L)
-      (((h % n) + n) % n).toInt
-    }
+    override def produceResult(input: InternalRow): Integer =
+      GraftBucketFunction.idOf(input.getInt(0), input.getLong(1))
   }
 }
 
@@ -1973,7 +2011,10 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     onPlan: (Seq[String], Int) => Unit = (_, _) => (),
     // BUCKET-keyed grouping: pvals are bucket ids — one InputPartition
     // per bucket, keyed by the INT id (never by-value semantics)
-    bucketKeyed: Boolean = false)
+    bucketKeyed: Boolean = false,
+    // bucket ids implied by pushed point predicates on the bucket key
+    // (None = no static bucket pruning)
+    bucketPvals: Option[Set[String]] = None)
     extends org.apache.spark.sql.connector.read.Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = new Path(base).getFileSystem(new Configuration())
@@ -2002,7 +2043,8 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
         .orElse(layoutType))
     val rt = runtimePvals()
     val afterPart = all.filter { case (pval, _) =>
-      partPreds.forall(_(pval)) && rt.forall(_.contains(pval)) }
+      partPreds.forall(_(pval)) && rt.forall(_.contains(pval)) &&
+        bucketPvals.forall(_.contains(pval)) }
     val survivors = ManifestFileSkipping.fileSurvivors(
       spark, base, v, pushed, afterPart.map(_._2).toSeq)
     val afterFiles = afterPart.filter { case (_, rel) => survivors(rel) }
@@ -2701,9 +2743,7 @@ final class ManifestSinkWriter(base: String, schema: StructType,
           s"bucket layout needs a BIGINT key, got ${schema.fields(partIdx).dataType}")
         require(!row.isNullAt(partIdx),
           s"bucket layout: NULL key in $partCol — bucket keys must be non-null")
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashLong(row.getLong(partIdx), 42L)
-        ((((h % n) + n) % n)).toString
+        GraftBucketFunction.idOf(n, row.getLong(partIdx)).toString
       case None => schema.fields(partIdx).dataType match {
         case LongType => row.getLong(partIdx).toString
         case IntegerType => row.getInt(partIdx).toString

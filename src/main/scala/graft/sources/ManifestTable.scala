@@ -140,24 +140,63 @@ object ManifestTable {
       es, s"concurrent commit: version $v already exists under $base")
 
   /** [[commit]] generalized to any manifest FILE NAME under `_manifests/`
-    * — the same write-temp-then-rename protocol serves the main sequence
+    * — the same write-temp-then-publish protocol serves the main sequence
     * (`v<N>.manifest`), branch sequences (`branch-<name>-v<N>.manifest`),
-    * and immutable tag refs. Rename-refuses-overwrite is the only
-    * arbiter; losing it throws [[VersionConflictException]]. */
+    * and immutable tag refs. Exactly one concurrent publisher of a name
+    * wins; the loser throws [[VersionConflictException]]. */
   private[sources] def commitNamed(spark: SparkSession, base: String, fileName: String,
-      es: Seq[(String, String)], conflictMsg: String): Unit = {
+      es: Seq[(String, String)], conflictMsg: String): Unit =
+    publishExclusive(spark, base, fileName,
+      es.map { case (p, f) => s"$p\t$f" }.mkString("\n").getBytes("UTF-8"),
+      conflictMsg)
+
+  /** The COMMIT POINT: atomically publish `bytes` as
+    * `_manifests/<fileName>`, failing (never overwriting) if the name is
+    * already taken. On a LOCAL filesystem the arbiter is `link(2)` via
+    * `Files.createLink` — atomic create-if-absent — because Hadoop's
+    * RawLocalFileSystem `rename` bottoms out in POSIX `rename(2)`, which
+    * silently REPLACES an existing destination: the old exists()+rename
+    * dance was a TOCTOU hole where two racing committers could both
+    * "succeed" and the loser's committed manifest was quietly erased
+    * (caught by the 8-appender stress spec). On HDFS-like filesystems
+    * rename contractually refuses to overwrite, so exists()+rename
+    * remains the arbiter there. */
+  private def publishExclusive(spark: SparkSession, base: String,
+      fileName: String, bytes: Array[Byte], conflictMsg: String): Unit = {
     val dir = manifestDir(base)
     val fs = fsOf(spark, dir)
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-$fileName-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
-    try out.write(es.map { case (p, f) => s"$p\t$f" }.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    try out.write(bytes) finally out.close()
     val dest = new Path(dir, fileName)
-    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+    if (!publishFileExclusive(spark, tmp, dest)) {
       fs.delete(tmp, false)
       throw new VersionConflictException(conflictMsg)
     }
+  }
+
+  /** Atomically publish an EXISTING temp file as `dst`, never
+    * overwriting: link(2) on local filesystems (see [[publishExclusive]]
+    * for why rename cannot be the arbiter there), rename elsewhere.
+    * Returns true when WE published; false when `dst` already existed
+    * (the temp file is left in place for the caller's handling). */
+  private[sources] def publishFileExclusive(
+      spark: SparkSession, tmp: Path, dst: Path): Boolean = {
+    val fs = fsOf(spark, dst)
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (local) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else !fs.exists(dst) && fs.rename(tmp, dst)
   }
 
   /** Thrown when a rewrite's READ SET was invalidated by a concurrent
@@ -1647,17 +1686,8 @@ object ManifestTable {
     require(vs.nonEmpty, s"no committed snapshot under $base")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"cannot tag $name: version $v not committed under $base")
-    val dir = manifestDir(base)
-    val fs = fsOf(spark, dir)
-    val tmp = new Path(dir, s".tmp-tag-$name-${java.util.UUID.randomUUID}")
-    val out = fs.create(tmp, false)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    val dest = tagPath(base, name)
-    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
-      throw new VersionConflictException(
-        s"tag $name already exists under $base (tags are immutable — drop it first)")
-    }
+    publishExclusive(spark, base, s"ref-tag-$name", v.toString.getBytes("UTF-8"),
+      s"tag $name already exists under $base (tags are immutable — drop it first)")
     v
   }
 

@@ -140,7 +140,12 @@ object MultiTableTxn {
         if (!fs.exists(tmpPath)) throw new IllegalStateException(
           s"txn $txnId: neither $dst nor its temp manifest exists — " +
             "staged state was destroyed before finalize")
-        if (!fs.rename(tmpPath, dst) && !fs.exists(dst))
+        // exclusive publish (link on local fs): a POSIX rename would
+        // silently OVERWRITE a version an independent writer committed
+        // between our exists() check and now — same TOCTOU the manifest
+        // commit closes in [[ManifestTable.publishFileExclusive]]
+        if (!ManifestTable.publishFileExclusive(spark, tmpPath, dst) &&
+            !fs.exists(dst))
           throw new java.io.IOException(s"finalize failed for $base v$v")
       }
       ManifestTable.refreshAllStats(spark, base)

@@ -64,6 +64,29 @@ class BucketJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("point lookup on the bucket key prunes to one bucket") {
+    val (fact, _) = ManifestTable.bucketFixture(spark, sf)
+    val ft = new java.io.File(fact).getName
+    val key = graft.model.Tables.orders(spark, sf)
+      .orderBy(col("o_orderkey")).select(col("o_custkey")).limit(1)
+      .head.getLong(0)
+    val expected = graft.model.Tables.orders(spark, sf)
+      .filter(col("o_custkey") === key).count()
+    ManifestScanEvents.clear()
+    val n = spark.sql(
+      s"SELECT count(*) AS n FROM graft_cat.`$ft` WHERE o_custkey = $key")
+      .head.getLong(0)
+    assert(n === expected)
+    val ev = ManifestScanEvents.recent(fact)
+    assert(ev.nonEmpty, "expected a recorded plan event")
+    val e = ev.last
+    // 8 buckets: the lookup must read ~1/8 of the files, never all
+    assert(e.kept < e.total,
+      s"bucket point lookup planned ${e.kept}/${e.total} files — no pruning")
+    assert(e.kept <= (e.total + 7) / 8 + 1,
+      s"expected ~1/8 of ${e.total} files, planned ${e.kept}")
+  }
+
   test("row-level SQL and conditional DELETE refuse on bucket layout") {
     val (fact, _) = ManifestTable.bucketFixture(spark, sf)
     val ft = new java.io.File(fact).getName
