@@ -1856,8 +1856,37 @@ class ManifestCatalog
 private[sources] object ManifestMetaTables {
   import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 
-  private val ChangesRe = "changes_(\\d+)_(\\d+)".r
+  private val ChangesRe = "changes_([A-Za-z0-9_]+_[A-Za-z0-9_]+)".r
   private val BranchRe = "branch_([A-Za-z][A-Za-z0-9_]*)".r
+
+  /** `$changes` endpoints resolve like `VERSION AS OF`: a number is a
+    * version, anything else is a TAG name. */
+  private def refVersion(spark: org.apache.spark.sql.SparkSession,
+      base: String, s: String): Option[Int] =
+    s.toIntOption.orElse(ManifestTable.tagVersion(spark, base, s))
+
+  /** Split `<from>_<to>` where either side may itself contain
+    * underscores (tag names): every split point whose BOTH halves
+    * resolve to a version is a candidate; all candidates must agree. */
+  private def changesEndpoints(spark: org.apache.spark.sql.SparkSession,
+      base: String, rest: String): (Int, Int) = {
+    val splits = rest.indices.filter(rest(_) == '_').flatMap { i =>
+      for {
+        from <- refVersion(spark, base, rest.substring(0, i))
+        to <- refVersion(spark, base, rest.substring(i + 1))
+      } yield (from, to)
+    }.distinct
+    splits match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"$$changes_$rest: endpoints must be versions or tags of $base — " +
+          "tags: " +
+          ManifestTable.listTags(spark, base).map(_._1).mkString("[", ", ", "]"))
+      case many => throw new IllegalArgumentException(
+        s"$$changes_$rest is ambiguous (${many.mkString(", ")}) — use " +
+          "version numbers")
+    }
+  }
 
   def forSpec(base: String, fullName: String, spec: String,
       served: () => StructType): Table = {
@@ -1888,18 +1917,29 @@ private[sources] object ManifestMetaTables {
             Seq(pval, rel, Int.box(ManifestTable.dirVersionOf(rel)), Long.box(sz))
           }
         })
-      case ChangesRe(a, b) =>
-        val (from, to) = (a.toInt, b.toInt)
-        require(from <= to, s"\\$$changes_${a}_$b: from must be <= to")
+      case ChangesRe(rest) =>
+        // endpoints are versions OR tag names ($changes_rc1_rc2)
+        val (from, to) = changesEndpoints(spark, base, rest)
+        require(from <= to, s"\\$$changes_$rest: from (v$from) must be <= to (v$to)")
         new ManifestChangesTable(base, fullName, served(), from, to)
       case BranchRe(name) =>
         require(ManifestTable.branchExists(spark, base, name),
           s"no branch named '$name' under $base — branches: " +
             ManifestTable.listBranches(spark, base).map(_._1).mkString("[", ", ", "]"))
         new ManifestBranchTable(base, fullName, served(), name)
+      case "refs" => local(fullName,
+        StructType(Seq(
+          StructField("name", StringType), StructField("kind", StringType),
+          StructField("fork_version", IntegerType),
+          StructField("version", IntegerType))),
+        () =>
+          ManifestTable.listTags(spark, base).map { case (n, v) =>
+            Seq(n, "tag", null, Int.box(v)) } ++
+          ManifestTable.listBranches(spark, base).map { case (n, fork, head) =>
+            Seq(n, "branch", Int.box(fork), Int.box(head)) })
       case other => throw new UnsupportedOperationException(
         s"unknown metadata table $$$other — supported: $$history, " +
-          "$partitions, $files, $changes_<from>_<to>, $branch_<name>")
+          "$partitions, $files, $refs, $changes_<from>_<to>, $branch_<name>")
     }
   }
 

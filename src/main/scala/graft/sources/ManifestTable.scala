@@ -5274,6 +5274,34 @@ object ManifestTable {
     }
   }
 
+  /** Registered `$refs` METADATA TABLE: the table's named refs — tags
+    * and branches with fork/head versions — as one SQL-readable census
+    * (driver-computed, zero data I/O). The [[branchFixture]]'s history is
+    * require-pinned at build (fork/publish versions), so the oracle is a
+    * VALUES constant: any drift in ref bookkeeping hash-mismatches. */
+  val catalogRefs: QuerySpec = QuerySpec.sql(
+    "q_catalog_refs",
+    """SELECT * FROM (VALUES
+      |  ('audit', 'branch', 1, 2),
+      |  ('dev', 'branch', 2, 3),
+      |  ('published', 'tag', CAST(NULL AS INTEGER), 2))
+      |AS t(name, kind, fork_version, version)
+      |ORDER BY name""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("refsq", dir), {
+        val b = branchFixture(spark, dir)
+        createTag(spark, b, "published", Some(2))
+        b
+      })
+    }
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT name, kind, fork_version, version
+         |FROM graft_cat.`${tbl + "$refs"}` ORDER BY name""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
@@ -5289,5 +5317,5 @@ object ManifestTable {
       streamCdfEvolve, tableUpdateMoR, catalogUpdateMoR, catalogHistory,
       catalogChanges, catalogConstraint, catalogDefault,
       catalogTag, tableBranch, catalogBranch, branchRebase, mergeSchema,
-      streamWap, bucketJoin)
+      streamWap, bucketJoin, catalogRefs)
 }

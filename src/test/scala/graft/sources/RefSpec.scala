@@ -146,6 +146,29 @@ class RefSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, base).count() === t.count())
   }
 
+  test("$changes endpoints resolve tag names like VERSION AS OF") {
+    val (base, t) = freshTable("chtags")
+    ManifestTable.createTag(spark, base, "start")
+    ManifestTable.append(spark, base,
+      t.filter(col("o_year") === 1996).withColumn("o_orderkey", -col("o_orderkey")),
+      "o_year")
+    ManifestTable.createTag(spark, base, "after_load")
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    val tbl = new java.io.File(base).getName
+    val byTag = spark.sql(
+      s"SELECT count(*) AS n FROM graft_cat.`${tbl + "$changes_start_after_load"}`")
+      .head.getLong(0)
+    val byVersion = spark.sql(
+      s"SELECT count(*) AS n FROM graft_cat.`${tbl + "$changes_1_2"}`")
+      .head.getLong(0)
+    assert(byTag === byVersion && byTag > 0)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_cat.`${tbl + "$changes_start_ghost"}`").collect()
+    }
+    assert(e.getMessage.contains("ghost"))
+  }
+
   test("concurrent branch appends rebase like main appends") {
     val (base, t) = freshTable("race")
     ManifestTable.createBranch(spark, base, "busy")
