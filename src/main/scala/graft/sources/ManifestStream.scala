@@ -543,9 +543,18 @@ object GraftBucketFunction
   /** Replays the write path's hash exactly (xxhash64 = XXH64 seed 42 over
     * the long key, non-negative mod) — evaluated by Spark only when it
     * needs a bucket id for a literal; partition alignment itself is by
-    * partition-value equality. */
+    * partition-value equality.
+    *
+    * Also REDUCIBLE (Iceberg's bucket-coalescing trick): when the counts
+    * divide, `bucket(kn, key) % n == bucket(n, key)` for this hash, so a
+    * `bucket(8)` table joins a `bucket(4)` table storage-partitioned —
+    * Spark groups the finer side's partitions through the reducer and
+    * neither side shuffles (needs
+    * `spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled`). */
   object BucketLong
-      extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+      extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]
+      with org.apache.spark.sql.connector.catalog.functions
+        .ReducibleFunction[Integer, Integer] {
     override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
@@ -553,6 +562,24 @@ object GraftBucketFunction
     override def isResultNullable: Boolean = false
     override def produceResult(input: InternalRow): Integer =
       GraftBucketFunction.idOf(input.getInt(0), input.getLong(1))
+    /** This side reduces iff the other side is the SAME function with a
+      * count that divides ours; null = no reduction from this side. */
+    override def reducer(thisNumBuckets: Int,
+        otherFunc: org.apache.spark.sql.connector.catalog.functions
+          .ReducibleFunction[_, _],
+        otherNumBuckets: Int)
+        : org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer] =
+      if (otherFunc == BucketLong && otherNumBuckets < thisNumBuckets &&
+          thisNumBuckets % otherNumBuckets == 0)
+        BucketReducer(otherNumBuckets)
+      else null
+  }
+
+  /** Serializable reducer (it rides the join's partitioning to tasks). */
+  final case class BucketReducer(n: Int)
+      extends org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer]
+      with Serializable {
+    override def reduce(id: Integer): Integer = Integer.valueOf(id.intValue % n)
   }
 }
 

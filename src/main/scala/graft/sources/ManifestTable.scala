@@ -5228,6 +5228,73 @@ object ManifestTable {
       (fact, dim)
     }
 
+  /** A COARSER (4-bucket) customer table for the mixed-count join —
+    * same layout machinery, half the buckets of [[bucketFixture]]'s. */
+  private[sources] def bucket4DimFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("bucketed4", dir), {
+        val dim4 = s"${graft.Scratch.root}/cust4_bkfix_${graft.Scratch.dirToken(dir)}"
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root",
+          new java.io.File(dim4).getParent)
+        val dt = new java.io.File(dim4).getName
+        fsOf(spark, new Path(dim4)).delete(new Path(dim4), true)
+        spark.sql(s"""CREATE TABLE graft_cat.`$dt`
+          |(c_custkey BIGINT, bal_cents BIGINT)
+          |PARTITIONED BY (bucket(4, c_custkey))""".stripMargin)
+        Tables.customer(spark, dir)
+          .select(col("c_custkey"),
+            floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_cents"))
+          .createOrReplaceTempView("graft_bk4_cust")
+        spark.sql(s"INSERT INTO graft_cat.`$dt` SELECT * FROM graft_bk4_cust")
+        dim4
+      })
+    }
+
+  /** Registered MIXED-COUNT BUCKET JOIN (Iceberg's bucket coalescing):
+    * the `bucket(8)` orders table joins the `bucket(4)` customer table
+    * storage-partitioned — [[GraftBucketFunction.BucketLong]] is
+    * REDUCIBLE (`bucket(8,k) % 4 ≡ bucket(4,k)` for this hash), so Spark
+    * groups the finer side's partitions pairwise and NEITHER side
+    * shuffles. The production story: re-bucketing a grown table to more
+    * buckets doesn't break shuffle-free joins against tables still on
+    * the old count. Restricted to positive-balance customers so the
+    * result differs from [[bucketJoin]]'s. */
+  val bucketJoinMixed: QuerySpec = QuerySpec.sql(
+    "q_bucket_join_mixed",
+    """SELECT o.o_custkey AS custkey, count(*) AS n,
+      |       CAST(sum(floor(o.o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_acctbal > 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val (fact, _) = bucketFixture(spark, dir)
+    val dim4 = bucket4DimFixture(spark, dir)
+    val (ft, dt) = (new java.io.File(fact).getName, new java.io.File(dim4).getName)
+    val olds = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(
+        s"""SELECT f.o_custkey AS custkey, count(*) AS n,
+           |       CAST(sum(floor(f.o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+           |FROM graft_cat.`$ft` f JOIN graft_cat.`$dt` d
+           |  ON f.o_custkey = d.c_custkey
+           |WHERE d.bal_cents > 0
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+      val rows = df.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), df.schema)
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Registered SHUFFLE-FREE BUCKET JOIN: two `bucket(8, key)` tables
     * join on their bucket keys storage-partitioned — the scans report
     * `KeyGroupedPartitioning(bucket(8, key))` through the catalog's own
@@ -5317,5 +5384,5 @@ object ManifestTable {
       streamCdfEvolve, tableUpdateMoR, catalogUpdateMoR, catalogHistory,
       catalogChanges, catalogConstraint, catalogDefault,
       catalogTag, tableBranch, catalogBranch, branchRebase, mergeSchema,
-      streamWap, bucketJoin, catalogRefs)
+      streamWap, bucketJoin, catalogRefs, bucketJoinMixed)
 }

@@ -64,6 +64,35 @@ class BucketJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed bucket counts (8 x 4) join with zero exchanges via the reducer") {
+    val (fact, _) = ManifestTable.bucketFixture(spark, sf)
+    val dim4 = ManifestTable.bucket4DimFixture(spark, sf)
+    val (ft, dt) = (new java.io.File(fact).getName, new java.io.File(dim4).getName)
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val olds = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(
+        s"""SELECT f.o_custkey, count(*) AS n
+           |FROM graft_cat.`$ft` f JOIN graft_cat.`$dt` d
+           |  ON f.o_custkey = d.c_custkey
+           |GROUP BY 1""".stripMargin)
+      assert(df.count() > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"mixed-count bucket join still shuffled:\n$plan")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("point lookup on the bucket key prunes to one bucket") {
     val (fact, _) = ManifestTable.bucketFixture(spark, sf)
     val ft = new java.io.File(fact).getName
