@@ -408,12 +408,52 @@ final class ManifestStreamTable(schema: StructType, base: String,
             .map(c => ManifestTable.readStatsCounts(spark, base, v, c))
             .find(m => rels.forall(m.contains))
             .map(m => rels.map(m).sum)
+          // COLUMN-LEVEL stats for the cost-based optimizer, straight
+          // from the commit-maintained sidecars: global min/max per
+          // stats-indexed column (CBO range selectivity), plus an EXACT
+          // distinct count for an identity layout column (its pvals ARE
+          // its values) — join-size estimation without an ANALYZE pass
+          val relSet = rels.toSet
+          val colStats = new java.util.HashMap[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+          def boxed(field: StructField, v: Long): Object = field.dataType match {
+            case IntegerType => Int.box(v.toInt)
+            case _ => Long.box(v)
+          }
+          ManifestTable.statCols(spark, base, v).foreach { c =>
+            schema.fields.find(_.name.equalsIgnoreCase(c)).foreach { f =>
+              val perFile = ManifestTable.readStatsFile(spark, base, v, c)
+                .getOrElse(Map.empty)
+                .collect { case (rel, Some(mm)) if relSet(rel) => mm }
+              if (perFile.nonEmpty) {
+                val (mn, mx) = (perFile.map(_._1).min, perFile.map(_._2).max)
+                val ndv =
+                  if (layoutCol.exists(_.equalsIgnoreCase(c)))
+                    java.util.OptionalLong.of(
+                      ManifestTable.entries(spark, base, v).map(_._1).distinct.size.toLong)
+                  else java.util.OptionalLong.empty()
+                colStats.put(
+                  org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+                  new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                    override def min(): java.util.Optional[Object] =
+                      java.util.Optional.of(boxed(f, mn))
+                    override def max(): java.util.Optional[Object] =
+                      java.util.Optional.of(boxed(f, mx))
+                    override def distinctCount(): java.util.OptionalLong = ndv
+                  })
+              }
+            }
+          }
           new org.apache.spark.sql.connector.read.Statistics {
             override def sizeInBytes(): java.util.OptionalLong =
               java.util.OptionalLong.of(size)
             override def numRows(): java.util.OptionalLong =
               rows.map(java.util.OptionalLong.of)
                 .getOrElse(java.util.OptionalLong.empty())
+            override def columnStats(): java.util.Map[
+              org.apache.spark.sql.connector.expressions.NamedReference,
+              org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
           }
         }
         // runtime (dynamic partition pruning) state: Spark calls filter()
