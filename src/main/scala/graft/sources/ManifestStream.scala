@@ -60,7 +60,8 @@ class ManifestStreamProvider extends TableProvider {
           StructField("_change_type", StringType),
           StructField("_commit_version", IntegerType)))
       else schema
-    new ManifestStreamTable(served, base, changeFeed = cdf)
+    new ManifestStreamTable(served, base, changeFeed = cdf,
+      streamBranch = Option(properties.get("branch")))
   }
 }
 
@@ -71,7 +72,10 @@ final class ManifestStreamTable(schema: StructType, base: String,
     // `pmod(xxhash64(key), n)`, not raw column values — so the identity
     // layoutCol machinery (value pruning, DPP, key-grouped-by-value) is
     // OFF and the scan instead reports bucket-transform partitioning
-    bucketLayout: Option[(Int, String)] = None)
+    bucketLayout: Option[(Int, String)] = None,
+    // streaming reads walk this BRANCH's manifest sequence instead of
+    // main's (batch reads of a branch go through `t$branch_<name>`)
+    streamBranch: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -461,7 +465,7 @@ final class ManifestStreamTable(schema: StructType, base: String,
         @volatile private var runtimePvals: Option[Set[String]] = None
         override def readSchema(): StructType = projected
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ManifestMicroBatchStream(base, projected, changeFeed)
+          new ManifestMicroBatchStream(base, projected, changeFeed, streamBranch)
         // STATIC BUCKET PRUNING: point predicates on the bucket key keep
         // only the buckets their literals hash into — a key lookup opens
         // 1/n of the table, the hash computed driver-side by the same
@@ -487,7 +491,13 @@ final class ManifestStreamTable(schema: StructType, base: String,
             layoutCol, pushed.toSeq, () => runtimePvals, pushedLimit, onPlan,
             bucketKeyed = bucketLayout.isDefined,
             bucketPvals = staticBucketPvals)
-        override def toBatch: org.apache.spark.sql.connector.read.Batch = batch
+        override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+          if (streamBranch.isDefined)
+            throw new UnsupportedOperationException(
+              "batch reads of a branch go through the t$branch_<name> " +
+                "metadata table — the `branch` option is for streaming reads")
+          batch
+        }
         override def filterAttributes()
             : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
           // only when the layout column survives the projection: a delta
@@ -2341,23 +2351,50 @@ private[sources] object ManifestDvSidecar {
 }
 
 final class ManifestMicroBatchStream(base: String, schema: StructType,
-    changeFeed: Boolean = false)
+    changeFeed: Boolean = false,
+    // STREAM A BRANCH (`.option("branch", name)`): batches walk the
+    // branch's manifest sequence instead of main's — the fork version is
+    // the initial snapshot (its whole content is batch one), each branch
+    // append is a batch. Audit a WAP feed as a stream before publishing.
+    branch: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+  require(!(changeFeed && branch.isDefined),
+    "change-feed consumption of a BRANCH is not supported — branches are " +
+      "append-only staging; stream the branch plainly or publish first")
 
   // driver-side manifest arithmetic (metadata-sized, like every commit op)
   private def fs: FileSystem =
     new Path(base).getFileSystem(new Configuration())
+  private def manifestName(v: Int): String =
+    branch.map(b => s"branch-$b-v$v.manifest").getOrElse(s"v$v.manifest")
   private def committedVersions: Seq[Int] = {
     val dir = new Path(base, "_manifests")
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
-        n.stripPrefix("v").stripSuffix(".manifest").toInt }
-      .sorted
+    else branch match {
+      case None => fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+          n.stripPrefix("v").stripSuffix(".manifest").toInt }
+        .sorted
+      case Some(b) =>
+        val st = fs.globStatus(new Path(dir, s"branch-$b-v*.manifest"))
+        if (st == null) Seq.empty
+        else st.toSeq.map(_.getPath.getName
+            .stripPrefix(s"branch-$b-v").stripSuffix(".manifest").toInt).sorted
+    }
+  }
+  /** First version of the consumed sequence: 1 on main, the FORK on a
+    * branch — the version whose batch diffs against empty. */
+  private def firstVersion: Int = branch match {
+    case None => 1
+    case Some(b) =>
+      val vs = committedVersions
+      require(vs.nonEmpty,
+        s"streaming read: no branch named '$b' under $base — createBranch first")
+      vs.head
   }
   private def entriesOf(v: Int): Seq[String] = entriesPvalOf(v).map(_._2)
   private def entriesPvalOf(v: Int): Seq[(String, String)] = {
-    val p = new Path(base, s"_manifests/v$v.manifest")
+    val p = new Path(base, s"_manifests/${manifestName(v)}")
     if (!fs.exists(p)) return Seq.empty
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -2384,7 +2421,7 @@ final class ManifestMicroBatchStream(base: String, schema: StructType,
   override def reportLatestOffset(): Offset =
     VersionOffset(committedVersions.lastOption.getOrElse(0))
   override def latestOffset(): Offset = reportLatestOffset()
-  override def initialOffset(): Offset = VersionOffset(0)
+  override def initialOffset(): Offset = VersionOffset(firstVersion - 1)
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toInt)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -2397,17 +2434,19 @@ final class ManifestMicroBatchStream(base: String, schema: StructType,
       // against an empty set would re-emit every carried file as "new"
       // and silently duplicate rows downstream. Fail with the remedy.
       def requireManifest(mv: Int): Unit =
-        if (!fs.exists(new Path(base, s"_manifests/v$mv.manifest")))
+        if (!fs.exists(new Path(base, s"_manifests/${manifestName(mv)}")))
           throw new IllegalStateException(
-            s"manifest v$mv under $base no longer exists (expireSnapshots?) — " +
-              "the stream cannot reconstruct this batch; restart from a fresh " +
-              "checkpoint to take a new initial snapshot")
+            s"manifest ${manifestName(mv)} under $base no longer exists " +
+              "(expireSnapshots? dropBranch?) — the stream cannot " +
+              "reconstruct this batch; restart from a fresh checkpoint " +
+              "to take a new initial snapshot")
       requireManifest(v)
-      if (v > 1) requireManifest(v - 1)
+      val first = firstVersion
+      if (v > first) requireManifest(v - 1)
       def abs(rel: String): String =
         if (rel.startsWith("/") || rel.contains("://")) rel else s"$base/$rel"
       if (!changeFeed) {
-        val prev = if (v == 1) Set.empty[String] else entriesOf(v - 1).toSet
+        val prev = if (v == first) Set.empty[String] else entriesOf(v - 1).toSet
         entriesPvalOf(v).filterNot(e => prev(e._2)).map { case (pval, rel) =>
           ManifestFilePartition(abs(rel), pval): InputPartition
         }

@@ -5369,6 +5369,62 @@ object ManifestTable {
          |FROM graft_cat.`${tbl + "$refs"}` ORDER BY name""".stripMargin)
   }
 
+  /** Registered STREAMING READ OF A BRANCH: the unpublished `dev` branch
+    * ([[branchFixture]]: fork = main v2 = tertiles 1+2, one staged append
+    * = tertile 3) consumed as micro-batches with `.option("branch",
+    * "dev")` — batch one is the FORK's whole content, each branch append
+    * is a batch, main's sequence is never read. The oracle replays the
+    * tertile membership with per-year batch counts (a year's
+    * `n_batches` = fork-content present? + staged-wave present?), so
+    * reading main by mistake, missing the fork batch, or splitting a
+    * commit across batches all hash-mismatch. The WAP use: audit a
+    * staged feed with the same streaming job that will consume main. */
+  val streamBranchRead: QuerySpec = QuerySpec.sql(
+    "q_stream_branch_read",
+    """WITH t AS (SELECT o_orderkey,
+      |                  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |mx AS (SELECT max(o_orderkey) AS mx FROM t),
+      |w AS (SELECT o_year, o_totalprice,
+      |             CASE WHEN o_orderkey <= mx * 2 // 3 THEN 1 ELSE 2 END AS wave
+      |      FROM t, mx)
+      |SELECT o_year, CAST(count(DISTINCT wave) AS BIGINT) AS n_batches,
+      |       count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = branchFixture(spark, dir)
+    val sink = s"${graft.Scratch.root}/stream_branch_${graft.Scratch.dirToken(dir)}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$sink-ck"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_year",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType)))
+    val q = spark.readStream
+      .format("graft.sources.ManifestStreamProvider")
+      .schema(schema)
+      .option("branch", "dev")
+      .load(base)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/batch=$id"); ()
+      }
+      .option("checkpointLocation", s"$sink-ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .groupBy(col("o_year"))
+      .agg(countDistinct(col("batch")).as("n_batches"),
+        count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
@@ -5384,5 +5440,5 @@ object ManifestTable {
       streamCdfEvolve, tableUpdateMoR, catalogUpdateMoR, catalogHistory,
       catalogChanges, catalogConstraint, catalogDefault,
       catalogTag, tableBranch, catalogBranch, branchRebase, mergeSchema,
-      streamWap, bucketJoin, catalogRefs, bucketJoinMixed)
+      streamWap, bucketJoin, catalogRefs, bucketJoinMixed, streamBranchRead)
 }

@@ -71,6 +71,55 @@ class StreamWapSpec extends AnyFunSuite {
       nBase + nFeed + extra.count())
   }
 
+  test("branch streaming read: fork is batch one, guards refuse misuse") {
+    val (base, nBase, nFeed) = run("bread", Some("ingest"))
+    val src = graft.model.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val sink = s"${graft.Scratch.root}/swap_bread_sink"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sink))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$sink-ck"))
+    val q = spark.readStream
+      .format("graft.sources.ManifestStreamProvider")
+      .schema(src.schema)
+      .option("branch", "ingest")
+      .load(base)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/batch=$id"); ()
+      }
+      .option("checkpointLocation", s"$sink-ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(sink)
+    // fork content (batch 0) + one batch per feed epoch; nothing from
+    // main beyond the fork, nothing lost
+    assert(got.count() === nBase + nFeed)
+    assert(got.select(col("batch")).distinct().count() === 4) // fork + 3 epochs
+    val b0 = spark.read.parquet(s"$sink/batch=0")
+    assert(b0.count() === nBase, "batch one must be exactly the fork content")
+    // CDF over a branch refuses
+    val e1 = intercept[Exception] {
+      spark.readStream.format("graft.sources.ManifestStreamProvider")
+        .schema(src.schema)
+        .option("branch", "ingest").option("changeFeed", "true")
+        .load(base).writeStream
+        .option("checkpointLocation", s"$sink-ck2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .start().awaitTermination()
+    }
+    assert(e1.getMessage.contains("not supported") ||
+      Option(e1.getCause).exists(_.getMessage.contains("not supported")))
+    // the branch option is not a batch-read face
+    val e2 = intercept[Exception] {
+      spark.read.format("graft.sources.ManifestStreamProvider")
+        .schema(src.schema).option("branch", "ingest").load(base).count()
+    }
+    assert(e2.getMessage.contains("$branch") ||
+      Option(e2.getCause).exists(_.getMessage.contains("$branch")))
+  }
+
   test("unknown branch refuses the first epoch; dropBranch sweeps markers") {
     val staged = s"${graft.Scratch.root}/swap_feed_bad"
     val base = s"${graft.Scratch.root}/swap_tbl_bad"
