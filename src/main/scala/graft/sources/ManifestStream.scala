@@ -2083,13 +2083,49 @@ final class ManifestChangesTable(base: String, fullName: String,
 final class ManifestBranchTable(base: String, fullName: String,
     dataSchema: StructType, branch: String)
     extends org.apache.spark.sql.connector.catalog.Table
-    with org.apache.spark.sql.connector.catalog.SupportsRead {
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import org.apache.spark.sql.connector.catalog.TableCapability
 
   override def name(): String = fullName
   override def schema(): StructType = dataSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  /** SQL `INSERT INTO graft_cat.\`t$branch_<name>\` ...` — the staged
+    * side of write-audit-publish in plain SQL: the same staged-files
+    * write as a main INSERT, committed to the BRANCH's manifest sequence
+    * through the append rebase retry. Main never moves. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      private def props = ManifestTable.tableProperties(
+        org.apache.spark.sql.SparkSession.active, base)
+      private def partCol: String = props.getOrElse("partCol",
+        throw new IllegalArgumentException(
+          s"INSERT INTO a branch needs the partCol table property under $base"))
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              Array(props.get("bucket.n").map(_.toInt) match {
+                case Some(n) => org.apache.spark.sql.connector.expressions
+                  .Expressions.bucket(n, partCol)
+                case None => org.apache.spark.sql.connector.expressions
+                  .Expressions.identity(partCol)
+              }))
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite =
+            new ManifestBranchAppend(base, branch, info.schema(), partCol,
+              props.get("bucket.n").map(_.toInt))
+        }
+    }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
       override def readSchema(): StructType = dataSchema
@@ -2984,6 +3020,67 @@ final class ManifestBatchAppend(base: String, schema: StructType, partCol: Strin
     // an insert into a stats/bloom-indexed table would strand readPruned
     // on a stale index
     ManifestTable.refreshAllStats(spark, base)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(base).getFileSystem(new Configuration())
+    messages.foreach {
+      case m: ManifestSinkFiles =>
+        m.files.foreach { case (_, p) => fs.delete(new Path(p), false) }
+      case _ =>
+    }
+  }
+}
+
+/** Batch APPEND to a BRANCH — `INSERT INTO graft_cat.\`t$branch_<n>\``:
+  * identical staging to [[ManifestBatchAppend]], committed to the
+  * branch's manifest sequence with the append rebase retry. The branch
+  * must exist (a typo'd name must not fork implicitly). */
+final class ManifestBranchAppend(base: String, branch: String,
+    schema: StructType, partCol: String, bucketN: Option[Int] = None)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestBatchWriterFactory(base, schema, partCol, bucketN)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(base).getFileSystem(new Configuration())
+    val staged = messages.flatMap { case m: ManifestSinkFiles => m.files }.toSeq
+    val spark = org.apache.spark.sql.SparkSession.active
+    val head0 = ManifestTable.branchVersions(spark, base, branch)
+    require(head0.nonEmpty,
+      s"INSERT INTO branch: no branch named '$branch' under $base — createBranch first")
+    val evolved = ManifestSchemaProp.evolve(spark, base, schema)
+    val next = head0.last + 1
+    val moved = staged.map { case (pval, abs) =>
+      val destDir = new Path(base, s"files/v$next/p=$pval")
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, new Path(abs).getName)
+      if (!fs.rename(new Path(abs), dest))
+        throw new java.io.IOException(s"branch insert move failed: $abs")
+      (pval, s"files/v$next/p=$pval/${dest.getName}")
+    }
+    // branch-scoped append retry: losing the name race rebases onto the
+    // winner's branch head (appends commute), exactly like appendBranch
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val head = ManifestTable.branchVersions(spark, base, branch).last
+      val es = ManifestTable.entriesAt(spark,
+        new Path(base, s"_manifests/branch-$branch-v$head.manifest"))
+      try {
+        ManifestTable.commitNamed(spark, base,
+          s"branch-$branch-v${head + 1}.manifest", es ++ moved,
+          s"concurrent commit: branch $branch version ${head + 1} already exists")
+        done = true
+      } catch {
+        case _: ManifestTable.VersionConflictException if attempt < 20 => ()
+      }
+    }
+    evolved.foreach(s => ManifestTable.setTableProperty(
+      spark, base, "schema", ManifestSchemaProp.serialize(s)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -5425,6 +5425,63 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
+  /** Registered ALL-SQL WRITE-AUDIT-PUBLISH: the staging INSERT goes to
+    * `graft_cat.\`t$branch_stage\`` (plain SQL against the branch's
+    * writable metadata table), main is version-pinned untouched while
+    * the feed is audited, and one [[fastForward]] publishes. The result
+    * splits each year into total vs staged-wave rows, so a feed that
+    * leaked to main early, published twice, or lost the fork all
+    * hash-mismatch. */
+  val catalogWap: QuerySpec = QuerySpec.sql(
+    "q_catalog_wap",
+    """WITH t AS (SELECT o_orderkey,
+      |                  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_staged,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("sqlwap", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_wapfix_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(b).getParent)
+        val tbl = new java.io.File(b).getName
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+          |(o_orderkey BIGINT, o_year INT, o_totalprice DOUBLE)
+          |PARTITIONED BY (o_year)""".stripMargin)
+        t.filter(col("o_orderkey") % 2 === 0)
+          .createOrReplaceTempView("graft_wap_main")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_wap_main")
+        createBranch(spark, b, "stage")
+        t.filter(col("o_orderkey") % 2 === 1)
+          .createOrReplaceTempView("graft_wap_feed")
+        spark.sql(
+          s"""INSERT INTO graft_cat.`${tbl + "$branch_stage"}`
+             |SELECT * FROM graft_wap_feed""".stripMargin)
+        require(currentVersion(spark, b) == 2,
+          "a branch INSERT must not advance main")
+        val pub = fastForward(spark, b, "stage")
+        require(pub == 3, s"publish must land main v3, got v$pub")
+        b
+      })
+    }
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n,
+         |       CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_staged,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
@@ -5440,5 +5497,6 @@ object ManifestTable {
       streamCdfEvolve, tableUpdateMoR, catalogUpdateMoR, catalogHistory,
       catalogChanges, catalogConstraint, catalogDefault,
       catalogTag, tableBranch, catalogBranch, branchRebase, mergeSchema,
-      streamWap, bucketJoin, catalogRefs, bucketJoinMixed, streamBranchRead)
+      streamWap, bucketJoin, catalogRefs, bucketJoinMixed, streamBranchRead,
+      catalogWap)
 }
