@@ -169,6 +169,41 @@ class RefSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ghost"))
   }
 
+  test("STRESS: racing tag creates — exactly one winner per name") {
+    val (base, _) = freshTable("tagrace")
+    // 8 real threads race to create the SAME tag: the link(2) arbiter
+    // must let exactly one through (a rename-based commit point could
+    // let several "succeed" and silently move the tag)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() =>
+        try { ManifestTable.createTag(spark, base, "contested"); wins.incrementAndGet(); () }
+        catch { case _: ManifestTable.VersionConflictException =>
+          losses.incrementAndGet(); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(wins.get === 1, s"exactly one tag create may win, got ${wins.get}")
+    assert(losses.get === 7)
+    assert(ManifestTable.tagVersion(spark, base, "contested") === Some(1))
+  }
+
+  test("STRESS: racing branch creates — exactly one fork per name") {
+    val (base, _) = freshTable("brrace")
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 6).map { _ =>
+      new Thread(() =>
+        try { ManifestTable.createBranch(spark, base, "contested"); wins.incrementAndGet(); () }
+        catch {
+          case _: ManifestTable.VersionConflictException => ()
+          case _: IllegalArgumentException => () // lost the exists pre-check
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(wins.get === 1, s"exactly one branch create may win, got ${wins.get}")
+    assert(ManifestTable.branchVersions(spark, base, "contested") === Seq(1))
+  }
+
   test("concurrent branch appends rebase like main appends") {
     val (base, t) = freshTable("race")
     ManifestTable.createBranch(spark, base, "busy")
