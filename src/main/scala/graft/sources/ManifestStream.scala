@@ -425,7 +425,20 @@ final class ManifestStreamTable(schema: StructType, base: String,
             case IntegerType => Int.box(v.toInt)
             case _ => Long.box(v)
           }
-          ManifestTable.statCols(spark, base, v).foreach { c =>
+          // INTEGRAL columns only: the sidecar min/max is computed via
+          // cast('long') (scanStats), which truncates fractional values
+          // toward zero — for a DOUBLE column that is neither the true
+          // bound (-1.5 truncates to -1 > -1.5) nor the right runtime
+          // type (a java.lang.Long boxed against a DoubleType attribute
+          // corrupts catalyst's ColumnStat), so those columns report no
+          // CBO stats. File SKIPPING is already integral-only in
+          // practice: pushed literals arrive typed as the column
+          // (catalyst casts them), and ManifestFileSkipping.numeric
+          // rejects non-integral literals.
+          ManifestTable.statCols(spark, base, v)
+            .filter(c => schema.fields.find(_.name.equalsIgnoreCase(c))
+              .exists(f => f.dataType == IntegerType || f.dataType == LongType))
+            .foreach { c =>
             schema.fields.find(_.name.equalsIgnoreCase(c)).foreach { f =>
               val perFile = ManifestTable.readStatsFile(spark, base, v, c)
                 .getOrElse(Map.empty)

@@ -1753,20 +1753,52 @@ object ManifestTable {
       .map { case (n, vs0) => (n, vs0.map(_._2).min, vs0.map(_._2).max) }
   }
 
+  private def branchArbiterPath(base: String, name: String) =
+    new Path(manifestDir(base), s"ref-branch-$name")
+
   /** Fork a branch at main's current version — one metadata commit that
     * copies the current entries BY REFERENCE (zero data). Refuses while a
     * deletion vector is pending (same rule as [[cloneTable]]: copying
     * entries without the vector would resurrect its rows on the branch).
-    * Returns the fork version. */
+    * Returns the fork version.
+    *
+    * Concurrency: the fork-manifest name embeds the fork VERSION, so the
+    * exclusive manifest publish alone cannot arbitrate two concurrent
+    * creators when a main commit lands between their `currentVersion`
+    * reads — they'd publish `branch-n-v3` and `branch-n-v4` and BOTH
+    * "succeed", leaving a branch whose min-version "fork" manifest was
+    * never the state either head was computed from. A post-commit
+    * verify can't close this either (the earlier publisher has already
+    * returned by the time the later one sees both). The arbiter is
+    * therefore a per-NAME file (`ref-branch-<name>`) published with the
+    * same exclusive-create commit point: exactly one creator wins the
+    * name, and only the winner publishes a fork manifest. A crash
+    * between the two writes leaves an arbiter with no manifest — healed
+    * here after an age fence (young arbiters belong to an in-flight
+    * creator and must not be stolen). */
   def createBranch(spark: SparkSession, base: String, name: String): Int = {
     requireRefName(name)
     requireNoPendingDv(spark, base, "createBranch")
     require(!branchExists(spark, base, name),
       s"branch $name already exists under $base")
     val v = currentVersion(spark, base)
-    commitNamed(spark, base, branchManifestName(name, v),
-      entries(spark, base, v),
+    val es = entries(spark, base, v) // read before taking the name
+    val arb = branchArbiterPath(base, name)
+    val fs = fsOf(spark, arb)
+    val st = if (fs.exists(arb)) Some(fs.getFileStatus(arb)) else None
+    st.foreach { s =>
+      // arbiter without any fork manifest = debris of a crashed create or
+      // drop; reclaim only past the fence so an in-flight creator (arbiter
+      // published, manifest not yet) is never raced out of its own name
+      if (s.getModificationTime < System.currentTimeMillis() - 60000L)
+        fs.delete(arb, false)
+    }
+    publishExclusive(spark, base, s"ref-branch-$name",
+      v.toString.getBytes("UTF-8"),
+      s"branch $name already exists under $base (concurrent createBranch)")
+    try commitNamed(spark, base, branchManifestName(name, v), es,
       s"branch $name already exists under $base")
+    catch { case t: Throwable => fs.delete(arb, false); throw t }
     v
   }
 
@@ -1881,6 +1913,10 @@ object ManifestTable {
     // a streaming WAP feed's exactly-once epoch markers die with their ref
     val epochs = fs.globStatus(new Path(manifestDir(base), s"branch-$name-v*.epoch"))
     if (epochs != null) epochs.foreach(e => fs.delete(e.getPath, false))
+    // release the per-name creation arbiter (a crash just before this
+    // leaves arbiter-without-manifests — exactly the debris shape
+    // createBranch heals past its age fence)
+    fs.delete(branchArbiterPath(base, name), false)
   }
 
   /** Entries referenced by ANY branch manifest — live for orphan/expiry
@@ -5144,9 +5180,12 @@ object ManifestTable {
       |       count(DISTINCT user_id) AS n_users,
       |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
-    val staged = s"${graft.Scratch.root}/events_wap_feed"
-    val base = s"${graft.Scratch.root}/events_wap_tbl"
-    val ck = s"${graft.Scratch.root}/events_wap_ck"
+    // dir-scoped like every other fixture: two harness runs over
+    // different scale factors in one JVM must not share table/checkpoint
+    val tok = graft.Scratch.dirToken(dir)
+    val staged = s"${graft.Scratch.root}/events_wap_feed_$tok"
+    val base = s"${graft.Scratch.root}/events_wap_tbl_$tok"
+    val ck = s"${graft.Scratch.root}/events_wap_ck_$tok"
     val fs = fsOf(spark, new Path(base))
     fs.delete(new Path(base), true)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))

@@ -144,9 +144,21 @@ object MultiTableTxn {
         // silently OVERWRITE a version an independent writer committed
         // between our exists() check and now — same TOCTOU the manifest
         // commit closes in [[ManifestTable.publishFileExclusive]]
-        if (!ManifestTable.publishFileExclusive(spark, tmpPath, dst) &&
-            !fs.exists(dst))
-          throw new java.io.IOException(s"finalize failed for $base v$v")
+        if (!ManifestTable.publishFileExclusive(spark, tmpPath, dst)) {
+          // lost the publish race — dst now exists, but WHOSE content won?
+          // Mere existence is not success: an independent writer landing
+          // v between the exists() check and the publish would silently
+          // drop this member's write while other members advance (the
+          // partial application the earlier branch throws for). Same
+          // content-comparison discipline as the fs.exists(dst) branch.
+          if (!fs.exists(dst))
+            throw new java.io.IOException(s"finalize failed for $base v$v")
+          if (slurp(dst) == slurp(tmpPath)) fs.delete(tmpPath, false)
+          else throw new IllegalStateException(
+            s"txn $txnId: version $v of $base was committed by an independent " +
+              "writer during finalize — this member's write is not applied; " +
+              "re-run the transaction")
+        }
       }
       ManifestTable.refreshAllStats(spark, base)
     }

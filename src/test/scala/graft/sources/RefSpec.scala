@@ -204,6 +204,66 @@ class RefSpec extends AnyFunSuite {
     assert(ManifestTable.branchVersions(spark, base, "contested") === Seq(1))
   }
 
+  test("STRESS: racing branch creates under a MOVING main — one fork manifest") {
+    val (base, t) = freshTable("brmove")
+    // the hole the per-name arbiter closes: with only the exclusive
+    // MANIFEST publish as commit point, two creators that read different
+    // currentVersions (a main commit landing between their reads) publish
+    // branch-n-v1 and branch-n-v2 — different file names, no conflict,
+    // BOTH "succeed", and the branch's min-version "fork" is a lie. Race
+    // creators against concurrent main appends and pin the invariant
+    // directly: at most one fork manifest may ever exist per name.
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val creators = (1 to 4).map { _ =>
+      new Thread(() =>
+        try { ManifestTable.createBranch(spark, base, "moving"); wins.incrementAndGet(); () }
+        catch {
+          case _: ManifestTable.VersionConflictException => ()
+          case _: IllegalArgumentException => ()
+        })
+    }
+    val appender = new Thread(() =>
+      (1996 to 1998).foreach { y =>
+        ManifestTable.append(spark, base,
+          t.filter(col("o_year") === y)
+            .withColumn("o_orderkey", -col("o_orderkey") - y * 10000000L),
+          "o_year")
+      })
+    (creators :+ appender).foreach(_.start())
+    (creators :+ appender).foreach(_.join(120000))
+    assert(wins.get === 1, s"exactly one branch create may win, got ${wins.get}")
+    val vs = ManifestTable.branchVersions(spark, base, "moving")
+    assert(vs.size === 1,
+      s"a moving main must never yield two fork manifests, got $vs")
+    // and the single fork is internally consistent: its entries are
+    // exactly main's entries at that version
+    assert(ManifestTable.branchEntries(spark, base, "moving").toSet ===
+      ManifestTable.entries(spark, base, vs.head).toSet)
+  }
+
+  test("branch name is reusable after dropBranch; stale arbiter heals") {
+    val (base, t) = freshTable("brreuse")
+    ManifestTable.createBranch(spark, base, "cycle")
+    ManifestTable.dropBranch(spark, base, "cycle")
+    // the per-name arbiter must be released with the ref
+    assert(ManifestTable.createBranch(spark, base, "cycle") === 1)
+    ManifestTable.dropBranch(spark, base, "cycle")
+    // debris shape: an arbiter with NO fork manifest (crash between the
+    // two creation writes, or between a drop's manifest and arbiter
+    // deletes). Young debris blocks creation (could be an in-flight
+    // creator); past the age fence createBranch reclaims the name.
+    val arb = new org.apache.hadoop.fs.Path(base, "_manifests/ref-branch-crashed")
+    val fs = arb.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(arb, false)
+    try out.write("1".getBytes("UTF-8")) finally out.close()
+    intercept[ManifestTable.VersionConflictException] {
+      ManifestTable.createBranch(spark, base, "crashed")
+    }
+    fs.setTimes(arb, System.currentTimeMillis() - 120000L, -1)
+    assert(ManifestTable.createBranch(spark, base, "crashed") === 1)
+    assert(ManifestTable.branchVersions(spark, base, "crashed") === Seq(1))
+  }
+
   test("concurrent branch appends rebase like main appends") {
     val (base, t) = freshTable("race")
     ManifestTable.createBranch(spark, base, "busy")
