@@ -12,9 +12,15 @@ object Bench {
     // nearly misread as a real sf0.1 bench. An explicit
     // SPARK_GRAFT_BENCH_OUT always wins.
     val sfTag = new java.io.File(sfDir).getName
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      Iterator.from(1).map(i => s"BENCH_clean_${sfTag}_run$i.json")
-        .find(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))).get)
+    // default runs land under bench_history/ — the repo root carries only
+    // the canonical per-round artifacts, so a stray local run can never be
+    // mistaken for (or crowd) the round's clean bench
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("bench_history"))
+      Iterator.from(1).map(i => s"bench_history/BENCH_clean_${sfTag}_run$i.json")
+        .find(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))).get
+    })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
