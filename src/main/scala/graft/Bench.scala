@@ -53,7 +53,12 @@ object Bench {
       val times = (1 to math.max(1, reps)).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => Double.NaN }
+        catch { case t: Throwable =>
+          // local iteration: surface WHY a query failed instead of a bare
+          // NaN (the artifact's -1 signal is unchanged)
+          if (sys.env.contains("SPARK_GRAFT_DEBUG")) t.printStackTrace()
+          Double.NaN
+        }
       }
       val ok = times.filterNot(_.isNaN)
       name -> (if (ok.nonEmpty) ok.min else -1.0)

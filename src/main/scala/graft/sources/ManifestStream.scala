@@ -119,17 +119,22 @@ final class ManifestStreamTable(schema: StructType, base: String,
       // O(touched partitions)
       val props = ManifestTable.tableProperties(
         org.apache.spark.sql.SparkSession.active, base)
-      // BUCKET layout: both row-level paths reason in partCol-value
-      // groups / DV partition values — bucket-id pvals would corrupt
-      // either. Refuse loudly until a bucket-aware path exists.
-      if (props.contains("bucket.n"))
+      val mor = props.get("write.mode").contains("merge-on-read") &&
+        props.contains("keyCol") && props.contains("partCol")
+      // BUCKET layout: the GROUP-rewrite path reasons in partCol-value
+      // groups and would misread bucket-id pvals — still refused. The
+      // DELTA (merge-on-read) path is naturally LAYOUT-PRESERVING: its
+      // vector records the manifest pval (= bucket id) verbatim and its
+      // staged copies write through the same bucket-clustered writer, so
+      // the zero-exchange storage-partitioned join survives the commit.
+      if (props.contains("bucket.n") && !mor)
         throw new UnsupportedOperationException(
-          s"row-level SQL on the bucket-layout table $base is not " +
-            "supported — recreate with an identity layout for UPDATE/MERGE")
-      if (props.get("write.mode").contains("merge-on-read") &&
-          props.contains("keyCol") && props.contains("partCol"))
+          s"row-level SQL on the bucket-layout table $base needs " +
+            "write.mode=merge-on-read (+ keyCol) — the copy-on-write group " +
+            "rewrite cannot preserve the bucket layout")
+      if (mor)
         new ManifestRowLevelDeltaOp(this, base, info.command(),
-          props("keyCol"), props("partCol"))
+          props("keyCol"), props("partCol"), props.get("bucket.n").map(_.toInt))
       else new ManifestRowLevelOp(this, base, info.command())
     }
 
@@ -156,11 +161,15 @@ final class ManifestStreamTable(schema: StructType, base: String,
     val unconditional = filters.forall(
       _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
     // BUCKET layout: pvals are bucket ids, not partCol values — the
-    // group-grained delete would misclassify touched groups. Refuse all
-    // but TRUNCATE (which replaces every group by id, layout-agnostic).
+    // group-grained copy-on-write delete would misclassify touched
+    // groups. TRUNCATE stays (replaces every group by id, layout-
+    // agnostic), and so does the MERGE-ON-READ route: its deletion
+    // vector records bucket-id pvals itself and rewrites no file.
+    val mor = props.get("write.mode").contains("merge-on-read") &&
+      props.contains("keyCol")
     filters.forall(f => ManifestDeleteSql.toColumn(f).isDefined) &&
       props.contains("partCol") && (!mapped || unconditional) &&
-      (!props.contains("bucket.n") || unconditional)
+      (!props.contains("bucket.n") || unconditional || mor)
   }
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
@@ -590,6 +599,16 @@ object GraftBucketFunction
     val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(key, 42L)
     (((h % n) + n) % n).toInt
   }
+
+  /** The same bucket id as a CODEGEN'D Column expression — `xxhash64`
+    * (seed 42, the SQL function's default) over the long key, non-negative
+    * mod. Every distributed computation of a bucket pval (MoR vector
+    * recording, staged-update writes, read-side DV scoping) goes through
+    * this so it can never drift from [[idOf]]. */
+  def idExpr(n: Int, key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(key),
+      org.apache.spark.sql.functions.lit(n.toLong)).cast("int")
   override def name(): String = "bucket"
   override def description(): String =
     "bucket(n, key): pmod(xxhash64(key), n) — manifest bucket layout"
@@ -1213,7 +1232,10 @@ final class ManifestReplaceGroups(base: String, schema: StructType,
   * a deleted-from partition aborts, other commits rebase. */
 final class ManifestRowLevelDeltaOp(table: ManifestStreamTable, base: String,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-    keyCol: String, partCol: String)
+    keyCol: String, partCol: String,
+    // BUCKET layout: staged insert/update copies must land under bucket-id
+    // pvals (the vector already records them — `_pval` IS the bucket id)
+    bucketN: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
   @volatile private[sources] var planned: Option[(Set[String], Int)] = None
@@ -1243,7 +1265,7 @@ final class ManifestRowLevelDeltaOp(table: ManifestStreamTable, base: String,
           override def toBatch
               : org.apache.spark.sql.connector.write.DeltaBatchWrite =
             new ManifestDeltaWrite(base, dataSchema, keyCol, partCol,
-              () => planned)
+              () => planned, bucketN)
         }
     }
   }
@@ -1257,14 +1279,16 @@ final case class ManifestDeltaFiles(files: Seq[(String, String)],
 
 final class ManifestDeltaWrite(base: String, rowSchema: StructType,
     keyCol: String, partCol: String,
-    planned: () => Option[(Set[String], Int)])
+    planned: () => Option[(Set[String], Int)],
+    bucketN: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   import org.apache.spark.sql.connector.write.{DeltaWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
   private val dvToken = java.util.UUID.randomUUID.toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new ManifestDeltaWriterFactory(base, rowSchema, keyCol, partCol, dvToken)
+    new ManifestDeltaWriterFactory(base, rowSchema, keyCol, partCol, dvToken,
+      bucketN)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -1348,12 +1372,13 @@ final class ManifestDeltaWrite(base: String, rowSchema: StructType,
 }
 
 final class ManifestDeltaWriterFactory(base: String, rowSchema: StructType,
-    keyCol: String, partCol: String, dvToken: String)
+    keyCol: String, partCol: String, dvToken: String,
+    bucketN: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new ManifestDeltaWriter(base, rowSchema, keyCol, partCol, dvToken,
-      partitionId, taskId)
+      partitionId, taskId, bucketN)
 }
 
 /** Executor-side delta writer: inserts/update-images go through the
@@ -1363,14 +1388,15 @@ final class ManifestDeltaWriterFactory(base: String, rowSchema: StructType,
   * commit names its `__dv` marker). */
 final class ManifestDeltaWriter(base: String, rowSchema: StructType,
     keyCol: String, partCol: String, dvToken: String,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long, bucketN: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
   import org.apache.parquet.schema.{PrimitiveType, Types, LogicalTypeAnnotation}
 
   private val inner =
-    new ManifestSinkWriter(base, rowSchema, partCol, partitionId, taskId, -2L)
+    new ManifestSinkWriter(base, rowSchema, partCol, partitionId, taskId, -2L,
+      bucketN)
   private val fragPath = s"$base/_dv/d-$dvToken/frag-p$partitionId-t$taskId.parquet"
   private val dvType = Types.buildMessage()
     .optional(PrimitiveType.PrimitiveTypeName.INT64).named(keyCol)
@@ -2337,7 +2363,12 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     val spark = org.apache.spark.sql.SparkSession.active
     new ManifestFileReaderFactory(schema, dvCol, dvPart, dvPairs,
       ManifestColMap.of(spark, base),
-      ManifestColMap.defaults(spark, base, schema))
+      ManifestColMap.defaults(spark, base, schema),
+      // BUCKET layout: a vector's __pval is the bucket id, so the row's
+      // pval is the HASH of its partition-column value, not the value
+      dvBucketN = if (dvPairs.isEmpty) None
+        else ManifestTable.tableProperties(spark, base)
+          .get("bucket.n").map(_.toInt))
   }
 }
 
@@ -2571,7 +2602,8 @@ final class ManifestFileReaderFactory(schema: StructType,
     dvCol: String = "", dvPart: String = "",
     dvPairs: Map[(Long, String), Int] = Map.empty,
     colmap: Map[String, String] = Map.empty,
-    defaults: Map[String, Any] = Map.empty)
+    defaults: Map[String, Any] = Map.empty,
+    dvBucketN: Option[Int] = None)
     extends PartitionReaderFactory {
   // RENAME name mapping: a served (logical) column reads its ORIGINAL
   // footer name from pre-rename files and its logical name from files
@@ -2637,7 +2669,11 @@ final class ManifestFileReaderFactory(schema: StructType,
         g.getFieldRepetitionCount(dvPart) == 0) return None
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     g.getType.getType(dvPart).asPrimitiveType().getPrimitiveTypeName match {
-      case INT64  => Some(g.getLong(dvPart, 0).toString)
+      // BUCKET layout: the vector records bucket ids, so the row's pval
+      // is the hash of its (BIGINT) partition-column value
+      case INT64  => Some(dvBucketN
+        .map(n => GraftBucketFunction.idOf(n, g.getLong(dvPart, 0)).toString)
+        .getOrElse(g.getLong(dvPart, 0).toString))
       case INT32  => Some(g.getInteger(dvPart, 0).toString)
       case DOUBLE => Some(g.getDouble(dvPart, 0).toString)
       case BINARY => Some(g.getString(dvPart, 0))

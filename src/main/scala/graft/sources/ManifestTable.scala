@@ -1250,6 +1250,45 @@ object ManifestTable {
       s"$verb requires no pending deletion vectors — run purgeDeletes first " +
         "(a rewrite or append under pending DVs could resurrect or re-delete rows)")
 
+  /** The table's bucket count, when it carries the bucket layout. */
+  private[sources] def bucketNOf(spark: SparkSession, base: String): Option[Int] =
+    tableProperties(spark, base).get("bucket.n").map(_.toInt)
+
+  /** The expression a row's DV partition value is computed with: the
+    * MANIFEST pval — the raw partition-column value under identity
+    * layout, the bucket id (`pmod(xxhash64(key), n)`) under bucket
+    * layout. One invariant everywhere: a vector's `__pval` always equals
+    * the pval of the manifest entries it scopes, so conflict
+    * classification, purge hot/cold partitioning, and CDF image
+    * selection compare vectors against manifests directly.
+    *
+    * Bucket-layout caveat (scaladoc'd contract, same as the SQL delta
+    * op's rowId): the (key, bucket) pair is coarser than (key, raw
+    * value) — a key duplicated across DIFFERENT partition values that
+    * hash into one bucket would be over-hidden. MoR verbs already treat
+    * `keyCol` as the row identity, so unique keys (the contract) are
+    * unaffected. */
+  private[sources] def dvPvalExpr(spark: SparkSession, base: String,
+      partCol: String): org.apache.spark.sql.Column =
+    bucketNOf(spark, base) match {
+      case Some(n) => GraftBucketFunction.idExpr(n, col(partCol)).cast("string")
+      case None => col(partCol).cast("string")
+    }
+
+  /** [[writeSnapshotFiles]] routed through the table's LAYOUT: identity
+    * tables partition by the raw column, bucket tables by the bucket id —
+    * staged MoR copies and purge rewrites land under the same pvals the
+    * original writer used, so `KeyGroupedPartitioning` (and the
+    * zero-exchange bucket join) survives every row-level commit. */
+  private def writeSnapshotFilesLayout(
+      spark: SparkSession, base: String, version: Int, df: DataFrame,
+      partCol: String): Seq[(String, String)] =
+    bucketNOf(spark, base) match {
+      case Some(n) => writeSnapshotFilesExpr(spark, base, version, df,
+        GraftBucketFunction.idExpr(n, col(partCol)))
+      case None => writeSnapshotFiles(spark, base, version, df, partCol)
+    }
+
   /** MERGE-ON-READ DELETE — the deletion-vector trade-off (Delta DVs /
     * Iceberg v2 delete files) opposite [[deleteWhere]]'s copy-on-write:
     * instead of rewriting every touched partition NOW, record the deleted
@@ -1279,9 +1318,11 @@ object ManifestTable {
     val rel = s"_dv/d-${java.util.UUID.randomUUID}"
     val dvPath = s"$base/$rel"
     val fs = fsOf(spark, new Path(base))
-    // the predicate scan is pinned to the snapshot the retry validates
+    // the predicate scan is pinned to the snapshot the retry validates;
+    // __pval is the MANIFEST pval (bucket id under bucket layout) — see
+    // dvPvalExpr for the invariant
     readVersion(spark, base, readV).filter(pred)
-      .select(col(keyCol), col(partCol).cast("string").as("__pval"))
+      .select(col(keyCol), dvPvalExpr(spark, base, partCol).as("__pval"))
       .write.parquet(dvPath)
     val touched = spark.read.parquet(dvPath)
       .select(col("__pval")).distinct()
@@ -1374,7 +1415,7 @@ object ManifestTable {
     val fs = fsOf(spark, new Path(base))
     val matched = readVersion(spark, base, readV).filter(pred)
     matched
-      .select(col(keyCol), col(partCol).cast("string").as("__pval"))
+      .select(col(keyCol), dvPvalExpr(spark, base, partCol).as("__pval"))
       .write.parquet(dvPath)
     val touched = spark.read.parquet(dvPath)
       .select(col("__pval")).distinct()
@@ -1386,9 +1427,10 @@ object ManifestTable {
     val out = fs.create(new Path(dvPath, "_partcol"), true)
     try out.write(partCol.getBytes("UTF-8")) finally out.close()
     writeDvCut(spark, base, rel, cut)
-    // the updated copies stage under files/v<cut> — the fence pivot
+    // the updated copies stage under files/v<cut> — the fence pivot —
+    // through the table's layout (bucket tables keep bucket-id pvals)
     val updated = set.foldLeft(matched) { case (d, (c, e)) => d.withColumn(c, e) }
-    val staged = writeSnapshotFiles(spark, base, cut, updated, partCol)
+    val staged = writeSnapshotFilesLayout(spark, base, cut, updated, partCol)
     raceInject() // test hook: a concurrent commit between stage and commit
     var attempt = 0
     while (true) {
@@ -1503,7 +1545,7 @@ object ManifestTable {
         val pairs = spark.read
           .parquet(dvs.map(rel => s"$base/$rel"): _*)
           .select(col(keyCol), col("__pval")).distinct()
-        data.withColumn("__pval", col(pc).cast("string"))
+        data.withColumn("__pval", dvPvalExpr(spark, base, pc))
           .join(broadcast(pairs), Seq(keyCol, "__pval"), "left_anti")
           .drop("__pval")
       } else {
@@ -1512,7 +1554,7 @@ object ManifestTable {
         // key hides the updated copy too, as it must)
         val pairs = readDvPairs(spark, base, dvs, keyCol)
           .groupBy(col(keyCol), col("__pval")).agg(max(col("__cut")).as("__cut"))
-        data.withColumn("__pval", col(pc).cast("string"))
+        data.withColumn("__pval", dvPvalExpr(spark, base, pc))
           .withColumn("__fv",
             coalesce(regexp_extract(input_file_name(), "files/v(\\d+)/", 1)
               .cast("int"), lit(-1)))
@@ -1552,7 +1594,7 @@ object ManifestTable {
     // vector. Delete-only vectors (no cuts) take the plain anti-join.
     val hotData = spark.read
       .parquet(hot.map { case (_, rel) => resolve(base, rel) }: _*)
-      .withColumn("__pval", col(partCol).cast("string"))
+      .withColumn("__pval", dvPvalExpr(spark, base, partCol))
     val survivors =
       if (dvs.forall(rel => dvCutOf(spark, base, rel) == Int.MaxValue))
         hotData
@@ -1566,7 +1608,7 @@ object ManifestTable {
         .join(broadcast(pairs), Seq(keyCol, "__pval"), "left")
         .filter(col("__cut").isNull || col("__fv") >= col("__cut"))
         .drop("__pval", "__fv", "__cut")
-    val newFiles = writeSnapshotFiles(spark, base, v + 1, survivors, partCol)
+    val newFiles = writeSnapshotFilesLayout(spark, base, v + 1, survivors, partCol)
     // the purge's commit DROPS the folded markers (dropDvMarkers) — a DV
     // that landed after the read is caught by the retry's marker check
     // and classifies as a conflict (this purge did not fold it)
@@ -3779,10 +3821,11 @@ object ManifestTable {
            |FROM graft_cat.`$ft` f JOIN graft_cat.`$dt` d ON f.o_year = d.o_year
            |GROUP BY 1 ORDER BY 1""".stripMargin)
       // materialize INSIDE the conf scope — the plan must execute under
-      // the storage-partitioned settings, not whatever runs next
-      val rows = df.collect().toSeq
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), df.schema)
+      // the storage-partitioned settings, not whatever runs next. EAGER
+      // localCheckpoint keeps the grouped result on the EXECUTORS: the
+      // driver's footprint stays metadata-sized however many groups the
+      // join produces (a collect here would scale with key cardinality)
+      df.localCheckpoint()
     } finally {
       oldBucketing match {
         case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
@@ -5326,8 +5369,8 @@ object ManifestTable {
            |  ON f.o_custkey = d.c_custkey
            |WHERE d.bal_cents > 0
            |GROUP BY 1 ORDER BY 1""".stripMargin)
-      val rows = df.collect().toSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), df.schema)
+      // eager executor-side materialization under the confs (see q_spj_join)
+      df.localCheckpoint()
     } finally olds.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
@@ -5364,10 +5407,113 @@ object ManifestTable {
            |FROM graft_cat.`$ft` f JOIN graft_cat.`$dt` d
            |  ON f.o_custkey = d.c_custkey
            |GROUP BY 1 ORDER BY 1""".stripMargin)
-      // materialize INSIDE the conf scope (the plan must execute under
-      // the storage-partitioned settings)
-      val rows = df.collect().toSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), df.schema)
+      // eager executor-side materialization under the confs (see q_spj_join)
+      df.localCheckpoint()
+    } finally {
+      oldBucketing match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      oldBroadcast match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  /** Build-once BUCKET × MERGE-ON-READ fixture: a `bucket(8, o_custkey)`
+    * orders table stamped `write.mode=merge-on-read` (+ `keyCol`) that
+    * takes BOTH row-level SQL verbs after its bucketed INSERT —
+    *   - `DELETE … WHERE o_orderkey < 150` (translatable → routed through
+    *     [[deleteWhereMoR]]): one pending vector whose `__pval` is the
+    *     BUCKET ID, zero data files touched;
+    *   - `UPDATE … SET o_totalprice += 1 WHERE o_orderkey % 10 = 3` (the
+    *     `SupportsDelta` row-level path): a second, version-fenced vector
+    *     plus updated copies staged through the same bucket-clustered
+    *     writer.
+    * The engine's flagship 100 TB layout can now take a GDPR delete: no
+    * verb rewrites a committed file, and every pval in the table stays a
+    * bucket id — require-pinned at build, so `KeyGroupedPartitioning`
+    * (and the zero-exchange join, pinned in `BucketJoinSpec`) survives
+    * both commits. */
+  private[sources] def bucketMorFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("bucketmor", dir), {
+        val b = s"${graft.Scratch.root}/orders_bkmor_${graft.Scratch.dirToken(dir)}"
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root",
+          new java.io.File(b).getParent)
+        val tbl = new java.io.File(b).getName
+        val fs = fsOf(spark, new Path(b))
+        fs.delete(new Path(b), true)
+        spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+          |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+          |PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
+        setTableProperty(spark, b, "keyCol", "o_orderkey")
+        setTableProperty(spark, b, "write.mode", "merge-on-read")
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .createOrReplaceTempView("graft_bkmor_orders")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_bkmor_orders")
+        spark.sql(s"DELETE FROM graft_cat.`$tbl` WHERE o_orderkey < 150")
+        // layout-preserving, require-pinned: the delete rewrote NOTHING
+        // (v1 = the CREATE's empty manifest, v2 = INSERT, v3 = DELETE)
+        require(entries(spark, b, 3) == entries(spark, b, 2),
+          "bucket MoR DELETE must not rewrite any data file")
+        require(pendingDvRels(spark, b).size == 1,
+          "bucket MoR DELETE must leave exactly one pending vector")
+        spark.sql(s"""UPDATE graft_cat.`$tbl`
+          |SET o_totalprice = o_totalprice + 1.0
+          |WHERE o_orderkey % 10 = 3""".stripMargin)
+        require(pendingDvRels(spark, b).size == 2,
+          "bucket MoR UPDATE must stack a second (fenced) vector")
+        // every pval — original files AND the update's staged copies —
+        // is still a bucket id, so the layout survived both verbs
+        val pvals = entries(spark, b, 4).map(_._1).distinct
+        require(pvals.forall(p => p.toInt >= 0 && p.toInt < 8),
+          s"bucket MoR verbs must keep bucket-id pvals, got $pvals")
+        b
+      })
+    }
+
+  /** Registered BUCKET-LAYOUT MERGE-ON-READ DELETE + UPDATE: row-level
+    * SQL on the engine's own flagship layout. The [[bucketMorFixture]]
+    * table (bucketed orders after a MoR DELETE and a MoR UPDATE) joins
+    * the bucketed customer dim storage-partitioned — the vectors apply
+    * IN-SCAN (the reader hashes each row's key to its bucket id and
+    * checks the pair against the vector, version-fenced), the updated
+    * copies read from their bucket-id pvals, and the join still plans
+    * with ZERO exchanges (`BucketJoinSpec`). The oracle replays the
+    * delete + re-pricing over plain orders × customer, so a vector
+    * hiding too much (or too little), a mis-bucketed staged copy, or a
+    * fence miss all hash-mismatch. */
+  val bucketDeleteMoR: QuerySpec = QuerySpec.sql(
+    "q_bucket_delete_mor",
+    """WITH o2 AS (SELECT o_custkey,
+      |                   CASE WHEN o_orderkey % 10 = 3
+      |                        THEN o_totalprice + 1.0
+      |                        ELSE o_totalprice END AS price
+      |            FROM orders WHERE o_orderkey >= 150)
+      |SELECT o2.o_custkey AS custkey, count(*) AS n,
+      |       CAST(sum(floor(o2.price * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM o2 JOIN customer c ON o2.o_custkey = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val fact = bucketMorFixture(spark, dir)
+    val (_, dim) = bucketFixture(spark, dir)
+    val (ft, dt) = (new java.io.File(fact).getName, new java.io.File(dim).getName)
+    val oldBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val oldBroadcast = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(
+        s"""SELECT f.o_custkey AS custkey, count(*) AS n,
+           |       CAST(sum(floor(f.o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+           |FROM graft_cat.`$ft` f JOIN graft_cat.`$dt` d
+           |  ON f.o_custkey = d.c_custkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+      // eager executor-side materialization under the confs (see q_spj_join)
+      df.localCheckpoint()
     } finally {
       oldBucketing match {
         case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
@@ -5537,5 +5683,5 @@ object ManifestTable {
       catalogChanges, catalogConstraint, catalogDefault,
       catalogTag, tableBranch, catalogBranch, branchRebase, mergeSchema,
       streamWap, bucketJoin, catalogRefs, bucketJoinMixed, streamBranchRead,
-      catalogWap)
+      catalogWap, bucketDeleteMoR)
 }

@@ -131,6 +131,86 @@ class BucketJoinSpec extends AnyFunSuite {
       Option(e2.getCause).exists(_.getMessage.contains("bucket-layout")))
   }
 
+  test("MoR row-level verbs preserve the bucket layout; join stays exchange-free") {
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/bkmor_spec"
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root",
+      new java.io.File(base).getParent)
+    val tbl = new java.io.File(base).getName
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+      |PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
+    ManifestTable.setTableProperty(spark, base, "keyCol", "o_orderkey")
+    ManifestTable.setTableProperty(spark, base, "write.mode", "merge-on-read")
+    t.createOrReplaceTempView("bkmor_spec_orders")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM bkmor_spec_orders")
+    val total = t.count()
+    val delCohort = t.filter(col("o_orderkey") < 150).count()
+    val updCohort = t.filter(col("o_orderkey") >= 150 &&
+      col("o_orderkey") % 10 === 3).count()
+    assert(delCohort > 0 && updCohort > 0, "cohorts must be non-empty")
+
+    // MoR DELETE: metadata-only, in-scan vector application
+    spark.sql(s"DELETE FROM graft_cat.`$tbl` WHERE o_orderkey < 150")
+    assert(ManifestTable.entries(spark, base, 3) ===
+      ManifestTable.entries(spark, base, 2),
+      "bucket MoR DELETE must not rewrite any data file")
+    assert(ManifestTable.pendingDvRels(spark, base).size === 1)
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0) ===
+      total - delCohort, "in-scan DV must hide exactly the deleted cohort")
+
+    // MoR UPDATE: second fenced vector + bucket-pval staged copies
+    spark.sql(s"""UPDATE graft_cat.`$tbl`
+      |SET o_totalprice = o_totalprice + 1.0
+      |WHERE o_orderkey % 10 = 3""".stripMargin)
+    assert(ManifestTable.pendingDvRels(spark, base).size === 2,
+      "MoR UPDATE must stack a second vector")
+    val pvals = ManifestTable.entries(spark, base, 4).map(_._1).distinct
+    assert(pvals.forall(p => p.toInt >= 0 && p.toInt < 8),
+      s"pvals must stay bucket ids, got $pvals")
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0) ===
+      total - delCohort, "update must not change cardinality")
+    // updated rows read back re-priced; the fence kept the copies visible
+    val expCents = t.filter(col("o_orderkey") >= 150)
+      .withColumn("price", when(col("o_orderkey") % 10 === 3,
+        col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+      .agg(sum(floor(col("price") * 100 + 0.5).cast("long"))).head.getLong(0)
+    val gotCents = spark.sql(
+      s"""SELECT CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT)
+         |FROM graft_cat.`$tbl`""".stripMargin).head.getLong(0)
+    assert(gotCents === expCents, "MoR update must re-price exactly the cohort")
+
+    // and the flagship join still plans with ZERO exchanges
+    val (_, dim) = ManifestTable.bucketFixture(spark, sf)
+    val dt = new java.io.File(dim).getName
+    val oldB = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val oldT = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(
+        s"""SELECT f.o_custkey, count(*) AS n, max(d.bal_cents) AS bal
+           |FROM graft_cat.`$tbl` f JOIN graft_cat.`$dt` d
+           |  ON f.o_custkey = d.c_custkey
+           |GROUP BY 1""".stripMargin)
+      assert(df.count() > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucket join after MoR delete+update still shuffled:\n$plan")
+    } finally {
+      oldB match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      oldT match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("non-BIGINT bucket keys refuse at CREATE") {
     spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
     spark.conf.set("spark.sql.catalog.graft_cat.root",
