@@ -854,9 +854,17 @@ private[sources] object ManifestMetaAgg {
           (Mx(f.name), StructField(s"max_${f.name}", f.dataType))
       }
       // SUM is answerable from the per-file sums the sidecar carries —
-      // INTEGRAL columns only (exact in any addition order; a float sum
-      // re-associated across files could differ from the row-scan answer,
-      // so it is refused, never approximated). Spark types sum(int)/
+      // INTEGRAL columns only. This refusal is PERMANENT, not a gap: IEEE
+      // addition is non-associative, so a float SUM assembled from
+      // per-file partials can differ in the last bits from the row-scan
+      // answer depending on file layout — the same query would then
+      // change value under OPTIMIZE, and the metadata fast path would
+      // disagree with the scan it claims to replace. A compensated
+      // (Kahan) per-file sum shrinks but cannot close that gap (the
+      // cross-file combine still re-associates). Exactness is the
+      // contract of this pushdown; float SUMs take the ordinary scan,
+      // which Spark executes with one deterministic plan. Pinned by the
+      // "floats and DISTINCT refuse" spec. Spark types sum(int)/
       // sum(long) as LongType, which is exactly the sidecar's arithmetic.
       case s: Sum if !s.isDistinct => fieldName(s.column).flatMap(colField).collect {
         case f if f.dataType == LongType || f.dataType == IntegerType =>
@@ -1974,6 +1982,10 @@ private[sources] object ManifestMetaTables {
 
   private val ChangesRe = "changes_([A-Za-z0-9_]+_[A-Za-z0-9_]+)".r
   private val BranchRe = "branch_([A-Za-z][A-Za-z0-9_]*)".r
+  // branch CDF endpoints are version NUMBERS (tags pin MAIN versions);
+  // matched BEFORE BranchRe so `_changes_<v>_<v>` never parses as a name
+  private val BranchChangesRe =
+    "branch_([A-Za-z][A-Za-z0-9_]*)_changes_(\\d+)_(\\d+)".r
 
   /** `$changes` endpoints resolve like `VERSION AS OF`: a number is a
     * version, anything else is a TAG name. */
@@ -2038,6 +2050,22 @@ private[sources] object ManifestMetaTables {
         val (from, to) = changesEndpoints(spark, base, rest)
         require(from <= to, s"\\$$changes_$rest: from (v$from) must be <= to (v$to)")
         new ManifestChangesTable(base, fullName, served(), from, to)
+      case BranchChangesRe(name, fromS, toS) =>
+        // `$branch_<name>_changes_<from>_<to>`: the change feed of the
+        // BRANCH's sequence — write-audit-publish's audit step reads what
+        // the staged waves changed, not just the branch's state
+        val vs = ManifestTable.branchVersions(spark, base, name)
+        require(vs.nonEmpty,
+          s"no branch named '$name' under $base — branches: " +
+            ManifestTable.listBranches(spark, base).map(_._1).mkString("[", ", ", "]"))
+        val (from, to) = (fromS.toInt, toS.toInt)
+        require(from <= to,
+          s"\\$$branch_${name}_changes: from (v$from) must be <= to (v$to)")
+        require((from == vs.head - 1 || vs.contains(from)) && vs.contains(to),
+          s"\\$$branch_${name}_changes: endpoints must be branch versions " +
+            s"${vs.mkString("[", ", ", "]")} (from may also be " +
+            s"v${vs.head - 1} = fork-1, emitting the fork's content)")
+        new ManifestChangesTable(base, fullName, served(), from, to, Some(name))
       case BranchRe(name) =>
         require(ManifestTable.branchExists(spark, base, name),
           s"no branch named '$name' under $base — branches: " +
@@ -2055,7 +2083,8 @@ private[sources] object ManifestMetaTables {
             Seq(n, "branch", Int.box(fork), Int.box(head)) })
       case other => throw new UnsupportedOperationException(
         s"unknown metadata table $$$other — supported: $$history, " +
-          "$partitions, $files, $refs, $changes_<from>_<to>, $branch_<name>")
+          "$partitions, $files, $refs, $changes_<from>_<to>, $branch_<name>, " +
+          "$branch_<name>_changes_<from>_<to>")
     }
   }
 
@@ -2083,9 +2112,14 @@ private[sources] object ManifestMetaTables {
 /** The `$changes_<from>_<to>` table: the change feed between two
   * snapshots as one distributed batch read, reusing the CDF stream's
   * per-version planning (version `from` is the BASE — its rows are not
-  * emitted; every commit in (from, to] streams as images). */
+  * emitted; every commit in (from, to] streams as images). With `branch`
+  * set (`$branch_<name>_changes_<from>_<to>`), the feed walks the
+  * BRANCH's manifest sequence — the audit step of write-audit-publish
+  * can inspect what the staged waves CHANGED, not just the branch's
+  * state. */
 final class ManifestChangesTable(base: String, fullName: String,
-    dataSchema: StructType, from: Int, to: Int)
+    dataSchema: StructType, from: Int, to: Int,
+    branch: Option[String] = None)
     extends org.apache.spark.sql.connector.catalog.Table
     with org.apache.spark.sql.connector.catalog.SupportsRead {
   import org.apache.spark.sql.connector.catalog.TableCapability
@@ -2103,7 +2137,8 @@ final class ManifestChangesTable(base: String, fullName: String,
       override def readSchema(): StructType = full
       override def toBatch: org.apache.spark.sql.connector.read.Batch =
         new org.apache.spark.sql.connector.read.Batch {
-          private val stream = new ManifestMicroBatchStream(base, full, changeFeed = true)
+          private val stream =
+            new ManifestMicroBatchStream(base, full, changeFeed = true, branch)
           override def planInputPartitions(): Array[InputPartition] =
             stream.planInputPartitions(VersionOffset(from), VersionOffset(to))
           override def createReaderFactory(): PartitionReaderFactory =
@@ -2118,18 +2153,155 @@ final class ManifestChangesTable(base: String, fullName: String,
   * RENAME serves the current logical names). Branches carry no deletion
   * vectors by construction ([[ManifestTable.createBranch]] refuses
   * pending vectors, appends add none), so the scan is a plain file
-  * union. One InputPartition per branch manifest entry. */
+  * union. One InputPartition per branch manifest entry.
+  *
+  * WRITABLE, and not just INSERT: SQL `DELETE` / `UPDATE` / `MERGE INTO`
+  * against the branch run as GROUP-based copy-on-write rewrites of the
+  * BRANCH sequence — write-audit-FIX-publish: an audit that finds bad
+  * rows corrects them on the branch with plain SQL, main never moves,
+  * and the corrected head publishes by one [[ManifestTable.fastForward]]
+  * (which swaps full content, so fork-file rewrites are fine;
+  * [[ManifestTable.rebasePublish]] keeps refusing them, by design).
+  * Identity layouts only — a bucket branch's pvals are bucket ids the
+  * group rewrite would misread. */
 final class ManifestBranchTable(base: String, fullName: String,
     dataSchema: StructType, branch: String)
     extends org.apache.spark.sql.connector.catalog.Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import org.apache.spark.sql.connector.catalog.TableCapability
 
   override def name(): String = fullName
   override def schema(): StructType = dataSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_pval"
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "manifest partition value of the row's file"
+    })
+
+  private def props = ManifestTable.tableProperties(
+    org.apache.spark.sql.SparkSession.active, base)
+
+  private def requireIdentityLayout(verb: String): String = {
+    if (props.contains("bucket.n"))
+      throw new UnsupportedOperationException(
+        s"$verb on branch '$branch' of the bucket-layout table $base is " +
+          "not supported — bucket pvals are hash ids the group rewrite " +
+          "would misread; fix rows before staging, or on main after publish")
+    props.getOrElse("partCol", throw new UnsupportedOperationException(
+      s"$verb on a branch needs the partCol table property under $base"))
+  }
+
+  /** SQL `DELETE FROM graft_cat.\`t$branch_<name>\` WHERE ...`: the
+    * translated predicate runs through the branch-sequence copy-on-write
+    * [[ManifestTable.deleteWhereBranch]] — only the branch's touched
+    * groups rewrite, main is untouched. Untranslatable predicates fall
+    * through to the row-level op below. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val mapped = props.get("colmap").exists(_.contains(">")) ||
+      props.get("deadcols").exists(_.nonEmpty)
+    filters.forall(f => ManifestDeleteSql.toColumn(f).isDefined) &&
+      filters.exists(!_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]) &&
+      props.contains("partCol") && !mapped && !props.contains("bucket.n")
+  }
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val partCol = requireIdentityLayout("DELETE")
+    val preds = filters
+      .filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+      .flatMap(ManifestDeleteSql.toColumn).toSeq
+    require(preds.nonEmpty, "branch DELETE requires a translated predicate")
+    ManifestTable.deleteWhereBranch(spark, base, branch,
+      preds.reduce(_ && _), partCol)
+    ()
+  }
+
+  /** SQL `UPDATE` / `MERGE INTO` / non-translatable `DELETE` on the
+    * branch: the same group-based copy-on-write shape as the main
+    * table's [[ManifestRowLevelOp]], committed to the BRANCH sequence
+    * with the classified branch retry. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new ManifestBranchRowLevelOp(this, base, branch, info.command())
+
+  /** Branch scan with COLUMN PRUNING, a PLANNING RECORDER (the pvals the
+    * executed scan read and the branch head it read them at — the write
+    * side's replace set), and the RUNTIME GROUP FILTER face row-level
+    * operations prune through (same `SupportsRuntimeFiltering` contract
+    * as the main scan: only matched groups rewrite). */
+  private[sources] def scanBuilderRecording(
+      onPlan: (Seq[String], Int) => Unit): ScanBuilder =
+    new ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var projected: StructType = dataSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        if (requiredSchema.nonEmpty) projected = requiredSchema
+      override def build(): Scan = new Scan
+          with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+        @volatile private var runtimePvals: Option[Set[String]] = None
+        override def readSchema(): StructType = projected
+        override def filterAttributes()
+            : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          ManifestTable.tableProperties(
+            org.apache.spark.sql.SparkSession.active, base).get("partCol")
+            .filter(_ => !ManifestTable.tableProperties(
+              org.apache.spark.sql.SparkSession.active, base).contains("bucket.n"))
+            .filter(c => projected.fieldNames.exists(_.equalsIgnoreCase(c)))
+            .map(c => Array(
+              org.apache.spark.sql.connector.expressions.Expressions.column(c)))
+            .getOrElse(Array.empty)
+        override def filter(
+            filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+          import org.apache.spark.sql.sources.{EqualTo, In}
+          val keyCol = ManifestTable.tableProperties(
+            org.apache.spark.sql.SparkSession.active, base).get("partCol")
+          val sets = filters.toSeq.flatMap {
+            case In(a, vs) if keyCol.exists(_.equalsIgnoreCase(a)) =>
+              Some(vs.filter(_ != null).map(_.toString).toSet)
+            case EqualTo(a, v) if keyCol.exists(_.equalsIgnoreCase(a)) && v != null =>
+              Some(Set(v.toString))
+            case _ => None
+          }
+          if (sets.nonEmpty) runtimePvals = Some(sets.reduce(_ intersect _))
+        }
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          new org.apache.spark.sql.connector.read.Batch {
+            override def planInputPartitions(): Array[InputPartition] = {
+              val spark = org.apache.spark.sql.SparkSession.active
+              val head = ManifestTable.branchVersions(spark, base, branch).last
+              val es = ManifestTable.branchEntries(spark, base, branch)
+              val kept = runtimePvals match {
+                case Some(pv) => es.filter { case (p, _) => pv(p) }
+                case None => es
+              }
+              onPlan(kept.map(_._1).distinct, head)
+              kept.map { case (pval, rel) =>
+                val abs = if (rel.startsWith("/") || rel.contains("://")) rel
+                  else s"$base/$rel"
+                ManifestFilePartition(abs, pval): InputPartition
+              }.toArray
+            }
+            override def createReaderFactory(): PartitionReaderFactory = {
+              val spark = org.apache.spark.sql.SparkSession.active
+              new ManifestFileReaderFactory(projected,
+                colmap = ManifestColMap.of(spark, base),
+                defaults = ManifestColMap.defaults(spark, base, projected))
+            }
+          }
+      }
+    }
 
   /** SQL `INSERT INTO graft_cat.\`t$branch_<name>\` ...` — the staged
     * side of write-audit-publish in plain SQL: the same staged-files
@@ -2166,27 +2338,105 @@ final class ManifestBranchTable(base: String, fullName: String,
         }
     }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new Scan {
-      override def readSchema(): StructType = dataSchema
-      override def toBatch: org.apache.spark.sql.connector.read.Batch =
-        new org.apache.spark.sql.connector.read.Batch {
-          override def planInputPartitions(): Array[InputPartition] = {
-            val spark = org.apache.spark.sql.SparkSession.active
-            ManifestTable.branchEntries(spark, base, branch).map {
-              case (pval, rel) =>
-                val abs = if (rel.startsWith("/") || rel.contains("://")) rel
-                  else s"$base/$rel"
-                ManifestFilePartition(abs, pval): InputPartition
-            }.toArray
-          }
-          override def createReaderFactory(): PartitionReaderFactory = {
-            val spark = org.apache.spark.sql.SparkSession.active
-            new ManifestFileReaderFactory(dataSchema,
-              colmap = ManifestColMap.of(spark, base),
-              defaults = ManifestColMap.defaults(spark, base, dataSchema))
-          }
+    scanBuilderRecording((_, _) => ())
+}
+
+/** GROUP-based row-level operation on a BRANCH — SQL `UPDATE` /
+  * `MERGE INTO` / non-translatable `DELETE` against `t$branch_<name>`:
+  * the scan records which groups (and which branch head) it read, the
+  * write stages their full new content, and the commit replaces exactly
+  * those groups on the BRANCH sequence — main never moves. The audit
+  * step of write-audit-publish can now FIX rows, not just inspect them. */
+final class ManifestBranchRowLevelOp(table: ManifestBranchTable, base: String,
+    branch: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  @volatile private[sources] var planned: Option[(Set[String], Int)] = None
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    table.scanBuilderRecording((pvals, v) => planned = Some((pvals.toSet, v)))
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_pval"))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val spark0 = org.apache.spark.sql.SparkSession.active
+    val props0 = ManifestTable.tableProperties(spark0, base)
+    if (props0.contains("bucket.n"))
+      throw new UnsupportedOperationException(
+        s"row-level $cmd on branch '$branch' of the bucket-layout table " +
+          s"$base is not supported — bucket pvals are hash ids the group " +
+          "rewrite would misread")
+    val partCol = props0.getOrElse("partCol",
+      throw new UnsupportedOperationException(
+        s"row-level $cmd on a branch needs the partCol table property under $base"))
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              Array(org.apache.spark.sql.connector.expressions.Expressions
+                .identity(partCol)))
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new ManifestBranchReplaceGroups(base, branch, info.schema(),
+              partCol, () => planned)
         }
     }
+  }
+}
+
+/** The branch-sequence twin of [[ManifestReplaceGroups]]: staged files
+  * become the new content of every group the operation's scan read AT
+  * THE BRANCH HEAD IT READ; untouched branch groups carry by reference;
+  * the commit lands through the classified branch retry
+  * ([[ManifestTable.commitBranchRetrying]]). */
+final class ManifestBranchReplaceGroups(base: String, branch: String,
+    schema: StructType, partCol: String,
+    planned: () => Option[(Set[String], Int)])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestBatchWriterFactory(base, schema, partCol)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(base).getFileSystem(new Configuration())
+    val staged = messages.flatMap { case m: ManifestSinkFiles => m.files }.toSeq
+    val spark = org.apache.spark.sql.SparkSession.active
+    // same fail-loud rule as the main replace: an unknown read set must
+    // never default to replace-all (the branch head stays intact)
+    val (replaced, readHead) = planned().getOrElse(throw new IllegalStateException(
+      s"row-level write on branch '$branch' under $base: the operation's " +
+        "scan never planned, so the replace set is unknown — refusing to commit"))
+    val next = ManifestTable.branchVersions(spark, base, branch).last + 1
+    val moved = staged.map { case (pval, abs) =>
+      val destDir = new Path(base, s"files/v$next/p=$pval")
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, new Path(abs).getName)
+      if (!fs.rename(new Path(abs), dest))
+        throw new java.io.IOException(s"branch replace move failed: $abs")
+      (pval, s"files/v$next/p=$pval/${dest.getName}")
+    }
+    ManifestTable.commitBranchRetrying(spark, base, branch, readHead,
+      moved, Some(replaced))
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(base).getFileSystem(new Configuration())
+    messages.foreach {
+      case m: ManifestSinkFiles =>
+        m.files.foreach { case (_, p) => fs.delete(new Path(p), false) }
+      case _ =>
+    }
+  }
 }
 
 /** Batch read of one committed snapshot through the same connector — the
@@ -2438,9 +2688,6 @@ final class ManifestMicroBatchStream(base: String, schema: StructType,
     // append is a batch. Audit a WAP feed as a stream before publishing.
     branch: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
-  require(!(changeFeed && branch.isDefined),
-    "change-feed consumption of a BRANCH is not supported — branches are " +
-      "append-only staging; stream the branch plainly or publish first")
 
   // driver-side manifest arithmetic (metadata-sized, like every commit op)
   private def fs: FileSystem =
@@ -2539,15 +2786,22 @@ final class ManifestMicroBatchStream(base: String, schema: StructType,
         // merge-on-read DELETE (no file change at all) emits the
         // DV-named rows of the touched partitions' carried files as
         // delete images
+        // on a BRANCH the first consumable version is the FORK: its whole
+        // content streams as the initial insert wave (diff against empty),
+        // exactly like the plain branch stream's batch one
         val cur = entriesPvalOf(v)
-        val prev = if (v == 1) Seq.empty[(String, String)] else entriesPvalOf(v - 1)
+        val prev = if (v == first) Seq.empty[(String, String)] else entriesPvalOf(v - 1)
         val curSet = cur.map(_._2).toSet
         val prevSet = prev.map(_._2).toSet
         val inserts = cur.filterNot(c => prevSet(c._2))
           .map { case (_, rel) => CdfFilePartition(abs(rel), "insert", v): InputPartition }
         val deletes = prev.filterNot(p => curSet(p._2))
           .map { case (_, rel) => CdfFilePartition(abs(rel), "delete", v): InputPartition }
-        val dvParts = ManifestDvSidecar.pairsAt(base, v).flatMap {
+        // DV markers live on MAIN manifests only (branches carry no
+        // vectors by construction) — a branch feed must never read main's
+        // same-numbered manifest for them
+        val dvParts = (if (branch.isDefined) Seq.empty
+          else ManifestDvSidecar.pairsAt(base, v)).flatMap {
           case (cut, kc, dvm) => cur.collect {
             // the version fence scopes the delete images exactly like the
             // read path: only files BELOW the vector's cut — an update

@@ -237,10 +237,18 @@ object ManifestTable {
   private[sources] def commitRetrying(
       spark: SparkSession, base: String, readV: Int,
       staged: Seq[(String, String)], replaced: Option[Set[String]],
-      maxAttempts: Int = 20, dropDvMarkers: Boolean = false): Int = {
+      maxAttempts: Int = 20, dropDvMarkers: Boolean = false,
+      // the constraint set the CALLER observed BEFORE staging — a CHECK
+      // added any time after that validated only COMMITTED data, so the
+      // staged files must be revalidated against it before any attempt
+      // names them. None = snapshot at entry (covers the retry loop;
+      // verbs with long staging windows pass their pre-stage view).
+      stagedConstraints: Option[Map[String, String]] = None): Int = {
+    var knownCs = stagedConstraints.getOrElse(constraintSet(spark, base))
     var attempt = 0
     while (true) {
       attempt += 1
+      knownCs = revalidateNewConstraints(spark, base, knownCs, staged)
       val cur = currentVersion(spark, base)
       if (cur != readV) {
         // a DV committed after the read names rows the staged files did
@@ -303,9 +311,11 @@ object ManifestTable {
       spark: SparkSession, base: String, readV: Int,
       staged: Seq[(String, String)], verb: String,
       maxAttempts: Int = 20): Int = {
+    var knownCs = constraintSet(spark, base)
     var attempt = 0
     while (true) {
       attempt += 1
+      knownCs = revalidateNewConstraints(spark, base, knownCs, staged)
       val cur = currentVersion(spark, base)
       if (cur != readV) {
         val newDvs = dvMarkersAt(spark, base, cur)
@@ -381,6 +391,43 @@ object ManifestTable {
     moved
   }
 
+  private def constraintSet(spark: SparkSession, base: String): Map[String, String] =
+    tableProperties(spark, base).filter(_._1.startsWith("constraint."))
+
+  /** Close the stage-to-commit CONSTRAINT TOCTOU: an `ADD CONSTRAINT`
+    * landing between a writer's stage-time validation and its (possibly
+    * rebased) commit validated only COMMITTED data — this writer's staged
+    * files were invisible to it. Each commit attempt re-reads the
+    * constraint properties (a driver-side metadata read; no scan on the
+    * common path) and validates the STAGED files against any constraint
+    * that appeared or changed since `known`, deleting them and failing
+    * loudly on a violation. ADD CONSTRAINT bumps no manifest version, so
+    * this check cannot hide behind the version-movement test. Returns
+    * the constraint set now known. */
+  private def revalidateNewConstraints(spark: SparkSession, base: String,
+      known: Map[String, String],
+      staged: Seq[(String, String)]): Map[String, String] = {
+    val cur = constraintSet(spark, base)
+    val fresh = cur.filter { case (k, v) => !known.get(k).contains(v) }
+    if (fresh.nonEmpty && staged.nonEmpty) {
+      val df = spark.read.parquet(
+        staged.map { case (_, rel) => resolve(base, rel) }: _*)
+      fresh.foreach { case (k, sql) =>
+        val bad = df.filter(!org.apache.spark.sql.functions.expr(sql))
+          .limit(1).collect()
+        if (bad.nonEmpty) {
+          val fs = fsOf(spark, new Path(base))
+          staged.foreach { case (_, rel) => fs.delete(new Path(base, rel), false) }
+          throw new IllegalArgumentException(
+            s"CHECK constraint ${k.stripPrefix("constraint.")} ($sql) was " +
+              s"added after this write staged and is violated by staged row " +
+              s"${bad.head} — write refused, nothing committed")
+        }
+      }
+    }
+    cur
+  }
+
   /** CHECK constraints on the PROGRAMMATIC write path: staged files are
     * validated before any commit can name them (the SQL path is enforced
     * earlier still, by Spark's own check-invariant in the write plan —
@@ -442,6 +489,7 @@ object ManifestTable {
   def merge(
       spark: SparkSession, base: String, updates: DataFrame,
       keyCol: String, partCol: String, failBeforeCommit: Boolean = false): Unit = {
+    val cs0 = constraintSet(spark, base) // pre-stage view, see commitRetrying
     val v = currentVersion(spark, base)
     val (touched, _, newFiles) =
       prepareMergeParts(spark, base, updates, keyCol, partCol, v)
@@ -449,7 +497,8 @@ object ManifestTable {
       throw new RuntimeException("injected crash before manifest commit")
     // classified-conflict retry: a concurrent commit into OTHER partitions
     // rebases and retries; one into a touched partition fails loudly
-    commitRetrying(spark, base, v, newFiles, Some(touched))
+    commitRetrying(spark, base, v, newFiles, Some(touched),
+      stagedConstraints = Some(cs0))
     refreshAllStats(spark, base)
   }
 
@@ -509,6 +558,7 @@ object ManifestTable {
       spark: SparkSession, base: String, pred: org.apache.spark.sql.Column,
       partCol: String, failBeforeCommit: Boolean = false): Boolean = {
     requireNoPendingDv(spark, base, "deleteWhere")
+    val cs0 = constraintSet(spark, base) // pre-stage view, see commitRetrying
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
     val touched = read(spark, base).filter(pred)
@@ -522,7 +572,8 @@ object ManifestTable {
     val newFiles = writeSnapshotFiles(spark, base, v + 1, survivors, partCol)
     if (failBeforeCommit)
       throw new RuntimeException("injected crash before manifest commit")
-    commitRetrying(spark, base, v, newFiles, Some(touched))
+    commitRetrying(spark, base, v, newFiles, Some(touched),
+      stagedConstraints = Some(cs0))
     refreshAllStats(spark, base)
     true
   }
@@ -590,13 +641,16 @@ object ManifestTable {
     * lands this way. The price is FRAGMENTATION: a partition accumulates
     * one file set per append until [[optimizeTable]] compacts it. Atomic
     * and crash-safe like every verb here (the commit rename). */
-  def append(spark: SparkSession, base: String, df: DataFrame, partCol: String): Unit = {
+  def append(spark: SparkSession, base: String, df: DataFrame, partCol: String,
+      raceInject: () => Unit = () => ()): Unit = {
     requireNoPendingDv(spark, base, "append")
+    val cs0 = constraintSet(spark, base) // pre-stage view, see commitRetrying
     val v = currentVersion(spark, base)
     val newFiles = writeSnapshotFiles(spark, base, v + 1, df, partCol)
+    raceInject() // test hook: a concurrent commit between stage and commit
     // appends commute with any interleaved commit: losing the version race
     // rebases onto the winner's entries and retries
-    commitRetrying(spark, base, v, newFiles, None)
+    commitRetrying(spark, base, v, newFiles, None, stagedConstraints = Some(cs0))
     refreshAllStats(spark, base)
   }
 
@@ -1893,6 +1947,144 @@ object ManifestTable {
       }
     }
     -1 // unreachable
+  }
+
+  /** Branch-sequence twin of [[commitRetrying]]: commit `staged` onto the
+    * branch HEAD with the same classified conflict resolution. With
+    * `replaced` groups, the commit is `head-entries-minus-replaced ++
+    * staged`; if the head moved since `readHead`, the replaced groups'
+    * entries must be EXACTLY what the rewrite read (else
+    * [[ConcurrentRewriteException]] — the staged content was computed
+    * from rows that are no longer the branch's truth); commits into
+    * other groups rebase and retry. Returns the branch version that
+    * committed. */
+  private[sources] def commitBranchRetrying(spark: SparkSession, base: String,
+      name: String, readHead: Int, staged: Seq[(String, String)],
+      replaced: Option[Set[String]], maxAttempts: Int = 20): Int = {
+    // same stage-to-commit constraint TOCTOU closure as the main retry
+    var knownCs = constraintSet(spark, base)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      knownCs = revalidateNewConstraints(spark, base, knownCs, staged)
+      val head = branchVersions(spark, base, name).last
+      val es = entriesAt(spark,
+        new Path(manifestDir(base), branchManifestName(name, head)))
+      replaced.foreach { reps =>
+        if (head != readHead) {
+          val before = entriesAt(spark,
+            new Path(manifestDir(base), branchManifestName(name, readHead)))
+            .filter { case (p, _) => reps(p) }.toSet
+          val now = es.filter { case (p, _) => reps(p) }.toSet
+          if (before != now)
+            throw new ConcurrentRewriteException(
+              s"branch $name under $base: replaced groups changed between " +
+                s"read (v$readHead) and commit (v$head) — re-run the statement")
+        }
+      }
+      val merged = replaced match {
+        case Some(reps) => es.filterNot { case (p, _) => reps(p) } ++ staged
+        case None => es ++ staged
+      }
+      try {
+        commitNamed(spark, base, branchManifestName(name, head + 1), merged,
+          s"concurrent commit: branch $name version ${head + 1} already exists")
+        return head + 1
+      } catch {
+        case _: VersionConflictException if attempt < maxAttempts => ()
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** DELETE WHERE on a BRANCH — the copy-on-write erasure verb against
+    * the branch's manifest sequence (write-audit-FIX-publish: an audit
+    * that finds bad rows corrects the branch before the publish; main is
+    * never touched). Same touched-partition economics as [[deleteWhere]]:
+    * only the branch groups holding matching rows rewrite, the rest carry
+    * by reference. A branch that rewrote fork files publishes through
+    * [[fastForward]] (full-content swap); [[rebasePublish]] keeps
+    * refusing it, by design. Identity layouts only (a bucket branch's
+    * pvals are hash ids this grouping would misread). Returns whether a
+    * commit happened. */
+  def deleteWhereBranch(spark: SparkSession, base: String, name: String,
+      pred: org.apache.spark.sql.Column, partCol: String): Boolean = {
+    require(bucketNOf(spark, base).isEmpty,
+      s"deleteWhereBranch on the bucket-layout table $base is not supported")
+    val vs = branchVersions(spark, base, name)
+    require(vs.nonEmpty, s"no branch named $name under $base")
+    val readHead = vs.last
+    val es = entriesAt(spark,
+      new Path(manifestDir(base), branchManifestName(name, readHead)))
+    val touched = readBranch(spark, base, name).filter(pred)
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet // metadata-sized
+    if (touched.isEmpty) return false
+    val (hot, _) = es.partition { case (pval, _) => touched(pval) }
+    val survivors = spark.read
+      .parquet(hot.map { case (_, rel) => resolve(base, rel) }: _*)
+      .filter(!pred)
+    val newFiles = writeSnapshotFiles(spark, base, readHead + 1, survivors, partCol)
+    commitBranchRetrying(spark, base, name, readHead, newFiles, Some(touched))
+    true
+  }
+
+  /** OPTIMIZE a BRANCH — and stay PUBLISHABLE: a long-lived staging
+    * branch's epoch-per-commit feed accumulates small files; this
+    * compacts partitions holding at least `minFiles` of the branch's OWN
+    * APPENDED files (head minus fork) into one file each, committing a
+    * new branch version. Fork files are NEVER read or rewritten, so the
+    * branch stays append-only relative to its fork and
+    * [[rebasePublish]] still lands it onto a moved main afterwards —
+    * compaction of the fork's files belongs to main's own
+    * [[optimizeTable]]. Replacement is FILE-grained (not group-grained):
+    * a partition's fork files carry untouched next to its compacted
+    * appends. Data is byte-identical; pre-optimize branch versions stay
+    * addressable. Returns (partitions compacted, appended files before →
+    * after). */
+  def optimizeBranch(spark: SparkSession, base: String, name: String,
+      partCol: String, minFiles: Int = 2): (Int, Int, Int) = {
+    val vs = branchVersions(spark, base, name)
+    require(vs.nonEmpty, s"no branch named $name under $base")
+    val readHead = vs.last
+    val forkEs = entriesAt(spark,
+      new Path(manifestDir(base), branchManifestName(name, vs.head))).toSet
+    val headEs = entriesAt(spark,
+      new Path(manifestDir(base), branchManifestName(name, readHead)))
+    val appended = headEs.filterNot(forkEs)
+    val hotVals = appended.groupBy(_._1).filter(_._2.size >= minFiles).keySet
+    if (hotVals.isEmpty) return (0, 0, 0)
+    val hot = appended.filter { case (pval, _) => hotVals(pval) }
+    val hotSet = hot.toSet
+    val rows = spark.read.parquet(hot.map { case (_, rel) => resolve(base, rel) }: _*)
+    val newFiles = writeSnapshotFiles(spark, base, readHead + 1, rows, partCol)
+    // FILE-grained classified retry: a concurrent branch append commutes
+    // (rebase onto the new head); a commit that removed one of the files
+    // being compacted means someone rewrote rows this compaction already
+    // read — fail classified, never drop their change
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val head = branchVersions(spark, base, name).last
+      val es = entriesAt(spark,
+        new Path(manifestDir(base), branchManifestName(name, head)))
+      val esSet = es.toSet
+      val missing = hot.filterNot(esSet)
+      if (missing.nonEmpty)
+        throw new ConcurrentRewriteException(
+          s"optimizeBranch($name) under $base: ${missing.size} file(s) being " +
+            s"compacted were removed between read (v$readHead) and commit " +
+            s"(v$head) — re-run the compaction")
+      val merged = es.filterNot(hotSet) ++ newFiles
+      try {
+        commitNamed(spark, base, branchManifestName(name, head + 1), merged,
+          s"concurrent commit: branch $name version ${head + 1} already exists")
+        return (hotVals.size, hot.size, newFiles.size)
+      } catch {
+        case _: VersionConflictException if attempt < 20 => ()
+      }
+    }
+    (0, 0, 0) // unreachable
   }
 
   /** PUBLISH the branch head onto main (write-audit-publish's publish
@@ -5667,6 +5859,212 @@ object ManifestTable {
          |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Registered WRITE-AUDIT-FIX-PUBLISH: the staging INSERT ships a
+    * CORRUPTED feed (a cohort's prices negated, plus junk rows with
+    * negative keys under a year main never had), the audit finds the bad
+    * rows on the branch, and — the round's new capability — plain SQL
+    * CORRECTS them on the branch: `UPDATE t$branch_stage` re-signs the
+    * prices (the group-based branch row-level op) and
+    * `DELETE FROM t$branch_stage` drops the junk (the translatable
+    * branch-COW delete). Main is version-pinned untouched through feed,
+    * audit, and BOTH fixes; one [[fastForward]] publishes the corrected
+    * head. The oracle replays the clean feed, so an unfixed price
+    * (cents), a surviving junk row (a 1990 group appears — row-count
+    * mismatch), a fix leaking to main early, or a lost fork all
+    * hash-mismatch. */
+  val catalogWapFix: QuerySpec = QuerySpec.sql(
+    "q_catalog_wap_fix",
+    """WITH t AS (SELECT o_orderkey,
+      |                  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_staged,
+      |       CAST(sum(CASE WHEN o_orderkey % 2 = 1 AND o_orderkey % 10 = 5
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_fixed,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("sqlwapfix", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_wapxfix_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(b).getParent)
+        val tbl = new java.io.File(b).getName
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+          |(o_orderkey BIGINT, o_year INT, o_totalprice DOUBLE)
+          |PARTITIONED BY (o_year)""".stripMargin)
+        t.filter(col("o_orderkey") % 2 === 0)
+          .createOrReplaceTempView("graft_wapx_main")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_wapx_main")
+        createBranch(spark, b, "stage")
+        // the CORRUPTED feed: the mod-5 odd cohort's prices arrive
+        // negated, and three junk rows (negative keys, a year main never
+        // had) ride along
+        val feed = t.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 10 === 5, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")))
+          .unionByName(spark.range(1, 4).select(
+            (-col("id")).as("o_orderkey"),
+            lit(1990).cast("int").as("o_year"),
+            lit(1.0).as("o_totalprice")))
+        feed.createOrReplaceTempView("graft_wapx_feed")
+        spark.sql(
+          s"""INSERT INTO graft_cat.`${tbl + "$branch_stage"}`
+             |SELECT * FROM graft_wapx_feed""".stripMargin)
+        // AUDIT on the branch finds the corruption; main is clean
+        val brTbl = tbl + "$branch_stage"
+        val bad = spark.sql(
+          s"""SELECT count(*) FROM graft_cat.`$brTbl`
+             |WHERE o_totalprice < 0 OR o_orderkey < 0""".stripMargin)
+          .head.getLong(0)
+        require(bad > 0, "the corrupted feed must be visible on the branch")
+        // FIX on the branch, all SQL: re-sign the prices (row-level
+        // group replace), drop the junk (translatable branch-COW delete)
+        spark.sql(s"""UPDATE graft_cat.`$brTbl`
+          |SET o_totalprice = -o_totalprice WHERE o_totalprice < 0""".stripMargin)
+        spark.sql(s"DELETE FROM graft_cat.`$brTbl` WHERE o_orderkey < 0")
+        val stillBad = spark.sql(
+          s"""SELECT count(*) FROM graft_cat.`$brTbl`
+             |WHERE o_totalprice < 0 OR o_orderkey < 0""".stripMargin)
+          .head.getLong(0)
+        require(stillBad == 0, "the branch fixes must clean the feed")
+        // the WAP contract: nothing — feed, audit, or FIXES — touched main
+        require(currentVersion(spark, b) == 2,
+          "branch row-level SQL must not advance main")
+        val pub = fastForward(spark, b, "stage")
+        require(pub == 3, s"publish must land main v3, got v$pub")
+        b
+      })
+    }
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n,
+         |       CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_staged,
+         |       CAST(sum(CASE WHEN o_orderkey % 2 = 1 AND o_orderkey % 10 = 5
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_fixed,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Registered BRANCH CHANGE FEED: `$branch_<name>_changes_<from>_<to>`
+    * serves the CDF of the BRANCH's manifest sequence — the audit step of
+    * write-audit-publish inspects what each staged wave CHANGED, not just
+    * the branch's state. The fixture forks at main v1 (even keys) and
+    * stages two append waves (odd keys split by mod-4); the feed from the
+    * fork excludes the fork's own content, and every image carries its
+    * BRANCH commit version — so a feed that leaked main's files, lost a
+    * wave, or mis-stamped versions hash-mismatches the oracle's replay. */
+  val branchCdf: QuerySpec = QuerySpec.sql(
+    "q_branch_cdf",
+    """WITH t AS (SELECT o_orderkey,
+      |                  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT o_year,
+      |       CAST(CASE WHEN o_orderkey % 4 = 1 THEN 2 ELSE 3 END
+      |            AS INTEGER) AS v,
+      |       'insert' AS change_type, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("branchcdf", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_brcdf_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        create(spark, b, t.filter(col("o_orderkey") % 2 === 0), "o_year")
+        createBranch(spark, b, "feed")
+        appendBranch(spark, b, "feed",
+          t.filter(col("o_orderkey") % 4 === 1), "o_year")
+        appendBranch(spark, b, "feed",
+          t.filter(col("o_orderkey") % 4 === 3), "o_year")
+        require(currentVersion(spark, b) == 1, "the feed must not touch main")
+        require(branchVersions(spark, b, "feed") == Seq(1, 2, 3),
+          "fixture expects fork v1 + two staged waves")
+        b
+      })
+    }
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT o_year, _commit_version AS v, _change_type AS change_type,
+         |       count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`${tbl + "$branch_feed_changes_1_3"}`
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Registered PUBLISHABLE BRANCH COMPACTION: three staged append waves
+    * fragment the branch, [[optimizeBranch]] compacts the branch's OWN
+    * files (fork files untouched — require-pinned), main then MOVES, and
+    * [[rebasePublish]] still lands the compacted head: compaction did not
+    * cost the branch its publishability. The oracle replays even half ∪
+    * odd waves ∪ main's interleaved cohort, so a compaction that lost or
+    * duplicated staged rows, touched fork files (publish would refuse —
+    * no rows at all), or a publish that dropped main's interleaved commit
+    * all hash-mismatch. */
+  val branchOptimize: QuerySpec = QuerySpec.sql(
+    "q_branch_optimize",
+    """WITH t AS (SELECT o_orderkey,
+      |                  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |u AS (SELECT * FROM t
+      |      UNION ALL
+      |      SELECT -o_orderkey - 1000000, o_year, o_totalprice
+      |      FROM t WHERE o_orderkey % 2 = 0 AND o_year = 1995)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_staged,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("branchopt", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_bropt_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        create(spark, b, t.filter(col("o_orderkey") % 2 === 0), "o_year")
+        createBranch(spark, b, "opt")
+        Seq(1, 3, 5).foreach(r => appendBranch(spark, b, "opt",
+          t.filter(col("o_orderkey") % 6 === r), "o_year"))
+        val forkEs = entriesAt(spark,
+          new Path(s"$b/_manifests/branch-opt-v1.manifest")).toSet
+        val preRows = readBranch(spark, b, "opt").count()
+        val (parts, before, after) = optimizeBranch(spark, b, "opt", "o_year")
+        require(parts > 0 && after < before,
+          s"compaction must shrink the appended file set ($before -> $after)")
+        // fork files untouched; branch rows byte-identical
+        require(forkEs.subsetOf(branchEntries(spark, b, "opt").toSet),
+          "optimizeBranch must never touch fork files")
+        require(readBranch(spark, b, "opt").count() == preRows,
+          "compaction must not change the branch's rows")
+        // main MOVES after the compaction — and the branch still publishes
+        append(spark, b,
+          t.filter(col("o_orderkey") % 2 === 0 && col("o_year") === 1995)
+            .withColumn("o_orderkey", -col("o_orderkey") - 1000000L),
+          "o_year")
+        val pub = rebasePublish(spark, b, "opt")
+        require(pub == 3, s"publish must land main v3, got v$pub")
+        b
+      })
+    }
+    read(spark, base)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey") % 2 === 1, 1).otherwise(0))
+          .cast("long").as("n_staged"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
@@ -5683,5 +6081,5 @@ object ManifestTable {
       catalogChanges, catalogConstraint, catalogDefault,
       catalogTag, tableBranch, catalogBranch, branchRebase, mergeSchema,
       streamWap, bucketJoin, catalogRefs, bucketJoinMixed, streamBranchRead,
-      catalogWap, bucketDeleteMoR)
+      catalogWap, bucketDeleteMoR, catalogWapFix, branchCdf, branchOptimize)
 }

@@ -1,0 +1,196 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for ROW-LEVEL SQL ON `$branch` TABLES (write-audit-FIX-publish):
+  * DELETE / UPDATE / MERGE INTO against `t$branch_<name>` rewrite the
+  * BRANCH sequence group-grained — matched groups only, untouched groups
+  * carried by reference, main never moves — and the corrected head
+  * publishes via fastForward. Bucket-layout branches refuse. */
+class BranchSqlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ordersYearly = graft.model.Tables.orders(spark, sf)
+    .select(col("o_orderkey"),
+      year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+
+  /** Fresh catalog table (o_year identity layout) + a branch, main at v2. */
+  private def freshBranched(tag: String): (String, String, org.apache.spark.sql.DataFrame) = {
+    val t = ordersYearly
+    val base = s"${graft.Scratch.root}/brsql_$tag"
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root",
+      new java.io.File(base).getParent)
+    val tbl = new java.io.File(base).getName
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(o_orderkey BIGINT, o_year INT, o_totalprice DOUBLE)
+      |PARTITIONED BY (o_year)""".stripMargin)
+    t.createOrReplaceTempView(s"brsql_src_$tag")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM brsql_src_$tag")
+    ManifestTable.createBranch(spark, base, "stage")
+    (base, tbl, t)
+  }
+
+  test("branch DELETE: matched groups rewrite, cold groups carry, main pinned") {
+    val (base, tbl, t) = freshBranched("del")
+    val mainV = ManifestTable.currentVersion(spark, base)
+    val forkEs = ManifestTable.branchEntries(spark, base, "stage").toSet
+    spark.sql(s"""DELETE FROM graft_cat.`${tbl + "$branch_stage"}`
+      |WHERE o_year = 1995""".stripMargin)
+    // branch advanced; main did not
+    assert(ManifestTable.currentVersion(spark, base) === mainV)
+    assert(ManifestTable.branchVersions(spark, base, "stage").size === 2)
+    val headEs = ManifestTable.branchEntries(spark, base, "stage").toSet
+    // 1995's group vanished (every row matched); all other groups are the
+    // SAME entries — carried by reference, not rewritten
+    assert(headEs.forall(_._1 != "1995"))
+    assert(forkEs.filterNot(_._1 == "1995") === headEs,
+      "cold branch groups must carry by reference")
+    val got = spark.sql(
+      s"SELECT count(*) FROM graft_cat.`${tbl + "$branch_stage"}`").head.getLong(0)
+    assert(got === t.filter(col("o_year") =!= 1995).count())
+    // main still serves everything
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0)
+      === t.count())
+  }
+
+  test("branch UPDATE: group replace on the branch only; publish lands the fix") {
+    val (base, tbl, t) = freshBranched("upd")
+    val brTbl = tbl + "$branch_stage"
+    spark.sql(s"""UPDATE graft_cat.`$brTbl`
+      |SET o_totalprice = o_totalprice + 1.0 WHERE o_year = 1996""".stripMargin)
+    assert(ManifestTable.currentVersion(spark, base) === 2,
+      "branch UPDATE must not advance main")
+    // only 1996 rewrote
+    val forkEs = ManifestTable.entriesAt(spark,
+      new org.apache.hadoop.fs.Path(base, "_manifests/branch-stage-v2.manifest")).toSet
+    val headEs = ManifestTable.branchEntries(spark, base, "stage").toSet
+    assert(forkEs.filterNot(_._1 == "1996") === headEs.filterNot(_._1 == "1996"),
+      "groups the UPDATE did not match must carry by reference")
+    assert(forkEs.filter(_._1 == "1996") !== headEs.filter(_._1 == "1996"))
+    val expCents = t
+      .withColumn("p", when(col("o_year") === 1996, col("o_totalprice") + 1.0)
+        .otherwise(col("o_totalprice")))
+      .agg(sum(floor(col("p") * 100 + 0.5).cast("long"))).head.getLong(0)
+    val gotBranch = spark.sql(
+      s"""SELECT CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT)
+         |FROM graft_cat.`$brTbl`""".stripMargin).head.getLong(0)
+    assert(gotBranch === expCents)
+    // fastForward publishes the corrected head (full-content swap — a
+    // fork-file rewrite is fine here, unlike rebasePublish)
+    ManifestTable.fastForward(spark, base, "stage")
+    val gotMain = spark.sql(
+      s"""SELECT CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT)
+         |FROM graft_cat.`$tbl`""".stripMargin).head.getLong(0)
+    assert(gotMain === expCents)
+  }
+
+  test("branch UPDATE rewrote fork files — rebasePublish refuses, by design") {
+    val (base, tbl, _) = freshBranched("reb")
+    spark.sql(s"""UPDATE graft_cat.`${tbl + "$branch_stage"}`
+      |SET o_totalprice = 0.0 WHERE o_year = 1997""".stripMargin)
+    intercept[IllegalArgumentException] {
+      ManifestTable.rebasePublish(spark, base, "stage")
+    }
+  }
+
+  test("MERGE INTO a branch: matched groups replace, pure inserts append") {
+    val (base, tbl, t) = freshBranched("mrg")
+    val brTbl = tbl + "$branch_stage"
+    // updates re-price the 1998 cohort; inserts add a year the table
+    // never had (2099) — pure-insert groups must APPEND, not replace
+    t.filter(col("o_year") === 1998)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(spark.range(1, 6).select(
+        (col("id") + 90000000L).as("o_orderkey"),
+        lit(2099).cast("int").as("o_year"),
+        lit(10.0).as("o_totalprice")))
+      .createOrReplaceTempView("brsql_mrg_updates")
+    spark.sql(
+      s"""MERGE INTO graft_cat.`$brTbl` tgt
+         |USING brsql_mrg_updates src
+         |ON tgt.o_orderkey = src.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(ManifestTable.currentVersion(spark, base) === 2,
+      "branch MERGE must not advance main")
+    val exp = t.withColumn("p",
+        when(col("o_year") === 1998, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      .agg(count(lit(1)), sum(floor(col("p") * 100 + 0.5).cast("long")))
+      .head
+    val got = spark.sql(
+      s"""SELECT count(*) AS n,
+         |  CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$brTbl` WHERE o_year != 2099""".stripMargin).head
+    assert(got.getLong(0) === exp.getLong(0))
+    assert(got.getLong(1) === exp.getLong(1))
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_cat.`$brTbl` WHERE o_year = 2099")
+      .head.getLong(0) === 5L)
+  }
+
+  test("optimizeBranch compacts staged files only and stays publishable") {
+    val t = ordersYearly
+    val base = s"${graft.Scratch.root}/brsql_opt"
+    ManifestTable.create(spark, base, t.filter(col("o_orderkey") % 2 === 0), "o_year")
+    ManifestTable.createBranch(spark, base, "stage")
+    Seq(1, 3, 5).foreach(r => ManifestTable.appendBranch(spark, base, "stage",
+      t.filter(col("o_orderkey") % 6 === r), "o_year"))
+    val forkEs = ManifestTable.entriesAt(spark,
+      new org.apache.hadoop.fs.Path(base,
+        "_manifests/branch-stage-v1.manifest")).toSet
+    val preHead = ManifestTable.branchVersions(spark, base, "stage").last
+    val preRows = ManifestTable.readBranch(spark, base, "stage").count()
+    val (parts, before, after) =
+      ManifestTable.optimizeBranch(spark, base, "stage", "o_year")
+    assert(parts > 0 && after < before,
+      s"expected the appended files to shrink, got $before -> $after")
+    val headEs = ManifestTable.branchEntries(spark, base, "stage").toSet
+    // fork files carry UNTOUCHED (that is what keeps the branch
+    // publishable), and rows are byte-identical
+    assert(forkEs.subsetOf(headEs))
+    assert(ManifestTable.readBranch(spark, base, "stage").count() === preRows)
+    // the pre-optimize branch head stays addressable
+    assert(ManifestTable.entriesAt(spark,
+      new org.apache.hadoop.fs.Path(base,
+        s"_manifests/branch-stage-v$preHead.manifest")).nonEmpty)
+    // main moves; the compacted branch still rebase-publishes
+    ManifestTable.append(spark, base,
+      t.filter(col("o_year") === 1994)
+        .withColumn("o_orderkey", -col("o_orderkey") - 5000000L), "o_year")
+    val pub = ManifestTable.rebasePublish(spark, base, "stage")
+    assert(pub === 3)
+    // evens (fork) + odds (staged waves) + main's interleaved cohort
+    val expected = t.count() + t.filter(col("o_year") === 1994).count()
+    assert(ManifestTable.read(spark, base).count() === expected)
+    // idempotence-of-layout: nothing left to compact
+    assert(ManifestTable.optimizeBranch(spark, base, "stage", "o_year")
+      ._1 === 0)
+  }
+
+  test("row-level SQL refuses on a bucket-layout branch") {
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/brsql_bkt"
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root",
+      new java.io.File(base).getParent)
+    val tbl = new java.io.File(base).getName
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+      |PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
+    t.limit(100).createOrReplaceTempView("brsql_bkt_src")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM brsql_bkt_src")
+    ManifestTable.createBranch(spark, base, "stage")
+    val e = intercept[Exception] {
+      spark.sql(s"""UPDATE graft_cat.`${tbl + "$branch_stage"}`
+        |SET o_totalprice = 0 WHERE o_custkey = 1""".stripMargin)
+    }
+    def m(x: Throwable) = Option(x.getMessage).getOrElse("")
+    assert(m(e).contains("bucket") ||
+      Option(e.getCause).exists(c => m(c).contains("bucket")))
+  }
+}

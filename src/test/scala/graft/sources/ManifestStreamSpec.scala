@@ -753,6 +753,58 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft_cat.`ck_tbl`").head.getLong(0) === n0 + 2)
   }
 
+  test("a CHECK added between stage and rebased commit still fences the write") {
+    // the TOCTOU: a writer stages (validating against the constraints of
+    // THAT moment), a concurrent session then commits AND adds a CHECK —
+    // the ADD validated only committed data, this writer's staged files
+    // were invisible to it. The rebased commit must revalidate the staged
+    // files against the fresh constraint and abort, or the violation
+    // slips in silently.
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/ck_race_tbl"
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    ManifestTable.create(spark, base, t, "o_year") // all prices positive
+    ManifestTable.setTableProperty(spark, base, "partCol", "o_year")
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", graft.Scratch.root)
+    var injected = false
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, base,
+        t.limit(5).withColumn("o_totalprice", lit(-1.0))
+          .withColumn("o_orderkey", -col("o_orderkey") - 2000000L),
+        "o_year",
+        raceInject = () => {
+          // a concurrent append moves the version (forcing the rebase)…
+          ManifestTable.append(spark, base,
+            t.limit(3).withColumn("o_orderkey", -col("o_orderkey") - 3000000L),
+            "o_year")
+          // …and a CHECK lands that validated only COMMITTED data
+          spark.sql("ALTER TABLE graft_cat.`ck_race_tbl` " +
+            "ADD CONSTRAINT positive CHECK (o_totalprice > 0)")
+          injected = true
+        })
+    }
+    assert(injected)
+    assert(e.getMessage.contains("positive"))
+    // nothing from the violating write landed: history = create + the
+    // concurrent append, and no negative price anywhere
+    assert(ManifestTable.versions(spark, base) === Seq(1, 2))
+    assert(ManifestTable.read(spark, base)
+      .filter(col("o_totalprice") <= 0).count() === 0L)
+    // the violating staged files were deleted, not orphaned
+    assert(ManifestTable.removeOrphans(spark, base).isEmpty)
+    // a clean write under the new constraint still lands (the fence is
+    // the constraint, not a wedged table)
+    ManifestTable.append(spark, base,
+      t.limit(2).withColumn("o_orderkey", -col("o_orderkey") - 4000000L),
+      "o_year")
+    assert(ManifestTable.versions(spark, base) === Seq(1, 2, 3))
+  }
+
   test("TIMESTAMP AS OF resolves to the last commit at or before the instant") {
     val t = graft.model.Tables.orders(spark, sf)
       .select(col("o_orderkey"),

@@ -98,19 +98,33 @@ class StreamWapSpec extends AnyFunSuite {
     assert(got.select(col("batch")).distinct().count() === 4) // fork + 3 epochs
     val b0 = spark.read.parquet(s"$sink/batch=0")
     assert(b0.count() === nBase, "batch one must be exactly the fork content")
-    // CDF over a branch refuses
-    val e1 = intercept[Exception] {
-      spark.readStream.format("graft.sources.ManifestStreamProvider")
-        .schema(src.schema)
-        .option("branch", "ingest").option("changeFeed", "true")
-        .load(base).writeStream
-        .option("checkpointLocation", s"$sink-ck2")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
-        .start().awaitTermination()
-    }
-    assert(e1.getMessage.contains("not supported") ||
-      Option(e1.getCause).exists(_.getMessage.contains("not supported")))
+    // CDF over a branch: the audit step can inspect the FEED, not just
+    // the state — fork content arrives as the initial insert wave at the
+    // fork version, each staged epoch as inserts at its branch version
+    val cdfSink = s"$sink-cdf"
+    val q2 = spark.readStream.format("graft.sources.ManifestStreamProvider")
+      .schema(src.schema)
+      .option("branch", "ingest").option("changeFeed", "true")
+      .load(base).writeStream
+      .option("checkpointLocation", s"$sink-ck2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$cdfSink/batch=$id"); ()
+      }
+      .start()
+    q2.awaitTermination()
+    val cdf = spark.read.parquet(cdfSink)
+    assert(cdf.count() === nBase + nFeed,
+      "branch CDF must emit fork content + every staged wave")
+    assert(cdf.filter(col("_change_type") =!= "insert").count() === 0,
+      "an append-only branch feed is pure inserts")
+    // versions: the fork (1) plus one per epoch — and never main's
+    val vs = cdf.select(col("_commit_version")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(vs.head === 1 && vs.length === 4,
+      s"expected fork + 3 epoch versions, got ${vs.mkString(",")}")
+    assert(cdf.filter(col("_commit_version") === 1).count() === nBase,
+      "the fork's whole content is the initial insert wave")
     // the branch option is not a batch-read face
     val e2 = intercept[Exception] {
       spark.read.format("graft.sources.ManifestStreamProvider")
