@@ -716,7 +716,111 @@ object TrainingPrep {
       .orderBy(col("band"))
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023),
+    * the published recipe for picking pretraining data that MATCHES a
+    * target domain without a classifier: score every raw document by the
+    * log-likelihood ratio of a hashed bag-of-words model fit on the
+    * TARGET vs the RAW corpus, then Gumbel-top-k sample ∝ exp(score)
+    * (sampling without replacement). Here the target is the `de` slice
+    * and the raw corpus is everything. (The synthetic corpus shares one
+    * vocabulary across languages, so the per-bucket ratios carry little
+    * lang signal — on real data the ratios ARE the domain match; what the
+    * oracle pins bit-for-bit is the mechanism: hashing, smoothing,
+    * integer scoring, and the Gumbel draw.)
+    *
+    * Determinism discipline (what makes this ORACLE-replayable — and
+    * layout-independent at 100 TB): words hash into B=64 buckets via md5
+    * (engine-portable); each bucket's smoothed log-ratio is floored ONCE
+    * to an integer nano-unit (`lr_nano`); a document's score is then an
+    * exact INTEGER sum of its gram occurrences' lr_nano — associative, so
+    * partitioning/order cannot change a bit. The Gumbel noise draws from
+    * the doc's md5 uniform (the q_weighted_sample rule) and floors to the
+    * same units before the integer add.
+    *
+    * Plan shape at scale: one corpus scan to bucket counts (64-row
+    * aggregates), the 64-row log-ratio table BROADCAST back onto the
+    * gram stream (map-side), one integer groupBy(doc_id), and a bounded
+    * top-k — no all-pairs, no global sort, no driver materialization. */
+  val dsirSample: QuerySpec = QuerySpec.sql(
+    "q_dsir_sample",
+    """WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      |           FROM documents),
+      |b AS (SELECT doc_id, lang,
+      |             CAST(CAST('0x' || substring(md5('ds-' || word), 1, 8)
+      |                  AS UBIGINT) % 64 AS BIGINT) AS bkt
+      |      FROM w),
+      |tot AS (SELECT count(*) AS r,
+      |               sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS t
+      |        FROM b),
+      |cnt AS (SELECT bkt, count(*) AS cr,
+      |               sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS ct
+      |        FROM b GROUP BY 1),
+      |lr AS (SELECT bkt,
+      |              CAST(floor((ln((ct + 0.5) / (t + 32.0)) -
+      |                          ln((cr + 0.5) / (r + 32.0))) * 1e9)
+      |                   AS BIGINT) AS lr_nano
+      |       FROM cnt CROSS JOIN tot),
+      |sc AS (SELECT b.doc_id, CAST(sum(lr.lr_nano) AS BIGINT) AS score_nano
+      |       FROM b JOIN lr USING (bkt) GROUP BY 1),
+      |k AS (SELECT d.doc_id, d.lang, sc.score_nano,
+      |             CAST(sc.score_nano +
+      |                  CAST(floor(-ln(-ln((CAST('0x' || substring(md5('dsir-' || d.doc_id), 1, 8)
+      |                                      AS UBIGINT) + 1) / 4294967297.0)) * 1e9)
+      |                       AS BIGINT) AS BIGINT) AS key_nano
+      |      FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+      |r AS (SELECT *, row_number() OVER (ORDER BY key_nano DESC, doc_id ASC) AS rank
+      |      FROM k)
+      |SELECT CAST(rank AS INTEGER) AS rank, doc_id, lang, score_nano, key_nano
+      |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin) { (spark, dir) =>
+    dsirSelect(Tables.documents(spark, dir), col("lang") === "de",
+      buckets = 64, k = 50)
+  }
+
+  /** The DSIR engine behind [[dsirSample]], on ANY (doc_id, lang, text)
+    * frame: `targetPred` marks the target-domain rows; returns the top-k
+    * Gumbel-resampled docs as (rank, doc_id, lang, score_nano, key_nano).
+    * See [[dsirSample]] for the determinism discipline. */
+  private[text] def dsirSelect(docs: org.apache.spark.sql.DataFrame,
+      targetPred: org.apache.spark.sql.Column, buckets: Int, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val b = docs
+      .select(col("doc_id"), col("lang"), explode(toks).as("word"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(concat(lit("ds-"), col("word"))), 1, 8), 16, 10)
+          .cast("long") % buckets).as("bkt"))
+    val alphaB = buckets * 0.5
+    // 1-row totals and `buckets`-row counts — broadcast material
+    val tot = b.agg(count(lit(1)).as("r"),
+      sum(when(targetPred, 1).otherwise(0)).as("t"))
+    val lr = b.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(targetPred, 1).otherwise(0)).as("ct"))
+      .crossJoin(broadcast(tot))
+      .select(col("bkt"),
+        floor((log((col("ct") + 0.5) / (col("t") + alphaB)) -
+          log((col("cr") + 0.5) / (col("r") + alphaB))) * 1e9)
+          .cast("long").as("lr_nano"))
+    // integer score: exact in any order — the one float op per bucket
+    // happened above, once
+    val sc = b.join(broadcast(lr), Seq("bkt"))
+      .groupBy(col("doc_id")).agg(sum(col("lr_nano")).as("score_nano"))
+    val u = (conv(substring(md5(concat(lit("dsir-"), col("doc_id"))), 1, 8),
+      16, 10).cast("long") + 1) / 4294967297.0
+    val keyed = sc.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("key_nano",
+        col("score_nano") + floor(-log(-log(u)) * 1e9).cast("long"))
+    // global top-k via TakeOrdered (bounded heap — no all-rows window);
+    // the rank window then runs over k rows only
+    val top = keyed.orderBy(col("key_nano").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("key_nano").desc,
+          col("doc_id").asc)).cast("int"))
+      .select(col("rank"), col("doc_id"), col("lang"),
+        col("score_nano"), col("key_nano"))
+      .orderBy(col("rank"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(docChunks, qualityDeciles, lmBigram, lmKneserNey, bpeStep, bpeVocab,
-      bpeEncode, lmTrigram, perplexityFilter)
+      bpeEncode, lmTrigram, perplexityFilter, dsirSample)
 }

@@ -132,6 +132,40 @@ class BranchSqlSpec extends AnyFunSuite {
       .head.getLong(0) === 5L)
   }
 
+  test("STRESS: concurrent branch UPDATEs on disjoint groups all land") {
+    val (base, tbl, t) = freshBranched("race")
+    val brTbl = tbl + "$branch_stage"
+    val years = Seq(1995, 1996, 1997, 1998)
+    // four real threads each re-price a DIFFERENT year on the branch:
+    // group replaces on disjoint groups commute, so every one must land
+    // through the classified branch rebase — and main must never move
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = years.map { y =>
+      new Thread(() =>
+        try {
+          spark.sql(s"""UPDATE graft_cat.`$brTbl`
+            |SET o_totalprice = o_totalprice + $y.0
+            |WHERE o_year = $y""".stripMargin)
+          ()
+        } catch { case e: Throwable => errs.add(e); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(errs.isEmpty,
+      s"disjoint-group branch updates must all land, got: ${errs.toArray.toSeq}")
+    assert(ManifestTable.currentVersion(spark, base) === 2,
+      "concurrent branch updates must never advance main")
+    // the branch head carries all four re-pricings exactly once each
+    val exp = t.withColumn("p",
+        when(col("o_year").isin(years.map(Int.box): _*),
+          col("o_totalprice") + col("o_year").cast("double"))
+          .otherwise(col("o_totalprice")))
+      .agg(sum(floor(col("p") * 100 + 0.5).cast("long"))).head.getLong(0)
+    val got = spark.sql(
+      s"""SELECT CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT)
+         |FROM graft_cat.`$brTbl`""".stripMargin).head.getLong(0)
+    assert(got === exp)
+  }
+
   test("optimizeBranch compacts staged files only and stays publishable") {
     val t = ordersYearly
     val base = s"${graft.Scratch.root}/brsql_opt"

@@ -211,6 +211,80 @@ class BucketJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket MoR lifecycle completes: CDF emits the delete, purge folds, join stays pinned") {
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/bkmor_purge_spec"
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root",
+      new java.io.File(base).getParent)
+    val tbl = new java.io.File(base).getName
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+      |PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
+    ManifestTable.setTableProperty(spark, base, "keyCol", "o_orderkey")
+    ManifestTable.setTableProperty(spark, base, "write.mode", "merge-on-read")
+    t.createOrReplaceTempView("bkmor_purge_orders")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM bkmor_purge_orders")
+    spark.sql(s"DELETE FROM graft_cat.`$tbl` WHERE o_orderkey < 150")
+    val delKeys = t.filter(col("o_orderkey") < 150)
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    assert(delKeys.nonEmpty)
+
+    // the CHANGE FEED of the MoR commit: delete images of exactly the
+    // deleted keys, scoped by bucket-id pvals against the carried files
+    val ch = spark.sql(
+      s"""SELECT _change_type, o_orderkey
+         |FROM graft_cat.`${tbl + "$changes_2_3"}`""".stripMargin).collect()
+    assert(ch.nonEmpty && ch.forall(_.getString(0) == "delete"),
+      "a MoR delete commit streams pure delete images")
+    assert(ch.map(_.getLong(1)).toSet === delKeys,
+      "the delete images must be exactly the vector's keys")
+
+    // PURGE folds the vector: rewrite sized by touched buckets only,
+    // bucket-id pvals preserved, rows identical to the MoR view
+    val preRows = spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`")
+      .head.getLong(0)
+    val (parts, keys) = ManifestTable.purgeDeletes(
+      spark, base, "o_orderkey", "o_custkey")
+    assert(parts > 0 && keys === delKeys.size.toLong)
+    assert(ManifestTable.pendingDvRels(spark, base).isEmpty)
+    val pvals = ManifestTable.entries(spark, base,
+      ManifestTable.currentVersion(spark, base)).map(_._1).distinct
+    assert(pvals.forall(p => p.toInt >= 0 && p.toInt < 8),
+      s"purge must keep bucket-id pvals, got $pvals")
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`")
+      .head.getLong(0) === preRows)
+    assert(ManifestTable.read(spark, base).count() === preRows,
+      "after the purge the raw read and the MoR view agree")
+
+    // and the flagship join is STILL exchange-free after the fold
+    val (_, dim) = ManifestTable.bucketFixture(spark, sf)
+    val dt = new java.io.File(dim).getName
+    val oldB = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val oldT = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = spark.sql(
+        s"""SELECT f.o_custkey, count(*) AS n
+           |FROM graft_cat.`$tbl` f JOIN graft_cat.`$dt` d
+           |  ON f.o_custkey = d.c_custkey GROUP BY 1""".stripMargin)
+      assert(df.count() > 0)
+      assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucket join shuffled after purgeDeletes")
+    } finally {
+      oldB match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      oldT match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("non-BIGINT bucket keys refuse at CREATE") {
     spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
     spark.conf.set("spark.sql.catalog.graft_cat.root",
