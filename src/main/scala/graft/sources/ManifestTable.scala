@@ -1596,9 +1596,13 @@ object ManifestTable {
       // plain broadcast anti-join suffices — no per-row file-version
       // extraction, no pair aggregation
       if (dvs.forall(rel => dvCutOf(spark, base, rel) == Int.MaxValue)) {
+        // no distinct: LEFT ANTI is unaffected by duplicate build rows,
+        // so deduplicating the vector would only buy an extra exchange
+        // (the q_table_mor drift-watch found it — one whole stage of the
+        // fast path was spent deduplicating an already-near-unique set)
         val pairs = spark.read
           .parquet(dvs.map(rel => s"$base/$rel"): _*)
-          .select(col(keyCol), col("__pval")).distinct()
+          .select(col(keyCol), col("__pval"))
         data.withColumn("__pval", dvPvalExpr(spark, base, pc))
           .join(broadcast(pairs), Seq(keyCol, "__pval"), "left_anti")
           .drop("__pval")
