@@ -1500,8 +1500,28 @@ private[sources] object ManifestDeleteSql {
 class ManifestCatalog
     extends org.apache.spark.sql.connector.catalog.CatalogPlugin
     with org.apache.spark.sql.connector.catalog.TableCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+
+  /** SQL-callable maintenance: `CALL <cat>.system.<proc>(...)` (the bare
+    * `CALL <cat>.<proc>(...)` form works too). The procedures ARE the
+    * table verbs — see [[ManifestProcedures]]. */
+  private def procNamespaceOk(ns: Array[String]): Boolean =
+    ns.isEmpty || (ns.length == 1 && ns(0).equalsIgnoreCase("system"))
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (procNamespaceOk(namespace))
+      ManifestProcedures.names.toSeq.sorted
+        .map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    if (procNamespaceOk(ident.namespace) &&
+        ManifestProcedures.names.contains(ident.name.toLowerCase))
+      ManifestProcedures.load(root, ident.name.toLowerCase)
+    else throw new UnsupportedOperationException(
+      s"unknown procedure $ident — supported: CALL $catName.system.{" +
+        ManifestProcedures.names.toSeq.sorted.mkString(", ") + "}")
 
   /** The catalog's one V2 function: `bucket(n, key)`, the layout
     * transform BUCKET-partitioned tables report. Spark resolves it when

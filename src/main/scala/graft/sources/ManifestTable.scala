@@ -6069,6 +6069,81 @@ object ManifestTable {
       .orderBy(col("o_year"))
   }
 
+  /** Registered SQL-CALLABLE MAINTENANCE (Spark 4 `ProcedureCatalog`):
+    * an all-SQL day-2 lifecycle — three fragmenting INSERTs, `CALL
+    * optimize` (files shrink, require-pinned), `CALL create_branch` +
+    * branch INSERT + `CALL fast_forward` (write-audit-publish by CALL),
+    * `CALL create_tag`, `CALL expire_snapshots` + `CALL remove_orphans`
+    * (history bounded, rows intact). Every step is the same verb the
+    * programmatic API runs; the oracle replays the net content (orders ∪
+    * the staged cohort), so a compaction that lost rows, a publish that
+    * dropped the fork, or an expiry that reclaimed live files all
+    * hash-mismatch. */
+  val catalogCall: QuerySpec = QuerySpec.sql(
+    "q_catalog_call",
+    """WITH t AS (SELECT o_orderkey,
+      |                  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |u AS (SELECT * FROM t
+      |      UNION ALL
+      |      SELECT -o_orderkey - 1000000, o_year, o_totalprice
+      |      FROM t WHERE o_year = 1995)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(CASE WHEN o_orderkey < 0 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS n_staged,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("sqlcall", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_callfix_${graft.Scratch.dirToken(dir)}"
+        val t = ordersKeyed(spark, dir)
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(b).getParent)
+        val tbl = new java.io.File(b).getName
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+          |(o_orderkey BIGINT, o_year INT, o_totalprice DOUBLE)
+          |PARTITIONED BY (o_year)""".stripMargin)
+        t.createOrReplaceTempView("graft_call_src")
+        Seq(0, 1, 2).foreach(r => spark.sql(
+          s"""INSERT INTO graft_cat.`$tbl`
+             |SELECT * FROM graft_call_src WHERE o_orderkey % 3 = $r""".stripMargin))
+        val opt = spark.sql(
+          s"CALL graft_cat.system.optimize(`table` => '$tbl')").head
+        require(opt.getInt(0) > 0 && opt.getInt(2) < opt.getInt(1),
+          s"CALL optimize must compact the fragmented partitions, got $opt")
+        spark.sql(
+          s"CALL graft_cat.system.create_branch(`table` => '$tbl', name => 'stage')")
+        spark.sql(s"""INSERT INTO graft_cat.`${tbl + "$branch_stage"}`
+          |SELECT -o_orderkey - 1000000, o_year, o_totalprice
+          |FROM graft_call_src WHERE o_year = 1995""".stripMargin)
+        val preMain = currentVersion(spark, b)
+        val pub = spark.sql(
+          s"CALL graft_cat.system.fast_forward(`table` => '$tbl', branch => 'stage')")
+          .head.getInt(0)
+        require(pub == preMain + 1, s"CALL fast_forward must publish, got v$pub")
+        spark.sql(
+          s"CALL graft_cat.system.create_tag(`table` => '$tbl', name => 'published')")
+        val exp = spark.sql(
+          s"CALL graft_cat.system.expire_snapshots(`table` => '$tbl', keep => 2)").head
+        require(exp.getInt(0) > 0, "CALL expire_snapshots must drop old history")
+        spark.sql(s"CALL graft_cat.system.remove_orphans(`table` => '$tbl')")
+        b
+      })
+    }
+    val tbl = new java.io.File(base).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(base).getParent)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n,
+         |       CAST(sum(CASE WHEN o_orderkey < 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_staged,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
       tableRestore, tableOptimize, tableAudit, tableStatsSkip,
@@ -6085,5 +6160,6 @@ object ManifestTable {
       catalogChanges, catalogConstraint, catalogDefault,
       catalogTag, tableBranch, catalogBranch, branchRebase, mergeSchema,
       streamWap, bucketJoin, catalogRefs, bucketJoinMixed, streamBranchRead,
-      catalogWap, bucketDeleteMoR, catalogWapFix, branchCdf, branchOptimize)
+      catalogWap, bucketDeleteMoR, catalogWapFix, branchCdf, branchOptimize,
+      catalogCall)
 }
