@@ -40,7 +40,8 @@ private[sources] object ManifestProcedures {
   val names: Set[String] = Set(
     "expire_snapshots", "remove_orphans", "optimize", "purge_deletes",
     "create_tag", "drop_tag", "create_branch", "drop_branch",
-    "fast_forward", "rebase_publish", "optimize_branch", "restore")
+    "fast_forward", "rebase_publish", "optimize_branch", "restore",
+    "optimize_sorted", "build_stats", "build_bloom")
 
   private def param(n: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(n, dt).build()
@@ -98,6 +99,15 @@ private[sources] object ManifestProcedures {
           paramDefault("min_files", IntegerType, "2"))
         case "restore" => Array(
           param("table", StringType), param("version", IntegerType))
+        case "optimize_sorted" => Array(
+          param("table", StringType), param("sort_col", StringType),
+          paramDefault("files_per_partition", IntegerType, "4"))
+        case "build_stats" => Array(
+          param("table", StringType), param("col", StringType))
+        case "build_bloom" => Array(
+          param("table", StringType), param("col", StringType),
+          paramDefault("m_bits", IntegerType, "16384"),
+          paramDefault("k", IntegerType, "7"))
         case other => throw new UnsupportedOperationException(
           s"unknown procedure $other — supported: ${names.toSeq.sorted.mkString(", ")}")
       }
@@ -165,6 +175,19 @@ private[sources] object ManifestProcedures {
           case "restore" =>
             val v = ManifestTable.restore(spark, base, input.getInt(1))
             one(StructType(Seq(StructField("version", IntegerType))), Seq(v))
+          case "optimize_sorted" =>
+            val (before, after) = ManifestTable.optimizeSorted(spark, base,
+              partColOf(spark, base, procName),
+              input.getUTF8String(1).toString, input.getInt(2))
+            one(StructType(Seq(StructField("files_before", IntegerType),
+              StructField("files_after", IntegerType))), Seq(before, after))
+          case "build_stats" =>
+            ManifestTable.buildStats(spark, base, input.getUTF8String(1).toString)
+            one(StructType(Seq(StructField("built", BooleanType))), Seq(true))
+          case "build_bloom" =>
+            ManifestTable.buildBloom(spark, base,
+              input.getUTF8String(1).toString, input.getInt(2), input.getInt(3))
+            one(StructType(Seq(StructField("built", BooleanType))), Seq(true))
           case other => throw new UnsupportedOperationException(
             s"unknown procedure $other")
         }

@@ -110,6 +110,48 @@ class ProcedureSpec extends AnyFunSuite {
       t.filter(col("o_year") =!= 1996).count())
   }
 
+  test("CALL optimize_sorted / build_stats / build_bloom maintain the layout and sidecars") {
+    val t = ordersYearly
+    val base = s"${graft.Scratch.root}/proc_layout_tbl"
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root",
+      new java.io.File(base).getParent)
+    val tbl = new java.io.File(base).getName
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(o_orderkey BIGINT, o_year INT, o_totalprice DOUBLE)
+      |PARTITIONED BY (o_year)""".stripMargin)
+    t.createOrReplaceTempView("proc_layout_src")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM proc_layout_src")
+    val n = t.count()
+    // sorted OPTIMIZE: range-disjoint files per partition, rows identical
+    val os = spark.sql(
+      s"""CALL graft_cat.system.optimize_sorted(`table` => '$tbl',
+         |sort_col => 'o_orderkey', files_per_partition => 2)""".stripMargin).head
+    assert(os.getInt(1) > 0)
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0) === n)
+    // stats + bloom sidecars by CALL; skipping becomes active immediately
+    assert(spark.sql(
+      s"CALL graft_cat.system.build_stats(`table` => '$tbl', col => 'o_orderkey')")
+      .head.getBoolean(0))
+    assert(spark.sql(
+      s"CALL graft_cat.system.build_bloom(`table` => '$tbl', col => 'o_orderkey')")
+      .head.getBoolean(0))
+    val v = ManifestTable.currentVersion(spark, base)
+    assert(ManifestTable.statCols(spark, base, v).map(_.toLowerCase)
+      .contains("o_orderkey"))
+    assert(ManifestTable.bloomCols(spark, base, v).map(_.toLowerCase)
+      .contains("o_orderkey"))
+  }
+
+  test("SHOW PROCEDURES lists the maintenance surface") {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", graft.Scratch.root)
+    val listed = spark.sql("SHOW PROCEDURES IN graft_cat.system")
+      .collect().map(_.mkString("|")).mkString("\n")
+    ManifestProcedures.names.foreach(n =>
+      assert(listed.contains(n), s"SHOW PROCEDURES must list $n"))
+  }
+
   test("unknown procedures and missing properties refuse loudly") {
     spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
     spark.conf.set("spark.sql.catalog.graft_cat.root", graft.Scratch.root)
