@@ -5722,6 +5722,41 @@ object ManifestTable {
     }
   }
 
+  /** Registered BUCKET-TABLE CHANGE FEED ACROSS MoR VERBS: the
+    * [[bucketMorFixture]]'s history read as `$changes_2_4` — the DELETE
+    * commit (v3) emits pure delete images of exactly the vector's keys
+    * (scoped to carried files by BUCKET-ID pvals), and the UPDATE commit
+    * (v4) emits insert images of its staged copies plus delete images of
+    * the old rows, with the version fence keeping the copies out of the
+    * delete set. The oracle replays all three image waves from plain
+    * orders, so a feed that consulted the wrong pvals, missed the fence,
+    * or leaked the copies as deletes hash-mismatches. */
+  val bucketCdf: QuerySpec = QuerySpec.sql(
+    "q_bucket_cdf",
+    """WITH t AS (SELECT o_orderkey FROM orders),
+      |img AS (
+      |  SELECT 'delete' AS change_type, 3 AS v, o_orderkey
+      |  FROM t WHERE o_orderkey < 150
+      |  UNION ALL
+      |  SELECT 'delete', 4, o_orderkey
+      |  FROM t WHERE o_orderkey >= 150 AND o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT 'insert', 4, o_orderkey
+      |  FROM t WHERE o_orderkey >= 150 AND o_orderkey % 10 = 3)
+      |SELECT change_type, CAST(v AS INTEGER) AS v, count(*) AS n,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS sum_k
+      |FROM img GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val fact = bucketMorFixture(spark, dir)
+    val tbl = new java.io.File(fact).getName
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(fact).getParent)
+    spark.sql(
+      s"""SELECT _change_type AS change_type, _commit_version AS v,
+         |       count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_k
+         |FROM graft_cat.`${tbl + "$changes_2_4"}`
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   /** Registered `$refs` METADATA TABLE: the table's named refs — tags
     * and branches with fork/head versions — as one SQL-readable census
     * (driver-computed, zero data I/O). The [[branchFixture]]'s history is
@@ -6161,5 +6196,5 @@ object ManifestTable {
       catalogTag, tableBranch, catalogBranch, branchRebase, mergeSchema,
       streamWap, bucketJoin, catalogRefs, bucketJoinMixed, streamBranchRead,
       catalogWap, bucketDeleteMoR, catalogWapFix, branchCdf, branchOptimize,
-      catalogCall)
+      catalogCall, bucketCdf)
 }
