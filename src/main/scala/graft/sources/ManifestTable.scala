@@ -339,11 +339,19 @@ object ManifestTable {
 
   /** Write `df` partition-wise under `files/v<version>/` and return the new
     * manifest entries. The partition column stays IN the data files (the
-    * `__p` copy exists only to drive the directory layout). */
+    * `__p` copy exists only to drive the directory layout). Routed through
+    * the table's LAYOUT ([[layoutPvalExpr]]): identity tables partition by
+    * the raw column, bucket tables by the bucket id — so EVERY full-row
+    * rewrite (COW verbs, compaction, branch appends) lands under the same
+    * pvals the original writer used. Emitting raw values on a bucket table
+    * would silently flip the manifest to a layout the bucket-pruning scan
+    * and `KeyGroupedPartitioning` misread — key-filtered reads would drop
+    * rows and storage-partitioned joins would mis-join. */
   private def writeSnapshotFiles(
       spark: SparkSession, base: String, version: Int, df: DataFrame,
       partCol: String): Seq[(String, String)] =
-    writeSnapshotFilesExpr(spark, base, version, df, col(partCol))
+    writeSnapshotFilesExpr(spark, base, version, df,
+      layoutPvalExpr(spark, base, partCol))
 
   /** [[writeSnapshotFiles]] generalized to an arbitrary partition
     * EXPRESSION over `df`'s columns — the layout key need not be a stored
@@ -394,7 +402,7 @@ object ManifestTable {
   private def constraintSet(spark: SparkSession, base: String): Map[String, String] =
     tableProperties(spark, base).filter(_._1.startsWith("constraint."))
 
-  /** Close the stage-to-commit CONSTRAINT TOCTOU: an `ADD CONSTRAINT`
+  /** NARROW the stage-to-commit CONSTRAINT TOCTOU: an `ADD CONSTRAINT`
     * landing between a writer's stage-time validation and its (possibly
     * rebased) commit validated only COMMITTED data — this writer's staged
     * files were invisible to it. Each commit attempt re-reads the
@@ -403,7 +411,20 @@ object ManifestTable {
     * that appeared or changed since `known`, deleting them and failing
     * loudly on a violation. ADD CONSTRAINT bumps no manifest version, so
     * this check cannot hide behind the version-movement test. Returns
-    * the constraint set now known. */
+    * the constraint set now known.
+    *
+    * RESIDUAL WINDOW (documented, not closed): a CHECK added after this
+    * attempt's re-read but before the attempt's commit rename still
+    * commits unvalidated staged files — the rename is the commit point
+    * and carries no constraint state to compare against, so no re-read
+    * placed before it can be atomic with it. The gap is per-ATTEMPT
+    * (re-read → rename, driver-side milliseconds), and the constraint
+    * author's own ADD CONSTRAINT validation scans the table AFTER its
+    * property lands, so rows committed inside the window are caught by
+    * the add-side scan unless both operations interleave inside that
+    * same window. Closing it fully would need the commit arbiter itself
+    * to be constraint-versioned (e.g. CAS on a (version, constraint-seq)
+    * pair), which a rename-based commit point cannot express. */
   private def revalidateNewConstraints(spark: SparkSession, base: String,
       known: Map[String, String],
       staged: Seq[(String, String)]): Map[String, String] = {
@@ -527,8 +548,11 @@ object ManifestTable {
     requireNoPendingDv(spark, base, "merge")
     val es = entries(spark, base, v)
     // touched-partition values: metadata-sized (one row per partition), the
-    // same driver-side coordination a manifest commit already is
-    val touched = updates.select(col(partCol).cast("string")).distinct()
+    // same driver-side coordination a manifest commit already is. Probed
+    // through the LAYOUT so bucket tables group by bucket id — the raw
+    // value would match no manifest pval and the hot/cold split would
+    // duplicate every updated key
+    val touched = updates.select(dvPvalExpr(spark, base, partCol)).distinct()
       .collect().map(_.getString(0)).toSet
     val (hot, cold) = es.partition { case (pval, _) => touched(pval) }
     val rewritten =
@@ -562,7 +586,7 @@ object ManifestTable {
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
     val touched = read(spark, base).filter(pred)
-      .select(col(partCol).cast("string")).distinct()
+      .select(dvPvalExpr(spark, base, partCol)).distinct()
       .collect().map(_.getString(0)).toSet
     if (touched.isEmpty) return false
     val (hot, _) = es.partition { case (pval, _) => touched(pval) }
@@ -599,7 +623,7 @@ object ManifestTable {
     requireNoPendingDv(spark, base, "auditedMerge")
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
-    val touched = updates.select(col(partCol).cast("string")).distinct()
+    val touched = updates.select(dvPvalExpr(spark, base, partCol)).distinct()
       .collect().map(_.getString(0)).toSet
     val (hot, cold) = es.partition { case (pval, _) => touched(pval) }
     val rewritten =
@@ -750,7 +774,7 @@ object ManifestTable {
     val es = entries(spark, base, v)
     val nPvals = es.map(_._1).distinct.size
     val newFiles = writeSnapshotFilesArranged(spark, base, v + 1,
-      readVersion(spark, base, v), col(partCol),
+      readVersion(spark, base, v), layoutPvalExpr(spark, base, partCol),
       _.repartitionByRange(nPvals * filesPerPartition, col("__p"), col(sortCol)))
     raceInject() // test hook: a concurrent commit between stage and commit
     // full-table layout rewrite: a pure version race retries; any real
@@ -786,7 +810,7 @@ object ManifestTable {
       expr(s"$c1 * 256L div ${m1}L"), expr(s"$c2 * 256L div ${m2}L"), lit(0L), 8)
     val nPvals = es.map(_._1).distinct.size
     val newFiles = writeSnapshotFilesArranged(spark, base, v + 1, rows,
-      col(partCol),
+      layoutPvalExpr(spark, base, partCol),
       _.repartitionByRange(nPvals * filesPerPartition,
         col("__p"), hk))
     raceInject() // test hook: a concurrent commit between stage and commit
@@ -1324,23 +1348,20 @@ object ManifestTable {
     * unaffected. */
   private[sources] def dvPvalExpr(spark: SparkSession, base: String,
       partCol: String): org.apache.spark.sql.Column =
-    bucketNOf(spark, base) match {
-      case Some(n) => GraftBucketFunction.idExpr(n, col(partCol)).cast("string")
-      case None => col(partCol).cast("string")
-    }
+    layoutPvalExpr(spark, base, partCol).cast("string")
 
-  /** [[writeSnapshotFiles]] routed through the table's LAYOUT: identity
-    * tables partition by the raw column, bucket tables by the bucket id —
-    * staged MoR copies and purge rewrites land under the same pvals the
-    * original writer used, so `KeyGroupedPartitioning` (and the
-    * zero-exchange bucket join) survives every row-level commit. */
-  private def writeSnapshotFilesLayout(
-      spark: SparkSession, base: String, version: Int, df: DataFrame,
-      partCol: String): Seq[(String, String)] =
+  /** The LAYOUT partition expression over `partCol`: the raw column under
+    * identity layout, the bucket id (`pmod(xxhash64(key), n)`) under bucket
+    * layout. This is the ONE place a pval is computed from data columns —
+    * [[writeSnapshotFiles]] (and so every COW rewrite, compaction, and
+    * branch write), [[dvPvalExpr]], and the COW verbs' touched-group
+    * probes all route here, so a table's manifest pvals can never drift
+    * from its declared layout no matter which verb wrote them. */
+  private[sources] def layoutPvalExpr(spark: SparkSession, base: String,
+      partCol: String): org.apache.spark.sql.Column =
     bucketNOf(spark, base) match {
-      case Some(n) => writeSnapshotFilesExpr(spark, base, version, df,
-        GraftBucketFunction.idExpr(n, col(partCol)))
-      case None => writeSnapshotFiles(spark, base, version, df, partCol)
+      case Some(n) => GraftBucketFunction.idExpr(n, col(partCol))
+      case None => col(partCol)
     }
 
   /** MERGE-ON-READ DELETE — the deletion-vector trade-off (Delta DVs /
@@ -1484,7 +1505,7 @@ object ManifestTable {
     // the updated copies stage under files/v<cut> — the fence pivot —
     // through the table's layout (bucket tables keep bucket-id pvals)
     val updated = set.foldLeft(matched) { case (d, (c, e)) => d.withColumn(c, e) }
-    val staged = writeSnapshotFilesLayout(spark, base, cut, updated, partCol)
+    val staged = writeSnapshotFiles(spark, base, cut, updated, partCol)
     raceInject() // test hook: a concurrent commit between stage and commit
     var attempt = 0
     while (true) {
@@ -1666,7 +1687,7 @@ object ManifestTable {
         .join(broadcast(pairs), Seq(keyCol, "__pval"), "left")
         .filter(col("__cut").isNull || col("__fv") >= col("__cut"))
         .drop("__pval", "__fv", "__cut")
-    val newFiles = writeSnapshotFilesLayout(spark, base, v + 1, survivors, partCol)
+    val newFiles = writeSnapshotFiles(spark, base, v + 1, survivors, partCol)
     // the purge's commit DROPS the folded markers (dropDvMarkers) — a DV
     // that landed after the read is caught by the retry's marker check
     // and classifies as a conflict (this purge did not fold it)
@@ -1770,10 +1791,19 @@ object ManifestTable {
   private def tagPath(base: String, name: String) =
     new Path(manifestDir(base), s"ref-tag-$name")
 
-  private def requireRefName(name: String): Unit =
+  private def requireRefName(name: String): Unit = {
     require(name.matches("[A-Za-z][A-Za-z0-9_]*"),
       s"ref name '$name' must match [A-Za-z][A-Za-z0-9_]* — it has to be " +
         "distinguishable from version numbers and manifest file-name separators")
+    // the metadata-table address grammar parses $branch_<n>_changes_<a>_<b>
+    // as the CDF of branch <n> BEFORE trying <n>_changes_<a>_<b> as a plain
+    // branch name — a ref named like the CDF suffix could never be
+    // plain-read, so refuse it at creation
+    require(!name.matches(".*_changes_\\d+_\\d+$"),
+      s"ref name '$name' collides with the branch change-feed address " +
+        "grammar (<name>_changes_<from>_<to>) — pick a name not ending in " +
+        "_changes_<digits>_<digits>")
+  }
 
   /** Create an immutable tag for `version` (default: current). The write
     * is the usual temp + rename-refuses-overwrite, so two concurrent
@@ -1874,7 +1904,8 @@ object ManifestTable {
     * same exclusive-create commit point: exactly one creator wins the
     * name, and only the winner publishes a fork manifest. A crash
     * between the two writes leaves an arbiter with no manifest — healed
-    * here after an age fence (young arbiters belong to an in-flight
+    * here after an age fence by COMPLETING the crashed create (see
+    * [[healArbiterDebris]]; young arbiters belong to an in-flight
     * creator and must not be stolen). */
   def createBranch(spark: SparkSession, base: String, name: String): Int = {
     requireRefName(name)
@@ -1885,14 +1916,10 @@ object ManifestTable {
     val es = entries(spark, base, v) // read before taking the name
     val arb = branchArbiterPath(base, name)
     val fs = fsOf(spark, arb)
-    val st = if (fs.exists(arb)) Some(fs.getFileStatus(arb)) else None
-    st.foreach { s =>
-      // arbiter without any fork manifest = debris of a crashed create or
-      // drop; reclaim only past the fence so an in-flight creator (arbiter
-      // published, manifest not yet) is never raced out of its own name
-      if (s.getModificationTime < System.currentTimeMillis() - 60000L)
-        fs.delete(arb, false)
-    }
+    // one stat, not exists()+getFileStatus: a concurrent healer removing
+    // the debris between the two calls would throw FileNotFoundException
+    scala.util.Try(fs.getFileStatus(arb)).toOption
+      .foreach(s => healArbiterDebris(spark, base, name, arb, s))
     publishExclusive(spark, base, s"ref-branch-$name",
       v.toString.getBytes("UTF-8"),
       s"branch $name already exists under $base (concurrent createBranch)")
@@ -1900,6 +1927,74 @@ object ManifestTable {
       s"branch $name already exists under $base")
     catch { case t: Throwable => fs.delete(arb, false); throw t }
     v
+  }
+
+  /** Arbiter present with NO fork manifest = a creator crashed between
+    * its two writes (name taken, fork never published). Healing must not
+    * stat-then-DELETE: a concurrent creator can heal the same debris and
+    * publish a FRESH arbiter between our stat and delete, our delete then
+    * removes the fresh arbiter, both creators pass the exclusive publish,
+    * and with a main commit interleaved they fork DIFFERENT versions —
+    * the exact double-create the arbiter exists to prevent. Debris is
+    * instead healed BY COMPLETION: the arbiter RECORDS the crashed
+    * creator's fork version, so any later creator finishes the crashed
+    * create by committing exactly the fork manifest that creator would
+    * have. Manifests are immutable, so every concurrent completer —
+    * including the "crashed" creator itself, if it was merely slow —
+    * commits IDENTICAL content, and [[commitNamed]]'s exclusive publish
+    * makes the extra attempts harmless losers. The branch then exists at
+    * the recorded fork, and this create reports already-exists — the
+    * same outcome as if the original create had succeeded, which it now
+    * has. No reclaim, no steal window.
+    *
+    * Only when the recorded fork version no longer has a manifest
+    * ([[expireSnapshots]] dropped it — debris at least one retention
+    * cycle old) is completion impossible; then the name is reclaimed by
+    * an atomic RENAME to a unique trash name: of racing healers exactly
+    * one rename succeeds, and the loser falls through to the exclusive
+    * publish, which it loses cleanly. The winner re-checks the MOVED
+    * file's own mtime (rename preserves it): fresh means a new creator
+    * re-took the name inside our stat window — restore it and report the
+    * name taken. Residual exposure is two stacked sub-second races
+    * inside a path that already needs fence-old crash debris WITH an
+    * expired fork snapshot. */
+  private def healArbiterDebris(spark: SparkSession, base: String,
+      name: String, arb: Path, s: org.apache.hadoop.fs.FileStatus): Unit = {
+    def fence = System.currentTimeMillis() - 60000L
+    if (s.getModificationTime >= fence)
+      throw new VersionConflictException(
+        s"branch $name already exists under $base (concurrent createBranch)")
+    val fs = fsOf(spark, arb)
+    val forkV = scala.util.Try {
+      val in = fs.open(arb)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      text.toInt
+    }.toOption
+    forkV.filter(versions(spark, base).contains) match {
+      case Some(fv) =>
+        try commitNamed(spark, base, branchManifestName(name, fv),
+          entries(spark, base, fv),
+          s"branch $name already exists under $base")
+        catch { case _: VersionConflictException => () } // a raced completer won
+        throw new IllegalArgumentException(
+          s"branch $name already exists under $base (completed a crashed " +
+            s"createBranch at fork v$fv)")
+      case None =>
+        val trash = new Path(manifestDir(base),
+          s".tmp-trash-ref-branch-$name-${java.util.UUID.randomUUID}")
+        if (fs.rename(arb, trash)) {
+          val moved = scala.util.Try(fs.getFileStatus(trash)).toOption
+          if (moved.exists(_.getModificationTime >= fence)) {
+            fs.rename(trash, arb) // stole a live creator's fresh name — restore
+            throw new VersionConflictException(
+              s"branch $name already exists under $base (concurrent createBranch)")
+          }
+          fs.delete(trash, false)
+        }
+        // rename lost: another healer owns the debris; fall through — the
+        // exclusive publish arbitrates
+    }
   }
 
   /** Entries of the branch HEAD. */

@@ -285,6 +285,62 @@ class BucketJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIMIZE on a bucket table keeps bucket-id pvals (compaction is layout-routed)") {
+    // the hazard: compaction rewrites full rows, and a rewrite that emits
+    // RAW key values as pvals silently flips the manifest to a layout the
+    // bucket-pruning scan and KeyGroupedPartitioning misread — key lookups
+    // would drop rows. Keys are chosen >= 100 so a raw-value pval can
+    // never masquerade as a bucket id in [0, 4).
+    val root = graft.Scratch.root
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", root)
+    val tbl = "bk_opt"
+    val base = s"$root/$tbl"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl` (k BIGINT, v BIGINT)
+      |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    // two inserts fragment every bucket; a third via programmatic append
+    // exercises the generic write path on a bucket table too
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` " +
+      "SELECT id + 100, id FROM range(0, 64)")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` " +
+      "SELECT id + 200, id FROM range(0, 64)")
+    ManifestTable.append(spark, base,
+      spark.range(0, 64).selectExpr("id + 300 AS k", "id AS v"), "k")
+    val before = spark.sql(s"SELECT * FROM graft_cat.`$tbl`").count()
+    assert(before === 192)
+    // SQL-reachable compaction — exactly the CALL the advice flagged
+    val res = spark.sql(
+      s"CALL graft_cat.system.optimize(`table` => '$tbl', min_files => 2)").head
+    assert(res.getInt(0) > 0, "nothing compacted — fixture not fragmented")
+    val v = ManifestTable.currentVersion(spark, base)
+    val pvals = ManifestTable.entries(spark, base, v).map(_._1).distinct
+    assert(pvals.nonEmpty && pvals.forall(p => p.toInt >= 0 && p.toInt < 4),
+      s"compaction rewrote bucket pvals as raw values: $pvals")
+    // and every file's rows still hash into the bucket its entry claims
+    ManifestTable.entries(spark, base, v).groupBy(_._1).foreach {
+      case (pval, es) =>
+        val bad = spark.read
+          .parquet(es.map { case (_, rel) => s"$base/$rel" }: _*)
+          .filter(pmod(xxhash64(col("k")), lit(4L)) =!= pval.toInt).count()
+        assert(bad === 0, s"bucket $pval holds $bad rows hashed elsewhere")
+    }
+    // key-filtered reads still see every row (bucket pruning probes the
+    // same hash the rewrite used)
+    assert(spark.sql(s"SELECT * FROM graft_cat.`$tbl` WHERE k = 150").count() === 1)
+    assert(spark.sql(s"SELECT * FROM graft_cat.`$tbl`").count() === before)
+    // the clustered rewrite routes through the layout too
+    spark.sql(s"CALL graft_cat.system.optimize_sorted(" +
+      s"`table` => '$tbl', sort_col => 'v', files_per_partition => 1)")
+    val v2 = ManifestTable.currentVersion(spark, base)
+    val pvals2 = ManifestTable.entries(spark, base, v2).map(_._1).distinct
+    assert(pvals2.forall(p => p.toInt >= 0 && p.toInt < 4),
+      s"optimize_sorted rewrote bucket pvals as raw values: $pvals2")
+    assert(spark.sql(s"SELECT * FROM graft_cat.`$tbl` WHERE k = 250").count() === 1)
+  }
+
   test("non-BIGINT bucket keys refuse at CREATE") {
     spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
     spark.conf.set("spark.sql.catalog.graft_cat.root",

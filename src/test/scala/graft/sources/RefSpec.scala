@@ -241,7 +241,7 @@ class RefSpec extends AnyFunSuite {
       ManifestTable.entries(spark, base, vs.head).toSet)
   }
 
-  test("branch name is reusable after dropBranch; stale arbiter heals") {
+  test("branch name is reusable after dropBranch; stale arbiter heals by completion") {
     val (base, t) = freshTable("brreuse")
     ManifestTable.createBranch(spark, base, "cycle")
     ManifestTable.dropBranch(spark, base, "cycle")
@@ -249,9 +249,11 @@ class RefSpec extends AnyFunSuite {
     assert(ManifestTable.createBranch(spark, base, "cycle") === 1)
     ManifestTable.dropBranch(spark, base, "cycle")
     // debris shape: an arbiter with NO fork manifest (crash between the
-    // two creation writes, or between a drop's manifest and arbiter
-    // deletes). Young debris blocks creation (could be an in-flight
-    // creator); past the age fence createBranch reclaims the name.
+    // two creation writes). Young debris blocks creation (could be an
+    // in-flight creator); past the age fence createBranch COMPLETES the
+    // crashed create — the branch materializes at the arbiter's recorded
+    // fork version and the create reports already-exists, exactly as if
+    // the original create had succeeded.
     val arb = new org.apache.hadoop.fs.Path(base, "_manifests/ref-branch-crashed")
     val fs = arb.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(arb, false)
@@ -260,8 +262,46 @@ class RefSpec extends AnyFunSuite {
       ManifestTable.createBranch(spark, base, "crashed")
     }
     fs.setTimes(arb, System.currentTimeMillis() - 120000L, -1)
-    assert(ManifestTable.createBranch(spark, base, "crashed") === 1)
+    val healed = intercept[IllegalArgumentException] {
+      ManifestTable.createBranch(spark, base, "crashed")
+    }
+    assert(healed.getMessage.contains("completed a crashed createBranch"))
     assert(ManifestTable.branchVersions(spark, base, "crashed") === Seq(1))
+    // the completed branch is a real branch: readable, droppable
+    assert(ManifestTable.readBranch(spark, base, "crashed").count() === t.count())
+    ManifestTable.dropBranch(spark, base, "crashed")
+  }
+
+  test("stale arbiter naming an EXPIRED fork version reclaims the name atomically") {
+    val (base, _) = freshTable("brexpired")
+    // arbiter records fork v99 — no such snapshot (the shape left when
+    // expireSnapshots dropped the fork after a crash): completion is
+    // impossible, so the name reclaims via the rename-to-trash path and
+    // the create proceeds fresh
+    val arb = new org.apache.hadoop.fs.Path(base, "_manifests/ref-branch-gone")
+    val fs = arb.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(arb, false)
+    try out.write("99".getBytes("UTF-8")) finally out.close()
+    fs.setTimes(arb, System.currentTimeMillis() - 120000L, -1)
+    assert(ManifestTable.createBranch(spark, base, "gone") === 1)
+    assert(ManifestTable.branchVersions(spark, base, "gone") === Seq(1))
+    // no trash debris left under _manifests
+    val leftover = fs.globStatus(
+      new org.apache.hadoop.fs.Path(base, "_manifests/.tmp-trash-*"))
+    assert(leftover == null || leftover.isEmpty)
+  }
+
+  test("ref names colliding with the CDF address grammar are refused") {
+    val (base, _) = freshTable("brcdfname")
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.createBranch(spark, base, "x_changes_1_2")
+    }
+    assert(e.getMessage.contains("change-feed address"))
+    intercept[IllegalArgumentException] {
+      ManifestTable.createTag(spark, base, "y_changes_10_20")
+    }
+    // names that merely contain _changes_ without the numeric suffix stay legal
+    assert(ManifestTable.createBranch(spark, base, "audit_changes_log") === 1)
   }
 
   test("concurrent branch appends rebase like main appends") {
