@@ -1,0 +1,169 @@
+package graft.sources
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{date_format, lit, pmod, substring}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType}
+
+/** A TIME/TRUNCATE partition TRANSFORM — Iceberg's hidden partitioning
+  * (Iceberg spec §"Partition Transforms") as a first-class manifest-table
+  * layout: the table is partitioned by `months(d)` / `days(d)` /
+  * `years(d)` / `truncate(w, c)` of a SOURCE column, the transform value
+  * lives only in directory names and manifest pvals (never as a stored
+  * column), and queries filter on the RAW column — the scan maps pushed
+  * predicates through the transform and prunes partitions the predicate
+  * provably cannot match. This is the reference's own layout done the
+  * Iceberg way: `glue_job.py:159` partitions its sink by a date derived
+  * from event time and every Athena query must repeat the derivation;
+  * here the derivation is a property of the table.
+  *
+  * One spec object serves every pval computation so the write path, the
+  * verbs' rewrites, the deletion-vector recording, and the driver-side
+  * prune probes can never disagree:
+  *
+  *   - [[pvalColumn]] — the distributed write expression (Column).
+  *   - [[pvalOfDays]]/[[pvalOfString]]/[[pvalOfLong]] — the executor-side
+  *     per-row forms used by the connector's raw parquet writers.
+  *   - [[keepPredicate]] — pushed filters on the raw column folded into a
+  *     driver-side pval predicate (INCLUSIVE: any filter shape the
+  *     transform cannot decide prunes nothing; every filter is also
+  *     re-applied row-level, exactly like parquet row-group pruning).
+  *
+  * Time transforms accept DATE and ISO-8601 STRING source columns; both
+  * are timezone-free, so the executor-side `java.time` forms and the
+  * Column forms agree byte-for-byte under any session zone. TIMESTAMP
+  * columns are refused at CREATE (their local-date projection depends on
+  * the session zone — a reader in another zone would prune differently
+  * than the writer wrote; cast to DATE in the INSERT instead, which pins
+  * the decision to the writer's zone once). Truncate accepts BIGINT/INT
+  * (Iceberg's `v - (((v % W) + W) % W)` floor semantics) and STRING
+  * (prefix). pval STRINGS compare consistently with raw-column order:
+  * zero-padded `yyyy-MM[-dd]` sorts lexicographically, truncated longs
+  * compare numerically in [[keepPredicate]].
+  */
+final case class GraftTransform(kind: String, width: Int) {
+  import GraftTransform._
+  require(timeKinds(kind) || kind == "truncate", s"unknown transform kind $kind")
+  require(kind != "truncate" || width > 0, s"truncate needs a positive width")
+
+  /** Characters of the ISO date prefix this time transform keeps. */
+  private def isoLen: Int = kind match {
+    case "years" => 4
+    case "months" => 7
+    case "days" => 10
+  }
+
+  /** pval of a DATE value (Spark-internal days since epoch). */
+  def pvalOfDays(days: Int): String = {
+    val d = LocalDate.ofEpochDay(days.toLong)
+    kind match {
+      case "years" => f"${d.getYear}%04d"
+      case "months" => f"${d.getYear}%04d-${d.getMonthValue}%02d"
+      case "days" => f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d"
+      case other => throw new IllegalStateException(s"$other on a DATE column")
+    }
+  }
+
+  /** pval of a STRING value (ISO date prefix for time kinds; prefix for
+    * truncate). */
+  def pvalOfString(s: String): String =
+    if (kind == "truncate") s.take(width) else s.take(isoLen)
+
+  /** pval of an integral value (truncate only: floor to the width). */
+  def pvalOfLong(v: Long): String = {
+    require(kind == "truncate", s"$kind on an integral column")
+    (v - java.lang.Math.floorMod(v, width.toLong)).toString
+  }
+
+  /** pval of a pushed-filter LITERAL (driver-side prune probe), or None
+    * for a literal type the transform cannot decide (prune nothing). */
+  def pvalOfLiteral(v: Any): Option[String] = v match {
+    case d: java.sql.Date => Some(pvalOfDays(d.toLocalDate.toEpochDay.toInt))
+    case d: java.time.LocalDate => Some(pvalOfDays(d.toEpochDay.toInt))
+    case s: String => Some(pvalOfString(s))
+    case l: java.lang.Long if kind == "truncate" => Some(pvalOfLong(l))
+    case i: java.lang.Integer if kind == "truncate" => Some(pvalOfLong(i.toLong))
+    case _ => None
+  }
+
+  /** The transform as a Column over the raw source column — the ONE
+    * distributed form, used by every full-row rewrite via
+    * [[ManifestTable.layoutPvalExpr]]. Must agree byte-for-byte with the
+    * per-row forms above (pinned in `MonthLayoutSpec`). */
+  def pvalColumn(c: Column, dt: DataType): Column = (kind, dt) match {
+    // date_format on DATE is timezone-free (a date has no instant)
+    case ("years", DateType) => date_format(c, "yyyy")
+    case ("months", DateType) => date_format(c, "yyyy-MM")
+    case ("days", DateType) => date_format(c, "yyyy-MM-dd")
+    case (k, StringType) if timeKinds(k) => substring(c, 1, isoLen)
+    case ("truncate", LongType | IntegerType) =>
+      (c.cast("long") - pmod(c.cast("long"), lit(width.toLong))).cast("string")
+    case ("truncate", StringType) => substring(c, 1, width)
+    case (k, t) => throw new UnsupportedOperationException(
+      s"transform $k over a ${t.typeName} column")
+  }
+
+  /** Fold the pushed source filters on `partCol` into one INCLUSIVE pval
+    * predicate (None = no filter the transform can decide — keep all).
+    * Time-kind pvals compare lexicographically (zero-padded ISO prefixes
+    * order like their dates); truncate-on-integral pvals compare
+    * numerically; truncate-on-string decides equality/IN only. For a
+    * monotone transform T: `c >= L` keeps pvals >= T(L) (the partition
+    * holding L may hold both sides of the bound — inclusive), `c = L`
+    * keeps exactly T(L), conjuncts intersect. */
+  def keepPredicate(partCol: String, numeric: Boolean,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[String => Boolean] = {
+    import org.apache.spark.sql.sources._
+    def cmp(a: String, b: String): Int =
+      if (numeric) java.lang.Long.compare(a.toLong, b.toLong) else a.compareTo(b)
+    val ranged = !(kind == "truncate" && !numeric)
+    val preds: Seq[String => Boolean] = filters.flatMap {
+      case EqualTo(a, v) if a.equalsIgnoreCase(partCol) =>
+        pvalOfLiteral(v).map(t => (p: String) => p == t)
+      case In(a, vs) if a.equalsIgnoreCase(partCol) =>
+        val ts = vs.toSeq.filter(_ != null).map(pvalOfLiteral)
+        if (ts.forall(_.isDefined)) {
+          val set = ts.flatten.toSet
+          Some((p: String) => set(p))
+        } else None
+      case GreaterThan(a, v) if ranged && a.equalsIgnoreCase(partCol) =>
+        pvalOfLiteral(v).map(t => (p: String) => cmp(p, t) >= 0)
+      case GreaterThanOrEqual(a, v) if ranged && a.equalsIgnoreCase(partCol) =>
+        pvalOfLiteral(v).map(t => (p: String) => cmp(p, t) >= 0)
+      case LessThan(a, v) if ranged && a.equalsIgnoreCase(partCol) =>
+        pvalOfLiteral(v).map(t => (p: String) => cmp(p, t) <= 0)
+      case LessThanOrEqual(a, v) if ranged && a.equalsIgnoreCase(partCol) =>
+        pvalOfLiteral(v).map(t => (p: String) => cmp(p, t) <= 0)
+      case _ => None // inclusive: undecidable filter shapes prune nothing
+    }
+    if (preds.isEmpty) None else Some(p => preds.forall(_(p)))
+  }
+}
+
+object GraftTransform {
+  val timeKinds: Set[String] = Set("years", "months", "days")
+
+  /** Normalize the SQL transform name (`month(c)` and `months(c)` both
+    * arrive from the parser, as ApplyTransform and MonthsTransform). */
+  def normalizeKind(name: String): Option[String] = name.toLowerCase match {
+    case "year" | "years" => Some("years")
+    case "month" | "months" => Some("months")
+    case "day" | "days" | "date" => Some("days")
+    case "truncate" => Some("truncate")
+    case _ => None
+  }
+
+  /** The table's transform layout from its properties, if stamped. */
+  def fromProps(props: Map[String, String]): Option[GraftTransform] =
+    props.get("transform.kind").map(k =>
+      GraftTransform(k, props.get("transform.width").map(_.toInt).getOrElse(0)))
+
+  /** Source-column types a kind accepts (refused at CREATE otherwise). */
+  def accepts(kind: String, dt: DataType): Boolean = kind match {
+    case k if timeKinds(k) => dt == DateType || dt == StringType
+    case "truncate" => dt == LongType || dt == IntegerType || dt == StringType
+    case _ => false
+  }
+}

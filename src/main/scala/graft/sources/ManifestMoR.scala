@@ -52,17 +52,31 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
 
   /** The LAYOUT partition expression over `partCol`: the raw column under
     * identity layout, the bucket id (`pmod(xxhash64(key), n)`) under bucket
+    * layout, the transform value (`months(c)` / `days(c)` / `years(c)` /
+    * `truncate(w, c)` — see [[GraftTransform]]) under a time/truncate
     * layout. This is the ONE place a pval is computed from data columns —
     * [[writeSnapshotFiles]] (and so every COW rewrite, compaction, and
     * branch write), [[dvPvalExpr]], and the COW verbs' touched-group
     * probes all route here, so a table's manifest pvals can never drift
     * from its declared layout no matter which verb wrote them. */
   private[sources] def layoutPvalExpr(spark: SparkSession, base: String,
-      partCol: String): org.apache.spark.sql.Column =
-    bucketNOf(spark, base) match {
-      case Some(n) => GraftBucketFunction.idExpr(n, col(partCol))
-      case None => col(partCol)
+      partCol: String): org.apache.spark.sql.Column = {
+    val props = tableProperties(spark, base)
+    GraftTransform.fromProps(props) match {
+      case Some(t) =>
+        val dt = props.get("schema").map(ManifestSchemaProp.parse)
+          .flatMap(_.fields.find(_.name.equalsIgnoreCase(partCol)))
+          .map(_.dataType)
+          .getOrElse(throw new IllegalStateException(
+            s"transform layout under $base needs the schema property to " +
+              s"type its source column $partCol"))
+        t.pvalColumn(col(partCol), dt)
+      case None => props.get("bucket.n").map(_.toInt) match {
+        case Some(n) => GraftBucketFunction.idExpr(n, col(partCol))
+        case None => col(partCol)
+      }
     }
+  }
 
   /** MERGE-ON-READ DELETE — the deletion-vector trade-off (Delta DVs /
     * Iceberg v2 delete files) opposite [[deleteWhere]]'s copy-on-write:

@@ -73,6 +73,10 @@ final class ManifestStreamTable(schema: StructType, base: String,
     // layoutCol machinery (value pruning, DPP, key-grouped-by-value) is
     // OFF and the scan instead reports bucket-transform partitioning
     bucketLayout: Option[(Int, String)] = None,
+    // TIME/TRUNCATE layout (transform, source column): pvals are the
+    // transform of the source column — raw-column predicates prune
+    // through the transform, the identity machinery stays off
+    transformLayout: Option[(GraftTransform, String)] = None,
     // streaming reads walk this BRANCH's manifest sequence instead of
     // main's (batch reads of a branch go through `t$branch_<name>`)
     streamBranch: Option[String] = None)
@@ -134,8 +138,10 @@ final class ManifestStreamTable(schema: StructType, base: String,
             "rewrite cannot preserve the bucket layout")
       if (mor)
         new ManifestRowLevelDeltaOp(this, base, info.command(),
-          props("keyCol"), props("partCol"), props.get("bucket.n").map(_.toInt))
-      else new ManifestRowLevelOp(this, base, info.command())
+          props("keyCol"), props("partCol"), props.get("bucket.n").map(_.toInt),
+          GraftTransform.fromProps(props))
+      else new ManifestRowLevelOp(this, base, info.command(),
+        GraftTransform.fromProps(props))
     }
 
   /** SQL `DELETE FROM graft_cat.\`t\` WHERE ...` (and `TRUNCATE TABLE`,
@@ -285,6 +291,11 @@ final class ManifestStreamTable(schema: StructType, base: String,
         ManifestTable.tableProperties(
           org.apache.spark.sql.SparkSession.active, base)
           .get("bucket.n").map(_.toInt)
+      // TIME/TRUNCATE layout: the stored transform.kind/width properties
+      // flip the pval to the transform of the source column
+      private def transformOf: Option[GraftTransform] =
+        GraftTransform.fromProps(ManifestTable.tableProperties(
+          org.apache.spark.sql.SparkSession.active, base))
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write
             with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -312,16 +323,17 @@ final class ManifestStreamTable(schema: StructType, base: String,
               // `.option("branch", name)`: epochs commit to the branch's
               // manifest sequence (streaming write-audit-publish) — main
               // is untouched until fastForward/rebasePublish
-              Option(info.options.get("branch")), bucketN)
+              Option(info.options.get("branch")), bucketN, transformOf)
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
-            new ManifestBatchAppend(base, info.schema(), partCol, bucketN)
+            new ManifestBatchAppend(base, info.schema(), partCol, bucketN,
+              transformOf)
         }
     }
   /** The same table pinned to one snapshot (SQL `VERSION AS OF`). */
   def withVersion(v: Int): ManifestStreamTable =
     new ManifestStreamTable(schema, base, Some(v), layoutCol,
-      bucketLayout = bucketLayout)
+      bucketLayout = bucketLayout, transformLayout = transformLayout)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     scanBuilderRecording(options, (_, _) => ())
 
@@ -506,13 +518,26 @@ final class ManifestStreamTable(schema: StructType, base: String,
             }
             if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
           }
+        // STATIC TRANSFORM PRUNING: pushed predicates on the RAW source
+        // column fold through the table's time/truncate transform into
+        // one inclusive pval predicate — a date-range scan of a
+        // months(d) table opens only the in-range month partitions, the
+        // user never names the transform (Iceberg's hidden partitioning)
+        private def staticTransformKeep: Option[String => Boolean] =
+          transformLayout.flatMap { case (t, c) =>
+            val numeric = t.kind == "truncate" &&
+              schema.fields.find(_.name.equalsIgnoreCase(c))
+                .exists(f => f.dataType == LongType || f.dataType == IntegerType)
+            t.keepPredicate(c, numeric, allFilters.toSeq)
+          }
         private lazy val batch =
           new ManifestSnapshotBatch(base, projected, versionAsOf,
             layoutCol.filter(projected.fieldNames.contains),
             layoutCol.map(schema.apply).map(_.dataType),
             layoutCol, pushed.toSeq, () => runtimePvals, pushedLimit, onPlan,
             bucketKeyed = bucketLayout.isDefined,
-            bucketPvals = staticBucketPvals)
+            bucketPvals = staticBucketPvals,
+            pvalKeep = staticTransformKeep)
         override def toBatch: org.apache.spark.sql.connector.read.Batch = {
           if (streamBranch.isDefined)
             throw new UnsupportedOperationException(
@@ -526,8 +551,11 @@ final class ManifestStreamTable(schema: StructType, base: String,
           // row-level scan may prune to [rowId, _pval], and advertising
           // an unresolvable attribute breaks Spark's DPP rule. Bucket
           // layout advertises its KEY column — arriving join-key values
-          // map to bucket ids in filter().
+          // map to bucket ids in filter(). Transform layout advertises
+          // its SOURCE column — values map through the transform, so a
+          // date-dim join (or a MERGE's group filter) prunes months.
           layoutCol.orElse(bucketLayout.map(_._2))
+            .orElse(transformLayout.map(_._2))
             .filter(c => projected.fieldNames.exists(_.equalsIgnoreCase(c)))
             .map(c => Array(
               org.apache.spark.sql.connector.expressions.Expressions.column(c)))
@@ -536,17 +564,23 @@ final class ManifestStreamTable(schema: StructType, base: String,
             filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
           import org.apache.spark.sql.sources.{EqualTo, In}
           // runtime (DPP) values map to pvals: identity layout takes the
-          // value itself; bucket layout hashes it to its bucket id
+          // value itself; bucket layout hashes it to its bucket id;
+          // transform layout projects it through the transform
           // (inclusive — a value of an unexpected type prunes nothing)
-          def pvalsOf(vs: Seq[Any]): Option[Set[String]] = bucketLayout match {
-            case Some((n, _)) =>
-              if (vs.forall(_.isInstanceOf[java.lang.Long]))
-                Some(vs.map(v => GraftBucketFunction
-                  .idOf(n, v.asInstanceOf[java.lang.Long]).toString).toSet)
-              else None
-            case None => Some(vs.map(_.toString).toSet)
-          }
+          def pvalsOf(vs: Seq[Any]): Option[Set[String]] =
+            (bucketLayout, transformLayout) match {
+              case (Some((n, _)), _) =>
+                if (vs.forall(_.isInstanceOf[java.lang.Long]))
+                  Some(vs.map(v => GraftBucketFunction
+                    .idOf(n, v.asInstanceOf[java.lang.Long]).toString).toSet)
+                else None
+              case (None, Some((t, _))) =>
+                val ps = vs.map(t.pvalOfLiteral)
+                if (ps.forall(_.isDefined)) Some(ps.flatten.toSet) else None
+              case _ => Some(vs.map(_.toString).toSet)
+            }
           val keyCol = layoutCol.orElse(bucketLayout.map(_._2))
+            .orElse(transformLayout.map(_._2))
           val sets = filters.toSeq.flatMap {
             case In(a, vs) if keyCol.exists(_.equalsIgnoreCase(a)) =>
               pvalsOf(vs.filter(_ != null).toSeq)
@@ -682,6 +716,7 @@ private[sources] object ManifestSchemaProp {
       case "integer" => IntegerType
       case "double" => DoubleType
       case "string" => StringType
+      case "date" => DateType
       case other => throw new UnsupportedOperationException(
         s"schema property: unsupported type $other for $n")
     })
@@ -1124,7 +1159,10 @@ private[sources] object ManifestFileSkipping {
   * exactly the groups that were read, appending into groups that were
   * only inserted into, all under one atomic manifest rename. */
 final class ManifestRowLevelOp(table: ManifestStreamTable, base: String,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    // TRANSFORM layout: the group rewrite's staged files must land under
+    // transform pvals (the groups the scan planned ARE transform pvals)
+    transform: Option[GraftTransform] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   // which partition values the (executed) scan planned, and the snapshot
   // version it planned against; None = the scan never planned — the
@@ -1167,7 +1205,8 @@ final class ManifestRowLevelOp(table: ManifestStreamTable, base: String,
               : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
             Array.empty
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-            new ManifestReplaceGroups(base, info.schema(), partCol, () => planned)
+            new ManifestReplaceGroups(base, info.schema(), partCol, () => planned,
+              transform)
         }
     }
   }
@@ -1178,12 +1217,13 @@ final class ManifestRowLevelOp(table: ManifestStreamTable, base: String,
   * untouched groups carry by reference; a staged group the scan never
   * read (a MERGE's pure inserts) appends. */
 final class ManifestReplaceGroups(base: String, schema: StructType,
-    partCol: String, planned: () => Option[(Set[String], Int)])
+    partCol: String, planned: () => Option[(Set[String], Int)],
+    transform: Option[GraftTransform] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestBatchWriterFactory(base, schema, partCol)
+    new ManifestBatchWriterFactory(base, schema, partCol, None, transform)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(base).getFileSystem(new Configuration())
@@ -1243,7 +1283,9 @@ final class ManifestRowLevelDeltaOp(table: ManifestStreamTable, base: String,
     keyCol: String, partCol: String,
     // BUCKET layout: staged insert/update copies must land under bucket-id
     // pvals (the vector already records them — `_pval` IS the bucket id)
-    bucketN: Option[Int] = None)
+    bucketN: Option[Int] = None,
+    // TRANSFORM layout: staged copies land under transform pvals likewise
+    transform: Option[GraftTransform] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
   @volatile private[sources] var planned: Option[(Set[String], Int)] = None
@@ -1273,7 +1315,7 @@ final class ManifestRowLevelDeltaOp(table: ManifestStreamTable, base: String,
           override def toBatch
               : org.apache.spark.sql.connector.write.DeltaBatchWrite =
             new ManifestDeltaWrite(base, dataSchema, keyCol, partCol,
-              () => planned, bucketN)
+              () => planned, bucketN, transform)
         }
     }
   }
@@ -1288,7 +1330,7 @@ final case class ManifestDeltaFiles(files: Seq[(String, String)],
 final class ManifestDeltaWrite(base: String, rowSchema: StructType,
     keyCol: String, partCol: String,
     planned: () => Option[(Set[String], Int)],
-    bucketN: Option[Int] = None)
+    bucketN: Option[Int] = None, transform: Option[GraftTransform] = None)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   import org.apache.spark.sql.connector.write.{DeltaWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
@@ -1296,7 +1338,7 @@ final class ManifestDeltaWrite(base: String, rowSchema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new ManifestDeltaWriterFactory(base, rowSchema, keyCol, partCol, dvToken,
-      bucketN)
+      bucketN, transform)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -1381,12 +1423,12 @@ final class ManifestDeltaWrite(base: String, rowSchema: StructType,
 
 final class ManifestDeltaWriterFactory(base: String, rowSchema: StructType,
     keyCol: String, partCol: String, dvToken: String,
-    bucketN: Option[Int] = None)
+    bucketN: Option[Int] = None, transform: Option[GraftTransform] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new ManifestDeltaWriter(base, rowSchema, keyCol, partCol, dvToken,
-      partitionId, taskId, bucketN)
+      partitionId, taskId, bucketN, transform)
 }
 
 /** Executor-side delta writer: inserts/update-images go through the
@@ -1396,7 +1438,8 @@ final class ManifestDeltaWriterFactory(base: String, rowSchema: StructType,
   * commit names its `__dv` marker). */
 final class ManifestDeltaWriter(base: String, rowSchema: StructType,
     keyCol: String, partCol: String, dvToken: String,
-    partitionId: Int, taskId: Long, bucketN: Option[Int] = None)
+    partitionId: Int, taskId: Long, bucketN: Option[Int] = None,
+    transform: Option[GraftTransform] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -1404,7 +1447,7 @@ final class ManifestDeltaWriter(base: String, rowSchema: StructType,
 
   private val inner =
     new ManifestSinkWriter(base, rowSchema, partCol, partitionId, taskId, -2L,
-      bucketN)
+      bucketN, transform)
   private val fragPath = s"$base/_dv/d-$dvToken/frag-p$partitionId-t$taskId.parquet"
   private val dvType = Types.buildMessage()
     .optional(PrimitiveType.PrimitiveTypeName.INT64).named(keyCol)
@@ -1665,9 +1708,15 @@ class ManifestCatalog
     // transform
     val bucketLayout = props.get("bucket.n").flatMap(n =>
       props.get("partCol").map(c => (n.toInt, c)))
+    // a transform layout's pvals are transform values, so the identity
+    // machinery (value pruning, DPP, key-grouped-by-value) stays off and
+    // the scan prunes raw-column predicates through the transform instead
+    val transformLayout = GraftTransform.fromProps(props).flatMap(t =>
+      props.get("partCol").map(c => (t, c)))
     new ManifestStreamTable(keyed, base, None,
-      if (bucketLayout.isDefined) None else props.get("partCol"),
-      bucketLayout = bucketLayout)
+      if (bucketLayout.isDefined || transformLayout.isDefined) None
+      else props.get("partCol"),
+      bucketLayout = bucketLayout, transformLayout = transformLayout)
   }
 
   /** SQL time travel: `SELECT ... FROM graft_cat.\`t\` VERSION AS OF 2`
@@ -1729,15 +1778,18 @@ class ManifestCatalog
     val base = baseOf(ident)
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
-    // one identity transform (value layout) or one bucket transform
+    // one identity transform (value layout), one bucket transform
     // (`PARTITIONED BY (bucket(n, key))` — hash layout for shuffle-free
-    // bucket joins); (partCol, bucket count)
-    val (partCol, bucketN) = partitions.toSeq match {
+    // bucket joins), or one TIME/TRUNCATE transform (`months(d)` /
+    // `days(d)` / `years(d)` / `truncate(w, c)` — Iceberg-style hidden
+    // partitioning; see [[GraftTransform]]); (partCol, bucket count,
+    // transform spec)
+    val (partCol, bucketN, transformSpec) = partitions.toSeq match {
       case Seq(t) if t.name() == "identity" =>
         val refs = t.references()
         require(refs.length == 1 && refs(0).fieldNames.length == 1,
           s"manifest tables take exactly one identity partition column, got $t")
-        (refs(0).fieldNames()(0), None)
+        (refs(0).fieldNames()(0), None, None)
       case Seq(t) if t.name() == "bucket" =>
         val refs = t.references()
         require(refs.length == 1 && refs(0).fieldNames.length == 1,
@@ -1751,10 +1803,40 @@ class ManifestCatalog
         require(schema.fields.find(_.name.equalsIgnoreCase(refs(0).fieldNames()(0)))
             .exists(_.dataType == LongType),
           "bucket layout supports BIGINT keys only")
-        (refs(0).fieldNames()(0), Some(n))
+        (refs(0).fieldNames()(0), Some(n), None)
+      case Seq(t) if GraftTransform.normalizeKind(t.name()).isDefined =>
+        val kind = GraftTransform.normalizeKind(t.name()).get
+        val refs = t.references()
+        require(refs.length == 1 && refs(0).fieldNames.length == 1,
+          s"${t.name()} transform needs exactly one source column, got $t")
+        val c = refs(0).fieldNames()(0)
+        val width =
+          if (kind != "truncate") 0
+          else t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.dataType() == IntegerType => l.value().asInstanceOf[Int]
+          }.getOrElse(throw new IllegalArgumentException(
+            s"truncate transform needs an integer width, got $t"))
+        val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+          .getOrElse(throw new IllegalArgumentException(
+            s"transform source column $c not in the table schema"))
+        // a TIMESTAMP's local-date projection depends on the session
+        // zone — a reader in another zone would prune differently than
+        // the writer wrote; the decision belongs in the INSERT, once
+        if (GraftTransform.timeKinds(kind) &&
+            (dt == TimestampType || dt == TimestampNTZType))
+          throw new UnsupportedOperationException(
+            s"${t.name()} over a TIMESTAMP column is not supported — cast " +
+              "to DATE in the INSERT (pins the timezone decision at write " +
+              "time) and declare the column DATE")
+        require(GraftTransform.accepts(kind, dt),
+          s"${t.name()} transform over a ${dt.typeName} column is not " +
+            "supported (time transforms take DATE or ISO-8601 STRING; " +
+            "truncate takes BIGINT/INT/STRING)")
+        (c, None, Some(GraftTransform(kind, width)))
       case other => throw new UnsupportedOperationException(
         "manifest tables need exactly one PARTITIONED BY transform " +
-          s"(identity or bucket), got $other")
+          s"(identity, bucket, months/days/years, or truncate), got $other")
     }
     require(schema.fieldNames.exists(_.equalsIgnoreCase(partCol)),
       s"partition column $partCol not in the table schema")
@@ -1780,6 +1862,12 @@ class ManifestCatalog
     ManifestTable.setTableProperty(spark, base, "partCol", partCol)
     bucketN.foreach(n =>
       ManifestTable.setTableProperty(spark, base, "bucket.n", n.toString))
+    transformSpec.foreach { t =>
+      ManifestTable.setTableProperty(spark, base, "transform.kind", t.kind)
+      if (t.kind == "truncate")
+        ManifestTable.setTableProperty(spark, base, "transform.width",
+          t.width.toString)
+    }
     ManifestTable.setTableProperty(spark, base, "schema",
       ManifestSchemaProp.serialize(schema))
     ManifestTable.commit(spark, base, 1, Seq.empty)
@@ -2354,7 +2442,7 @@ final class ManifestBranchTable(base: String, fullName: String,
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
             new ManifestBranchAppend(base, branch, info.schema(), partCol,
-              props.get("bucket.n").map(_.toInt))
+              props.get("bucket.n").map(_.toInt), GraftTransform.fromProps(props))
         }
     }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -2406,7 +2494,7 @@ final class ManifestBranchRowLevelOp(table: ManifestBranchTable, base: String,
             Array.empty
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
             new ManifestBranchReplaceGroups(base, branch, info.schema(),
-              partCol, () => planned)
+              partCol, () => planned, GraftTransform.fromProps(props0))
         }
     }
   }
@@ -2419,12 +2507,13 @@ final class ManifestBranchRowLevelOp(table: ManifestBranchTable, base: String,
   * ([[ManifestTable.commitBranchRetrying]]). */
 final class ManifestBranchReplaceGroups(base: String, branch: String,
     schema: StructType, partCol: String,
-    planned: () => Option[(Set[String], Int)])
+    planned: () => Option[(Set[String], Int)],
+    transform: Option[GraftTransform] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestBatchWriterFactory(base, schema, partCol)
+    new ManifestBatchWriterFactory(base, schema, partCol, None, transform)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(base).getFileSystem(new Configuration())
@@ -2476,7 +2565,10 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     bucketKeyed: Boolean = false,
     // bucket ids implied by pushed point predicates on the bucket key
     // (None = no static bucket pruning)
-    bucketPvals: Option[Set[String]] = None)
+    bucketPvals: Option[Set[String]] = None,
+    // TIME/TRUNCATE layout: pushed raw-column predicates folded into one
+    // inclusive pval predicate (None = no transform pruning)
+    pvalKeep: Option[String => Boolean] = None)
     extends org.apache.spark.sql.connector.read.Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = new Path(base).getFileSystem(new Configuration())
@@ -2506,7 +2598,7 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     val rt = runtimePvals()
     val afterPart = all.filter { case (pval, _) =>
       partPreds.forall(_(pval)) && rt.forall(_.contains(pval)) &&
-        bucketPvals.forall(_.contains(pval)) }
+        bucketPvals.forall(_.contains(pval)) && pvalKeep.forall(_(pval)) }
     val survivors = ManifestFileSkipping.fileSurvivors(
       spark, base, v, pushed, afterPart.map(_._2).toSeq)
     val afterFiles = afterPart.filter { case (_, rel) => survivors(rel) }
@@ -2638,7 +2730,11 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
       // pval is the HASH of its partition-column value, not the value
       dvBucketN = if (dvPairs.isEmpty) None
         else ManifestTable.tableProperties(spark, base)
-          .get("bucket.n").map(_.toInt))
+          .get("bucket.n").map(_.toInt),
+      // TRANSFORM layout: a vector's __pval is the transform value
+      dvTransform = if (dvPairs.isEmpty) None
+        else GraftTransform.fromProps(
+          ManifestTable.tableProperties(spark, base)))
   }
 }
 
@@ -2877,7 +2973,10 @@ final class ManifestFileReaderFactory(schema: StructType,
     dvPairs: Map[(Long, String), Int] = Map.empty,
     colmap: Map[String, String] = Map.empty,
     defaults: Map[String, Any] = Map.empty,
-    dvBucketN: Option[Int] = None)
+    dvBucketN: Option[Int] = None,
+    // TIME/TRUNCATE layout: a vector's __pval is the transform value, so
+    // a row's pval is the transform of its source-column value
+    dvTransform: Option[GraftTransform] = None)
     extends PartitionReaderFactory {
   // RENAME name mapping: a served (logical) column reads its ORIGINAL
   // footer name from pre-rename files and its logical name from files
@@ -2942,15 +3041,30 @@ final class ManifestFileReaderFactory(schema: StructType,
     if (!g.getType.containsField(dvPart) ||
         g.getFieldRepetitionCount(dvPart) == 0) return None
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    g.getType.getType(dvPart).asPrimitiveType().getPrimitiveTypeName match {
+    val prim = g.getType.getType(dvPart).asPrimitiveType()
+    def isDate = prim.getLogicalTypeAnnotation != null &&
+      prim.getLogicalTypeAnnotation.toString == "DATE"
+    prim.getPrimitiveTypeName match {
       // BUCKET layout: the vector records bucket ids, so the row's pval
       // is the hash of its (BIGINT) partition-column value
-      case INT64  => Some(dvBucketN
-        .map(n => GraftBucketFunction.idOf(n, g.getLong(dvPart, 0)).toString)
-        .getOrElse(g.getLong(dvPart, 0).toString))
-      case INT32  => Some(g.getInteger(dvPart, 0).toString)
+      case INT64  => Some((dvBucketN, dvTransform) match {
+        case (Some(n), _) =>
+          GraftBucketFunction.idOf(n, g.getLong(dvPart, 0)).toString
+        case (None, Some(t)) => t.pvalOfLong(g.getLong(dvPart, 0))
+        case _ => g.getLong(dvPart, 0).toString
+      })
+      // TIME/TRUNCATE layout: the vector records transform values
+      case INT32 if isDate => Some(dvTransform
+        .map(_.pvalOfDays(g.getInteger(dvPart, 0)))
+        .getOrElse(java.time.LocalDate
+          .ofEpochDay(g.getInteger(dvPart, 0).toLong).toString))
+      case INT32  => Some(dvTransform
+        .map(_.pvalOfLong(g.getInteger(dvPart, 0).toLong))
+        .getOrElse(g.getInteger(dvPart, 0).toString))
       case DOUBLE => Some(g.getDouble(dvPart, 0).toString)
-      case BINARY => Some(g.getString(dvPart, 0))
+      case BINARY => Some(dvTransform
+        .map(_.pvalOfString(g.getString(dvPart, 0)))
+        .getOrElse(g.getString(dvPart, 0)))
       case t => throw new UnsupportedOperationException(
         s"in-scan DV on partition column of parquet type $t")
     }
@@ -3031,7 +3145,9 @@ final class ManifestFileReaderFactory(schema: StructType,
             else if (cur.getFieldRepetitionCount(use) == 0) null
             else f.dataType match {
               case LongType    => cur.getLong(use, 0)
-              case IntegerType => cur.getInteger(use, 0)
+              // DATE: INT32 days since epoch, identical in parquet and
+              // Spark's internal row
+              case IntegerType | DateType => cur.getInteger(use, 0)
               case DoubleType  => cur.getDouble(use, 0)
               case StringType  => UTF8String.fromString(cur.getString(use, 0))
               case dt => throw new UnsupportedOperationException(
@@ -3064,14 +3180,14 @@ final class ManifestFileReaderFactory(schema: StructType,
   * is `removeOrphans` food like every other crash path. */
 final class ManifestStreamingWrite(base: String, schema: StructType,
     partCol: String, queryId: String, branch: Option[String] = None,
-    bucketN: Option[Int] = None)
+    bucketN: Option[Int] = None, transform: Option[GraftTransform] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
   import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    new ManifestSinkWriterFactory(base, schema, partCol, bucketN)
+    new ManifestSinkWriterFactory(base, schema, partCol, bucketN, transform)
 
   private def fs = new Path(base).getFileSystem(new Configuration())
 
@@ -3199,19 +3315,24 @@ final case class ManifestSinkFiles(files: Seq[(String, String)])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 final class ManifestSinkWriterFactory(base: String, schema: StructType,
-    partCol: String, bucketN: Option[Int] = None)
+    partCol: String, bucketN: Option[Int] = None,
+    transform: Option[GraftTransform] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new ManifestSinkWriter(base, schema, partCol, partitionId, taskId, epochId,
-      bucketN)
+      bucketN, transform)
 }
 
 /** Executor-side writer: one parquet file per partition value seen by
   * this task, staged under a task-unique dir (no cross-writer races). */
 final class ManifestSinkWriter(base: String, schema: StructType,
     partCol: String, partitionId: Int, taskId: Long, epochId: Long,
-    bucketN: Option[Int] = None)
+    bucketN: Option[Int] = None,
+    // TIME/TRUNCATE layout: pval is the transform of the source column
+    // (see GraftTransform) — the same per-row forms the driver's prune
+    // probes replay, so layout and pruning can never disagree
+    transform: Option[GraftTransform] = None)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -3227,6 +3348,10 @@ final class ManifestSinkWriter(base: String, schema: StructType,
         case DoubleType => b.optional(PrimitiveType.PrimitiveTypeName.DOUBLE).named(f.name)
         case StringType => b.optional(PrimitiveType.PrimitiveTypeName.BINARY)
           .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        // DATE is INT32 days since epoch in both parquet and Spark's
+        // internal row — no conversion, no timezone
+        case DateType => b.optional(PrimitiveType.PrimitiveTypeName.INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name)
         case dt => throw new UnsupportedOperationException(
           s"manifest-stream sink: unsupported type $dt for ${f.name}")
       }
@@ -3240,8 +3365,8 @@ final class ManifestSinkWriter(base: String, schema: StructType,
   private val paths = scala.collection.mutable.Map[String, String]()
 
   override def write(row: InternalRow): Unit = {
-    val pval = bucketN match {
-      case Some(n) =>
+    val pval = (bucketN, transform) match {
+      case (Some(n), _) =>
         // BUCKET layout: pval is the bucket id — the exact expression
         // GraftBucketFunction replays, so layout and report agree
         require(schema.fields(partIdx).dataType == LongType,
@@ -3249,11 +3374,25 @@ final class ManifestSinkWriter(base: String, schema: StructType,
         require(!row.isNullAt(partIdx),
           s"bucket layout: NULL key in $partCol — bucket keys must be non-null")
         GraftBucketFunction.idOf(n, row.getLong(partIdx)).toString
-      case None => schema.fields(partIdx).dataType match {
+      case (None, Some(t)) =>
+        // TIME/TRUNCATE layout: pval = transform(source value)
+        require(!row.isNullAt(partIdx),
+          s"transform layout: NULL value in $partCol — layout sources must be non-null")
+        schema.fields(partIdx).dataType match {
+          case DateType => t.pvalOfDays(row.getInt(partIdx))
+          case StringType => t.pvalOfString(row.getUTF8String(partIdx).toString)
+          case LongType => t.pvalOfLong(row.getLong(partIdx))
+          case IntegerType => t.pvalOfLong(row.getInt(partIdx).toLong)
+          case dt => throw new UnsupportedOperationException(
+            s"transform layout over a ${dt.typeName} column")
+        }
+      case (None, None) => schema.fields(partIdx).dataType match {
         case LongType => row.getLong(partIdx).toString
         case IntegerType => row.getInt(partIdx).toString
         case DoubleType => row.getDouble(partIdx).toString
         case StringType => row.getUTF8String(partIdx).toString
+        case DateType => java.time.LocalDate
+          .ofEpochDay(row.getInt(partIdx).toLong).toString
         case _ => throw new IllegalStateException("unreachable")
       }
     }
@@ -3269,7 +3408,7 @@ final class ManifestSinkWriter(base: String, schema: StructType,
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       if (!row.isNullAt(i)) f.dataType match {
         case LongType => g.add(f.name, row.getLong(i))
-        case IntegerType => g.add(f.name, row.getInt(i))
+        case IntegerType | DateType => g.add(f.name, row.getInt(i))
         case DoubleType => g.add(f.name, row.getDouble(i))
         case StringType => g.add(f.name, row.getUTF8String(i).toString)
         case _ => ()
@@ -3298,12 +3437,12 @@ final class ManifestSinkWriter(base: String, schema: StructType,
   * overwrites); Spark runs one commit per query, so no epoch marker is
   * needed. */
 final class ManifestBatchAppend(base: String, schema: StructType, partCol: String,
-    bucketN: Option[Int] = None)
+    bucketN: Option[Int] = None, transform: Option[GraftTransform] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestBatchWriterFactory(base, schema, partCol, bucketN)
+    new ManifestBatchWriterFactory(base, schema, partCol, bucketN, transform)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(base).getFileSystem(new Configuration())
@@ -3360,12 +3499,13 @@ final class ManifestBatchAppend(base: String, schema: StructType, partCol: Strin
   * branch's manifest sequence with the append rebase retry. The branch
   * must exist (a typo'd name must not fork implicitly). */
 final class ManifestBranchAppend(base: String, branch: String,
-    schema: StructType, partCol: String, bucketN: Option[Int] = None)
+    schema: StructType, partCol: String, bucketN: Option[Int] = None,
+    transform: Option[GraftTransform] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestBatchWriterFactory(base, schema, partCol, bucketN)
+    new ManifestBatchWriterFactory(base, schema, partCol, bucketN, transform)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(base).getFileSystem(new Configuration())
@@ -3418,10 +3558,11 @@ final class ManifestBranchAppend(base: String, branch: String,
 
 /** Standalone (serializable) factory for the batch-append writers. */
 final class ManifestBatchWriterFactory(base: String, schema: StructType,
-    partCol: String, bucketN: Option[Int] = None)
+    partCol: String, bucketN: Option[Int] = None,
+    transform: Option[GraftTransform] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new ManifestSinkWriter(base, schema, partCol, partitionId, taskId, -1L,
-      bucketN)
+      bucketN, transform)
 }

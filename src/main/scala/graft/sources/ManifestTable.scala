@@ -50,7 +50,8 @@ object ManifestTable
     with ManifestMoR
     with ManifestRefs
     with ManifestTableQueriesA
-    with ManifestTableQueriesB {
+    with ManifestTableQueriesB
+    with ManifestTableQueriesC {
 
   val all: Seq[QuerySpec] =
     Seq(tableMerge, tableDiff, incrementalAgg, streamMerge, tableDelete,
@@ -69,5 +70,6 @@ object ManifestTable
       catalogTag, tableBranch, catalogBranch, branchRebase, mergeSchema,
       streamWap, bucketJoin, catalogRefs, bucketJoinMixed, streamBranchRead,
       catalogWap, bucketDeleteMoR, catalogWapFix, branchCdf, branchOptimize,
-      catalogCall, bucketCdf)
+      catalogCall, bucketCdf, catalogMonthLayout, catalogMonthDelete,
+      catalogMonthMerge, catalogMonthCdf, catalogTruncLayout)
 }

@@ -1,0 +1,275 @@
+package graft.sources
+
+import graft.QuerySpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Registered QUERIES over the manifest table, part C: TIME-TRANSFORM
+  * hidden partitioning as a first-class catalog layout
+  * (`PARTITIONED BY (months(d))` / `truncate(w, c)` — see
+  * [[GraftTransform]]) with its verb surface (INSERT, raw-column pruning,
+  * COW DELETE, MERGE INTO, CDF). This is the reference's own layout
+  * (`glue_job.py:159` partitions its sink by a date derived from event
+  * time, and every Athena query repeats the derivation) done the Iceberg
+  * way: the derivation is a property of the table, queries filter the
+  * RAW date, and the scan prunes partitions through the transform
+  * (kept < total pinned in `MonthLayoutSpec`). Oracle-checked like parts
+  * A and B. */
+private[sources] trait ManifestTableQueriesC { this: ManifestTable.type =>
+
+  /** Shared months(o_orderdate) catalog table: full orders with the
+    * order date cast to DATE (the cast pins the timezone decision at
+    * write time — the transform itself is timezone-free). */
+  private[sources] def monthFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("mlayout", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_mlfix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+        spark.conf.set("spark.sql.catalog.graft_cat.root", new java.io.File(b).getParent)
+        val tbl = new java.io.File(b).getName
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(o_orderkey BIGINT, o_custkey BIGINT, o_orderdate DATE,
+             | o_totalprice DOUBLE)
+             |PARTITIONED BY (months(o_orderdate))""".stripMargin)
+        graft.model.Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("graft_mlayout_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_mlayout_feed")
+        b
+      })
+    }
+
+  private def withCatalog(spark: SparkSession, base: String): String = {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root",
+      new java.io.File(base).getParent)
+    new java.io.File(base).getName
+  }
+
+  /** Registered HIDDEN-PARTITION CATALOG SCAN: monthly revenue for a
+    * three-month window, filtered on the RAW date against the
+    * months(o_orderdate) table — the user never names the transform; the
+    * scan prunes to the in-range month partitions (plan-event pin
+    * kept < total in `MonthLayoutSpec`). A transform drift between the
+    * write path and the prune probe either loses rows (hash mismatch vs
+    * the plain-orders oracle) or shows in the pin. */
+  val catalogMonthLayout: QuerySpec = QuerySpec.sql(
+    "q_catalog_month_layout",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS mon, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+      |  AND o_orderdate < TIMESTAMP '1995-06-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = monthFixture(spark, dir)
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS mon, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl`
+         |WHERE o_orderdate >= DATE '1995-03-01'
+         |  AND o_orderdate < DATE '1995-06-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Registered COW DELETE on the month layout: two whole months erased
+    * through SQL `DELETE FROM` — the touched-month probe routes through
+    * the transform ([[layoutPvalExpr]]), only those partitions leave the
+    * manifest, the rest carry by reference. Oracle replays the erasure
+    * over plain orders. */
+  val catalogMonthDelete: QuerySpec = QuerySpec.sql(
+    "q_catalog_month_delete",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS mon, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE NOT (o_orderdate >= TIMESTAMP '1996-01-01'
+      |           AND o_orderdate < TIMESTAMP '1996-03-01')
+      |  AND o_orderdate < TIMESTAMP '1996-06-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("mlaydel", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_mldfix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        val tbl = withCatalog(spark, b)
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(o_orderkey BIGINT, o_custkey BIGINT, o_orderdate DATE,
+             | o_totalprice DOUBLE)
+             |PARTITIONED BY (months(o_orderdate))""".stripMargin)
+        graft.model.Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("graft_mldel_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_mldel_feed")
+        spark.sql(
+          s"""DELETE FROM graft_cat.`$tbl`
+             |WHERE o_orderdate >= DATE '1996-01-01'
+             |  AND o_orderdate < DATE '1996-03-01'""".stripMargin)
+        b
+      })
+    }
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS mon, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl`
+         |WHERE o_orderdate < DATE '1996-06-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Registered MERGE INTO on the month layout: repriced matches plus
+    * synthetic inserts through the GROUP-rewrite row-level path — the
+    * runtime group filter maps matched dates through the transform, so
+    * only the touched months rewrite; staged files land under transform
+    * pvals (the writer routes through the same [[GraftTransform]]
+    * forms). Oracle replays the merge arithmetic. */
+  val catalogMonthMerge: QuerySpec = QuerySpec.sql(
+    "q_catalog_month_merge",
+    """WITH t AS (SELECT o_orderkey, o_orderdate, o_totalprice FROM orders),
+      |u AS (
+      |  SELECT o_orderkey, o_orderdate, o_totalprice + 1000.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 0
+      |    AND o_orderdate >= TIMESTAMP '1996-03-01'
+      |    AND o_orderdate < TIMESTAMP '1996-06-01'
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_orderdate, 42.0 AS o_totalprice
+      |  FROM t WHERE o_orderkey % 10 = 5
+      |    AND o_orderdate >= TIMESTAMP '1996-03-01'
+      |    AND o_orderdate < TIMESTAMP '1996-06-01'),
+      |m AS (SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      |      UNION ALL SELECT * FROM u)
+      |SELECT strftime(o_orderdate, '%Y-%m') AS mon, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("mlaymrg", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_mlmfix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        val tbl = withCatalog(spark, b)
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)
+             |PARTITIONED BY (months(o_orderdate))""".stripMargin)
+        val t = graft.model.Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_totalprice"))
+        t.createOrReplaceTempView("graft_mlm_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_mlm_feed")
+        val inRange = t.filter(col("o_orderdate") >= lit("1996-03-01") &&
+          col("o_orderdate") < lit("1996-06-01"))
+        inRange.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .unionByName(inRange.filter(col("o_orderkey") % 10 === 5)
+            .withColumn("o_orderkey", -col("o_orderkey"))
+            .withColumn("o_totalprice", lit(42.0)))
+          .createOrReplaceTempView("graft_mlm_updates")
+        spark.sql(
+          s"""MERGE INTO graft_cat.`$tbl` tgt
+             |USING graft_mlm_updates u ON tgt.o_orderkey = u.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        b
+      })
+    }
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS mon, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Registered CDF on the month layout: the change feed of a whole-month
+    * COW DELETE is pure delete images of exactly that month (the
+    * partition vanishes from the manifest; no survivor files re-add).
+    * v1 = empty CREATE, v2 = the INSERT, v3 = the DELETE — the feed reads
+    * `\$changes_2_3`. Oracle replays the deleted set from plain orders. */
+  val catalogMonthCdf: QuerySpec = QuerySpec.sql(
+    "q_catalog_month_cdf",
+    """SELECT 'delete' AS change_type,
+      |       strftime(o_orderdate, '%Y-%m') AS mon, count(*) AS n,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS keysum
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-05-01'
+      |  AND o_orderdate < TIMESTAMP '1997-06-01'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("mlaycdf", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_mlcfix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        val tbl = withCatalog(spark, b)
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)
+             |PARTITIONED BY (months(o_orderdate))""".stripMargin)
+        graft.model.Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("graft_mlc_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_mlc_feed")
+        spark.sql(
+          s"""DELETE FROM graft_cat.`$tbl`
+             |WHERE o_orderdate >= DATE '1997-05-01'
+             |  AND o_orderdate < DATE '1997-06-01'""".stripMargin)
+        b
+      })
+    }
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT _change_type AS change_type,
+         |       date_format(o_orderdate, 'yyyy-MM') AS mon, count(*) AS n,
+         |       CAST(sum(o_orderkey) AS BIGINT) AS keysum
+         |FROM graft_cat.`${tbl + "$changes_2_3"}`
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Registered TRUNCATE layout: `truncate(100, o_orderkey)` bands the
+    * key space; a key range scan prunes to the intersecting bands
+    * (numeric pval comparison — `MonthLayoutSpec` pins the "16" < "9"
+    * lexicographic trap away). Oracle is the plain replay. */
+  val catalogTruncLayout: QuerySpec = QuerySpec.sql(
+    "q_catalog_trunc_layout",
+    """SELECT CAST(o_orderkey // 100 * 100 AS BIGINT) AS band,
+      |       count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE o_orderkey >= 200 AND o_orderkey < 500
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("tlayout", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_tlfix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        val tbl = withCatalog(spark, b)
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(o_orderkey BIGINT, o_totalprice DOUBLE)
+             |PARTITIONED BY (truncate(100, o_orderkey))""".stripMargin)
+        graft.model.Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .createOrReplaceTempView("graft_tl_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_tl_feed")
+        b
+      })
+    }
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT CAST(o_orderkey div 100 * 100 AS BIGINT) AS band,
+         |       count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl`
+         |WHERE o_orderkey >= 200 AND o_orderkey < 500
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+}

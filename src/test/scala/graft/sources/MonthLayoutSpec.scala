@@ -1,0 +1,235 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for TIME-TRANSFORM hidden partitioning as a first-class catalog
+  * layout: `PARTITIONED BY (months(d))` tables carry `yyyy-MM` pvals, a
+  * RAW-date predicate prunes partitions through the transform
+  * (kept < total in the recorded plan events), the per-row and Column
+  * pval forms agree byte-for-byte, and the full verb surface (INSERT,
+  * DELETE COW + MoR, UPDATE, CDF, OPTIMIZE, branches) preserves the
+  * layout. Truncate layouts pin the integral floor semantics. */
+class MonthLayoutSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val root = graft.Scratch.root
+
+  private def freshCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", root)
+  }
+
+  private def dropDir(base: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+
+  /** A months(o_orderdate) table over real orders (dates cast from the
+    * source timestamps), created fresh per call. */
+  private def monthTable(tag: String): (String, String) = {
+    freshCatalog()
+    val tbl = s"mlay_$tag"
+    val base = s"$root/$tbl"
+    dropDir(base)
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(o_orderkey BIGINT, o_custkey BIGINT, o_orderdate DATE,
+      | o_totalprice DOUBLE)
+      |PARTITIONED BY (months(o_orderdate))""".stripMargin)
+    graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
+      .createOrReplaceTempView("mlay_src")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM mlay_src")
+    (tbl, base)
+  }
+
+  test("pvals are yyyy-MM and the Column form matches the per-row form") {
+    val (_, base) = monthTable("shape")
+    val v = ManifestTable.currentVersion(spark, base)
+    val pvals = ManifestTable.entries(spark, base, v).map(_._1).distinct
+    assert(pvals.nonEmpty && pvals.forall(_.matches("\\d{4}-\\d{2}")),
+      s"month pvals must be yyyy-MM, got ${pvals.take(5)}")
+    // the distributed Column form and the executor per-row form agree on
+    // every distinct date in the table — the invariant everything rests on
+    val t = GraftTransform("months", 0)
+    val byExpr = spark.read.parquet(
+      ManifestTable.entries(spark, base, v)
+        .map { case (_, rel) => s"$base/$rel" }: _*)
+      .select(col("o_orderdate"),
+        t.pvalColumn(col("o_orderdate"),
+          org.apache.spark.sql.types.DateType).as("p"))
+      .distinct().collect()
+    byExpr.foreach { r =>
+      val days = r.getDate(0).toLocalDate.toEpochDay.toInt
+      assert(t.pvalOfDays(days) === r.getString(1))
+    }
+  }
+
+  test("raw-date range scan prunes months (kept < total) and matches") {
+    val (tbl, base) = monthTable("prune")
+    val expected = spark.table("mlay_src")
+      .filter(col("o_orderdate") >= lit("1995-03-01") &&
+        col("o_orderdate") < lit("1995-06-01")).count()
+    assert(expected > 0, "fixture range must be non-empty")
+    ManifestScanEvents.clear()
+    val n = spark.sql(
+      s"""SELECT count(*) AS n FROM graft_cat.`$tbl`
+         |WHERE o_orderdate >= DATE '1995-03-01'
+         |  AND o_orderdate < DATE '1995-06-01'""".stripMargin).head.getLong(0)
+    assert(n === expected)
+    val ev = ManifestScanEvents.recent(base)
+    assert(ev.nonEmpty, "expected a recorded plan event")
+    val e = ev.last
+    assert(e.kept < e.total,
+      s"month-range scan planned ${e.kept}/${e.total} files — no pruning")
+    // ~7 years of months in orders; a 3-4 month window must keep a small
+    // fraction (inclusive pruning may keep the boundary months)
+    assert(e.kept <= e.total / 4,
+      s"expected a small fraction of ${e.total} files, planned ${e.kept}")
+    // point month: equality on a derived month would NOT prune (hidden
+    // partitioning prunes the RAW column); a raw-date equality does
+    ManifestScanEvents.clear()
+    spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl` " +
+      "WHERE o_orderdate = DATE '1995-03-15'").collect()
+    val e2 = ManifestScanEvents.recent(base).last
+    assert(e2.kept < e2.total && e2.kept <= (e2.total / 12) + 2,
+      s"date point lookup planned ${e2.kept}/${e2.total}")
+  }
+
+  test("COW DELETE and UPDATE preserve the month layout; CDF replays") {
+    val (tbl, base) = monthTable("verbs")
+    val before = spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0)
+    val hit = spark.table("mlay_src")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-02-01")).count()
+    spark.sql(s"""DELETE FROM graft_cat.`$tbl`
+      |WHERE o_orderdate >= DATE '1996-01-01'
+      |  AND o_orderdate < DATE '1996-02-01'""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0)
+      === before - hit)
+    // pvals still yyyy-MM after the rewrite, and the deleted month's
+    // partition is GONE from the manifest (not rewritten empty)
+    val v = ManifestTable.currentVersion(spark, base)
+    val pvals = ManifestTable.entries(spark, base, v).map(_._1).distinct
+    assert(pvals.forall(_.matches("\\d{4}-\\d{2}")), s"got ${pvals.take(5)}")
+    assert(!pvals.contains("1996-01"))
+    // UPDATE through the group rewrite keeps the layout too
+    spark.sql(s"""UPDATE graft_cat.`$tbl` SET o_totalprice = 0.0
+      |WHERE o_orderdate >= DATE '1997-02-01'
+      |  AND o_orderdate < DATE '1997-03-01'""".stripMargin)
+    val v2 = ManifestTable.currentVersion(spark, base)
+    val pvals2 = ManifestTable.entries(spark, base, v2).map(_._1).distinct
+    assert(pvals2.forall(_.matches("\\d{4}-\\d{2}")), s"got ${pvals2.take(5)}")
+    val zeroed = spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl` " +
+      "WHERE o_totalprice = 0.0").head.getLong(0)
+    val expZero = spark.table("mlay_src")
+      .filter(col("o_orderdate") >= lit("1997-02-01") &&
+        col("o_orderdate") < lit("1997-03-01")).count()
+    assert(zeroed === expZero)
+    // CDF between the two rewrites names exactly the touched months
+    // (images ride in the `img` struct)
+    val feed = ManifestTable.changeFeed(spark, base, v, v2, "o_orderkey")
+    val touched = feed.select(date_format(col("img.o_orderdate"), "yyyy-MM"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(touched === Set("1997-02"), s"CDF touched $touched")
+  }
+
+  test("MoR DELETE on month layout: vector pvals are months, scan applies in-scan") {
+    val (tbl, base) = monthTable("mor")
+    ManifestTable.setTableProperty(spark, base, "write.mode", "merge-on-read")
+    ManifestTable.setTableProperty(spark, base, "keyCol", "o_orderkey")
+    val before = spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0)
+    val hit = spark.table("mlay_src")
+      .filter(col("o_orderdate") >= lit("1995-06-01") &&
+        col("o_orderdate") < lit("1995-07-01")).count()
+    val vBefore = ManifestTable.currentVersion(spark, base)
+    spark.sql(s"""DELETE FROM graft_cat.`$tbl`
+      |WHERE o_orderdate >= DATE '1995-06-01'
+      |  AND o_orderdate < DATE '1995-07-01'""".stripMargin)
+    // MoR: no data file rewritten — the new manifest carries every file
+    val vAfter = ManifestTable.currentVersion(spark, base)
+    assert(ManifestTable.entries(spark, base, vAfter).toSet ===
+      ManifestTable.entries(spark, base, vBefore).toSet,
+      "MoR DELETE must not rewrite data files")
+    assert(ManifestTable.pendingDvRels(spark, base).nonEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0)
+      === before - hit)
+    // purge folds the vector; only the june partition rewrites
+    ManifestTable.purgeDeletes(spark, base, "o_orderkey", "o_orderdate")
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0)
+      === before - hit)
+    val pvals = ManifestTable.entries(spark, base,
+      ManifestTable.currentVersion(spark, base)).map(_._1).distinct
+    assert(pvals.forall(_.matches("\\d{4}-\\d{2}")), s"got ${pvals.take(5)}")
+  }
+
+  test("OPTIMIZE and branches preserve the month layout") {
+    val (tbl, base) = monthTable("maint")
+    // fragment: a second insert of a small slice
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` " +
+      "SELECT o_orderkey + 100000000, o_custkey, o_orderdate, o_totalprice " +
+      "FROM mlay_src WHERE o_orderdate >= DATE '1995-01-01' " +
+      "AND o_orderdate < DATE '1995-04-01'")
+    val total = spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0)
+    val (parts, _, _) = ManifestTable.optimizeTable(spark, base, "o_orderdate")
+    assert(parts > 0, "expected fragmented month partitions to compact")
+    val pvals = ManifestTable.entries(spark, base,
+      ManifestTable.currentVersion(spark, base)).map(_._1).distinct
+    assert(pvals.forall(_.matches("\\d{4}-\\d{2}")),
+      s"compaction broke month pvals: ${pvals.take(5)}")
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0)
+      === total)
+    // branch: append a wave on a branch, publish, layout intact
+    ManifestTable.createBranch(spark, base, "stage")
+    ManifestTable.appendBranch(spark, base, "stage",
+      spark.table("mlay_src").filter(col("o_orderdate") >= lit("1998-01-01"))
+        .withColumn("o_orderkey", -col("o_orderkey")), "o_orderdate")
+    val extra = spark.table("mlay_src")
+      .filter(col("o_orderdate") >= lit("1998-01-01")).count()
+    ManifestTable.rebasePublish(spark, base, "stage")
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0)
+      === total + extra)
+    val pvals2 = ManifestTable.entries(spark, base,
+      ManifestTable.currentVersion(spark, base)).map(_._1).distinct
+    assert(pvals2.forall(_.matches("\\d{4}-\\d{2}")),
+      s"branch publish broke month pvals: ${pvals2.take(5)}")
+  }
+
+  test("truncate(8, BIGINT) floors pvals; point predicate prunes to one band") {
+    freshCatalog()
+    val tbl = "tlay_trunc"
+    val base = s"$root/$tbl"
+    dropDir(base)
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl` (k BIGINT, v BIGINT)
+      |PARTITIONED BY (truncate(8, k))""".stripMargin)
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT id, id * 10 FROM range(0, 64)")
+    val v = ManifestTable.currentVersion(spark, base)
+    val pvals = ManifestTable.entries(spark, base, v).map(_._1).distinct.sorted
+    assert(pvals.forall(p => p.toLong % 8 == 0), s"got $pvals")
+    ManifestScanEvents.clear()
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl` WHERE k = 19")
+      .head.getLong(0) === 1)
+    val e = ManifestScanEvents.recent(base).last
+    assert(e.kept < e.total, s"truncate point lookup planned ${e.kept}/${e.total}")
+    // range predicate prunes numerically (16/"16" vs "9" lexicographic trap)
+    ManifestScanEvents.clear()
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl` WHERE k >= 16")
+      .head.getLong(0) === 48)
+    val e2 = ManifestScanEvents.recent(base).last
+    assert(e2.kept < e2.total,
+      s"truncate range scan planned ${e2.kept}/${e2.total}")
+  }
+
+  test("months over TIMESTAMP refuses at CREATE with guidance") {
+    freshCatalog()
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE graft_cat.`mlay_bad_ts` (k BIGINT, ts TIMESTAMP)
+        |PARTITIONED BY (months(ts))""".stripMargin)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("cast to DATE")), msgs(e).mkString(" | "))
+  }
+}
