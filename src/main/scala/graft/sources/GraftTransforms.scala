@@ -167,3 +167,219 @@ object GraftTransform {
     case _ => false
   }
 }
+
+/** One field of a MULTI-FIELD partition spec ([[GraftSpec]]). Multi-spec
+  * sources are restricted to DATE (time transforms) and BIGINT/INT
+  * (identity, bucket, truncate) — STRING sources are refused at CREATE
+  * so a component value can never contain the composite separator. */
+sealed trait GraftField {
+  def col: String
+  /** Serialized form, e.g. `months(o_orderdate)` / `bucket(8,o_custkey)`. */
+  def ser: String
+  /** The component as a Column over the raw source column. */
+  def pvalColumn(c: org.apache.spark.sql.Column, dt: DataType)
+      : org.apache.spark.sql.Column
+  /** Executor-side per-row component (value already read per `dt`). */
+  def pvalOf(dt: DataType, longVal: => Long, dateDays: => Int): String
+  /** Pushed filters on this field's source column folded into one
+    * inclusive component predicate. */
+  def keep(filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[String => Boolean]
+}
+
+final case class IdentityField(col: String) extends GraftField {
+  def ser = s"identity($col)"
+  def pvalColumn(c: org.apache.spark.sql.Column, dt: DataType) = c.cast("string")
+  def pvalOf(dt: DataType, longVal: => Long, dateDays: => Int): String =
+    dt match {
+      case DateType => LocalDate.ofEpochDay(dateDays.toLong).toString
+      case _ => longVal.toString
+    }
+  def keep(filters: Seq[org.apache.spark.sql.sources.Filter]) = {
+    import org.apache.spark.sql.sources._
+    def lit(v: Any): Option[Long] = v match {
+      case l: java.lang.Long => Some(l)
+      case i: java.lang.Integer => Some(i.toLong)
+      case _ => None
+    }
+    val preds: Seq[String => Boolean] = filters.flatMap {
+      case EqualTo(a, v) if a.equalsIgnoreCase(col) =>
+        lit(v).map(t => (p: String) => p.toLong == t)
+      case In(a, vs) if a.equalsIgnoreCase(col) =>
+        val ts = vs.toSeq.filter(_ != null).map(lit)
+        if (ts.forall(_.isDefined)) {
+          val set = ts.flatten.toSet; Some((p: String) => set(p.toLong))
+        } else None
+      case GreaterThan(a, v) if a.equalsIgnoreCase(col) =>
+        lit(v).map(t => (p: String) => p.toLong > t)
+      case GreaterThanOrEqual(a, v) if a.equalsIgnoreCase(col) =>
+        lit(v).map(t => (p: String) => p.toLong >= t)
+      case LessThan(a, v) if a.equalsIgnoreCase(col) =>
+        lit(v).map(t => (p: String) => p.toLong < t)
+      case LessThanOrEqual(a, v) if a.equalsIgnoreCase(col) =>
+        lit(v).map(t => (p: String) => p.toLong <= t)
+      case _ => None
+    }
+    if (preds.isEmpty) None else Some(p => preds.forall(_(p)))
+  }
+}
+
+final case class TimeField(kind: String, col: String) extends GraftField {
+  private val t = GraftTransform(kind, 0)
+  def ser = s"$kind($col)"
+  def pvalColumn(c: org.apache.spark.sql.Column, dt: DataType) = t.pvalColumn(c, dt)
+  def pvalOf(dt: DataType, longVal: => Long, dateDays: => Int): String =
+    t.pvalOfDays(dateDays)
+  def keep(filters: Seq[org.apache.spark.sql.sources.Filter]) =
+    t.keepPredicate(col, numeric = false, filters)
+}
+
+final case class BucketField(n: Int, col: String) extends GraftField {
+  def ser = s"bucket($n,$col)"
+  def pvalColumn(c: org.apache.spark.sql.Column, dt: DataType) =
+    GraftBucketFunction.idExpr(n, c)
+  def pvalOf(dt: DataType, longVal: => Long, dateDays: => Int): String =
+    GraftBucketFunction.idOf(n, longVal).toString
+  def keep(filters: Seq[org.apache.spark.sql.sources.Filter]) = {
+    import org.apache.spark.sql.sources._
+    val sets = filters.collect {
+      case EqualTo(a, v: java.lang.Long) if a.equalsIgnoreCase(col) =>
+        Set(GraftBucketFunction.idOf(n, v).toString)
+      case In(a, vs) if a.equalsIgnoreCase(col) &&
+          vs.forall(_.isInstanceOf[java.lang.Long]) =>
+        vs.map(v => GraftBucketFunction
+          .idOf(n, v.asInstanceOf[java.lang.Long]).toString).toSet
+    }
+    if (sets.isEmpty) None
+    else { val s = sets.reduce(_ intersect _); Some(p => s(p)) }
+  }
+}
+
+final case class TruncField(width: Int, col: String) extends GraftField {
+  private val t = GraftTransform("truncate", width)
+  def ser = s"truncate($width,$col)"
+  def pvalColumn(c: org.apache.spark.sql.Column, dt: DataType) = t.pvalColumn(c, dt)
+  def pvalOf(dt: DataType, longVal: => Long, dateDays: => Int): String =
+    t.pvalOfLong(longVal)
+  def keep(filters: Seq[org.apache.spark.sql.sources.Filter]) =
+    t.keepPredicate(col, numeric = true, filters)
+}
+
+/** A MULTI-FIELD partition spec — Iceberg-style
+  * `PARTITIONED BY (months(ts), bucket(16, key))` with CONJUNCTIVE
+  * pruning across the fields and SPEC EVOLUTION:
+  *
+  *   - Composite pvals are SELF-DESCRIBING: `s<id>.<c1>~<c2>` — the
+  *     prefix names the spec the entry was written under, so one
+  *     manifest can mix eras (evolution rewrites nothing; old entries
+  *     keep their old layout forever, exactly the HiddenPartition
+  *     demo's contract, now first-class in the catalog).
+  *   - Pruning is INCLUSIVE per entry: an entry whose pval carries this
+  *     spec's prefix is kept iff every field's component predicate
+  *     keeps it; an entry under another spec is decided by THAT spec's
+  *     machinery (the legacy single-field properties for pre-evolution
+  *     entries) and never by this one.
+  *   - `~` and the `s<id>.` prefix are path- and escape-safe because
+  *     multi-spec sources are DATE/BIGINT/INT only (no STRING — refused
+  *     at CREATE), so no component can contain the separator. */
+final case class GraftSpec(id: Int, fields: Seq[GraftField]) {
+  // one field is legal THROUGH EVOLUTION (a table can evolve multi ->
+  // single); CREATE routes single transforms through the legacy layout
+  require(fields.nonEmpty, "a spec needs at least one field")
+  val prefix: String = s"s$id."
+  def ser: String = fields.map(_.ser).mkString(",")
+
+  /** The composite pval as a Column over the source columns. */
+  def pvalColumn(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, lit}
+    val comps = fields.map { f =>
+      val dt = schema.fields.find(_.name.equalsIgnoreCase(f.col)).map(_.dataType)
+        .getOrElse(throw new IllegalStateException(
+          s"spec field ${f.ser}: source column not in schema"))
+      f.pvalColumn(col(f.col), dt).cast("string")
+    }
+    concat(lit(prefix), concat_ws("~", comps: _*))
+  }
+
+  /** Pushed filters folded into one inclusive predicate over this
+    * spec's STRIPPED composite (prefix already matched by the caller's
+    * per-era dispatch): every field's component predicate must keep. */
+  def componentKeep(filters: Seq[org.apache.spark.sql.sources.Filter])
+      : String => Boolean = {
+    val comps = fields.map(_.keep(filters))
+    (stripped: String) => {
+      val parts = stripped.split('~')
+      if (parts.length != fields.size) true // malformed: inclusive
+      else comps.zip(parts).forall { case (k, p) => k.forall(_(p)) }
+    }
+  }
+}
+
+object GraftSpec {
+  private val FieldRe = """(\w+)\(([^)]*)\)""".r
+
+  def parseField(s: String): GraftField = s.trim match {
+    case FieldRe("identity", c) => IdentityField(c.trim)
+    case FieldRe("bucket", args) =>
+      val Array(n, c) = args.split(",").map(_.trim)
+      BucketField(n.toInt, c)
+    case FieldRe("truncate", args) =>
+      val Array(w, c) = args.split(",").map(_.trim)
+      TruncField(w.toInt, c)
+    case FieldRe(k, c) if GraftTransform.normalizeKind(k).exists(
+        GraftTransform.timeKinds) =>
+      TimeField(GraftTransform.normalizeKind(k).get, c.trim)
+    case other => throw new IllegalArgumentException(
+      s"unparseable spec field '$other'")
+  }
+
+  /** Parse `months(a),bucket(8,b)` (the `spec.fields` property form). */
+  def parse(id: Int, s: String): GraftSpec =
+    GraftSpec(id, s.split("\\),").map(p =>
+      parseField(if (p.endsWith(")")) p else p + ")")).toSeq)
+
+  def fromProps(props: Map[String, String]): Option[GraftSpec] =
+    props.get("spec.fields").map(s =>
+      parse(props.get("spec.id").map(_.toInt).getOrElse(1), s))
+
+  /** Superseded multi-field specs (`spec.hist.<id>` properties) — old
+    * entries keep their era's layout forever; pruning dispatches each
+    * entry to the spec that wrote it by the `s<id>.` prefix. */
+  def history(props: Map[String, String]): Map[Int, GraftSpec] =
+    props.collect { case (k, v) if k.startsWith("spec.hist.") =>
+      val i = k.stripPrefix("spec.hist.").toInt
+      i -> parse(i, v)
+    }
+
+  private val PrefixRe = """s(\d+)\.(.*)""".r
+
+  /** One inclusive keep over FULL pvals of a (possibly evolved) spec
+    * table: `s<id>.` entries test against that era's spec (unknown id —
+    * inclusive); bare entries are PRE-multi-evolution and go to
+    * `legacy` (the single-field machinery whose properties the
+    * evolution left in place). */
+  def keepAcrossEras(current: GraftSpec, hist: Map[Int, GraftSpec],
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      legacy: String => Boolean): String => Boolean = {
+    val keeps: Map[Int, String => Boolean] =
+      (hist + (current.id -> current)).map { case (i, sp) =>
+        i -> sp.componentKeep(filters)
+      }
+    (pval: String) => pval match {
+      case PrefixRe(id, stripped) =>
+        keeps.get(id.toInt).map(_(stripped)).getOrElse(true)
+      case p => legacy(p)
+    }
+  }
+
+  /** Multi-spec source types: DATE for time fields; BIGINT/INT for
+    * identity/truncate; BIGINT for bucket. STRING refuses (separator
+    * safety — see [[GraftSpec]]). */
+  def accepts(f: GraftField, dt: DataType): Boolean = f match {
+    case _: TimeField => dt == DateType
+    case _: BucketField => dt == LongType
+    case _: IdentityField | _: TruncField =>
+      dt == LongType || dt == IntegerType
+  }
+}

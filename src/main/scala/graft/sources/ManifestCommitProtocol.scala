@@ -499,6 +499,44 @@ private[sources] trait ManifestCommitProtocol { this: ManifestTable.type =>
     finally out.close()
   }
 
+  /** PARTITION-SPEC EVOLUTION (Iceberg's `ALTER TABLE ... ADD PARTITION
+    * FIELD`, reachable here via `CALL <cat>.system.evolve_spec`): stamp a
+    * NEW spec for future writes — one metadata decision, zero rewrite.
+    * Committed entries keep their era's layout forever: the superseded
+    * multi spec retires into `spec.hist.<id>` (its `s<id>.` entries keep
+    * pruning through it), and a pre-multi single-field layout's
+    * properties (`partCol` / `bucket.n` / `transform.*`) stay in place
+    * governing its bare pvals. Refuses under pending deletion vectors
+    * (a vector's in-scan application reads the layout properties the
+    * evolution would re-purpose). Returns (new spec id, serialized
+    * fields). */
+  def evolveSpec(spark: SparkSession, base: String,
+      fieldsStr: String): (Int, String) = {
+    requireNoPendingDv(spark, base, "evolveSpec")
+    val props = tableProperties(spark, base)
+    val schema = props.get("schema").map(ManifestSchemaProp.parse)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"evolveSpec under $base needs the schema property"))
+    val newId = GraftSpec.fromProps(props).map(_.id + 1).getOrElse(2)
+    val spec = GraftSpec.parse(newId, fieldsStr)
+    require(spec.fields.map(_.col.toLowerCase).distinct.size ==
+      spec.fields.size, "spec evolution: one field per source column")
+    spec.fields.foreach { f =>
+      val dt = schema.fields.find(_.name.equalsIgnoreCase(f.col))
+        .map(_.dataType).getOrElse(throw new IllegalArgumentException(
+          s"spec field ${f.ser}: source column not in the table schema"))
+      require(GraftSpec.accepts(f, dt),
+        s"spec field ${f.ser} over a ${dt.typeName} column is not " +
+          "supported in a spec (DATE for time fields, BIGINT/INT " +
+          "otherwise)")
+    }
+    GraftSpec.fromProps(props).foreach(cur =>
+      setTableProperty(spark, base, s"spec.hist.${cur.id}", cur.ser))
+    setTableProperty(spark, base, "spec.id", newId.toString)
+    setTableProperty(spark, base, "spec.fields", spec.ser)
+    (newId, spec.ser)
+  }
+
   def tableProperties(spark: SparkSession, base: String): Map[String, String] = {
     val p = new Path(manifestDir(base), "table.properties")
     val fs = fsOf(spark, p)

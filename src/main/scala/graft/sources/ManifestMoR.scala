@@ -62,6 +62,15 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
   private[sources] def layoutPvalExpr(spark: SparkSession, base: String,
       partCol: String): org.apache.spark.sql.Column = {
     val props = tableProperties(spark, base)
+    // a MULTI-FIELD spec (spec.fields property) governs every new write;
+    // the legacy single-field properties stay behind it describing the
+    // pre-evolution entries (pruning only — never a write)
+    GraftSpec.fromProps(props).foreach { spec =>
+      val schema = props.get("schema").map(ManifestSchemaProp.parse)
+        .getOrElse(throw new IllegalStateException(
+          s"multi-field spec under $base needs the schema property"))
+      return spec.pvalColumn(schema)
+    }
     GraftTransform.fromProps(props) match {
       case Some(t) =>
         val dt = props.get("schema").map(ManifestSchemaProp.parse)

@@ -41,7 +41,7 @@ private[sources] object ManifestProcedures {
     "expire_snapshots", "remove_orphans", "optimize", "purge_deletes",
     "create_tag", "drop_tag", "create_branch", "drop_branch",
     "fast_forward", "rebase_publish", "optimize_branch", "restore",
-    "optimize_sorted", "build_stats", "build_bloom")
+    "optimize_sorted", "build_stats", "build_bloom", "evolve_spec")
 
   private def param(n: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(n, dt).build()
@@ -108,6 +108,8 @@ private[sources] object ManifestProcedures {
           param("table", StringType), param("col", StringType),
           paramDefault("m_bits", IntegerType, "16384"),
           paramDefault("k", IntegerType, "7"))
+        case "evolve_spec" => Array(
+          param("table", StringType), param("fields", StringType))
         case other => throw new UnsupportedOperationException(
           s"unknown procedure $other — supported: ${names.toSeq.sorted.mkString(", ")}")
       }
@@ -188,6 +190,11 @@ private[sources] object ManifestProcedures {
             ManifestTable.buildBloom(spark, base,
               input.getUTF8String(1).toString, input.getInt(2), input.getInt(3))
             one(StructType(Seq(StructField("built", BooleanType))), Seq(true))
+          case "evolve_spec" =>
+            val (id, ser) = ManifestTable.evolveSpec(spark, base,
+              input.getUTF8String(1).toString)
+            one(StructType(Seq(StructField("spec_id", IntegerType),
+              StructField("fields", StringType))), Seq[Any](Int.box(id), ser))
           case other => throw new UnsupportedOperationException(
             s"unknown procedure $other")
         }

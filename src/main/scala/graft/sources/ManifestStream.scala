@@ -77,6 +77,9 @@ final class ManifestStreamTable(schema: StructType, base: String,
     // transform of the source column — raw-column predicates prune
     // through the transform, the identity machinery stays off
     transformLayout: Option[(GraftTransform, String)] = None,
+    // MULTI-FIELD spec: composite self-describing pvals, conjunctive
+    // pruning, spec evolution (see GraftSpec)
+    multiLayout: Option[GraftSpec] = None,
     // streaming reads walk this BRANCH's manifest sequence instead of
     // main's (batch reads of a branch go through `t$branch_<name>`)
     streamBranch: Option[String] = None)
@@ -136,12 +139,21 @@ final class ManifestStreamTable(schema: StructType, base: String,
           s"row-level SQL on the bucket-layout table $base needs " +
             "write.mode=merge-on-read (+ keyCol) — the copy-on-write group " +
             "rewrite cannot preserve the bucket layout")
+      // MULTI-FIELD spec: the deletion-vector reader computes a row's
+      // pval from ONE recorded source column — a composite pval needs
+      // them all, so merge-on-read refuses; the COW group rewrite is
+      // layout-preserving (staged files route through the spec)
+      if (props.contains("spec.fields") && mor)
+        throw new UnsupportedOperationException(
+          s"merge-on-read row-level SQL on the multi-field-spec table " +
+            s"$base is not supported — drop write.mode=merge-on-read to " +
+            "use the copy-on-write group rewrite")
       if (mor)
         new ManifestRowLevelDeltaOp(this, base, info.command(),
           props("keyCol"), props("partCol"), props.get("bucket.n").map(_.toInt),
           GraftTransform.fromProps(props))
       else new ManifestRowLevelOp(this, base, info.command(),
-        GraftTransform.fromProps(props))
+        GraftTransform.fromProps(props), GraftSpec.fromProps(props))
     }
 
   /** SQL `DELETE FROM graft_cat.\`t\` WHERE ...` (and `TRUNCATE TABLE`,
@@ -223,7 +235,7 @@ final class ManifestStreamTable(schema: StructType, base: String,
         ManifestTable.refreshAllStats(spark, base)
       }
     } else if (props.get("write.mode").contains("merge-on-read") &&
-        props.contains("keyCol")) {
+        props.contains("keyCol") && !props.contains("spec.fields")) {
       // MoR routing: with `write.mode=merge-on-read` (+ `keyCol`) stamped
       // on the table, a SQL DELETE FROM commits a DELETION VECTOR instead
       // of the copy-on-write rewrite — no data file is touched, the
@@ -296,6 +308,10 @@ final class ManifestStreamTable(schema: StructType, base: String,
       private def transformOf: Option[GraftTransform] =
         GraftTransform.fromProps(ManifestTable.tableProperties(
           org.apache.spark.sql.SparkSession.active, base))
+      // MULTI-FIELD spec: composite pvals for every staged row
+      private def multiOf: Option[GraftSpec] =
+        GraftSpec.fromProps(ManifestTable.tableProperties(
+          org.apache.spark.sql.SparkSession.active, base))
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write
             with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -323,17 +339,18 @@ final class ManifestStreamTable(schema: StructType, base: String,
               // `.option("branch", name)`: epochs commit to the branch's
               // manifest sequence (streaming write-audit-publish) — main
               // is untouched until fastForward/rebasePublish
-              Option(info.options.get("branch")), bucketN, transformOf)
+              Option(info.options.get("branch")), bucketN, transformOf, multiOf)
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
             new ManifestBatchAppend(base, info.schema(), partCol, bucketN,
-              transformOf)
+              transformOf, multiOf)
         }
     }
   /** The same table pinned to one snapshot (SQL `VERSION AS OF`). */
   def withVersion(v: Int): ManifestStreamTable =
     new ManifestStreamTable(schema, base, Some(v), layoutCol,
-      bucketLayout = bucketLayout, transformLayout = transformLayout)
+      bucketLayout = bucketLayout, transformLayout = transformLayout,
+      multiLayout = multiLayout)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     scanBuilderRecording(options, (_, _) => ())
 
@@ -530,6 +547,40 @@ final class ManifestStreamTable(schema: StructType, base: String,
                 .exists(f => f.dataType == LongType || f.dataType == IntegerType)
             t.keepPredicate(c, numeric, allFilters.toSeq)
           }
+        /** MULTI-FIELD spec pruning: entries under the spec test every
+          * field's component predicate conjunctively; PRE-EVOLUTION
+          * entries (no spec prefix) are decided by the LEGACY
+          * single-field properties the evolution left in place — mixed
+          * manifests prune correctly per era, nothing inclusive beyond
+          * what each era's transform can decide. */
+        private def staticMultiKeep: Option[String => Boolean] =
+          multiLayout.map { sp =>
+            val spark = org.apache.spark.sql.SparkSession.active
+            val props = ManifestTable.tableProperties(spark, base)
+            val legacy: String => Boolean =
+              (GraftTransform.fromProps(props), props.get("bucket.n"),
+                props.get("partCol")) match {
+                case (Some(t), _, Some(c)) =>
+                  val numeric = t.kind == "truncate" &&
+                    schema.fields.find(_.name.equalsIgnoreCase(c))
+                      .exists(f => f.dataType == LongType ||
+                        f.dataType == IntegerType)
+                  t.keepPredicate(c, numeric, allFilters.toSeq)
+                    .getOrElse((_: String) => true)
+                case (None, Some(n), Some(c)) =>
+                  BucketField(n.toInt, c).keep(allFilters.toSeq)
+                    .getOrElse((_: String) => true)
+                case (None, None, Some(c)) =>
+                  val preds = ManifestFileSkipping.partitionPredicates(
+                    allFilters.toSeq, Some(c),
+                    schema.fields.find(_.name.equalsIgnoreCase(c))
+                      .map(_.dataType))
+                  (p: String) => preds.forall(_(p))
+                case _ => (_: String) => true
+              }
+            GraftSpec.keepAcrossEras(sp, GraftSpec.history(props),
+              allFilters.toSeq, legacy)
+          }
         private lazy val batch =
           new ManifestSnapshotBatch(base, projected, versionAsOf,
             layoutCol.filter(projected.fieldNames.contains),
@@ -537,7 +588,7 @@ final class ManifestStreamTable(schema: StructType, base: String,
             layoutCol, pushed.toSeq, () => runtimePvals, pushedLimit, onPlan,
             bucketKeyed = bucketLayout.isDefined,
             bucketPvals = staticBucketPvals,
-            pvalKeep = staticTransformKeep)
+            pvalKeep = staticMultiKeep.orElse(staticTransformKeep))
         override def toBatch: org.apache.spark.sql.connector.read.Batch = {
           if (streamBranch.isDefined)
             throw new UnsupportedOperationException(
@@ -1162,7 +1213,9 @@ final class ManifestRowLevelOp(table: ManifestStreamTable, base: String,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     // TRANSFORM layout: the group rewrite's staged files must land under
     // transform pvals (the groups the scan planned ARE transform pvals)
-    transform: Option[GraftTransform] = None)
+    transform: Option[GraftTransform] = None,
+    // MULTI-FIELD spec: staged files land under composite pvals likewise
+    multi: Option[GraftSpec] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   // which partition values the (executed) scan planned, and the snapshot
   // version it planned against; None = the scan never planned — the
@@ -1206,7 +1259,7 @@ final class ManifestRowLevelOp(table: ManifestStreamTable, base: String,
             Array.empty
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
             new ManifestReplaceGroups(base, info.schema(), partCol, () => planned,
-              transform)
+              transform, multi)
         }
     }
   }
@@ -1218,12 +1271,14 @@ final class ManifestRowLevelOp(table: ManifestStreamTable, base: String,
   * read (a MERGE's pure inserts) appends. */
 final class ManifestReplaceGroups(base: String, schema: StructType,
     partCol: String, planned: () => Option[(Set[String], Int)],
-    transform: Option[GraftTransform] = None)
+    transform: Option[GraftTransform] = None,
+    multi: Option[GraftSpec] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestBatchWriterFactory(base, schema, partCol, None, transform)
+    new ManifestBatchWriterFactory(base, schema, partCol, None, transform,
+      multi)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(base).getFileSystem(new Configuration())
@@ -1713,10 +1768,17 @@ class ManifestCatalog
     // the scan prunes raw-column predicates through the transform instead
     val transformLayout = GraftTransform.fromProps(props).flatMap(t =>
       props.get("partCol").map(c => (t, c)))
+    // a MULTI-FIELD spec governs the table: the legacy single-field
+    // machinery stays off the scan (its properties describe only the
+    // pre-evolution entries, folded into the spec's keep predicate)
+    val multiLayout = GraftSpec.fromProps(props)
     new ManifestStreamTable(keyed, base, None,
-      if (bucketLayout.isDefined || transformLayout.isDefined) None
+      if (bucketLayout.isDefined || transformLayout.isDefined ||
+          multiLayout.isDefined) None
       else props.get("partCol"),
-      bucketLayout = bucketLayout, transformLayout = transformLayout)
+      bucketLayout = if (multiLayout.isDefined) None else bucketLayout,
+      transformLayout = if (multiLayout.isDefined) None else transformLayout,
+      multiLayout = multiLayout)
   }
 
   /** SQL time travel: `SELECT ... FROM graft_cat.\`t\` VERSION AS OF 2`
@@ -1772,6 +1834,38 @@ class ManifestCatalog
     * footers to infer from), and v1 commits as an EMPTY manifest through
     * the usual atomic rename — after which INSERT INTO / DELETE FROM /
     * SELECT all work on the brand-new table. */
+  /** One V2 transform of a MULTI-FIELD spec as a [[GraftField]]. */
+  private def fieldOfTransform(t: Transform): GraftField = {
+    def srcCol: String = {
+      val refs = t.references()
+      require(refs.length == 1 && refs(0).fieldNames.length == 1,
+        s"spec field needs exactly one source column, got $t")
+      refs(0).fieldNames()(0)
+    }
+    def intArg(what: String): Int = t.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+        if l.dataType() == IntegerType => l.value().asInstanceOf[Int]
+    }.getOrElse(throw new IllegalArgumentException(
+      s"${t.name()} needs an integer $what, got $t"))
+    t.name() match {
+      case "identity" => IdentityField(srcCol)
+      case "bucket" =>
+        val n = intArg("bucket count")
+        require(n > 0, s"bucket count must be positive, got $n")
+        BucketField(n, srcCol)
+      case "truncate" =>
+        val w = intArg("width")
+        require(w > 0, s"truncate width must be positive, got $w")
+        TruncField(w, srcCol)
+      case k if GraftTransform.normalizeKind(k)
+          .exists(GraftTransform.timeKinds) =>
+        TimeField(GraftTransform.normalizeKind(k).get, srcCol)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported spec field transform $other (identity, bucket, " +
+          "months/days/years, truncate)")
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.Table = {
@@ -1784,12 +1878,12 @@ class ManifestCatalog
     // `days(d)` / `years(d)` / `truncate(w, c)` — Iceberg-style hidden
     // partitioning; see [[GraftTransform]]); (partCol, bucket count,
     // transform spec)
-    val (partCol, bucketN, transformSpec) = partitions.toSeq match {
+    val (partCol, bucketN, transformSpec, multiSpec) = partitions.toSeq match {
       case Seq(t) if t.name() == "identity" =>
         val refs = t.references()
         require(refs.length == 1 && refs(0).fieldNames.length == 1,
           s"manifest tables take exactly one identity partition column, got $t")
-        (refs(0).fieldNames()(0), None, None)
+        (refs(0).fieldNames()(0), None, None, None)
       case Seq(t) if t.name() == "bucket" =>
         val refs = t.references()
         require(refs.length == 1 && refs(0).fieldNames.length == 1,
@@ -1803,7 +1897,7 @@ class ManifestCatalog
         require(schema.fields.find(_.name.equalsIgnoreCase(refs(0).fieldNames()(0)))
             .exists(_.dataType == LongType),
           "bucket layout supports BIGINT keys only")
-        (refs(0).fieldNames()(0), Some(n), None)
+        (refs(0).fieldNames()(0), Some(n), None, None)
       case Seq(t) if GraftTransform.normalizeKind(t.name()).isDefined =>
         val kind = GraftTransform.normalizeKind(t.name()).get
         val refs = t.references()
@@ -1833,10 +1927,29 @@ class ManifestCatalog
           s"${t.name()} transform over a ${dt.typeName} column is not " +
             "supported (time transforms take DATE or ISO-8601 STRING; " +
             "truncate takes BIGINT/INT/STRING)")
-        (c, None, Some(GraftTransform(kind, width)))
+        (c, None, Some(GraftTransform(kind, width)), None)
+      case many if many.length >= 2 =>
+        // MULTI-FIELD spec (Iceberg's PARTITIONED BY (months(ts),
+        // bucket(16, key))): conjunctive pruning across the fields,
+        // composite self-describing pvals — see [[GraftSpec]]
+        val fields = many.map(fieldOfTransform)
+        require(fields.map(_.col.toLowerCase).distinct.size == fields.size,
+          "multi-field spec: one field per source column")
+        fields.foreach { f =>
+          val dt = schema.fields.find(_.name.equalsIgnoreCase(f.col))
+            .map(_.dataType).getOrElse(throw new IllegalArgumentException(
+              s"spec field ${f.ser}: source column not in the table schema"))
+          require(GraftSpec.accepts(f, dt),
+            s"spec field ${f.ser} over a ${dt.typeName} column is not " +
+              "supported in a multi-field spec (DATE for time fields, " +
+              "BIGINT/INT otherwise — STRING sources would break the " +
+              "composite separator)")
+        }
+        (fields.head.col, None, None, Some(GraftSpec(1, fields)))
       case other => throw new UnsupportedOperationException(
         "manifest tables need exactly one PARTITIONED BY transform " +
-          s"(identity, bucket, months/days/years, or truncate), got $other")
+          "(identity, bucket, months/days/years, or truncate) or a " +
+          s"multi-field spec of them, got $other")
     }
     require(schema.fieldNames.exists(_.equalsIgnoreCase(partCol)),
       s"partition column $partCol not in the table schema")
@@ -1867,6 +1980,10 @@ class ManifestCatalog
       if (t.kind == "truncate")
         ManifestTable.setTableProperty(spark, base, "transform.width",
           t.width.toString)
+    }
+    multiSpec.foreach { sp =>
+      ManifestTable.setTableProperty(spark, base, "spec.id", sp.id.toString)
+      ManifestTable.setTableProperty(spark, base, "spec.fields", sp.ser)
     }
     ManifestTable.setTableProperty(spark, base, "schema",
       ManifestSchemaProp.serialize(schema))
@@ -3180,14 +3297,16 @@ final class ManifestFileReaderFactory(schema: StructType,
   * is `removeOrphans` food like every other crash path. */
 final class ManifestStreamingWrite(base: String, schema: StructType,
     partCol: String, queryId: String, branch: Option[String] = None,
-    bucketN: Option[Int] = None, transform: Option[GraftTransform] = None)
+    bucketN: Option[Int] = None, transform: Option[GraftTransform] = None,
+    multi: Option[GraftSpec] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
   import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    new ManifestSinkWriterFactory(base, schema, partCol, bucketN, transform)
+    new ManifestSinkWriterFactory(base, schema, partCol, bucketN, transform,
+      multi)
 
   private def fs = new Path(base).getFileSystem(new Configuration())
 
@@ -3316,12 +3435,13 @@ final case class ManifestSinkFiles(files: Seq[(String, String)])
 
 final class ManifestSinkWriterFactory(base: String, schema: StructType,
     partCol: String, bucketN: Option[Int] = None,
-    transform: Option[GraftTransform] = None)
+    transform: Option[GraftTransform] = None,
+    multi: Option[GraftSpec] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new ManifestSinkWriter(base, schema, partCol, partitionId, taskId, epochId,
-      bucketN, transform)
+      bucketN, transform, multi)
 }
 
 /** Executor-side writer: one parquet file per partition value seen by
@@ -3332,7 +3452,10 @@ final class ManifestSinkWriter(base: String, schema: StructType,
     // TIME/TRUNCATE layout: pval is the transform of the source column
     // (see GraftTransform) — the same per-row forms the driver's prune
     // probes replay, so layout and pruning can never disagree
-    transform: Option[GraftTransform] = None)
+    transform: Option[GraftTransform] = None,
+    // MULTI-FIELD spec: pval is the prefixed composite of the fields'
+    // components (see GraftSpec)
+    multi: Option[GraftSpec] = None)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -3364,8 +3487,26 @@ final class ManifestSinkWriter(base: String, schema: StructType,
     org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group]]()
   private val paths = scala.collection.mutable.Map[String, String]()
 
+  private val multiIdx: Option[Seq[Int]] =
+    multi.map(_.fields.map(f => schema.fieldIndex(f.col)))
+
   override def write(row: InternalRow): Unit = {
-    val pval = (bucketN, transform) match {
+    val pval = if (multi.isDefined) {
+      val sp = multi.get
+      val comps = sp.fields.zip(multiIdx.get).map { case (f, i) =>
+        require(!row.isNullAt(i),
+          s"multi-field spec: NULL value in ${f.col} — layout sources " +
+            "must be non-null")
+        val dt = schema.fields(i).dataType
+        val lv: Long = dt match {
+          case LongType => row.getLong(i)
+          case IntegerType => row.getInt(i).toLong
+          case _ => 0L
+        }
+        f.pvalOf(dt, lv, if (dt == DateType) row.getInt(i) else 0)
+      }
+      sp.prefix + comps.mkString("~")
+    } else (bucketN, transform) match {
       case (Some(n), _) =>
         // BUCKET layout: pval is the bucket id — the exact expression
         // GraftBucketFunction replays, so layout and report agree
@@ -3437,12 +3578,14 @@ final class ManifestSinkWriter(base: String, schema: StructType,
   * overwrites); Spark runs one commit per query, so no epoch marker is
   * needed. */
 final class ManifestBatchAppend(base: String, schema: StructType, partCol: String,
-    bucketN: Option[Int] = None, transform: Option[GraftTransform] = None)
+    bucketN: Option[Int] = None, transform: Option[GraftTransform] = None,
+    multi: Option[GraftSpec] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestBatchWriterFactory(base, schema, partCol, bucketN, transform)
+    new ManifestBatchWriterFactory(base, schema, partCol, bucketN, transform,
+      multi)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(base).getFileSystem(new Configuration())
@@ -3500,12 +3643,14 @@ final class ManifestBatchAppend(base: String, schema: StructType, partCol: Strin
   * must exist (a typo'd name must not fork implicitly). */
 final class ManifestBranchAppend(base: String, branch: String,
     schema: StructType, partCol: String, bucketN: Option[Int] = None,
-    transform: Option[GraftTransform] = None)
+    transform: Option[GraftTransform] = None,
+    multi: Option[GraftSpec] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestBatchWriterFactory(base, schema, partCol, bucketN, transform)
+    new ManifestBatchWriterFactory(base, schema, partCol, bucketN, transform,
+      multi)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(base).getFileSystem(new Configuration())
@@ -3559,10 +3704,11 @@ final class ManifestBranchAppend(base: String, branch: String,
 /** Standalone (serializable) factory for the batch-append writers. */
 final class ManifestBatchWriterFactory(base: String, schema: StructType,
     partCol: String, bucketN: Option[Int] = None,
-    transform: Option[GraftTransform] = None)
+    transform: Option[GraftTransform] = None,
+    multi: Option[GraftSpec] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new ManifestSinkWriter(base, schema, partCol, partitionId, taskId, -1L,
-      bucketN, transform)
+      bucketN, transform, multi)
 }

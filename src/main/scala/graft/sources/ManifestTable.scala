@@ -71,5 +71,5 @@ object ManifestTable
       streamWap, bucketJoin, catalogRefs, bucketJoinMixed, streamBranchRead,
       catalogWap, bucketDeleteMoR, catalogWapFix, branchCdf, branchOptimize,
       catalogCall, bucketCdf, catalogMonthLayout, catalogMonthDelete,
-      catalogMonthMerge, catalogMonthCdf, catalogTruncLayout)
+      catalogMonthMerge, catalogMonthCdf, catalogTruncLayout, catalogSpec2)
 }

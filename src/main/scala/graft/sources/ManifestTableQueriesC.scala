@@ -234,6 +234,53 @@ private[sources] trait ManifestTableQueriesC { this: ManifestTable.type =>
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** Registered MULTI-FIELD SPEC: `PARTITIONED BY (months(o_orderdate),
+    * bucket(8, o_custkey))` — composite self-describing pvals
+    * (`s1.yyyy-MM~<bucket>`), CONJUNCTIVE pruning (a raw date range and a
+    * key IN-list each prune their own field; together they intersect —
+    * `SpecEvolutionSpec` pins kept(both) < kept(either)), full COW verb
+    * surface, spec evolution via `CALL system.evolve_spec`. Oracle is
+    * the plain replay over orders. */
+  val catalogSpec2: QuerySpec = QuerySpec.sql(
+    "q_catalog_spec2",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS mon, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01'
+      |  AND o_custkey % 10 IN (1, 3)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("spec2", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_sp2fix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        val tbl = withCatalog(spark, b)
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(o_orderkey BIGINT, o_custkey BIGINT, o_orderdate DATE,
+             | o_totalprice DOUBLE)
+             |PARTITIONED BY (months(o_orderdate), bucket(8, o_custkey))""".stripMargin)
+        graft.model.Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("graft_sp2_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_sp2_feed")
+        b
+      })
+    }
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS mon, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl`
+         |WHERE o_orderdate >= DATE '1995-01-01'
+         |  AND o_orderdate < DATE '1996-01-01'
+         |  AND o_custkey % 10 IN (1, 3)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Registered TRUNCATE layout: `truncate(100, o_orderkey)` bands the
     * key space; a key range scan prunes to the intersecting bands
     * (numeric pval comparison — `MonthLayoutSpec` pins the "16" < "9"

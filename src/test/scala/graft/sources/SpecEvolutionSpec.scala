@@ -1,0 +1,216 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for MULTI-FIELD partition specs and SPEC EVOLUTION:
+  * `PARTITIONED BY (months(d), bucket(8, k))` writes self-describing
+  * composite pvals (`s1.yyyy-MM~<id>`), prunes CONJUNCTIVELY across both
+  * fields, serves the full COW verb surface, and evolves between single-
+  * and multi-field specs with zero rewrite — mixed-era manifests prune
+  * each entry through the spec that wrote it. */
+class SpecEvolutionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val root = graft.Scratch.root
+
+  private def freshCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", root)
+  }
+
+  private def dropDir(base: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+
+  private def ordersView(name: String) = {
+    graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
+      .createOrReplaceTempView(name)
+    spark.table(name)
+  }
+
+  private def spec2Table(tag: String): (String, String) = {
+    freshCatalog()
+    val tbl = s"sp2_$tag"
+    val base = s"$root/$tbl"
+    dropDir(base)
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(o_orderkey BIGINT, o_custkey BIGINT, o_orderdate DATE,
+      | o_totalprice DOUBLE)
+      |PARTITIONED BY (months(o_orderdate), bucket(8, o_custkey))""".stripMargin)
+    ordersView("sp2_src")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM sp2_src")
+    (tbl, base)
+  }
+
+  test("composite pvals are s1.yyyy-MM~bucket; both write forms agree") {
+    val (_, base) = spec2Table("shape")
+    val v = ManifestTable.currentVersion(spark, base)
+    val pvals = ManifestTable.entries(spark, base, v).map(_._1).distinct
+    assert(pvals.nonEmpty &&
+      pvals.forall(_.matches("s1\\.\\d{4}-\\d{2}~[0-7]")),
+      s"expected s1.yyyy-MM~<0-7>, got ${pvals.take(5)}")
+    // every file's rows project into the composite its entry claims
+    val spec = GraftSpec.parse(1, "months(o_orderdate),bucket(8,o_custkey)")
+    ManifestTable.entries(spark, base, v).groupBy(_._1).foreach {
+      case (pval, es) =>
+        val df = spark.read.parquet(es.map { case (_, rel) => s"$base/$rel" }: _*)
+        val bad = df.filter(
+          concat(lit("s1."), date_format(col("o_orderdate"), "yyyy-MM"),
+            lit("~"), pmod(xxhash64(col("o_custkey")), lit(8L)).cast("string"))
+            =!= pval).count()
+        assert(bad === 0, s"composite $pval holds $bad rows projected elsewhere")
+    }
+  }
+
+  test("conjunctive pruning: date range AND key equality beat either alone") {
+    val (tbl, base) = spec2Table("prune")
+    val key = spark.table("sp2_src")
+      .orderBy(col("o_orderkey")).select(col("o_custkey")).head.getLong(0)
+    def kept(where: String): (Int, Int) = {
+      ManifestScanEvents.clear()
+      spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl` WHERE $where").collect()
+      val e = ManifestScanEvents.recent(base).last
+      (e.kept, e.total)
+    }
+    val (kDate, total) = kept(
+      "o_orderdate >= DATE '1995-03-01' AND o_orderdate < DATE '1995-06-01'")
+    val (kKey, _) = kept(s"o_custkey = $key")
+    val (kBoth, _) = kept(
+      "o_orderdate >= DATE '1995-03-01' AND o_orderdate < DATE '1995-06-01' " +
+        s"AND o_custkey = $key")
+    assert(kDate < total, s"date pruning failed: $kDate/$total")
+    assert(kKey < total, s"bucket pruning failed: $kKey/$total")
+    assert(kBoth <= kDate && kBoth <= kKey && kBoth < kDate.max(kKey),
+      s"conjunctive pruning not tighter: both=$kBoth date=$kDate key=$kKey")
+    // and the filtered result is right
+    val expected = spark.table("sp2_src")
+      .filter(col("o_custkey") === key &&
+        col("o_orderdate") >= lit("1995-03-01") &&
+        col("o_orderdate") < lit("1995-06-01")).count()
+    val n = spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl` " +
+      "WHERE o_orderdate >= DATE '1995-03-01' AND o_orderdate < DATE '1995-06-01' " +
+      s"AND o_custkey = $key").head.getLong(0)
+    assert(n === expected)
+  }
+
+  test("COW DELETE preserves the composite layout; MoR refuses") {
+    val (tbl, base) = spec2Table("verbs")
+    val before = spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0)
+    val hit = spark.table("sp2_src")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-02-01")).count()
+    spark.sql(s"""DELETE FROM graft_cat.`$tbl`
+      |WHERE o_orderdate >= DATE '1996-01-01'
+      |  AND o_orderdate < DATE '1996-02-01'""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0)
+      === before - hit)
+    val pvals = ManifestTable.entries(spark, base,
+      ManifestTable.currentVersion(spark, base)).map(_._1).distinct
+    assert(pvals.forall(_.matches("s1\\.\\d{4}-\\d{2}~[0-7]")),
+      s"DELETE broke composite pvals: ${pvals.take(5)}")
+    assert(!pvals.exists(_.startsWith("s1.1996-01~")))
+    // merge-on-read refuses on a multi-field spec (the DV reader computes
+    // a row's pval from ONE column; a composite needs them all)
+    ManifestTable.setTableProperty(spark, base, "write.mode", "merge-on-read")
+    ManifestTable.setTableProperty(spark, base, "keyCol", "o_orderkey")
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graft_cat.`$tbl` SET o_totalprice = 0.0 " +
+        "WHERE o_orderkey % 97 = 0")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("multi-field-spec")), msgs(e).mkString(" | "))
+  }
+
+  test("spec evolution single -> multi -> single: zero rewrite, per-era pruning") {
+    freshCatalog()
+    val tbl = "sp2_evo"
+    val base = s"$root/$tbl"
+    dropDir(base)
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(o_orderkey BIGINT, o_custkey BIGINT, o_year INT, o_orderdate DATE,
+      | o_totalprice DOUBLE)
+      |PARTITIONED BY (o_year)""".stripMargin)
+    graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
+      .createOrReplaceTempView("sp2_evo_src")
+    // era 1: identity(o_year) — first half
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM sp2_evo_src " +
+      "WHERE o_orderdate < DATE '1996-07-01'")
+    val eraOneEntries = ManifestTable.entries(spark, base,
+      ManifestTable.currentVersion(spark, base)).toSet
+    assert(eraOneEntries.nonEmpty &&
+      eraOneEntries.forall(_._1.matches("\\d{4}")))
+    // EVOLVE: one metadata decision, nothing rewritten
+    val row = spark.sql(s"CALL graft_cat.system.evolve_spec(" +
+      s"`table` => '$tbl', fields => 'months(o_orderdate),bucket(4,o_custkey)')")
+      .head
+    assert(row.getInt(0) === 2)
+    // era 2: second half lands composite
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM sp2_evo_src " +
+      "WHERE o_orderdate >= DATE '1996-07-01'")
+    val v2 = ManifestTable.currentVersion(spark, base)
+    val all2 = ManifestTable.entries(spark, base, v2)
+    assert(eraOneEntries.subsetOf(all2.toSet), "evolution must rewrite nothing")
+    val era2 = all2.toSet -- eraOneEntries
+    assert(era2.nonEmpty && era2.forall(_._1.matches("s2\\.\\d{4}-\\d{2}~[0-3]")),
+      s"era-2 pvals: ${era2.map(_._1).take(5)}")
+    // full count is the union of both eras
+    val expected = spark.table("sp2_evo_src").count()
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0)
+      === expected)
+    // a date filter prunes era-2 months; era-1 (undecidable by o_orderdate
+    // under identity(o_year)) is kept inclusively — result stays correct
+    ManifestScanEvents.clear()
+    val n = spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl` " +
+      "WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-03-01'")
+      .head.getLong(0)
+    assert(n === spark.table("sp2_evo_src")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-03-01")).count())
+    val e1 = ManifestScanEvents.recent(base).last
+    assert(e1.kept < e1.total, s"era-2 month pruning failed: ${e1.kept}/${e1.total}")
+    assert(e1.kept >= eraOneEntries.size,
+      "era-1 entries must be kept inclusively (identity can't decide a date)")
+    // an o_year filter prunes era 1 through the LEGACY identity machinery
+    ManifestScanEvents.clear()
+    val n95 = spark.sql(
+      s"SELECT count(*) FROM graft_cat.`$tbl` WHERE o_year = 1995").head.getLong(0)
+    assert(n95 === spark.table("sp2_evo_src")
+      .filter(col("o_year") === 1995).count())
+    val e2 = ManifestScanEvents.recent(base).last
+    assert(e2.kept < e2.total, s"era-1 identity pruning failed: ${e2.kept}/${e2.total}")
+    // EVOLVE BACK to a single-field spec: id bumps, s2 era prunes via history
+    assert(spark.sql(s"CALL graft_cat.system.evolve_spec(" +
+      s"`table` => '$tbl', fields => 'months(o_orderdate)')").head.getInt(0) === 3)
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` " +
+      "SELECT o_orderkey + 900000000, o_custkey, o_year, o_orderdate, o_totalprice " +
+      "FROM sp2_evo_src WHERE o_orderdate >= DATE '1998-01-01'")
+    val extra = spark.table("sp2_evo_src")
+      .filter(col("o_orderdate") >= lit("1998-01-01")).count()
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0)
+      === expected + extra)
+    val era3 = ManifestTable.entries(spark, base,
+      ManifestTable.currentVersion(spark, base)).toSet -- all2.toSet
+    assert(era3.nonEmpty && era3.forall(_._1.matches("s3\\.\\d{4}-\\d{2}")),
+      s"era-3 pvals: ${era3.map(_._1).take(5)}")
+    // the date filter still prunes BOTH composite eras via their own specs
+    ManifestScanEvents.clear()
+    val n2 = spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl` " +
+      "WHERE o_orderdate >= DATE '1998-03-01' AND o_orderdate < DATE '1998-05-01'")
+      .head.getLong(0)
+    val exp2 = spark.table("sp2_evo_src")
+      .filter(col("o_orderdate") >= lit("1998-03-01") &&
+        col("o_orderdate") < lit("1998-05-01")).count() * 2 // base + era-3 copy
+    assert(n2 === exp2)
+    val e3 = ManifestScanEvents.recent(base).last
+    assert(e3.kept < e3.total)
+  }
+}
