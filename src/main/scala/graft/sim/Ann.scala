@@ -1130,6 +1130,18 @@ object Ann {
     // dir per JVM — the mergedFixture pattern); the measured query is the
     // live half: probe selection + in-cell exact search
     val tbl = annManifestFixture(spark, dir)
+    annProbedSearch(spark, dir, tbl, nProbe, topK)
+  }
+
+  /** Probed IVF search against a cell-partitioned manifest table: pick
+    * each query's `nProbe` nearest frozen centroids (staged at
+    * `<tbl>-cents`), read exactly those cells' files, exact integer L2
+    * in-cell, top-`topK`. Shared by the batch ([[annIncremental]]) and
+    * streaming ([[streamAnn]]) maintenance queries — both must converge
+    * to a state this search cannot distinguish from a full rebuild. */
+  private def annProbedSearch(spark: SparkSession, dir: String, tbl: String,
+      nProbe: Int, topK: Int): DataFrame = {
+    import graft.sources.ManifestTable
     val cents = spark.read.parquet(s"$tbl-cents")
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val queries = annMicro(e.filter(col("vec_id") < 3)).localCheckpoint()
@@ -1150,6 +1162,76 @@ object Ann {
     dist.withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= topK)
       .select(col("query_id"), col("rnk"), col("vec_id"), col("d"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** STREAMING ANN INDEX MAINTENANCE — [[annIncremental]]'s
+    * relocation-safe fold driven by a STREAM (the way `q_stream_cdf`
+    * fuses MV maintenance into ingest): the arriving vectors land
+    * through a Structured Streaming `foreachBatch` loop in SEVERAL
+    * micro-batches (`maxFilesPerTrigger`), and each batch
+    *
+    *   1. assigns ONLY its own vectors against the FROZEN coarse
+    *      quantizer — O(|batch|·cells) per trigger, never O(corpus);
+    *   2. removes the batch's keys from their OLD cells (transactional
+    *      DELETE — an updated vector may have changed cell; the key set
+    *      is admission-bounded by the trigger, driver-side metadata);
+    *   3. MERGEs the batch into its NEW cells (copy-on-write of the
+    *      touched cells only, one commit per micro-batch).
+    *
+    * The index is thus FRESH after every trigger, and the final probed
+    * search must be indistinguishable from a FULL REBUILD — the oracle
+    * is exactly [[annIncremental]]'s (merged corpus, frozen centroids,
+    * re-assign, probe, search): a stale copy surviving in an old cell, a
+    * dropped batch, or any batch-boundary dependence hash-mismatches. */
+  val streamAnn: QuerySpec = QuerySpec.sql(
+    "q_stream_ann",
+    annIncremental.oracle.get) { (spark, dir) =>
+    import graft.sources.ManifestTable
+    // frozen centroids: the shared fixture trains them once on the same
+    // base corpus (the quantizer is versioned training state)
+    val fixtureTbl = annManifestFixture(spark, dir)
+    val cents = spark.read.parquet(s"$fixtureTbl-cents").localCheckpoint()
+    val tbl = s"${graft.Scratch.root}/ann_stream_${graft.Scratch.dirToken(dir)}"
+    val feed = s"$tbl-feed"
+    val ck = s"$tbl-ck"
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq(tbl, s"$tbl-cents", feed, ck).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // v1: the base corpus laid out by cell under the frozen quantizer
+    val bpos = annMicro(e.filter(col("vec_id") >= 20))
+    val baseAssigned = e.filter(col("vec_id") >= 20)
+      .join(annNearestCell(annCellDist(cents, bpos)), Seq("vec_id"))
+    ManifestTable.create(spark, tbl, baseAssigned, "cell")
+    // the arriving rows — 20 inserts + 5 negated replacements — as a
+    // file feed consumed in multiple micro-batches
+    val batch = e.filter(col("vec_id") < 20)
+      .unionByName(e.filter(col("vec_id") >= 20 && col("vec_id") < 25)
+        .withColumn("embedding", transform(col("embedding"), x => -x)))
+    batch.repartition(4).write.parquet(feed)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "2").parquet(feed)
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val rows = b.localCheckpoint()
+          val assigned = rows.join(
+            annNearestCell(annCellDist(cents, annMicro(rows))), Seq("vec_id"))
+          val keys = rows.select(col("vec_id")).distinct()
+            .collect().map(_.getLong(0)) // per-trigger, admission-bounded
+          ManifestTable.deleteWhere(spark, tbl,
+            col("vec_id").isin(keys.map(Long.box): _*), "cell")
+          ManifestTable.merge(spark, tbl, assigned, "vec_id", "cell")
+        }
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    cents.write.mode("overwrite").parquet(s"$tbl-cents")
+    annProbedSearch(spark, dir, tbl, nProbe = 2, topK = 5)
   }
 
   /** JOHNSON-LINDENSTRAUSS random projection (Achlioptas 2003,
@@ -1239,5 +1321,5 @@ object Ann {
   val all: Seq[QuerySpec] =
     Seq(annCosine, annIvf, embeddingNearDup, embeddingClusters, annLsh, kmeansStep,
       pqAnn, pqTrain, ivfPqAnn, hybridSearch, semDedup, annIncremental,
-      randomProj)
+      streamAnn, randomProj)
 }

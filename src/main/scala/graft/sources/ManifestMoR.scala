@@ -377,7 +377,7 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
     * a vector whose rows are already gone is a no-op anti-join. Returns
     * (partitions rewritten, keys purged). */
   def purgeDeletes(spark: SparkSession, base: String,
-      keyCol: String, partCol: String): (Int, Long) = {
+      keyCol: String, partCol: String, dryRun: Boolean = false): (Int, Long) = {
     val dvs = pendingDvRels(spark, base)
     if (dvs.isEmpty) return (0, 0L)
     val v = currentVersion(spark, base)
@@ -388,6 +388,9 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
     val pairs = dv.groupBy(col(keyCol), col("__pval"))
       .agg(max(col("__cut")).as("__cut"))
     val nKeys = dv.select(col(keyCol)).distinct().count()
+    // dryRun: the would-be summary (partitions the fold would rewrite,
+    // keys it would purge) from the vectors alone — no scan, no commit
+    if (dryRun) return (touched.size, nKeys)
     val (hot, _) = es.partition { case (pval, _) => touched(pval) }
     // the same (key, partition, version-fence) scoping readMoR applies: a
     // key's rows in a touched partition survive unless a vector names

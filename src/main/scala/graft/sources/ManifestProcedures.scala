@@ -78,14 +78,20 @@ private[sources] object ManifestProcedures {
       override def isDeterministic: Boolean = false
 
       override def parameters(): Array[ProcedureParameter] = procName match {
+        // dry_run => true returns each verb's would-be summary (the same
+        // manifest arithmetic) and mutates nothing — CALL as EXPLAIN
         case "expire_snapshots" => Array(
-          param("table", StringType), paramDefault("keep", IntegerType, "2"))
+          param("table", StringType), paramDefault("keep", IntegerType, "2"),
+          paramDefault("dry_run", BooleanType, "false"))
         case "remove_orphans" => Array(
           param("table", StringType),
-          paramDefault("older_than_ms", LongType, "0"))
+          paramDefault("older_than_ms", LongType, "0"),
+          paramDefault("dry_run", BooleanType, "false"))
         case "optimize" => Array(
-          param("table", StringType), paramDefault("min_files", IntegerType, "2"))
-        case "purge_deletes" => Array(param("table", StringType))
+          param("table", StringType), paramDefault("min_files", IntegerType, "2"),
+          paramDefault("dry_run", BooleanType, "false"))
+        case "purge_deletes" => Array(param("table", StringType),
+          paramDefault("dry_run", BooleanType, "false"))
         case "create_tag" => Array(
           param("table", StringType), param("name", StringType),
           // -1 = tag the current version
@@ -101,7 +107,8 @@ private[sources] object ManifestProcedures {
           param("table", StringType), param("version", IntegerType))
         case "optimize_sorted" => Array(
           param("table", StringType), param("sort_col", StringType),
-          paramDefault("files_per_partition", IntegerType, "4"))
+          paramDefault("files_per_partition", IntegerType, "4"),
+          paramDefault("dry_run", BooleanType, "false"))
         case "build_stats" => Array(
           param("table", StringType), param("col", StringType))
         case "build_bloom" => Array(
@@ -119,16 +126,19 @@ private[sources] object ManifestProcedures {
         val base = s"$root/${input.getUTF8String(0).toString}"
         procName match {
           case "expire_snapshots" =>
-            val (vs, files) = ManifestTable.expireSnapshots(spark, base, input.getInt(1))
+            val (vs, files) = ManifestTable.expireSnapshots(spark, base,
+              input.getInt(1), dryRun = input.getBoolean(2))
             one(StructType(Seq(StructField("expired_manifests", IntegerType),
               StructField("deleted_files", IntegerType))), Seq(vs, files))
           case "remove_orphans" =>
-            val deleted = ManifestTable.removeOrphans(spark, base, input.getLong(1))
+            val deleted = ManifestTable.removeOrphans(spark, base,
+              input.getLong(1), dryRun = input.getBoolean(2))
             one(StructType(Seq(StructField("deleted_files", IntegerType))),
               Seq(deleted.size))
           case "optimize" =>
             val (parts, before, after) = ManifestTable.optimizeTable(
-              spark, base, partColOf(spark, base, procName), input.getInt(1))
+              spark, base, partColOf(spark, base, procName), input.getInt(1),
+              dryRun = input.getBoolean(2))
             one(StructType(Seq(StructField("partitions_compacted", IntegerType),
               StructField("files_before", IntegerType),
               StructField("files_after", IntegerType))), Seq(parts, before, after))
@@ -138,7 +148,8 @@ private[sources] object ManifestProcedures {
               throw new UnsupportedOperationException(
                 s"CALL purge_deletes needs the keyCol table property under $base"))
             val (parts, keys) = ManifestTable.purgeDeletes(
-              spark, base, keyCol, partColOf(spark, base, procName))
+              spark, base, keyCol, partColOf(spark, base, procName),
+              dryRun = input.getBoolean(1))
             // box explicitly: Seq(Int, Long) would numeric-widen the Int
             // to Long and the Int field read would ClassCastException
             one(StructType(Seq(StructField("partitions_rewritten", IntegerType),
@@ -180,7 +191,8 @@ private[sources] object ManifestProcedures {
           case "optimize_sorted" =>
             val (before, after) = ManifestTable.optimizeSorted(spark, base,
               partColOf(spark, base, procName),
-              input.getUTF8String(1).toString, input.getInt(2))
+              input.getUTF8String(1).toString, input.getInt(2),
+              dryRun = input.getBoolean(3))
             one(StructType(Seq(StructField("files_before", IntegerType),
               StructField("files_after", IntegerType))), Seq(before, after))
           case "build_stats" =>

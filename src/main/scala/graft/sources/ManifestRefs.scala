@@ -526,7 +526,7 @@ private[sources] trait ManifestRefs { this: ManifestTable.type =>
     * survive, the same reason Delta's VACUUM has a retention window.
     * Returns the deleted table-relative paths. */
   def removeOrphans(spark: SparkSession, base: String,
-      olderThanMs: Long = 0L): Seq[String] = {
+      olderThanMs: Long = 0L, dryRun: Boolean = false): Seq[String] = {
     val fs = fsOf(spark, new Path(base))
     val cutoff = System.currentTimeMillis() - olderThanMs
     val qbase = fs.makeQualified(new Path(base)).toString
@@ -555,7 +555,7 @@ private[sources] trait ManifestRefs { this: ManifestTable.type =>
         val st = it.next()
         val rel = st.getPath.toString.stripPrefix(qbase).stripPrefix("/")
         if (!referenced(rel) && st.getModificationTime < cutoff) {
-          fs.delete(st.getPath, false)
+          if (!dryRun) fs.delete(st.getPath, false)
           deleted += rel
         }
       }
@@ -572,14 +572,14 @@ private[sources] trait ManifestRefs { this: ManifestTable.type =>
       val rel = s"_dv/${d.getPath.getName}"
       if (!dvReferenced(rel) && d.getModificationTime < cutoff) {
         deleted += rel
-        fs.delete(d.getPath, true)
+        if (!dryRun) fs.delete(d.getPath, true)
       }
     }
     val stages = fs.globStatus(new Path(base, ".stage-*"))
     if (stages != null) stages.foreach { s =>
       if (s.getModificationTime < cutoff) {
         deleted += s.getPath.getName
-        fs.delete(s.getPath, true)
+        if (!dryRun) fs.delete(s.getPath, true)
       }
     }
     // a crash between a temp write and its rename (manifest, stats or
@@ -592,7 +592,7 @@ private[sources] trait ManifestRefs { this: ManifestTable.type =>
     if (tmps != null) tmps.foreach { t =>
       if (t.getModificationTime < cutoff) {
         deleted += s"_manifests/${t.getPath.getName}"
-        fs.delete(t.getPath, false)
+        if (!dryRun) fs.delete(t.getPath, false)
       }
     }
     deleted.toSeq

@@ -430,7 +430,8 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     * long MERGE/DELETE history (the streaming ingest commits one version
     * per micro-batch). Returns (expired manifest count, deleted file
     * count). */
-  def expireSnapshots(spark: SparkSession, base: String, keep: Int): (Int, Int) = {
+  def expireSnapshots(spark: SparkSession, base: String, keep: Int,
+      dryRun: Boolean = false): (Int, Int) = {
     require(keep >= 1, "must keep at least the current snapshot")
     // a vector rides its version: expiring that manifest would make the
     // vector invisible and resurrect its rows
@@ -452,15 +453,18 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
       // a clone's absolute entries borrow files from its SOURCE table:
       // expiring the clone's history must never reach outside its base
       .filterNot(external)
-    val fs = fsOf(spark, new Path(base))
-    dead.foreach(rel => fs.delete(new Path(base, rel), false))
-    dropVs.foreach { v =>
-      fs.delete(new Path(manifestDir(base), s"v$v.manifest"), false)
-      // stats/bloom sidecars are per-snapshot metadata: expire them with
-      // their manifest, or a long merge history accumulates them forever
-      Seq(s"v$v.stats.*", s"v$v.bloom.*", s"v$v.epoch").foreach { pat =>
-        val stale = fs.globStatus(new Path(manifestDir(base), pat))
-        if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
+    // dryRun: the full would-be summary (same arithmetic), zero deletes
+    if (!dryRun) {
+      val fs = fsOf(spark, new Path(base))
+      dead.foreach(rel => fs.delete(new Path(base, rel), false))
+      dropVs.foreach { v =>
+        fs.delete(new Path(manifestDir(base), s"v$v.manifest"), false)
+        // stats/bloom sidecars are per-snapshot metadata: expire them with
+        // their manifest, or a long merge history accumulates them forever
+        Seq(s"v$v.stats.*", s"v$v.bloom.*", s"v$v.epoch").foreach { pat =>
+          val stale = fs.globStatus(new Path(manifestDir(base), pat))
+          if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
+        }
       }
     }
     (dropVs.size, dead.size)

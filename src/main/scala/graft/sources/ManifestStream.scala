@@ -251,9 +251,15 @@ final class ManifestStreamTable(schema: StructType, base: String,
     }
     ()
   }
+  // AUTOMATIC_SCHEMA_EVOLUTION: `MERGE INTO ... WITH SCHEMA EVOLUTION`
+  // routes new source columns through alterTable AddColumn — the same
+  // property-stamp-then-write appendEvolve uses (committed files serve
+  // the column as NULL via the name-resolving reader); type changes
+  // still refuse loudly in alterTable's default arm
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
-      TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** CHECK constraints from the `constraint.<name>` table properties,
     * reported ENFORCED + VALID: Spark's own analyzer

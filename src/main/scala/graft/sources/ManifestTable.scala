@@ -71,5 +71,6 @@ object ManifestTable
       streamWap, bucketJoin, catalogRefs, bucketJoinMixed, streamBranchRead,
       catalogWap, bucketDeleteMoR, catalogWapFix, branchCdf, branchOptimize,
       catalogCall, bucketCdf, catalogMonthLayout, catalogMonthDelete,
-      catalogMonthMerge, catalogMonthCdf, catalogTruncLayout, catalogSpec2)
+      catalogMonthMerge, catalogMonthCdf, catalogTruncLayout, catalogSpec2,
+      catalogMergeEvolve)
 }

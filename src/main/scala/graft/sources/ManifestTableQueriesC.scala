@@ -234,6 +234,70 @@ private[sources] trait ManifestTableQueriesC { this: ManifestTable.type =>
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** Registered MERGE SCHEMA EVOLUTION: `MERGE INTO ... WITH SCHEMA
+    * EVOLUTION` carries a source-only column (`note`) — the analyzer
+    * routes it through alterTable AddColumn (the same metadata stamp
+    * appendEvolve uses; `AUTOMATIC_SCHEMA_EVOLUTION` capability), then
+    * the group rewrite lands; committed files serve the new column as
+    * NULL through the name-resolving reader. Oracle replays the merge
+    * with the evolved column; `MergeEvolveSpec` pins stacking, the
+    * no-keyword refusal, and the type-change refusal. */
+  val catalogMergeEvolve: QuerySpec = QuerySpec.sql(
+    "q_catalog_merge_evolve",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice, CAST(NULL AS VARCHAR) AS note
+      |           FROM orders),
+      |u AS (
+      |  SELECT o_orderkey, o_year, o_totalprice + 500.0 AS o_totalprice,
+      |         'bulk' AS note
+      |  FROM t WHERE o_orderkey % 20 = 0 AND o_year >= 1996
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_year, 7.0 AS o_totalprice, 'new' AS note
+      |  FROM t WHERE o_orderkey % 20 = 10 AND o_year >= 1996),
+      |m AS (SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      |      UNION ALL SELECT * FROM u)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents,
+      |       count(note) AS n_noted
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("mergevolve", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_mevfix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        val tbl = withCatalog(spark, b)
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(o_orderkey BIGINT, o_year INT, o_totalprice DOUBLE)
+             |PARTITIONED BY (o_year)""".stripMargin)
+        val t = ordersKeyed(spark, dir)
+        t.createOrReplaceTempView("graft_mev_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_mev_feed")
+        val hot = t.filter(col("o_year") >= 1996)
+        hot.filter(col("o_orderkey") % 20 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+          .withColumn("note", lit("bulk"))
+          .unionByName(hot.filter(col("o_orderkey") % 20 === 10)
+            .withColumn("o_orderkey", -col("o_orderkey"))
+            .withColumn("o_totalprice", lit(7.0))
+            .withColumn("note", lit("new")))
+          .createOrReplaceTempView("graft_mev_updates")
+        spark.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO graft_cat.`$tbl` tgt
+             |USING graft_mev_updates u ON tgt.o_orderkey = u.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        b
+      })
+    }
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents,
+         |       count(note) AS n_noted
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Registered MULTI-FIELD SPEC: `PARTITIONED BY (months(o_orderdate),
     * bucket(8, o_custkey))` — composite self-describing pvals
     * (`s1.yyyy-MM~<bucket>`), CONJUNCTIVE pruning (a raw date range and a

@@ -242,13 +242,17 @@ private[sources] trait ManifestVerbs { this: ManifestTable.type =>
     * makes continuous APPEND ingest + periodic OPTIMIZE a sustainable
     * loop. Returns (partitions compacted, files before → after). */
   def optimizeTable(spark: SparkSession, base: String,
-      partCol: String, minFiles: Int = 2): (Int, Int, Int) = {
+      partCol: String, minFiles: Int = 2,
+      dryRun: Boolean = false): (Int, Int, Int) = {
     requireNoPendingDv(spark, base, "optimizeTable")
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
     val hotVals = es.groupBy(_._1).filter(_._2.size >= minFiles).keySet
     if (hotVals.isEmpty) return (0, 0, 0)
     val (hot, _) = es.partition { case (pval, _) => hotVals(pval) }
+    // dryRun: the plan from manifest arithmetic alone — compaction emits
+    // one file per hot partition, so the would-be after count IS hotVals
+    if (dryRun) return (hotVals.size, hot.size, hotVals.size)
     val rows = spark.read.parquet(hot.map { case (_, rel) => resolve(base, rel) }: _*)
     val newFiles = writeSnapshotFiles(spark, base, v + 1, rows, partCol)
     // compaction is a rewrite of the hot groups: concurrent commits into
@@ -274,11 +278,15 @@ private[sources] trait ManifestVerbs { this: ManifestTable.type =>
     * key from reading whole partitions. Returns (files before, after). */
   def optimizeSorted(spark: SparkSession, base: String, partCol: String,
       sortCol: String, filesPerPartition: Int,
-      raceInject: () => Unit = () => ()): (Int, Int) = {
+      raceInject: () => Unit = () => (),
+      dryRun: Boolean = false): (Int, Int) = {
     requireNoPendingDv(spark, base, "optimizeSorted")
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
     val nPvals = es.map(_._1).distinct.size
+    // dryRun: the rewrite range-partitions into nPvals * filesPerPartition
+    // tasks, so that product is the would-be file count
+    if (dryRun) return (es.size, nPvals * filesPerPartition)
     val newFiles = writeSnapshotFilesArranged(spark, base, v + 1,
       readVersion(spark, base, v), layoutPvalExpr(spark, base, partCol),
       _.repartitionByRange(nPvals * filesPerPartition, col("__p"), col(sortCol)))

@@ -172,4 +172,72 @@ class ProcedureSpec extends AnyFunSuite {
     assert(msg(e2).contains("keyCol") ||
       Option(e2.getCause).exists(c => msg(c).contains("keyCol")))
   }
+
+  test("dry_run => true returns the would-be summary and mutates nothing") {
+    val base = s"${graft.Scratch.root}/proc_dry_tbl"
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root",
+      new java.io.File(base).getParent)
+    val tbl = new java.io.File(base).getName
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(o_orderkey BIGINT, o_year INT, o_totalprice DOUBLE)
+      |PARTITIONED BY (o_year)""".stripMargin)
+    ordersYearly.createOrReplaceTempView("proc_dry_src")
+    Seq(0, 1).foreach(r => spark.sql(
+      s"INSERT INTO graft_cat.`$tbl` SELECT * FROM proc_dry_src " +
+        s"WHERE o_orderkey % 2 = $r"))
+    val v0 = ManifestTable.currentVersion(spark, base)
+    val files0 = ManifestTable.entries(spark, base, v0).size
+
+    // optimize dry: a real plan (hot partitions, before/after counts) but
+    // no commit, no file change; the subsequent real CALL matches the plan
+    val dry = spark.sql(s"CALL graft_cat.system.optimize(" +
+      s"`table` => '$tbl', min_files => 2, dry_run => true)").head
+    assert(dry.getInt(0) > 0 && dry.getInt(2) < dry.getInt(1))
+    assert(ManifestTable.currentVersion(spark, base) === v0)
+    assert(ManifestTable.entries(spark, base, v0).size === files0)
+    val real = spark.sql(s"CALL graft_cat.system.optimize(" +
+      s"`table` => '$tbl', min_files => 2)").head
+    assert(real.getInt(0) === dry.getInt(0) && real.getInt(1) === dry.getInt(1))
+
+    // optimize_sorted dry: plan only, version pinned
+    val v1 = ManifestTable.currentVersion(spark, base)
+    val sd = spark.sql(s"CALL graft_cat.system.optimize_sorted(" +
+      s"`table` => '$tbl', sort_col => 'o_orderkey', " +
+      "files_per_partition => 2, dry_run => true)").head
+    assert(sd.getInt(1) > 0 && ManifestTable.currentVersion(spark, base) === v1)
+
+    // expire dry: would-be counts, history intact
+    val ed = spark.sql(s"CALL graft_cat.system.expire_snapshots(" +
+      s"`table` => '$tbl', keep => 1, dry_run => true)").head
+    assert(ed.getInt(0) > 0)
+    assert(ManifestTable.versions(spark, base).size > 1,
+      "dry expire must drop nothing")
+
+    // purge dry: pending-vector summary, vector still pending
+    ManifestTable.setTableProperty(spark, base, "keyCol", "o_orderkey")
+    ManifestTable.deleteWhereMoR(spark, base,
+      col("o_year") === 1995, "o_orderkey", "o_year")
+    val pd = spark.sql(s"CALL graft_cat.system.purge_deletes(" +
+      s"`table` => '$tbl', dry_run => true)").head
+    assert(pd.getInt(0) > 0 && pd.getLong(1) > 0)
+    assert(ManifestTable.pendingDvRels(spark, base).nonEmpty,
+      "dry purge must leave the vector pending")
+    spark.sql(s"CALL graft_cat.system.purge_deletes(`table` => '$tbl')")
+    assert(ManifestTable.pendingDvRels(spark, base).isEmpty)
+
+    // remove_orphans dry: reports debris, deletes nothing
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val orphan = new org.apache.hadoop.fs.Path(base,
+      "files/v1/p=1995/orphan.parquet")
+    val out = fs.create(orphan, true); out.write(1); out.close()
+    val od = spark.sql(s"CALL graft_cat.system.remove_orphans(" +
+      s"`table` => '$tbl', dry_run => true)").head
+    assert(od.getInt(0) >= 1)
+    assert(fs.exists(orphan), "dry remove_orphans must delete nothing")
+    spark.sql(s"CALL graft_cat.system.remove_orphans(`table` => '$tbl')")
+    assert(!fs.exists(orphan))
+  }
 }
