@@ -479,12 +479,28 @@ private[sources] trait ManifestCommitProtocol { this: ManifestTable.type =>
     * injects exactly that crash for the safety test. */
 
   def setTableProperty(spark: SparkSession, base: String,
-      key: String, value: String): Unit = {
+      key: String, value: String): Unit =
+    setTableProperties(spark, base, Map(key -> value))
+
+  /** Stamp SEVERAL property keys in ONE property-file write. Multi-key
+    * stamps that must be observed together (spec evolution's
+    * `spec.hist.<id>` / `spec.id` / `spec.fields` triple — a reader
+    * seeing the new id with the old field list would compute pvals under
+    * a wrong era) MUST come through here, not through per-key
+    * [[setTableProperty]] calls: between two separate writes a
+    * concurrent reader sees a torn combination and a concurrent property
+    * writer's read-modify-write can erase the first key. Residual
+    * (documented, not closed): two CONCURRENT property writers still
+    * race last-write-wins on the whole file — the property store is a
+    * metadata sidecar, not a versioned commit; keys that need commit
+    * semantics belong in the manifest (like `__dv` markers). */
+  def setTableProperties(spark: SparkSession, base: String,
+      kvs: Map[String, String]): Unit = {
     val p = new Path(manifestDir(base), "table.properties")
     val fs = fsOf(spark, p)
     val existing = tableProperties(spark, base)
     val out = fs.create(p, true)
-    try out.write((existing + (key -> value))
+    try out.write((existing ++ kvs)
       .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -530,10 +546,31 @@ private[sources] trait ManifestCommitProtocol { this: ManifestTable.type =>
           "supported in a spec (DATE for time fields, BIGINT/INT " +
           "otherwise)")
     }
-    GraftSpec.fromProps(props).foreach(cur =>
-      setTableProperty(spark, base, s"spec.hist.${cur.id}", cur.ser))
-    setTableProperty(spark, base, "spec.id", newId.toString)
-    setTableProperty(spark, base, "spec.fields", spec.ser)
+    // a LEGACY string-typed identity layout refuses: its bare pvals are
+    // arbitrary strings, and one that textually matches the spec-prefix
+    // syntax (`s<digits>.<rest>`) would be misdispatched by the per-era
+    // prune (keepAcrossEras) to a spec that never wrote it — and could be
+    // wrongly pruned. Every other legacy layout's pvals (dates, numbers,
+    // bucket ids, transform values) can never start with `s<digits>.`.
+    if (GraftSpec.fromProps(props).isEmpty &&
+        GraftTransform.fromProps(props).isEmpty &&
+        !props.contains("bucket.n"))
+      props.get("partCol")
+        .flatMap(pc => schema.fields.find(_.name.equalsIgnoreCase(pc)))
+        .foreach(f => require(
+          f.dataType != org.apache.spark.sql.types.StringType,
+          s"evolveSpec under $base: the legacy identity layout is over the " +
+            s"STRING column ${f.name} — its free-form pvals could collide " +
+            "with the spec-prefixed pval syntax (s<id>.<components>) and " +
+            "be misdispatched by per-era pruning; repartition the table " +
+            "onto a typed layout first"))
+    // ONE property write for the whole evolution: spec.hist.<id>, spec.id
+    // and spec.fields land together or not at all (see setTableProperties
+    // — a torn combination would stamp pvals under a wrong era)
+    setTableProperties(spark, base,
+      GraftSpec.fromProps(props)
+        .map(cur => s"spec.hist.${cur.id}" -> cur.ser).toMap ++
+        Map("spec.id" -> newId.toString, "spec.fields" -> spec.ser))
     (newId, spec.ser)
   }
 

@@ -33,12 +33,21 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
     tableProperties(spark, base).get("bucket.n").map(_.toInt)
 
   /** The expression a row's DV partition value is computed with: the
-    * MANIFEST pval — the raw partition-column value under identity
-    * layout, the bucket id (`pmod(xxhash64(key), n)`) under bucket
-    * layout. One invariant everywhere: a vector's `__pval` always equals
-    * the pval of the manifest entries it scopes, so conflict
-    * classification, purge hot/cold partitioning, and CDF image
-    * selection compare vectors against manifests directly.
+    * MANIFEST pval of the row's FILE, read out of the file path itself
+    * (`files/v<K>/p=<pval>/…` — the manifest entry and the directory
+    * name are written from the same string, so they agree verbatim).
+    * One invariant everywhere: a vector's `__pval` always equals the
+    * pval of the manifest entry it scopes, so conflict classification,
+    * purge hot/cold partitioning, CDF image selection, and the in-scan
+    * application compare vectors against manifests directly.
+    *
+    * Extracting from the path (rather than recomputing the layout
+    * expression over the row's data columns) is what makes the vector
+    * ERA-PROOF: after partition-spec evolution a table's manifest mixes
+    * pvals written under different specs, and a recomputation under the
+    * CURRENT spec can never match a pre-evolution entry — rows deleted
+    * from old-era files would silently resurrect when the purge carried
+    * their files cold. The file path always names the era that wrote it.
     *
     * Bucket-layout caveat (scaladoc'd contract, same as the SQL delta
     * op's rowId): the (key, bucket) pair is coarser than (key, raw
@@ -46,9 +55,8 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
     * hash into one bucket would be over-hidden. MoR verbs already treat
     * `keyCol` as the row identity, so unique keys (the contract) are
     * unaffected. */
-  private[sources] def dvPvalExpr(spark: SparkSession, base: String,
-      partCol: String): org.apache.spark.sql.Column =
-    layoutPvalExpr(spark, base, partCol).cast("string")
+  private[sources] def filePvalExpr: org.apache.spark.sql.Column =
+    regexp_extract(input_file_name(), "/p=([^/]+)/", 1)
 
   /** The LAYOUT partition expression over `partCol`: the raw column under
     * identity layout, the bucket id (`pmod(xxhash64(key), n)`) under bucket
@@ -71,6 +79,15 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
           s"multi-field spec under $base needs the schema property"))
       return spec.pvalColumn(schema)
     }
+    legacyPvalExpr(base, props, partCol)
+  }
+
+  /** The LEGACY (pre-multi-spec) single-field layout expression:
+    * transform, bucket, or identity over `partCol` — split out of
+    * [[layoutPvalExpr]] so [[eraPvalExprs]] can name the pre-evolution
+    * era even after a multi spec has superseded it for writes. */
+  private def legacyPvalExpr(base: String, props: Map[String, String],
+      partCol: String): org.apache.spark.sql.Column =
     GraftTransform.fromProps(props) match {
       case Some(t) =>
         val dt = props.get("schema").map(ManifestSchemaProp.parse)
@@ -85,7 +102,42 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
         case None => col(partCol)
       }
     }
+
+  /** EVERY pval expression a row may be manifested under across this
+    * table's ERAS: the current layout first, then each superseded
+    * `spec.hist.<id>` spec, then the legacy single-field layout (whose
+    * properties a spec evolution leaves in place describing the
+    * pre-multi entries). The COW verbs' touched-group probes fold rows
+    * through ALL of these — a probe under the current spec alone would
+    * miss matching rows manifested in pre-evolution files, carry those
+    * files cold by reference, and silently undelete (or duplicate on
+    * MERGE) them. On a never-evolved table this is exactly
+    * [[layoutPvalExpr]], one expression, zero extra cost; extra era
+    * expressions can only over-include (an unmatched pval touches no
+    * manifest entry), never lose rows. */
+  private[sources] def eraPvalExprs(spark: SparkSession, base: String,
+      partCol: String): Seq[org.apache.spark.sql.Column] = {
+    val props = tableProperties(spark, base)
+    val cur = layoutPvalExpr(spark, base, partCol).cast("string")
+    GraftSpec.fromProps(props) match {
+      case None => Seq(cur)
+      case Some(_) =>
+        val schema = props.get("schema").map(ManifestSchemaProp.parse)
+          .getOrElse(throw new IllegalStateException(
+            s"multi-field spec under $base needs the schema property"))
+        val hist = GraftSpec.history(props).toSeq.sortBy(_._1)
+          .map(_._2.pvalColumn(schema).cast("string"))
+        Seq(cur) ++ hist :+ legacyPvalExpr(base, props, partCol).cast("string")
+    }
   }
+
+  /** The touched-group probe across eras: the distinct manifest pvals
+    * the given rows may occupy under ANY of this table's layout eras —
+    * one metadata-sized pass over `rows`, however many eras exist. */
+  private[sources] def touchedPvalsOf(spark: SparkSession, base: String,
+      rows: DataFrame, partCol: String): Set[String] =
+    rows.select(explode(array(eraPvalExprs(spark, base, partCol): _*)).as("__pv"))
+      .distinct().collect().map(_.getString(0)).toSet
 
   /** MERGE-ON-READ DELETE — the deletion-vector trade-off (Delta DVs /
     * Iceberg v2 delete files) opposite [[deleteWhere]]'s copy-on-write:
@@ -117,10 +169,10 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
     val dvPath = s"$base/$rel"
     val fs = fsOf(spark, new Path(base))
     // the predicate scan is pinned to the snapshot the retry validates;
-    // __pval is the MANIFEST pval (bucket id under bucket layout) — see
-    // dvPvalExpr for the invariant
+    // __pval is the MANIFEST pval of the row's FILE (era-proof — see
+    // filePvalExpr for the invariant)
     readVersion(spark, base, readV).filter(pred)
-      .select(col(keyCol), dvPvalExpr(spark, base, partCol).as("__pval"))
+      .select(col(keyCol), filePvalExpr.as("__pval"))
       .write.parquet(dvPath)
     val touched = spark.read.parquet(dvPath)
       .select(col("__pval")).distinct()
@@ -213,7 +265,7 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
     val fs = fsOf(spark, new Path(base))
     val matched = readVersion(spark, base, readV).filter(pred)
     matched
-      .select(col(keyCol), dvPvalExpr(spark, base, partCol).as("__pval"))
+      .select(col(keyCol), filePvalExpr.as("__pval"))
       .write.parquet(dvPath)
     val touched = spark.read.parquet(dvPath)
       .select(col("__pval")).distinct()
@@ -303,22 +355,6 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
           lit(dvCutOf(spark, base, rel)).as("__cut"))
     }.reduce(_ unionByName _)
 
-  /** The partition column every listed vector was recorded against (they
-    * must agree — one layout per table). `rels` are dv dir relpaths. */
-  private[sources] def dvPartColOf(spark: SparkSession, base: String,
-      rels: Seq[String]): String = {
-    val fs = fsOf(spark, new Path(base))
-    val cols = rels.map { rel =>
-      val p = new Path(base, s"$rel/_partcol")
-      require(fs.exists(p), s"deletion vector $rel under $base lacks its _partcol sidecar")
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-    }.distinct
-    require(cols.size == 1,
-      s"pending deletion vectors disagree on the partition column: $cols")
-    cols.head
-  }
-
   /** Read the current snapshot WITH pending deletion vectors applied —
     * the merge-on-read path: one left-anti join against the accumulated
     * vectors (typically broadcast — DVs are matches-sized, not
@@ -334,7 +370,6 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
     val data = read(spark, base)
     if (dvs.isEmpty) data
     else {
-      val pc = dvPartColOf(spark, base, dvs)
       // FAST PATH — delete-only vectors (no `_cut` sidecar anywhere, the
       // common case): every named pair hides unconditionally, so the
       // plain broadcast anti-join suffices — no per-row file-version
@@ -347,7 +382,7 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
         val pairs = spark.read
           .parquet(dvs.map(rel => s"$base/$rel"): _*)
           .select(col(keyCol), col("__pval"))
-        data.withColumn("__pval", dvPvalExpr(spark, base, pc))
+        data.withColumn("__pval", filePvalExpr)
           .join(broadcast(pairs), Seq(keyCol, "__pval"), "left_anti")
           .drop("__pval")
       } else {
@@ -356,7 +391,7 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
         // key hides the updated copy too, as it must)
         val pairs = readDvPairs(spark, base, dvs, keyCol)
           .groupBy(col(keyCol), col("__pval")).agg(max(col("__cut")).as("__cut"))
-        data.withColumn("__pval", dvPvalExpr(spark, base, pc))
+        data.withColumn("__pval", filePvalExpr)
           .withColumn("__fv",
             coalesce(regexp_extract(input_file_name(), "files/v(\\d+)/", 1)
               .cast("int"), lit(-1)))
@@ -399,7 +434,7 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
     // vector. Delete-only vectors (no cuts) take the plain anti-join.
     val hotData = spark.read
       .parquet(hot.map { case (_, rel) => resolve(base, rel) }: _*)
-      .withColumn("__pval", dvPvalExpr(spark, base, partCol))
+      .withColumn("__pval", filePvalExpr)
     val survivors =
       if (dvs.forall(rel => dvCutOf(spark, base, rel) == Int.MaxValue))
         hotData

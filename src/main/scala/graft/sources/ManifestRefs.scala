@@ -368,7 +368,7 @@ private[sources] trait ManifestRefs { this: ManifestTable.type =>
     val es = entriesAt(spark,
       new Path(manifestDir(base), branchManifestName(name, readHead)))
     val touched = readBranch(spark, base, name).filter(pred)
-      .select(dvPvalExpr(spark, base, partCol)).distinct()
+      .select(filePvalExpr).distinct()
       .collect().map(_.getString(0)).toSet // metadata-sized
     if (touched.isEmpty) return false
     val (hot, _) = es.partition { case (pval, _) => touched(pval) }

@@ -139,19 +139,17 @@ final class ManifestStreamTable(schema: StructType, base: String,
           s"row-level SQL on the bucket-layout table $base needs " +
             "write.mode=merge-on-read (+ keyCol) — the copy-on-write group " +
             "rewrite cannot preserve the bucket layout")
-      // MULTI-FIELD spec: the deletion-vector reader computes a row's
-      // pval from ONE recorded source column — a composite pval needs
-      // them all, so merge-on-read refuses; the COW group rewrite is
-      // layout-preserving (staged files route through the spec)
-      if (props.contains("spec.fields") && mor)
-        throw new UnsupportedOperationException(
-          s"merge-on-read row-level SQL on the multi-field-spec table " +
-            s"$base is not supported — drop write.mode=merge-on-read to " +
-            "use the copy-on-write group rewrite")
+      // MULTI-FIELD spec: the DELTA path works like every other layout —
+      // the vector records the row's FILE manifest pval verbatim (the
+      // `_pval` metadata column), the in-scan application compares file
+      // pvals directly, and staged update copies route through the
+      // spec's composite writer; nothing recomputes a pval from one
+      // source column anymore, so composites (and mixed-era manifests
+      // after spec evolution) need no special case
       if (mor)
         new ManifestRowLevelDeltaOp(this, base, info.command(),
           props("keyCol"), props("partCol"), props.get("bucket.n").map(_.toInt),
-          GraftTransform.fromProps(props))
+          GraftTransform.fromProps(props), GraftSpec.fromProps(props))
       else new ManifestRowLevelOp(this, base, info.command(),
         GraftTransform.fromProps(props), GraftSpec.fromProps(props))
     }
@@ -235,7 +233,7 @@ final class ManifestStreamTable(schema: StructType, base: String,
         ManifestTable.refreshAllStats(spark, base)
       }
     } else if (props.get("write.mode").contains("merge-on-read") &&
-        props.contains("keyCol") && !props.contains("spec.fields")) {
+        props.contains("keyCol")) {
       // MoR routing: with `write.mode=merge-on-read` (+ `keyCol`) stamped
       // on the table, a SQL DELETE FROM commits a DELETION VECTOR instead
       // of the copy-on-write rewrite — no data file is touched, the
@@ -1346,7 +1344,9 @@ final class ManifestRowLevelDeltaOp(table: ManifestStreamTable, base: String,
     // pvals (the vector already records them — `_pval` IS the bucket id)
     bucketN: Option[Int] = None,
     // TRANSFORM layout: staged copies land under transform pvals likewise
-    transform: Option[GraftTransform] = None)
+    transform: Option[GraftTransform] = None,
+    // MULTI-FIELD spec: staged copies land under composite pvals
+    multi: Option[GraftSpec] = None)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
   @volatile private[sources] var planned: Option[(Set[String], Int)] = None
@@ -1376,7 +1376,7 @@ final class ManifestRowLevelDeltaOp(table: ManifestStreamTable, base: String,
           override def toBatch
               : org.apache.spark.sql.connector.write.DeltaBatchWrite =
             new ManifestDeltaWrite(base, dataSchema, keyCol, partCol,
-              () => planned, bucketN, transform)
+              () => planned, bucketN, transform, multi)
         }
     }
   }
@@ -1391,7 +1391,8 @@ final case class ManifestDeltaFiles(files: Seq[(String, String)],
 final class ManifestDeltaWrite(base: String, rowSchema: StructType,
     keyCol: String, partCol: String,
     planned: () => Option[(Set[String], Int)],
-    bucketN: Option[Int] = None, transform: Option[GraftTransform] = None)
+    bucketN: Option[Int] = None, transform: Option[GraftTransform] = None,
+    multi: Option[GraftSpec] = None)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   import org.apache.spark.sql.connector.write.{DeltaWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
@@ -1399,7 +1400,7 @@ final class ManifestDeltaWrite(base: String, rowSchema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     new ManifestDeltaWriterFactory(base, rowSchema, keyCol, partCol, dvToken,
-      bucketN, transform)
+      bucketN, transform, multi)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -1484,12 +1485,13 @@ final class ManifestDeltaWrite(base: String, rowSchema: StructType,
 
 final class ManifestDeltaWriterFactory(base: String, rowSchema: StructType,
     keyCol: String, partCol: String, dvToken: String,
-    bucketN: Option[Int] = None, transform: Option[GraftTransform] = None)
+    bucketN: Option[Int] = None, transform: Option[GraftTransform] = None,
+    multi: Option[GraftSpec] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new ManifestDeltaWriter(base, rowSchema, keyCol, partCol, dvToken,
-      partitionId, taskId, bucketN, transform)
+      partitionId, taskId, bucketN, transform, multi)
 }
 
 /** Executor-side delta writer: inserts/update-images go through the
@@ -1500,15 +1502,26 @@ final class ManifestDeltaWriterFactory(base: String, rowSchema: StructType,
 final class ManifestDeltaWriter(base: String, rowSchema: StructType,
     keyCol: String, partCol: String, dvToken: String,
     partitionId: Int, taskId: Long, bucketN: Option[Int] = None,
-    transform: Option[GraftTransform] = None)
+    transform: Option[GraftTransform] = None,
+    multi: Option[GraftSpec] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
   import org.apache.parquet.schema.{PrimitiveType, Types, LogicalTypeAnnotation}
 
-  private val inner =
-    new ManifestSinkWriter(base, rowSchema, partCol, partitionId, taskId, -2L,
-      bucketN, transform)
+  // LAZY: a delete-only delta write (SQL DELETE whose predicate the
+  // source-filter translation cannot express) hands the writer a
+  // rowId-only schema with no layout columns in it — constructing the
+  // data-file writer there would fail fieldIndex(partCol), yet such a
+  // write never inserts a row, so the writer must not exist until the
+  // first insert/update image actually arrives
+  private var innerOpt: Option[ManifestSinkWriter] = None
+  private def inner: ManifestSinkWriter = {
+    if (innerOpt.isEmpty)
+      innerOpt = Some(new ManifestSinkWriter(base, rowSchema, partCol,
+        partitionId, taskId, -2L, bucketN, transform, multi))
+    innerOpt.get
+  }
   private val fragPath = s"$base/_dv/d-$dvToken/frag-p$partitionId-t$taskId.parquet"
   private val dvType = Types.buildMessage()
     .optional(PrimitiveType.PrimitiveTypeName.INT64).named(keyCol)
@@ -1538,12 +1551,14 @@ final class ManifestDeltaWriter(base: String, rowSchema: StructType,
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     if (wroteDv) dvWriter.close()
-    val m = inner.commit().asInstanceOf[ManifestSinkFiles]
-    ManifestDeltaFiles(m.files,
+    val files = innerOpt
+      .map(_.commit().asInstanceOf[ManifestSinkFiles].files)
+      .getOrElse(Seq.empty)
+    ManifestDeltaFiles(files,
       if (wroteDv) Seq(fragPath) else Seq.empty, delPvals.toSet)
   }
   override def abort(): Unit = {
-    inner.abort()
+    innerOpt.foreach(_.abort())
     if (wroteDv) {
       scala.util.Try(dvWriter.close())
       new Path(base).getFileSystem(new Configuration())
@@ -2844,20 +2859,15 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fs = new Path(base).getFileSystem(new Configuration())
-    val (dvCol, dvPart, dvPairs) = pendingDvPairs(fs)
+    val (dvCol, _, dvPairs) = pendingDvPairs(fs)
     val spark = org.apache.spark.sql.SparkSession.active
-    new ManifestFileReaderFactory(schema, dvCol, dvPart, dvPairs,
+    // a vector's __pval is the MANIFEST pval of the row's FILE (see
+    // ManifestTable.filePvalExpr), and every input partition carries its
+    // file's manifest pval — the reader compares them directly, with no
+    // per-row layout recomputation and no era/layout dependence at all
+    new ManifestFileReaderFactory(schema, dvCol, dvPairs,
       ManifestColMap.of(spark, base),
-      ManifestColMap.defaults(spark, base, schema),
-      // BUCKET layout: a vector's __pval is the bucket id, so the row's
-      // pval is the HASH of its partition-column value, not the value
-      dvBucketN = if (dvPairs.isEmpty) None
-        else ManifestTable.tableProperties(spark, base)
-          .get("bucket.n").map(_.toInt),
-      // TRANSFORM layout: a vector's __pval is the transform value
-      dvTransform = if (dvPairs.isEmpty) None
-        else GraftTransform.fromProps(
-          ManifestTable.tableProperties(spark, base)))
+      ManifestColMap.defaults(spark, base, schema))
   }
 }
 
@@ -3092,25 +3102,22 @@ object ManifestReaderStats {
 }
 
 final class ManifestFileReaderFactory(schema: StructType,
-    dvCol: String = "", dvPart: String = "",
+    dvCol: String = "",
     dvPairs: Map[(Long, String), Int] = Map.empty,
     colmap: Map[String, String] = Map.empty,
-    defaults: Map[String, Any] = Map.empty,
-    dvBucketN: Option[Int] = None,
-    // TIME/TRUNCATE layout: a vector's __pval is the transform value, so
-    // a row's pval is the transform of its source-column value
-    dvTransform: Option[GraftTransform] = None)
+    defaults: Map[String, Any] = Map.empty)
     extends PartitionReaderFactory {
   // RENAME name mapping: a served (logical) column reads its ORIGINAL
   // footer name from pre-rename files and its logical name from files
   // written after the rename — per file, physical wins when present
   private def physicalOf(logical: String): String =
     colmap.getOrElse(logical, logical)
-  // columns the row-filter side needs beyond the served schema: the DV
-  // key + partition columns must decode even when the projection drops
-  // them, or in-scan deletes would stop applying
+  // the one column the row-filter side needs beyond the served schema:
+  // the DV key must decode even when the projection drops it, or in-scan
+  // deletes would stop applying (the pval side is the partition's own
+  // manifest pval — no data column involved)
   private def dvFields: Seq[String] =
-    if (dvPairs.nonEmpty) Seq(dvCol, dvPart) else Seq.empty
+    if (dvPairs.nonEmpty) Seq(dvCol) else Seq.empty
 
   /** Serve the `_pval` METADATA column (when projected) from the file's
     * manifest entry — a constant per partition, no decoding. */
@@ -3123,7 +3130,7 @@ final class ManifestFileReaderFactory(schema: StructType,
     partition match {
       case ManifestFilePartition(path, pval) =>
         val fv = ManifestTable.dirVersionOf(path)
-        fileReader(path, g => !deleted(g, fv), pvalOverride(pval),
+        fileReader(path, g => !deleted(g, fv, pval), pvalOverride(pval),
           extraFields = dvFields)
       case CdfFilePartition(path, ct, v) =>
         fileReader(path, _ => true, Map(
@@ -3147,7 +3154,7 @@ final class ManifestFileReaderFactory(schema: StructType,
               if (!it.hasNext) { cur = null; return false }
               val p = it.next()
               val fv = ManifestTable.dirVersionOf(p)
-              cur = fileReader(p, g => !deleted(g, fv), pvalOverride(pval),
+              cur = fileReader(p, g => !deleted(g, fv, pval), pvalOverride(pval),
                 extraFields = dvFields)
             }
             true
@@ -3158,49 +3165,17 @@ final class ManifestFileReaderFactory(schema: StructType,
       case other => throw new IllegalStateException(s"unexpected partition $other")
     }
 
-  // the file's own partition-column value, stringified the way the DV
-  // recorded it (Spark's cast-to-string of the column)
-  private def pvalOf(g: org.apache.parquet.example.data.Group): Option[String] = {
-    if (!g.getType.containsField(dvPart) ||
-        g.getFieldRepetitionCount(dvPart) == 0) return None
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    val prim = g.getType.getType(dvPart).asPrimitiveType()
-    def isDate = prim.getLogicalTypeAnnotation != null &&
-      prim.getLogicalTypeAnnotation.toString == "DATE"
-    prim.getPrimitiveTypeName match {
-      // BUCKET layout: the vector records bucket ids, so the row's pval
-      // is the hash of its (BIGINT) partition-column value
-      case INT64  => Some((dvBucketN, dvTransform) match {
-        case (Some(n), _) =>
-          GraftBucketFunction.idOf(n, g.getLong(dvPart, 0)).toString
-        case (None, Some(t)) => t.pvalOfLong(g.getLong(dvPart, 0))
-        case _ => g.getLong(dvPart, 0).toString
-      })
-      // TIME/TRUNCATE layout: the vector records transform values
-      case INT32 if isDate => Some(dvTransform
-        .map(_.pvalOfDays(g.getInteger(dvPart, 0)))
-        .getOrElse(java.time.LocalDate
-          .ofEpochDay(g.getInteger(dvPart, 0).toLong).toString))
-      case INT32  => Some(dvTransform
-        .map(_.pvalOfLong(g.getInteger(dvPart, 0).toLong))
-        .getOrElse(g.getInteger(dvPart, 0).toString))
-      case DOUBLE => Some(g.getDouble(dvPart, 0).toString)
-      case BINARY => Some(dvTransform
-        .map(_.pvalOfString(g.getString(dvPart, 0)))
-        .getOrElse(g.getString(dvPart, 0)))
-      case t => throw new UnsupportedOperationException(
-        s"in-scan DV on partition column of parquet type $t")
-    }
-  }
   /** The version fence: a named (key, pval) pair hides this row only
     * when the row's file dir version sits BELOW the pair's cut — an
-    * update vector never hides the copies its own commit appended. */
+    * update vector never hides the copies its own commit appended. The
+    * pval side is the FILE's manifest pval (handed in per input
+    * partition), exactly what the vector recorded — layout- and
+    * era-independent by construction. */
   private def deleted(g: org.apache.parquet.example.data.Group,
-      fileVer: Int): Boolean =
+      fileVer: Int, pval: String): Boolean =
     dvPairs.nonEmpty && g.getType.containsField(dvCol) &&
       g.getFieldRepetitionCount(dvCol) > 0 &&
-      pvalOf(g).exists(p =>
-        dvPairs.get((g.getLong(dvCol, 0), p)).exists(cut => fileVer < cut))
+      dvPairs.get((g.getLong(dvCol, 0), pval)).exists(cut => fileVer < cut)
 
   /** Decode one parquet file into rows of `schema`, keeping only rows
     * `keep` admits; `overrides` supplies values for schema fields the

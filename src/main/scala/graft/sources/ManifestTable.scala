@@ -72,5 +72,5 @@ object ManifestTable
       catalogWap, bucketDeleteMoR, catalogWapFix, branchCdf, branchOptimize,
       catalogCall, bucketCdf, catalogMonthLayout, catalogMonthDelete,
       catalogMonthMerge, catalogMonthCdf, catalogTruncLayout, catalogSpec2,
-      catalogMergeEvolve)
+      catalogMergeEvolve, spec2DeleteMoR, spec2UpdateMoR, catalogSpecEvolve2)
 }

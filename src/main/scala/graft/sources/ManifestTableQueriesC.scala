@@ -345,6 +345,177 @@ private[sources] trait ManifestTableQueriesC { this: ManifestTable.type =>
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Registered MERGE-ON-READ DELETE on a MULTI-FIELD SPEC: the table is
+    * `PARTITIONED BY (months(o_orderdate), bucket(8, o_custkey))` and
+    * stamped `write.mode=merge-on-read` — a SQL DELETE lands as a
+    * deletion vector naming (key, file-pval) pairs, no composite
+    * partition rewrites, and the SELECT applies the vector IN-SCAN by
+    * comparing each file's manifest pval directly (the vector records
+    * file pvals verbatim — [[ManifestTable.filePvalExpr]] — so composite
+    * layouts need no per-column pval recomputation). Oracle replays the
+    * erasure over plain orders. */
+  val spec2DeleteMoR: QuerySpec = QuerySpec.sql(
+    "q_spec2_delete_mor",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS mon, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE NOT (o_orderkey % 7 = 0
+      |           AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |           AND o_orderdate < TIMESTAMP '1996-04-01')
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("spec2dmor", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_s2dmfix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        val tbl = withCatalog(spark, b)
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(o_orderkey BIGINT, o_custkey BIGINT, o_orderdate DATE,
+             | o_totalprice DOUBLE)
+             |PARTITIONED BY (months(o_orderdate), bucket(8, o_custkey))""".stripMargin)
+        graft.model.Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("graft_s2dm_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_s2dm_feed")
+        setTableProperty(spark, b, "write.mode", "merge-on-read")
+        setTableProperty(spark, b, "keyCol", "o_orderkey")
+        val before = entries(spark, b, currentVersion(spark, b)).toSet
+        spark.sql(
+          s"""DELETE FROM graft_cat.`$tbl`
+             |WHERE o_orderkey % 7 = 0
+             |  AND o_orderdate >= DATE '1996-01-01'
+             |  AND o_orderdate < DATE '1996-04-01'""".stripMargin)
+        // the MoR contract, enforced at fixture build: a vector landed
+        // and not one committed file was rewritten or dropped
+        require(pendingDvRels(spark, b).nonEmpty,
+          "spec2 MoR DELETE must land a deletion vector")
+        require(before.subsetOf(
+          entries(spark, b, currentVersion(spark, b)).toSet),
+          "spec2 MoR DELETE must not rewrite committed files")
+        b
+      })
+    }
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS mon, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl`
+         |WHERE o_orderdate < DATE '1996-07-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Registered MERGE-ON-READ UPDATE on a MULTI-FIELD SPEC: one commit
+    * lands a version-fenced deletion vector (hiding the old rows) plus
+    * the updated copies as appended files under composite pvals — the
+    * update costs O(matches), never a composite-partition rewrite. The
+    * SELECT reads through the fenced in-scan path: rows in files below
+    * the cut hide, the update's own copies (at the cut) survive. Oracle
+    * replays the reprice arithmetic. */
+  val spec2UpdateMoR: QuerySpec = QuerySpec.sql(
+    "q_spec2_update_mor",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS mon, count(*) AS n,
+      |       CAST(sum(floor(
+      |         CASE WHEN o_orderkey % 11 = 0 THEN 9999.0
+      |              ELSE o_totalprice END * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("spec2umor", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_s2umfix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        val tbl = withCatalog(spark, b)
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(o_orderkey BIGINT, o_custkey BIGINT, o_orderdate DATE,
+             | o_totalprice DOUBLE)
+             |PARTITIONED BY (months(o_orderdate), bucket(8, o_custkey))""".stripMargin)
+        graft.model.Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("graft_s2um_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_s2um_feed")
+        setTableProperty(spark, b, "write.mode", "merge-on-read")
+        setTableProperty(spark, b, "keyCol", "o_orderkey")
+        val before = entries(spark, b, currentVersion(spark, b)).toSet
+        spark.sql(s"UPDATE graft_cat.`$tbl` SET o_totalprice = 9999.0 " +
+          "WHERE o_orderkey % 11 = 0")
+        require(pendingDvRels(spark, b).nonEmpty,
+          "spec2 MoR UPDATE must land a deletion vector")
+        require(before.subsetOf(
+          entries(spark, b, currentVersion(spark, b)).toSet),
+          "spec2 MoR UPDATE must append copies, never rewrite")
+        b
+      })
+    }
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS mon, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl`
+         |WHERE o_orderdate >= DATE '1997-01-01'
+         |  AND o_orderdate < DATE '1997-07-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Registered MULTI -> MULTI spec evolution: the table starts on
+    * `(months(d), bucket(8, cust))`, evolves to `(years(d),
+    * truncate(100, key))` — both eras stay in the manifest under their
+    * own self-describing prefixes (`s1.` / `s2.`), a straddling COW
+    * DELETE erases matches in BOTH eras (the era-expanded touched probe),
+    * and the final read unions the eras. Oracle replays inserts + delete
+    * over plain orders. */
+  val catalogSpecEvolve2: QuerySpec = QuerySpec.sql(
+    "q_catalog_spec_evolve2",
+    """WITH t AS (
+      |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01'
+      |  UNION ALL
+      |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01')
+      |SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t WHERE NOT o_orderkey % 9 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("specevo2", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_se2fix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        val tbl = withCatalog(spark, b)
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(o_orderkey BIGINT, o_custkey BIGINT, o_orderdate DATE,
+             | o_totalprice DOUBLE)
+             |PARTITIONED BY (months(o_orderdate), bucket(8, o_custkey))""".stripMargin)
+        graft.model.Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("graft_se2_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_se2_feed " +
+          "WHERE o_orderdate < DATE '1996-07-01'")
+        spark.sql(s"CALL graft_cat.system.evolve_spec(`table` => '$tbl', " +
+          "fields => 'years(o_orderdate),truncate(100,o_orderkey)')")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_se2_feed " +
+          "WHERE o_orderdate >= DATE '1996-07-01'")
+        // the straddling DELETE must erase matches in BOTH eras
+        spark.sql(s"DELETE FROM graft_cat.`$tbl` WHERE o_orderkey % 9 = 0")
+        b
+      })
+    }
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Registered TRUNCATE layout: `truncate(100, o_orderkey)` bands the
     * key space; a key range scan prunes to the intersecting bands
     * (numeric pval comparison — `MonthLayoutSpec` pins the "16" < "9"

@@ -55,11 +55,12 @@ private[sources] trait ManifestVerbs { this: ManifestTable.type =>
     val es = entries(spark, base, v)
     // touched-partition values: metadata-sized (one row per partition), the
     // same driver-side coordination a manifest commit already is. Probed
-    // through the LAYOUT so bucket tables group by bucket id — the raw
-    // value would match no manifest pval and the hot/cold split would
-    // duplicate every updated key
-    val touched = updates.select(dvPvalExpr(spark, base, partCol)).distinct()
-      .collect().map(_.getString(0)).toSet
+    // through EVERY layout ERA ([[eraPvalExprs]]) so bucket tables group by
+    // bucket id (a raw value would match no manifest pval and the hot/cold
+    // split would duplicate every updated key) AND pre-spec-evolution
+    // entries classify hot (a current-spec-only probe would carry an
+    // old-era file holding a matched key cold — a duplicate on commit)
+    val touched = touchedPvalsOf(spark, base, updates, partCol)
     val (hot, cold) = es.partition { case (pval, _) => touched(pval) }
     val rewritten =
       if (hot.isEmpty) updates
@@ -91,8 +92,11 @@ private[sources] trait ManifestVerbs { this: ManifestTable.type =>
     val cs0 = constraintSet(spark, base) // pre-stage view, see commitRetrying
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
+    // the probe reads table files, so the row's FILE pval (era-proof —
+    // matches its manifest entry verbatim whatever spec wrote it) is
+    // both cheaper and stricter than any layout recomputation
     val touched = read(spark, base).filter(pred)
-      .select(dvPvalExpr(spark, base, partCol)).distinct()
+      .select(filePvalExpr).distinct()
       .collect().map(_.getString(0)).toSet
     if (touched.isEmpty) return false
     val (hot, _) = es.partition { case (pval, _) => touched(pval) }
@@ -129,8 +133,7 @@ private[sources] trait ManifestVerbs { this: ManifestTable.type =>
     requireNoPendingDv(spark, base, "auditedMerge")
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
-    val touched = updates.select(dvPvalExpr(spark, base, partCol)).distinct()
-      .collect().map(_.getString(0)).toSet
+    val touched = touchedPvalsOf(spark, base, updates, partCol)
     val (hot, cold) = es.partition { case (pval, _) => touched(pval) }
     val rewritten =
       if (hot.isEmpty) updates

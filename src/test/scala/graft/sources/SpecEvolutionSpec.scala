@@ -98,7 +98,7 @@ class SpecEvolutionSpec extends AnyFunSuite {
     assert(n === expected)
   }
 
-  test("COW DELETE preserves the composite layout; MoR refuses") {
+  test("COW DELETE preserves the composite layout; MoR verbs work on it") {
     val (tbl, base) = spec2Table("verbs")
     val before = spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0)
     val hit = spark.table("sp2_src")
@@ -114,17 +114,127 @@ class SpecEvolutionSpec extends AnyFunSuite {
     assert(pvals.forall(_.matches("s1\\.\\d{4}-\\d{2}~[0-7]")),
       s"DELETE broke composite pvals: ${pvals.take(5)}")
     assert(!pvals.exists(_.startsWith("s1.1996-01~")))
-    // merge-on-read refuses on a multi-field spec (the DV reader computes
-    // a row's pval from ONE column; a composite needs them all)
+    // MERGE-ON-READ on the composite spec: the vector records the row's
+    // FILE manifest pval verbatim (no per-column recomputation), so an
+    // UPDATE lands as a DV + appended copies, no partition rewritten
     ManifestTable.setTableProperty(spark, base, "write.mode", "merge-on-read")
     ManifestTable.setTableProperty(spark, base, "keyCol", "o_orderkey")
+    val filesBefore = ManifestTable.entries(spark, base,
+      ManifestTable.currentVersion(spark, base)).toSet
+    spark.sql(s"UPDATE graft_cat.`$tbl` SET o_totalprice = 0.0 " +
+      "WHERE o_orderkey % 97 = 0")
+    assert(ManifestTable.pendingDvRels(spark, base).nonEmpty,
+      "MoR UPDATE must land a deletion vector, not a rewrite")
+    val filesAfter = ManifestTable.entries(spark, base,
+      ManifestTable.currentVersion(spark, base)).toSet
+    assert(filesBefore.subsetOf(filesAfter),
+      "MoR UPDATE must not rewrite any committed file")
+    assert((filesAfter -- filesBefore)
+      .forall(_._1.matches("s1\\.\\d{4}-\\d{2}~[0-7]")),
+      "the update's appended copies must land under composite pvals")
+    // every read path agrees with the ground-truth replay
+    val expected = spark.table("sp2_src")
+      .filter(!(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-02-01")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 0, 0.0).otherwise(col("o_totalprice")))
+    val got = spark.sql(
+      s"SELECT * FROM graft_cat.`$tbl`").select(expected.columns.map(col): _*)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "MoR UPDATE on the composite spec diverges from the replay")
+    // the purge folds the vector; read() and readMoR() then agree
+    val (nParts, nKeys) = ManifestTable.purgeDeletes(
+      spark, base, "o_orderkey", "o_orderdate")
+    assert(nParts > 0 && nKeys > 0)
+    assert(ManifestTable.pendingDvRels(spark, base).isEmpty)
+    val afterPurge = spark.sql(s"SELECT * FROM graft_cat.`$tbl`")
+      .select(expected.columns.map(col): _*)
+    assert(afterPurge.exceptAll(expected).isEmpty &&
+      expected.exceptAll(afterPurge).isEmpty,
+      "purge on the composite spec diverges from the replay")
+  }
+
+  test("verbs on a MIXED-ERA manifest hit pre-evolution rows (era-blindness)") {
+    // the round-13 advice scenario: entries written BEFORE evolve_spec keep
+    // old-era pvals; a touched-group probe computed under the CURRENT spec
+    // alone can never match them, so a DELETE would silently carry the
+    // old-era files cold (rows undeleted) and a MERGE would duplicate keys
+    freshCatalog()
+    val tbl = "sp2_mixverb"
+    val base = s"$root/$tbl"
+    dropDir(base)
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(o_orderkey BIGINT, o_custkey BIGINT, o_year INT, o_orderdate DATE,
+      | o_totalprice DOUBLE)
+      |PARTITIONED BY (o_year)""".stripMargin)
+    graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
+      .createOrReplaceTempView("sp2_mix_src")
+    // era 1 (identity(o_year)): everything before mid-1996
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM sp2_mix_src " +
+      "WHERE o_orderdate < DATE '1996-07-01'")
+    spark.sql(s"CALL graft_cat.system.evolve_spec(" +
+      s"`table` => '$tbl', fields => 'months(o_orderdate),bucket(4,o_custkey)')")
+    // era 2 (composite): the rest — the manifest now mixes eras
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM sp2_mix_src " +
+      "WHERE o_orderdate >= DATE '1996-07-01'")
+    val src = spark.table("sp2_mix_src")
+
+    // COW DELETE straddling both eras must erase old-era rows too
+    spark.sql(s"DELETE FROM graft_cat.`$tbl` WHERE o_orderkey % 13 = 0")
+    val expDel = src.filter(!(col("o_orderkey") % 13 === 0))
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0)
+      === expDel.count(),
+      "DELETE on a mixed-era manifest left old-era rows undeleted")
+
+    // programmatic MERGE of keys living in BOTH eras must not duplicate
+    val updates = expDel
+      .filter(col("o_orderkey") % 17 === 0)
+      .withColumn("o_totalprice", lit(1.5))
+    ManifestTable.merge(spark, base, updates, "o_orderkey", "o_orderdate")
+    val expMrg = expDel.withColumn("o_totalprice",
+      when(col("o_orderkey") % 17 === 0, 1.5).otherwise(col("o_totalprice")))
+    val gotMrg = spark.sql(s"SELECT * FROM graft_cat.`$tbl`")
+      .select(expMrg.columns.map(col): _*)
+    assert(gotMrg.exceptAll(expMrg).isEmpty && expMrg.exceptAll(gotMrg).isEmpty,
+      "MERGE on a mixed-era manifest duplicated or lost keys")
+
+    // MERGE-ON-READ delete + purge across eras: the vector records each
+    // row's FILE pval, so purge's hot set names old-era files directly —
+    // no resurrection when the markers drop
+    ManifestTable.deleteWhereMoR(spark, base,
+      col("o_orderkey") % 19 === 0, "o_orderkey", "o_orderdate")
+    val expMor = expMrg.filter(!(col("o_orderkey") % 19 === 0))
+    val gotMor = ManifestTable.readMoR(spark, base, "o_orderkey")
+      .select(expMor.columns.map(col): _*)
+    assert(gotMor.exceptAll(expMor).isEmpty && expMor.exceptAll(gotMor).isEmpty)
+    ManifestTable.purgeDeletes(spark, base, "o_orderkey", "o_orderdate")
+    val gotPurged = spark.sql(s"SELECT * FROM graft_cat.`$tbl`")
+      .select(expMor.columns.map(col): _*)
+    assert(gotPurged.exceptAll(expMor).isEmpty &&
+      expMor.exceptAll(gotPurged).isEmpty,
+      "purge resurrected MoR-deleted rows in pre-evolution files")
+  }
+
+  test("evolve_spec refuses a legacy STRING-identity layout (pval collision)") {
+    freshCatalog()
+    val tbl = "sp2_strid"
+    val base = s"$root/$tbl"
+    dropDir(base)
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(k BIGINT, tag STRING, d DATE)
+      |PARTITIONED BY (tag)""".stripMargin)
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` VALUES " +
+      "(1, 's1.x', DATE '2024-01-01'), (2, 'b', DATE '2024-02-01')")
     val e = intercept[Exception] {
-      spark.sql(s"UPDATE graft_cat.`$tbl` SET o_totalprice = 0.0 " +
-        "WHERE o_orderkey % 97 = 0")
+      spark.sql(s"CALL graft_cat.system.evolve_spec(" +
+        s"`table` => '$tbl', fields => 'months(d),bucket(4,k)')")
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("multi-field-spec")), msgs(e).mkString(" | "))
+    assert(msgs(e).exists(_.contains("STRING")), msgs(e).mkString(" | "))
   }
 
   test("spec evolution single -> multi -> single: zero rewrite, per-era pruning") {
