@@ -3,8 +3,8 @@ package graft.sources
 import java.time.LocalDate
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{date_format, lit, pmod, substring}
-import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.functions.{concat, date_add, date_format, from_utc_timestamp, lit, lpad, pmod, substring, to_date, unix_micros}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, TimestampType}
 
 /** A TIME/TRUNCATE partition TRANSFORM — Iceberg's hidden partitioning
   * (Iceberg spec §"Partition Transforms") as a first-class manifest-table
@@ -33,25 +33,38 @@ import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, St
   * Time transforms accept DATE and ISO-8601 STRING source columns; both
   * are timezone-free, so the executor-side `java.time` forms and the
   * Column forms agree byte-for-byte under any session zone. TIMESTAMP
-  * columns are refused at CREATE (their local-date projection depends on
-  * the session zone — a reader in another zone would prune differently
-  * than the writer wrote; cast to DATE in the INSERT instead, which pins
-  * the decision to the writer's zone once). Truncate accepts BIGINT/INT
-  * (Iceberg's `v - (((v % W) + W) % W)` floor semantics) and STRING
-  * (prefix). pval STRINGS compare consistently with raw-column order:
-  * zero-padded `yyyy-MM[-dd]` sorts lexicographically, truncated longs
-  * compare numerically in [[keepPredicate]].
+  * sources are supported with a TABLE-PINNED `zone` (stamped as the
+  * `transform.zone` property at CREATE, default UTC): the instant
+  * projects to wall-clock fields under THAT zone in both forms, never
+  * the session zone, so a reader anywhere prunes exactly what the
+  * writer wrote (a session-zone projection would silently move rows
+  * between partitions — pinned in `MonthLayoutSpec`). `hours(ts)` is
+  * the finest time transform and takes TIMESTAMP only (pval
+  * `yyyy-MM-dd-HH`). Truncate accepts BIGINT/INT (Iceberg's
+  * `v - (((v % W) + W) % W)` floor semantics) and STRING (prefix).
+  * pval STRINGS compare consistently with raw-column order: zero-padded
+  * `yyyy-MM[-dd[-HH]]` sorts lexicographically, truncated longs compare
+  * numerically in [[keepPredicate]]. Range pruning over a NAMED zone is
+  * disabled (a DST fall-back hour makes wall-clock pvals non-monotone
+  * in the instant — a range bound could wrongly prune the repeated
+  * hour); fixed-offset zones (UTC included) keep it.
   */
-final case class GraftTransform(kind: String, width: Int) {
+final case class GraftTransform(kind: String, width: Int, zone: String = "") {
   import GraftTransform._
   require(timeKinds(kind) || kind == "truncate", s"unknown transform kind $kind")
   require(kind != "truncate" || width > 0, s"truncate needs a positive width")
+
+  /** The pinned zone for TIMESTAMP sources (empty = DATE/STRING source,
+    * no zone involved). */
+  @transient private lazy val zoneId: java.time.ZoneId =
+    java.time.ZoneId.of(if (zone.isEmpty) "UTC" else zone)
 
   /** Characters of the ISO date prefix this time transform keeps. */
   private def isoLen: Int = kind match {
     case "years" => 4
     case "months" => 7
     case "days" => 10
+    case "hours" => 13
   }
 
   /** pval of a DATE value (Spark-internal days since epoch). */
@@ -62,6 +75,25 @@ final case class GraftTransform(kind: String, width: Int) {
       case "months" => f"${d.getYear}%04d-${d.getMonthValue}%02d"
       case "days" => f"${d.getYear}%04d-${d.getMonthValue}%02d-${d.getDayOfMonth}%02d"
       case other => throw new IllegalStateException(s"$other on a DATE column")
+    }
+  }
+
+  /** pval of a TIMESTAMP value (Spark-internal micros since epoch):
+    * wall-clock fields of the instant in the PINNED zone — the
+    * executor-side twin of the Column form's `from_utc_timestamp`
+    * projection (both use the JDK zone rules; agreement pinned in
+    * `MonthLayoutSpec`). */
+  def pvalOfMicros(micros: Long): String = {
+    val zdt = java.time.Instant.EPOCH
+      .plus(micros, java.time.temporal.ChronoUnit.MICROS).atZone(zoneId)
+    kind match {
+      case "years" => f"${zdt.getYear}%04d"
+      case "months" => f"${zdt.getYear}%04d-${zdt.getMonthValue}%02d"
+      case "days" =>
+        f"${zdt.getYear}%04d-${zdt.getMonthValue}%02d-${zdt.getDayOfMonth}%02d"
+      case "hours" =>
+        f"${zdt.getYear}%04d-${zdt.getMonthValue}%02d-${zdt.getDayOfMonth}%02d-${zdt.getHour}%02d"
+      case other => throw new IllegalStateException(s"$other on a TIMESTAMP column")
     }
   }
 
@@ -81,7 +113,12 @@ final case class GraftTransform(kind: String, width: Int) {
   def pvalOfLiteral(v: Any): Option[String] = v match {
     case d: java.sql.Date => Some(pvalOfDays(d.toLocalDate.toEpochDay.toInt))
     case d: java.time.LocalDate => Some(pvalOfDays(d.toEpochDay.toInt))
-    case s: String => Some(pvalOfString(s))
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant
+      Some(pvalOfMicros(i.getEpochSecond * 1000000L + i.getNano / 1000L))
+    case i: java.time.Instant =>
+      Some(pvalOfMicros(i.getEpochSecond * 1000000L + i.getNano / 1000L))
+    case s: String if kind != "hours" => Some(pvalOfString(s))
     case l: java.lang.Long if kind == "truncate" => Some(pvalOfLong(l))
     case i: java.lang.Integer if kind == "truncate" => Some(pvalOfLong(i.toLong))
     case _ => None
@@ -96,7 +133,31 @@ final case class GraftTransform(kind: String, width: Int) {
     case ("years", DateType) => date_format(c, "yyyy")
     case ("months", DateType) => date_format(c, "yyyy-MM")
     case ("days", DateType) => date_format(c, "yyyy-MM-dd")
-    case (k, StringType) if timeKinds(k) => substring(c, 1, isoLen)
+    case (k, TimestampType) if timeKinds(k) =>
+      // SESSION-INDEPENDENT zone projection: from_utc_timestamp shifts
+      // the instant's micros by the PINNED zone's offset at that instant
+      // (JDK zone rules, DST-correct); the shifted micros then read as
+      // wall-clock fields via pure epoch arithmetic — floor-div to an
+      // epoch day, date_add onto a DATE (zone-free), date_format on the
+      // DATE (zone-free). Nothing in the chain consults the session
+      // zone, so a reader in any zone computes the writer's pval. The
+      // division is exact: the numerator is a multiple of the divisor
+      // and DOUBLE holds it exactly through year ~2250 (< 2^53 micros).
+      val m = unix_micros(from_utc_timestamp(c, zoneId.getId))
+      val day = ((m - pmod(m, lit(86400000000L))) / lit(86400000000L)).cast("int")
+      val d = date_add(to_date(lit("1970-01-01")), day)
+      kind match {
+        case "years" => date_format(d, "yyyy")
+        case "months" => date_format(d, "yyyy-MM")
+        case "days" => date_format(d, "yyyy-MM-dd")
+        case "hours" =>
+          val h = pmod(((m - pmod(m, lit(3600000000L))) / lit(3600000000L))
+            .cast("long"), lit(24L))
+          concat(date_format(d, "yyyy-MM-dd"), lit("-"),
+            lpad(h.cast("string"), 2, "0"))
+      }
+    case (k, StringType) if timeKinds(k) && k != "hours" =>
+      substring(c, 1, isoLen)
     case ("truncate", LongType | IntegerType) =>
       (c.cast("long") - pmod(c.cast("long"), lit(width.toLong))).cast("string")
     case ("truncate", StringType) => substring(c, 1, width)
@@ -118,7 +179,14 @@ final case class GraftTransform(kind: String, width: Int) {
     import org.apache.spark.sql.sources._
     def cmp(a: String, b: String): Int =
       if (numeric) java.lang.Long.compare(a.toLong, b.toLong) else a.compareTo(b)
-    val ranged = !(kind == "truncate" && !numeric)
+    // range pruning needs the transform MONOTONE in the raw value. Time
+    // kinds are monotone except under a NAMED zone's DST fall-back (the
+    // repeated wall-clock hour) — fixed offsets (UTC included) keep it;
+    // truncate is monotone on integrals only (prefix strings are not).
+    val ranged =
+      if (timeKinds(kind))
+        zone.isEmpty || zoneId.getRules.isFixedOffset
+      else numeric
     val preds: Seq[String => Boolean] = filters.flatMap {
       case EqualTo(a, v) if a.equalsIgnoreCase(partCol) =>
         pvalOfLiteral(v).map(t => (p: String) => p == t)
@@ -143,7 +211,7 @@ final case class GraftTransform(kind: String, width: Int) {
 }
 
 object GraftTransform {
-  val timeKinds: Set[String] = Set("years", "months", "days")
+  val timeKinds: Set[String] = Set("years", "months", "days", "hours")
 
   /** Normalize the SQL transform name (`month(c)` and `months(c)` both
     * arrive from the parser, as ApplyTransform and MonthsTransform). */
@@ -151,6 +219,7 @@ object GraftTransform {
     case "year" | "years" => Some("years")
     case "month" | "months" => Some("months")
     case "day" | "days" | "date" => Some("days")
+    case "hour" | "hours" => Some("hours")
     case "truncate" => Some("truncate")
     case _ => None
   }
@@ -158,11 +227,17 @@ object GraftTransform {
   /** The table's transform layout from its properties, if stamped. */
   def fromProps(props: Map[String, String]): Option[GraftTransform] =
     props.get("transform.kind").map(k =>
-      GraftTransform(k, props.get("transform.width").map(_.toInt).getOrElse(0)))
+      GraftTransform(k, props.get("transform.width").map(_.toInt).getOrElse(0),
+        props.getOrElse("transform.zone", "")))
 
-  /** Source-column types a kind accepts (refused at CREATE otherwise). */
+  /** Source-column types a kind accepts (refused at CREATE otherwise).
+    * TIMESTAMP sources additionally need a pinned zone stamped at CREATE
+    * (`transform.zone`, default UTC); `hours` is TIMESTAMP-only — an
+    * hour is not a property of a DATE or an ISO date string. */
   def accepts(kind: String, dt: DataType): Boolean = kind match {
-    case k if timeKinds(k) => dt == DateType || dt == StringType
+    case "hours" => dt == TimestampType
+    case k if timeKinds(k) =>
+      dt == DateType || dt == StringType || dt == TimestampType
     case "truncate" => dt == LongType || dt == IntegerType || dt == StringType
     case _ => false
   }

@@ -772,6 +772,7 @@ private[sources] object ManifestSchemaProp {
       case "double" => DoubleType
       case "string" => StringType
       case "date" => DateType
+      case "timestamp" => TimestampType
       case other => throw new UnsupportedOperationException(
         s"schema property: unsupported type $other for $n")
     })
@@ -1935,20 +1936,29 @@ class ManifestCatalog
         val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
           .getOrElse(throw new IllegalArgumentException(
             s"transform source column $c not in the table schema"))
-        // a TIMESTAMP's local-date projection depends on the session
-        // zone — a reader in another zone would prune differently than
-        // the writer wrote; the decision belongs in the INSERT, once
-        if (GraftTransform.timeKinds(kind) &&
-            (dt == TimestampType || dt == TimestampNTZType))
+        if (dt == TimestampNTZType)
           throw new UnsupportedOperationException(
-            s"${t.name()} over a TIMESTAMP column is not supported — cast " +
-              "to DATE in the INSERT (pins the timezone decision at write " +
-              "time) and declare the column DATE")
+            s"${t.name()} over a TIMESTAMP_NTZ column is not supported — " +
+              "manifest tables store instants (TIMESTAMP) or zone-free " +
+              "DATEs; declare the column TIMESTAMP or DATE")
         require(GraftTransform.accepts(kind, dt),
           s"${t.name()} transform over a ${dt.typeName} column is not " +
-            "supported (time transforms take DATE or ISO-8601 STRING; " +
-            "truncate takes BIGINT/INT/STRING)")
-        (c, None, Some(GraftTransform(kind, width)), None)
+            "supported (time transforms take DATE, ISO-8601 STRING, or " +
+            "TIMESTAMP; hours takes TIMESTAMP only; truncate takes " +
+            "BIGINT/INT/STRING)")
+        // TIMESTAMP sources pin the wall-clock projection zone AT CREATE
+        // (`TBLPROPERTIES ('transform.zone'='<zone>')`, default UTC): the
+        // instant → partition mapping is a property of the TABLE, never
+        // the session — a reader in any zone prunes what the writer
+        // wrote. Validated here so a typo refuses the CREATE, not the
+        // first INSERT.
+        val zone =
+          if (dt == TimestampType) {
+            val z = Option(properties.get("transform.zone")).getOrElse("UTC")
+            java.time.ZoneId.of(z)
+            z
+          } else ""
+        (c, None, Some(GraftTransform(kind, width, zone)), None)
       case many if many.length >= 2 =>
         // MULTI-FIELD spec (Iceberg's PARTITIONED BY (months(ts),
         // bucket(16, key))): conjunctive pruning across the fields,
@@ -2001,6 +2011,8 @@ class ManifestCatalog
       if (t.kind == "truncate")
         ManifestTable.setTableProperty(spark, base, "transform.width",
           t.width.toString)
+      if (t.zone.nonEmpty)
+        ManifestTable.setTableProperty(spark, base, "transform.zone", t.zone)
     }
     multiSpec.foreach { sp =>
       ManifestTable.setTableProperty(spark, base, "spec.id", sp.id.toString)
@@ -3242,7 +3254,9 @@ final class ManifestFileReaderFactory(schema: StructType,
             if (use == null) defaults.getOrElse(f.name, null)
             else if (cur.getFieldRepetitionCount(use) == 0) null
             else f.dataType match {
-              case LongType    => cur.getLong(use, 0)
+              // TIMESTAMP: INT64 UTC micros, identical in parquet
+              // (adjustedToUTC) and Spark's internal row
+              case LongType | TimestampType => cur.getLong(use, 0)
               // DATE: INT32 days since epoch, identical in parquet and
               // Spark's internal row
               case IntegerType | DateType => cur.getInteger(use, 0)
@@ -3456,6 +3470,11 @@ final class ManifestSinkWriter(base: String, schema: StructType,
         // internal row — no conversion, no timezone
         case DateType => b.optional(PrimitiveType.PrimitiveTypeName.INT32)
           .as(LogicalTypeAnnotation.dateType()).named(f.name)
+        // TIMESTAMP is INT64 UTC micros in both parquet (adjustedToUTC)
+        // and Spark's internal row — no conversion, no session zone
+        case TimestampType => b.optional(PrimitiveType.PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
         case dt => throw new UnsupportedOperationException(
           s"manifest-stream sink: unsupported type $dt for ${f.name}")
       }
@@ -3502,6 +3521,7 @@ final class ManifestSinkWriter(base: String, schema: StructType,
           s"transform layout: NULL value in $partCol — layout sources must be non-null")
         schema.fields(partIdx).dataType match {
           case DateType => t.pvalOfDays(row.getInt(partIdx))
+          case TimestampType => t.pvalOfMicros(row.getLong(partIdx))
           case StringType => t.pvalOfString(row.getUTF8String(partIdx).toString)
           case LongType => t.pvalOfLong(row.getLong(partIdx))
           case IntegerType => t.pvalOfLong(row.getInt(partIdx).toLong)
@@ -3529,7 +3549,7 @@ final class ManifestSinkWriter(base: String, schema: StructType,
     val g = factory.newGroup()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       if (!row.isNullAt(i)) f.dataType match {
-        case LongType => g.add(f.name, row.getLong(i))
+        case LongType | TimestampType => g.add(f.name, row.getLong(i))
         case IntegerType | DateType => g.add(f.name, row.getInt(i))
         case DoubleType => g.add(f.name, row.getDouble(i))
         case StringType => g.add(f.name, row.getUTF8String(i).toString)

@@ -72,5 +72,6 @@ object ManifestTable
       catalogWap, bucketDeleteMoR, catalogWapFix, branchCdf, branchOptimize,
       catalogCall, bucketCdf, catalogMonthLayout, catalogMonthDelete,
       catalogMonthMerge, catalogMonthCdf, catalogTruncLayout, catalogSpec2,
-      catalogMergeEvolve, spec2DeleteMoR, spec2UpdateMoR, catalogSpecEvolve2)
+      catalogMergeEvolve, spec2DeleteMoR, spec2UpdateMoR, catalogSpecEvolve2,
+      catalogHourLayout)
 }

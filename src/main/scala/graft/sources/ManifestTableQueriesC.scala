@@ -516,6 +516,67 @@ private[sources] trait ManifestTableQueriesC { this: ManifestTable.type =>
          |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Registered HOUR layout over a TIMESTAMP source: `PARTITIONED BY
+    * (hours(ts))` with the projection zone PINNED at CREATE
+    * (`transform.zone`, UTC here) — the reference's own partition value
+    * derives from a timestamp (`glue_job.py:88,159`); this is that
+    * layout without the pre-cast-to-DATE detour. The scan prunes a raw
+    * ts range to the in-range hour partitions; a session-zone change
+    * moves nothing (MonthLayoutSpec pins it). Oracle replays the hour
+    * bucketing in DuckDB (naive timestamps = UTC wall clock). */
+  val catalogHourLayout: QuerySpec = QuerySpec.sql(
+    "q_catalog_hour_layout",
+    """WITH t AS (
+      |  SELECT o_orderkey,
+      |         CAST(o_orderdate AS TIMESTAMP)
+      |           + INTERVAL 1 HOUR * CAST(o_orderkey % 24 AS INT) AS ts,
+      |         o_totalprice
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+      |    AND o_orderdate < TIMESTAMP '1995-04-01')
+      |SELECT strftime(ts, '%Y-%m-%d-%H') AS hr, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t
+      |WHERE ts >= TIMESTAMP '1995-03-05 06:00:00'
+      |  AND ts < TIMESTAMP '1995-03-20 18:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("hlayout", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_hlfix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        val tbl = withCatalog(spark, b)
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(o_orderkey BIGINT, ts TIMESTAMP, o_totalprice DOUBLE)
+             |PARTITIONED BY (hours(ts))
+             |TBLPROPERTIES ('transform.zone'='UTC')""".stripMargin)
+        graft.model.Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1995-03-01") &&
+            col("o_orderdate") < lit("1995-04-01"))
+          .select(col("o_orderkey"),
+            // session-independent instant: midnight UTC of the date plus
+            // a key-derived hour (unix_date/timestamp_seconds are pure
+            // epoch arithmetic — no session-zone cast anywhere)
+            timestamp_seconds(
+              unix_date(col("o_orderdate").cast("date")) * 86400L +
+                (col("o_orderkey") % 24) * 3600L).as("ts"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("graft_hl_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_hl_feed")
+        b
+      })
+    }
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT date_format(ts, 'yyyy-MM-dd-HH') AS hr, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl`
+         |WHERE ts >= TIMESTAMP '1995-03-05 06:00:00'
+         |  AND ts < TIMESTAMP '1995-03-20 18:00:00'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Registered TRUNCATE layout: `truncate(100, o_orderkey)` bands the
     * key space; a key range scan prunes to the intersecting bands
     * (numeric pval comparison — `MonthLayoutSpec` pins the "16" < "9"

@@ -222,14 +222,107 @@ class MonthLayoutSpec extends AnyFunSuite {
       s"truncate range scan planned ${e2.kept}/${e2.total}")
   }
 
-  test("months over TIMESTAMP refuses at CREATE with guidance") {
+  test("hours(ts): pvals are yyyy-MM-dd-HH, forms agree, range prunes") {
     freshCatalog()
-    val e = intercept[Exception] {
-      spark.sql(s"""CREATE TABLE graft_cat.`mlay_bad_ts` (k BIGINT, ts TIMESTAMP)
-        |PARTITIONED BY (months(ts))""".stripMargin)
+    val tbl = "hlay_utc"
+    val base = s"$root/$tbl"
+    dropDir(base)
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl` (k BIGINT, ts TIMESTAMP, v DOUBLE)
+      |PARTITIONED BY (hours(ts))""".stripMargin)
+    // instants spread over 48 hours, built with pure epoch arithmetic
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` " +
+      "SELECT id, timestamp_seconds(1700000000 + (id % 48) * 3600 + id), " +
+      "CAST(id AS DOUBLE) FROM range(0, 480)")
+    val v = ManifestTable.currentVersion(spark, base)
+    val pvals = ManifestTable.entries(spark, base, v).map(_._1).distinct
+    assert(pvals.nonEmpty &&
+      pvals.forall(_.matches("\\d{4}-\\d{2}-\\d{2}-\\d{2}")),
+      s"expected yyyy-MM-dd-HH pvals, got ${pvals.take(5)}")
+    // the Column form (what every COW rewrite uses) matches the per-row
+    // sink form (what the INSERT used) byte-for-byte
+    val t = GraftTransform("hours", 0, "UTC")
+    ManifestTable.entries(spark, base, v).groupBy(_._1).foreach {
+      case (pval, es) =>
+        val bad = spark.read
+          .parquet(es.map { case (_, rel) => s"$base/$rel" }: _*)
+          .filter(t.pvalColumn(col("ts"),
+            org.apache.spark.sql.types.TimestampType) =!= pval).count()
+        assert(bad === 0, s"hour pval $pval: $bad rows project elsewhere")
     }
+    // a raw ts range prunes hours; the result matches a full-scan replay
+    ManifestScanEvents.clear()
+    val n = spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl` " +
+      "WHERE ts >= timestamp_seconds(1700000000 + 10 * 3600) " +
+      "AND ts < timestamp_seconds(1700000000 + 14 * 3600)").head.getLong(0)
+    val e = ManifestScanEvents.recent(base).last
+    assert(e.kept < e.total, s"hour range pruning failed: ${e.kept}/${e.total}")
+    assert(n === spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`")
+      .head.getLong(0) * 4 / 48, s"wrong row count $n")
+  }
+
+  test("TIMESTAMP transform zone is TABLE-pinned: session changes move nothing") {
+    freshCatalog()
+    val tbl = "hlay_ny"
+    val base = s"$root/$tbl"
+    dropDir(base)
+    // months(ts) projected in America/New_York, pinned at CREATE
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl` (k BIGINT, ts TIMESTAMP)
+      |PARTITIONED BY (months(ts))
+      |TBLPROPERTIES ('transform.zone'='America/New_York')""".stripMargin)
+    // 2024-01-01T01:00Z is 2023-12-31T20:00 in New York: the pval must be
+    // the PINNED zone's month (2023-12), not UTC's (2024-01)
+    val janUtc = java.time.Instant.parse("2024-01-01T01:00:00Z").getEpochSecond
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` VALUES " +
+      s"(1, timestamp_seconds($janUtc)), " +
+      s"(2, timestamp_seconds(${janUtc + 86400L * 40}))")
+    val pvals = ManifestTable.entries(spark, base,
+      ManifestTable.currentVersion(spark, base)).map(_._1).distinct.sorted
+    assert(pvals === Seq("2023-12", "2024-02"),
+      s"zone projection wrong: $pvals")
+    // the same point query under two SESSION zones: identical pruning,
+    // identical result — the instant→partition mapping belongs to the
+    // table, never the reader's session
+    def probe(): (Int, Int, Long) = {
+      ManifestScanEvents.clear()
+      val n = spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl` " +
+        s"WHERE ts = timestamp_seconds($janUtc)").head.getLong(0)
+      val e = ManifestScanEvents.recent(base).last
+      (e.kept, e.total, n)
+    }
+    val before = probe()
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try {
+      val after = probe()
+      assert(before === after,
+        s"session zone changed pruning/results: $before vs $after")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert(before._1 === 1 && before._1 < before._2 && before._3 === 1L,
+      s"point probe should prune to one month: $before")
+    // RANGE pruning over a NAMED zone is off (DST fall-back makes hour
+    // pvals non-monotone in the instant): a pure range keeps everything,
+    // inclusively — correctness over cleverness
+    ManifestScanEvents.clear()
+    spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl` " +
+      s"WHERE ts > timestamp_seconds($janUtc)").collect()
+    val e2 = ManifestScanEvents.recent(base).last
+    assert(e2.kept === e2.total,
+      s"named-zone range must keep all inclusively: ${e2.kept}/${e2.total}")
+  }
+
+  test("hours over DATE refuses at CREATE; TIMESTAMP_NTZ refuses") {
+    freshCatalog()
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("cast to DATE")), msgs(e).mkString(" | "))
+    val e1 = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE graft_cat.`hlay_bad_d` (k BIGINT, d DATE)
+        |PARTITIONED BY (hours(d))""".stripMargin)
+    }
+    assert(msgs(e1).exists(_.contains("hours takes TIMESTAMP only")),
+      msgs(e1).mkString(" | "))
+    val e2 = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE graft_cat.`hlay_bad_ntz` (k BIGINT, ts TIMESTAMP_NTZ)
+        |PARTITIONED BY (months(ts))""".stripMargin)
+    }
+    assert(msgs(e2).exists(_.contains("TIMESTAMP_NTZ")), msgs(e2).mkString(" | "))
   }
 }
