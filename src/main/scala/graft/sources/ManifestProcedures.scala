@@ -82,7 +82,11 @@ private[sources] object ManifestProcedures {
         // manifest arithmetic) and mutates nothing — CALL as EXPLAIN
         case "expire_snapshots" => Array(
           param("table", StringType), paramDefault("keep", IntegerType, "2"),
-          paramDefault("dry_run", BooleanType, "false"))
+          paramDefault("dry_run", BooleanType, "false"),
+          // non-empty: expire THAT branch's manifest sequence instead of
+          // main's (the fork version always survives — it is the diff
+          // base rebasePublish/optimizeBranch need)
+          paramDefault("branch", StringType, "''"))
         case "remove_orphans" => Array(
           param("table", StringType),
           paramDefault("older_than_ms", LongType, "0"),
@@ -126,8 +130,15 @@ private[sources] object ManifestProcedures {
         val base = s"$root/${input.getUTF8String(0).toString}"
         procName match {
           case "expire_snapshots" =>
-            val (vs, files) = ManifestTable.expireSnapshots(spark, base,
-              input.getInt(1), dryRun = input.getBoolean(2))
+            val br = if (input.numFields > 3 && !input.isNullAt(3))
+              input.getUTF8String(3).toString else ""
+            val (vs, files) =
+              if (br.isEmpty)
+                ManifestTable.expireSnapshots(spark, base,
+                  input.getInt(1), dryRun = input.getBoolean(2))
+              else
+                ManifestTable.expireBranchSnapshots(spark, base, br,
+                  input.getInt(1), dryRun = input.getBoolean(2))
             one(StructType(Seq(StructField("expired_manifests", IntegerType),
               StructField("deleted_files", IntegerType))), Seq(vs, files))
           case "remove_orphans" =>

@@ -470,4 +470,47 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     (dropVs.size, dead.size)
   }
 
+  /** BRANCH-sequence snapshot expiration — [[expireSnapshots]] walks only
+    * main's `v<N>.manifest` sequence, so a long-lived branch's history
+    * (`branch-<name>-v<N>.manifest`, one per staged epoch or branch verb)
+    * was never reclaimable. Keeps the newest `keep` branch versions PLUS
+    * the FORK version unconditionally: the fork manifest is the branch's
+    * diff base — `rebasePublish`/`optimizeBranch` compute "what the
+    * branch added" as head-minus-fork, and expiring it would make the
+    * branch unpublishable. Files are deleted only when NO surviving
+    * manifest anywhere (main's full sequence, every branch's kept
+    * sequence, tags — i.e. every manifest file not being dropped here)
+    * references them, and never outside this table's base (clone fence).
+    * Returns (expired branch-manifest count, deleted file count). */
+  def expireBranchSnapshots(spark: SparkSession, base: String, name: String,
+      keep: Int, dryRun: Boolean = false): (Int, Int) = {
+    require(keep >= 1, "must keep at least the branch head")
+    val vs = branchVersions(spark, base, name)
+    require(vs.nonEmpty, s"no branch named $name under $base")
+    // fork (vs.head) survives unconditionally; of the rest keep the newest
+    val dropVs = vs.tail.dropRight(keep)
+    if (dropVs.isEmpty) return (0, 0)
+    val fs = fsOf(spark, manifestDir(base))
+    val dropNames = dropVs.map(v => s"branch-$name-v$v.manifest").toSet
+    // live = every entry of every manifest that SURVIVES this expiry —
+    // main's whole sequence, every branch's remaining manifests, and
+    // (transitively) anything tags pin; all driver-side metadata reads
+    val allManifests = fs.listStatus(manifestDir(base)).toSeq
+      .map(_.getPath).filter { p =>
+        val n = p.getName
+        (n.endsWith(".manifest")) && !n.startsWith(".tmp-")
+      }
+    val live = allManifests.filterNot(p => dropNames(p.getName))
+      .flatMap(p => entriesAt(spark, p).map(_._2)).toSet
+    val dead = dropVs
+      .flatMap(v => entriesAt(spark,
+        new Path(manifestDir(base), s"branch-$name-v$v.manifest")).map(_._2))
+      .distinct.filterNot(live).filterNot(external)
+    if (!dryRun) {
+      dead.foreach(rel => fs.delete(new Path(base, rel), false))
+      dropNames.foreach(n => fs.delete(new Path(manifestDir(base), n), false))
+    }
+    (dropVs.size, dead.size)
+  }
+
 }

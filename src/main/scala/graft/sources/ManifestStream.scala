@@ -61,7 +61,8 @@ class ManifestStreamProvider extends TableProvider {
           StructField("_commit_version", IntegerType)))
       else schema
     new ManifestStreamTable(served, base, changeFeed = cdf,
-      streamBranch = Option(properties.get("branch")))
+      streamBranch = Option(properties.get("branch")),
+      streamMaxFiles = Option(properties.get("maxFilesPerTrigger")).map(_.toInt))
   }
 }
 
@@ -82,7 +83,10 @@ final class ManifestStreamTable(schema: StructType, base: String,
     multiLayout: Option[GraftSpec] = None,
     // streaming reads walk this BRANCH's manifest sequence instead of
     // main's (batch reads of a branch go through `t$branch_<name>`)
-    streamBranch: Option[String] = None)
+    streamBranch: Option[String] = None,
+    // streaming within-version admission: at most this many delta
+    // partitions per micro-batch (see ManifestMicroBatchStream)
+    streamMaxFiles: Option[Int] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -520,7 +524,8 @@ final class ManifestStreamTable(schema: StructType, base: String,
         @volatile private var runtimePvals: Option[Set[String]] = None
         override def readSchema(): StructType = projected
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ManifestMicroBatchStream(base, projected, changeFeed, streamBranch)
+          new ManifestMicroBatchStream(base, projected, changeFeed, streamBranch,
+            streamMaxFiles)
         // STATIC BUCKET PRUNING: point predicates on the bucket key keep
         // only the buckets their literals hash into — a key lookup opens
         // 1/n of the table, the hash computed driver-side by the same
@@ -2883,9 +2888,20 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
   }
 }
 
-/** Offset = highest committed version already processed (0 = nothing). */
-final case class VersionOffset(v: Int) extends Offset {
-  override def json(): String = v.toString
+/** Offset = highest FULLY consumed version (0 = nothing), plus — under
+  * `maxFilesPerTrigger` admission — how many of version v+1's delta
+  * partitions are already consumed (`files`). Serialized as the bare
+  * version when files = 0, so every pre-existing checkpoint replays
+  * unchanged; a split position serializes `v#files`. */
+final case class VersionOffset(v: Int, files: Int = 0) extends Offset {
+  override def json(): String = if (files == 0) v.toString else s"$v#$files"
+}
+object VersionOffset {
+  def parse(s: String): VersionOffset = s.split('#') match {
+    case Array(v) => VersionOffset(v.toInt)
+    case Array(v, k) => VersionOffset(v.toInt, k.toInt)
+    case _ => throw new IllegalArgumentException(s"bad manifest offset '$s'")
+  }
 }
 
 /** Change-feed-mode streaming: one whole file's rows as images of one
@@ -2947,7 +2963,16 @@ final class ManifestMicroBatchStream(base: String, schema: StructType,
     // branch's manifest sequence instead of main's — the fork version is
     // the initial snapshot (its whole content is batch one), each branch
     // append is a batch. Audit a WAP feed as a stream before publishing.
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    // WITHIN-VERSION ADMISSION (`.option("maxFilesPerTrigger", n)`): a
+    // single giant commit (a backfill's thousand-file version) no longer
+    // arrives as one unbounded micro-batch — its delta partitions split
+    // across batches of at most n, positioned by VersionOffset.files.
+    // A batch still never MIXES commits (the split is within one
+    // version), so every batch's rows belong to exactly one table
+    // version — the commit-boundary contract weakens only from
+    // "batch = whole commit" to "batch ⊆ one commit".
+    maxFilesPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // driver-side manifest arithmetic (metadata-sized, like every commit op)
@@ -3001,22 +3026,54 @@ final class ManifestMicroBatchStream(base: String, schema: StructType,
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = if (target >= 0) target else committedVersions.lastOption.getOrElse(0)
-    val s = start.asInstanceOf[VersionOffset].v
-    // admission control: ONE committed version per micro-batch — the batch
-    // boundary IS the commit boundary
-    VersionOffset(math.min(cur, s + 1))
+    val s = start.asInstanceOf[VersionOffset]
+    // admission control: at most ONE committed version per micro-batch —
+    // the batch boundary never crosses a commit boundary. Under
+    // maxFilesPerTrigger the NEXT version's delta additionally splits
+    // into batches of at most that many partitions (a giant backfill
+    // commit streams in bounded pieces instead of one unbounded gulp).
+    maxFilesPerTrigger match {
+      case None => VersionOffset(math.min(cur, s.v + 1))
+      case Some(cap) =>
+        val next = s.v + 1
+        if (next > cur) VersionOffset(s.v) // caught up (drops a stale split pos)
+        else {
+          val n = versionPartitions(next).size
+          val k2 = math.min(n, s.files + math.max(1, cap))
+          if (k2 >= n) VersionOffset(next) else VersionOffset(s.v, k2)
+        }
+    }
   }
   override def reportLatestOffset(): Offset =
     VersionOffset(committedVersions.lastOption.getOrElse(0))
   override def latestOffset(): Offset = reportLatestOffset()
   override def initialOffset(): Offset = VersionOffset(firstVersion - 1)
-  override def deserializeOffset(json: String): Offset = VersionOffset(json.toInt)
+  override def deserializeOffset(json: String): Offset = VersionOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (s, e) = (start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
-    (s + 1 to e).flatMap { v =>
+    val s = start.asInstanceOf[VersionOffset]
+    val e = end.asInstanceOf[VersionOffset]
+    // a split end (files > 0) means version e.v+1 is PARTIALLY admitted;
+    // slicing is at delta-partition granularity over the deterministic
+    // per-version partition list (manifest line order), so a crash-replay
+    // of the same offset range reproduces the same rows exactly
+    val endV = if (e.files > 0) e.v + 1 else e.v
+    (s.v + 1 to endV).flatMap { v =>
+      val parts = versionPartitions(v)
+      val from = if (v == s.v + 1) s.files else 0
+      val until = if (e.files > 0 && v == e.v + 1) e.files else parts.size
+      parts.slice(from, until)
+    }.toArray
+  }
+
+  /** Version v's delta as input partitions, in DETERMINISTIC order (the
+    * manifest's own line order) — [[planInputPartitions]] slices this
+    * list by offset position under within-version admission, so the
+    * construction must be a pure function of the committed manifests. */
+  private def versionPartitions(v: Int): Seq[InputPartition] = {
+    Seq(v).flatMap { v =>
       // a batch's rows are the files version v ADDED over v-1; if either
       // manifest was expired the diff is unreconstructable — diffing
       // against an empty set would re-emit every carried file as "new"
@@ -3075,7 +3132,7 @@ final class ManifestMicroBatchStream(base: String, schema: StructType,
         }
         inserts ++ deletes ++ dvParts
       }
-    }.toArray
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active

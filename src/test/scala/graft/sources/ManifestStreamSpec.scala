@@ -65,6 +65,52 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() === t.count())
   }
 
+  test("maxFilesPerTrigger splits a giant version; batches never mix commits") {
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/mstream_split_tbl"
+    val sink = s"${graft.Scratch.root}/mstream_split_sink"
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(sink), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$sink-ck"), true)
+    // v1: one commit, one file per year (7 files at this SF); v2: a
+    // shifted copy — another 7-file commit
+    ManifestTable.create(spark, base, t, "o_year")
+    ManifestTable.append(spark, base,
+      t.withColumn("o_orderkey", col("o_orderkey") + 100000000L), "o_year")
+    val nFiles = ManifestTable.entries(spark, base, 1).size
+    assert(nFiles >= 4, s"fixture needs a multi-file version, got $nFiles")
+    val q = spark.readStream
+      .format("graft.sources.ManifestStreamProvider")
+      .schema(schema)
+      .option("maxFilesPerTrigger", "3")
+      .load(base)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/batch=$id"); ()
+      }
+      .option("checkpointLocation", s"$sink-ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(sink)
+    // nothing lost, nothing duplicated across the splits
+    assert(got.count() === t.count() * 2)
+    assert(got.select(col("o_orderkey")).distinct().count() === t.count() * 2)
+    val perBatch = got.groupBy(col("batch").cast("long").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey") >= 100000000L, 1L).otherwise(0L)).as("v2rows"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the 7-file versions split into ceil(7/3)-sized pieces: more batches
+    // than commits, and every batch's rows belong to exactly ONE commit
+    assert(perBatch.length > 2,
+      s"expected split batches, got ${perBatch.length}")
+    perBatch.foreach { case (b, n, v2) =>
+      assert(v2 === 0L || v2 === n, s"batch $b mixes commits: $v2 of $n rows from v2")
+    }
+  }
+
   test("catalog lists manifest tables, serves pruned scans, refuses rename") {
     // ensure at least one table exists under the scratch root
     val base = ManifestTable.mergedFixture(spark, sf)

@@ -169,6 +169,57 @@ class RefSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ghost"))
   }
 
+  test("expireBranchSnapshots reclaims branch history, keeps head + fork") {
+    val (base, t) = freshTable("brexp")
+    val fork = ManifestTable.createBranch(spark, base, "staging")
+    // four branch appends -> branch versions fork+1..fork+4
+    (1 to 4).foreach { i =>
+      ManifestTable.appendBranch(spark, base, "staging",
+        t.filter(col("o_orderkey") % 50 === i)
+          .withColumn("o_orderkey", col("o_orderkey") + i * 10000000L),
+        "o_year")
+    }
+    val vs = ManifestTable.branchVersions(spark, base, "staging")
+    assert(vs.size === 5)
+    val headBefore = ManifestTable.readBranch(spark, base, "staging").count()
+    // files the to-be-dropped middles staged exclusively (appended files
+    // of fork+1 .. fork+2 that fork+3.. still carries are NOT exclusive —
+    // appends carry forward, so only files dropped from later manifests
+    // could die; for pure appends nothing is exclusive except nothing...
+    // so ALSO overwrite history: a branch DELETE rewrites groups, making
+    // the pre-delete files exclusive to the old branch versions)
+    ManifestTable.deleteWhereBranch(spark, base, "staging",
+      col("o_orderkey") % 50 === 1, "o_year")
+    val headAfterDelete = ManifestTable.readBranch(spark, base, "staging").count()
+    val mainCount = ManifestTable.read(spark, base).count()
+    val vsAll = ManifestTable.branchVersions(spark, base, "staging") // + the delete
+    val (dropped, deleted) =
+      ManifestTable.expireBranchSnapshots(spark, base, "staging", keep = 1)
+    assert(dropped === vsAll.size - 2,
+      s"expected ${vsAll.size - 2} expired branch manifests, got $dropped")
+    assert(deleted > 0, "the rewritten-away branch files must be reclaimed")
+    // head + fork intact, main untouched
+    val vsAfter = ManifestTable.branchVersions(spark, base, "staging")
+    assert(vsAfter === Seq(vsAll.head, vsAll.last))
+    assert(ManifestTable.readBranch(spark, base, "staging").count()
+      === headAfterDelete)
+    assert(ManifestTable.read(spark, base).count() === mainCount)
+    assert(headBefore > headAfterDelete) // the delete really rewrote
+    // the branch is still PUBLISHABLE after expiry (fork survived)...
+    // via fastForward since the delete rewrote fork files
+    val pub = ManifestTable.fastForward(spark, base, "staging")
+    assert(ManifestTable.readVersion(spark, base, pub).count() === headAfterDelete)
+    // and the SQL procedure face drives the same verb
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root",
+      new java.io.File(base).getParent)
+    val tbl = new java.io.File(base).getName
+    val row = spark.sql(s"CALL graft_cat.system.expire_snapshots(" +
+      s"`table` => '$tbl', keep => 1, dry_run => true, branch => 'staging')")
+      .head
+    assert(row.getInt(0) === 0) // nothing left to expire: keep=1 holds {fork, head}
+  }
+
   test("STRESS: racing tag creates — exactly one winner per name") {
     val (base, _) = freshTable("tagrace")
     // 8 real threads race to create the SAME tag: the link(2) arbiter
