@@ -61,14 +61,25 @@ object Bench {
         }
       }
       val ok = times.filterNot(_.isNaN)
-      name -> (if (ok.nonEmpty) ok.min else -1.0)
+      name -> (if (ok.nonEmpty) ok.min else -1.0, times)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0.0).sum
-    val nFailed = results.values.count(_ < 0.0)
+    val total = results.values.map(_._1).filter(_ >= 0.0).sum
+    val nFailed = results.values.count(_._1 < 0.0)
+    // SPARK_GRAFT_REP_TIMES=1 adds every rep's raw time per query: rep 1
+    // pays the query's one-time fixture build (scratch-table CREATE +
+    // INSERT for catalog queries), later reps hit the cache — the delta
+    // is the fixture-build share the min() strips from the artifact.
+    // Diagnostic only; the canonical artifact shape is unchanged.
+    val repField =
+      if (!sys.env.get("SPARK_GRAFT_REP_TIMES").contains("1")) ""
+      else results.map { case (k, (_, ts)) =>
+        s"\"" + k + "\":[" + ts.map(t => if (t.isNaN) "-1" else t.toString)
+          .mkString(",") + "]"
+      }.mkString(",\"reps\":{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$nFailed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$nFailed$repField}"""
     println(line)
     // persist the clean artifact so judge/driver comparisons don't depend on
     // the host being quiet at driver run time (VERDICT r2 item 8)
