@@ -244,9 +244,12 @@ object GraftTransform {
 }
 
 /** One field of a MULTI-FIELD partition spec ([[GraftSpec]]). Multi-spec
-  * sources are restricted to DATE (time transforms) and BIGINT/INT
-  * (identity, bucket, truncate) — STRING sources are refused at CREATE
-  * so a component value can never contain the composite separator. */
+  * sources are DATE (time transforms), BIGINT/INT (identity, bucket,
+  * truncate), and STRING (identity, truncate) — STRING component values
+  * are ESCAPED into `[A-Za-z0-9._-]` ([[GraftSpec.escapeComponent]]) so
+  * they can never contain the composite separator, the era prefix's
+  * syntax, or a character Spark's partition-path escaping would rewrite
+  * (the directory name must equal the manifest pval byte-for-byte). */
 sealed trait GraftField {
   def col: String
   /** Serialized form, e.g. `months(o_orderdate)` / `bucket(8,o_custkey)`. */
@@ -255,7 +258,8 @@ sealed trait GraftField {
   def pvalColumn(c: org.apache.spark.sql.Column, dt: DataType)
       : org.apache.spark.sql.Column
   /** Executor-side per-row component (value already read per `dt`). */
-  def pvalOf(dt: DataType, longVal: => Long, dateDays: => Int): String
+  def pvalOf(dt: DataType, longVal: => Long, dateDays: => Int,
+      strVal: => String): String
   /** Pushed filters on this field's source column folded into one
     * inclusive component predicate. */
   def keep(filters: Seq[org.apache.spark.sql.sources.Filter])
@@ -264,10 +268,15 @@ sealed trait GraftField {
 
 final case class IdentityField(col: String) extends GraftField {
   def ser = s"identity($col)"
-  def pvalColumn(c: org.apache.spark.sql.Column, dt: DataType) = c.cast("string")
-  def pvalOf(dt: DataType, longVal: => Long, dateDays: => Int): String =
+  def pvalColumn(c: org.apache.spark.sql.Column, dt: DataType) = dt match {
+    case StringType => GraftSpec.escapeComponentCol(c)
+    case _ => c.cast("string")
+  }
+  def pvalOf(dt: DataType, longVal: => Long, dateDays: => Int,
+      strVal: => String): String =
     dt match {
       case DateType => LocalDate.ofEpochDay(dateDays.toLong).toString
+      case StringType => GraftSpec.escapeComponent(strVal)
       case _ => longVal.toString
     }
   def keep(filters: Seq[org.apache.spark.sql.sources.Filter]) = {
@@ -277,7 +286,20 @@ final case class IdentityField(col: String) extends GraftField {
       case i: java.lang.Integer => Some(i.toLong)
       case _ => None
     }
+    // STRING identity components: EQUALITY/IN only, compared in ESCAPED
+    // space (escape is injective so x == y iff esc(x) == esc(y)); ranges
+    // never prune — escaping does not preserve lexicographic order
+    def slit(v: Any): Option[String] = v match {
+      case s: String => Some(GraftSpec.escapeComponent(s))
+      case _ => None
+    }
     val preds: Seq[String => Boolean] = filters.flatMap {
+      case EqualTo(a, v: String) if a.equalsIgnoreCase(col) =>
+        slit(v).map(t => (p: String) => p == t)
+      case In(a, vs) if a.equalsIgnoreCase(col) &&
+          vs.forall(v => v == null || v.isInstanceOf[String]) =>
+        val set = vs.toSeq.filter(_ != null).flatMap(slit).toSet
+        Some((p: String) => set(p))
       case EqualTo(a, v) if a.equalsIgnoreCase(col) =>
         lit(v).map(t => (p: String) => p.toLong == t)
       case In(a, vs) if a.equalsIgnoreCase(col) =>
@@ -303,7 +325,8 @@ final case class TimeField(kind: String, col: String) extends GraftField {
   private val t = GraftTransform(kind, 0)
   def ser = s"$kind($col)"
   def pvalColumn(c: org.apache.spark.sql.Column, dt: DataType) = t.pvalColumn(c, dt)
-  def pvalOf(dt: DataType, longVal: => Long, dateDays: => Int): String =
+  def pvalOf(dt: DataType, longVal: => Long, dateDays: => Int,
+      strVal: => String): String =
     t.pvalOfDays(dateDays)
   def keep(filters: Seq[org.apache.spark.sql.sources.Filter]) =
     t.keepPredicate(col, numeric = false, filters)
@@ -313,7 +336,8 @@ final case class BucketField(n: Int, col: String) extends GraftField {
   def ser = s"bucket($n,$col)"
   def pvalColumn(c: org.apache.spark.sql.Column, dt: DataType) =
     GraftBucketFunction.idExpr(n, c)
-  def pvalOf(dt: DataType, longVal: => Long, dateDays: => Int): String =
+  def pvalOf(dt: DataType, longVal: => Long, dateDays: => Int,
+      strVal: => String): String =
     GraftBucketFunction.idOf(n, longVal).toString
   def keep(filters: Seq[org.apache.spark.sql.sources.Filter]) = {
     import org.apache.spark.sql.sources._
@@ -333,11 +357,54 @@ final case class BucketField(n: Int, col: String) extends GraftField {
 final case class TruncField(width: Int, col: String) extends GraftField {
   private val t = GraftTransform("truncate", width)
   def ser = s"truncate($width,$col)"
-  def pvalColumn(c: org.apache.spark.sql.Column, dt: DataType) = t.pvalColumn(c, dt)
-  def pvalOf(dt: DataType, longVal: => Long, dateDays: => Int): String =
-    t.pvalOfLong(longVal)
-  def keep(filters: Seq[org.apache.spark.sql.sources.Filter]) =
-    t.keepPredicate(col, numeric = true, filters)
+  def pvalColumn(c: org.apache.spark.sql.Column, dt: DataType) = dt match {
+    // STRING truncate: the component is the ESCAPED prefix — truncate
+    // FIRST (prefix semantics are over the raw value's characters), then
+    // escape for separator/path safety
+    case StringType => GraftSpec.escapeComponentCol(t.pvalColumn(c, dt))
+    case _ => t.pvalColumn(c, dt)
+  }
+  def pvalOf(dt: DataType, longVal: => Long, dateDays: => Int,
+      strVal: => String): String = dt match {
+    case StringType => GraftSpec.escapeComponent(t.pvalOfString(strVal))
+    case _ => t.pvalOfLong(longVal)
+  }
+  def keep(filters: Seq[org.apache.spark.sql.sources.Filter]) = {
+    import org.apache.spark.sql.sources._
+    // STRING truncate components: equality/IN prune via the escaped
+    // truncated literal (same injectivity argument as IdentityField);
+    // string RANGES never prune (escaping breaks lexicographic order).
+    // Any string literal on this column routes the whole fold here —
+    // the numeric machinery would compare unescaped prefixes (or throw
+    // on toLong) against escaped pvals and could prune WRONGLY.
+    def isStr(v: Any) = v.isInstanceOf[String]
+    val hasStr = filters.exists {
+      case EqualTo(a, v) if a.equalsIgnoreCase(col) => isStr(v)
+      case In(a, vs) if a.equalsIgnoreCase(col) => vs.exists(isStr)
+      case GreaterThan(a, v) if a.equalsIgnoreCase(col) => isStr(v)
+      case GreaterThanOrEqual(a, v) if a.equalsIgnoreCase(col) => isStr(v)
+      case LessThan(a, v) if a.equalsIgnoreCase(col) => isStr(v)
+      case LessThanOrEqual(a, v) if a.equalsIgnoreCase(col) => isStr(v)
+      case _ => false
+    }
+    if (!hasStr) t.keepPredicate(col, numeric = true, filters)
+    else {
+      def slit(v: Any): Option[String] = v match {
+        case s: String => Some(GraftSpec.escapeComponent(t.pvalOfString(s)))
+        case _ => None
+      }
+      val strPreds: Seq[String => Boolean] = filters.flatMap {
+        case EqualTo(a, v: String) if a.equalsIgnoreCase(col) =>
+          slit(v).map(t0 => (p: String) => p == t0)
+        case In(a, vs) if a.equalsIgnoreCase(col) && vs.nonEmpty &&
+            vs.forall(v => v == null || v.isInstanceOf[String]) =>
+          val set = vs.toSeq.filter(_ != null).flatMap(slit).toSet
+          Some((p: String) => set(p))
+        case _ => None
+      }
+      if (strPreds.isEmpty) None else Some(p => strPreds.forall(_(p)))
+    }
+  }
 }
 
 /** A MULTI-FIELD partition spec — Iceberg-style
@@ -355,8 +422,12 @@ final case class TruncField(width: Int, col: String) extends GraftField {
   *     machinery (the legacy single-field properties for pre-evolution
   *     entries) and never by this one.
   *   - `~` and the `s<id>.` prefix are path- and escape-safe because
-  *     multi-spec sources are DATE/BIGINT/INT only (no STRING — refused
-  *     at CREATE), so no component can contain the separator. */
+  *     DATE/BIGINT/INT components never contain them and STRING
+  *     components are ESCAPED into `[A-Za-z0-9._-]`
+  *     ([[GraftSpec.escapeComponent]]) — injective, so equality pruning
+  *     compares escaped literals; ranges on string fields never prune
+  *     (escaping breaks lexicographic order — inclusive, row-level
+  *     re-filter as always). */
 final case class GraftSpec(id: Int, fields: Seq[GraftField]) {
   // one field is legal THROUGH EVOLUTION (a table can evolve multi ->
   // single); CREATE routes single transforms through the legacy layout
@@ -384,7 +455,8 @@ final case class GraftSpec(id: Int, fields: Seq[GraftField]) {
       : String => Boolean = {
     val comps = fields.map(_.keep(filters))
     (stripped: String) => {
-      val parts = stripped.split('~')
+      // -1 keeps trailing empties: an escaped STRING component can be ""
+      val parts = stripped.split("~", -1)
       if (parts.length != fields.size) true // malformed: inclusive
       else comps.zip(parts).forall { case (k, p) => k.forall(_(p)) }
     }
@@ -448,13 +520,57 @@ object GraftSpec {
     }
   }
 
-  /** Multi-spec source types: DATE for time fields; BIGINT/INT for
-    * identity/truncate; BIGINT for bucket. STRING refuses (separator
-    * safety — see [[GraftSpec]]). */
+  /** Multi-spec source types: DATE for time fields; BIGINT/INT/STRING
+    * for identity/truncate (STRING components are escaped — see
+    * [[escapeComponent]]); BIGINT for bucket. */
   def accepts(f: GraftField, dt: DataType): Boolean = f match {
     case _: TimeField => dt == DateType
     case _: BucketField => dt == LongType
     case _: IdentityField | _: TruncField =>
-      dt == LongType || dt == IntegerType
+      dt == LongType || dt == IntegerType || dt == StringType
   }
+
+  /** Escape a STRING component value into the alphabet `[A-Za-z0-9._-]`
+    * with `.XX` (uppercase-hex UTF-8 byte) escapes. Three properties the
+    * spec machinery needs, none of which raw strings give:
+    *
+    *   1. NO `~` and no `%` — the composite separator stays unambiguous
+    *      and Spark's Hive-style partition-path escaping (which rewrites
+    *      `%`, `*`, `/`, `=`, … but none of this alphabet) leaves the
+    *      directory name EQUAL to the manifest pval byte-for-byte, so
+    *      path-derived pvals ([[ManifestTable.filePvalExpr]]) and
+    *      layout-computed pvals agree.
+    *   2. INJECTIVE — equality/IN pruning compares escaped literals.
+    *   3. One definition, two forms: this per-row form and the Column
+    *      form ([[escapeComponentCol]]) are both `java.net.URLEncoder`
+    *      (UTF-8) plus the same four fix-up substitutions, so the write
+    *      path, the verbs' rewrites, and the prune probes can never
+    *      disagree (agreement pinned byte-for-byte in SpecEvolutionSpec).
+    *
+    * The fix-ups after url-encoding: original `.` → `%2E` (the dot
+    * becomes the escape intro, so a literal dot must round-trip through
+    * it), `*` → `%2A` and `+` (url-encoded space) → `%20` (both rewritten
+    * by partition-path escaping), then every `%` → `.` (percent is
+    * rewritten too; dot is not). */
+  def escapeComponent(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+      .replace(".", "%2E")
+      .replace("*", "%2A")
+      .replace("+", "%20")
+      .replace("%", ".")
+
+  /** The Column twin of [[escapeComponent]] — `url_encode` is
+    * `java.net.URLEncoder` under the hood, so both forms agree
+    * byte-for-byte. */
+  def escapeComponentCol(c: Column): Column = {
+    import org.apache.spark.sql.functions.{replace => repl, url_encode, lit => l}
+    repl(repl(repl(repl(url_encode(c),
+      l("."), l("%2E")), l("*"), l("%2A")), l("+"), l("%20")), l("%"), l("."))
+  }
+
+  /** Inverse of [[escapeComponent]] (diagnostics/tests only — the scan
+    * never reconstructs raw values from pvals; the raw column lives in
+    * the data files). */
+  def unescapeComponent(p: String): String =
+    java.net.URLDecoder.decode(p.replace(".", "%"), "UTF-8")
 }

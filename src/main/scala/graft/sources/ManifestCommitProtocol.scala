@@ -522,13 +522,18 @@ private[sources] trait ManifestCommitProtocol { this: ManifestTable.type =>
     * multi spec retires into `spec.hist.<id>` (its `s<id>.` entries keep
     * pruning through it), and a pre-multi single-field layout's
     * properties (`partCol` / `bucket.n` / `transform.*`) stay in place
-    * governing its bare pvals. Refuses under pending deletion vectors
-    * (a vector's in-scan application reads the layout properties the
-    * evolution would re-purpose). Returns (new spec id, serialized
-    * fields). */
+    * governing its bare pvals. PENDING DELETION VECTORS SURVIVE the
+    * evolution: a vector records (key, FILE-manifest-pval) pairs
+    * ([[filePvalExpr]] — the pval names the era that wrote the file),
+    * and neither the in-scan application nor [[readMoR]] nor
+    * [[purgeDeletes]]' hot set consults the layout properties this
+    * stamps — the vector keeps hiding exactly its rows before and after,
+    * and a later purge rewrites its (old-era) partitions under the NEW
+    * spec, which is what every rewrite does anyway. (Before the vectors
+    * became file-pval-keyed this refused — a layout-recomputed vector
+    * would have gone stale.) Returns (new spec id, serialized fields). */
   def evolveSpec(spark: SparkSession, base: String,
       fieldsStr: String): (Int, String) = {
-    requireNoPendingDv(spark, base, "evolveSpec")
     val props = tableProperties(spark, base)
     val schema = props.get("schema").map(ManifestSchemaProp.parse)
       .getOrElse(throw new UnsupportedOperationException(
@@ -543,8 +548,8 @@ private[sources] trait ManifestCommitProtocol { this: ManifestTable.type =>
           s"spec field ${f.ser}: source column not in the table schema"))
       require(GraftSpec.accepts(f, dt),
         s"spec field ${f.ser} over a ${dt.typeName} column is not " +
-          "supported in a spec (DATE for time fields, BIGINT/INT " +
-          "otherwise)")
+          "supported in a spec (DATE for time fields, BIGINT for " +
+          "bucket, BIGINT/INT/STRING for identity and truncate)")
     }
     // a LEGACY string-typed identity layout refuses: its bare pvals are
     // arbitrary strings, and one that textually matches the spec-prefix

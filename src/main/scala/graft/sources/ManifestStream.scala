@@ -1978,8 +1978,8 @@ class ManifestCatalog
           require(GraftSpec.accepts(f, dt),
             s"spec field ${f.ser} over a ${dt.typeName} column is not " +
               "supported in a multi-field spec (DATE for time fields, " +
-              "BIGINT/INT otherwise — STRING sources would break the " +
-              "composite separator)")
+              "BIGINT for bucket, BIGINT/INT/STRING for identity and " +
+              "truncate)")
         }
         (fields.head.col, None, None, Some(GraftSpec(1, fields)))
       case other => throw new UnsupportedOperationException(
@@ -3560,7 +3560,8 @@ final class ManifestSinkWriter(base: String, schema: StructType,
           case IntegerType => row.getInt(i).toLong
           case _ => 0L
         }
-        f.pvalOf(dt, lv, if (dt == DateType) row.getInt(i) else 0)
+        f.pvalOf(dt, lv, if (dt == DateType) row.getInt(i) else 0,
+          if (dt == StringType) row.getUTF8String(i).toString else "")
       }
       sp.prefix + comps.mkString("~")
     } else (bucketN, transform) match {

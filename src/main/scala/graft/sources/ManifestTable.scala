@@ -73,5 +73,5 @@ object ManifestTable
       catalogCall, bucketCdf, catalogMonthLayout, catalogMonthDelete,
       catalogMonthMerge, catalogMonthCdf, catalogTruncLayout, catalogSpec2,
       catalogMergeEvolve, spec2DeleteMoR, spec2UpdateMoR, catalogSpecEvolve2,
-      catalogHourLayout)
+      catalogHourLayout, catalogSpecStr, specEvolveMoR)
 }

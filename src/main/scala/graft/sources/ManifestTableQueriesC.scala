@@ -615,4 +615,114 @@ private[sources] trait ManifestTableQueriesC { this: ManifestTable.type =>
          |WHERE o_orderkey >= 200 AND o_orderkey < 500
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
+
+  /** Registered MoR-ACROSS-EVOLUTION: a pending deletion vector SURVIVES
+    * `CALL system.evolve_spec` — the vector records (key, FILE pval)
+    * pairs ([[ManifestTable.filePvalExpr]]), so neither the in-scan
+    * application nor a later purge consults the layout properties the
+    * evolution re-stamps. The fixture lands a MoR DELETE, evolves the
+    * spec UNDER the pending vector (refused before the vectors became
+    * file-pval-keyed), and the SELECT reads through the vector across
+    * the era boundary. Oracle replays the erasure over plain orders. */
+  val specEvolveMoR: QuerySpec = QuerySpec.sql(
+    "q_spec_evolve_mor",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND NOT (o_orderkey % 7 = 0
+      |           AND o_orderdate < TIMESTAMP '1996-01-01')
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("specevomor", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_semfix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        val tbl = withCatalog(spark, b)
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(o_orderkey BIGINT, o_custkey BIGINT, o_orderdate DATE,
+             | o_totalprice DOUBLE)
+             |PARTITIONED BY (months(o_orderdate), bucket(8, o_custkey))""".stripMargin)
+        graft.model.Tables.orders(spark, dir)
+          .filter(col("o_orderdate") < lit("1997-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate").cast("date").as("o_orderdate"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("graft_sem_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_sem_feed")
+        setTableProperty(spark, b, "write.mode", "merge-on-read")
+        setTableProperty(spark, b, "keyCol", "o_orderkey")
+        spark.sql(s"DELETE FROM graft_cat.`$tbl` " +
+          "WHERE o_orderkey % 7 = 0 AND o_orderdate < DATE '1996-01-01'")
+        require(pendingDvRels(spark, b).nonEmpty,
+          "MoR DELETE must land a deletion vector")
+        spark.sql(s"CALL graft_cat.system.evolve_spec(`table` => '$tbl', " +
+          "fields => 'years(o_orderdate),truncate(100,o_orderkey)')")
+        require(pendingDvRels(spark, b).nonEmpty,
+          "spec evolution must leave the pending vector intact")
+        b
+      })
+    }
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Registered STRING spec source: `PARTITIONED BY (identity(seg),
+    * bucket(8, c_custkey))` where `seg` is a STRING holding a space, a
+    * `~` (the composite separator!), and a `.` (the escape intro) —
+    * component values are escaped into `[A-Za-z0-9._-]`
+    * ([[GraftSpec.escapeComponent]]) so the manifest pval, the directory
+    * name, and every layout-computed probe agree byte-for-byte. The
+    * IN-list prunes in escaped space (injective — equality-exact), and a
+    * COW DELETE keyed on one string pval erases through the same
+    * machinery. Oracle replays the derivation + erasure over plain
+    * customer rows. */
+  val catalogSpecStr: QuerySpec = QuerySpec.sql(
+    "q_catalog_spec_str",
+    """WITH t AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal,
+      |         c_mktsegment || ' ~.' || CAST(c_custkey % 3 AS VARCHAR) AS seg
+      |  FROM customer)
+      |SELECT seg, count(*) AS n,
+      |       CAST(sum(floor(c_acctbal * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t
+      |WHERE seg IN ('BUILDING ~.1', 'AUTOMOBILE ~.2', 'MACHINERY ~.0')
+      |  AND NOT (seg = 'MACHINERY ~.0' AND c_custkey % 10 = 0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("specstr", dir), {
+        val b =
+          s"${graft.Scratch.root}/cust_sstrfix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        val tbl = withCatalog(spark, b)
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE,
+             | seg STRING)
+             |PARTITIONED BY (identity(seg), bucket(8, c_custkey))""".stripMargin)
+        graft.model.Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+            concat(col("c_mktsegment"), lit(" ~."),
+              (col("c_custkey") % 3).cast("string")).as("seg"))
+          .createOrReplaceTempView("graft_sstr_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_sstr_feed")
+        // COW DELETE keyed on ONE escaped string pval: the touched probe,
+        // the rewrite, and the carried cold set all run in escaped space
+        spark.sql(s"DELETE FROM graft_cat.`$tbl` " +
+          "WHERE seg = 'MACHINERY ~.0' AND c_custkey % 10 = 0")
+        b
+      })
+    }
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT seg, count(*) AS n,
+         |       CAST(sum(floor(c_acctbal * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl`
+         |WHERE seg IN ('BUILDING ~.1', 'AUTOMOBILE ~.2', 'MACHINERY ~.0')
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
 }

@@ -218,6 +218,170 @@ class SpecEvolutionSpec extends AnyFunSuite {
       "purge resurrected MoR-deleted rows in pre-evolution files")
   }
 
+  test("pending deletion vectors survive spec evolution; purge folds across eras") {
+    val (tbl, base) = spec2Table("dvevo")
+    ManifestTable.setTableProperty(spark, base, "write.mode", "merge-on-read")
+    ManifestTable.setTableProperty(spark, base, "keyCol", "o_orderkey")
+    spark.sql(s"DELETE FROM graft_cat.`$tbl` WHERE o_orderkey % 7 = 0")
+    assert(ManifestTable.pendingDvRels(spark, base).nonEmpty)
+    // evolution is a metadata decision: the vector stays pending and keeps
+    // hiding exactly its rows — it records (key, FILE pval) pairs, and the
+    // file pval names the era that wrote it, not the spec of the day
+    spark.sql(s"CALL graft_cat.system.evolve_spec(`table` => '$tbl', " +
+      "fields => 'years(o_orderdate),truncate(100,o_orderkey)')")
+    assert(ManifestTable.pendingDvRels(spark, base).nonEmpty,
+      "evolution must not consume or invalidate the pending vector")
+    val expDel = spark.table("sp2_src").filter(!(col("o_orderkey") % 7 === 0))
+    val got = spark.sql(s"SELECT * FROM graft_cat.`$tbl`")
+      .select(expDel.columns.map(col): _*)
+    assert(got.exceptAll(expDel).isEmpty && expDel.exceptAll(got).isEmpty,
+      "in-scan DV application diverged across the evolution")
+    // the purge's hot set comes from the vector's FILE pvals (old era);
+    // its rewrite lands under the NEW spec — both eras in one manifest
+    spark.sql(s"CALL graft_cat.system.purge_deletes(`table` => '$tbl')")
+    assert(ManifestTable.pendingDvRels(spark, base).isEmpty)
+    val pvals = ManifestTable.entries(spark, base,
+      ManifestTable.currentVersion(spark, base)).map(_._1).distinct
+    assert(pvals.exists(_.matches("s2\\.\\d{4}~\\d+")),
+      s"purge rewrite must land under the new spec: ${pvals.take(6)}")
+    assert(pvals.exists(_.startsWith("s1.")),
+      "untouched partitions must keep their old-era pvals")
+    val afterPurge = spark.sql(s"SELECT * FROM graft_cat.`$tbl`")
+      .select(expDel.columns.map(col): _*)
+    assert(afterPurge.exceptAll(expDel).isEmpty &&
+      expDel.exceptAll(afterPurge).isEmpty,
+      "purge after evolution resurrected or lost rows")
+    // a FRESH vector over the now-mixed-era manifest: records pvals of
+    // BOTH eras, applies in-scan, folds — the invariant is era-blindness
+    spark.sql(s"UPDATE graft_cat.`$tbl` SET o_totalprice = 1.0 " +
+      "WHERE o_orderkey % 11 = 0")
+    assert(ManifestTable.pendingDvRels(spark, base).nonEmpty)
+    val expUpd = expDel.withColumn("o_totalprice",
+      when(col("o_orderkey") % 11 === 0, 1.0).otherwise(col("o_totalprice")))
+    val gotUpd = spark.sql(s"SELECT * FROM graft_cat.`$tbl`")
+      .select(expUpd.columns.map(col): _*)
+    assert(gotUpd.exceptAll(expUpd).isEmpty && expUpd.exceptAll(gotUpd).isEmpty,
+      "mixed-era MoR UPDATE diverged")
+    spark.sql(s"CALL graft_cat.system.purge_deletes(`table` => '$tbl')")
+    val gotFinal = spark.sql(s"SELECT * FROM graft_cat.`$tbl`")
+      .select(expUpd.columns.map(col): _*)
+    assert(gotFinal.exceptAll(expUpd).isEmpty && expUpd.exceptAll(gotFinal).isEmpty)
+  }
+
+  test("escapeComponent: per-row and Column forms agree; injective; path-stable") {
+    val tricky = Seq("", "plain", "a~b", "x%y", "dot.dot", "sp ace",
+      "slash/eq=", "uni-日本-Ж", "s1.fake", "star*plus+", "q?hash#colon:",
+      "quote'dq\"back\\", "tab\there", "-_.~", "%2E", "100")
+    import spark.implicits._
+    val viaCol = tricky.toDF("s")
+      .select(GraftSpec.escapeComponentCol(col("s")))
+      .collect().map(_.getString(0)).toSeq
+    val viaScala = tricky.map(GraftSpec.escapeComponent)
+    assert(viaCol === viaScala,
+      "escapeComponent and escapeComponentCol must agree byte-for-byte")
+    // injective (distinct in, distinct out) and round-trips
+    assert(viaScala.distinct.size === tricky.size)
+    assert(tricky.map(s =>
+      GraftSpec.unescapeComponent(GraftSpec.escapeComponent(s))) === tricky)
+    // the escaped alphabet: no separator, no chars Spark's Hive-style
+    // partition-path escaping rewrites — the directory name a write
+    // produces must EQUAL the manifest pval
+    viaScala.foreach { e =>
+      assert(e.matches("[A-Za-z0-9._-]*"), s"escaped '$e' leaves the alphabet")
+      assert(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(e) === e, s"path escaping would rewrite '$e'")
+    }
+  }
+
+  test("STRING spec sources: tricky values round-trip, prune, DELETE, evolve") {
+    freshCatalog()
+    val tbl = "sp2_str"
+    val base = s"$root/$tbl"
+    dropDir(base)
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(k BIGINT, tag STRING, v DOUBLE)
+      |PARTITIONED BY (identity(tag), bucket(4, k))""".stripMargin)
+    val tags = Seq("a~b", "x%y", "dot.dot", "sp ace", "slash/eq=",
+      "uni-日本", "s1.fake", "", "star*plus+")
+    import spark.implicits._
+    val src = (1L to 90L).map(i => (i, tags((i % 9).toInt), i * 1.5))
+      .toDF("k", "tag", "v")
+    src.createOrReplaceTempView("sp2_str_src")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM sp2_str_src")
+    // full read-back: escaping is bookkeeping, never data
+    val got = spark.sql(s"SELECT * FROM graft_cat.`$tbl`")
+      .select(src.columns.map(col): _*)
+    assert(got.exceptAll(src).isEmpty && src.exceptAll(got).isEmpty)
+    // every manifest pval stays inside the path-stable alphabet (plus the
+    // era prefix and separator the spec machinery itself emits)
+    val v1 = ManifestTable.currentVersion(spark, base)
+    val pvals = ManifestTable.entries(spark, base, v1).map(_._1).distinct
+    assert(pvals.nonEmpty && pvals.forall(_.matches("s1\\.[A-Za-z0-9._-]*~[0-3]")),
+      s"unexpected composite pvals: ${pvals.take(8)}")
+    // the raw-writer pvals and the layout Column projection agree: every
+    // file's rows project into the composite its manifest entry claims
+    val spec = GraftSpec.parse(1, "identity(tag),bucket(4,k)")
+    ManifestTable.entries(spark, base, v1).groupBy(_._1).foreach {
+      case (pval, es) =>
+        val df = spark.read.parquet(es.map { case (_, rel) => s"$base/$rel" }: _*)
+        val bad = df.filter(spec.pvalColumn(df.schema) =!= pval).count()
+        assert(bad === 0, s"composite $pval holds $bad rows projected elsewhere")
+    }
+    // equality pruning happens in ESCAPED space — including on the value
+    // that textually looks like an era prefix and the one holding the
+    // separator itself
+    def kept(where: String): (Int, Int, Long) = {
+      ManifestScanEvents.clear()
+      val n = spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl` WHERE $where")
+        .head.getLong(0)
+      val e = ManifestScanEvents.recent(base).last
+      (e.kept, e.total, n)
+    }
+    for (t <- Seq("a~b", "s1.fake", "sp ace")) {
+      val lit0 = t.replace("'", "''")
+      val (k, tot, n) = kept(s"tag = '$lit0'")
+      assert(k < tot, s"no pruning for tag '$t': $k/$tot")
+      assert(n === src.filter(col("tag") === t).count())
+    }
+    // IN-list prunes conjunctively with a bucket-key equality
+    val (kBoth, totB, nBoth) = kept("tag IN ('a~b', 'x%y') AND k = 10")
+    val (kTag, _, _) = kept("tag IN ('a~b', 'x%y')")
+    assert(kBoth <= kTag && nBoth === src.filter(
+      col("tag").isin("a~b", "x%y") && col("k") === 10).count())
+    assert(kTag < totB)
+    // a RANGE on the string field never prunes (escaping breaks order)
+    // but stays correct via the row-level re-filter
+    val (kR, totR, nR) = kept("tag >= 'sp' AND tag < 'sq'")
+    assert(kR === totR, s"string range must keep all: $kR/$totR")
+    assert(nR === src.filter(col("tag") >= "sp" && col("tag") < "sq").count())
+    // COW DELETE keyed on the separator-holding value erases exactly it
+    spark.sql(s"DELETE FROM graft_cat.`$tbl` WHERE tag = 'a~b'")
+    val expDel = src.filter(col("tag") =!= "a~b")
+    val after = spark.sql(s"SELECT * FROM graft_cat.`$tbl`")
+      .select(src.columns.map(col): _*)
+    assert(after.exceptAll(expDel).isEmpty && expDel.exceptAll(after).isEmpty)
+    // evolution away from (and back onto) a STRING field keeps both eras
+    // readable and prunable
+    spark.sql(s"CALL graft_cat.system.evolve_spec(" +
+      s"`table` => '$tbl', fields => 'truncate(3,tag),bucket(2,k)')")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` " +
+      "SELECT k + 1000, tag, v FROM sp2_str_src")
+    val expEvo = expDel.unionByName(src.withColumn("k", col("k") + 1000L))
+    val gotEvo = spark.sql(s"SELECT * FROM graft_cat.`$tbl`")
+      .select(src.columns.map(col): _*)
+    assert(gotEvo.exceptAll(expEvo).isEmpty && expEvo.exceptAll(gotEvo).isEmpty)
+    val era2 = ManifestTable.entries(spark, base,
+      ManifestTable.currentVersion(spark, base)).map(_._1)
+      .filter(_.startsWith("s2.")).distinct
+    assert(era2.nonEmpty && era2.forall(_.matches("s2\\.[A-Za-z0-9._-]*~[01]")),
+      s"era-2 pvals: ${era2.take(8)}")
+    // equality on the string column prunes BOTH eras through their own
+    // machinery (identity exact; truncate via the escaped 3-char prefix)
+    val (kE, totE, nE) = kept("tag = 'sp ace'")
+    assert(kE < totE, s"mixed-era string pruning failed: $kE/$totE")
+    assert(nE === expEvo.filter(col("tag") === "sp ace").count())
+  }
+
   test("evolve_spec refuses a legacy STRING-identity layout (pval collision)") {
     freshCatalog()
     val tbl = "sp2_strid"
