@@ -139,6 +139,41 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
     rows.select(explode(array(eraPvalExprs(spark, base, partCol): _*)).as("__pv"))
       .distinct().collect().map(_.getString(0)).toSet
 
+  /** Consolidate a STAGED vector dir's per-task parquet fragments into
+    * ONE `vector.parquet`. Every later read of the table pays a
+    * driver-side open per vector FILE (`pendingDvPairs` in the scan,
+    * [[readDvPairs]], the CDF image builder) — a wide update leaves one
+    * fragment per writer task (hundreds), and at tens of ms per open
+    * that turned every scan of the table into seconds of driver-side
+    * file juggling (q_spec2_update_mor read 23 s before, ~2 s after).
+    * The merge is one distributed read + single-task write of a
+    * matches-sized set, paid ONCE at commit. Skipped when the vector is
+    * already compact or too big to funnel through one task (such a
+    * vector is purge territory — and the in-scan path refuses it at 1M
+    * pairs anyway). Runs pre-commit (the dir is invisible until the
+    * `__dv` marker lands), so a crash mid-merge leaves only unreferenced
+    * staging debris. */
+  private[sources] def consolidateDvDir(spark: SparkSession, base: String,
+      rel: String): Unit = {
+    val dir = new Path(base, rel)
+    val fs = fsOf(spark, dir)
+    val parts = fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    if (parts.size <= 4 || parts.map(_.getLen).sum > 256L * 1024 * 1024) return
+    val tmp = new Path(base, s"_dv/.merge-${dir.getName}")
+    // repartition (not coalesce): the fragment read stays parallel, only
+    // the write funnels through one task
+    spark.read.parquet(parts.map(_.getPath.toString): _*)
+      .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    val merged = fs.listStatus(tmp).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    require(merged.size == 1, s"DV merge produced ${merged.size} files")
+    if (!fs.rename(merged.head, new Path(dir, "vector.parquet")))
+      throw new java.io.IOException(s"DV merge move failed under $dir")
+    parts.foreach(p => fs.delete(p.getPath, false))
+    fs.delete(tmp, true)
+  }
+
   /** MERGE-ON-READ DELETE — the deletion-vector trade-off (Delta DVs /
     * Iceberg v2 delete files) opposite [[deleteWhere]]'s copy-on-write:
     * instead of rewriting every touched partition NOW, record the deleted
@@ -174,6 +209,7 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
     readVersion(spark, base, readV).filter(pred)
       .select(col(keyCol), filePvalExpr.as("__pval"))
       .write.parquet(dvPath)
+    consolidateDvDir(spark, base, rel)
     val touched = spark.read.parquet(dvPath)
       .select(col("__pval")).distinct()
       .collect().map(_.getString(0)).toSet // DV-metadata-sized
@@ -267,6 +303,7 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
     matched
       .select(col(keyCol), filePvalExpr.as("__pval"))
       .write.parquet(dvPath)
+    consolidateDvDir(spark, base, rel)
     val touched = spark.read.parquet(dvPath)
       .select(col("__pval")).distinct()
       .collect().map(_.getString(0)).toSet // DV-metadata-sized

@@ -1433,6 +1433,9 @@ final class ManifestDeltaWrite(base: String, rowSchema: StructType,
     val rel = s"_dv/d-$dvToken"
     val hasDv = frags.nonEmpty
     if (hasDv) {
+      // one fragment landed per writer task — fold them into one file so
+      // every later scan opens one, not hundreds (see consolidateDvDir)
+      ManifestTable.consolidateDvDir(spark, base, rel)
       val out = fs.create(new Path(base, s"$rel/_partcol"), true)
       try out.write(partCol.getBytes("UTF-8")) finally out.close()
       ManifestTable.writeDvCut(spark, base, rel, cut)
@@ -2852,13 +2855,20 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     // AT the cut and survive); delete vectors carry no `_cut` sidecar =
     // hide always. Multiple vectors naming one pair keep the MAX cut.
     val pairs = scala.collection.mutable.Map[(Long, String), Int]()
+    // ONE Configuration for every fragment: a delta write leaves one DV
+    // fragment per writer task (a wide update → hundreds), and
+    // Configuration construction loads XML resources (~tens of ms) — a
+    // per-fragment allocation turned every scan of a wide-update table
+    // into seconds of driver-side conf parsing (q_spec2_update_mor read
+    // 45 s before; ~4 s after)
+    val dvConf = new Configuration()
     rels.zip(dvDirs).foreach { case (rel, d) =>
       val cut = ManifestTable.dvCutOf(
         org.apache.spark.sql.SparkSession.active, base, rel)
       fs.listStatus(d).toSeq
         .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
           val r = ParquetReader.builder(new GroupReadSupport(), f.getPath)
-            .withConf(new Configuration()).build()
+            .withConf(dvConf).build()
           var g = r.read()
           while (g != null) {
             if (keyCol.isEmpty) keyCol = g.getType.getFieldName(0)
@@ -2930,6 +2940,7 @@ private[sources] object ManifestDvSidecar {
     val landed = ManifestTable.dvMarkersAt(spark, base, v)
       .diff(if (v > 1) ManifestTable.dvMarkersAt(spark, base, v - 1) else Seq.empty)
       .filter(rel => fs.exists(new Path(base, rel))) // purged vectors tolerate
+    val dvConf = new Configuration() // one conf for every fragment (see pendingDvPairs)
     landed.map { rel =>
       val d = new Path(base, rel)
       val cut = ManifestTable.dvCutOf(spark, base, rel)
@@ -2939,7 +2950,7 @@ private[sources] object ManifestDvSidecar {
       fs.listStatus(d).toSeq
         .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
         val r = ParquetReader.builder(new GroupReadSupport(), f.getPath)
-          .withConf(new Configuration()).build()
+          .withConf(dvConf).build()
         var g = r.read()
         while (g != null) {
           if (keyCol.isEmpty) keyCol = g.getType.getFieldName(0)
@@ -3540,6 +3551,7 @@ final class ManifestSinkWriter(base: String, schema: StructType,
   }
   private val factory = new SimpleGroupFactory(msgType)
   private val stage = s"$base/.stage-sink-e$epochId-p$partitionId-t$taskId"
+  private val writerConf = new Configuration()
   private val writers = scala.collection.mutable.Map[String,
     org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group]]()
   private val paths = scala.collection.mutable.Map[String, String]()
@@ -3601,8 +3613,11 @@ final class ManifestSinkWriter(base: String, schema: StructType,
       // same partition value, and commit moves them into one dest dir
       val p = s"$stage/part-$pval-p$partitionId-t$taskId.parquet"
       paths(pval) = p
-      val conf = new Configuration()
-      ExampleParquetWriter.builder(new Path(p)).withConf(conf).withType(msgType).build()
+      // writerConf is shared across this task's per-pval writers: a wide
+      // write opens one writer per partition value, and a fresh
+      // Configuration per writer costs XML parsing per PARTITION
+      ExampleParquetWriter.builder(new Path(p)).withConf(writerConf)
+        .withType(msgType).build()
     })
     val g = factory.newGroup()
     schema.fields.zipWithIndex.foreach { case (f, i) =>

@@ -500,8 +500,13 @@ private[sources] trait ManifestTableQueriesC { this: ManifestTable.type =>
           .createOrReplaceTempView("graft_se2_feed")
         spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_se2_feed " +
           "WHERE o_orderdate < DATE '1996-07-01'")
+        // band width sized to the KEY DOMAIN, not the row count: orderkeys
+        // span ~6M at sf=1, so truncate(100) would mint tens of thousands
+        // of era-2 partitions (one per 100-key band x year) and the
+        // straddling DELETE would rewrite every one of them — the
+        // too-fine-layout trap, not a realistic spec
         spark.sql(s"CALL graft_cat.system.evolve_spec(`table` => '$tbl', " +
-          "fields => 'years(o_orderdate),truncate(100,o_orderkey)')")
+          "fields => 'years(o_orderdate),truncate(100000,o_orderkey)')")
         spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_se2_feed " +
           "WHERE o_orderdate >= DATE '1996-07-01'")
         // the straddling DELETE must erase matches in BOTH eras
@@ -658,7 +663,7 @@ private[sources] trait ManifestTableQueriesC { this: ManifestTable.type =>
         require(pendingDvRels(spark, b).nonEmpty,
           "MoR DELETE must land a deletion vector")
         spark.sql(s"CALL graft_cat.system.evolve_spec(`table` => '$tbl', " +
-          "fields => 'years(o_orderdate),truncate(100,o_orderkey)')")
+          "fields => 'years(o_orderdate),truncate(100000,o_orderkey)')")
         require(pendingDvRels(spark, b).nonEmpty,
           "spec evolution must leave the pending vector intact")
         b
