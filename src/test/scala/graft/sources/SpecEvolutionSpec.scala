@@ -360,6 +360,19 @@ class SpecEvolutionSpec extends AnyFunSuite {
     val after = spark.sql(s"SELECT * FROM graft_cat.`$tbl`")
       .select(src.columns.map(col): _*)
     assert(after.exceptAll(expDel).isEmpty && expDel.exceptAll(after).isEmpty)
+    // the CHANGE FEED of the string-pval DELETE (v1 CREATE, v2 INSERT,
+    // v3 DELETE): the predicate empties whole escaped-pval groups, so the
+    // feed is pure delete images of exactly the 'a~b' rows — the CDF diff
+    // machinery never parses pvals, only compares manifest entries
+    val chg = spark.sql(
+      s"SELECT _change_type, k, tag, v FROM graft_cat.`${tbl + "$changes_2_3"}`")
+    assert(chg.filter(col("_change_type") =!= "delete").isEmpty,
+      "a whole-group string-pval DELETE must feed no insert images")
+    val delImgs = chg.filter(col("_change_type") === "delete")
+      .select(src.columns.map(col): _*)
+    val expImg = src.filter(col("tag") === "a~b")
+    assert(delImgs.exceptAll(expImg).isEmpty && expImg.exceptAll(delImgs).isEmpty,
+      "delete images diverge from the erased string-pval rows")
     // evolution away from (and back onto) a STRING field keeps both eras
     // readable and prunable
     spark.sql(s"CALL graft_cat.system.evolve_spec(" +
