@@ -235,7 +235,7 @@ object Graph {
   // cluster this is the "edge list as a table" layout every production
   // graph pipeline lands first.
 
-  private val stageCache = scala.collection.mutable.Map[String, (String, String)]()
+  private[graft] val stageCache = scala.collection.mutable.Map[String, (String, String)]()
 
   /** (incidence, pairs): `li` = distinct (ok, p); `pc` = co-purchase pairs
     * u < v with co-occurrence count n_uv. Built once per (dir) per JVM. */
@@ -260,6 +260,24 @@ object Graph {
       })
     }
     (spark.read.parquet(liPath), spark.read.parquet(pcPath))
+  }
+
+  /** Bench telemetry: (pair count, max node degree) of the staged
+    * co-purchase edge set. The graph suite's cost tracks THIS — the
+    * driver regenerates testdata each round, and the wedge join's work
+    * follows pair count and degree shape, not code — so the bench
+    * artifact carries the density and round-over-round drift
+    * adjudication becomes mechanical (one aggregate over the staged
+    * edges, which the graph queries already built). */
+  def coPurchaseDensity(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Long) = {
+    val pc = coPurchaseStage(spark, dir)._2
+    val pairs = pc.count()
+    val maxDeg = pc.select(col("u").as("node"))
+      .union(pc.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .agg(max(col("deg"))).head.getLong(0)
+    (pairs, maxDeg)
   }
 
   /** Oriented edge lists of the part co-purchase graph (two parts are

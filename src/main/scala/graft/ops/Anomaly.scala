@@ -54,7 +54,7 @@ object Anomaly {
       .select(col(grp), col(v).as(out))
   }
 
-  private val thrCache = scala.collection.mutable.Map[String, String]()
+  private[graft] val thrCache = scala.collection.mutable.Map[String, String]()
 
   /** The Hampel thresholds (per-type lower median and MAD, integer cents)
     * staged to parquet once per (dir) per JVM — the "trained on history"

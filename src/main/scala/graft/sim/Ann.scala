@@ -999,7 +999,7 @@ object Ann {
       .select(col("vec_id"), col("cell"))
   }
 
-  private val annFixCache = scala.collection.mutable.Map[String, String]()
+  private[graft] val annFixCache = scala.collection.mutable.Map[String, String]()
 
   /** Build-once fixture for [[annIncremental]]: the cell-partitioned
     * manifest table through its create → delete → merge maintenance

@@ -98,9 +98,16 @@ final case class GraftTransform(kind: String, width: Int, zone: String = "") {
   }
 
   /** pval of a STRING value (ISO date prefix for time kinds; prefix for
-    * truncate). */
-  def pvalOfString(s: String): String =
-    if (kind == "truncate") s.take(width) else s.take(isoLen)
+    * truncate). Truncates by CODE POINTS, not UTF-16 code units — Spark's
+    * `substring` (the Column form) counts code points, and a code-unit
+    * take could split a surrogate pair, whose lone half URL-encodes
+    * non-injectively ('?') and would let two distinct values share one
+    * escaped pval. */
+  def pvalOfString(s: String): String = {
+    val n = if (kind == "truncate") width else isoLen
+    if (s.codePointCount(0, s.length) <= n) s
+    else s.substring(0, s.offsetByCodePoints(0, n))
+  }
 
   /** pval of an integral value (truncate only: floor to the width). */
   def pvalOfLong(v: Long): String = {
@@ -177,8 +184,13 @@ final case class GraftTransform(kind: String, width: Int, zone: String = "") {
       filters: Seq[org.apache.spark.sql.sources.Filter])
       : Option[String => Boolean] = {
     import org.apache.spark.sql.sources._
-    def cmp(a: String, b: String): Int =
-      if (numeric) java.lang.Long.compare(a.toLong, b.toLong) else a.compareTo(b)
+    // numeric compare guards against non-numeric pvals (an escaped STRING
+    // pval meeting a pushed numeric literal after an implicit cast):
+    // unparseable keeps the partition inclusively instead of throwing at
+    // scan-planning time
+    def cmp(a: String, b: String): Option[Int] =
+      if (!numeric) Some(a.compareTo(b))
+      else scala.util.Try(java.lang.Long.compare(a.toLong, b.toLong)).toOption
     // range pruning needs the transform MONOTONE in the raw value. Time
     // kinds are monotone except under a NAMED zone's DST fall-back (the
     // repeated wall-clock hour) — fixed offsets (UTC included) keep it;
@@ -197,13 +209,13 @@ final case class GraftTransform(kind: String, width: Int, zone: String = "") {
           Some((p: String) => set(p))
         } else None
       case GreaterThan(a, v) if ranged && a.equalsIgnoreCase(partCol) =>
-        pvalOfLiteral(v).map(t => (p: String) => cmp(p, t) >= 0)
+        pvalOfLiteral(v).map(t => (p: String) => cmp(p, t).forall(_ >= 0))
       case GreaterThanOrEqual(a, v) if ranged && a.equalsIgnoreCase(partCol) =>
-        pvalOfLiteral(v).map(t => (p: String) => cmp(p, t) >= 0)
+        pvalOfLiteral(v).map(t => (p: String) => cmp(p, t).forall(_ >= 0))
       case LessThan(a, v) if ranged && a.equalsIgnoreCase(partCol) =>
-        pvalOfLiteral(v).map(t => (p: String) => cmp(p, t) <= 0)
+        pvalOfLiteral(v).map(t => (p: String) => cmp(p, t).forall(_ <= 0))
       case LessThanOrEqual(a, v) if ranged && a.equalsIgnoreCase(partCol) =>
-        pvalOfLiteral(v).map(t => (p: String) => cmp(p, t) <= 0)
+        pvalOfLiteral(v).map(t => (p: String) => cmp(p, t).forall(_ <= 0))
       case _ => None // inclusive: undecidable filter shapes prune nothing
     }
     if (preds.isEmpty) None else Some(p => preds.forall(_(p)))
@@ -286,6 +298,8 @@ final case class IdentityField(col: String) extends GraftField {
       case i: java.lang.Integer => Some(i.toLong)
       case _ => None
     }
+    def num(p: String): Option[Long] =
+      scala.util.Try(p.toLong).toOption
     // STRING identity components: EQUALITY/IN only, compared in ESCAPED
     // space (escape is injective so x == y iff esc(x) == esc(y)); ranges
     // never prune — escaping does not preserve lexicographic order
@@ -300,34 +314,49 @@ final case class IdentityField(col: String) extends GraftField {
           vs.forall(v => v == null || v.isInstanceOf[String]) =>
         val set = vs.toSeq.filter(_ != null).flatMap(slit).toSet
         Some((p: String) => set(p))
+      // numeric pvals parse defensively: a pushed numeric literal can
+      // reach a STRING identity field through an implicit cast, and the
+      // escaped pvals then don't parse — keep inclusively, never throw
+      // at scan-planning time
       case EqualTo(a, v) if a.equalsIgnoreCase(col) =>
-        lit(v).map(t => (p: String) => p.toLong == t)
+        lit(v).map(t => (p: String) => num(p).forall(_ == t))
       case In(a, vs) if a.equalsIgnoreCase(col) =>
         val ts = vs.toSeq.filter(_ != null).map(lit)
         if (ts.forall(_.isDefined)) {
-          val set = ts.flatten.toSet; Some((p: String) => set(p.toLong))
+          val set = ts.flatten.toSet
+          Some((p: String) => num(p).forall(set))
         } else None
       case GreaterThan(a, v) if a.equalsIgnoreCase(col) =>
-        lit(v).map(t => (p: String) => p.toLong > t)
+        lit(v).map(t => (p: String) => num(p).forall(_ > t))
       case GreaterThanOrEqual(a, v) if a.equalsIgnoreCase(col) =>
-        lit(v).map(t => (p: String) => p.toLong >= t)
+        lit(v).map(t => (p: String) => num(p).forall(_ >= t))
       case LessThan(a, v) if a.equalsIgnoreCase(col) =>
-        lit(v).map(t => (p: String) => p.toLong < t)
+        lit(v).map(t => (p: String) => num(p).forall(_ < t))
       case LessThanOrEqual(a, v) if a.equalsIgnoreCase(col) =>
-        lit(v).map(t => (p: String) => p.toLong <= t)
+        lit(v).map(t => (p: String) => num(p).forall(_ <= t))
       case _ => None
     }
     if (preds.isEmpty) None else Some(p => preds.forall(_(p)))
   }
 }
 
-final case class TimeField(kind: String, col: String) extends GraftField {
-  private val t = GraftTransform(kind, 0)
-  def ser = s"$kind($col)"
+/** A time transform inside a multi-field spec. DATE sources are
+  * zone-free (`zone` empty); TIMESTAMP sources carry the table-pinned
+  * projection zone IN THE FIELD ITSELF, serialized as `kind(col@zone)`
+  * — so the era history (`spec.hist.<id>`) preserves the WRITER's zone
+  * and pre-evolution pruning projects literals exactly as the writer
+  * did, whatever the current spec or session zone says. */
+final case class TimeField(kind: String, col: String, zone: String = "")
+    extends GraftField {
+  private val t = GraftTransform(kind, 0, zone)
+  def ser = if (zone.isEmpty) s"$kind($col)" else s"$kind($col@$zone)"
   def pvalColumn(c: org.apache.spark.sql.Column, dt: DataType) = t.pvalColumn(c, dt)
   def pvalOf(dt: DataType, longVal: => Long, dateDays: => Int,
       strVal: => String): String =
-    t.pvalOfDays(dateDays)
+    dt match {
+      case TimestampType => t.pvalOfMicros(longVal)
+      case _ => t.pvalOfDays(dateDays)
+    }
   def keep(filters: Seq[org.apache.spark.sql.sources.Filter]) =
     t.keepPredicate(col, numeric = false, filters)
 }
@@ -426,8 +455,11 @@ final case class TruncField(width: Int, col: String) extends GraftField {
   *     components are ESCAPED into `[A-Za-z0-9._-]`
   *     ([[GraftSpec.escapeComponent]]) — injective, so equality pruning
   *     compares escaped literals; ranges on string fields never prune
-  *     (escaping breaks lexicographic order — inclusive, row-level
-  *     re-filter as always). */
+  *     THROUGH PVALS (escaping breaks lexicographic order — inclusive,
+  *     row-level re-filter as always). File-grained range skipping for
+  *     string spec fields comes from the RAW min/max sidecars instead
+  *     (`v<N>.sstats.<col>`, auto-indexed by the commit path — see
+  *     `ManifestSidecars.refreshSStats`). */
 final case class GraftSpec(id: Int, fields: Seq[GraftField]) {
   // one field is legal THROUGH EVOLUTION (a table can evolve multi ->
   // single); CREATE routes single transforms through the legacy layout
@@ -476,7 +508,15 @@ object GraftSpec {
       TruncField(w.toInt, c)
     case FieldRe(k, c) if GraftTransform.normalizeKind(k).exists(
         GraftTransform.timeKinds) =>
-      TimeField(GraftTransform.normalizeKind(k).get, c.trim)
+      // `hours(ts@Zone)`: a TIMESTAMP source's pinned projection zone
+      // rides in the serialized field (column names are plain
+      // identifiers — the first '@' is the split)
+      val kind = GraftTransform.normalizeKind(k).get
+      c.indexOf('@') match {
+        case -1 => TimeField(kind, c.trim)
+        case i => TimeField(kind, c.substring(0, i).trim,
+          c.substring(i + 1).trim)
+      }
     case other => throw new IllegalArgumentException(
       s"unparseable spec field '$other'")
   }
@@ -520,11 +560,14 @@ object GraftSpec {
     }
   }
 
-  /** Multi-spec source types: DATE for time fields; BIGINT/INT/STRING
-    * for identity/truncate (STRING components are escaped — see
-    * [[escapeComponent]]); BIGINT for bucket. */
+  /** Multi-spec source types: DATE or TIMESTAMP for time fields (a
+    * TIMESTAMP source needs the table-pinned zone stamped into the
+    * field — `hours` is TIMESTAMP-only, an hour is not a property of a
+    * DATE); BIGINT/INT/STRING for identity/truncate (STRING components
+    * are escaped — see [[escapeComponent]]); BIGINT for bucket. */
   def accepts(f: GraftField, dt: DataType): Boolean = f match {
-    case _: TimeField => dt == DateType
+    case tf: TimeField if tf.kind == "hours" => dt == TimestampType
+    case _: TimeField => dt == DateType || dt == TimestampType
     case _: BucketField => dt == LongType
     case _: IdentityField | _: TruncField =>
       dt == LongType || dt == IntegerType || dt == StringType

@@ -129,7 +129,7 @@ object HiddenPartition {
 
   // ---------------------------------------------------------------- fixture
 
-  private val fixtureCache = scala.collection.mutable.Map[String, String]()
+  private[graft] val fixtureCache = scala.collection.mutable.Map[String, String]()
 
   /** Build-once evolved table: full `orders` in three ingest eras —
     * v1 create + v2 append under `month(o_orderdate)`, then the spec

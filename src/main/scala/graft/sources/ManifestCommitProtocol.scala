@@ -539,7 +539,21 @@ private[sources] trait ManifestCommitProtocol { this: ManifestTable.type =>
       .getOrElse(throw new UnsupportedOperationException(
         s"evolveSpec under $base needs the schema property"))
     val newId = GraftSpec.fromProps(props).map(_.id + 1).getOrElse(2)
-    val spec = GraftSpec.parse(newId, fieldsStr)
+    val parsed = GraftSpec.parse(newId, fieldsStr)
+    // a TIMESTAMP time field inherits the TABLE's pinned projection zone
+    // (stamped at CREATE, default UTC) unless the caller spelled one —
+    // the zone rides in the field's serialization so the era history
+    // keeps the writer's projection through every later evolution
+    val spec = parsed.copy(fields = parsed.fields.map {
+      case tf: TimeField
+          if tf.zone.isEmpty && schema.fields.exists(f =>
+            f.name.equalsIgnoreCase(tf.col) &&
+              f.dataType == org.apache.spark.sql.types.TimestampType) =>
+        val z = props.getOrElse("transform.zone", "UTC")
+        java.time.ZoneId.of(z)
+        tf.copy(zone = z)
+      case f => f
+    })
     require(spec.fields.map(_.col.toLowerCase).distinct.size ==
       spec.fields.size, "spec evolution: one field per source column")
     spec.fields.foreach { f =>
@@ -548,8 +562,9 @@ private[sources] trait ManifestCommitProtocol { this: ManifestTable.type =>
           s"spec field ${f.ser}: source column not in the table schema"))
       require(GraftSpec.accepts(f, dt),
         s"spec field ${f.ser} over a ${dt.typeName} column is not " +
-          "supported in a spec (DATE for time fields, BIGINT for " +
-          "bucket, BIGINT/INT/STRING for identity and truncate)")
+          "supported in a spec (DATE/TIMESTAMP for time fields — hours " +
+          "takes TIMESTAMP only; BIGINT for bucket, BIGINT/INT/STRING " +
+          "for identity and truncate)")
     }
     // a LEGACY string-typed identity layout refuses: its bare pvals are
     // arbitrary strings, and one that textually matches the spec-prefix

@@ -257,6 +257,110 @@ private[sources] trait ManifestRefs { this: ManifestTable.type =>
     entriesAt(spark, new Path(manifestDir(base), branchManifestName(name, vs.last)))
   }
 
+  /** Deletion-vector dir relpaths the BRANCH manifest of version `v`
+    * references — the branch twin of [[dvMarkersAt]]. */
+  private[sources] def dvMarkersAtBranch(spark: SparkSession, base: String,
+      name: String, v: Int): Seq[String] = {
+    val p = new Path(manifestDir(base), branchManifestName(name, v))
+    if (!fsOf(spark, p).exists(p)) Seq.empty
+    else rawEntriesAt(spark, p).collect { case (DvMarker, rel) => rel }
+  }
+
+  /** Vectors pending at the branch HEAD (empty for no such branch). */
+  private[sources] def pendingBranchDvRels(spark: SparkSession, base: String,
+      name: String): Seq[String] = {
+    val vs = branchVersions(spark, base, name)
+    if (vs.isEmpty) Seq.empty else dvMarkersAtBranch(spark, base, name, vs.last)
+  }
+
+  private[sources] def requireNoPendingBranchDv(spark: SparkSession,
+      base: String, name: String, verb: String): Unit =
+    require(pendingBranchDvRels(spark, base, name).isEmpty,
+      s"$verb on branch '$name' requires no pending branch deletion " +
+        "vectors — fastForward the branch onto main and purgeDeletes " +
+        "there first (a rewrite under pending vectors could resurrect " +
+        "or re-delete rows)")
+
+  /** MERGE-ON-READ DELETE against a BRANCH HEAD — [[deleteWhereMoR]]'s
+    * branch twin: the vector records (key, FILE-manifest-pval) pairs
+    * from the branch head's files and lands as a `__dv` marker line on
+    * the NEXT BRANCH manifest, carrying every data file unchanged. Main
+    * never moves. The branch scan applies pending branch vectors
+    * in-scan exactly like a main scan; [[fastForward]] carries the
+    * markers onto main, where the ordinary [[purgeDeletes]] folds them
+    * in — the write-audit-publish flow where the audit step ERASES rows
+    * (a GDPR fix on staged data) without rewriting the staged feed.
+    * Same concurrency classification as the main verb: a concurrent
+    * branch commit that left the touched partitions' data unchanged
+    * rebases the marker; one that changed them fails classified.
+    * Returns whether anything matched. */
+  def deleteWhereMoRBranch(spark: SparkSession, base: String, name: String,
+      pred: org.apache.spark.sql.Column, keyCol: String): Boolean = {
+    val vs = branchVersions(spark, base, name)
+    require(vs.nonEmpty, s"no branch named $name under $base")
+    val readHead = vs.last
+    val rel = s"_dv/d-${java.util.UUID.randomUUID}"
+    val dvPath = s"$base/$rel"
+    val fs = fsOf(spark, new Path(base))
+    // the predicate scan is pinned to the head the retry validates (a
+    // re-resolved head could slip a commit between list and read)
+    val headPaths = entriesAt(spark,
+      new Path(manifestDir(base), branchManifestName(name, readHead)))
+      .map { case (_, r) => resolve(base, r) }
+    require(headPaths.nonEmpty, s"branch $name under $base is empty")
+    spark.read.parquet(headPaths: _*).filter(pred)
+      .select(org.apache.spark.sql.functions.col(keyCol),
+        filePvalExpr.as("__pval"))
+      .write.parquet(dvPath)
+    consolidateDvDir(spark, base, rel)
+    val touched = spark.read.parquet(dvPath)
+      .select(org.apache.spark.sql.functions.col("__pval")).distinct()
+      .collect().map(_.getString(0)).toSet // DV-metadata-sized
+    if (touched.isEmpty) {
+      fs.delete(new Path(dvPath), true)
+      return false
+    }
+    // the partition-source sidecar, exactly like the main verb (readers
+    // only need it to report pair scoping; application is path-derived)
+    val partCol = tableProperties(spark, base).getOrElse("partCol",
+      throw new UnsupportedOperationException(
+        s"deleteWhereMoRBranch under $base needs the partCol table property"))
+    val out = fs.create(new Path(dvPath, "_partcol"), true)
+    try out.write(partCol.getBytes("UTF-8")) finally out.close()
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = branchVersions(spark, base, name).last
+      if (cur != readHead) {
+        val before = entriesAt(spark,
+          new Path(manifestDir(base), branchManifestName(name, readHead)))
+          .filter { case (p, _) => touched(p) }.toSet
+        val now = entriesAt(spark,
+          new Path(manifestDir(base), branchManifestName(name, cur)))
+          .filter { case (p, _) => touched(p) }.toSet
+        if (before != now) {
+          fs.delete(new Path(dvPath), true)
+          throw new ConcurrentRewriteException(
+            s"deleteWhereMoRBranch($name) under $base: partitions " +
+              s"${touched.mkString("{", ",", "}")} changed between read " +
+              s"(v$readHead) and commit (v$cur) — re-run the delete")
+        }
+      }
+      val merged =
+        (dvMarkersAtBranch(spark, base, name, cur) :+ rel).map((DvMarker, _)) ++
+          entriesAt(spark,
+            new Path(manifestDir(base), branchManifestName(name, cur)))
+      try {
+        commitNamed(spark, base, branchManifestName(name, cur + 1), merged,
+          s"concurrent commit: branch $name version ${cur + 1} already exists")
+        return true
+      } catch {
+        case _: VersionConflictException if attempt < 20 => ()
+      }
+    }
+    true // unreachable
+  }
+
   /** Read the branch head (exactly the files its manifest names). */
   def readBranch(spark: SparkSession, base: String, name: String): DataFrame = {
     val paths = branchEntries(spark, base, name)
@@ -288,9 +392,13 @@ private[sources] trait ManifestRefs { this: ManifestTable.type =>
       val head = branchVersions(spark, base, name).last
       val es = entriesAt(spark,
         new Path(manifestDir(base), branchManifestName(name, head)))
+      // pending branch DV markers ride every branch append, like main's
+      // commitRetrying — dropping one would silently resurrect rows
+      val markers = dvMarkersAtBranch(spark, base, name, head)
+        .map((DvMarker, _))
       try {
         commitNamed(spark, base, branchManifestName(name, head + 1),
-          es ++ newFiles,
+          markers ++ es ++ newFiles,
           s"concurrent commit: branch $name version ${head + 1} already exists")
         return head + 1
       } catch {
@@ -362,6 +470,7 @@ private[sources] trait ManifestRefs { this: ManifestTable.type =>
       pred: org.apache.spark.sql.Column, partCol: String): Boolean = {
     require(bucketNOf(spark, base).isEmpty,
       s"deleteWhereBranch on the bucket-layout table $base is not supported")
+    requireNoPendingBranchDv(spark, base, name, "deleteWhereBranch")
     val vs = branchVersions(spark, base, name)
     require(vs.nonEmpty, s"no branch named $name under $base")
     val readHead = vs.last
@@ -397,6 +506,7 @@ private[sources] trait ManifestRefs { this: ManifestTable.type =>
       partCol: String, minFiles: Int = 2): (Int, Int, Int) = {
     val vs = branchVersions(spark, base, name)
     require(vs.nonEmpty, s"no branch named $name under $base")
+    requireNoPendingBranchDv(spark, base, name, "optimizeBranch")
     val readHead = vs.last
     val forkEs = entriesAt(spark,
       new Path(manifestDir(base), branchManifestName(name, vs.head))).toSet
@@ -448,8 +558,14 @@ private[sources] trait ManifestRefs { this: ManifestTable.type =>
   def fastForward(spark: SparkSession, base: String, name: String): Int = {
     val vs = branchVersions(spark, base, name)
     require(vs.nonEmpty, s"no branch named $name under $base")
+    // PENDING BRANCH VECTORS PUBLISH WITH THE CONTENT: the head's `__dv`
+    // markers ride the full-table commit onto main, where the ordinary
+    // in-scan application serves them and purgeDeletes folds them in —
+    // the audit step's MoR erasures survive the publish verbatim
+    val markers = dvMarkersAtBranch(spark, base, name, vs.last)
+      .map((DvMarker, _))
     val v = commitRetryingFullTable(spark, base, vs.head,
-      branchEntries(spark, base, name), s"fastForward($name)")
+      markers ++ branchEntries(spark, base, name), s"fastForward($name)")
     // the published files join the MAIN sidecars now (branch commits
     // carry none — sidecars are per-main-version metadata)
     refreshAllStats(spark, base)
@@ -471,6 +587,10 @@ private[sources] trait ManifestRefs { this: ManifestTable.type =>
     requireNoPendingDv(spark, base, "rebasePublish")
     val vs = branchVersions(spark, base, name)
     require(vs.nonEmpty, s"no branch named $name under $base")
+    // a pending branch vector names rows among the FORK's files too —
+    // the net-append publish has no way to carry that scope onto a
+    // moved main; fastForward (full swap) is the DV-carrying publish
+    requireNoPendingBranchDv(spark, base, name, "rebasePublish")
     val forkEs = entriesAt(spark,
       new Path(manifestDir(base), branchManifestName(name, vs.head))).toSet
     val headEs = branchEntries(spark, base, name)
@@ -564,9 +684,17 @@ private[sources] trait ManifestRefs { this: ManifestTable.type =>
     // `__dv` marker never committed — invisible to readers (visibility is
     // the marker, not the dir), but debris all the same. Dirs referenced
     // by ANY committed manifest stay (old manifests keep their change
-    // feed replayable until expireSnapshots drops them).
-    val dvReferenced = versions(spark, base)
-      .flatMap(v => dvMarkersAt(spark, base, v)).toSet
+    // feed replayable until expireSnapshots drops them) — including any
+    // BRANCH manifest's markers: a branch MoR delete's vector is live
+    // for exactly as long as a manifest of the branch names it
+    val branchDvReferenced = {
+      val st = fs.globStatus(new Path(manifestDir(base), "branch-*-v*.manifest"))
+      if (st == null) Seq.empty[String]
+      else st.toSeq.flatMap(s => rawEntriesAt(spark, s.getPath)
+        .collect { case (DvMarker, rel) => rel })
+    }
+    val dvReferenced = (versions(spark, base)
+      .flatMap(v => dvMarkersAt(spark, base, v)) ++ branchDvReferenced).toSet
     val dvDirs = fs.globStatus(new Path(base, "_dv/*"))
     if (dvDirs != null) dvDirs.foreach { d =>
       val rel = s"_dv/${d.getPath.getName}"

@@ -196,6 +196,132 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     (fresh.size, carried.size)
   }
 
+  // ---- STRING stats sidecars (`v<N>.sstats.<col>`) ------------------------
+  //
+  // Raw-value per-file min/max for STRING columns — the range-pruning
+  // path the ESCAPED spec pvals deliberately give up (escaping breaks
+  // lexicographic order, so `>=`/`BETWEEN` on a string-partitioned
+  // column never prunes through pvals). Values are URL-encoded in the
+  // sidecar (a raw value may hold tabs/newlines); comparison happens on
+  // the DECODED raw strings, so pruning order == Spark's string order.
+  // Auto-indexed by the commit path for every STRING spec source column
+  // (current and historical eras) — no user action needed.
+
+  private def sstatsPath(base: String, v: Int, statCol: String): Path =
+    new Path(manifestDir(base), s"v$v.sstats.$statCol")
+
+  private[sources] def sstatCols(spark: SparkSession, base: String, v: Int): Seq[String] = {
+    val glob = fsOf(spark, manifestDir(base))
+      .globStatus(new Path(manifestDir(base), s"v$v.sstats.*"))
+    if (glob == null) Seq.empty
+    else glob.toSeq.map(_.getPath.getName.stripPrefix(s"v$v.sstats."))
+  }
+
+  private[sources] def readSStatsFile(spark: SparkSession, base: String,
+      v: Int, statCol: String): Option[Map[String, Option[(String, String)]]] = {
+    val p = sstatsPath(base, v, statCol)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      Some(text.split("\n").filter(_.nonEmpty).map { line =>
+        val f = line.split("\t", -1)
+        (f(0), if (f(1) == "-") None else Some((
+          java.net.URLDecoder.decode(f(1), "UTF-8"),
+          java.net.URLDecoder.decode(f(2), "UTF-8"))))
+      }.toMap)
+    }
+  }
+
+  private def writeSStatsFile(spark: SparkSession, base: String, v: Int,
+      statCol: String, es: Seq[(String, String)],
+      stats: Map[String, Option[(String, String)]]): Unit = {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val lines = es.map { case (_, rel) =>
+      stats.getOrElse(rel, None) match {
+        case Some((mn, mx)) => s"$rel\t${enc(mn)}\t${enc(mx)}"
+        case None => s"$rel\t-\t-"
+      }
+    }
+    val dir = manifestDir(base)
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir, s".tmp-sstats-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val dest = sstatsPath(base, v, statCol)
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) {
+      // concurrent refresh of the same snapshot: deterministic content,
+      // losing is benign (same contract as writeStatsFile)
+      fs.delete(tmp, false)
+      if (!fs.exists(dest))
+        throw new java.io.IOException(s"cannot commit string stats $dest")
+    }
+  }
+
+  private def scanSStats(spark: SparkSession, base: String, statCol: String,
+      rels: Seq[String]): Map[String, Option[(String, String)]] = {
+    if (rels.isEmpty) return Map.empty
+    def tail2(p: String): String = p.split('/').takeRight(2).mkString("/")
+    def decoded(uri: String): String =
+      try new java.net.URI(uri).getPath catch { case _: java.net.URISyntaxException => uri }
+    val byTail = rels.map(rel => tail2(rel) -> rel).toMap
+    require(byTail.size == rels.size,
+      s"ambiguous (partition, basename) pairs among ${rels.size} files")
+    val rows = spark.read.parquet(rels.map(rel => resolve(base, rel)): _*)
+      .select(col(statCol).cast("string").as("__v"), input_file_name().as("__f"))
+      .groupBy(col("__f"))
+      .agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+      .collect() // one row per data file: metadata-sized
+    rows.map { r =>
+      val rel = byTail.getOrElse(tail2(decoded(r.getString(0))),
+        throw new IllegalStateException(s"scanned file ${r.getString(0)} not in file set"))
+      rel -> (if (r.isNullAt(1)) None else Some((r.getString(1), r.getString(2))))
+    }.toMap
+  }
+
+  def buildSStats(spark: SparkSession, base: String, statCol: String): Unit = {
+    val v = currentVersion(spark, base)
+    val es = entries(spark, base, v)
+    writeSStatsFile(spark, base, v, statCol, es,
+      scanSStats(spark, base, statCol, es.map(_._2)))
+  }
+
+  /** Incremental refresh, same carry-forward contract as [[refreshStats]]
+    * (committed files are immutable, so only NEW files scan). */
+  def refreshSStats(spark: SparkSession, base: String, statCol: String): (Int, Int) = {
+    val v = currentVersion(spark, base)
+    val priors = versions(spark, base).filter(_ < v)
+    val prior: Map[String, Option[(String, String)]] = priors
+      .flatMap(pv => readSStatsFile(spark, base, pv, statCol))
+      .foldLeft(Map.empty[String, Option[(String, String)]])(_ ++ _)
+    val es = entries(spark, base, v)
+    if (prior.isEmpty) { buildSStats(spark, base, statCol); return (es.size, 0) }
+    val (carried, fresh) = es.partition { case (_, rel) => prior.contains(rel) }
+    val freshStats = scanSStats(spark, base, statCol, fresh.map(_._2))
+    val full = es.map { case (_, rel) =>
+      rel -> prior.getOrElse(rel, freshStats.getOrElse(rel, None)) }.toMap
+    writeSStatsFile(spark, base, v, statCol, es, full)
+    (fresh.size, carried.size)
+  }
+
+  /** STRING spec source columns of every era (current + history) — the
+    * columns the commit path auto-indexes with [[refreshSStats]]. */
+  private def stringSpecCols(spark: SparkSession, base: String): Seq[String] = {
+    val props = tableProperties(spark, base)
+    val schemaOpt = props.get("schema").map(ManifestSchemaProp.parse)
+    val specs = GraftSpec.fromProps(props).toSeq ++ GraftSpec.history(props).values
+    (for {
+      sp <- specs
+      f <- sp.fields
+      if f.isInstanceOf[IdentityField] || f.isInstanceOf[TruncField]
+      s <- schemaOpt.toSeq
+      fd <- s.fields.find(_.name.equalsIgnoreCase(f.col))
+      if fd.dataType == org.apache.spark.sql.types.StringType
+    } yield fd.name).distinct
+  }
+
   /** Every stat column indexed at any prior (or the current) version is
     * incrementally refreshed for the new snapshot. Called by each verb
     * IMMEDIATELY AFTER its commit rename: the sidecar is part of the
@@ -212,6 +338,12 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     // bloom-indexed, every verb keeps its filter fresh incrementally
     prior.flatMap(pv => bloomCols(spark, base, pv))
       .distinct.foreach(c => refreshBloom(spark, base, c))
+    // string stats: carry indexed columns forward AND auto-index the
+    // spec's STRING source columns — ranges on them can only prune here
+    // (escaped pvals don't order-compare)
+    (prior.flatMap(pv => sstatCols(spark, base, pv)) ++
+      stringSpecCols(spark, base))
+      .distinct.foreach(c => refreshSStats(spark, base, c))
   }
 
   /** Data-file paths of the current snapshot whose [`statCol`] range
@@ -461,7 +593,8 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
         fs.delete(new Path(manifestDir(base), s"v$v.manifest"), false)
         // stats/bloom sidecars are per-snapshot metadata: expire them with
         // their manifest, or a long merge history accumulates them forever
-        Seq(s"v$v.stats.*", s"v$v.bloom.*", s"v$v.epoch").foreach { pat =>
+        Seq(s"v$v.stats.*", s"v$v.sstats.*", s"v$v.bloom.*",
+            s"v$v.epoch").foreach { pat =>
           val stale = fs.globStatus(new Path(manifestDir(base), pat))
           if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
         }

@@ -86,7 +86,13 @@ final class ManifestStreamTable(schema: StructType, base: String,
     streamBranch: Option[String] = None,
     // streaming within-version admission: at most this many delta
     // partitions per micro-batch (see ManifestMicroBatchStream)
-    streamMaxFiles: Option[Int] = None)
+    streamMaxFiles: Option[Int] = None,
+    // loaded through ManifestCatalog (vs the bare TableProvider): only a
+    // catalog table can request TRANSFORM-function write clustering —
+    // resolving `truncate(w,c)`/`days(c)` in a required distribution
+    // needs the catalog's FunctionCatalog, which provider-path writes
+    // don't carry (they keep the identity clustering)
+    fromCatalog: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -324,14 +330,20 @@ final class ManifestStreamTable(schema: StructType, base: String,
         new org.apache.spark.sql.connector.write.Write
             with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
           // request rows CLUSTERED by the layout before the write: each
-          // partition value (or bucket) lands in exactly one task, so an
-          // epoch (or INSERT) commits one file per partition value instead
-          // of tasks × values — the small-files problem solved where
-          // Delta/Iceberg solve it, in the writer's required distribution
+          // partition value (bucket id, transform value, spec composite)
+          // lands in exactly one task, so an epoch (or INSERT) commits one
+          // file per partition value instead of tasks × values — the
+          // small-files problem solved where Delta/Iceberg solve it, in
+          // the writer's required distribution. Transform-function
+          // clustering needs the catalog's FunctionCatalog, so the bare
+          // provider path falls back to bucket/identity.
           override def requiredDistribution()
               : org.apache.spark.sql.connector.distributions.Distribution =
             org.apache.spark.sql.connector.distributions.Distributions.clustered(
-              Array(bucketN match {
+              if (fromCatalog)
+                GraftLayoutFunctions.clustering(partCol, bucketN,
+                  transformOf, multiOf)
+              else Array(bucketN match {
                 case Some(n) => org.apache.spark.sql.connector.expressions
                   .Expressions.bucket(n, partCol)
                 case None => org.apache.spark.sql.connector.expressions
@@ -358,7 +370,7 @@ final class ManifestStreamTable(schema: StructType, base: String,
   def withVersion(v: Int): ManifestStreamTable =
     new ManifestStreamTable(schema, base, Some(v), layoutCol,
       bucketLayout = bucketLayout, transformLayout = transformLayout,
-      multiLayout = multiLayout)
+      multiLayout = multiLayout, fromCatalog = fromCatalog)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     scanBuilderRecording(options, (_, _) => ())
 
@@ -759,6 +771,195 @@ object GraftBucketFunction
   }
 }
 
+/** V2 functions for the NON-bucket layout transforms (`truncate`,
+  * `years`/`months`/`days`/`hours`) plus the write-side CLUSTERING that
+  * uses them. Purpose: a write into a transform layout must cluster rows
+  * by the TRANSFORM VALUE, not the raw column — clustering by
+  * `identity(col)` co-locates equal raw values but scatters each
+  * partition VALUE across every task (a `truncate(100)` layout then
+  * commits tasks × bands small files; ~6000 bands × 32 tasks was a 36 s
+  * fixture build). Delta/Iceberg solve small-files exactly here, in the
+  * writer's required distribution; the FunctionCatalog resolves these
+  * names when Spark converts the requested transform to catalyst form.
+  *
+  * The bound functions are used ONLY for shuffle hashing of writes —
+  * they never decide a pval (the writers' per-row forms do), so the
+  * TIMESTAMP time variants may project in UTC regardless of the table's
+  * pinned zone: for whole-hour-offset zones the projection is a bijective
+  * shift (identical clustering); for minute-offset zones a pval's rows
+  * can straddle at most two clusters — still one-or-two files, never
+  * tasks × pvals. */
+object GraftLayoutFunctions {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Expressions}
+
+  val names: Set[String] = Set("truncate", "years", "months", "days", "hours")
+
+  def unbound(name: String): UnboundFunction = name.toLowerCase match {
+    case "truncate" => TruncUnbound
+    case k => TimeUnbound(k)
+  }
+
+  /** The connector expressions a layout's writes cluster on: one per
+    * spec field (multi), the transform value (time/truncate), bucket ids
+    * (bucket), the raw value (identity). */
+  def clustering(partCol: String, bucketN: Option[Int],
+      transform: Option[GraftTransform], multi: Option[GraftSpec])
+      : Array[VExpr] = {
+    def one(f: GraftField): VExpr = f match {
+      case IdentityField(c) => Expressions.identity(c)
+      case BucketField(n, c) => Expressions.bucket(n, c)
+      case TruncField(w, c) => Expressions.apply("truncate",
+        Expressions.literal(Integer.valueOf(w)), Expressions.column(c))
+      case TimeField(k, c, _) => Expressions.apply(k, Expressions.column(c))
+    }
+    multi match {
+      case Some(sp) => sp.fields.map(one).toArray
+      case None => (bucketN, transform) match {
+        case (Some(n), _) => Array(Expressions.bucket(n, partCol))
+        case (None, Some(t)) if t.kind == "truncate" =>
+          Array(Expressions.apply("truncate",
+            Expressions.literal(Integer.valueOf(t.width)),
+            Expressions.column(partCol)))
+        case (None, Some(t)) =>
+          Array(Expressions.apply(t.kind, Expressions.column(partCol)))
+        case _ => Array(Expressions.identity(partCol))
+      }
+    }
+  }
+
+  object TruncUnbound extends UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String =
+      "truncate(w, v): manifest truncate-layout band of v"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2, "truncate takes (w, v)")
+      inputType.fields(1).dataType match {
+        case LongType | IntegerType => TruncLong
+        case StringType => TruncStr
+        case dt => throw new UnsupportedOperationException(
+          s"truncate layout over a ${dt.typeName} column")
+      }
+    }
+  }
+
+  /** Iceberg floor semantics — the exact arithmetic of
+    * [[GraftTransform.pvalOfLong]]. */
+  object TruncLong extends ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+    override def resultType(): DataType = LongType
+    override def name(): String = "truncate"
+    override def canonicalName(): String = "graft.truncate"
+    override def isResultNullable: Boolean = false
+    override def produceResult(in: InternalRow): java.lang.Long = {
+      val w = in.getInt(0).toLong
+      val v = in.getLong(1)
+      v - java.lang.Math.floorMod(v, w)
+    }
+  }
+
+  /** Code-point prefix — the exact semantics of
+    * [[GraftTransform.pvalOfString]]. */
+  object TruncStr
+      extends ScalarFunction[org.apache.spark.unsafe.types.UTF8String] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+    override def resultType(): DataType = StringType
+    override def name(): String = "truncate"
+    override def canonicalName(): String = "graft.truncate.str"
+    override def isResultNullable: Boolean = false
+    override def produceResult(in: InternalRow)
+        : org.apache.spark.unsafe.types.UTF8String = {
+      val w = in.getInt(0)
+      val s = in.getUTF8String(1).toString
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        if (s.codePointCount(0, s.length) <= w) s
+        else s.substring(0, s.offsetByCodePoints(0, w)))
+    }
+  }
+
+  final case class TimeUnbound(kind: String) extends UnboundFunction {
+    require(GraftTransform.timeKinds(kind), s"unknown time kind $kind")
+    override def name(): String = kind
+    override def description(): String =
+      s"$kind(c): manifest time-layout ordinal of c"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1, s"$kind takes one column")
+      inputType.fields(0).dataType match {
+        case DateType if kind != "hours" => TimeDays(kind)
+        case TimestampType => TimeMicros(kind)
+        case StringType if kind != "hours" => TimeStr(kind)
+        case dt => throw new UnsupportedOperationException(
+          s"$kind layout over a ${dt.typeName} column")
+      }
+    }
+  }
+
+  /** Time ordinal of a DATE (internal days since epoch). */
+  final case class TimeDays(kind: String)
+      extends ScalarFunction[java.lang.Integer] {
+    override def inputTypes(): Array[DataType] = Array(DateType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = kind
+    override def canonicalName(): String = s"graft.$kind.date"
+    override def isResultNullable: Boolean = false
+    override def produceResult(in: InternalRow): java.lang.Integer = {
+      val d = java.time.LocalDate.ofEpochDay(in.getInt(0).toLong)
+      kind match {
+        case "years" => d.getYear
+        case "months" => d.getYear * 12 + d.getMonthValue - 1
+        case "days" => in.getInt(0)
+      }
+    }
+  }
+
+  /** Time ordinal of a TIMESTAMP (internal UTC micros) — UTC projection
+    * (see the class note: clustering-only, never a pval). */
+  final case class TimeMicros(kind: String)
+      extends ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(TimestampType)
+    override def resultType(): DataType = LongType
+    override def name(): String = kind
+    override def canonicalName(): String = s"graft.$kind.ts"
+    override def isResultNullable: Boolean = false
+    override def produceResult(in: InternalRow): java.lang.Long = {
+      val m = in.getLong(0)
+      kind match {
+        case "hours" => java.lang.Math.floorDiv(m, 3600000000L)
+        case "days" => java.lang.Math.floorDiv(m, 86400000000L)
+        case "months" =>
+          val d = java.time.LocalDate.ofEpochDay(
+            java.lang.Math.floorDiv(m, 86400000000L))
+          (d.getYear * 12 + d.getMonthValue - 1).toLong
+        case "years" =>
+          java.time.LocalDate.ofEpochDay(
+            java.lang.Math.floorDiv(m, 86400000000L)).getYear.toLong
+      }
+    }
+  }
+
+  /** ISO prefix of a STRING time source. */
+  final case class TimeStr(kind: String)
+      extends ScalarFunction[org.apache.spark.unsafe.types.UTF8String] {
+    private val isoLen = kind match {
+      case "years" => 4
+      case "months" => 7
+      case "days" => 10
+    }
+    override def inputTypes(): Array[DataType] = Array(StringType)
+    override def resultType(): DataType = StringType
+    override def name(): String = kind
+    override def canonicalName(): String = s"graft.$kind.str"
+    override def isResultNullable: Boolean = false
+    override def produceResult(in: InternalRow)
+        : org.apache.spark.unsafe.types.UTF8String = {
+      val s = in.getUTF8String(0).toString
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        if (s.codePointCount(0, s.length) <= isoLen) s
+        else s.substring(0, s.offsetByCodePoints(0, isoLen)))
+    }
+  }
+}
+
 /** The table's DECLARED schema as a table property (`schema` =
   * `name:type,...`) — the canonical read schema once a writer has
   * evolved it. The streaming sink and the batch INSERT stamp the
@@ -1116,16 +1317,24 @@ private[sources] object ManifestFileSkipping {
     val v = versionAsOf.getOrElse(ManifestTable.currentVersion(spark, base))
     lazy val stat = ManifestTable.statCols(spark, base, v).map(_.toLowerCase).toSet
     lazy val bloom = ManifestTable.bloomCols(spark, base, v).map(_.toLowerCase).toSet
+    // raw-string min/max sidecars (auto-indexed spec source columns):
+    // the only range-skipping path for string-partitioned columns
+    lazy val sstat = ManifestTable.sstatCols(spark, base, v).map(_.toLowerCase).toSet
     def onLayout(a: String) = layout.exists(_.equalsIgnoreCase(a))
+    def sRange(a: String, x: Any) = x.isInstanceOf[String] && sstat(a.toLowerCase)
     f match {
       case EqualTo(a, x) =>
         onLayout(a) || (numeric(x).isDefined &&
-          (stat(a.toLowerCase) || bloom(a.toLowerCase)))
+          (stat(a.toLowerCase) || bloom(a.toLowerCase))) || sRange(a, x)
       case In(a, _) => onLayout(a)
-      case GreaterThan(a, x) => onLayout(a) || (numeric(x).isDefined && stat(a.toLowerCase))
-      case GreaterThanOrEqual(a, x) => onLayout(a) || (numeric(x).isDefined && stat(a.toLowerCase))
-      case LessThan(a, x) => onLayout(a) || (numeric(x).isDefined && stat(a.toLowerCase))
-      case LessThanOrEqual(a, x) => onLayout(a) || (numeric(x).isDefined && stat(a.toLowerCase))
+      case GreaterThan(a, x) => onLayout(a) ||
+        (numeric(x).isDefined && stat(a.toLowerCase)) || sRange(a, x)
+      case GreaterThanOrEqual(a, x) => onLayout(a) ||
+        (numeric(x).isDefined && stat(a.toLowerCase)) || sRange(a, x)
+      case LessThan(a, x) => onLayout(a) ||
+        (numeric(x).isDefined && stat(a.toLowerCase)) || sRange(a, x)
+      case LessThanOrEqual(a, x) => onLayout(a) ||
+        (numeric(x).isDefined && stat(a.toLowerCase)) || sRange(a, x)
       case _ => false
     }
   }
@@ -1194,6 +1403,39 @@ private[sources] object ManifestFileSkipping {
         })
       }
     }
+    // STRING ranges prune through the raw min/max sidecars
+    // (`v<N>.sstats.<col>`, auto-indexed for spec source columns): the
+    // escaped pvals deliberately don't order-compare, so this is the
+    // ONLY place `>=`/`BETWEEN` on a string-partitioned column skips
+    // anything. Bounds compare on the raw strings (Spark's order);
+    // strict bounds are treated inclusively — over-keep, never lose.
+    def strLit(x: Any): Option[String] = x match {
+      case s: String => Some(s)
+      case _ => None
+    }
+    val strRanges = pushed.flatMap {
+      case EqualTo(a, x) => strLit(x).map(s => a -> (Some(s), Some(s)))
+      case GreaterThan(a, x) => strLit(x).map(s => a -> (Some(s), None))
+      case GreaterThanOrEqual(a, x) => strLit(x).map(s => a -> (Some(s), None))
+      case LessThan(a, x) => strLit(x).map(s => a -> (None, Some(s)))
+      case LessThanOrEqual(a, x) => strLit(x).map(s => a -> (None, Some(s)))
+      case _ => None
+    }.groupBy(_._1).map { case (c, rs) =>
+      val los = rs.flatMap(_._2._1)
+      val his = rs.flatMap(_._2._2)
+      c -> (if (los.isEmpty) None else Some(los.max),
+        if (his.isEmpty) None else Some(his.min))
+    }
+    strRanges.foreach { case (c, (lo, hi)) =>
+      ManifestTable.readSStatsFile(spark, base, v, c).foreach { stats =>
+        kept = kept.filter(rel => stats.get(rel) match {
+          case Some(Some((mn, mx))) =>
+            lo.forall(l => mx >= l) && hi.forall(h => mn <= h)
+          case Some(None) => false // zero-row / all-NULL file: cannot match
+          case None => true        // carried pre-index entry: keep
+        })
+      }
+    }
     pushed.foreach {
       case EqualTo(c, x) => numeric(x).foreach { n =>
         ManifestTable.readBloomFile(spark, base, v, c).foreach { case ((m, k), blooms) =>
@@ -1259,11 +1501,14 @@ final class ManifestRowLevelOp(table: ManifestStreamTable, base: String,
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write
             with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          // cluster the rewrite by the LAYOUT VALUE (SQL DML always
+          // arrives through the catalog, so transform resolution works):
+          // a wide UPDATE on a transform table otherwise stages
+          // tasks × pvals files
           override def requiredDistribution()
               : org.apache.spark.sql.connector.distributions.Distribution =
             org.apache.spark.sql.connector.distributions.Distributions.clustered(
-              Array(org.apache.spark.sql.connector.expressions.Expressions
-                .identity(partCol)))
+              GraftLayoutFunctions.clustering(partCol, None, transform, multi))
           override def requiredOrdering()
               : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
             Array.empty
@@ -1651,18 +1896,23 @@ class ManifestCatalog
       s"unknown procedure $ident — supported: CALL $catName.system.{" +
         ManifestProcedures.names.toSeq.sorted.mkString(", ") + "}")
 
-  /** The catalog's one V2 function: `bucket(n, key)`, the layout
-    * transform BUCKET-partitioned tables report. Spark resolves it when
-    * converting the scan's reported `KeyGroupedPartitioning` to catalyst
-    * form — which is what lets two bucket-layout tables join
-    * storage-partitioned (no shuffle on either side). */
+  /** The catalog's V2 functions: `bucket(n, key)` (the layout transform
+    * BUCKET-partitioned tables report — resolving it is what lets two
+    * bucket-layout tables join storage-partitioned) and the time/truncate
+    * layout transforms ([[GraftLayoutFunctions]] — resolved when a write
+    * requests clustering by the transform value). */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty)
+      ("bucket" +: GraftLayoutFunctions.names.toSeq.sorted)
+        .map(n => Identifier.of(Array.empty, n)).toArray
     else Array.empty
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
       GraftBucketFunction
+    else if (ident.namespace.isEmpty &&
+        GraftLayoutFunctions.names(ident.name.toLowerCase))
+      GraftLayoutFunctions.unbound(ident.name)
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 
@@ -1808,7 +2058,7 @@ class ManifestCatalog
       else props.get("partCol"),
       bucketLayout = if (multiLayout.isDefined) None else bucketLayout,
       transformLayout = if (multiLayout.isDefined) None else transformLayout,
-      multiLayout = multiLayout)
+      multiLayout = multiLayout, fromCatalog = true)
   }
 
   /** SQL time travel: `SELECT ... FROM graft_cat.\`t\` VERSION AS OF 2`
@@ -1971,18 +2221,37 @@ class ManifestCatalog
         // MULTI-FIELD spec (Iceberg's PARTITIONED BY (months(ts),
         // bucket(16, key))): conjunctive pruning across the fields,
         // composite self-describing pvals — see [[GraftSpec]]
-        val fields = many.map(fieldOfTransform)
-        require(fields.map(_.col.toLowerCase).distinct.size == fields.size,
+        val fields0 = many.map(fieldOfTransform)
+        require(fields0.map(_.col.toLowerCase).distinct.size == fields0.size,
           "multi-field spec: one field per source column")
+        // TIMESTAMP time fields pin the projection zone INTO THE FIELD at
+        // CREATE (from `transform.zone`, default UTC, validated here) —
+        // the era-history serialization then carries the writer's zone
+        // through every later evolution, so pre-evolution pruning always
+        // projects as the writer wrote
+        val fields = fields0.map {
+          case tf: TimeField
+              if schema.fields.exists(f => f.name.equalsIgnoreCase(tf.col) &&
+                f.dataType == TimestampType) && tf.zone.isEmpty =>
+            val z = Option(properties.get("transform.zone")).getOrElse("UTC")
+            java.time.ZoneId.of(z)
+            tf.copy(zone = z)
+          case f => f
+        }
         fields.foreach { f =>
           val dt = schema.fields.find(_.name.equalsIgnoreCase(f.col))
             .map(_.dataType).getOrElse(throw new IllegalArgumentException(
               s"spec field ${f.ser}: source column not in the table schema"))
+          if (dt == TimestampNTZType)
+            throw new UnsupportedOperationException(
+              s"spec field ${f.ser} over a TIMESTAMP_NTZ column is not " +
+                "supported — manifest tables store instants (TIMESTAMP) " +
+                "or zone-free DATEs")
           require(GraftSpec.accepts(f, dt),
             s"spec field ${f.ser} over a ${dt.typeName} column is not " +
-              "supported in a multi-field spec (DATE for time fields, " +
-              "BIGINT for bucket, BIGINT/INT/STRING for identity and " +
-              "truncate)")
+              "supported in a multi-field spec (DATE/TIMESTAMP for time " +
+              "fields — hours takes TIMESTAMP only; BIGINT for bucket, " +
+              "BIGINT/INT/STRING for identity and truncate)")
         }
         (fields.head.col, None, None, Some(GraftSpec(1, fields)))
       case other => throw new UnsupportedOperationException(
@@ -2025,6 +2294,11 @@ class ManifestCatalog
     multiSpec.foreach { sp =>
       ManifestTable.setTableProperty(spark, base, "spec.id", sp.id.toString)
       ManifestTable.setTableProperty(spark, base, "spec.fields", sp.ser)
+      // the pinned zone also lands as the table property so a later
+      // evolve_spec stamps the SAME zone onto its new time fields
+      sp.fields.collectFirst { case tf: TimeField if tf.zone.nonEmpty =>
+        tf.zone }.foreach(z =>
+        ManifestTable.setTableProperty(spark, base, "transform.zone", z))
     }
     ManifestTable.setTableProperty(spark, base, "schema",
       ManifestSchemaProp.serialize(schema))
@@ -2488,8 +2762,17 @@ final class ManifestBranchTable(base: String, fullName: String,
       .filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
       .flatMap(ManifestDeleteSql.toColumn).toSeq
     require(preds.nonEmpty, "branch DELETE requires a translated predicate")
-    ManifestTable.deleteWhereBranch(spark, base, branch,
-      preds.reduce(_ && _), partCol)
+    if (props.get("write.mode").contains("merge-on-read") &&
+        props.contains("keyCol")) {
+      // MoR routing, same stamp as main: the DELETE lands a deletion
+      // vector on the BRANCH manifest — no staged file rewrites, the
+      // branch scan applies it in-scan, fastForward carries it to main
+      ManifestTable.deleteWhereMoRBranch(spark, base, branch,
+        preds.reduce(_ && _), props("keyCol"))
+    } else {
+      ManifestTable.deleteWhereBranch(spark, base, branch,
+        preds.reduce(_ && _), partCol)
+    }
     ()
   }
 
@@ -2561,7 +2844,19 @@ final class ManifestBranchTable(base: String, fullName: String,
             }
             override def createReaderFactory(): PartitionReaderFactory = {
               val spark = org.apache.spark.sql.SparkSession.active
-              new ManifestFileReaderFactory(projected,
+              // pending BRANCH deletion vectors apply in-scan exactly
+              // like main's (path-derived pair scoping, cached per
+              // vector set)
+              val rels = ManifestTable.pendingBranchDvRels(spark, base, branch)
+              val (dvCol, dvPairs) =
+                if (rels.isEmpty) ("", Map.empty[(Long, String), Int])
+                else {
+                  val fs = new Path(base).getFileSystem(new Configuration())
+                  val v = ManifestDvPairCache.getOrLoad(base, rels)(
+                    ManifestDvPairCache.load(base, rels, fs))
+                  (v._1, v._3)
+                }
+              new ManifestFileReaderFactory(projected, dvCol, dvPairs,
                 colmap = ManifestColMap.of(spark, base),
                 defaults = ManifestColMap.defaults(spark, base, projected))
             }
@@ -2585,22 +2880,22 @@ final class ManifestBranchTable(base: String, fullName: String,
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write
             with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          // branch inserts arrive through the catalog (`t$branch_<n>`):
+          // cluster by the full layout value like a main INSERT
           override def requiredDistribution()
               : org.apache.spark.sql.connector.distributions.Distribution =
             org.apache.spark.sql.connector.distributions.Distributions.clustered(
-              Array(props.get("bucket.n").map(_.toInt) match {
-                case Some(n) => org.apache.spark.sql.connector.expressions
-                  .Expressions.bucket(n, partCol)
-                case None => org.apache.spark.sql.connector.expressions
-                  .Expressions.identity(partCol)
-              }))
+              GraftLayoutFunctions.clustering(partCol,
+                props.get("bucket.n").map(_.toInt),
+                GraftTransform.fromProps(props), GraftSpec.fromProps(props)))
           override def requiredOrdering()
               : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
             Array.empty
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
             new ManifestBranchAppend(base, branch, info.schema(), partCol,
-              props.get("bucket.n").map(_.toInt), GraftTransform.fromProps(props))
+              props.get("bucket.n").map(_.toInt),
+              GraftTransform.fromProps(props), GraftSpec.fromProps(props))
         }
     }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -2635,6 +2930,10 @@ final class ManifestBranchRowLevelOp(table: ManifestBranchTable, base: String,
         s"row-level $cmd on branch '$branch' of the bucket-layout table " +
           s"$base is not supported — bucket pvals are hash ids the group " +
           "rewrite would misread")
+    // same fence as the main row-level op: a group rewrite under pending
+    // (branch) vectors could permanently apply or re-apply them half-way
+    ManifestTable.requireNoPendingBranchDv(spark0, base, branch,
+      s"row-level $cmd")
     val partCol = props0.getOrElse("partCol",
       throw new UnsupportedOperationException(
         s"row-level $cmd on a branch needs the partCol table property under $base"))
@@ -2642,11 +2941,13 @@ final class ManifestBranchRowLevelOp(table: ManifestBranchTable, base: String,
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write
             with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          // catalog-only path: cluster the branch rewrite by the layout
+          // value (see ManifestRowLevelOp)
           override def requiredDistribution()
               : org.apache.spark.sql.connector.distributions.Distribution =
             org.apache.spark.sql.connector.distributions.Distributions.clustered(
-              Array(org.apache.spark.sql.connector.expressions.Expressions
-                .identity(partCol)))
+              GraftLayoutFunctions.clustering(partCol, None,
+                GraftTransform.fromProps(props0), None))
           override def requiredOrdering()
               : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
             Array.empty
@@ -2838,6 +3139,68 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     val spark = org.apache.spark.sql.SparkSession.active
     val rels = ManifestTable.pendingDvRels(spark, base)
     if (rels.isEmpty) return ("", "", Map.empty)
+    // repeated scans of one MoR state hit the driver-side cache — the
+    // key (base, vector dirs) can never serve stale: dirs are UUID-named
+    // and immutable once their marker commits (consolidation runs
+    // pre-commit), so any commit that adds/removes/purges vectors
+    // changes the key
+    ManifestDvPairCache.getOrLoad(base, rels)(
+      ManifestDvPairCache.load(base, rels, fs))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fs = new Path(base).getFileSystem(new Configuration())
+    val (dvCol, _, dvPairs) = pendingDvPairs(fs)
+    val spark = org.apache.spark.sql.SparkSession.active
+    // a vector's __pval is the MANIFEST pval of the row's FILE (see
+    // ManifestTable.filePvalExpr), and every input partition carries its
+    // file's manifest pval — the reader compares them directly, with no
+    // per-row layout recomputation and no era/layout dependence at all
+    new ManifestFileReaderFactory(schema, dvCol, dvPairs,
+      ManifestColMap.of(spark, base),
+      ManifestColMap.defaults(spark, base, schema))
+  }
+}
+
+/** Driver-side LRU of in-scan deletion-vector pair maps, keyed on
+  * (base, pending vector dirs). A hit can never be stale: vector dirs
+  * are UUID-named and IMMUTABLE once their `__dv` marker commits (the
+  * fragment consolidation runs pre-commit), so any commit that adds,
+  * replaces, or purges vectors changes the key and misses — eviction is
+  * the version movement itself. Entries are matches-sized metadata;
+  * the LRU bound caps driver memory across many tables. */
+private[sources] object ManifestDvPairCache {
+  private val MaxEntries = 64
+  private type V = (String, String, Map[(Long, String), Int])
+  private val cache =
+    new java.util.LinkedHashMap[(String, Seq[String]), V](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Seq[String]), V]): Boolean =
+        size() > MaxEntries
+    }
+  /** Physical (cache-miss) loads — test hook for the one-read pin. */
+  @volatile private[sources] var loads: Long = 0L
+  def getOrLoad(base: String, rels: Seq[String])(load: => V): V =
+    synchronized {
+      val key = (base, rels.sorted)
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        loads += 1
+        val v = load
+        cache.put(key, v)
+        v
+      }
+    }
+
+  /** The physical load: (key column, partition-source column,
+    * (key, pval) -> version cut). Shared by the MAIN scan and the BRANCH
+    * scan — both apply vectors by comparing pairs against each input
+    * partition's file-manifest pval. */
+  private[sources] def load(base: String, rels: Seq[String], fs: FileSystem)
+      : (String, String, Map[(Long, String), Int]) = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
     val dvDirs = rels.map(rel => new Path(base, rel))
     // the _partcol sidecar names the DATA column the recorded partition
     // values came from; every pending vector of a table must agree
@@ -2882,19 +3245,6 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
         }
     }
     (keyCol, partCols.head, pairs.toMap)
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val fs = new Path(base).getFileSystem(new Configuration())
-    val (dvCol, _, dvPairs) = pendingDvPairs(fs)
-    val spark = org.apache.spark.sql.SparkSession.active
-    // a vector's __pval is the MANIFEST pval of the row's FILE (see
-    // ManifestTable.filePvalExpr), and every input partition carries its
-    // file's manifest pval — the reader compares them directly, with no
-    // per-row layout recomputation and no era/layout dependence at all
-    new ManifestFileReaderFactory(schema, dvCol, dvPairs,
-      ManifestColMap.of(spark, base),
-      ManifestColMap.defaults(spark, base, schema))
   }
 }
 
@@ -3466,8 +3816,17 @@ final class ManifestStreamingWrite(base: String, schema: StructType,
       (pval, rel)
     }
     val prev = vs.lastOption.map(entriesOf).getOrElse(Seq.empty)
+    // pending DV markers (main's or the branch's) ride every epoch
+    // commit like any other append — dropping one would resurrect rows
+    val markers = vs.lastOption.toSeq.flatMap { v =>
+      val spark = org.apache.spark.sql.SparkSession.active
+      branch match {
+        case Some(b) => ManifestTable.dvMarkersAtBranch(spark, base, b, v)
+        case None => ManifestTable.dvMarkersAt(spark, base, v)
+      }
+    }.map((ManifestTable.DvMarker, _))
     ManifestTable.commitNamed(org.apache.spark.sql.SparkSession.active,
-      base, manifestName(next), prev ++ moved,
+      base, manifestName(next), markers ++ prev ++ moved,
       s"concurrent commit: ${manifestName(next)} already exists under $base")
     // stamp the (additively unioned) schema so the catalog serves the
     // late-added columns whatever footer it inspects (schema is TABLE
@@ -3569,6 +3928,9 @@ final class ManifestSinkWriter(base: String, schema: StructType,
         val dt = schema.fields(i).dataType
         val lv: Long = dt match {
           case LongType => row.getLong(i)
+          // TIMESTAMP is long micros in the internal row — a time
+          // field's pvalOf projects them through its pinned zone
+          case TimestampType => row.getLong(i)
           case IntegerType => row.getInt(i).toLong
           case _ => 0L
         }
@@ -3744,7 +4106,9 @@ final class ManifestBranchAppend(base: String, branch: String,
       (pval, s"files/v$next/p=$pval/${dest.getName}")
     }
     // branch-scoped append retry: losing the name race rebases onto the
-    // winner's branch head (appends commute), exactly like appendBranch
+    // winner's branch head (appends commute), exactly like appendBranch;
+    // pending branch DV markers ride the rebase — dropping one would
+    // silently resurrect rows
     var attempt = 0
     var done = false
     while (!done) {
@@ -3752,9 +4116,11 @@ final class ManifestBranchAppend(base: String, branch: String,
       val head = ManifestTable.branchVersions(spark, base, branch).last
       val es = ManifestTable.entriesAt(spark,
         new Path(base, s"_manifests/branch-$branch-v$head.manifest"))
+      val markers = ManifestTable.dvMarkersAtBranch(spark, base, branch, head)
+        .map((ManifestTable.DvMarker, _))
       try {
         ManifestTable.commitNamed(spark, base,
-          s"branch-$branch-v${head + 1}.manifest", es ++ moved,
+          s"branch-$branch-v${head + 1}.manifest", markers ++ es ++ moved,
           s"concurrent commit: branch $branch version ${head + 1} already exists")
         done = true
       } catch {

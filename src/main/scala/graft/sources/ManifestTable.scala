@@ -73,5 +73,6 @@ object ManifestTable
       catalogCall, bucketCdf, catalogMonthLayout, catalogMonthDelete,
       catalogMonthMerge, catalogMonthCdf, catalogTruncLayout, catalogSpec2,
       catalogMergeEvolve, spec2DeleteMoR, spec2UpdateMoR, catalogSpecEvolve2,
-      catalogHourLayout, catalogSpecStr, specEvolveMoR)
+      catalogHourLayout, catalogSpecStr, specEvolveMoR, catalogSpecTs,
+      branchDeleteMoR, catalogSpecStrRange)
 }

@@ -24,7 +24,7 @@ private[sources] trait ManifestTableQueriesA { this: ManifestTable.type =>
   // exactly once; what's eliminated is the N−1 redundant rebuilds, which is
   // also the production shape: many readers, one writer, per table.
 
-  private[sources] val fixtureCache = scala.collection.mutable.Map[(String, String), String]()
+  private[graft] val fixtureCache = scala.collection.mutable.Map[(String, String), String]()
 
   /** orders projected to (key, year-partition, price) — the fixture's base
     * relation. */

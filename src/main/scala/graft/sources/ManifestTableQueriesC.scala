@@ -676,29 +676,14 @@ private[sources] trait ManifestTableQueriesC { this: ManifestTable.type =>
          |FROM graft_cat.`$tbl` GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
-  /** Registered STRING spec source: `PARTITIONED BY (identity(seg),
-    * bucket(8, c_custkey))` where `seg` is a STRING holding a space, a
-    * `~` (the composite separator!), and a `.` (the escape intro) —
-    * component values are escaped into `[A-Za-z0-9._-]`
-    * ([[GraftSpec.escapeComponent]]) so the manifest pval, the directory
-    * name, and every layout-computed probe agree byte-for-byte. The
-    * IN-list prunes in escaped space (injective — equality-exact), and a
-    * COW DELETE keyed on one string pval erases through the same
-    * machinery. Oracle replays the derivation + erasure over plain
-    * customer rows. */
-  val catalogSpecStr: QuerySpec = QuerySpec.sql(
-    "q_catalog_spec_str",
-    """WITH t AS (
-      |  SELECT c_custkey, c_nationkey, c_acctbal,
-      |         c_mktsegment || ' ~.' || CAST(c_custkey % 3 AS VARCHAR) AS seg
-      |  FROM customer)
-      |SELECT seg, count(*) AS n,
-      |       CAST(sum(floor(c_acctbal * 100 + 0.5)) AS BIGINT) AS cents
-      |FROM t
-      |WHERE seg IN ('BUILDING ~.1', 'AUTOMOBILE ~.2', 'MACHINERY ~.0')
-      |  AND NOT (seg = 'MACHINERY ~.0' AND c_custkey % 10 = 0)
-      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
-    val base = fixtureCache.synchronized {
+  /** Shared escaped-STRING spec fixture: customer rows with a derived
+    * `seg` holding a space, a `~` (the composite separator!), and a `.`
+    * (the escape intro), under `(identity(seg), bucket(8, c_custkey))`,
+    * plus a COW DELETE keyed on one escaped pval. Serves
+    * [[catalogSpecStr]] (equality/IN pruning in escaped space) and
+    * [[catalogSpecStrRange]] (raw min/max sidecar range pruning). */
+  private def specStrFixture(spark: SparkSession, dir: String): String =
+    fixtureCache.synchronized {
       fixtureCache.getOrElseUpdate(("specstr", dir), {
         val b =
           s"${graft.Scratch.root}/cust_sstrfix_${graft.Scratch.dirToken(dir)}"
@@ -722,12 +707,196 @@ private[sources] trait ManifestTableQueriesC { this: ManifestTable.type =>
         b
       })
     }
+
+  /** Registered STRING spec source: `PARTITIONED BY (identity(seg),
+    * bucket(8, c_custkey))` where `seg` is a STRING holding a space, a
+    * `~` (the composite separator!), and a `.` (the escape intro) —
+    * component values are escaped into `[A-Za-z0-9._-]`
+    * ([[GraftSpec.escapeComponent]]) so the manifest pval, the directory
+    * name, and every layout-computed probe agree byte-for-byte. The
+    * IN-list prunes in escaped space (injective — equality-exact), and a
+    * COW DELETE keyed on one string pval erases through the same
+    * machinery; RANGES prune via the raw min/max sidecar instead
+    * ([[catalogSpecStrRange]]). Oracle replays the derivation + erasure
+    * over plain customer rows. */
+  val catalogSpecStr: QuerySpec = QuerySpec.sql(
+    "q_catalog_spec_str",
+    """WITH t AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal,
+      |         c_mktsegment || ' ~.' || CAST(c_custkey % 3 AS VARCHAR) AS seg
+      |  FROM customer)
+      |SELECT seg, count(*) AS n,
+      |       CAST(sum(floor(c_acctbal * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t
+      |WHERE seg IN ('BUILDING ~.1', 'AUTOMOBILE ~.2', 'MACHINERY ~.0')
+      |  AND NOT (seg = 'MACHINERY ~.0' AND c_custkey % 10 = 0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = specStrFixture(spark, dir)
     val tbl = withCatalog(spark, base)
     spark.sql(
       s"""SELECT seg, count(*) AS n,
          |       CAST(sum(floor(c_acctbal * 100 + 0.5)) AS BIGINT) AS cents
          |FROM graft_cat.`$tbl`
          |WHERE seg IN ('BUILDING ~.1', 'AUTOMOBILE ~.2', 'MACHINERY ~.0')
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Registered STRING-RANGE pruning over the escaped-spec table — the
+    * range path [[catalogSpecStr]]'s escaping gives up: escaped pvals
+    * don't order-compare, so `>=`/`<` on the string spec field prunes
+    * through the RAW min/max sidecar (`v<N>.sstats.seg`, auto-indexed by
+    * every commit for spec source columns) at FILE grain instead
+    * (kept < total pinned in `SpecEvolutionSpec`). Same fixture as
+    * [[catalogSpecStr]] — one build serves both. */
+  val catalogSpecStrRange: QuerySpec = QuerySpec.sql(
+    "q_catalog_spec_str_range",
+    """WITH t AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal,
+      |         c_mktsegment || ' ~.' || CAST(c_custkey % 3 AS VARCHAR) AS seg
+      |  FROM customer)
+      |SELECT seg, count(*) AS n,
+      |       CAST(sum(floor(c_acctbal * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t
+      |WHERE seg >= 'MACHINERY' AND seg < 'N'
+      |  AND NOT (seg = 'MACHINERY ~.0' AND c_custkey % 10 = 0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = specStrFixture(spark, dir)
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT seg, count(*) AS n,
+         |       CAST(sum(floor(c_acctbal * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl`
+         |WHERE seg >= 'MACHINERY' AND seg < 'N'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Registered BRANCH MoR DELETE — write-audit-FIX-publish where the
+    * fix is a deletion-vector erasure: the branch DELETE commits one
+    * `__dv` marker on the BRANCH manifest (zero staged files rewritten,
+    * main untouched), and the branch scan applies the vector in-scan —
+    * the same GDPR-erasure economics as main's MoR verbs, on staged
+    * data. `fastForward` carries the marker onto main afterwards
+    * (pinned in `BranchSqlSpec`). Oracle replays the erasure over plain
+    * orders. */
+  val branchDeleteMoR: QuerySpec = QuerySpec.sql(
+    "q_branch_delete_mor",
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM orders
+      |WHERE year(o_orderdate) NOT IN (1996, 1998)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("branchDelMor", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_bdmfix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        val tbl = withCatalog(spark, b)
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(o_orderkey BIGINT, o_year INT, o_totalprice DOUBLE)
+             |PARTITIONED BY (o_year)""".stripMargin)
+        graft.model.Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("int").as("o_year"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("graft_bdm_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_bdm_feed")
+        setTableProperty(spark, b, "keyCol", "o_orderkey")
+        setTableProperty(spark, b, "write.mode", "merge-on-read")
+        createBranch(spark, b, "audit")
+        // translatable predicate — that's what reaches the SupportsDelete
+        // MoR route (non-translatable deletes are row-level COW rewrites)
+        spark.sql(s"DELETE FROM graft_cat.`$tbl$$branch_audit` " +
+          "WHERE o_year IN (1996, 1998)")
+        require(pendingBranchDvRels(spark, b, "audit").nonEmpty,
+          "branch MoR DELETE must land a branch deletion vector")
+        require(pendingDvRels(spark, b).isEmpty,
+          "branch MoR DELETE must not touch main")
+        b
+      })
+    }
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT o_year AS yr, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl$$branch_audit`
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Registered TIMESTAMP-sourced MULTI-FIELD spec: `PARTITIONED BY
+    * (hours(ts), bucket(8, o_custkey))` — the reference's own
+    * timestamp-derived partition value (`glue_job.py:88,159`) composed
+    * with bucketing, the natural 100 TB layout. The projection zone is
+    * pinned INTO THE FIELD at CREATE (`hours(ts@UTC)` in `spec.fields`),
+    * so the era history keeps the writer's zone: mid-fixture the spec
+    * EVOLVES to `(days(ts), bucket(8, o_custkey))` (the evolve path
+    * stamps the zone too), a second era lands, and a straddling COW
+    * DELETE erases through both eras' layouts. The query's raw ts range
+    * prunes hour partitions in era 1 and day partitions in era 2
+    * (conjunctively with any bucket predicate). Oracle replays the ts
+    * derivation + erasure over plain orders in DuckDB (naive timestamps
+    * = UTC wall clock). */
+  val catalogSpecTs: QuerySpec = QuerySpec.sql(
+    "q_catalog_spec_ts",
+    """WITH t AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         CAST(o_orderdate AS TIMESTAMP)
+      |           + INTERVAL 1 HOUR * CAST(o_orderkey % 24 AS INT) AS ts,
+      |         o_totalprice
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+      |    AND o_orderdate < TIMESTAMP '1995-04-01')
+      |SELECT strftime(ts, '%Y-%m-%d-%H') AS hr, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t
+      |WHERE ts >= TIMESTAMP '1995-03-05 06:00:00'
+      |  AND ts < TIMESTAMP '1995-03-25 18:00:00'
+      |  AND NOT (o_custkey % 10 = 0
+      |           AND ts < TIMESTAMP '1995-03-18 00:00:00')
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("specTs", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_stsfix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        val tbl = withCatalog(spark, b)
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(o_orderkey BIGINT, o_custkey BIGINT, ts TIMESTAMP,
+             | o_totalprice DOUBLE)
+             |PARTITIONED BY (hours(ts), bucket(8, o_custkey))
+             |TBLPROPERTIES ('transform.zone'='UTC')""".stripMargin)
+        graft.model.Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1995-03-01") &&
+            col("o_orderdate") < lit("1995-04-01"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            // session-independent instant (pure epoch arithmetic)
+            timestamp_seconds(
+              unix_date(col("o_orderdate").cast("date")) * 86400L +
+                (col("o_orderkey") % 24) * 3600L).as("ts"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("graft_sts_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_sts_feed " +
+          "WHERE ts < TIMESTAMP '1995-03-16 00:00:00'")
+        // era 2: coarser time grain — the evolve path inherits the
+        // table-pinned zone for days(ts) (`days(ts@UTC)` in spec.fields)
+        spark.sql(s"CALL graft_cat.system.evolve_spec(`table` => '$tbl', " +
+          "fields => 'days(ts),bucket(8,o_custkey)')")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_sts_feed " +
+          "WHERE ts >= TIMESTAMP '1995-03-16 00:00:00'")
+        // straddling COW DELETE: probes fold through BOTH eras' specs
+        spark.sql(s"DELETE FROM graft_cat.`$tbl` " +
+          "WHERE o_custkey % 10 = 0 AND ts < TIMESTAMP '1995-03-18 00:00:00'")
+        b
+      })
+    }
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT date_format(ts, 'yyyy-MM-dd-HH') AS hr, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl`
+         |WHERE ts >= TIMESTAMP '1995-03-05 06:00:00'
+         |  AND ts < TIMESTAMP '1995-03-25 18:00:00'
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 }

@@ -220,7 +220,7 @@ object MultiTableTxn {
 
   // ---------------------------------------------------------------- fixture
 
-  private val cache = scala.collection.mutable.Map[String, (String, String)]()
+  private[graft] val cache = scala.collection.mutable.Map[String, (String, String)]()
 
   /** Build-once pair of tables fed by ONE transaction: an orders fact
     * (first orderkey half at v1) and a per-year running aggregate table

@@ -205,6 +205,64 @@ class BranchSqlSpec extends AnyFunSuite {
       ._1 === 0)
   }
 
+  test("branch MoR DELETE: vector on the branch only, in-scan read, expiry-safe, fastForward carries it to main") {
+    val (base, tbl, t) = freshBranched("mor")
+    ManifestTable.setTableProperty(spark, base, "keyCol", "o_orderkey")
+    ManifestTable.setTableProperty(spark, base, "write.mode", "merge-on-read")
+    val mainV = ManifestTable.currentVersion(spark, base)
+    val forkEs = ManifestTable.branchEntries(spark, base, "stage").toSet
+    // translatable predicate: only a pushable DELETE reaches the
+    // SupportsDelete MoR route (a non-translatable one is a row-level
+    // group rewrite, COW by design)
+    spark.sql(s"""DELETE FROM graft_cat.`${tbl}$$branch_stage`
+      |WHERE o_year IN (1995, 1997)""".stripMargin)
+    // metadata-only: the branch head carries the fork's files UNCHANGED
+    // plus one vector marker; main holds neither a commit nor a vector
+    assert(ManifestTable.branchEntries(spark, base, "stage").toSet === forkEs,
+      "branch MoR DELETE must not rewrite any staged file")
+    assert(ManifestTable.pendingBranchDvRels(spark, base, "stage").size === 1)
+    assert(ManifestTable.currentVersion(spark, base) === mainV)
+    assert(ManifestTable.pendingDvRels(spark, base).isEmpty)
+    val expectBranch = t.filter(!col("o_year").isin(1995, 1997))
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`${tbl}$$branch_stage`")
+      .head.getLong(0) === expectBranch.count(),
+      "branch scan must apply the pending branch vector")
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`")
+      .head.getLong(0) === t.count(), "main must be untouched")
+    // a branch APPEND carries the marker (losing it would resurrect)
+    spark.sql(s"INSERT INTO graft_cat.`${tbl}$$branch_stage` " +
+      "VALUES (900000001, 1995, 42.0), (900000002, 1996, 43.0)")
+    assert(ManifestTable.pendingBranchDvRels(spark, base, "stage").size === 1,
+      "branch INSERT dropped the pending vector marker")
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`${tbl}$$branch_stage`")
+      .head.getLong(0) === expectBranch.count() + 2)
+    // COW verbs refuse under the pending branch vector, like main's
+    intercept[Exception] {
+      ManifestTable.optimizeBranch(spark, base, "stage", "o_year", 1)
+    }
+    intercept[Exception] {
+      ManifestTable.rebasePublish(spark, base, "stage")
+    }
+    // branch snapshot expiry + orphan sweep must keep the vector: the
+    // surviving head manifest references it
+    ManifestTable.expireBranchSnapshots(spark, base, "stage", keep = 1)
+    ManifestTable.removeOrphans(spark, base, olderThanMs = 0L)
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`${tbl}$$branch_stage`")
+      .head.getLong(0) === expectBranch.count() + 2,
+      "expiry/orphan sweep reclaimed a vector a surviving manifest references")
+    // fastForward publishes content AND the pending vector onto main
+    ManifestTable.fastForward(spark, base, "stage")
+    assert(ManifestTable.pendingDvRels(spark, base).size === 1,
+      "fastForward must carry the branch vector marker onto main")
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`")
+      .head.getLong(0) === expectBranch.count() + 2)
+    // the ordinary main purge folds it in; content unchanged
+    ManifestTable.purgeDeletes(spark, base, "o_orderkey", "o_year")
+    assert(ManifestTable.pendingDvRels(spark, base).isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`")
+      .head.getLong(0) === expectBranch.count() + 2)
+  }
+
   test("row-level SQL refuses on a bucket-layout branch") {
     val t = graft.model.Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))

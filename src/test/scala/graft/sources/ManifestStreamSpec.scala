@@ -111,6 +111,63 @@ class ManifestStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("maxFilesPerTrigger splits a giant CHANGE-FEED version too; replay preserves final state") {
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/mstream_cdfsplit_tbl"
+    val sink = s"${graft.Scratch.root}/mstream_cdfsplit_sink"
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    fs.delete(new org.apache.hadoop.fs.Path(sink), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$sink-ck"), true)
+    // v1: one file per year; v2: a COW DELETE touching EVERY year — its
+    // change images (delete preimages + insert postimages of all 7
+    // partitions) are the giant-version pathology in CDF form
+    ManifestTable.create(spark, base, t, "o_year")
+    ManifestTable.deleteWhere(spark, base, col("o_orderkey") % 3 === 0, "o_year")
+    val v2images = ManifestTable.entries(spark, base, 1).size +
+      ManifestTable.entries(spark, base, 2).size
+    assert(v2images >= 8, s"fixture needs a wide rewrite, got $v2images images")
+    val q = spark.readStream
+      .format("graft.sources.ManifestStreamProvider")
+      .schema(schema)
+      .option("changeFeed", "true")
+      .option("maxFilesPerTrigger", "3")
+      .load(base)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/batch=$id"); ()
+      }
+      .option("checkpointLocation", s"$sink-ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val all = spark.read.parquet(sink)
+    // the v2 image wave split across >= 2 micro-batches...
+    val v2batches = all.filter(col("_commit_version") === 2)
+      .select(col("batch").cast("long")).distinct().count()
+    assert(v2batches >= 2,
+      s"CDF admission did not split the wide version: $v2batches batch(es)")
+    // ...and no batch ever mixes commits
+    val mixed = all.groupBy(col("batch"))
+      .agg(countDistinct(col("_commit_version")).as("nv"))
+      .filter(col("nv") > 1).count()
+    assert(mixed === 0, "a CDF batch mixed commit versions")
+    // replaying the images in version order reproduces the final state
+    val dataCols = Seq("o_orderkey", "o_year", "o_totalprice").map(col)
+    val ins1 = all.filter(col("_commit_version") === 1 &&
+      col("_change_type") === "insert").select(dataCols: _*)
+    val del2 = all.filter(col("_commit_version") === 2 &&
+      col("_change_type") === "delete").select(dataCols: _*)
+    val ins2 = all.filter(col("_commit_version") === 2 &&
+      col("_change_type") === "insert").select(dataCols: _*)
+    val replayed = ins1.exceptAll(del2).unionAll(ins2)
+    val cur = ManifestTable.read(spark, base).select(dataCols: _*)
+    assert(replayed.exceptAll(cur).isEmpty && cur.exceptAll(replayed).isEmpty,
+      "split CDF replay diverged from the table's final state")
+  }
+
   test("catalog lists manifest tables, serves pruned scans, refuses rename") {
     // ensure at least one table exists under the scratch root
     val base = ManifestTable.mergedFixture(spark, sf)
@@ -539,6 +596,44 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(ManifestTable.pendingDvRels(spark, base2).isEmpty)
     assert(ManifestTable.entries(spark, base2, 2) !==
       ManifestTable.entries(spark, base2, 1))
+  }
+
+  test("in-scan DV pairs cache per (base, vectors): one load across scans, never stale across a commit") {
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/mor_dvcache_tbl"
+    new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    ManifestTable.create(spark, base, t, "o_year")
+    ManifestTable.setTableProperty(spark, base, "partCol", "o_year")
+    ManifestTable.setTableProperty(spark, base, "keyCol", "o_orderkey")
+    ManifestTable.setTableProperty(spark, base, "write.mode", "merge-on-read")
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", graft.Scratch.root)
+    spark.sql(s"DELETE FROM graft_cat.`mor_dvcache_tbl` WHERE o_year = 1996")
+    val expect1 = t.filter(col("o_year") =!= 1996).count()
+    val l0 = ManifestDvPairCache.loads
+    def scanCount(): Long =
+      spark.sql(s"SELECT count(*) FROM graft_cat.`mor_dvcache_tbl`")
+        .head.getLong(0)
+    assert(scanCount() === expect1)
+    val l1 = ManifestDvPairCache.loads
+    assert(l1 === l0 + 1, "first scan must load the vector once")
+    // second scan of the SAME vector state: zero physical reads
+    assert(scanCount() === expect1)
+    assert(ManifestDvPairCache.loads === l1,
+      "repeated scan of one MoR state must hit the cache")
+    // a new vector commit changes the key — the next scan reloads and
+    // sees BOTH vectors (no stale serve across the commit)
+    spark.sql(s"DELETE FROM graft_cat.`mor_dvcache_tbl` " +
+      "WHERE o_totalprice < 10000.0")
+    val expect2 = t.filter(col("o_year") =!= 1996 &&
+      col("o_totalprice") >= 10000.0).count()
+    assert(scanCount() === expect2)
+    assert(ManifestDvPairCache.loads === l1 + 1,
+      "the commit must miss the cache exactly once")
   }
 
   test("change feed across ADD COLUMN: every batch unifies to the union schema") {

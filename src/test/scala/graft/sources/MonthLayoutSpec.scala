@@ -45,6 +45,52 @@ class MonthLayoutSpec extends AnyFunSuite {
     (tbl, base)
   }
 
+  test("catalog INSERT clusters by the TRANSFORM value: one file per partition value") {
+    freshCatalog()
+    val tbl = "mlay_cluster"
+    val base = s"$root/$tbl"
+    dropDir(base)
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(o_orderkey BIGINT, o_totalprice DOUBLE)
+      |PARTITIONED BY (truncate(100, o_orderkey))""".stripMargin)
+    // a deliberately multi-partition source: identity clustering would
+    // land every band in EVERY task (tasks × bands files); clustering by
+    // the transform value must commit exactly one file per band
+    graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartition(4)
+      .createOrReplaceTempView("mlay_cl_src")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM mlay_cl_src")
+    val v = ManifestTable.currentVersion(spark, base)
+    val perPval = ManifestTable.entries(spark, base, v)
+      .groupBy(_._1).map { case (p, es) => p -> es.size }
+    assert(perPval.nonEmpty)
+    val sprawled = perPval.filter(_._2 > 1)
+    assert(sprawled.isEmpty,
+      s"INSERT wrote multiple files per band: ${sprawled.take(5)}")
+    // same pin for a multi-field spec with a time + bucket composite
+    val tbl2 = "mlay_cluster2"
+    val base2 = s"$root/$tbl2"
+    dropDir(base2)
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl2`
+      |(o_orderkey BIGINT, o_custkey BIGINT, o_orderdate DATE,
+      | o_totalprice DOUBLE)
+      |PARTITIONED BY (months(o_orderdate), bucket(8, o_custkey))""".stripMargin)
+    graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+      .repartition(4)
+      .createOrReplaceTempView("mlay_cl2_src")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl2` SELECT * FROM mlay_cl2_src")
+    val v2 = ManifestTable.currentVersion(spark, base2)
+    val sprawled2 = ManifestTable.entries(spark, base2, v2)
+      .groupBy(_._1).filter(_._2.size > 1)
+    assert(sprawled2.isEmpty,
+      s"multi-spec INSERT wrote multiple files per composite: " +
+        s"${sprawled2.keys.take(5)}")
+  }
+
   test("pvals are yyyy-MM and the Column form matches the per-row form") {
     val (_, base) = monthTable("shape")
     val v = ManifestTable.currentVersion(spark, base)

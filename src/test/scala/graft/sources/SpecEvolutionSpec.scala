@@ -268,10 +268,141 @@ class SpecEvolutionSpec extends AnyFunSuite {
     assert(gotFinal.exceptAll(expUpd).isEmpty && expUpd.exceptAll(gotFinal).isEmpty)
   }
 
+  test("TIMESTAMP spec fields: hours+bucket composes; zone rides in the field; session flips are no-ops across eras") {
+    freshCatalog()
+    val tbl = "sp2_ts"
+    val base = s"$root/$tbl"
+    dropDir(base)
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(k BIGINT, ts TIMESTAMP, v DOUBLE)
+      |PARTITIONED BY (hours(ts), bucket(4, k))""".stripMargin)
+    // the projection zone lands IN the serialized field (default UTC) —
+    // the era history will carry the writer's zone forever
+    assert(ManifestTable.tableProperties(spark, base)("spec.fields") ===
+      "hours(ts@UTC),bucket(4,k)")
+    import spark.implicits._
+    // 1995-03-01T00:00Z = epoch 794016000; 72 distinct hours over Mar 1-3
+    def feed(ks: Range, name: String): Unit =
+      ks.map(i => (i.toLong, 794016000L + (i % 72) * 3600L, i * 1.0))
+        .toDF("k", "sec", "v")
+        .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+        .createOrReplaceTempView(name)
+    feed(0 until 200, "sp2_ts_feed")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM sp2_ts_feed")
+    val v1 = ManifestTable.currentVersion(spark, base)
+    val pv1 = ManifestTable.entries(spark, base, v1).map(_._1).distinct.sorted
+    assert(pv1.nonEmpty &&
+      pv1.forall(_.matches("s1\\.1995-03-0[123]-\\d{2}~[0-3]")),
+      s"expected s1.yyyy-MM-dd-HH~<0-3>, got ${pv1.take(5)}")
+    def kept(where: String): (Int, Int, Long) = {
+      ManifestScanEvents.clear()
+      val n = spark.sql(
+        s"SELECT count(*) FROM graft_cat.`$tbl` WHERE $where").head.getLong(0)
+      val e = ManifestScanEvents.recent(base).last
+      (e.kept, e.total, n)
+    }
+    // zone-qualified literals denote INSTANTS — the probe means the same
+    // thing under any session zone
+    val whereTs = "ts >= TIMESTAMP '1995-03-02 00:00:00 UTC' AND " +
+      "ts < TIMESTAMP '1995-03-02 06:00:00 UTC'"
+    val before = kept(whereTs)
+    assert(before._1 < before._2 && before._3 > 0,
+      s"hour-range pruning should keep a strict subset: $before")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try {
+      // same INSERT under a flipped session zone writes the SAME pvals
+      spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM sp2_ts_feed")
+      val v2 = ManifestTable.currentVersion(spark, base)
+      val pv2 = ManifestTable.entries(spark, base, v2).map(_._1).distinct.sorted
+      assert(pv2 === pv1, "session zone moved rows between partitions")
+      // and prunes/counts exactly as the UTC session did — the second
+      // insert adds one file per touched pval, so kept/total double in
+      // lockstep (the probe counts file entries)
+      val after = kept(whereTs)
+      assert(after._1 === 2 * before._1 && after._2 === 2 * before._2 &&
+        after._3 === 2 * before._3,
+        s"session zone changed pruning: $before vs $after")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // EVOLUTION to a coarser grain: the evolve path stamps the pinned
+    // zone too, and the era history keeps the writer's projection
+    spark.sql(s"CALL graft_cat.system.evolve_spec(`table` => '$tbl', " +
+      "fields => 'days(ts),bucket(4,k)')")
+    val props = ManifestTable.tableProperties(spark, base)
+    assert(props("spec.fields") === "days(ts@UTC),bucket(4,k)")
+    assert(props("spec.hist.1") === "hours(ts@UTC),bucket(4,k)")
+    feed(1000 until 1200, "sp2_ts_feed2")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM sp2_ts_feed2")
+    val v3 = ManifestTable.currentVersion(spark, base)
+    val era2 = ManifestTable.entries(spark, base, v3).map(_._1)
+      .filter(_.startsWith("s2.")).distinct
+    assert(era2.nonEmpty &&
+      era2.forall(_.matches("s2\\.1995-03-0[123]~[0-3]")),
+      s"expected s2.yyyy-MM-dd~<0-3>, got ${era2.take(5)}")
+    // the straddling probe prunes era 1 by hour and era 2 by day, and a
+    // session flip still changes nothing
+    val mixedB = kept(whereTs)
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try {
+      val mixedA = kept(whereTs)
+      assert(mixedA === mixedB,
+        s"session zone changed mixed-era pruning: $mixedB vs $mixedA")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Mar 2 00:00-06:00 is hour index 24..29 of the feed
+    assert(mixedB._1 < mixedB._2 && mixedB._3 === 2 * before._3 +
+      (1000 until 1200).count(i => i % 72 >= 24 && i % 72 < 30))
+  }
+
+  test("TIMESTAMP spec fields: a NAMED pinned zone shifts pvals, not results; ranges stay inclusive") {
+    freshCatalog()
+    val tbl = "sp2_tsz"
+    val base = s"$root/$tbl"
+    dropDir(base)
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(k BIGINT, ts TIMESTAMP, v DOUBLE)
+      |PARTITIONED BY (hours(ts), bucket(4, k))
+      |TBLPROPERTIES ('transform.zone'='Asia/Tokyo')""".stripMargin)
+    assert(ManifestTable.tableProperties(spark, base)("spec.fields") ===
+      "hours(ts@Asia/Tokyo),bucket(4,k)")
+    import spark.implicits._
+    (0 until 96).map(i => (i.toLong, 794016000L + (i % 48) * 3600L, i * 1.0))
+      .toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+      .createOrReplaceTempView("sp2_tsz_feed")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM sp2_tsz_feed")
+    val v1 = ManifestTable.currentVersion(spark, base)
+    val pvals = ManifestTable.entries(spark, base, v1).map(_._1).distinct
+    // 1995-03-01T00:00Z is 09:00 in Tokyo (+09:00, no DST in 1995); the
+    // last feed hour, Mar 2 23:00Z, is Mar 3 08:00 Tokyo
+    val hours = pvals.map(_.stripPrefix("s1.").split("~")(0)).distinct.sorted
+    assert(hours.head === "1995-03-01-09" && hours.last === "1995-03-03-08",
+      s"Tokyo projection expected 03-01-09..03-03-08, got " +
+        s"${hours.head}..${hours.last}")
+    def kept(where: String): (Int, Int, Long) = {
+      ManifestScanEvents.clear()
+      val n = spark.sql(
+        s"SELECT count(*) FROM graft_cat.`$tbl` WHERE $where").head.getLong(0)
+      val e = ManifestScanEvents.recent(base).last
+      (e.kept, e.total, n)
+    }
+    // POINT pruning projects the literal through the pinned zone — one
+    // Tokyo hour survives (×2 rows = 2 buckets at most)
+    val pt = kept("ts = TIMESTAMP '1995-03-01 05:00:00 UTC'")
+    assert(pt._1 <= 2 && pt._1 < pt._2 && pt._3 === 2,
+      s"point probe should prune to one Tokyo hour: $pt")
+    // RANGE pruning over a NAMED zone is off (inclusive — row-level
+    // re-filter keeps the result exact)
+    val rg = kept("ts >= TIMESTAMP '1995-03-01 00:00:00 UTC' AND " +
+      "ts < TIMESTAMP '1995-03-01 06:00:00 UTC'")
+    assert(rg._1 === rg._2, s"named-zone range must keep all (inclusive): $rg")
+    assert(rg._3 === 12, s"range result wrong under named zone: $rg")
+  }
+
   test("escapeComponent: per-row and Column forms agree; injective; path-stable") {
     val tricky = Seq("", "plain", "a~b", "x%y", "dot.dot", "sp ace",
       "slash/eq=", "uni-日本-Ж", "s1.fake", "star*plus+", "q?hash#colon:",
-      "quote'dq\"back\\", "tab\there", "-_.~", "%2E", "100")
+      "quote'dq\"back\\", "tab\there", "-_.~", "%2E", "100",
+      // astral (non-BMP) values: surrogate pairs must never split
+      "emoji-🦀x", "🎉🦀tail")
     import spark.implicits._
     val viaCol = tricky.toDF("s")
       .select(GraftSpec.escapeComponentCol(col("s")))
@@ -291,6 +422,35 @@ class SpecEvolutionSpec extends AnyFunSuite {
       assert(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .escapePathName(e) === e, s"path escaping would rewrite '$e'")
     }
+  }
+
+  test("string truncate counts CODE POINTS: per-row and Column forms agree on astral values") {
+    import spark.implicits._
+    // '🦀' is one code point / two UTF-16 code units: a code-unit take(2)
+    // on "🦀🎉ab" would split the second pair; Spark's substring counts
+    // code points — both forms must agree and never emit a lone surrogate
+    val vals = Seq("🦀🎉ab", "a🦀b🎉", "🎉", "ab", "日🦀本", "")
+    for (w <- Seq(1, 2, 3)) {
+      val t = GraftTransform("truncate", w)
+      val perRow = vals.map(t.pvalOfString)
+      val viaCol = vals.toDF("s")
+        .select(t.pvalColumn(col("s"),
+          org.apache.spark.sql.types.StringType))
+        .collect().map(_.getString(0)).toSeq
+      assert(perRow === viaCol, s"width $w: per-row vs Column diverged")
+      perRow.foreach { p =>
+        // no lone surrogate: escaping the truncated value must round-trip
+        assert(GraftSpec.unescapeComponent(GraftSpec.escapeComponent(p)) === p)
+      }
+    }
+    // the escaped composite forms agree too (TruncField end-to-end)
+    val f = TruncField(2, "s")
+    val perRow2 = vals.map(v => f.pvalOf(
+      org.apache.spark.sql.types.StringType, 0L, 0, v))
+    val viaCol2 = vals.toDF("s")
+      .select(f.pvalColumn(col("s"), org.apache.spark.sql.types.StringType))
+      .collect().map(_.getString(0)).toSeq
+    assert(perRow2 === viaCol2)
   }
 
   test("STRING spec sources: tricky values round-trip, prune, DELETE, evolve") {
@@ -349,10 +509,12 @@ class SpecEvolutionSpec extends AnyFunSuite {
     assert(kBoth <= kTag && nBoth === src.filter(
       col("tag").isin("a~b", "x%y") && col("k") === 10).count())
     assert(kTag < totB)
-    // a RANGE on the string field never prunes (escaping breaks order)
-    // but stays correct via the row-level re-filter
+    // a RANGE on the string field can't prune through ESCAPED pvals
+    // (escaping breaks order) — but the auto-indexed RAW min/max sidecar
+    // (`v<N>.sstats.tag`, refreshed by every commit) skips files whose
+    // raw range can't intersect, and the row-level re-filter stays exact
     val (kR, totR, nR) = kept("tag >= 'sp' AND tag < 'sq'")
-    assert(kR === totR, s"string range must keep all: $kR/$totR")
+    assert(kR < totR, s"string-range sidecar pruning failed: $kR/$totR")
     assert(nR === src.filter(col("tag") >= "sp" && col("tag") < "sq").count())
     // COW DELETE keyed on the separator-holding value erases exactly it
     spark.sql(s"DELETE FROM graft_cat.`$tbl` WHERE tag = 'a~b'")

@@ -24,11 +24,21 @@ reps = r.get("reps")
 if not reps:
     raise SystemExit("artifact has no 'reps' — run Bench with SPARK_GRAFT_REP_TIMES=1")
 rows = []
+skipped = []
 for q, ts in reps.items():
+    # rep 1 must itself have succeeded: if it failed, a later (cache-warm)
+    # rep would silently take the fixture-bearing slot and misreport the
+    # query's fixture cost as ~0 — flag it instead
+    if not ts or ts[0] < 0:
+        skipped.append(q)
+        continue
     ok = [t for t in ts if t >= 0]
     if len(ok) < 2:
         continue
     rows.append((q, ok[0], min(ok[1:]), ok[0] - min(ok[1:])))
+if skipped:
+    print(f"WARNING: rep 1 failed for {len(skipped)} queries (fixture share "
+          f"unknown): {', '.join(sorted(skipped))}")
 rows.sort(key=lambda x: -x[3])
 tot_fix = sum(x[3] for x in rows if x[3] > 0)
 tot_min = sum(min(x[1], x[2]) for x in rows)
