@@ -1547,14 +1547,7 @@ final class ManifestReplaceGroups(base: String, schema: StructType,
       s"row-level write under $base: the operation's scan never planned, so " +
         "the read set (groups to replace) is unknown — refusing to commit"))
     val next = ManifestTable.currentVersion(spark, base) + 1
-    val moved = staged.map { case (pval, abs) =>
-      val destDir = new Path(base, s"files/v$next/p=$pval")
-      fs.mkdirs(destDir)
-      val dest = new Path(destDir, new Path(abs).getName)
-      if (!fs.rename(new Path(abs), dest))
-        throw new java.io.IOException(s"replace move failed: $abs")
-      (pval, s"files/v$next/p=$pval/${dest.getName}")
-    }
+    val moved = ManifestTable.moveStagedFiles(fs, base, next, staged, "replace")
     // staged rows were computed from the snapshot the scan planned against
     // (readV): the retrying commit rebases over concurrent commits into
     // OTHER groups and fails loudly when a replaced group changed
@@ -1782,8 +1775,19 @@ final class ManifestDeltaWriter(base: String, rowSchema: StructType,
     .optional(PrimitiveType.PrimitiveTypeName.BINARY)
     .as(LogicalTypeAnnotation.stringType()).named("__pval")
     .named("graft_dv")
-  private lazy val dvWriter = ExampleParquetWriter.builder(new Path(fragPath))
-    .withConf(new Configuration()).withType(dvType).build()
+  // local fragments skip the Hadoop checksum-FS layer (same fast path
+  // as ManifestSinkWriter — a writer lifecycle is 1.7 ms, not 14.5 ms)
+  private lazy val dvWriter = {
+    val b =
+      if (fragPath.contains("://"))
+        ExampleParquetWriter.builder(new Path(fragPath))
+      else {
+        new java.io.File(fragPath).getParentFile.mkdirs()
+        ExampleParquetWriter.builder(new org.apache.parquet.io
+          .LocalOutputFile(java.nio.file.Paths.get(fragPath)))
+      }
+    b.withConf(new Configuration()).withType(dvType).build()
+  }
   private val dvFactory = new SimpleGroupFactory(dvType)
   private var wroteDv = false
   private val delPvals = scala.collection.mutable.Set[String]()
@@ -3977,9 +3981,22 @@ final class ManifestSinkWriter(base: String, schema: StructType,
       paths(pval) = p
       // writerConf is shared across this task's per-pval writers: a wide
       // write opens one writer per partition value, and a fresh
-      // Configuration per writer costs XML parsing per PARTITION
-      ExampleParquetWriter.builder(new Path(p)).withConf(writerConf)
-        .withType(msgType).build()
+      // Configuration per writer costs XML parsing per PARTITION.
+      // LOCAL staging bypasses the Hadoop checksum-FS stream stack
+      // (LocalOutputFile): a writer LIFECYCLE drops 14.5 ms -> 1.7 ms,
+      // which is the dominant cost of a wide layout's write (6000
+      // truncate bands = 6000 writers); schemeful paths (hdfs://,
+      // s3a://) keep the Hadoop route — the fast path is local-only.
+      val b =
+        if (p.contains("://"))
+          ExampleParquetWriter.builder(new Path(p))
+        else {
+          // nio streams don't create parents the way Hadoop create() does
+          new java.io.File(p).getParentFile.mkdirs()
+          ExampleParquetWriter.builder(new org.apache.parquet.io
+            .LocalOutputFile(java.nio.file.Paths.get(p)))
+        }
+      b.withConf(writerConf).withType(msgType).build()
     })
     val g = factory.newGroup()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
@@ -4032,14 +4049,7 @@ final class ManifestBatchAppend(base: String, schema: StructType, partCol: Strin
     val hasCommits = glob != null && glob.nonEmpty
     val readV = if (hasCommits) ManifestTable.currentVersion(spark, base) else 0
     val next = readV + 1
-    val moved = staged.map { case (pval, abs) =>
-      val destDir = new Path(base, s"files/v$next/p=$pval")
-      fs.mkdirs(destDir)
-      val dest = new Path(destDir, new Path(abs).getName)
-      if (!fs.rename(new Path(abs), dest))
-        throw new java.io.IOException(s"insert move failed: $abs")
-      (pval, s"files/v$next/p=$pval/${dest.getName}")
-    }
+    val moved = ManifestTable.moveStagedFiles(fs, base, next, staged, "insert")
     // an INSERT is a pure append: losing the version race to a concurrent
     // writer rebases onto the winner's entries and retries (the dest dir's
     // version name is bookkeeping — entries are paths). A first write to
