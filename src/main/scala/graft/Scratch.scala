@@ -38,7 +38,10 @@ object Scratch {
     if (!root.isDirectory) s"p${ProcessHandle.current().pid()}"
     else {
       def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+        if (f.isDirectory)
+          // listFiles() is null on an IO/permission error — treat as empty
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .toSeq.sortBy(_.getName).flatMap(walk)
         else if (f.getName.endsWith(".class")) Seq(f)
         else Seq.empty
       val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -1133,16 +1133,85 @@ object Ann {
     annProbedSearch(spark, dir, tbl, nProbe, topK)
   }
 
+  /** PERSISTENT ANN INDEX — the whole IVF index state (coarse centroids
+    * AND cell assignments) lives as MANIFEST TABLES in the engine's own
+    * format, and every maintenance round REOPENS the quantizer from its
+    * table instead of carrying it through driver lineage: the FAISS
+    * operational model where training state is a versioned artifact a
+    * later session loads, not a per-job recomputation. At 100 TB this is
+    * what amortizes training — the quantizer trains once, commits, and
+    * every ingest session (here: two separate maintenance rounds, each
+    * reopening the centroid table cold, committing v2..v4 on the index)
+    * pays only O(|batch|·cells). The final probed search also loads the
+    * quantizer from the table. Oracle = [[annIncremental]]'s full
+    * rebuild: reopened state must be indistinguishable from retraining. */
+  private[sim] def annPersistFixture(spark: SparkSession, dir: String): String =
+    annFixCache.synchronized {
+      annFixCache.getOrElseUpdate(s"$dir#persist", {
+        import graft.sources.ManifestTable
+        val tbl =
+          s"${graft.Scratch.root}/ann_persist_${graft.Scratch.dirToken(dir)}"
+        val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+        val bpos = annMicro(e.filter(col("vec_id") >= 20)).localCheckpoint()
+        val seed = bpos.filter(col("vec_id") < 24)
+          .select(col("vec_id").as("cell"), col("jg"), col("x").as("c"))
+        val a1 = annNearestCell(annCellDist(seed, bpos))
+        val cents = a1.join(bpos, Seq("vec_id"))
+          .groupBy(col("cell"), col("jg")).agg(expr("sum(x) div count(1)").as("c"))
+        // the quantizer commits as ITS OWN manifest table (versioned
+        // training state, cell-partitioned like the index)
+        ManifestTable.create(spark, s"$tbl-cents", cents, "cell")
+        // reopened-from-table quantizer — every use below loads it cold
+        def frozen(): DataFrame = ManifestTable.read(spark, s"$tbl-cents")
+        val baseAssigned = e.filter(col("vec_id") >= 20)
+          .join(annNearestCell(annCellDist(frozen(), bpos)), Seq("vec_id"))
+        ManifestTable.create(spark, tbl, baseAssigned, "cell")
+        // maintenance round 1 (a "second session"): 10 inserts + 5
+        // negated replacements, assigned under the REOPENED quantizer;
+        // relocation-safe delete + merge commits v2, v3
+        val b1 = e.filter(col("vec_id") < 10)
+          .unionByName(e.filter(col("vec_id") >= 20 && col("vec_id") < 25)
+            .withColumn("embedding", transform(col("embedding"), x => -x)))
+        val b1a = b1.join(
+          annNearestCell(annCellDist(frozen(), annMicro(b1))), Seq("vec_id"))
+        ManifestTable.deleteWhere(spark, tbl,
+          col("vec_id").between(20, 24), "cell")
+        ManifestTable.merge(spark, tbl, b1a, "vec_id", "cell")
+        // maintenance round 2 (a "third session"): pure inserts, the
+        // quantizer reopened again — the index is now two JVM-level
+        // maintenance generations away from training
+        val b2 = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        val b2a = b2.join(
+          annNearestCell(annCellDist(frozen(), annMicro(b2))), Seq("vec_id"))
+        ManifestTable.merge(spark, tbl, b2a, "vec_id", "cell")
+        tbl
+      })
+    }
+
+  val annPersistent: QuerySpec = QuerySpec.sql(
+    "q_ann_persistent",
+    annIncremental.oracle.get) { (spark, dir) =>
+    import graft.sources.ManifestTable
+    val tbl = annPersistFixture(spark, dir)
+    // the search loads the quantizer from ITS table too — nothing about
+    // the index survives in driver memory
+    annProbedSearch(spark, dir, tbl, nProbe = 2, topK = 5,
+      centsOf = Some(() => ManifestTable.read(spark, s"$tbl-cents")))
+  }
+
   /** Probed IVF search against a cell-partitioned manifest table: pick
     * each query's `nProbe` nearest frozen centroids (staged at
     * `<tbl>-cents`), read exactly those cells' files, exact integer L2
     * in-cell, top-`topK`. Shared by the batch ([[annIncremental]]) and
     * streaming ([[streamAnn]]) maintenance queries — both must converge
-    * to a state this search cannot distinguish from a full rebuild. */
+    * to a state this search cannot distinguish from a full rebuild.
+    * `centsOf` overrides the quantizer source ([[annPersistent]] loads
+    * it from its manifest table). */
   private def annProbedSearch(spark: SparkSession, dir: String, tbl: String,
-      nProbe: Int, topK: Int): DataFrame = {
+      nProbe: Int, topK: Int,
+      centsOf: Option[() => DataFrame] = None): DataFrame = {
     import graft.sources.ManifestTable
-    val cents = spark.read.parquet(s"$tbl-cents")
+    val cents = centsOf.map(_()).getOrElse(spark.read.parquet(s"$tbl-cents"))
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val queries = annMicro(e.filter(col("vec_id") < 3)).localCheckpoint()
     val wp = Window.partitionBy(col("vec_id")).orderBy(col("d").asc, col("cell").asc)
@@ -1321,5 +1390,5 @@ object Ann {
   val all: Seq[QuerySpec] =
     Seq(annCosine, annIvf, embeddingNearDup, embeddingClusters, annLsh, kmeansStep,
       pqAnn, pqTrain, ivfPqAnn, hybridSearch, semDedup, annIncremental,
-      streamAnn, randomProj)
+      streamAnn, annPersistent, randomProj)
 }

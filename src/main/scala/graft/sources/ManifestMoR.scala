@@ -295,7 +295,7 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
       s"updateWhereMoR under $base requires an all-relative manifest — " +
         "borrowed (clone) entries carry foreign dir versions the fence " +
         "cannot interpret; purge or materialize the clone first")
-    val cut = readV + 1
+    val cut = cutFor(spark, base, readV)
     val rel = s"_dv/d-${java.util.UUID.randomUUID}"
     val dvPath = s"$base/$rel"
     val fs = fsOf(spark, new Path(base))
@@ -351,6 +351,44 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
       }
     }
     true // unreachable
+  }
+
+  /** Highest dir version among a snapshot's entries — the number a NEW
+    * version fence must clear to hide every pre-existing file. On a
+    * pure-main history this is ≤ the manifest version (staged dirs never
+    * outrun the landing version), but a fastForward can publish a
+    * branch's files — and a pending-cut floor can stage appends — at dir
+    * numbers AHEAD of main's, so fences compute from the entries, never
+    * from version arithmetic alone. */
+  private[sources] def maxDirVersion(es: Seq[(String, String)]): Int =
+    if (es.isEmpty) 0 else es.map { case (_, rel) => dirVersionOf(rel) }.max
+
+  /** The version fence for a NEW update vector read at `readV`: above
+    * the read version AND above every pre-existing file's dir version
+    * (staged copies go AT the cut; everything already committed must
+    * fall below it). */
+  private[sources] def cutFor(spark: SparkSession, base: String, readV: Int): Int =
+    math.max(readV + 1, maxDirVersion(entries(spark, base, readV)) + 1)
+
+  /** Smallest dir version NEW FILES may stage at while vectors are
+    * pending: at-or-above every FINITE cut (strict-< fence → at-cut is
+    * safe), so no carried update vector — e.g. one fastForward published
+    * from a branch whose numbering ran ahead of main's — can hide a
+    * freshly appended row that happens to share a recorded
+    * (key, partition) pair. Delete-only vectors (cut = MaxValue) are
+    * excluded: they hide by pair identity at any version, by design. */
+  private[sources] def stageFloor(spark: SparkSession, base: String): Int = {
+    val cuts = pendingDvRels(spark, base)
+      .map(dvCutOf(spark, base, _)).filter(_ != Int.MaxValue)
+    if (cuts.isEmpty) 0 else cuts.max
+  }
+
+  /** [[stageFloor]] over a BRANCH head's pending vectors. */
+  private[sources] def stageFloorBranch(spark: SparkSession, base: String,
+      name: String): Int = {
+    val cuts = pendingBranchDvRels(spark, base, name)
+      .map(dvCutOf(spark, base, _)).filter(_ != Int.MaxValue)
+    if (cuts.isEmpty) 0 else cuts.max
   }
 
   /** The dir version a manifest entry's file was staged under

@@ -104,7 +104,23 @@ private[sources] trait ManifestRefs { this: ManifestTable.type =>
     fs.delete(p, false)
   }
 
-  private def branchManifestName(name: String, v: Int) = s"branch-$name-v$v.manifest"
+  private[sources] def branchManifestName(name: String, v: Int) =
+    s"branch-$name-v$v.manifest"
+
+  /** Entries of one committed BRANCH version. */
+  private[sources] def branchEntriesAt(spark: SparkSession, base: String,
+      name: String, v: Int): Seq[(String, String)] =
+    entriesAt(spark, new Path(manifestDir(base), branchManifestName(name, v)))
+
+  /** [[cutFor]] against a BRANCH head: above the head AND above every
+    * dir version the head references. Fork files carry MAIN dir numbers
+    * (≤ fork ≤ head on plain histories, but possibly ahead of the
+    * branch counter after floored appends), so the entry-derived max is
+    * the only safe floor. */
+  private[sources] def cutForBranch(spark: SparkSession, base: String,
+      name: String, readHead: Int): Int =
+    math.max(readHead + 1,
+      maxDirVersion(branchEntriesAt(spark, base, name, readHead)) + 1)
 
   /** Committed versions of a branch, ascending (empty = no such branch).
     * The LOWEST is the fork point (main's version when the branch was
@@ -384,8 +400,12 @@ private[sources] trait ManifestRefs { this: ManifestTable.type =>
     val head0 = branchVersions(spark, base, name)
     require(head0.nonEmpty, s"no branch named $name under $base")
     // staged under files/v<headv+1>/ — a shared root like every staged
-    // write here; entries are paths, the dir name is bookkeeping
-    val newFiles = writeSnapshotFiles(spark, base, head0.last + 1, df, partCol)
+    // write here; entries are paths, the dir name is bookkeeping —
+    // floored at-or-above every pending branch vector's finite cut so a
+    // pending branch UPDATE fence can never hide the appended rows
+    val newFiles = writeSnapshotFiles(spark, base,
+      math.max(head0.last + 1, stageFloorBranch(spark, base, name)),
+      df, partCol)
     var attempt = 0
     while (true) {
       attempt += 1

@@ -227,9 +227,13 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       Some(text.split("\n").filter(_.nonEmpty).map { line =>
         val f = line.split("\t", -1)
-        (f(0), if (f(1) == "-") None else Some((
-          java.net.URLDecoder.decode(f(1), "UTF-8"),
-          java.net.URLDecoder.decode(f(2), "UTF-8"))))
+        // value fields carry an unambiguous '=' prefix (URLEncoder
+        // never emits a raw '=', it escapes to %3D) — a file whose
+        // actual min IS the literal string "-" must not read back as
+        // the all-NULL marker and silently prune (lost rows)
+        (f(0), if (f.length < 3 || !f(1).startsWith("=")) None else Some((
+          java.net.URLDecoder.decode(f(1).substring(1), "UTF-8"),
+          java.net.URLDecoder.decode(f(2).substring(1), "UTF-8"))))
       }.toMap)
     }
   }
@@ -240,7 +244,10 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val lines = es.map { case (_, rel) =>
       stats.getOrElse(rel, None) match {
-        case Some((mn, mx)) => s"$rel\t${enc(mn)}\t${enc(mx)}"
+        // '=' prefix disambiguates values from the null marker: an
+        // encoded value can never start with a raw '=' (URLEncoder
+        // escapes it to %3D), so "=-" is the value "-" and "-" is NULL
+        case Some((mn, mx)) => s"$rel\t=${enc(mn)}\t=${enc(mx)}"
         case None => s"$rel\t-\t-"
       }
     }
@@ -322,6 +329,39 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     } yield fd.name).distinct
   }
 
+  /** TIMESTAMP source columns of the table's time layouts (the single
+    * transform and every spec era): auto-indexed in the NUMERIC stats
+    * sidecar as per-file INSTANT (epoch-second) min/max. This recovers
+    * range file-skipping where wall-clock pvals cannot prune — under a
+    * NAMED zone a DST fall-back makes the pval non-monotone in the
+    * instant, so partition-grain range pruning is deliberately inclusive
+    * there (`GraftTransform.keepPredicate`); the instant itself is
+    * monotone under every zone, so the sidecar skips at FILE grain
+    * regardless. Seconds (the long cast) floor the true micros — the
+    * skipping side folds timestamp bounds inclusively to stay safe. */
+  private def timestampSpecCols(spark: SparkSession, base: String): Seq[String] = {
+    val props = tableProperties(spark, base)
+    val schemaOpt = props.get("schema").map(ManifestSchemaProp.parse)
+    def tsName(c: String): Option[String] = for {
+      s <- schemaOpt
+      fd <- s.fields.find(_.name.equalsIgnoreCase(c))
+      if fd.dataType == org.apache.spark.sql.types.TimestampType
+    } yield fd.name
+    val single = for {
+      _ <- GraftTransform.fromProps(props).toSeq
+      pc <- props.get("partCol").toSeq
+      n <- tsName(pc)
+    } yield n
+    val specs = GraftSpec.fromProps(props).toSeq ++ GraftSpec.history(props).values
+    val multi = for {
+      sp <- specs
+      f <- sp.fields
+      if f.isInstanceOf[TimeField]
+      n <- tsName(f.col)
+    } yield n
+    (single ++ multi).distinct
+  }
+
   /** Every stat column indexed at any prior (or the current) version is
     * incrementally refreshed for the new snapshot. Called by each verb
     * IMMEDIATELY AFTER its commit rename: the sidecar is part of the
@@ -332,7 +372,11 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
   private[sources] def refreshAllStats(spark: SparkSession, base: String): Unit = {
     val v = currentVersion(spark, base)
     val prior = versions(spark, base).filter(_ < v)
-    prior.flatMap(pv => statCols(spark, base, pv))
+    // numeric stats: carry indexed columns forward AND auto-index the
+    // time layouts' TIMESTAMP source columns (instant min/max — the only
+    // range-skipping path for named-zone transforms)
+    (prior.flatMap(pv => statCols(spark, base, pv)) ++
+      timestampSpecCols(spark, base))
       .distinct.foreach(c => refreshStats(spark, base, c))
     // bloom sidecars ride the same commit path: once a column is
     // bloom-indexed, every verb keeps its filter fresh incrementally

@@ -265,9 +265,35 @@ final class ManifestStreamTable(schema: StructType, base: String,
   // the column as NULL via the name-resolving reader); type changes
   // still refuse loudly in alterTable's default arm
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+    if (v1FallbackWrite)
+      // bare-provider batch writes into transform layouts take a V1
+      // fallback (engine-owned pval clustering — see newWriteBuilder).
+      // BOTH write capabilities are declared: DataFrameWriter.save()
+      // requires literal BATCH_WRITE to take the DSv2 append path at
+      // all, and V1_BATCH_WRITE tells the strategy to expect (and
+      // obliges the builder to return) a V1Write — declared only on the
+      // instances whose builder actually does.
+      util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE,
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+    else util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ,
       TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+
+  /** True iff this instance is the BARE provider's view of a
+    * transform/multi-spec table — the one case whose batch write is the
+    * V1 fallback (see [[newWriteBuilder]]). Catalog instances and
+    * identity/bucket layouts keep the V2 path. Latched once per
+    * instance so capabilities() and the builder can never disagree. */
+  private lazy val v1FallbackWrite: Boolean =
+    !fromCatalog && {
+      val props = ManifestTable.tableProperties(
+        org.apache.spark.sql.SparkSession.active, base)
+      GraftTransform.fromProps(props).isDefined ||
+        GraftSpec.fromProps(props).isDefined
+    }
 
   /** CHECK constraints from the `constraint.<name>` table properties,
     * reported ENFORCED + VALID: Spark's own analyzer
@@ -327,7 +353,41 @@ final class ManifestStreamTable(schema: StructType, base: String,
         GraftSpec.fromProps(ManifestTable.tableProperties(
           org.apache.spark.sql.SparkSession.active, base))
       override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.Write
+        if (v1FallbackWrite)
+          // BARE-PROVIDER path into a transform/multi-spec layout: the
+          // connector cannot request transform-value clustering here
+          // (resolving `truncate(w,c)`/`days(c)` in a required
+          // distribution needs a FunctionCatalog, which a provider-path
+          // relation never carries), and the identity fallback re-creates
+          // tasks × pvals small-file sprawl on wide layouts. BATCH writes
+          // therefore take the V1 fallback: the engine owns the shuffle
+          // ([[ManifestTable.insertClustered]] repartitions on the
+          // computed pval — one file per partition value, the same layout
+          // the catalog path's clustered distribution produces).
+          // STREAMING has no V1 fallback; a streamed transform layout
+          // should write through the catalog (`.toTable`) — the epoch
+          // path still works here, identity-clustered.
+          new org.apache.spark.sql.connector.write.V1Write {
+            override def toInsertableRelation
+                : org.apache.spark.sql.sources.InsertableRelation =
+              new org.apache.spark.sql.sources.InsertableRelation {
+                override def insert(data: org.apache.spark.sql.DataFrame,
+                    overwrite: Boolean): Unit = {
+                  require(!overwrite,
+                    s"bare-provider manifest write under $base is append-only")
+                  ManifestTable.insertClustered(
+                    org.apache.spark.sql.SparkSession.active, base, data,
+                    partCol)
+                }
+              }
+            override def toStreaming
+                : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+              new ManifestStreamingWrite(base, info.schema(), partCol,
+                info.queryId(),
+                Option(info.options.get("branch")), bucketN, transformOf,
+                multiOf)
+          }
+        else new org.apache.spark.sql.connector.write.Write
             with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
           // request rows CLUSTERED by the layout before the write: each
           // partition value (bucket id, transform value, spec composite)
@@ -336,7 +396,8 @@ final class ManifestStreamTable(schema: StructType, base: String,
           // small-files problem solved where Delta/Iceberg solve it, in
           // the writer's required distribution. Transform-function
           // clustering needs the catalog's FunctionCatalog, so the bare
-          // provider path falls back to bucket/identity.
+          // provider path falls back to bucket/identity (and batch
+          // transform layouts take the V1 branch above).
           override def requiredDistribution()
               : org.apache.spark.sql.connector.distributions.Distribution =
             org.apache.spark.sql.connector.distributions.Distributions.clustered(
@@ -1309,6 +1370,22 @@ private[sources] object ManifestFileSkipping {
     case _ => None
   }
 
+  /** A pushed TIMESTAMP literal as FLOORED epoch seconds — the unit the
+    * auto-indexed instant sidecars store (`cast("long")` on a timestamp).
+    * Flooring makes strict bounds unsafe to tighten, so the range fold
+    * treats these INCLUSIVELY (over-keep, never lose). */
+  private def tsSeconds(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.toInstant.getEpochSecond)
+    case i: java.time.Instant => Some(i.getEpochSecond)
+    case _ => None
+  }
+
+  /** (floored long value, exact?) of a literal a stats sidecar can
+    * range-compare: integral literals compare exactly (strict bounds may
+    * tighten by 1), timestamp literals only inclusively. */
+  private def statBound(v: Any): Option[(Long, Boolean)] =
+    numeric(v).map((_, true)).orElse(tsSeconds(v).map((_, false)))
+
   /** Can this filter prune FILES for this table? — it compares the layout
     * column, or ranges a stats-indexed column, or equality-probes a
     * bloom-indexed column (sidecars resolved at the scanned version). */
@@ -1324,17 +1401,17 @@ private[sources] object ManifestFileSkipping {
     def sRange(a: String, x: Any) = x.isInstanceOf[String] && sstat(a.toLowerCase)
     f match {
       case EqualTo(a, x) =>
-        onLayout(a) || (numeric(x).isDefined &&
-          (stat(a.toLowerCase) || bloom(a.toLowerCase))) || sRange(a, x)
+        onLayout(a) || (numeric(x).isDefined && bloom(a.toLowerCase)) ||
+          (statBound(x).isDefined && stat(a.toLowerCase)) || sRange(a, x)
       case In(a, _) => onLayout(a)
       case GreaterThan(a, x) => onLayout(a) ||
-        (numeric(x).isDefined && stat(a.toLowerCase)) || sRange(a, x)
+        (statBound(x).isDefined && stat(a.toLowerCase)) || sRange(a, x)
       case GreaterThanOrEqual(a, x) => onLayout(a) ||
-        (numeric(x).isDefined && stat(a.toLowerCase)) || sRange(a, x)
+        (statBound(x).isDefined && stat(a.toLowerCase)) || sRange(a, x)
       case LessThan(a, x) => onLayout(a) ||
-        (numeric(x).isDefined && stat(a.toLowerCase)) || sRange(a, x)
+        (statBound(x).isDefined && stat(a.toLowerCase)) || sRange(a, x)
       case LessThanOrEqual(a, x) => onLayout(a) ||
-        (numeric(x).isDefined && stat(a.toLowerCase)) || sRange(a, x)
+        (statBound(x).isDefined && stat(a.toLowerCase)) || sRange(a, x)
       case _ => false
     }
   }
@@ -1381,13 +1458,19 @@ private[sources] object ManifestFileSkipping {
     * the surviving manifest-relative paths. */
   def fileSurvivors(spark: SparkSession, base: String, v: Int,
       pushed: Seq[Filter], files: Seq[String]): Set[String] = {
-    // fold every range filter per column into one [lo, hi] conjunct
+    // fold every range filter per column into one [lo, hi] conjunct;
+    // integral bounds tighten strict comparisons by 1, timestamp bounds
+    // stay inclusive (the sidecar stores floored seconds)
     val ranges = pushed.flatMap {
-      case EqualTo(a, x) => numeric(x).map(n => a -> (n, n))
-      case GreaterThan(a, x) => numeric(x).map(n => a -> (n + 1, Long.MaxValue))
-      case GreaterThanOrEqual(a, x) => numeric(x).map(n => a -> (n, Long.MaxValue))
-      case LessThan(a, x) => numeric(x).map(n => a -> (Long.MinValue, n - 1))
-      case LessThanOrEqual(a, x) => numeric(x).map(n => a -> (Long.MinValue, n))
+      case EqualTo(a, x) => statBound(x).map { case (n, _) => a -> (n, n) }
+      case GreaterThan(a, x) => statBound(x).map { case (n, ex) =>
+        a -> (if (ex) n + 1 else n, Long.MaxValue) }
+      case GreaterThanOrEqual(a, x) => statBound(x).map { case (n, _) =>
+        a -> (n, Long.MaxValue) }
+      case LessThan(a, x) => statBound(x).map { case (n, ex) =>
+        a -> (Long.MinValue, if (ex) n - 1 else n) }
+      case LessThanOrEqual(a, x) => statBound(x).map { case (n, _) =>
+        a -> (Long.MinValue, n) }
       case _ => None
     }.groupBy(_._1).map { case (c, rs) =>
       c -> rs.map(_._2).reduce((r1, r2) =>
@@ -1413,6 +1496,14 @@ private[sources] object ManifestFileSkipping {
       case s: String => Some(s)
       case _ => None
     }
+    // the sidecar bounds came from Spark's min/max, which orders strings
+    // as UTF8String BYTES (= code points) — Java String compareTo orders
+    // UTF-16 code units, and the two disagree when supplementary chars
+    // mix with U+E000..U+FFFF, so a byte-order comparison here is the
+    // only one that can't wrongly skip a matching file
+    def cpCmp(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
     val strRanges = pushed.flatMap {
       case EqualTo(a, x) => strLit(x).map(s => a -> (Some(s), Some(s)))
       case GreaterThan(a, x) => strLit(x).map(s => a -> (Some(s), None))
@@ -1423,14 +1514,16 @@ private[sources] object ManifestFileSkipping {
     }.groupBy(_._1).map { case (c, rs) =>
       val los = rs.flatMap(_._2._1)
       val his = rs.flatMap(_._2._2)
-      c -> (if (los.isEmpty) None else Some(los.max),
-        if (his.isEmpty) None else Some(his.min))
+      c -> (if (los.isEmpty) None else Some(los.reduce((a, b) =>
+          if (cpCmp(a, b) >= 0) a else b)),
+        if (his.isEmpty) None else Some(his.reduce((a, b) =>
+          if (cpCmp(a, b) <= 0) a else b)))
     }
     strRanges.foreach { case (c, (lo, hi)) =>
       ManifestTable.readSStatsFile(spark, base, v, c).foreach { stats =>
         kept = kept.filter(rel => stats.get(rel) match {
           case Some(Some((mn, mx))) =>
-            lo.forall(l => mx >= l) && hi.forall(h => mn <= h)
+            lo.forall(l => cpCmp(mx, l) >= 0) && hi.forall(h => cpCmp(mn, h) <= 0)
           case Some(None) => false // zero-row / all-NULL file: cannot match
           case None => true        // carried pre-index entry: keep
         })
@@ -1616,7 +1709,29 @@ final class ManifestRowLevelDeltaOp(table: ManifestStreamTable, base: String,
       .filterNot(f => f.name == "_pval" || f.name == "__row_operation"))
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
-        new org.apache.spark.sql.connector.write.DeltaWrite {
+        new org.apache.spark.sql.connector.write.DeltaWrite
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          // cluster the delta rows so one partition value lands in ONE
+          // task: a wide MoR UPDATE otherwise stages tasks × pvals copy
+          // files (and as many DV fragments). UPDATE/MERGE plans carry
+          // the full row image, so the layout transform clusters exactly
+          // (SQL DML arrives through the catalog — functions resolve);
+          // a DELETE's delta plan projects only rowId + metadata, so it
+          // clusters by the `_pval` metadata column instead (always set
+          // on delete rows — it IS what the vector records).
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              if (cmd == org.apache.spark.sql.connector.write
+                    .RowLevelOperation.Command.DELETE)
+                Array[org.apache.spark.sql.connector.expressions.Expression](
+                  org.apache.spark.sql.connector.expressions.Expressions
+                    .identity("_pval"))
+              else GraftLayoutFunctions.clustering(partCol, bucketN,
+                transform, multi))
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty
           override def toBatch
               : org.apache.spark.sql.connector.write.DeltaBatchWrite =
             new ManifestDeltaWrite(base, dataSchema, keyCol, partCol,
@@ -1658,16 +1773,13 @@ final class ManifestDeltaWrite(base: String, rowSchema: StructType,
       s"delta row-level write under $base: the operation's scan never " +
         "planned, so the read snapshot is unknown — refusing to commit"))
     // the version fence pivot: staged copies live at files/v<cut>, the
-    // vector hides only rows in files BELOW it (see updateWhereMoR)
-    val cut = readV + 1
-    val moved = staged.map { case (pval, abs) =>
-      val destDir = new Path(base, s"files/v$cut/p=$pval")
-      fs.mkdirs(destDir)
-      val dest = new Path(destDir, new Path(abs).getName)
-      if (!fs.rename(new Path(abs), dest))
-        throw new java.io.IOException(s"delta move failed: $abs")
-      (pval, s"files/v$cut/p=$pval/${dest.getName}")
-    }
+    // vector hides only rows in files BELOW it (see updateWhereMoR);
+    // computed from the ENTRIES, not readV+1 alone — a fastForward can
+    // leave files at dir numbers ahead of main's version counter
+    val cut = ManifestTable.cutFor(spark, base, readV)
+    // pooled moves: a wide delta UPDATE stages one copy-file per
+    // (task, pval) — serial renames were a visible share of the commit
+    val moved = ManifestTable.moveStagedFiles(fs, base, cut, staged, "delta")
     val rel = s"_dv/d-$dvToken"
     val hasDv = frags.nonEmpty
     if (hasDv) {
@@ -1776,17 +1888,18 @@ final class ManifestDeltaWriter(base: String, rowSchema: StructType,
     .as(LogicalTypeAnnotation.stringType()).named("__pval")
     .named("graft_dv")
   // local fragments skip the Hadoop checksum-FS layer (same fast path
-  // as ManifestSinkWriter — a writer lifecycle is 1.7 ms, not 14.5 ms)
+  // as ManifestSinkWriter — a writer lifecycle is 1.7 ms, not 14.5 ms);
+  // same resolved-FS gate (LocalFastPath), never a substring test
   private lazy val dvWriter = {
-    val b =
-      if (fragPath.contains("://"))
-        ExampleParquetWriter.builder(new Path(fragPath))
-      else {
-        new java.io.File(fragPath).getParentFile.mkdirs()
-        ExampleParquetWriter.builder(new org.apache.parquet.io
-          .LocalOutputFile(java.nio.file.Paths.get(fragPath)))
-      }
-    b.withConf(new Configuration()).withType(dvType).build()
+    val conf = new Configuration()
+    val b = LocalFastPath.nioPath(fragPath, conf) match {
+      case Some(nio) =>
+        nio.getParent.toFile.mkdirs()
+        ExampleParquetWriter.builder(
+          new org.apache.parquet.io.LocalOutputFile(nio))
+      case None => ExampleParquetWriter.builder(new Path(fragPath))
+    }
+    b.withConf(conf).withType(dvType).build()
   }
   private val dvFactory = new SimpleGroupFactory(dvType)
   private var wroteDv = false
@@ -2614,7 +2727,16 @@ private[sources] object ManifestMetaTables {
         require(ManifestTable.branchExists(spark, base, name),
           s"no branch named '$name' under $base — branches: " +
             ManifestTable.listBranches(spark, base).map(_._1).mkString("[", ", ", "]"))
-        new ManifestBranchTable(base, fullName, served(), name)
+        // same non-nullable key serving as the main table: the branch
+        // delta row-level path needs a non-nullable row ID too
+        val propsB = ManifestTable.tableProperties(spark, base)
+        val keyedB = propsB.get("keyCol") match {
+          case Some(k) if propsB.get("write.mode").contains("merge-on-read") =>
+            StructType(served().fields.map(f =>
+              if (f.name.equalsIgnoreCase(k)) f.copy(nullable = false) else f))
+          case _ => served()
+        }
+        new ManifestBranchTable(base, fullName, keyedB, name)
       case "refs" => local(fullName,
         StructType(Seq(
           StructField("name", StringType), StructField("kind", StringType),
@@ -2783,11 +2905,26 @@ final class ManifestBranchTable(base: String, fullName: String,
   /** SQL `UPDATE` / `MERGE INTO` / non-translatable `DELETE` on the
     * branch: the same group-based copy-on-write shape as the main
     * table's [[ManifestRowLevelOp]], committed to the BRANCH sequence
-    * with the classified branch retry. */
+    * with the classified branch retry — or, with the
+    * `write.mode=merge-on-read` stamp (+ keyCol), the DELTA op
+    * ([[ManifestBranchRowLevelDeltaOp]]): the changes land as a
+    * version-fenced branch deletion vector plus appended copies,
+    * O(changes) instead of O(touched partitions), main untouched. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new ManifestBranchRowLevelOp(this, base, branch, info.command())
+    () => {
+      val props0 = ManifestTable.tableProperties(
+        org.apache.spark.sql.SparkSession.active, base)
+      val mor = props0.get("write.mode").contains("merge-on-read") &&
+        props0.contains("keyCol") && props0.contains("partCol")
+      if (mor)
+        new ManifestBranchRowLevelDeltaOp(this, base, branch, info.command(),
+          props0("keyCol"), props0("partCol"),
+          props0.get("bucket.n").map(_.toInt),
+          GraftTransform.fromProps(props0), GraftSpec.fromProps(props0))
+      else new ManifestBranchRowLevelOp(this, base, branch, info.command())
+    }
 
   /** Branch scan with COLUMN PRUNING, a PLANNING RECORDER (the pvals the
     * executed scan read and the branch head it read them at — the write
@@ -2945,19 +3082,23 @@ final class ManifestBranchRowLevelOp(table: ManifestBranchTable, base: String,
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write
             with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
-          // catalog-only path: cluster the branch rewrite by the layout
-          // value (see ManifestRowLevelOp)
+          // catalog-only path: cluster the branch rewrite by the FULL
+          // layout value — incl. the multi-field spec composite (see
+          // ManifestRowLevelOp); dropping the spec here would cluster by
+          // transform/identity only and re-create the tasks × composite-
+          // pvals small-file sprawl the main-table op fixed
           override def requiredDistribution()
               : org.apache.spark.sql.connector.distributions.Distribution =
             org.apache.spark.sql.connector.distributions.Distributions.clustered(
               GraftLayoutFunctions.clustering(partCol, None,
-                GraftTransform.fromProps(props0), None))
+                GraftTransform.fromProps(props0), GraftSpec.fromProps(props0)))
           override def requiredOrdering()
               : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
             Array.empty
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
             new ManifestBranchReplaceGroups(base, branch, info.schema(),
-              partCol, () => planned, GraftTransform.fromProps(props0))
+              partCol, () => planned, GraftTransform.fromProps(props0),
+              GraftSpec.fromProps(props0))
         }
     }
   }
@@ -2971,12 +3112,14 @@ final class ManifestBranchRowLevelOp(table: ManifestBranchTable, base: String,
 final class ManifestBranchReplaceGroups(base: String, branch: String,
     schema: StructType, partCol: String,
     planned: () => Option[(Set[String], Int)],
-    transform: Option[GraftTransform] = None)
+    transform: Option[GraftTransform] = None,
+    multi: Option[GraftSpec] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestBatchWriterFactory(base, schema, partCol, None, transform)
+    new ManifestBatchWriterFactory(base, schema, partCol, None, transform,
+      multi)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(base).getFileSystem(new Configuration())
@@ -3006,6 +3149,174 @@ final class ManifestBranchReplaceGroups(base: String, branch: String,
     messages.foreach {
       case m: ManifestSinkFiles =>
         m.files.foreach { case (_, p) => fs.delete(new Path(p), false) }
+      case _ =>
+    }
+  }
+}
+
+/** DELTA-based row-level operation against a BRANCH HEAD — the
+  * merge-on-read face of SQL `UPDATE` / `MERGE INTO` /
+  * non-translatable `DELETE` on `t$branch_<n>` when the table is
+  * stamped `write.mode=merge-on-read` (+ `keyCol`): ONE branch commit
+  * lands a version-fenced deletion vector (the matched rows) plus the
+  * updated copies as appended files, zero committed files rewritten,
+  * main untouched — [[ManifestRowLevelDeltaOp]]'s branch twin, closing
+  * the verb asymmetry where a branch DELETE took the vector route but a
+  * branch UPDATE still rewrote copy-on-write. The fence crux is BRANCH
+  * DIR NUMBERING: fork files carry MAIN dir numbers, so the cut derives
+  * from the head's ENTRIES ([[ManifestTable.cutForBranch]]), never from
+  * the branch version counter alone; branch appends floor their staging
+  * dir at pending cuts ([[ManifestTable.stageFloorBranch]]) so the fence
+  * can never hide later-appended rows; `fastForward` carries the fenced
+  * marker onto main, where the same entry-derived arithmetic (and main's
+  * own append floor) keeps it sound. */
+final class ManifestBranchRowLevelDeltaOp(table: ManifestBranchTable,
+    base: String, branch: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    keyCol: String, partCol: String,
+    bucketN: Option[Int] = None,
+    transform: Option[GraftTransform] = None,
+    multi: Option[GraftSpec] = None)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+  @volatile private[sources] var planned: Option[(Set[String], Int)] = None
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    table.scanBuilderRecording((pvals, head) => planned = Some((pvals.toSet, head)))
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_pval"))
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(keyCol))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder = {
+    val dataSchema = StructType(info.schema().fields
+      .filterNot(f => f.name == "_pval" || f.name == "__row_operation"))
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          // same delta clustering as the main op (see
+          // ManifestRowLevelDeltaOp): branch DML arrives through the
+          // catalog too, so transform functions resolve
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              if (cmd == org.apache.spark.sql.connector.write
+                    .RowLevelOperation.Command.DELETE)
+                Array[org.apache.spark.sql.connector.expressions.Expression](
+                  org.apache.spark.sql.connector.expressions.Expressions
+                    .identity("_pval"))
+              else GraftLayoutFunctions.clustering(partCol, bucketN,
+                transform, multi))
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty
+          override def toBatch
+              : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new ManifestBranchDeltaWrite(base, branch, dataSchema, keyCol,
+              partCol, () => planned, bucketN, transform, multi)
+        }
+    }
+  }
+}
+
+/** The branch-sequence twin of [[ManifestDeltaWrite]]: executors reuse
+  * the same delta writers (staged copies through the table's layout, DV
+  * fragments under the shared vector dir); only the COMMIT differs —
+  * cut from the branch head's entries, classification against the
+  * branch sequence (a concurrent BRANCH vector or a change to a
+  * deleted-from partition aborts; branch appends elsewhere rebase), and
+  * the manifest lands through the named branch commit. Pending branch
+  * vectors are allowed: the branch scan applied them in-scan, the new
+  * vector stacks. */
+final class ManifestBranchDeltaWrite(base: String, branch: String,
+    rowSchema: StructType, keyCol: String, partCol: String,
+    planned: () => Option[(Set[String], Int)],
+    bucketN: Option[Int] = None, transform: Option[GraftTransform] = None,
+    multi: Option[GraftSpec] = None)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  import org.apache.spark.sql.connector.write.{DeltaWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  private val dvToken = java.util.UUID.randomUUID.toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new ManifestDeltaWriterFactory(base, rowSchema, keyCol, partCol, dvToken,
+      bucketN, transform, multi)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fs = new Path(base).getFileSystem(new Configuration())
+    val msgs = messages.collect { case m: ManifestDeltaFiles => m }.toSeq
+    val staged = msgs.flatMap(_.files)
+    val frags = msgs.flatMap(_.dvFrags)
+    val touched = msgs.flatMap(_.delPvals).toSet
+    if (staged.isEmpty && frags.isEmpty) return // nothing matched, no commit
+    val (_, readHead) = planned().getOrElse(throw new IllegalStateException(
+      s"delta row-level write on branch '$branch' under $base: the " +
+        "operation's scan never planned — refusing to commit"))
+    val cut = ManifestTable.cutForBranch(spark, base, branch, readHead)
+    // pooled moves, like the main delta commit
+    val moved = ManifestTable.moveStagedFiles(fs, base, cut, staged,
+      "branch delta")
+    val rel = s"_dv/d-$dvToken"
+    val hasDv = frags.nonEmpty
+    if (hasDv) {
+      ManifestTable.consolidateDvDir(spark, base, rel)
+      val out = fs.create(new Path(base, s"$rel/_partcol"), true)
+      try out.write(partCol.getBytes("UTF-8")) finally out.close()
+      ManifestTable.writeDvCut(spark, base, rel, cut)
+    }
+    def cleanup(): Unit = {
+      if (hasDv) fs.delete(new Path(base, rel), true)
+      moved.foreach { case (_, r) => fs.delete(new Path(base, r), true) }
+    }
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = ManifestTable.branchVersions(spark, base, branch).last
+      if (cur != readHead) {
+        val newDvs = ManifestTable.dvMarkersAtBranch(spark, base, branch, cur)
+          .diff(ManifestTable.dvMarkersAtBranch(spark, base, branch, readHead))
+        val before = ManifestTable
+          .branchEntriesAt(spark, base, branch, readHead)
+          .filter { case (p, _) => touched(p) }.toSet
+        val now = ManifestTable.branchEntriesAt(spark, base, branch, cur)
+          .filter { case (p, _) => touched(p) }.toSet
+        if (newDvs.nonEmpty || before != now) {
+          cleanup()
+          throw new ManifestTable.ConcurrentRewriteException(
+            s"delta row-level write on branch '$branch' under $base: the " +
+              s"branch changed between read (v$readHead) and commit " +
+              s"(v$cur) in a way the write cannot rebase over — re-run " +
+              "the statement")
+        }
+      }
+      val merged =
+        (ManifestTable.dvMarkersAtBranch(spark, base, branch, cur) ++
+          (if (hasDv) Seq(rel) else Nil)).map((ManifestTable.DvMarker, _)) ++
+          ManifestTable.branchEntriesAt(spark, base, branch, cur) ++ moved
+      try {
+        ManifestTable.commitNamed(spark, base,
+          ManifestTable.branchManifestName(branch, cur + 1), merged,
+          s"concurrent commit: branch $branch version ${cur + 1} already " +
+            s"exists under $base")
+        return
+      } catch {
+        case _: ManifestTable.VersionConflictException if attempt < 20 => ()
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(base).getFileSystem(new Configuration())
+    messages.foreach {
+      case m: ManifestDeltaFiles =>
+        m.files.foreach { case (_, p) => fs.delete(new Path(p), false) }
+        m.dvFrags.foreach(p => fs.delete(new Path(p), false))
       case _ =>
     }
   }
@@ -3798,11 +4109,23 @@ final class ManifestStreamingWrite(base: String, schema: StructType,
     val evolved = ManifestSchemaProp.evolve(
       org.apache.spark.sql.SparkSession.active, base, schema)
     val next = vs.lastOption.getOrElse(0) + 1
+    // dest DIR version at-or-above every pending finite vector cut
+    // (stageFloor): an epoch is an append that proceeds under pending
+    // vectors, and a carried update fence must never hide its fresh
+    // rows. The MANIFEST stays at `next` — only the dir name (pure
+    // bookkeeping; entries are paths) inflates.
+    val dirV = {
+      val spark0 = org.apache.spark.sql.SparkSession.active
+      math.max(next, if (vs.isEmpty) 0 else branch match {
+        case Some(b) => ManifestTable.stageFloorBranch(spark0, base, b)
+        case None => ManifestTable.stageFloor(spark0, base)
+      })
+    }
     // the dest rel paths are known before any move — the marker records
     // them so a later durability check can verify the manifest that
     // committed version `next` is OURS, not a foreign writer's
     val dests = staged.map { case (pval, abs) =>
-      (pval, abs, s"files/v$next/p=$pval/${new Path(abs).getName}")
+      (pval, abs, s"files/v$dirV/p=$pval/${new Path(abs).getName}")
     }
     // marker BEFORE the manifest rename: a crash in between leaves an
     // uncommitted marker the retry simply overwrites (or, if a foreign
@@ -3813,7 +4136,7 @@ final class ManifestStreamingWrite(base: String, schema: StructType,
     try out.write((tag +: dests.map(_._3)).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val moved = dests.map { case (pval, abs, rel) =>
-      val destDir = new Path(base, s"files/v$next/p=$pval")
+      val destDir = new Path(base, s"files/v$dirV/p=$pval")
       fs.mkdirs(destDir)
       if (!fs.rename(new Path(abs), new Path(base, rel)))
         throw new java.io.IOException(s"sink move failed: $abs")
@@ -3858,6 +4181,28 @@ final class ManifestStreamingWrite(base: String, schema: StructType,
 
 final case class ManifestSinkFiles(files: Seq[(String, String)])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Shared gate for the raw-writer local fast path: the checksum-FS
+  * bypass ([[org.apache.parquet.io.LocalOutputFile]] over java.nio) is
+  * only sound when the path actually RESOLVES to the local filesystem —
+  * a schemeless path under `fs.defaultFS=hdfs://...` resolves remote,
+  * and staging its bytes on executor-local disk would strand them when
+  * the commit renames through the default FS. So the gate is the
+  * resolved FileSystem's type, never a substring test on the string. */
+private[sources] object LocalFastPath {
+  /** The java.nio path to write through iff `p` resolves local. */
+  def nioPath(p: String, conf: Configuration): Option[java.nio.file.Path] = {
+    val hp = new Path(p)
+    hp.getFileSystem(conf) match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        // strips a file:/ scheme if present; schemeless stays as-is
+        val raw = Option(hp.toUri.getPath).getOrElse(p)
+        Some(java.nio.file.Paths.get(raw))
+      case _ => None
+    }
+  }
+}
 
 final class ManifestSinkWriterFactory(base: String, schema: StructType,
     partCol: String, bucketN: Option[Int] = None,
@@ -3985,17 +4330,17 @@ final class ManifestSinkWriter(base: String, schema: StructType,
       // LOCAL staging bypasses the Hadoop checksum-FS stream stack
       // (LocalOutputFile): a writer LIFECYCLE drops 14.5 ms -> 1.7 ms,
       // which is the dominant cost of a wide layout's write (6000
-      // truncate bands = 6000 writers); schemeful paths (hdfs://,
-      // s3a://) keep the Hadoop route — the fast path is local-only.
-      val b =
-        if (p.contains("://"))
-          ExampleParquetWriter.builder(new Path(p))
-        else {
+      // truncate bands = 6000 writers); paths that RESOLVE remote
+      // (hdfs://, s3a://, or schemeless under a remote fs.defaultFS)
+      // keep the Hadoop route — see LocalFastPath.
+      val b = LocalFastPath.nioPath(p, writerConf) match {
+        case Some(nio) =>
           // nio streams don't create parents the way Hadoop create() does
-          new java.io.File(p).getParentFile.mkdirs()
-          ExampleParquetWriter.builder(new org.apache.parquet.io
-            .LocalOutputFile(java.nio.file.Paths.get(p)))
-        }
+          nio.getParent.toFile.mkdirs()
+          ExampleParquetWriter.builder(
+            new org.apache.parquet.io.LocalOutputFile(nio))
+        case None => ExampleParquetWriter.builder(new Path(p))
+      }
       b.withConf(writerConf).withType(msgType).build()
     })
     val g = factory.newGroup()
@@ -4048,7 +4393,13 @@ final class ManifestBatchAppend(base: String, schema: StructType, partCol: Strin
     val glob = fs.globStatus(new Path(base, "_manifests/v*.manifest"))
     val hasCommits = glob != null && glob.nonEmpty
     val readV = if (hasCommits) ManifestTable.currentVersion(spark, base) else 0
-    val next = readV + 1
+    // dest dir at-or-above every pending FINITE vector cut (stageFloor):
+    // an INSERT is the one COW-free main write that proceeds under
+    // pending vectors, so its fresh rows must stage where no carried
+    // update fence can hide them (the dir name is bookkeeping — entries
+    // are paths — so inflating it is free)
+    val next = math.max(readV + 1,
+      if (hasCommits) ManifestTable.stageFloor(spark, base) else 0)
     val moved = ManifestTable.moveStagedFiles(fs, base, next, staged, "insert")
     // an INSERT is a pure append: losing the version race to a concurrent
     // writer rebases onto the winner's entries and retries (the dest dir's
@@ -4106,7 +4457,10 @@ final class ManifestBranchAppend(base: String, branch: String,
     require(head0.nonEmpty,
       s"INSERT INTO branch: no branch named '$branch' under $base — createBranch first")
     val evolved = ManifestSchemaProp.evolve(spark, base, schema)
-    val next = head0.last + 1
+    // dir floored at pending branch cuts, like appendBranch (the fence
+    // must never hide a branch INSERT's fresh rows)
+    val next = math.max(head0.last + 1,
+      ManifestTable.stageFloorBranch(spark, base, branch))
     val moved = staged.map { case (pval, abs) =>
       val destDir = new Path(base, s"files/v$next/p=$pval")
       fs.mkdirs(destDir)

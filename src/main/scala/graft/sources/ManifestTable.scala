@@ -74,5 +74,5 @@ object ManifestTable
       catalogMonthMerge, catalogMonthCdf, catalogTruncLayout, catalogSpec2,
       catalogMergeEvolve, spec2DeleteMoR, spec2UpdateMoR, catalogSpecEvolve2,
       catalogHourLayout, catalogSpecStr, specEvolveMoR, catalogSpecTs,
-      branchDeleteMoR, catalogSpecStrRange)
+      branchDeleteMoR, catalogSpecStrRange, branchUpdateMoR)
 }

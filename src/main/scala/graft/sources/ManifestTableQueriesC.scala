@@ -823,6 +823,64 @@ private[sources] trait ManifestTableQueriesC { this: ManifestTable.type =>
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Registered BRANCH MoR UPDATE — the delta-op twin of
+    * [[branchDeleteMoR]], closing the last verb asymmetry: `UPDATE
+    * t$branch_<n> SET …` under the merge-on-read stamp commits ONE
+    * branch manifest holding a version-fenced deletion vector (the old
+    * rows) plus the updated copies as appended files — zero committed
+    * files rewritten, main untouched, O(matches) not O(partitions). The
+    * fence derives from the branch head's ENTRIES
+    * ([[cutForBranch]] — fork files carry MAIN dir numbers, so the
+    * branch version counter alone can't clear them), and the copies'
+    * survival across the cut is pinned in `BranchSqlSpec`. Oracle
+    * replays the re-pricing over plain orders. */
+  val branchUpdateMoR: QuerySpec = QuerySpec.sql(
+    "q_branch_update_mor",
+    """WITH t AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |         CASE WHEN year(o_orderdate) = 1997
+      |              THEN o_totalprice * 0.9 ELSE o_totalprice END AS p
+      |  FROM orders)
+      |SELECT yr, count(*) AS n,
+      |       CAST(sum(floor(p * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("branchUpdMor", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_bumfix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        val tbl = withCatalog(spark, b)
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(o_orderkey BIGINT, o_year INT, o_totalprice DOUBLE)
+             |PARTITIONED BY (o_year)""".stripMargin)
+        graft.model.Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("int").as("o_year"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("graft_bum_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_bum_feed")
+        setTableProperty(spark, b, "keyCol", "o_orderkey")
+        setTableProperty(spark, b, "write.mode", "merge-on-read")
+        createBranch(spark, b, "audit")
+        spark.sql(s"UPDATE graft_cat.`$tbl$$branch_audit` " +
+          "SET o_totalprice = o_totalprice * 0.9 WHERE o_year = 1997")
+        require(pendingBranchDvRels(spark, b, "audit").nonEmpty,
+          "branch MoR UPDATE must land a branch deletion vector, not a " +
+            "copy-on-write rewrite")
+        require(pendingDvRels(spark, b).isEmpty,
+          "branch MoR UPDATE must not touch main")
+        b
+      })
+    }
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT o_year AS yr, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl$$branch_audit`
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Registered TIMESTAMP-sourced MULTI-FIELD spec: `PARTITIONED BY
     * (hours(ts), bucket(8, o_custkey))` — the reference's own
     * timestamp-derived partition value (`glue_job.py:88,159`) composed

@@ -187,6 +187,46 @@ private[sources] trait ManifestVerbs { this: ManifestTable.type =>
     refreshAllStats(spark, base)
   }
 
+  /** The BARE-PROVIDER batch INSERT (the V1-fallback body — see
+    * `ManifestStreamTable.newWriteBuilder`): transform/multi-spec
+    * layouts cluster their write by the TRANSFORM VALUE, but a
+    * provider-path write carries no FunctionCatalog, so Spark cannot
+    * resolve `truncate(w,c)`/`days(c)` in a connector required
+    * distribution. The engine owns the shuffle instead:
+    * [[writeSnapshotFiles]] routes rows through [[layoutPvalExpr]] and
+    * repartitions on the computed `__p` — one task (→ one file) per
+    * partition value, the same layout the catalog path's clustered
+    * distribution produces. Semantics mirror the DSv2 INSERT: additive
+    * schema evolution validated first, pending vectors allowed (staging
+    * dir floored at [[stageFloor]]), append-rebase retry, sidecars
+    * transactional with the commit. */
+  def insertClustered(spark: SparkSession, base: String, df: DataFrame,
+      partCol: String): Unit = {
+    val evolved = ManifestSchemaProp.evolve(spark, base, df.schema)
+    val cs0 = constraintSet(spark, base) // pre-stage view, see commitRetrying
+    val vs = versions(spark, base)
+    val readV = vs.lastOption.getOrElse(0)
+    val dirV = math.max(readV + 1,
+      if (vs.nonEmpty) stageFloor(spark, base) else 0)
+    val newFiles = writeSnapshotFiles(spark, base, dirV, df, partCol)
+    if (vs.nonEmpty)
+      commitRetrying(spark, base, readV, newFiles, None,
+        stagedConstraints = Some(cs0))
+    else {
+      // first write to an uncommitted base: try v1, rebase on a race —
+      // same shape as the DSv2 insert
+      try commit(spark, base, 1, newFiles)
+      catch {
+        case _: VersionConflictException =>
+          commitRetrying(spark, base, currentVersion(spark, base), newFiles,
+            None, stagedConstraints = Some(cs0))
+      }
+    }
+    evolved.foreach(s => setTableProperty(spark, base, "schema",
+      ManifestSchemaProp.serialize(s)))
+    refreshAllStats(spark, base)
+  }
+
   /** APPEND with WRITE-TIME SCHEMA MERGE (Delta's `mergeSchema` write
     * option as a verb): columns `df` carries that the table's schema
     * lacks are stamped FIRST as a pure metadata evolution — the same

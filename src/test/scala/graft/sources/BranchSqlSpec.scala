@@ -263,6 +263,76 @@ class BranchSqlSpec extends AnyFunSuite {
       .head.getLong(0) === expectBranch.count() + 2)
   }
 
+  test("branch MoR UPDATE: fenced vector + copies on the branch only, appends stay visible, fastForward publishes") {
+    val (base, tbl, t) = freshBranched("morU")
+    ManifestTable.setTableProperty(spark, base, "keyCol", "o_orderkey")
+    ManifestTable.setTableProperty(spark, base, "write.mode", "merge-on-read")
+    val mainV = ManifestTable.currentVersion(spark, base)
+    val forkEs = ManifestTable.branchEntries(spark, base, "stage").toSet
+    val n1996 = t.filter(col("o_year") === 1996).count()
+    spark.sql(s"""UPDATE graft_cat.`${tbl}$$branch_stage`
+      |SET o_totalprice = o_totalprice + 1000000 WHERE o_year = 1996""".stripMargin)
+    // DELTA route: one vector marker, every fork file carried unchanged,
+    // the updated copies appended — never a group rewrite
+    val headEs = ManifestTable.branchEntries(spark, base, "stage").toSet
+    assert(forkEs.subsetOf(headEs),
+      "branch MoR UPDATE must carry every fork file unchanged")
+    val copies = headEs -- forkEs
+    assert(copies.nonEmpty && copies.forall(_._1 == "1996"))
+    val dvs = ManifestTable.pendingBranchDvRels(spark, base, "stage")
+    assert(dvs.size === 1)
+    assert(ManifestTable.currentVersion(spark, base) === mainV)
+    assert(ManifestTable.pendingDvRels(spark, base).isEmpty,
+      "main must hold no vector")
+    // THE FENCE PIN: the update's own copies sit AT the cut (survive);
+    // every fork file sits BELOW it (old rows hide)
+    val cut = ManifestTable.dvCutOf(spark, base, dvs.head)
+    assert(copies.forall { case (_, rel) =>
+      ManifestTable.dirVersionOf(rel) >= cut },
+      "update copies must sit at-or-above their own vector's cut")
+    assert(forkEs.forall { case (_, rel) =>
+      ManifestTable.dirVersionOf(rel) < cut },
+      "every pre-existing branch file must fall below the cut")
+    // the branch scan serves the UPDATED values, exactly once each
+    def bumped(t0: String): Long = spark.sql(
+      s"SELECT count(*) FROM graft_cat.`$t0` WHERE o_totalprice >= 900000")
+      .head.getLong(0)
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`${tbl}$$branch_stage`")
+      .head.getLong(0) === t.count(), "row count must be preserved")
+    assert(bumped(tbl + "$branch_stage") === n1996,
+      "every 1996 row must serve its updated price, nothing else")
+    assert(bumped(tbl) === 0, "main must serve original prices")
+    // a branch APPEND re-using a RECORDED (key, partition) pair must stay
+    // visible: appends floor their staging dir at the pending cut
+    val k = t.filter(col("o_year") === 1996).head.getLong(0)
+    spark.sql(s"INSERT INTO graft_cat.`${tbl}$$branch_stage` " +
+      s"VALUES ($k, 1996, 7.5)")
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_cat.`${tbl}$$branch_stage` " +
+        s"WHERE o_orderkey = $k AND o_totalprice = 7.5").head.getLong(0) === 1,
+      "the pending update fence hid a freshly appended row")
+    // fastForward publishes content + the fenced vector onto main
+    ManifestTable.fastForward(spark, base, "stage")
+    assert(ManifestTable.pendingDvRels(spark, base).size === 1)
+    assert(bumped(tbl) === n1996,
+      "main must serve the updated prices after publish")
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`")
+      .head.getLong(0) === t.count() + 1)
+    // a MAIN append of a recorded pair must stay visible too — the
+    // published cut can sit AHEAD of main's version counter, so the
+    // insert path floors its staging dir at the pending cut
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` VALUES ($k, 1996, 8.5)")
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl` " +
+      s"WHERE o_orderkey = $k AND o_totalprice = 8.5").head.getLong(0) === 1,
+      "a carried update fence hid a fresh main insert")
+    // the ordinary main purge folds the vector; content unchanged
+    ManifestTable.purgeDeletes(spark, base, "o_orderkey", "o_year")
+    assert(ManifestTable.pendingDvRels(spark, base).isEmpty)
+    assert(bumped(tbl) === n1996)
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`")
+      .head.getLong(0) === t.count() + 2)
+  }
+
   test("row-level SQL refuses on a bucket-layout branch") {
     val t = graft.model.Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))

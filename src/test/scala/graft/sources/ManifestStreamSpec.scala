@@ -1057,6 +1057,44 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, base).count() === src.count())
   }
 
+  test("streamed epoch into a months layout clusters by the TRANSFORM value (catalog sink)") {
+    // the reference's own load pattern at 100 TB: a stream landing in a
+    // time-transform layout. Through the CATALOG sink (`.toTable`) the
+    // epoch write requests the same transform-value distribution as a
+    // batch INSERT (the relation carries the FunctionCatalog), so one
+    // epoch commits ONE file per partition value — never tasks × values.
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", graft.Scratch.root)
+    val feed = s"${graft.Scratch.root}/mstream_tr_feed"
+    val base = s"${graft.Scratch.root}/mstream_tr_tbl"
+    val ck = s"${graft.Scratch.root}/mstream_tr_ck"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+    spark.sql("""CREATE TABLE graft_cat.`mstream_tr_tbl`
+      |(o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)
+      |PARTITIONED BY (months(o_orderdate))""".stripMargin)
+    val src = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+    // 8 source partitions × ~80 months would sprawl without the
+    // transform-value distribution
+    src.repartition(8).write.mode("overwrite").parquet(feed)
+    val q = spark.readStream.schema(src.schema).parquet(feed)
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).toTable("graft_cat.mstream_tr_tbl")
+    q.awaitTermination()
+    val files = ManifestTable.entries(spark, base,
+      ManifestTable.currentVersion(spark, base))
+    val sprawled = files.groupBy(_._1).filter(_._2.size > 1)
+    assert(files.nonEmpty && sprawled.isEmpty,
+      s"streamed epoch wrote multiple files per month: ${sprawled.keys.take(5)}")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.`mstream_tr_tbl`")
+      .head.getLong(0) === src.count())
+  }
+
   test("SQL DDL/DML lifecycle: CREATE, INSERT, ALTER ADD, DELETE, TRUNCATE, DROP") {
     spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
     spark.conf.set("spark.sql.catalog.graft_cat.root", graft.Scratch.root)

@@ -91,6 +91,60 @@ class MonthLayoutSpec extends AnyFunSuite {
         s"${sprawled2.keys.take(5)}")
   }
 
+  test("BARE-provider INSERT into a truncate layout clusters too (V1 fallback): one file per pval") {
+    freshCatalog()
+    val tbl = "mlay_bare"
+    val base = s"$root/$tbl"
+    dropDir(base)
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(o_orderkey BIGINT, o_totalprice DOUBLE)
+      |PARTITIONED BY (truncate(100, o_orderkey))""".stripMargin)
+    // write through the BARE TableProvider (no catalog, no
+    // FunctionCatalog): the V1 fallback must cluster by the transform
+    // value engine-side — identity clustering would land every band in
+    // every task (tasks × bands files)
+    graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartition(4)
+      .write.format("graft.sources.ManifestStreamProvider")
+      .mode("append").save(base)
+    val v = ManifestTable.currentVersion(spark, base)
+    val perPval = ManifestTable.entries(spark, base, v)
+      .groupBy(_._1).map { case (p, es) => p -> es.size }
+    assert(perPval.nonEmpty)
+    val sprawled = perPval.filter(_._2 > 1)
+    assert(sprawled.isEmpty,
+      s"bare INSERT wrote multiple files per band: ${sprawled.take(5)}")
+    // the bare write serves identically through the catalog scan, and
+    // bands prune (the layout is intact end-to-end)
+    val n = spark.sql(
+      s"SELECT count(*) FROM graft_cat.`$tbl` WHERE o_orderkey < 100")
+      .head.getLong(0)
+    assert(n === graft.model.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") < 100).count())
+    // same pin for a multi-field spec through the bare provider
+    val tbl2 = "mlay_bare2"
+    val base2 = s"$root/$tbl2"
+    dropDir(base2)
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl2`
+      |(o_orderkey BIGINT, o_custkey BIGINT, o_orderdate DATE,
+      | o_totalprice DOUBLE)
+      |PARTITIONED BY (months(o_orderdate), bucket(8, o_custkey))""".stripMargin)
+    graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+      .repartition(4)
+      .write.format("graft.sources.ManifestStreamProvider")
+      .mode("append").save(base2)
+    val sprawled2 = ManifestTable
+      .entries(spark, base2, ManifestTable.currentVersion(spark, base2))
+      .groupBy(_._1).filter(_._2.size > 1)
+    assert(sprawled2.isEmpty,
+      s"bare multi-spec INSERT wrote multiple files per composite: " +
+        s"${sprawled2.keys.take(5)}")
+  }
+
   test("pvals are yyyy-MM and the Column form matches the per-row form") {
     val (_, base) = monthTable("shape")
     val v = ManifestTable.currentVersion(spark, base)

@@ -352,7 +352,7 @@ class SpecEvolutionSpec extends AnyFunSuite {
       (1000 until 1200).count(i => i % 72 >= 24 && i % 72 < 30))
   }
 
-  test("TIMESTAMP spec fields: a NAMED pinned zone shifts pvals, not results; ranges stay inclusive") {
+  test("TIMESTAMP spec fields: a NAMED pinned zone shifts pvals, not results; instant sidecar skips files") {
     freshCatalog()
     val tbl = "sp2_tsz"
     val base = s"$root/$tbl"
@@ -389,12 +389,25 @@ class SpecEvolutionSpec extends AnyFunSuite {
     val pt = kept("ts = TIMESTAMP '1995-03-01 05:00:00 UTC'")
     assert(pt._1 <= 2 && pt._1 < pt._2 && pt._3 === 2,
       s"point probe should prune to one Tokyo hour: $pt")
-    // RANGE pruning over a NAMED zone is off (inclusive — row-level
-    // re-filter keeps the result exact)
+    // RANGE pruning through the WALL-CLOCK pvals stays off under a named
+    // zone (a DST fold makes them non-monotone in the instant), but the
+    // auto-indexed INSTANT sidecar (epoch-second min/max per file) is
+    // zone-free and monotone — ranges now skip at FILE grain regardless
+    // of the pinned zone, and the row-level re-filter keeps the result
+    // exact
     val rg = kept("ts >= TIMESTAMP '1995-03-01 00:00:00 UTC' AND " +
       "ts < TIMESTAMP '1995-03-01 06:00:00 UTC'")
-    assert(rg._1 === rg._2, s"named-zone range must keep all (inclusive): $rg")
+    assert(rg._1 < rg._2,
+      s"instant sidecar must skip files under a named zone: $rg")
     assert(rg._3 === 12, s"range result wrong under named zone: $rg")
+    // the sidecar rides the commit path: a second insert doubles files
+    // per pval and the skip scales in lockstep (fresh files indexed
+    // incrementally)
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM sp2_tsz_feed")
+    val rg2 = kept("ts >= TIMESTAMP '1995-03-01 00:00:00 UTC' AND " +
+      "ts < TIMESTAMP '1995-03-01 06:00:00 UTC'")
+    assert(rg2._1 === 2 * rg._1 && rg2._2 === 2 * rg._2 && rg2._3 === 2 * rg._3,
+      s"incremental sidecar refresh changed the skip shape: $rg vs $rg2")
   }
 
   test("escapeComponent: per-row and Column forms agree; injective; path-stable") {
@@ -555,6 +568,45 @@ class SpecEvolutionSpec extends AnyFunSuite {
     val (kE, totE, nE) = kept("tag = 'sp ace'")
     assert(kE < totE, s"mixed-era string pruning failed: $kE/$totE")
     assert(nE === expEvo.filter(col("tag") === "sp ace").count())
+  }
+
+  test("sstats: literal '-' values, code-point order, and MoR hiding stay safe") {
+    freshCatalog()
+    val tbl = "sp2_sst"
+    val base = s"$root/$tbl"
+    dropDir(base)
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(k BIGINT, tag STRING, v DOUBLE)
+      |PARTITIONED BY (tag, bucket(2, k))""".stripMargin)
+    import spark.implicits._
+    // "-" is the sidecar's all-NULL marker character; U+1F980 (🦀) sorts
+    // ABOVE U+FFF0 by code point but BELOW it by UTF-16 code unit
+    Seq((1L, "-", 1.0), (2L, "aa", 2.0), (3L, "ab", 3.0),
+        (4L, "￰", 4.0), (5L, "🦀", 5.0))
+      .toDF("k", "tag", "v").createOrReplaceTempView("sp2_sst_src")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM sp2_sst_src")
+    def q(where: String): Long = spark.sql(
+      s"SELECT count(*) FROM graft_cat.`$tbl` WHERE $where").head.getLong(0)
+    // (1) a file whose min IS the literal string "-" must not read back
+    // as the all-NULL marker (that would silently prune the whole file)
+    assert(q("tag >= '!' AND tag < '.'") === 1,
+      "a '-' valued file was misread as the all-NULL sidecar marker")
+    // (2) sidecar bounds compare by CODE POINTS, matching the Spark
+    // min/max that computed them — a UTF-16 code-unit comparison would
+    // wrongly skip the astral file on this probe
+    assert(q("tag > '￰'") === 1, "code-unit order skipped the astral file")
+    assert(q("tag >= '￰'") === 2)
+    // (3) under MoR, a deletion vector hides rows but the sidecar
+    // (computed from file contents) only ever WIDENS the range — the
+    // hidden-row file stays kept (safe-inclusive) and the scan's in-scan
+    // vector application keeps the result exact
+    ManifestTable.setTableProperty(spark, base, "keyCol", "k")
+    ManifestTable.setTableProperty(spark, base, "write.mode", "merge-on-read")
+    spark.sql(s"DELETE FROM graft_cat.`$tbl` WHERE tag = 'aa'")
+    assert(ManifestTable.pendingDvRels(spark, base).size === 1,
+      "the translatable DELETE must take the deletion-vector route")
+    assert(q("tag >= 'aa' AND tag <= 'ab'") === 1,
+      "MoR-hidden rows leaked or a surviving row's file was skipped")
   }
 
   test("evolve_spec refuses a legacy STRING-identity layout (pval collision)") {
