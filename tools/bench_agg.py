@@ -22,6 +22,14 @@ ap = argparse.ArgumentParser()
 ap.add_argument("runs", nargs="+", help="BENCH_clean_*_run*.json files")
 ap.add_argument("--registry",
                 help="oracle_sql.json from a Verify dump (query-name truth)")
+ap.add_argument("--control", nargs="*", default=[],
+                help="bench runs of the PREVIOUS round's code, taken "
+                     "INTERLEAVED with this round's runs in the same "
+                     "session — the same-host control that makes "
+                     "round-over-round drift adjudication mechanical "
+                     "(host speed swings 1.4x within a day)")
+ap.add_argument("--control-digest", default=None,
+                help="identity of the control code (git sha)")
 ap.add_argument("-o", "--out", required=True)
 a = ap.parse_args()
 
@@ -60,6 +68,37 @@ out = {
     "runs": len(runs),
     "failed": failed,
 }
+if a.control:
+    # per-query MIN over the interleaved old-code runs, restricted to the
+    # queries both code states share; the headline control_total compares
+    # like-for-like (shared set, min-of-runs on both sides)
+    cruns = [json.load(open(p)) for p in a.control]
+    cbest = {}
+    for q in sorted(set.intersection(*(set(c["queries"]) for c in cruns))):
+        ok = [c["queries"][q] for c in cruns if c["queries"][q] >= 0]
+        if ok:
+            cbest[q] = min(ok)
+    shared = sorted(set(cbest) & {q for q, v in best.items() if v >= 0})
+    new_shared = sum(best[q] for q in shared)
+    ctl_shared = sum(cbest[q] for q in shared)
+    ratios = sorted(best[q] / cbest[q] for q in shared if cbest[q] > 0)
+    out["control"] = {
+        "digest": a.control_digest,
+        "runs": len(cruns),
+        "control_total": ctl_shared,
+        "new_total_shared": new_shared,
+        "shared_queries": len(shared),
+        "total_ratio": (new_shared / ctl_shared) if ctl_shared else None,
+        "median_query_ratio":
+            ratios[len(ratios) // 2] if ratios else None,
+        "queries": cbest,
+    }
 json.dump(out, open(a.out, "w"), indent=1)
 print(f"wrote {a.out}: {len(best)} queries, total {out['value']:.1f}s, "
       f"{len(failed)} failed, min over {len(runs)} runs")
+if a.control:
+    c = out["control"]
+    print(f"control ({c['digest']}, {c['runs']} interleaved runs): "
+          f"shared={c['shared_queries']} new/ctl total ratio="
+          f"{c['total_ratio']:.3f} median per-query="
+          f"{c['median_query_ratio']:.3f}")
