@@ -21,6 +21,7 @@
 set -euo pipefail
 REF=$1; N=$2; SF=$3; OUT=$4
 mkdir -p "$OUT"
+OUT=$(cd "$OUT" && pwd)  # control runs cd into the worktree — absolutize
 WT=$(mktemp -d /tmp/graft_ab.XXXXXX)
 rmdir "$WT"
 git worktree add --detach "$WT" "$REF" >/dev/null
@@ -31,10 +32,10 @@ for i in $(seq 1 "$N"); do
   echo "pair $i/$N: control run"
   (cd "$WT" && SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_REP_TIMES=1 \
     SPARK_GRAFT_SCRATCH_REUSE=1 sbt -batch "runMain graft.Bench" \
-    2>/dev/null | grep '"metric"' > "$OUT/ctl_run$i.json")
+    2>/dev/null | grep '"metric"' | sed 's/^\[info\] //' > "$OUT/ctl_run$i.json")
   echo "pair $i/$N: new run"
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_REP_TIMES=1 \
     SPARK_GRAFT_SCRATCH_REUSE=1 sbt -batch "runMain graft.Bench" \
-    2>/dev/null | grep '"metric"' > "$OUT/new_run$i.json"
+    2>/dev/null | grep '"metric"' | sed 's/^\[info\] //' > "$OUT/new_run$i.json"
 done
 echo "done: $OUT"
