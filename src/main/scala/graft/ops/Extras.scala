@@ -248,16 +248,30 @@ object Extras {
     * binning primitive), sketch-first: the PRIMARY boundary pass is
     * `percentile_approx` — a Greenwald-Khanna rank sketch with
     * O(accuracy·log N) memory per buffer (rank error ≤ N/accuracy) — the
-    * only boundary pass that survives 100 TB. An exact interpolated
-    * percentile pass rides along as the DRIFT COMPANION: it anchors the
+    * only boundary pass that survives 100 TB. An EXACT interpolated
+    * boundary set rides along as the DRIFT COMPANION: it anchors the
     * DuckDB oracle (bin/n/lo/hi below are exact-boundary bins, matched
     * hash-for-hash) and makes sketch-vs-exact drift visible as the
     * `sketch_drift_ok` column — true iff each sketch-boundary bin's count
     * is within the 2·N/accuracy GK guarantee of the exact bin's count
     * (DuckDB asserts the literal TRUE, so a sketch outside its error bound
-    * goes red). At production scale the companion pass is dropped and only
-    * the sketch path runs. Binning itself is a codegen'd array-filter HOF
-    * over a broadcast 1-row bounds array — no per-row join. */
+    * goes red).
+    *
+    * The exact boundaries come from a SKETCH-GUIDED REFINE, not a full
+    * exact-percentile aggregate (which buffers EVERY value per partial —
+    * the superlinear term the r16 scale probe flagged at 5.42×/10×):
+    * pass 1 additionally probes the sketch at q±2ε, which by the GK rank
+    * guarantee brackets each true order statistic inside a value window
+    * holding ≤ ~4εN rows; pass 2 counts rows below each window; pass 3
+    * ranks ONLY the window members (row_number per decile) and picks the
+    * two order statistics each interpolation needs. Exactness is
+    * preserved — the picked values ARE the true order statistics, and
+    * the interpolation mirrors Spark's `percentile` formula
+    * bit-for-bit — while the heavy pass touches ~1% of rows instead of
+    * buffering all of them. Tiny inputs (< 10k rows, where the GK
+    * bracket math needs N ≥ 2/ε) keep the plain exact aggregate.
+    * Binning itself is a codegen'd array-filter HOF over driver-literal
+    * bounds — no per-row join. */
   val equidepthHist: QuerySpec = QuerySpec.sql(
     "q_equidepth_hist",
     """WITH b AS (
@@ -274,18 +288,75 @@ object Extras {
     val deciles = (1 to 9).map(_ / 10.0)
     val accuracy = 1000 // GK sketch: rank error ≤ N/accuracy
     val li = Tables.lineitem(spark, dir).select(col("l_extendedprice").as("x"))
-    // one boundary pass computes BOTH boundary sets: the sketch (primary —
-    // the only one that runs at production scale) and the exact companion
-    // (anchors the oracle, measures drift at test scale)
-    val bounds = li.agg(
-      percentile_approx(col("x"), typedLit(deciles), lit(accuracy)).as("sbounds"),
-      percentile(col("x"), typedLit(deciles)).as("ebounds"),
-      count(lit(1)).as("n_total"))
-    val binned = li.crossJoin(broadcast(bounds))
-      .select(
-        size(filter(col("ebounds"), b => b <= col("x"))).as("bin"),
-        size(filter(col("sbounds"), b => b <= col("x"))).as("sbin"),
-        col("x"), col("n_total"))
+    // PASS 1 — the sketch (primary, production) boundary pass, extended
+    // with the refine's window probes at q ± 2ε: by the GK guarantee the
+    // probed values bracket every true order statistic the exact
+    // interpolation needs
+    val eps = 1.0 / accuracy
+    val delta = 2 * eps
+    val loQs = deciles.map(q => math.max(0.0, q - delta))
+    val hiQs = deciles.map(q => math.min(1.0, q + delta))
+    val probe = li.agg(
+      percentile_approx(col("x"), typedLit(deciles ++ loQs ++ hiQs),
+        lit(accuracy)).as("p"),
+      count(lit(1)).as("n_total")).head
+    val p = probe.getSeq[Double](0)
+    val nTotal = probe.getLong(1)
+    val sbounds = p.slice(0, 9)
+    val wlo = p.slice(9, 18)
+    val whi = p.slice(18, 27)
+    val ebounds: Seq[Double] =
+      if (nTotal < 10000) {
+        // tiny input: the GK bracket needs N ≥ 2/ε; the plain exact
+        // aggregate is cheap here anyway
+        li.agg(percentile(col("x"), typedLit(deciles)).as("e"))
+          .head.getSeq[Double](0)
+      } else {
+        // PASS 2 — absolute rank offset of each window (rows below it)
+        val belowAggs = deciles.indices.map(i =>
+          sum(when(col("x") < lit(wlo(i)), 1L).otherwise(0L)).as(s"b$i"))
+        val bRow = li.agg(belowAggs.head, belowAggs.tail: _*).head
+        val below = deciles.indices.map(bRow.getLong)
+        // PASS 3 — rank ONLY the window members (≤ ~4εN rows per decile)
+        // and pick the two order statistics each interpolation reads;
+        // absolute 1-based rank of a member = below(i) + its row_number
+        val j = deciles.map(q => math.floor((nTotal - 1) * q).toLong)
+        val memb = array(deciles.indices.map(i =>
+          when(col("x") >= lit(wlo(i)) && col("x") <= lit(whi(i)),
+            struct(lit(i).as("i"), col("x").as("x")))): _*)
+        val winDf = li
+          .select(explode(filter(memb, c => c.isNotNull)).as("r"))
+          .select(col("r.i").as("i"), col("r.x").as("x"))
+        import org.apache.spark.sql.expressions.Window
+        val ranked = winDf.withColumn("rn", row_number()
+          .over(Window.partitionBy(col("i")).orderBy(col("x"))))
+        val want: Map[Int, Seq[Long]] = deciles.indices.map { i =>
+          i -> Seq(j(i) + 1 - below(i), j(i) + 2 - below(i))
+        }.toMap
+        val cond = want.map { case (i, rns) =>
+          col("i") === lit(i) && col("rn").cast("long").isin(rns: _*)
+        }.reduce(_ || _)
+        val picked: Map[(Int, Long), Double] = ranked.filter(cond)
+          .collect() // ≤ 2 rows per decile
+          .map(r => (r.getInt(0), r.getInt(2).toLong) -> r.getDouble(1)).toMap
+        deciles.indices.map { i =>
+          def at(k: Long): Double = picked.getOrElse((i, k + 1 - below(i)),
+            throw new IllegalStateException(
+              s"equi-depth refine: window for decile ${i + 1} missed order " +
+                s"statistic $k (below=${below(i)}) — GK bracket violated"))
+          // Spark's exact `percentile` interpolation, mirrored
+          // bit-for-bit so the refined boundaries hash-match the oracle
+          val pos = (nTotal - 1) * deciles(i)
+          val lower = math.floor(pos).toLong
+          val higher = math.ceil(pos).toLong
+          if (lower == higher) at(lower)
+          else at(lower) * (higher - pos) + at(higher) * (pos - lower)
+        }
+      }
+    val binned = li.select(
+      size(filter(typedLit(ebounds), b => b <= col("x"))).as("bin"),
+      size(filter(typedLit(sbounds), b => b <= col("x"))).as("sbin"),
+      col("x"), lit(nTotal).as("n_total"))
     // both histograms from ONE scan + ONE shuffle: each row contributes a
     // record under its exact-bin key and one under its sketch-bin key
     // (map-side partial aggregation collapses the 2× fan-out to ≤ 2·bins

@@ -115,10 +115,22 @@ private[sources] trait ManifestCommitProtocol { this: ManifestTable.type =>
     * and immutable tag refs. Exactly one concurrent publisher of a name
     * wins; the loser throws [[VersionConflictException]]. */
   private[sources] def commitNamed(spark: SparkSession, base: String, fileName: String,
-      es: Seq[(String, String)], conflictMsg: String): Unit =
+      es: Seq[(String, String)], conflictMsg: String): Unit = {
     publishExclusive(spark, base, fileName,
       es.map { case (p, f) => s"$p\t$f" }.mkString("\n").getBytes("UTF-8"),
       conflictMsg)
+    // every SUCCESSFUL branch commit rides the sidecar refresh, exactly
+    // like main's verbs pair commit+refreshAllStats — this is the single
+    // choke point all branch sequences (fork, append, COW rewrite, delta,
+    // streamed epochs) pass through. Fork commits carry every stat from
+    // main's sidecars (files are immutable), so the refresh scans only
+    // files NEW to the branch; unindexed tables no-op.
+    fileName match {
+      case BranchManifestRe(name) => refreshAllStatsBranch(spark, base, name)
+      case _ => ()
+    }
+  }
+  private val BranchManifestRe = "branch-(.+)-v\\d+\\.manifest".r
 
   /** The COMMIT POINT: atomically publish `bytes` as
     * `_manifests/<fileName>`, failing (never overwriting) if the name is

@@ -152,7 +152,16 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
     * vector is purge territory — and the in-scan path refuses it at 1M
     * pairs anyway). Runs pre-commit (the dir is invisible until the
     * `__dv` marker lands), so a crash mid-merge leaves only unreferenced
-    * staging debris. */
+    * staging debris.
+    *
+    * The merge itself is a DRIVER-SIDE raw parquet pass, not a Spark
+    * job: the set is bounded by the 256 MB guard (typically KBs of
+    * (key, pval) pairs), and the old `repartition(1)` write paid a whole
+    * job's fixed overhead — scheduler, shuffle, committer — per UPDATE
+    * commit. Identical-schema fragments (one writer wrote them all)
+    * stream group-by-group into one file through the same
+    * [[LocalFastPath]] bypass the fragment writers use; a schema
+    * mismatch (never expected) falls back to the Spark job. */
   private[sources] def consolidateDvDir(spark: SparkSession, base: String,
       rel: String): Unit = {
     val dir = new Path(base, rel)
@@ -160,18 +169,51 @@ private[sources] trait ManifestMoR { this: ManifestTable.type =>
     val parts = fs.listStatus(dir).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
     if (parts.size <= 4 || parts.map(_.getLen).sum > 256L * 1024 * 1024) return
-    val tmp = new Path(base, s"_dv/.merge-${dir.getName}")
-    // repartition (not coalesce): the fragment read stays parallel, only
-    // the write funnels through one task
-    spark.read.parquet(parts.map(_.getPath.toString): _*)
-      .repartition(1).write.mode("overwrite").parquet(tmp.toString)
-    val merged = fs.listStatus(tmp).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-    require(merged.size == 1, s"DV merge produced ${merged.size} files")
-    if (!fs.rename(merged.head, new Path(dir, "vector.parquet")))
-      throw new java.io.IOException(s"DV merge move failed under $dir")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val schemas = parts.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p.getPath, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    val mergedVec = new Path(dir, "vector.parquet")
+    if (schemas.distinct.size == 1) {
+      val tmp = new Path(base, s"_dv/.merge-${dir.getName}.parquet")
+      fs.delete(tmp, false)
+      val b = LocalFastPath.nioPath(tmp.toString, conf) match {
+        case Some(nio) =>
+          nio.getParent.toFile.mkdirs()
+          org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(
+            new org.apache.parquet.io.LocalOutputFile(nio))
+        case None =>
+          org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(tmp)
+      }
+      val w = b.withConf(conf).withType(schemas.head).build()
+      try parts.foreach { p =>
+        val r = org.apache.parquet.hadoop.ParquetReader.builder(
+          new org.apache.parquet.hadoop.example.GroupReadSupport(), p.getPath)
+          .withConf(conf).build()
+        try {
+          var g = r.read()
+          while (g != null) { w.write(g); g = r.read() }
+        } finally r.close()
+      } finally w.close()
+      if (!fs.rename(tmp, mergedVec))
+        throw new java.io.IOException(s"DV merge move failed under $dir")
+    } else {
+      val tmp = new Path(base, s"_dv/.merge-${dir.getName}")
+      // repartition (not coalesce): the fragment read stays parallel,
+      // only the write funnels through one task
+      spark.read.parquet(parts.map(_.getPath.toString): _*)
+        .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val merged = fs.listStatus(tmp).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      require(merged.size == 1, s"DV merge produced ${merged.size} files")
+      if (!fs.rename(merged.head, mergedVec))
+        throw new java.io.IOException(s"DV merge move failed under $dir")
+      fs.delete(tmp, true)
+    }
     parts.foreach(p => fs.delete(p.getPath, false))
-    fs.delete(tmp, true)
   }
 
   /** MERGE-ON-READ DELETE — the deletion-vector trade-off (Delta DVs /

@@ -377,7 +377,12 @@ private[sources] trait ManifestRefs { this: ManifestTable.type =>
     true // unreachable
   }
 
-  /** Read the branch head (exactly the files its manifest names). */
+  /** Read the branch head (the files its manifest names, with any pending
+    * BRANCH deletion vectors applied — a branch MoR DELETE/UPDATE hides
+    * its named rows here exactly like the SQL `$branch` face does, via
+    * the same fenced anti-join as [[readMoR]]; an API read that
+    * resurrected vector-hidden rows would disagree with every other
+    * branch-read path). */
   def readBranch(spark: SparkSession, base: String, name: String): DataFrame = {
     val paths = branchEntries(spark, base, name)
       .map { case (_, rel) => resolve(base, rel) }
@@ -385,10 +390,41 @@ private[sources] trait ManifestRefs { this: ManifestTable.type =>
       val s = tableProperties(spark, base).getOrElse("schema",
         throw new IllegalStateException(
           s"empty branch $name under $base and no stored schema property"))
-      spark.createDataFrame(
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         ManifestSchemaProp.parse(s))
-    } else spark.read.parquet(paths: _*)
+    }
+    val plain = spark.read.parquet(paths: _*)
+    val dvs = pendingBranchDvRels(spark, base, name)
+    // a vector can only exist under the MoR stamp, which requires keyCol
+    val kcOpt = tableProperties(spark, base).get("keyCol")
+    if (dvs.isEmpty || kcOpt.isEmpty) plain
+    else {
+      val keyCol = kcOpt.get
+      if (dvs.forall(rel => dvCutOf(spark, base, rel) == Int.MaxValue)) {
+        // delete-only vectors: every named (key, pval) pair hides
+        // unconditionally — plain broadcast anti-join
+        val pairs = spark.read
+          .parquet(dvs.map(rel => s"$base/$rel"): _*)
+          .select(col(keyCol), col("__pval"))
+        plain.withColumn("__pval", filePvalExpr)
+          .join(broadcast(pairs), Seq(keyCol, "__pval"), "left_anti")
+          .drop("__pval")
+      } else {
+        // fenced vectors (branch UPDATE): hide only rows whose file dir
+        // version sits below the pair's max cut — the commit's own
+        // appended copies survive
+        val pairs = readDvPairs(spark, base, dvs, keyCol)
+          .groupBy(col(keyCol), col("__pval")).agg(max(col("__cut")).as("__cut"))
+        plain.withColumn("__pval", filePvalExpr)
+          .withColumn("__fv",
+            coalesce(regexp_extract(input_file_name(), "files/v(\\d+)/", 1)
+              .cast("int"), lit(-1)))
+          .join(broadcast(pairs), Seq(keyCol, "__pval"), "left")
+          .filter(col("__cut").isNull || col("__fv") >= col("__cut"))
+          .drop("__pval", "__fv", "__cut")
+      }
+    }
   }
 
   /** APPEND to a branch — main is untouched. Same optimistic protocol as
@@ -635,9 +671,13 @@ private[sources] trait ManifestRefs { this: ManifestTable.type =>
     val fs = fsOf(spark, manifestDir(base))
     vs.foreach(v =>
       fs.delete(new Path(manifestDir(base), branchManifestName(name, v)), false))
-    // a streaming WAP feed's exactly-once epoch markers die with their ref
-    val epochs = fs.globStatus(new Path(manifestDir(base), s"branch-$name-v*.epoch"))
-    if (epochs != null) epochs.foreach(e => fs.delete(e.getPath, false))
+    // a streaming WAP feed's exactly-once epoch markers die with their
+    // ref, and so do the branch's per-commit sidecar indexes
+    Seq(s"branch-$name-v*.epoch", s"branch-$name-v*.stats.*",
+        s"branch-$name-v*.sstats.*", s"branch-$name-v*.bloom.*").foreach { pat =>
+      val stale = fs.globStatus(new Path(manifestDir(base), pat))
+      if (stale != null) stale.foreach(e => fs.delete(e.getPath, false))
+    }
     // release the per-name creation arbiter (a crash just before this
     // leaves arbiter-without-manifests — exactly the debris shape
     // createBranch heals past its age fence)

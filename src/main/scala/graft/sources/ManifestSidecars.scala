@@ -12,21 +12,35 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * their commit-time refresh, the pruned-read paths, and snapshot
   * EXPIRY (which reclaims sidecars with their manifests). */
 private[sources] trait ManifestSidecars { this: ManifestTable.type =>
-  private def statsPath(base: String, v: Int, statCol: String): Path =
-    new Path(manifestDir(base), s"v$v.stats.$statCol")
+  // Sidecars are addressed by the MANIFEST STEM they ride: `v<N>` for a
+  // main snapshot, `branch-<name>-v<N>` for a branch commit — one
+  // index per committed manifest, reclaimed with it. The `v: Int`
+  // entrypoints below are the main-sequence wrappers.
+  private[sources] def mainStem(v: Int): String = s"v$v"
+  private[sources] def branchStem(name: String, v: Int): String =
+    s"branch-$name-v$v"
+
+  private def statsPath(base: String, stem: String, statCol: String): Path =
+    new Path(manifestDir(base), s"$stem.stats.$statCol")
 
   /** Columns a sidecar indexes at version `v`. */
-  private[sources] def statCols(spark: SparkSession, base: String, v: Int): Seq[String] = {
+  private[sources] def statCols(spark: SparkSession, base: String, v: Int): Seq[String] =
+    statColsStem(spark, base, mainStem(v))
+  private[sources] def statColsStem(spark: SparkSession, base: String,
+      stem: String): Seq[String] = {
     val dir = manifestDir(base)
     val fs = fsOf(spark, dir)
-    val glob = fs.globStatus(new Path(dir, s"v$v.stats.*"))
+    val glob = fs.globStatus(new Path(dir, s"$stem.stats.*"))
     if (glob == null) Seq.empty
-    else glob.toSeq.map(_.getPath.getName.stripPrefix(s"v$v.stats."))
+    else glob.toSeq.map(_.getPath.getName.stripPrefix(s"$stem.stats."))
   }
 
   private[sources] def readStatsFile(
-      spark: SparkSession, base: String, v: Int, statCol: String): Option[Map[String, Stat]] = {
-    val p = statsPath(base, v, statCol)
+      spark: SparkSession, base: String, v: Int, statCol: String): Option[Map[String, Stat]] =
+    readStatsFileStem(spark, base, mainStem(v), statCol)
+  private[sources] def readStatsFileStem(
+      spark: SparkSession, base: String, stem: String, statCol: String): Option[Map[String, Stat]] = {
+    val p = statsPath(base, stem, statCol)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) None
     else {
@@ -43,8 +57,11 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     * metadata behind COUNT(*) pushdown and limit-driven file pruning.
     * Files whose carried entry predates the count field are absent. */
   private[sources] def readStatsCounts(
-      spark: SparkSession, base: String, v: Int, statCol: String): Map[String, Long] = {
-    val p = statsPath(base, v, statCol)
+      spark: SparkSession, base: String, v: Int, statCol: String): Map[String, Long] =
+    readStatsCountsStem(spark, base, mainStem(v), statCol)
+  private[sources] def readStatsCountsStem(
+      spark: SparkSession, base: String, stem: String, statCol: String): Map[String, Long] = {
+    val p = statsPath(base, stem, statCol)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) Map.empty
     else {
@@ -66,8 +83,12 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     * exact only for integral columns, which is all the pushdown serves. */
   private[sources] def readStatsSums(
       spark: SparkSession, base: String, v: Int, statCol: String)
+      : Map[String, Option[Long]] =
+    readStatsSumsStem(spark, base, mainStem(v), statCol)
+  private[sources] def readStatsSumsStem(
+      spark: SparkSession, base: String, stem: String, statCol: String)
       : Map[String, Option[Long]] = {
-    val p = statsPath(base, v, statCol)
+    val p = statsPath(base, stem, statCol)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) Map.empty
     else {
@@ -82,7 +103,7 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     }
   }
 
-  private def writeStatsFile(spark: SparkSession, base: String, v: Int,
+  private def writeStatsFile(spark: SparkSession, base: String, stem: String,
       statCol: String, es: Seq[(String, String)], stats: Map[String, Stat],
       counts: Map[String, Long],
       sums: Map[String, Option[Long]] = Map.empty): Unit = {
@@ -106,7 +127,7 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     val tmp = new Path(dir, s".tmp-stats-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
-    val dest = statsPath(base, v, statCol)
+    val dest = statsPath(base, stem, statCol)
     fs.delete(dest, false)
     if (!fs.rename(tmp, dest)) {
       // a CONCURRENT refresh of the same snapshot renamed between our
@@ -155,36 +176,51 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
     val scanned = scanStats(spark, base, statCol, es.map(_._2))
-    writeStatsFile(spark, base, v, statCol, es,
+    writeStatsFile(spark, base, mainStem(v), statCol, es,
       scanned.map { case (rel, (st, _, _)) => rel -> st },
       scanned.map { case (rel, (_, c, _)) => rel -> c },
       scanned.map { case (rel, (_, _, s)) => rel -> s })
+  }
+
+  /** Sidecar stems of every committed BRANCH manifest under `base` — a
+    * carry-forward source for MAIN refreshes too: after a [[fastForward]]
+    * publish, the branch's staged files are already indexed by the
+    * branch's own sidecars (same rel paths, immutable files), so the
+    * main refresh copies instead of rescanning the whole published
+    * wave. */
+  private def allBranchStems(spark: SparkSession, base: String): Seq[String] = {
+    val fs = fsOf(spark, manifestDir(base))
+    val st = fs.globStatus(new Path(manifestDir(base), "branch-*-v*.manifest"))
+    if (st == null) Seq.empty
+    else st.toSeq.map(_.getPath.getName.stripSuffix(".manifest"))
   }
 
   /** INCREMENTAL stats refresh — the maintenance form of [[buildStats]]:
     * a data file is immutable once committed, so its (min, max) never
     * changes; files already indexed by ANY prior version's sidecar carry
     * their stats forward by copy (a RESTORE's carried files may predate
-    * the immediately previous sidecar), and only files NEW in the current
-    * snapshot are scanned. After a partition-grained MERGE or an APPEND,
-    * that is exactly the touched partitions' files — stats maintenance
-    * costs O(new data), not O(table), which is what lets every commit
-    * keep its index fresh at 100 TB. Falls back to a full [[buildStats]]
-    * when no prior sidecar exists. Returns (files scanned, files
-    * carried). */
+    * the immediately previous sidecar; a fastForward-published wave
+    * carries from the BRANCH's sidecars), and only files NEW in the
+    * current snapshot are scanned. After a partition-grained MERGE or an
+    * APPEND, that is exactly the touched partitions' files — stats
+    * maintenance costs O(new data), not O(table), which is what lets
+    * every commit keep its index fresh at 100 TB. Falls back to a full
+    * [[buildStats]] when no prior sidecar exists. Returns (files
+    * scanned, files carried). */
   def refreshStats(spark: SparkSession, base: String, statCol: String): (Int, Int) = {
     val v = currentVersion(spark, base)
-    val priors = versions(spark, base).filter(_ < v)
-    val prior: Map[String, Stat] = priors
-      .flatMap(pv => readStatsFile(spark, base, pv, statCol))
+    val priorStems = versions(spark, base).filter(_ < v).map(mainStem) ++
+      allBranchStems(spark, base)
+    val prior: Map[String, Stat] = priorStems
+      .flatMap(s => readStatsFileStem(spark, base, s, statCol))
       .foldLeft(Map.empty[String, Stat])(_ ++ _)
     val es = entries(spark, base, v)
     if (prior.isEmpty) { buildStats(spark, base, statCol); return (es.size, 0) }
-    val priorCnt: Map[String, Long] = priors
-      .map(pv => readStatsCounts(spark, base, pv, statCol))
+    val priorCnt: Map[String, Long] = priorStems
+      .map(s => readStatsCountsStem(spark, base, s, statCol))
       .foldLeft(Map.empty[String, Long])(_ ++ _)
-    val priorSum: Map[String, Option[Long]] = priors
-      .map(pv => readStatsSums(spark, base, pv, statCol))
+    val priorSum: Map[String, Option[Long]] = priorStems
+      .map(s => readStatsSumsStem(spark, base, s, statCol))
       .foldLeft(Map.empty[String, Option[Long]])(_ ++ _)
     val (carried, fresh) = es.partition { case (_, rel) => prior.contains(rel) }
     val freshStats = scanStats(spark, base, statCol, fresh.map(_._2))
@@ -192,7 +228,7 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
       rel -> prior.getOrElse(rel, freshStats.get(rel).map(_._1).getOrElse(None)) }.toMap
     val fullCnt = priorCnt ++ freshStats.map { case (rel, (_, c, _)) => rel -> c }
     val fullSum = priorSum ++ freshStats.map { case (rel, (_, _, s)) => rel -> s }
-    writeStatsFile(spark, base, v, statCol, es, full, fullCnt, fullSum)
+    writeStatsFile(spark, base, mainStem(v), statCol, es, full, fullCnt, fullSum)
     (fresh.size, carried.size)
   }
 
@@ -207,19 +243,25 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
   // Auto-indexed by the commit path for every STRING spec source column
   // (current and historical eras) — no user action needed.
 
-  private def sstatsPath(base: String, v: Int, statCol: String): Path =
-    new Path(manifestDir(base), s"v$v.sstats.$statCol")
+  private def sstatsPath(base: String, stem: String, statCol: String): Path =
+    new Path(manifestDir(base), s"$stem.sstats.$statCol")
 
-  private[sources] def sstatCols(spark: SparkSession, base: String, v: Int): Seq[String] = {
+  private[sources] def sstatCols(spark: SparkSession, base: String, v: Int): Seq[String] =
+    sstatColsStem(spark, base, mainStem(v))
+  private[sources] def sstatColsStem(spark: SparkSession, base: String,
+      stem: String): Seq[String] = {
     val glob = fsOf(spark, manifestDir(base))
-      .globStatus(new Path(manifestDir(base), s"v$v.sstats.*"))
+      .globStatus(new Path(manifestDir(base), s"$stem.sstats.*"))
     if (glob == null) Seq.empty
-    else glob.toSeq.map(_.getPath.getName.stripPrefix(s"v$v.sstats."))
+    else glob.toSeq.map(_.getPath.getName.stripPrefix(s"$stem.sstats."))
   }
 
   private[sources] def readSStatsFile(spark: SparkSession, base: String,
-      v: Int, statCol: String): Option[Map[String, Option[(String, String)]]] = {
-    val p = sstatsPath(base, v, statCol)
+      v: Int, statCol: String): Option[Map[String, Option[(String, String)]]] =
+    readSStatsFileStem(spark, base, mainStem(v), statCol)
+  private[sources] def readSStatsFileStem(spark: SparkSession, base: String,
+      stem: String, statCol: String): Option[Map[String, Option[(String, String)]]] = {
+    val p = sstatsPath(base, stem, statCol)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) None
     else {
@@ -230,15 +272,23 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
         // value fields carry an unambiguous '=' prefix (URLEncoder
         // never emits a raw '=', it escapes to %3D) — a file whose
         // actual min IS the literal string "-" must not read back as
-        // the all-NULL marker and silently prune (lost rows)
-        (f(0), if (f.length < 3 || !f(1).startsWith("=")) None else Some((
-          java.net.URLDecoder.decode(f(1).substring(1), "UTF-8"),
-          java.net.URLDecoder.decode(f(2).substring(1), "UTF-8"))))
+        // the all-NULL marker and silently prune (lost rows). Lines
+        // WITHOUT the prefix are LEGACY sidecars (written before the
+        // prefix existed): their values decode as-is — treating them
+        // as all-NULL would prune every legacy-indexed file ("cannot
+        // match") and refreshSStats would carry the misread forward,
+        // corrupting the index permanently. Only the legacy value
+        // that IS the literal "-" stays ambiguous (the original
+        // hazard, impossible in prefixed files) and reads as NULL.
+        def dec(s: String): String = java.net.URLDecoder.decode(
+          if (s.startsWith("=")) s.substring(1) else s, "UTF-8")
+        (f(0), if (f.length < 3 || f(1) == "-") None
+               else Some((dec(f(1)), dec(f(2)))))
       }.toMap)
     }
   }
 
-  private def writeSStatsFile(spark: SparkSession, base: String, v: Int,
+  private def writeSStatsFile(spark: SparkSession, base: String, stem: String,
       statCol: String, es: Seq[(String, String)],
       stats: Map[String, Option[(String, String)]]): Unit = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
@@ -256,7 +306,7 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     val tmp = new Path(dir, s".tmp-sstats-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
-    val dest = sstatsPath(base, v, statCol)
+    val dest = sstatsPath(base, stem, statCol)
     fs.delete(dest, false)
     if (!fs.rename(tmp, dest)) {
       // concurrent refresh of the same snapshot: deterministic content,
@@ -291,7 +341,7 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
   def buildSStats(spark: SparkSession, base: String, statCol: String): Unit = {
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
-    writeSStatsFile(spark, base, v, statCol, es,
+    writeSStatsFile(spark, base, mainStem(v), statCol, es,
       scanSStats(spark, base, statCol, es.map(_._2)))
   }
 
@@ -299,9 +349,10 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     * (committed files are immutable, so only NEW files scan). */
   def refreshSStats(spark: SparkSession, base: String, statCol: String): (Int, Int) = {
     val v = currentVersion(spark, base)
-    val priors = versions(spark, base).filter(_ < v)
-    val prior: Map[String, Option[(String, String)]] = priors
-      .flatMap(pv => readSStatsFile(spark, base, pv, statCol))
+    val priorStems = versions(spark, base).filter(_ < v).map(mainStem) ++
+      allBranchStems(spark, base)
+    val prior: Map[String, Option[(String, String)]] = priorStems
+      .flatMap(s => readSStatsFileStem(spark, base, s, statCol))
       .foldLeft(Map.empty[String, Option[(String, String)]])(_ ++ _)
     val es = entries(spark, base, v)
     if (prior.isEmpty) { buildSStats(spark, base, statCol); return (es.size, 0) }
@@ -309,7 +360,7 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     val freshStats = scanSStats(spark, base, statCol, fresh.map(_._2))
     val full = es.map { case (_, rel) =>
       rel -> prior.getOrElse(rel, freshStats.getOrElse(rel, None)) }.toMap
-    writeSStatsFile(spark, base, v, statCol, es, full)
+    writeSStatsFile(spark, base, mainStem(v), statCol, es, full)
     (fresh.size, carried.size)
   }
 
@@ -390,6 +441,75 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
       .distinct.foreach(c => refreshSStats(spark, base, c))
   }
 
+  /** Branch twin of [[refreshAllStats]]: every BRANCH commit indexes its
+    * head manifest with its own sidecar set (`branch-<name>-v<N>.stats.*`
+    * / `.sstats.*` / `.bloom.*`), so branch scans keep file-skipping —
+    * without this, a long-lived branch under heavy use plans every scan
+    * from the manifest alone. Carry-forward sources are every prior
+    * sidecar of THIS branch plus every MAIN sidecar (fork files were
+    * indexed on main, and data files are immutable, so their stats are
+    * version-independent): the fork commit itself costs zero scans, and
+    * each later branch commit scans only its NEW files — O(new data)
+    * per commit, exactly main's contract. Indexed columns follow the
+    * same rule as main: whatever any carried sidecar indexes, plus the
+    * auto-indexed layout source columns. */
+  private[sources] def refreshAllStatsBranch(spark: SparkSession,
+      base: String, name: String): Unit = {
+    val vs = branchVersions(spark, base, name)
+    if (vs.isEmpty) return
+    val head = vs.last
+    val stem = branchStem(name, head)
+    val es = entriesAt(spark,
+      new Path(manifestDir(base), branchManifestName(name, head)))
+    val priorStems = vs.filter(_ < head).map(branchStem(name, _)) ++
+      versions(spark, base).map(mainStem)
+    // numeric stats (incl. the auto-indexed instant columns of time
+    // layouts — named-zone range skipping holds on branches too)
+    val nCols = (priorStems.flatMap(s => statColsStem(spark, base, s)) ++
+      timestampSpecCols(spark, base)).distinct
+    nCols.foreach { c =>
+      val prior = priorStems.flatMap(s => readStatsFileStem(spark, base, s, c))
+        .foldLeft(Map.empty[String, Stat])(_ ++ _)
+      val priorCnt = priorStems.map(s => readStatsCountsStem(spark, base, s, c))
+        .foldLeft(Map.empty[String, Long])(_ ++ _)
+      val priorSum = priorStems.map(s => readStatsSumsStem(spark, base, s, c))
+        .foldLeft(Map.empty[String, Option[Long]])(_ ++ _)
+      val freshScan = scanStats(spark, base, c,
+        es.collect { case (_, rel) if !prior.contains(rel) => rel })
+      val full = es.map { case (_, rel) =>
+        rel -> prior.getOrElse(rel,
+          freshScan.get(rel).map(_._1).getOrElse(None)) }.toMap
+      writeStatsFile(spark, base, stem, c, es, full,
+        priorCnt ++ freshScan.map { case (rel, (_, n, _)) => rel -> n },
+        priorSum ++ freshScan.map { case (rel, (_, _, sm)) => rel -> sm })
+    }
+    // bloom sidecars (parameters fixed at build time, like refreshBloom)
+    priorStems.flatMap(s => bloomColsStem(spark, base, s)).distinct.foreach { c =>
+      val priors = priorStems.flatMap(s => readBloomFileStem(spark, base, s, c))
+      if (priors.nonEmpty) {
+        val (mBits, k) = priors.last._1
+        val prior = priors.foldLeft(Map.empty[String, BloomEntry])(_ ++ _._2)
+        val freshScan = scanBlooms(spark, base, c,
+          es.collect { case (_, rel) if !prior.contains(rel) => rel }, mBits, k)
+        val full = es.map { case (_, rel) =>
+          rel -> prior.getOrElse(rel, freshScan.getOrElse(rel, None)) }.toMap
+        writeBloomFile(spark, base, stem, c, mBits, k, es, full)
+      }
+    }
+    // string stats
+    val sCols = (priorStems.flatMap(s => sstatColsStem(spark, base, s)) ++
+      stringSpecCols(spark, base)).distinct
+    sCols.foreach { c =>
+      val prior = priorStems.flatMap(s => readSStatsFileStem(spark, base, s, c))
+        .foldLeft(Map.empty[String, Option[(String, String)]])(_ ++ _)
+      val freshScan = scanSStats(spark, base, c,
+        es.collect { case (_, rel) if !prior.contains(rel) => rel })
+      val full = es.map { case (_, rel) =>
+        rel -> prior.getOrElse(rel, freshScan.getOrElse(rel, None)) }.toMap
+      writeSStatsFile(spark, base, stem, c, es, full)
+    }
+  }
+
   /** Data-file paths of the current snapshot whose [`statCol`] range
     * intersects [lo, hi], plus the total file count — the file-skipping
     * decision, made entirely from the KB-sized stats sidecar (no data I/O).
@@ -450,22 +570,28 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
   // carry their filter forward; only new files are scanned).
 
   private[sources] type BloomEntry = Option[Array[Long]] // None = zero-row/all-NULL file
-  private def bloomPath(base: String, v: Int, bloomCol: String): Path =
-    new Path(manifestDir(base), s"v$v.bloom.$bloomCol")
+  private def bloomPath(base: String, stem: String, bloomCol: String): Path =
+    new Path(manifestDir(base), s"$stem.bloom.$bloomCol")
 
   /** Columns bloom-indexed at version `v`. */
-  private[sources] def bloomCols(spark: SparkSession, base: String, v: Int): Seq[String] = {
+  private[sources] def bloomCols(spark: SparkSession, base: String, v: Int): Seq[String] =
+    bloomColsStem(spark, base, mainStem(v))
+  private[sources] def bloomColsStem(spark: SparkSession, base: String,
+      stem: String): Seq[String] = {
     val dir = manifestDir(base)
-    val glob = fsOf(spark, dir).globStatus(new Path(dir, s"v$v.bloom.*"))
+    val glob = fsOf(spark, dir).globStatus(new Path(dir, s"$stem.bloom.*"))
     if (glob == null) Seq.empty
-    else glob.toSeq.map(_.getPath.getName.stripPrefix(s"v$v.bloom."))
+    else glob.toSeq.map(_.getPath.getName.stripPrefix(s"$stem.bloom."))
   }
 
   /** Sidecar layout: header `#\tmBits\tk`, then one `rel\t<base64>` (or
     * `rel\t-`) line per manifest entry. Returns ((mBits, k), entries). */
   private[sources] def readBloomFile(spark: SparkSession, base: String, v: Int,
+      bloomCol: String): Option[((Int, Int), Map[String, BloomEntry])] =
+    readBloomFileStem(spark, base, mainStem(v), bloomCol)
+  private[sources] def readBloomFileStem(spark: SparkSession, base: String, stem: String,
       bloomCol: String): Option[((Int, Int), Map[String, BloomEntry])] = {
-    val p = bloomPath(base, v, bloomCol)
+    val p = bloomPath(base, stem, bloomCol)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) None
     else {
@@ -483,7 +609,7 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     }
   }
 
-  private def writeBloomFile(spark: SparkSession, base: String, v: Int,
+  private def writeBloomFile(spark: SparkSession, base: String, stem: String,
       bloomCol: String, mBits: Int, k: Int, es: Seq[(String, String)],
       blooms: Map[String, BloomEntry]): Unit = {
     val lines = s"#\t$mBits\t$k" +: es.map { case (_, rel) =>
@@ -498,7 +624,7 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     val tmp = new Path(dir, s".tmp-bloom-${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
-    val dest = bloomPath(base, v, bloomCol)
+    val dest = bloomPath(base, stem, bloomCol)
     fs.delete(dest, false)
     if (!fs.rename(tmp, dest)) {
       // same benign race as the stats sidecar: a concurrent refresh of
@@ -544,7 +670,7 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
       mBits: Int = 1 << 14, k: Int = 7): Unit = {
     val v = currentVersion(spark, base)
     val es = entries(spark, base, v)
-    writeBloomFile(spark, base, v, bloomCol, mBits, k, es,
+    writeBloomFile(spark, base, mainStem(v), bloomCol, mBits, k, es,
       scanBlooms(spark, base, bloomCol, es.map(_._2), mBits, k))
   }
 
@@ -555,8 +681,9 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     * carried). */
   def refreshBloom(spark: SparkSession, base: String, bloomCol: String): (Int, Int) = {
     val v = currentVersion(spark, base)
-    val priors = versions(spark, base).filter(_ < v)
-      .flatMap(pv => readBloomFile(spark, base, pv, bloomCol))
+    val priors = (versions(spark, base).filter(_ < v).map(mainStem) ++
+        allBranchStems(spark, base))
+      .flatMap(s => readBloomFileStem(spark, base, s, bloomCol))
     if (priors.isEmpty)
       throw new IllegalStateException(s"no prior bloom sidecar for $bloomCol under $base")
     val (mBits, k) = priors.last._1 // parameters are fixed at build time
@@ -566,7 +693,7 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     val freshBlooms = scanBlooms(spark, base, bloomCol, fresh.map(_._2), mBits, k)
     val full = es.map { case (_, rel) =>
       rel -> prior.getOrElse(rel, freshBlooms.getOrElse(rel, None)) }.toMap
-    writeBloomFile(spark, base, v, bloomCol, mBits, k, es, full)
+    writeBloomFile(spark, base, mainStem(v), bloomCol, mBits, k, es, full)
     (fresh.size, carried.size)
   }
 
@@ -686,6 +813,15 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     if (!dryRun) {
       dead.foreach(rel => fs.delete(new Path(base, rel), false))
       dropNames.foreach(n => fs.delete(new Path(manifestDir(base), n), false))
+      // branch sidecars are per-branch-commit metadata: expire them with
+      // their manifest, like main's
+      dropVs.foreach { v =>
+        val stem = branchStem(name, v)
+        Seq(s"$stem.stats.*", s"$stem.sstats.*", s"$stem.bloom.*").foreach { pat =>
+          val stale = fs.globStatus(new Path(manifestDir(base), pat))
+          if (stale != null) stale.foreach(s => fs.delete(s.getPath, false))
+        }
+      }
     }
     (dropVs.size, dead.size)
   }

@@ -442,7 +442,12 @@ final class ManifestStreamTable(schema: StructType, base: String,
     * groups the executed scan read (and must replace) and which snapshot
     * that read set is valid for (the commit's conflict check). */
   private[sources] def scanBuilderRecording(options: CaseInsensitiveStringMap,
-      onPlan: (Seq[String], Int) => Unit): ScanBuilder = {
+      onPlan: (Seq[String], Int) => Unit,
+      // false for GROUP-REPLACE (copy-on-write) row-level ops: their
+      // write replaces planned groups with the scan's output, so per-file
+      // sidecar skipping would lose carried rows (see
+      // ManifestSnapshotBatch.fileSkipping)
+      fileSkipping: Boolean = true): ScanBuilder = {
     // batch reads honor time travel: .option("versionAsOf", v) or the SQL
     // VERSION AS OF pin; default is the current version at planning time
     val versionAsOf =
@@ -670,7 +675,8 @@ final class ManifestStreamTable(schema: StructType, base: String,
             layoutCol, pushed.toSeq, () => runtimePvals, pushedLimit, onPlan,
             bucketKeyed = bucketLayout.isDefined,
             bucketPvals = staticBucketPvals,
-            pvalKeep = staticMultiKeep.orElse(staticTransformKeep))
+            pvalKeep = staticMultiKeep.orElse(staticTransformKeep),
+            fileSkipping = fileSkipping)
         override def toBatch: org.apache.spark.sql.connector.read.Batch = {
           if (streamBranch.isDefined)
             throw new UnsupportedOperationException(
@@ -1392,11 +1398,18 @@ private[sources] object ManifestFileSkipping {
   def usable(spark: SparkSession, base: String, versionAsOf: Option[Int],
       layout: Option[String], f: Filter): Boolean = {
     val v = versionAsOf.getOrElse(ManifestTable.currentVersion(spark, base))
-    lazy val stat = ManifestTable.statCols(spark, base, v).map(_.toLowerCase).toSet
-    lazy val bloom = ManifestTable.bloomCols(spark, base, v).map(_.toLowerCase).toSet
+    usableStem(spark, base, ManifestTable.mainStem(v), layout, f)
+  }
+
+  /** [[usable]] against an explicit manifest STEM's sidecars — the form
+    * branch scans use (`branch-<name>-v<N>` stems). */
+  def usableStem(spark: SparkSession, base: String, stem: String,
+      layout: Option[String], f: Filter): Boolean = {
+    lazy val stat = ManifestTable.statColsStem(spark, base, stem).map(_.toLowerCase).toSet
+    lazy val bloom = ManifestTable.bloomColsStem(spark, base, stem).map(_.toLowerCase).toSet
     // raw-string min/max sidecars (auto-indexed spec source columns):
     // the only range-skipping path for string-partitioned columns
-    lazy val sstat = ManifestTable.sstatCols(spark, base, v).map(_.toLowerCase).toSet
+    lazy val sstat = ManifestTable.sstatColsStem(spark, base, stem).map(_.toLowerCase).toSet
     def onLayout(a: String) = layout.exists(_.equalsIgnoreCase(a))
     def sRange(a: String, x: Any) = x.isInstanceOf[String] && sstat(a.toLowerCase)
     f match {
@@ -1457,6 +1470,11 @@ private[sources] object ManifestFileSkipping {
     * sidecar has no entry for are kept (skipping is safe-over). Returns
     * the surviving manifest-relative paths. */
   def fileSurvivors(spark: SparkSession, base: String, v: Int,
+      pushed: Seq[Filter], files: Seq[String]): Set[String] =
+    fileSurvivorsStem(spark, base, ManifestTable.mainStem(v), pushed, files)
+
+  /** [[fileSurvivors]] against an explicit manifest STEM's sidecars. */
+  def fileSurvivorsStem(spark: SparkSession, base: String, stem: String,
       pushed: Seq[Filter], files: Seq[String]): Set[String] = {
     // fold every range filter per column into one [lo, hi] conjunct;
     // integral bounds tighten strict comparisons by 1, timestamp bounds
@@ -1478,7 +1496,7 @@ private[sources] object ManifestFileSkipping {
     }
     var kept = files.toSet
     ranges.foreach { case (c, (lo, hi)) =>
-      ManifestTable.readStatsFile(spark, base, v, c).foreach { stats =>
+      ManifestTable.readStatsFileStem(spark, base, stem, c).foreach { stats =>
         kept = kept.filter(rel => stats.get(rel) match {
           case Some(Some((mn, mx))) => mx >= lo && mn <= hi
           case Some(None) => false // zero-row / all-NULL file: cannot match
@@ -1520,7 +1538,7 @@ private[sources] object ManifestFileSkipping {
           if (cpCmp(a, b) <= 0) a else b)))
     }
     strRanges.foreach { case (c, (lo, hi)) =>
-      ManifestTable.readSStatsFile(spark, base, v, c).foreach { stats =>
+      ManifestTable.readSStatsFileStem(spark, base, stem, c).foreach { stats =>
         kept = kept.filter(rel => stats.get(rel) match {
           case Some(Some((mn, mx))) =>
             lo.forall(l => cpCmp(mx, l) >= 0) && hi.forall(h => cpCmp(mn, h) <= 0)
@@ -1531,7 +1549,7 @@ private[sources] object ManifestFileSkipping {
     }
     pushed.foreach {
       case EqualTo(c, x) => numeric(x).foreach { n =>
-        ManifestTable.readBloomFile(spark, base, v, c).foreach { case ((m, k), blooms) =>
+        ManifestTable.readBloomFileStem(spark, base, stem, c).foreach { case ((m, k), blooms) =>
           kept = kept.filter(rel => blooms.get(rel) match {
             case Some(Some(bits)) => graft.exprs.Bloom.mightContain(bits, m, k, n)
             case Some(None) => false
@@ -1570,8 +1588,10 @@ final class ManifestRowLevelOp(table: ManifestStreamTable, base: String,
 
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    // fileSkipping OFF: this scan's output becomes the planned groups'
+    // full new content — a sidecar-skipped carried file would lose rows
     table.scanBuilderRecording(options,
-      (pvals, v) => planned = Some((pvals.toSet, v)))
+      (pvals, v) => planned = Some((pvals.toSet, v)), fileSkipping = false)
   // requesting the `_pval` metadata column routes Spark's write through
   // the metadata-projecting task — the data writer then receives clean
   // table-schema rows (the internal __row_operation column stripped)
@@ -1713,12 +1733,21 @@ final class ManifestRowLevelDeltaOp(table: ManifestStreamTable, base: String,
             with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
           // cluster the delta rows so one partition value lands in ONE
           // task: a wide MoR UPDATE otherwise stages tasks × pvals copy
-          // files (and as many DV fragments). UPDATE/MERGE plans carry
-          // the full row image, so the layout transform clusters exactly
-          // (SQL DML arrives through the catalog — functions resolve);
-          // a DELETE's delta plan projects only rowId + metadata, so it
-          // clusters by the `_pval` metadata column instead (always set
-          // on delete rows — it IS what the vector records).
+          // files (and as many DV fragments). A DELETE's delta plan
+          // projects only rowId + metadata, so it clusters by the
+          // `_pval` metadata column (always set on delete rows — it IS
+          // what the vector records). UPDATE/MERGE plans carry the full
+          // row image, so the layout transform clusters exactly (SQL DML
+          // arrives through the catalog — functions resolve) — but a
+          // MERGE's delta MIXES row kinds, and each kind nulls the other
+          // kind's clustering input: delete rows carry NULL data columns
+          // (transform(null) would hash every WHEN MATCHED DELETE row to
+          // ONE task) and insert rows carry a NULL `_pval` (no source
+          // file). Clustering on the PAIR (_pval, transform(cols))
+          // spreads both: deletes by their recorded pval, inserts by
+          // their target transform value, updates co-located by both —
+          // and an update that keeps its partition hashes identically to
+          // pval-only clustering, so file counts don't regress.
           override def requiredDistribution()
               : org.apache.spark.sql.connector.distributions.Distribution =
             org.apache.spark.sql.connector.distributions.Distributions.clustered(
@@ -1727,8 +1756,11 @@ final class ManifestRowLevelDeltaOp(table: ManifestStreamTable, base: String,
                 Array[org.apache.spark.sql.connector.expressions.Expression](
                   org.apache.spark.sql.connector.expressions.Expressions
                     .identity("_pval"))
-              else GraftLayoutFunctions.clustering(partCol, bucketN,
-                transform, multi))
+              else (org.apache.spark.sql.connector.expressions.Expressions
+                  .identity("_pval")
+                    : org.apache.spark.sql.connector.expressions.Expression) +:
+                GraftLayoutFunctions.clustering(partCol, bucketN,
+                  transform, multi))
           override def requiredOrdering()
               : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
             Array.empty
@@ -1746,6 +1778,26 @@ final class ManifestRowLevelDeltaOp(table: ManifestStreamTable, base: String,
 final case class ManifestDeltaFiles(files: Seq[(String, String)],
     dvFrags: Seq[String], delPvals: Set[String])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Test-only observability for delta-write TASK SPREAD: per committed
+  * delta, how many writer tasks produced deletes and how many produced
+  * copies. Local-mode specs read it to pin that the required clustering
+  * actually spreads a mixed MERGE's row kinds (transform(null) hashing
+  * every WHEN MATCHED DELETE row to one task is invisible in file
+  * counts — each task writes per-pval files either way). Production
+  * cost: two integers per commit. */
+object ManifestDeltaWriteStats {
+  private val q =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int)]()
+  private[sources] def record(delTasks: Int, copyTasks: Int): Unit =
+    q.add((delTasks, copyTasks))
+  def drain(): Seq[(Int, Int)] = {
+    val b = scala.collection.mutable.Buffer[(Int, Int)]()
+    var x = q.poll()
+    while (x != null) { b += x; x = q.poll() }
+    b.toSeq
+  }
+}
 
 final class ManifestDeltaWrite(base: String, rowSchema: StructType,
     keyCol: String, partCol: String,
@@ -1769,6 +1821,8 @@ final class ManifestDeltaWrite(base: String, rowSchema: StructType,
     val frags = msgs.flatMap(_.dvFrags)
     val touched = msgs.flatMap(_.delPvals).toSet
     if (staged.isEmpty && frags.isEmpty) return // nothing matched, no commit
+    ManifestDeltaWriteStats.record(msgs.count(_.dvFrags.nonEmpty),
+      msgs.count(_.files.nonEmpty))
     val (_, readV) = planned().getOrElse(throw new IllegalStateException(
       s"delta row-level write under $base: the operation's scan never " +
         "planned, so the read snapshot is unknown — refusing to commit"))
@@ -2932,12 +2986,43 @@ final class ManifestBranchTable(base: String, fullName: String,
     * operations prune through (same `SupportsRuntimeFiltering` contract
     * as the main scan: only matched groups rewrite). */
   private[sources] def scanBuilderRecording(
-      onPlan: (Seq[String], Int) => Unit): ScanBuilder =
+      onPlan: (Seq[String], Int) => Unit,
+      // false for the branch GROUP-REPLACE op: same carried-row-loss
+      // hazard as main (ManifestSnapshotBatch.fileSkipping)
+      fileSkipping: Boolean = true): ScanBuilder =
     new ScanBuilder
-        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       private var projected: StructType = dataSchema
+      private var pushedFlt: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         if (requiredSchema.nonEmpty) projected = requiredSchema
+      // the identity layout column (static pval pruning is only sound
+      // there — bucket/transform pvals aren't the raw values); sidecar
+      // file skipping below is layout-independent
+      private def identityLayout: Option[String] = {
+        val props = ManifestTable.tableProperties(
+          org.apache.spark.sql.SparkSession.active, base)
+        props.get("partCol").filter(_ => !props.contains("bucket.n") &&
+          GraftTransform.fromProps(props).isEmpty &&
+          GraftSpec.fromProps(props).isEmpty)
+      }
+      /** FILE skipping on the BRANCH, same contract as the main scan's
+        * pushFilters: layout-column filters prune whole manifest groups,
+        * range/equality filters on columns the BRANCH-HEAD sidecars
+        * index (maintained by every branch commit) prune individual
+        * files. Every filter returns as a residual — skipping never
+        * substitutes for the row predicate. */
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val head = ManifestTable.branchVersions(spark, base, branch).last
+        val stem = ManifestTable.branchStem(branch, head)
+        pushedFlt = filters.filter(f => ManifestFileSkipping.usableStem(
+          spark, base, stem, identityLayout, f))
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushedFlt
       override def build(): Scan = new Scan
           with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
         @volatile private var runtimePvals: Option[Set[String]] = None
@@ -2972,10 +3057,24 @@ final class ManifestBranchTable(base: String, fullName: String,
               val spark = org.apache.spark.sql.SparkSession.active
               val head = ManifestTable.branchVersions(spark, base, branch).last
               val es = ManifestTable.branchEntries(spark, base, branch)
-              val kept = runtimePvals match {
-                case Some(pv) => es.filter { case (p, _) => pv(p) }
-                case None => es
+              // static pval pruning (identity layout) + runtime groups
+              val partPreds = ManifestFileSkipping.partitionPredicates(
+                pushedFlt.toSeq, identityLayout,
+                identityLayout.flatMap(n => dataSchema.fields
+                  .find(_.name.equalsIgnoreCase(n)).map(_.dataType)))
+              val kept0 = es.filter { case (p, _) =>
+                partPreds.forall(_(p)) && runtimePvals.forall(_(p)) }
+              // per-file sidecar skipping against the BRANCH HEAD's
+              // commit-maintained index (stats/sstats/bloom) — plain
+              // reads only; a group-replace scan keeps every carried file
+              val kept = if (!fileSkipping) kept0 else {
+                val survivors = ManifestFileSkipping.fileSurvivorsStem(spark,
+                  base, ManifestTable.branchStem(branch, head), pushedFlt.toSeq,
+                  kept0.map(_._2))
+                kept0.filter { case (_, rel) => survivors(rel) }
               }
+              ManifestScanEvents.record(ManifestScanEvents.PlanEvent(
+                base, kept.length, es.length, runtimePvals.isDefined))
               onPlan(kept.map(_._1).distinct, head)
               kept.map { case (pval, rel) =>
                 val abs = if (rel.startsWith("/") || rel.contains("://")) rel
@@ -3057,7 +3156,9 @@ final class ManifestBranchRowLevelOp(table: ManifestBranchTable, base: String,
 
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    table.scanBuilderRecording((pvals, v) => planned = Some((pvals.toSet, v)))
+    // fileSkipping OFF: group-replace — carried files must all be read
+    table.scanBuilderRecording(
+      (pvals, v) => planned = Some((pvals.toSet, v)), fileSkipping = false)
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("_pval"))
@@ -3200,7 +3301,8 @@ final class ManifestBranchRowLevelDeltaOp(table: ManifestBranchTable,
         new org.apache.spark.sql.connector.write.DeltaWrite
             with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
           // same delta clustering as the main op (see
-          // ManifestRowLevelDeltaOp): branch DML arrives through the
+          // ManifestRowLevelDeltaOp, incl. the (_pval, transform) PAIR
+          // for mixed MERGE deltas): branch DML arrives through the
           // catalog too, so transform functions resolve
           override def requiredDistribution()
               : org.apache.spark.sql.connector.distributions.Distribution =
@@ -3210,8 +3312,11 @@ final class ManifestBranchRowLevelDeltaOp(table: ManifestBranchTable,
                 Array[org.apache.spark.sql.connector.expressions.Expression](
                   org.apache.spark.sql.connector.expressions.Expressions
                     .identity("_pval"))
-              else GraftLayoutFunctions.clustering(partCol, bucketN,
-                transform, multi))
+              else (org.apache.spark.sql.connector.expressions.Expressions
+                  .identity("_pval")
+                    : org.apache.spark.sql.connector.expressions.Expression) +:
+                GraftLayoutFunctions.clustering(partCol, bucketN,
+                  transform, multi))
           override def requiredOrdering()
               : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
             Array.empty
@@ -3255,6 +3360,8 @@ final class ManifestBranchDeltaWrite(base: String, branch: String,
     val frags = msgs.flatMap(_.dvFrags)
     val touched = msgs.flatMap(_.delPvals).toSet
     if (staged.isEmpty && frags.isEmpty) return // nothing matched, no commit
+    ManifestDeltaWriteStats.record(msgs.count(_.dvFrags.nonEmpty),
+      msgs.count(_.files.nonEmpty))
     val (_, readHead) = planned().getOrElse(throw new IllegalStateException(
       s"delta row-level write on branch '$branch' under $base: the " +
         "operation's scan never planned — refusing to commit"))
@@ -3342,7 +3449,16 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     bucketPvals: Option[Set[String]] = None,
     // TIME/TRUNCATE layout: pushed raw-column predicates folded into one
     // inclusive pval predicate (None = no transform pruning)
-    pvalKeep: Option[String => Boolean] = None)
+    pvalKeep: Option[String => Boolean] = None,
+    // GROUP-REPLACE safety: a copy-on-write row-level op's write stages
+    // the scan's output as each planned group's FULL new content, so
+    // per-file sidecar skipping inside a planned group would silently
+    // drop the skipped files' rows (Spark pushes the op's CONDITION into
+    // this scan; a carried file whose stats can't match it still holds
+    // rows the rewrite must keep). Group-grain pruning above stays on —
+    // an un-planned group carries by reference. Pinned in
+    // RowLevelScanSafetySpec (the probe measured 1500→1411 rows lost).
+    fileSkipping: Boolean = true)
     extends org.apache.spark.sql.connector.read.Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = new Path(base).getFileSystem(new Configuration())
@@ -3373,9 +3489,11 @@ final class ManifestSnapshotBatch(base: String, schema: StructType,
     val afterPart = all.filter { case (pval, _) =>
       partPreds.forall(_(pval)) && rt.forall(_.contains(pval)) &&
         bucketPvals.forall(_.contains(pval)) && pvalKeep.forall(_(pval)) }
-    val survivors = ManifestFileSkipping.fileSurvivors(
-      spark, base, v, pushed, afterPart.map(_._2).toSeq)
-    val afterFiles = afterPart.filter { case (_, rel) => survivors(rel) }
+    val afterFiles = if (!fileSkipping) afterPart else {
+      val survivors = ManifestFileSkipping.fileSurvivors(
+        spark, base, v, pushed, afterPart.map(_._2).toSeq)
+      afterPart.filter { case (_, rel) => survivors(rel) }
+    }
     // LIMIT-driven file pruning: with no filters (pushLimit refuses
     // otherwise), no runtime filter, and no pending deletion vector, the
     // sidecar row counts bound how many files can be needed — keep files
@@ -3596,14 +3714,25 @@ private[sources] object ManifestDvSidecar {
     * (cut, key column, partition value → deleted keys). The cut is the
     * vector's version fence (Int.MaxValue for delete-only vectors): the
     * feed emits delete images only from files BELOW it, so an update
-    * commit's own appended copies are never re-emitted as deletes. */
-  def pairsAt(base: String, v: Int): Seq[(Int, String, Map[String, Set[Long]])] = {
+    * commit's own appended copies are never re-emitted as deletes.
+    * With `branch` set the markers come from the BRANCH manifest
+    * sequence (branch MoR DELETE/UPDATE land vectors there) — the fence
+    * arithmetic is version-generic, and the fork manifest carries no
+    * markers by construction ([[ManifestTable.createBranch]] refuses
+    * pending main vectors), so the fork batch never needs a diff base. */
+  def pairsAt(base: String, v: Int, branch: Option[String] = None)
+      : Seq[(Int, String, Map[String, Set[Long]])] = {
     val fs = new Path(base).getFileSystem(new Configuration())
     val spark = org.apache.spark.sql.SparkSession.active
     // the vectors version v's commit INTRODUCED: its markers minus the
     // previous manifest's (markers carry forward until purged)
-    val landed = ManifestTable.dvMarkersAt(spark, base, v)
-      .diff(if (v > 1) ManifestTable.dvMarkersAt(spark, base, v - 1) else Seq.empty)
+    def markersAt(mv: Int): Seq[String] = branch match {
+      case None =>
+        if (mv >= 1) ManifestTable.dvMarkersAt(spark, base, mv) else Seq.empty
+      case Some(b) => // missing manifest (below the fork) reads as empty
+        ManifestTable.dvMarkersAtBranch(spark, base, b, mv)
+    }
+    val landed = markersAt(v).diff(markersAt(v - 1))
       .filter(rel => fs.exists(new Path(base, rel))) // purged vectors tolerate
     val dvConf = new Configuration() // one conf for every fragment (see pendingDvPairs)
     landed.map { rel =>
@@ -3791,11 +3920,13 @@ final class ManifestMicroBatchStream(base: String, schema: StructType,
           .map { case (_, rel) => CdfFilePartition(abs(rel), "insert", v): InputPartition }
         val deletes = prev.filterNot(p => curSet(p._2))
           .map { case (_, rel) => CdfFilePartition(abs(rel), "delete", v): InputPartition }
-        // DV markers live on MAIN manifests only (branches carry no
-        // vectors by construction) — a branch feed must never read main's
-        // same-numbered manifest for them
-        val dvParts = (if (branch.isDefined) Seq.empty
-          else ManifestDvSidecar.pairsAt(base, v)).flatMap {
+        // DV markers come from the feed's OWN manifest sequence: main's
+        // for a main feed, the branch's for a branch feed (branch MoR
+        // DELETE/UPDATE land vectors on branch manifests) — a branch
+        // feed must never read main's same-numbered manifest for them,
+        // and must not drop its own (an update's insert images without
+        // the matching deletes is a wrong changefeed)
+        val dvParts = ManifestDvSidecar.pairsAt(base, v, branch).flatMap {
           case (cut, kc, dvm) => cur.collect {
             // the version fence scopes the delete images exactly like the
             // read path: only files BELOW the vector's cut — an update

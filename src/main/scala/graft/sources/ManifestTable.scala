@@ -74,5 +74,6 @@ object ManifestTable
       catalogMonthMerge, catalogMonthCdf, catalogTruncLayout, catalogSpec2,
       catalogMergeEvolve, spec2DeleteMoR, spec2UpdateMoR, catalogSpecEvolve2,
       catalogHourLayout, catalogSpecStr, specEvolveMoR, catalogSpecTs,
-      branchDeleteMoR, catalogSpecStrRange, branchUpdateMoR)
+      branchDeleteMoR, catalogSpecStrRange, branchUpdateMoR, branchCdfMoR,
+      branchPrunedScan)
 }

@@ -881,6 +881,130 @@ private[sources] trait ManifestTableQueriesC { this: ManifestTable.type =>
          |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Registered BRANCH CHANGE FEED ACROSS A BRANCH MoR COMMIT: the CDF of
+    * a branch MoR UPDATE must pair each insert image (the appended
+    * repriced copy) with its DELETE image (the DV-named old row) — the
+    * feed reads the vector from the BRANCH manifest
+    * ([[ManifestDvSidecar.pairsAt]]'s branch variant) and fences it by
+    * the vector's cut, so fork files (below the cut) emit the deletes
+    * while the commit's own copies (at/above it) never re-emit as
+    * deletes. Shares [[branchUpdateMoR]]'s fixture; the feed spans fork
+    * (v2, the base — not emitted) to the UPDATE (v3). Oracle replays
+    * both images of every 1997 order from plain orders — a feed that
+    * dropped the deletes (the pre-round-17 guard), emitted them from the
+    * copies too, or mis-stamped the commit version hash-mismatches. */
+  val branchCdfMoR: QuerySpec = QuerySpec.sql(
+    "q_branch_cdf_mor",
+    """WITH t AS (SELECT o_orderkey, o_totalprice FROM orders
+      |           WHERE year(o_orderdate) = 1997),
+      |c AS (SELECT 'delete' AS change_type, o_orderkey, o_totalprice AS p
+      |      FROM t
+      |      UNION ALL
+      |      SELECT 'insert' AS change_type, o_orderkey, o_totalprice * 0.9
+      |      FROM t)
+      |SELECT change_type, CAST(3 AS INTEGER) AS v, count(*) AS n,
+      |       CAST(sum(o_orderkey) AS BIGINT) AS keysum,
+      |       CAST(sum(floor(p * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM c GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("branchUpdMor", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_bumfix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        val tbl = withCatalog(spark, b)
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(o_orderkey BIGINT, o_year INT, o_totalprice DOUBLE)
+             |PARTITIONED BY (o_year)""".stripMargin)
+        graft.model.Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("int").as("o_year"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("graft_bum_feed")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_bum_feed")
+        setTableProperty(spark, b, "keyCol", "o_orderkey")
+        setTableProperty(spark, b, "write.mode", "merge-on-read")
+        createBranch(spark, b, "audit")
+        spark.sql(s"UPDATE graft_cat.`$tbl$$branch_audit` " +
+          "SET o_totalprice = o_totalprice * 0.9 WHERE o_year = 1997")
+        require(pendingBranchDvRels(spark, b, "audit").nonEmpty,
+          "branch MoR UPDATE must land a branch deletion vector, not a " +
+            "copy-on-write rewrite")
+        require(pendingDvRels(spark, b).isEmpty,
+          "branch MoR UPDATE must not touch main")
+        b
+      })
+    }
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT _change_type AS change_type, _commit_version AS v,
+         |       count(*) AS n,
+         |       CAST(sum(o_orderkey) AS BIGINT) AS keysum,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`${tbl + "$branch_audit_changes_2_3"}`
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+  }
+
+  /** Registered BRANCH SIDECAR FILE SKIPPING: every branch commit
+    * maintains the branch head's OWN sidecar set (fork files carry
+    * main's stats, appended files scan incrementally —
+    * [[refreshAllStatsBranch]] rides [[commitNamed]]), and the branch
+    * scan's pushed range consults it — a long-lived branch keeps the
+    * same file-skipping economics as main at 100 TB. The query ranges on
+    * the indexed key over a branch whose fork holds only LOW keys and
+    * whose staged append holds only HIGH keys: the fork's files are all
+    * skipped, the result is exactly the staged wave (`BranchSqlSpec`
+    * pins kept < total via the recorded plan events). Oracle replays the
+    * high wave from plain orders. */
+  val branchPrunedScan: QuerySpec = QuerySpec.sql(
+    "q_branch_pruned_scan",
+    """WITH t AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |                  o_totalprice
+      |           FROM orders),
+      |mx AS (SELECT max(o_orderkey) AS mx FROM t)
+      |SELECT o_year, count(*) AS n,
+      |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+      |FROM t, mx WHERE o_orderkey > mx // 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val mx = graft.model.Tables.orders(spark, dir)
+      .agg(max(col("o_orderkey"))).head.getLong(0)
+    val base = fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(("branchSkip", dir), {
+        val b =
+          s"${graft.Scratch.root}/orders_bskfix_${graft.Scratch.dirToken(dir)}"
+        fsOf(spark, new Path(b)).delete(new Path(b), true)
+        val tbl = withCatalog(spark, b)
+        spark.sql(
+          s"""CREATE TABLE graft_cat.`$tbl`
+             |(o_orderkey BIGINT, o_year INT, o_totalprice DOUBLE)
+             |PARTITIONED BY (o_year)""".stripMargin)
+        val t = graft.model.Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("int").as("o_year"),
+            col("o_totalprice"))
+        t.filter(col("o_orderkey") <= mx / 2)
+          .createOrReplaceTempView("graft_bsk_low")
+        spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM graft_bsk_low")
+        buildStats(spark, b, "o_orderkey")
+        createBranch(spark, b, "skip")
+        appendBranch(spark, b, "skip",
+          t.filter(col("o_orderkey") > mx / 2), "o_year")
+        val head = branchVersions(spark, b, "skip").last
+        require(statColsStem(spark, b, branchStem("skip", head))
+          .contains("o_orderkey"),
+          "branch commit must maintain the branch head's sidecar")
+        b
+      })
+    }
+    val tbl = withCatalog(spark, base)
+    spark.sql(
+      s"""SELECT o_year, count(*) AS n,
+         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS cents
+         |FROM graft_cat.`$tbl$$branch_skip`
+         |WHERE o_orderkey > ${mx / 2}L
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Registered TIMESTAMP-sourced MULTI-FIELD spec: `PARTITIONED BY
     * (hours(ts), bucket(8, o_custkey))` — the reference's own
     * timestamp-derived partition value (`glue_job.py:88,159`) composed

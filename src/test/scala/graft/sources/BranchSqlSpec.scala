@@ -355,4 +355,53 @@ class BranchSqlSpec extends AnyFunSuite {
     assert(m(e).contains("bucket") ||
       Option(e.getCause).exists(c => m(c).contains("bucket")))
   }
+
+  test("branch scans file-skip through branch sidecars; expiry reclaims them") {
+    val (base, tbl, t) = freshBranched("skip")
+    val brTbl = tbl + "$branch_stage"
+    // index the key column on MAIN, then branch-append a wave: the fork
+    // commit carried main's stats (zero scans), the append indexed only
+    // its new files — every branch commit keeps the branch head's own
+    // sidecar fresh (commitNamed rides refreshAllStatsBranch)
+    ManifestTable.buildStats(spark, base, "o_orderkey")
+    val mx = t.agg(max(col("o_orderkey"))).head.getLong(0)
+    ManifestTable.createBranch(spark, base, "skipper")
+    ManifestTable.appendBranch(spark, base, "skipper",
+      t.filter(col("o_orderkey") <= mx / 2)
+        .withColumn("o_orderkey", col("o_orderkey") + 10 * mx), "o_year")
+    val head = ManifestTable.branchVersions(spark, base, "skipper").last
+    val stem = ManifestTable.branchStem("skipper", head)
+    assert(ManifestTable.statColsStem(spark, base, stem) === Seq("o_orderkey"),
+      "every branch commit must index the branch head")
+    // a pushed range on the indexed column skips files on the BRANCH scan
+    ManifestScanEvents.clear()
+    val skTbl = tbl + "$branch_skipper"
+    val hi = spark.sql(s"SELECT count(*) FROM graft_cat.`$skTbl` " +
+      s"WHERE o_orderkey > ${9 * mx}").head.getLong(0)
+    assert(hi === t.filter(col("o_orderkey") <= mx / 2).count(),
+      "the skipping scan must still return every matching row")
+    val ev = ManifestScanEvents.recent(base)
+    assert(ev.nonEmpty && ev.exists(e => e.kept < e.total && e.kept > 0),
+      s"branch scan must keep < total files through the sidecar: $ev")
+    // expiry reclaims dropped branch versions' sidecars with their
+    // manifests; the kept head's survive
+    ManifestTable.appendBranch(spark, base, "skipper",
+      t.filter(col("o_orderkey") > mx / 2)
+        .withColumn("o_orderkey", col("o_orderkey") + 10 * mx), "o_year")
+    ManifestTable.expireBranchSnapshots(spark, base, "skipper", keep = 1)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def sidecars(v: Int) = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$base/_manifests/branch-skipper-v$v.stats.*"))
+    assert(sidecars(head) == null || sidecars(head).isEmpty,
+      "expired branch version must lose its sidecars")
+    val headNow = ManifestTable.branchVersions(spark, base, "skipper").last
+    assert(sidecars(headNow) != null && sidecars(headNow).nonEmpty,
+      "the kept branch head keeps its sidecar")
+    // dropBranch reclaims everything of the ref
+    ManifestTable.dropBranch(spark, base, "skipper")
+    val all = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$base/_manifests/branch-skipper-v*.stats.*"))
+    assert(all == null || all.isEmpty, "dropBranch must reclaim sidecars")
+  }
 }

@@ -798,6 +798,90 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(state.exceptAll(expect).isEmpty)
   }
 
+  test("branch change feed across a branch MoR UPDATE pairs deletes with inserts") {
+    val t = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"), col("o_totalprice"))
+    val base = s"${graft.Scratch.root}/cdf_brmor_tbl"
+    val sink = s"${graft.Scratch.root}/cdf_brmor_sink"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.ManifestCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root",
+      new java.io.File(base).getParent)
+    val tbl = new java.io.File(base).getName
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(o_orderkey BIGINT, o_year INT, o_totalprice DOUBLE)
+      |PARTITIONED BY (o_year)""".stripMargin)
+    t.createOrReplaceTempView("cdf_brmor_src")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM cdf_brmor_src")
+    ManifestTable.setTableProperty(spark, base, "keyCol", "o_orderkey")
+    ManifestTable.setTableProperty(spark, base, "write.mode", "merge-on-read")
+    ManifestTable.createBranch(spark, base, "audit")
+    spark.sql(s"""UPDATE graft_cat.`${tbl + "$branch_audit"}`
+      |SET o_totalprice = o_totalprice * 0.9 WHERE o_year = 1997""".stripMargin)
+    assert(ManifestTable.pendingBranchDvRels(spark, base, "audit").nonEmpty,
+      "fixture requires the branch MoR (deletion-vector) route")
+    val matched = t.filter(col("o_year") === 1997)
+    val nMatched = matched.count()
+    val oldCents = matched
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))).head.getLong(0)
+    val newCents = matched
+      .agg(sum(floor(col("o_totalprice") * 0.9 * 100 + 0.5).cast("long")))
+      .head.getLong(0)
+
+    // BATCH face: the update commit's feed pairs each delete preimage
+    // (DV-named row from a fork file, fenced below the cut) with its
+    // insert postimage (the appended repriced copy)
+    val feed = spark.sql(
+      s"SELECT * FROM graft_cat.`${tbl + "$branch_audit_changes_2_3"}`")
+    val dels = feed.filter(col("_change_type") === "delete")
+    val ins = feed.filter(col("_change_type") === "insert")
+    assert(dels.count() === nMatched,
+      "each matched branch row must emit one delete preimage")
+    assert(ins.count() === nMatched,
+      "each matched branch row must emit one insert postimage")
+    assert(dels.agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")))
+      .head.getLong(0) === oldCents, "preimages must carry the OLD price")
+    assert(ins.agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")))
+      .head.getLong(0) === newCents, "postimages must carry the NEW price")
+    assert(feed.filter(col("_commit_version") =!= 3).count() === 0)
+
+    // STREAM face: the branch CDF stream replays fork inserts (batch 0)
+    // then the paired update images (batch 1); folding reconstructs the
+    // branch head exactly
+    val q = spark.readStream
+      .format("graft.sources.ManifestStreamProvider")
+      .schema(schema).option("changeFeed", "true").option("branch", "audit")
+      .load(base)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$sink/batch=$id"); ()
+      }
+      .option("checkpointLocation", s"$sink-ck")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val b0 = spark.read.parquet(s"$sink/batch=0")
+    assert(b0.filter(col("_change_type") =!= "insert").count() === 0,
+      "the fork batch is the initial insert wave")
+    assert(b0.count() === t.count())
+    val b1 = spark.read.parquet(s"$sink/batch=1")
+    assert(b1.filter(col("_change_type") === "delete").count() === nMatched)
+    assert(b1.filter(col("_change_type") === "insert").count() === nMatched)
+    val state = spark.read.parquet(sink).groupBy(col("o_orderkey"))
+      .agg(max_by(struct(col("o_year"), col("o_totalprice"), col("_change_type")),
+        struct(col("_commit_version"),
+          when(col("_change_type") === "insert", 1).otherwise(0))).as("s"))
+      .filter(col("s._change_type") === "insert")
+      .select(col("o_orderkey"), col("s.o_year").as("o_year"),
+        col("s.o_totalprice").as("o_totalprice"))
+    val head = ManifestTable.readBranch(spark, base, "audit")
+    assert(state.count() === head.count())
+    assert(state.exceptAll(head).isEmpty,
+      "folding the branch feed must reconstruct the branch head")
+  }
+
   test("SQL metadata tables: $history, $partitions, $files, $changes") {
     val base = ManifestTable.statsFixture(spark, sf) // create + 2 appends
     val tbl = new java.io.File(base).getName

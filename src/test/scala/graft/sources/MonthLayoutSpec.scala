@@ -265,6 +265,63 @@ class MonthLayoutSpec extends AnyFunSuite {
     assert(pvals.forall(_.matches("\\d{4}-\\d{2}")), s"got ${pvals.take(5)}")
   }
 
+  test("MoR MERGE delta spreads mixed row kinds: deletes by pval, inserts by transform") {
+    val (tbl, base) = monthTable("mrgskew")
+    ManifestTable.setTableProperty(spark, base, "write.mode", "merge-on-read")
+    ManifestTable.setTableProperty(spark, base, "keyCol", "o_orderkey")
+    val t = spark.table("mlay_src")
+    val before = spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0)
+    // a mixed MERGE: WHEN MATCHED DELETE rows span EVERY month (their
+    // delta rows carry only rowId + _pval — data columns NULL), plus
+    // NOT MATCHED inserts across every month (their _pval is NULL — no
+    // source file). Single-expression clustering skews one kind or the
+    // other to ONE task; the (_pval, transform) pair spreads both.
+    val nDel = t.filter(col("o_orderkey") % 10 === 0).count()
+    val nIns = t.filter(col("o_orderkey") % 10 === 5).count()
+    t.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("op", lit("del"))
+      .unionByName(t.filter(col("o_orderkey") % 10 === 5)
+        .withColumn("o_orderkey", -col("o_orderkey"))
+        .withColumn("op", lit("ins")))
+      .createOrReplaceTempView("mlay_mrgskew_feed")
+    ManifestDeltaWriteStats.drain() // clear any prior commits' records
+    // AQE's small-shuffle coalescing would fold the tiny sf0.001 delta
+    // to one partition and mask the spread — the pin is about the
+    // REQUESTED clustering, so pin with coalescing off
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      spark.sql(
+        s"""MERGE INTO graft_cat.`$tbl` tgt USING mlay_mrgskew_feed u
+           |ON tgt.o_orderkey = u.o_orderkey
+           |WHEN MATCHED AND u.op = 'del' THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT
+           |  (o_orderkey, o_custkey, o_orderdate, o_totalprice)
+           |  VALUES (u.o_orderkey, u.o_custkey, u.o_orderdate,
+           |          u.o_totalprice)""".stripMargin)
+    } finally prev match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None => spark.conf.unset(coalesceKey)
+    }
+    assert(ManifestTable.pendingDvRels(spark, base).nonEmpty,
+      "the MERGE must take the MoR delta route (deletion vector)")
+    val stats = ManifestDeltaWriteStats.drain()
+    assert(stats.size === 1, s"expected one delta commit, got $stats")
+    val (delTasks, copyTasks) = stats.head
+    assert(delTasks > 1,
+      s"WHEN MATCHED DELETE rows all hashed to $delTasks task — " +
+        "transform(NULL) skew (deletes must spread by _pval)")
+    assert(copyTasks > 1,
+      s"insert rows all hashed to $copyTasks task — NULL-_pval skew " +
+        "(inserts must spread by their target transform value)")
+    // and the merge itself is right
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl`").head.getLong(0)
+      === before - nDel + nIns)
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl` " +
+      "WHERE o_orderkey < 0").head.getLong(0) === nIns)
+  }
+
   test("OPTIMIZE and branches preserve the month layout") {
     val (tbl, base) = monthTable("maint")
     // fragment: a second insert of a small slice

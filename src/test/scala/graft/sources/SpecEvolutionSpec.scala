@@ -410,6 +410,75 @@ class SpecEvolutionSpec extends AnyFunSuite {
       s"incremental sidecar refresh changed the skip shape: $rg vs $rg2")
   }
 
+  test("instant sidecar range-skips across eras with DIFFERENT zones through one pushed range") {
+    freshCatalog()
+    val tbl = "sp2_tszx"
+    val base = s"$root/$tbl"
+    dropDir(base)
+    // era 1: hour grain projected in Tokyo; era 2 (after evolve): day
+    // grain spelled explicitly in UTC — the instant sidecar is zone-free
+    // (epoch seconds), so ONE pushed timestamp range must skip files of
+    // BOTH eras, whatever zones their pvals were projected in
+    spark.sql(s"""CREATE TABLE graft_cat.`$tbl`
+      |(k BIGINT, ts TIMESTAMP, v DOUBLE)
+      |PARTITIONED BY (hours(ts), bucket(4, k))
+      |TBLPROPERTIES ('transform.zone'='Asia/Tokyo')""".stripMargin)
+    import spark.implicits._
+    // era-1 feed: 48 hourly instants from 1995-03-01T00:00Z, 2 keys/hour
+    (0 until 96).map(i => (i.toLong, 794016000L + (i % 48) * 3600L, i * 1.0))
+      .toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+      .createOrReplaceTempView("sp2_tszx_feed1")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM sp2_tszx_feed1")
+    spark.sql(s"CALL graft_cat.system.evolve_spec(`table` => '$tbl', " +
+      "fields => 'days(ts@UTC),bucket(4,k)')")
+    assert(ManifestTable.tableProperties(spark, base)("spec.fields") ===
+      "days(ts@UTC),bucket(4,k)")
+    assert(ManifestTable.tableProperties(spark, base)("spec.hist.1") ===
+      "hours(ts@Asia/Tokyo),bucket(4,k)")
+    // era-2 feed: the NEXT 48 hours (Mar 3 .. Mar 4 UTC)
+    (0 until 96).map(i =>
+        (100L + i, 794016000L + (48 + i % 48) * 3600L, i * 1.0))
+      .toDF("k", "sec", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("v"))
+      .createOrReplaceTempView("sp2_tszx_feed2")
+    spark.sql(s"INSERT INTO graft_cat.`$tbl` SELECT * FROM sp2_tszx_feed2")
+    // one straddling instant range: late era-1 hours + the first era-2
+    // day — files outside it in EITHER era must skip
+    val lo = "1995-03-02 12:00:00"
+    val hi = "1995-03-03 12:00:00"
+    ManifestScanEvents.clear()
+    val n = spark.sql(s"SELECT count(*) FROM graft_cat.`$tbl` " +
+      s"WHERE ts >= TIMESTAMP '$lo UTC' AND ts < TIMESTAMP '$hi UTC'")
+      .head.getLong(0)
+    val exp = Seq("sp2_tszx_feed1", "sp2_tszx_feed2").map(vn =>
+      spark.table(vn).filter(col("ts") >= lit(lo).cast("timestamp") &&
+        col("ts") < lit(hi).cast("timestamp")).count()).sum
+    assert(n === exp, s"straddling instant range wrong: $n vs $exp")
+    val e = ManifestScanEvents.recent(base).last
+    assert(e.kept < e.total && e.kept > 0,
+      s"cross-era instant range must skip files: $e")
+    // PER-ERA skip pin, straight through the sidecar decision: both the
+    // Tokyo-hour era's files and the UTC-day era's files skip under the
+    // same pushed range (the sidecar stores instants, not projections)
+    val v = ManifestTable.currentVersion(spark, base)
+    val es = ManifestTable.entries(spark, base, v)
+    val preds = Seq[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("ts",
+        java.sql.Timestamp.from(java.time.Instant.parse("1995-03-02T12:00:00Z"))),
+      org.apache.spark.sql.sources.LessThan("ts",
+        java.sql.Timestamp.from(java.time.Instant.parse("1995-03-03T12:00:00Z"))))
+    Seq("s1.", "s2.").foreach { era =>
+      val rels = es.collect { case (p, rel) if p.startsWith(era) => rel }
+      assert(rels.nonEmpty, s"era $era wrote no files?")
+      val kept = ManifestFileSkipping.fileSurvivors(spark, base, v,
+        preds, rels)
+      assert(kept.size < rels.size && kept.nonEmpty,
+        s"era $era must skip some files and keep some: " +
+          s"${kept.size}/${rels.size}")
+    }
+  }
+
   test("escapeComponent: per-row and Column forms agree; injective; path-stable") {
     val tricky = Seq("", "plain", "a~b", "x%y", "dot.dot", "sp ace",
       "slash/eq=", "uni-日本-Ж", "s1.fake", "star*plus+", "q?hash#colon:",

@@ -16,6 +16,7 @@ Usage:
 """
 import argparse
 import json
+import statistics
 import sys
 
 ap = argparse.ArgumentParser()
@@ -81,7 +82,24 @@ if a.control:
     shared = sorted(set(cbest) & {q for q, v in best.items() if v >= 0})
     new_shared = sum(best[q] for q in shared)
     ctl_shared = sum(cbest[q] for q in shared)
-    ratios = sorted(best[q] / cbest[q] for q in shared if cbest[q] > 0)
+    ratios = [best[q] / cbest[q] for q in shared if cbest[q] > 0]
+    # PAIRED-FAIR ratios: the raw ratio compares min-of-len(runs) new vs
+    # min-of-len(cruns) control — unequal sampling biases toward whichever
+    # side has more runs (r16: 0.872 raw vs 0.908 at equal N). The paired
+    # statistic restricts the new side to the control runs' interleaved
+    # neighbors (ab_bench.sh emits new_run_i right after ctl_run_i, and
+    # the canonical's run list keeps that order first), so both sides are
+    # a min over the SAME number of same-window samples.
+    pruns = runs[: len(cruns)]
+    pbest = {}
+    for q in shared:
+        ok = [r["queries"][q] for _, r in pruns if r["queries"][q] >= 0]
+        if ok:
+            pbest[q] = min(ok)
+    pshared = sorted(set(pbest) & set(cbest))
+    p_new = sum(pbest[q] for q in pshared)
+    p_ctl = sum(cbest[q] for q in pshared)
+    pratios = [pbest[q] / cbest[q] for q in pshared if cbest[q] > 0]
     out["control"] = {
         "digest": a.control_digest,
         "runs": len(cruns),
@@ -89,8 +107,10 @@ if a.control:
         "new_total_shared": new_shared,
         "shared_queries": len(shared),
         "total_ratio": (new_shared / ctl_shared) if ctl_shared else None,
-        "median_query_ratio":
-            ratios[len(ratios) // 2] if ratios else None,
+        "median_query_ratio": statistics.median(ratios) if ratios else None,
+        "paired_total_ratio": (p_new / p_ctl) if p_ctl else None,
+        "paired_median_query_ratio":
+            statistics.median(pratios) if pratios else None,
         "queries": cbest,
     }
 json.dump(out, open(a.out, "w"), indent=1)
@@ -101,4 +121,6 @@ if a.control:
     print(f"control ({c['digest']}, {c['runs']} interleaved runs): "
           f"shared={c['shared_queries']} new/ctl total ratio="
           f"{c['total_ratio']:.3f} median per-query="
-          f"{c['median_query_ratio']:.3f}")
+          f"{c['median_query_ratio']:.3f} paired-fair total="
+          f"{c['paired_total_ratio']:.3f} paired-fair median="
+          f"{c['paired_median_query_ratio']:.3f}")
