@@ -21,6 +21,11 @@ object Bench {
       Iterator.from(1).map(i => s"bench_history/BENCH_clean_${sfTag}_run$i.json")
         .find(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))).get
     })
+    // NOTE (r17): session-wide spark.sql.join.preferSortMergeJoin=false was
+    // A/B-measured on the join-heavy suite and is a NET LOSS at the bench
+    // SF (39.4 s vs 36.5 s over 10 queries: CC-based dedup wins 0.66-0.80x
+    // but the iterative graph loops lose 1.2-1.3x) — shuffled-hash is
+    // applied per-join via hints where it measured faster instead.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

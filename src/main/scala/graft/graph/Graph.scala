@@ -30,6 +30,14 @@ object Graph {
 
   private def purchaseGraph(spark: org.apache.spark.sql.SparkSession, dir: String,
       cut: Boolean): PurchaseGraph = {
+    // NOTE (r17 optimization round): pre-hashing the loop-invariant sides
+    // on their loop join keys before the cut (so rounds skip re-shuffling
+    // them — guide §2.4) was tried and MEASURED SLOWER at the bench SF:
+    // a pinned partition count defeats AQE's coalescing of the tiny
+    // per-round exchanges (1.2-1.3x on q_pagerank/q_label_prop), and an
+    // AQE-sized repartition collapses to one partition and serializes the
+    // rounds (1.4-2.3x). At cluster scale the pre-hash wins; here the
+    // bench is the contract, so the cut stays partitioning-free.
     def maybeCut(df: org.apache.spark.sql.DataFrame) = if (cut) df.localCheckpoint() else df
     val e = maybeCut(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
@@ -39,6 +47,8 @@ object Graph {
     val nodes = maybeCut(e.select(lit(0).as("kind"), col("src").as("key"))
       .union(e.select(lit(1).as("kind"), col("dst").as("key"))).distinct())
     val n = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    // the groupBy already leaves outdeg hash-partitioned on src — the same
+    // key every round's e⋈outdeg join needs; the cut preserves it
     val outdeg = maybeCut(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     PurchaseGraph(e, nodes, n, outdeg)
   }
@@ -339,11 +349,20 @@ object Graph {
       |SELECT pn.node, pn.tri_cnt, total.n_triangles
       |FROM pn CROSS JOIN total
       |ORDER BY tri_cnt DESC, node LIMIT 20""".stripMargin) { (spark, dir) =>
-    val tri = triangles(spark, dir).localCheckpoint()
-    val total = tri.agg(count(lit(1)).as("n_triangles"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+    // materialize the PER-NODE aggregate (one row per part), not the raw
+    // triangle list (one row per triangle — millions): the wedge join runs
+    // once into the explode+groupBy, and the global count falls out of the
+    // same aggregate as sum(tri_cnt)/3 (every triangle contributes exactly
+    // 3 node slots), so the old second pass over the checkpointed triangle
+    // rows disappears along with the checkpoint's full materialization
+    val perNode = triangles(spark, dir)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
-      .crossJoin(broadcast(total))
+      .localCheckpoint()
+    // integer div: 3·n_triangles is exact at any scale (double division
+    // would round past 2^53)
+    val total = perNode.agg(expr("sum(tri_cnt) div 3").as("n_triangles"))
+    perNode.crossJoin(broadcast(total))
       .orderBy(col("tri_cnt").desc, col("node"))
       .limit(20)
   }

@@ -296,10 +296,16 @@ object Extras {
     val delta = 2 * eps
     val loQs = deciles.map(q => math.max(0.0, q - delta))
     val hiQs = deciles.map(q => math.min(1.0, q + delta))
-    val probe = li.agg(
+    def timed[A](tag: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val r = body
+      if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+        System.err.println(f"[edh] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val probe = timed("pass1 sketch+probes")(li.agg(
       percentile_approx(col("x"), typedLit(deciles ++ loQs ++ hiQs),
         lit(accuracy)).as("p"),
-      count(lit(1)).as("n_total")).head
+      count(lit(1)).as("n_total")).head)
     val p = probe.getSeq[Double](0)
     val nTotal = probe.getLong(1)
     val sbounds = p.slice(0, 9)
@@ -315,7 +321,8 @@ object Extras {
         // PASS 2 — absolute rank offset of each window (rows below it)
         val belowAggs = deciles.indices.map(i =>
           sum(when(col("x") < lit(wlo(i)), 1L).otherwise(0L)).as(s"b$i"))
-        val bRow = li.agg(belowAggs.head, belowAggs.tail: _*).head
+        val bRow = timed("pass2 below-counts")(
+          li.agg(belowAggs.head, belowAggs.tail: _*).head)
         val below = deciles.indices.map(bRow.getLong)
         // PASS 3 — rank ONLY the window members (≤ ~4εN rows per decile)
         // and pick the two order statistics each interpolation reads;
@@ -336,9 +343,10 @@ object Extras {
         val cond = want.map { case (i, rns) =>
           col("i") === lit(i) && col("rn").cast("long").isin(rns: _*)
         }.reduce(_ || _)
-        val picked: Map[(Int, Long), Double] = ranked.filter(cond)
+        val picked: Map[(Int, Long), Double] = timed("pass3 window-refine")(
+          ranked.filter(cond)
           .collect() // ≤ 2 rows per decile
-          .map(r => (r.getInt(0), r.getInt(2).toLong) -> r.getDouble(1)).toMap
+          .map(r => (r.getInt(0), r.getInt(2).toLong) -> r.getDouble(1)).toMap)
         deciles.indices.map { i =>
           def at(k: Long): Double = picked.getOrElse((i, k + 1 - below(i)),
             throw new IllegalStateException(

@@ -824,9 +824,45 @@ object Relational {
         |FROM (SELECT node, side, min(dist) AS dist FROM walk GROUP BY 1, 2)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     QuerySpec.sql("q_recursive_cte", sql) { (spark, dir) =>
+      // Same native WITH RECURSIVE operator, two plan fixes (oracle text
+      // above is unchanged and proves equivalence):
+      //  1. the OR-of-conjunctions join predicate
+      //     `(side='c' AND e.c=node) OR (side='s' AND e.s=node)` cannot be
+      //     planned as an equi-join, so every recursion step ran a
+      //     nested-loop join of the frontier against the whole edge set;
+      //     pre-orienting the edges into a symmetric (us,u)->(vs,v) table
+      //     makes the step a plain hash equi-join on (side, node) — the
+      //     CASE projections fall out as the stored (vs, v) columns, so
+      //     the produced row multiset is identical by construction.
+      //  2. inlined CTEs re-derive orders⋈lineitem+distinct on EVERY
+      //     iteration; materializing the edge table once (localCheckpoint,
+      //     inside the timed region) makes each step read a staged
+      //     in-memory table instead.
+      val e = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey").as("c"))
+        .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_suppkey").as("s")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("c"), col("s")).distinct()
+      val ue = e.select(lit("c").as("us"), col("c").as("u"),
+          lit("s").as("vs"), col("s").as("v"))
+        .unionAll(e.select(lit("s").as("us"), col("s").as("u"),
+          lit("c").as("vs"), col("c").as("v")))
+      ue.localCheckpoint().createOrReplaceTempView("graft_rcte_ue")
       Tables.orders(spark, dir).createOrReplaceTempView("orders")
-      Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
-      spark.sql(sql)
+      spark.sql(
+        """WITH RECURSIVE
+          |root AS (SELECT min(o_custkey) AS c0 FROM orders),
+          |walk(node, side, dist) AS (
+          |  SELECT c0, 'c', 0 FROM root
+          |  UNION ALL
+          |  SELECT ue.v, ue.vs, w.dist + 1
+          |  FROM walk w JOIN graft_rcte_ue ue
+          |    ON ue.us = w.side AND ue.u = w.node
+          |  WHERE w.dist < 2)
+          |SELECT side, dist, CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
+          |FROM (SELECT node, side, min(dist) AS dist FROM walk GROUP BY 1, 2)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     }
   }
 

@@ -421,6 +421,14 @@ private[sources] trait ManifestSidecars { this: ManifestTable.type =>
     * index. Cost per commit: one scan of the NEW files per indexed column
     * (carried files copy their entries). */
   private[sources] def refreshAllStats(spark: SparkSession, base: String): Unit = {
+    val t0 = System.nanoTime()
+    try refreshAllStatsImpl(spark, base)
+    finally if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+      System.err.println(f"[sidecar] refreshAllStats($base) " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+  }
+
+  private def refreshAllStatsImpl(spark: SparkSession, base: String): Unit = {
     val v = currentVersion(spark, base)
     val prior = versions(spark, base).filter(_ < v)
     // numeric stats: carry indexed columns forward AND auto-index the
